@@ -1,0 +1,276 @@
+package graft.analytics
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational analytics core — the query engine underneath the reference's
+  * audit views (TPC-H-flavored over the driver's star schema).
+  *
+  * Scale posture: dimension tables (region/nation/supplier/part/customer)
+  * are broadcast; fact joins shuffle on their keys with AQE; every filter
+  * and projection is declarative so parquet pushdown/pruning applies.
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+
+  /** TPC-H Q1 flavor: multi-aggregate scan of the biggest fact table.
+    * Map-side partial aggregation keeps the shuffle at |groups| rows. */
+  val q1Pricing: Q = Q.sql(
+    "q1_pricing",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    li(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3 flavor: fact-fact join (orders⨝lineitem shuffled on orderkey)
+    * with a broadcast customer filter; top-N revenue. */
+  val q3Shipping: Q = Q.sql(
+    "q3_shipping",
+    """SELECT o_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS order_date,
+      |  o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < to_timestamp(lit("1998-06-01 00:00:00")))
+    val l = li(s, d).filter(col("l_shipdate") > to_timestamp(lit("1998-06-01 00:00:00")))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select("o_orderkey", "revenue", "order_date", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 flavor: multi-way join through the region/nation dimension
+    * chain; all dims broadcast, single shuffle on the fact keys. */
+  val q5RegionVolume: Q = Q.sql(
+    "q5_region_volume",
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = n_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    li(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey") &&
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6 flavor: tight filter + single aggregate — the pushdown test. */
+  val q6Forecast: Q = Q.sql(
+    "q6_forecast",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.04 AND 0.06
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    li(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Per-customer order totals joined back to the (broadcast) dim, top-N. */
+  val qTopCustomers: Q = Q.sql(
+    "q_top_customers",
+    """SELECT c_custkey, c_name, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_spent
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY total_spent DESC, c_custkey
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_spent"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "n_orders", "total_spent")
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14 flavor: promo revenue share per brand (conditional agg). */
+  val qPartShare: Q = Q.sql(
+    "q_part_share",
+    """SELECT p_brand,
+      |  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      |    / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        round(lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0)) / sum(rev), 4)
+          .as("promo_share"),
+        round(sum(rev), 2).as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  /** Running per-customer spend — the window-function primitive that also
+    * powers the audit snapshot/compare reconstructions. */
+  val qRunningTotals: Q = Q.sql(
+    "q_running_totals",
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  round(sum(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spent,
+      |  row_number() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+      |FROM orders
+      |WHERE o_custkey < 100
+      |ORDER BY o_custkey, order_seq""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+        round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_spent"),
+        row_number().over(w).as("order_seq"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  /** TPC-H Q4 flavor: EXISTS via left-semi join with a non-equi condition. */
+  val qOrderPriority: Q = Q.sql(
+    "q_order_priority",
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-07-01 00:00:00")))
+    val l = li(s, d).select("l_orderkey", "l_shipdate")
+    o.join(l, col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Event funnel: per-user signup→purchase conversion (conditional agg). */
+  val qFunnel: Q = Q.sql(
+    "q_funnel",
+    """SELECT user_id,
+      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      |  CASE WHEN min(CASE WHEN event_type = 'signup' THEN ts END)
+      |         < max(CASE WHEN event_type = 'purchase' THEN ts END)
+      |    THEN 1 ELSE 0 END AS converted
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+        when(min(when(col("event_type") === "signup", col("ts")))
+          < max(when(col("event_type") === "purchase", col("ts"))), 1).otherwise(0)
+          .as("converted"))
+      .orderBy("user_id")
+  }
+
+  /** Nation×year revenue rollup (multi-level aggregate with ALL rows). */
+  val qRollupNation: Q = Q.sql(
+    "q_rollup_nation",
+    """SELECT coalesce(n_name, '<ALL>') AS nation,
+      |  coalesce(yr, -1) AS yr,
+      |  round(sum(rev), 2) AS revenue
+      |FROM (
+      |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+      |    l_extendedprice * (1 - l_discount) AS rev
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |GROUP BY ROLLUP(n_name, yr)
+      |ORDER BY nation, yr""".stripMargin) { (s, d) =>
+    val base = li(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("n_name"), year(col("o_orderdate")).cast("int").as("yr"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    // SQL path: Dataset.rollup carries dataset-id metadata through the
+    // Expand node and trips the ambiguous-self-join check after the joins.
+    base.createOrReplaceTempView("graft_rollup_base")
+    s.sql(
+      """SELECT coalesce(n_name, '<ALL>') AS nation, coalesce(yr, -1) AS yr,
+        |  round(sum(rev), 2) AS revenue
+        |FROM graft_rollup_base
+        |GROUP BY ROLLUP(n_name, yr)
+        |ORDER BY nation, yr""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(
+    q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
+    qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation)
+}
