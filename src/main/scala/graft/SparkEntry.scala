@@ -7,7 +7,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    graft.analytics.Relational.all
+    graft.analytics.Relational.all ++
+      graft.audit.AuditQueries.all ++
+      graft.streaming.EventStream.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

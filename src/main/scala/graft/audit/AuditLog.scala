@@ -1,0 +1,79 @@
+package graft.audit
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+
+/** Change-log algebra — the generalized, Spark-native form of the
+  * reference's per-table generated audit views.
+  *
+  * The reference (enova/audit_star, audit/audit.go) materializes, per audited
+  * table, an append-only audit table keyed by a monotonic audit id and the
+  * row's primary key, and three reconstruction views over it:
+  * `*_audit_delta` (audit.go:1051), `*_audit_snapshot` (audit.go:1262) and
+  * `*_audit_compare` (audit.go:1362). Postgres reconstructs "the value as of
+  * a change" by scanning *forward* for the next `before_change` per key —
+  * an O(n) correlated subquery per row. Spark-first, the same semantics are
+  * one hash-partitioned window over (pk) ordered by the audit id, reused by
+  * every reconstruction — a single shuffle that scales linearly.
+  *
+  * An audit log here is any DataFrame with:
+  *   - `pkCol`  — entity primary key (reference: `primary_key`)
+  *   - `seqCol` — monotonic change id (reference: `<table>_audit_id`)
+  *   - `operation` — 'I' | 'U' | 'D' (reference `operation`, audit.go:887)
+  *   - payload columns: the changed-field values carried by each change
+  *     (reference `change`/`before_change` JSON, already extracted).
+  */
+final case class AuditLog(pkCol: String, seqCol: String) {
+
+  /** One partitioning reused by every reconstruction — at scale this is the
+    * single shuffle all audit views share. */
+  val byEntity: WindowSpec = Window.partitionBy(pkCol).orderBy(seqCol)
+  val running: WindowSpec =
+    byEntity.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  private val isInsert = col("operation") === "I"
+  private val isDelete = col("operation") === "D"
+
+  /** Reference `*_audit_delta`: per change, the previous (`old_*`) and
+    * current (`new_*`) payload values; old is NULL on inserts. */
+  def delta(log: DataFrame, payload: Seq[String]): DataFrame =
+    payload.foldLeft(log) { (df, c) =>
+      df.withColumn(s"old_$c",
+          when(isInsert, lit(null)).otherwise(lag(col(c), 1).over(byEntity)))
+        .withColumn(s"new_$c", col(c))
+    }
+
+  /** Reference `*_audit_snapshot`: full entity state as of each change —
+    * the running last non-null payload value per key. */
+  def snapshot(log: DataFrame, payload: Seq[String]): DataFrame =
+    payload.foldLeft(log) { (df, c) =>
+      df.withColumn(s"state_$c", last(col(c), ignoreNulls = true).over(running))
+    }
+
+  /** Reference `*_audit_compare`: both sides fully reconstructed — old
+    * state NULL on insert, new state NULL on delete. */
+  def compare(log: DataFrame, payload: Seq[String]): DataFrame = {
+    val snap = snapshot(log, payload)
+    payload.foldLeft(snap) { (df, c) =>
+      df.withColumn(s"old_state_$c",
+          when(isInsert, lit(null)).otherwise(lag(col(s"state_$c"), 1).over(byEntity)))
+        .withColumn(s"new_state_$c",
+          when(isDelete, lit(null)).otherwise(col(s"state_$c")))
+    }
+  }
+
+  /** Latest reconstructed state per entity (the "live table" the reference
+    * keeps alongside the audit log). */
+  def current(log: DataFrame, payload: Seq[String]): DataFrame = {
+    val desc = Window.partitionBy(pkCol).orderBy(col(seqCol).desc)
+    snapshot(log, payload)
+      .withColumn("__rn", row_number().over(desc))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** State as of a given point in the change sequence (time travel). */
+  def asOf(log: DataFrame, payload: Seq[String], maxSeq: Column): DataFrame =
+    current(log.filter(col(seqCol) <= maxSeq), payload)
+}

@@ -1,0 +1,319 @@
+package graft.audit
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's audit-analytics surface over the `events` change feed.
+  *
+  * Mapping (see SURVEY.md §2A): `event_id` = monotonic audit id
+  * (reference `<table>_audit_id`), `user_id` = entity primary key,
+  * `event_type` → operation class ('signup'→I, 'error'→D, else U — the
+  * reference's `substring(TG_OP,1,1)`, audit.go:892), `props` = JSON change
+  * payload (reference `change`), `value` = audited measure.
+  *
+  * Payload sparsity mirrors the reference trigger, which records a field
+  * only when it actually changed (hstore OLD-NEW diff, audit.go:889): the
+  * `k` payload field is carried only by U operations, `val` only by
+  * 'purchase' changes — so snapshot/compare must genuinely scan for the
+  * nearest non-null value per key, as the reference views do.
+  */
+object AuditQueries {
+
+  private val alg = AuditLog("entity_id", "audit_id")
+  private val TS = "yyyy-MM-dd HH:mm:ss"
+
+  /** Normalized audit log (Spark side). */
+  def log(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id").as("audit_id"),
+      col("user_id").as("entity_id"),
+      when(col("event_type") === "signup", "I")
+        .when(col("event_type") === "error", "D")
+        .otherwise("U").as("operation"),
+      col("ts"),
+      get_json_object(col("props"), "$.k").cast("int").as("field_k"),
+      col("value"),
+      col("event_type"))
+
+  /** Adds the sparse payload columns used by snapshot/compare. */
+  private def sparse(df: DataFrame): DataFrame = df
+    .withColumn("k", when(col("operation") === "U", col("field_k")))
+    .withColumn("val", when(col("event_type") === "purchase", col("value")))
+
+  /** Oracle-side twin of `log` + `sparse` (DuckDB dialect). */
+  private val auditCte =
+    """WITH audit AS (
+      |  SELECT event_id AS audit_id, user_id AS entity_id,
+      |    CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+      |      ELSE 'U' END AS operation,
+      |    ts,
+      |    CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INT) AS field_k,
+      |    value, event_type,
+      |    CASE WHEN event_type NOT IN ('signup', 'error')
+      |      THEN CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INT) END AS k,
+      |    CASE WHEN event_type = 'purchase' THEN value END AS val
+      |  FROM events)
+      |""".stripMargin
+
+  private val runningW =
+    "PARTITION BY entity_id ORDER BY audit_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+  // ---------------------------------------------------------------- ops --
+
+  /** Feed normalization — the reference's raw audit table projection. */
+  val auditLog: Q = Q.sql(
+    "audit_log",
+    auditCte +
+      """SELECT audit_id, entity_id, operation,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS changed_at, field_k, value
+        |FROM audit ORDER BY audit_id""".stripMargin) { (s, d) =>
+    log(s, d).select(
+        col("audit_id"), col("entity_id"), col("operation"),
+        date_format(col("ts"), TS).as("changed_at"), col("field_k"), col("value"))
+      .orderBy("audit_id")
+  }
+
+  /** Reference `*_audit_delta` (audit.go:1051). */
+  val auditDelta: Q = Q.sql(
+    "audit_delta",
+    auditCte +
+      """SELECT audit_id, entity_id, operation,
+        |  CASE WHEN operation = 'I' THEN NULL
+        |    ELSE lag(field_k) OVER w END AS old_field_k,
+        |  field_k AS new_field_k,
+        |  CASE WHEN operation = 'I' THEN NULL
+        |    ELSE lag(value) OVER w END AS old_value,
+        |  value AS new_value
+        |FROM audit
+        |WINDOW w AS (PARTITION BY entity_id ORDER BY audit_id)
+        |ORDER BY audit_id""".stripMargin) { (s, d) =>
+    alg.delta(log(s, d), Seq("field_k", "value"))
+      .select("audit_id", "entity_id", "operation",
+        "old_field_k", "new_field_k", "old_value", "new_value")
+      .orderBy("audit_id")
+  }
+
+  /** Reference `*_audit_snapshot` (audit.go:1262): state as of each change. */
+  val auditSnapshot: Q = Q.sql(
+    "audit_snapshot",
+    auditCte +
+      s"""SELECT audit_id, entity_id,
+         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS changed_at,
+         |  row_number() OVER (PARTITION BY entity_id ORDER BY audit_id) AS change_seq,
+         |  last_value(k IGNORE NULLS) OVER ($runningW) AS state_k,
+         |  last_value(val IGNORE NULLS) OVER ($runningW) AS state_val
+         |FROM audit ORDER BY audit_id""".stripMargin) { (s, d) =>
+    alg.snapshot(sparse(log(s, d)), Seq("k", "val"))
+      .select(
+        col("audit_id"), col("entity_id"), date_format(col("ts"), TS).as("changed_at"),
+        row_number().over(alg.byEntity).as("change_seq"),
+        col("state_k"), col("state_val"))
+      .orderBy("audit_id")
+  }
+
+  /** Reference `*_audit_compare` (audit.go:1362): old+new reconstructed. */
+  val auditCompare: Q = Q.sql(
+    "audit_compare",
+    auditCte + s""", snap AS (
+      |  SELECT audit_id, entity_id, operation,
+      |    last_value(k IGNORE NULLS) OVER ($runningW) AS state_k,
+      |    last_value(val IGNORE NULLS) OVER ($runningW) AS state_val
+      |  FROM audit)
+      |SELECT audit_id, entity_id, operation,
+      |  CASE WHEN operation = 'I' THEN NULL ELSE lag(state_k) OVER w END AS old_state_k,
+      |  CASE WHEN operation = 'D' THEN NULL ELSE state_k END AS new_state_k,
+      |  CASE WHEN operation = 'I' THEN NULL ELSE lag(state_val) OVER w END AS old_state_val,
+      |  CASE WHEN operation = 'D' THEN NULL ELSE state_val END AS new_state_val
+      |FROM snap
+      |WINDOW w AS (PARTITION BY entity_id ORDER BY audit_id)
+      |ORDER BY audit_id""".stripMargin) { (s, d) =>
+    alg.compare(sparse(log(s, d)), Seq("k", "val"))
+      .select("audit_id", "entity_id", "operation",
+        "old_state_k", "new_state_k", "old_state_val", "new_state_val")
+      .orderBy("audit_id")
+  }
+
+  /** Latest reconstructed state per entity (the live-table equivalent). */
+  val auditCurrent: Q = Q.sql(
+    "audit_current",
+    auditCte + s""", snap AS (
+      |  SELECT audit_id, entity_id, ts,
+      |    last_value(k IGNORE NULLS) OVER ($runningW) AS state_k,
+      |    last_value(val IGNORE NULLS) OVER ($runningW) AS state_val,
+      |    row_number() OVER (PARTITION BY entity_id ORDER BY audit_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY entity_id) AS n_changes
+      |  FROM audit)
+      |SELECT entity_id, audit_id AS last_audit_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_changed_at,
+      |  state_k, state_val, n_changes
+      |FROM snap WHERE rn = 1 ORDER BY entity_id""".stripMargin) { (s, d) =>
+    val descW = Window.partitionBy("entity_id").orderBy(col("audit_id").desc)
+    alg.snapshot(sparse(log(s, d)), Seq("k", "val"))
+      .withColumn("rn", row_number().over(descW))
+      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy("entity_id")))
+      .filter(col("rn") === 1)
+      .select(
+        col("entity_id"), col("audit_id").as("last_audit_id"),
+        date_format(col("ts"), TS).as("last_changed_at"),
+        col("state_k"), col("state_val"), col("n_changes"))
+      .orderBy("entity_id")
+  }
+
+  /** Reference sparse_time sampling: every 1000th audit id (audit.go:882). */
+  val auditSparse: Q = Q.sql(
+    "audit_sparse",
+    auditCte +
+      """SELECT audit_id, entity_id, operation,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS sparse_time
+        |FROM audit WHERE audit_id % 1000 = 0 ORDER BY audit_id""".stripMargin) { (s, d) =>
+    log(s, d).filter(col("audit_id") % 1000 === 0)
+      .select(col("audit_id"), col("entity_id"), col("operation"),
+        date_format(col("ts"), TS).as("sparse_time"))
+      .orderBy("audit_id")
+  }
+
+  /** Reference audit.audit_history (audit.go:608): auditing ranges. */
+  val auditHistory: Q = Q.sql(
+    "audit_history",
+    auditCte +
+      """SELECT operation, count(*) AS n_changes,
+        |  count(DISTINCT entity_id) AS n_entities,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_time,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_time
+        |FROM audit GROUP BY operation ORDER BY operation""".stripMargin) { (s, d) =>
+    log(s, d).groupBy("operation")
+      .agg(
+        count(lit(1)).as("n_changes"),
+        countDistinct("entity_id").as("n_entities"),
+        date_format(min("ts"), TS).as("start_time"),
+        date_format(max("ts"), TS).as("end_time"))
+      .orderBy("operation")
+  }
+
+  /** Change volume per operation per day. */
+  val auditOpsRollup: Q = Q.sql(
+    "audit_ops_rollup",
+    auditCte +
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, operation,
+        |  count(*) AS n_changes, round(sum(value), 2) AS total_value
+        |FROM audit GROUP BY 1, 2 ORDER BY day, operation""".stripMargin) { (s, d) =>
+    log(s, d)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"), col("operation"))
+      .agg(count(lit(1)).as("n_changes"), round(sum("value"), 2).as("total_value"))
+      .orderBy("day", "operation")
+  }
+
+  /** Changed-field value histogram (reference `change` JSON key analysis). */
+  val auditFieldFreq: Q = Q.sql(
+    "audit_field_freq",
+    auditCte +
+      """SELECT operation, coalesce(field_k // 10, -1) AS k_bucket,
+        |  count(*) AS n
+        |FROM audit GROUP BY 1, 2 ORDER BY operation, k_bucket""".stripMargin) { (s, d) =>
+    log(s, d)
+      .groupBy(col("operation"),
+        coalesce(expr("field_k div 10"), lit(-1)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("operation", "k_bucket")
+  }
+
+  /** Per-entity audit activity profile. */
+  val auditEntityActivity: Q = Q.sql(
+    "audit_entity_activity",
+    auditCte +
+      """SELECT entity_id, count(*) AS n_changes,
+        |  sum(CASE WHEN operation = 'I' THEN 1 ELSE 0 END) AS n_inserts,
+        |  sum(CASE WHEN operation = 'U' THEN 1 ELSE 0 END) AS n_updates,
+        |  sum(CASE WHEN operation = 'D' THEN 1 ELSE 0 END) AS n_deletes,
+        |  round(sum(value), 2) AS total_value,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_change,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_change
+        |FROM audit GROUP BY entity_id ORDER BY entity_id""".stripMargin) { (s, d) =>
+    log(s, d).groupBy("entity_id")
+      .agg(
+        count(lit(1)).as("n_changes"),
+        sum(when(col("operation") === "I", 1).otherwise(0)).as("n_inserts"),
+        sum(when(col("operation") === "U", 1).otherwise(0)).as("n_updates"),
+        sum(when(col("operation") === "D", 1).otherwise(0)).as("n_deletes"),
+        round(sum("value"), 2).as("total_value"),
+        date_format(min("ts"), TS).as("first_change"),
+        date_format(max("ts"), TS).as("last_change"))
+      .orderBy("entity_id")
+  }
+
+  /** Lost-change detection: audit-id gaps within each entity's stream. */
+  val auditGapDetect: Q = Q.sql(
+    "audit_gap_detect",
+    auditCte + """, gaps AS (
+      |  SELECT entity_id,
+      |    audit_id - lag(audit_id) OVER (PARTITION BY entity_id ORDER BY audit_id) AS gap
+      |  FROM audit)
+      |SELECT entity_id, count(*) AS n_changes,
+      |  coalesce(max(gap), 0) AS max_id_gap
+      |FROM gaps GROUP BY entity_id ORDER BY entity_id""".stripMargin) { (s, d) =>
+    log(s, d)
+      .withColumn("gap", col("audit_id") - lag("audit_id", 1).over(alg.byEntity))
+      .groupBy("entity_id")
+      .agg(count(lit(1)).as("n_changes"),
+        coalesce(max("gap"), lit(0)).as("max_id_gap"))
+      .orderBy("entity_id")
+  }
+
+  /** Hourly change rollup — the batch twin of `audit_stream`. */
+  val auditHourly: Q = Q.sql(
+    "audit_hourly",
+    auditCte +
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  operation, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM audit GROUP BY 1, 2 ORDER BY hour, operation""".stripMargin) { (s, d) =>
+    log(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), TS).as("hour"), col("operation"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("hour", "operation")
+  }
+
+  /** Change-burst sessionization: 30-min inactivity splits a session. */
+  val auditSessionize: Q = Q.sql(
+    "audit_sessionize",
+    auditCte + """, marked AS (
+      |  SELECT entity_id, audit_id, ts, value,
+      |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+      |           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+      |             OVER (PARTITION BY entity_id ORDER BY audit_id) > 1800
+      |         THEN 1
+      |         WHEN lag(audit_id) OVER (PARTITION BY entity_id ORDER BY audit_id) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM audit),
+      |sessions AS (
+      |  SELECT entity_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY entity_id ORDER BY audit_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT entity_id, session_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  count(*) AS n_events, round(sum(value), 2) AS session_value
+      |FROM sessions GROUP BY entity_id, session_id
+      |ORDER BY entity_id, session_id""".stripMargin) { (s, d) =>
+    val secs = unix_timestamp(col("ts"))
+    val marked = log(s, d)
+      .withColumn("new_session",
+        when(secs - lag(secs, 1).over(alg.byEntity) > 1800, 1)
+          .when(lag(col("audit_id"), 1).over(alg.byEntity).isNull, 1)
+          .otherwise(0))
+    marked
+      .withColumn("session_id", sum("new_session").over(alg.running))
+      .groupBy("entity_id", "session_id")
+      .agg(
+        date_format(min("ts"), TS).as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("session_value"))
+      .orderBy("entity_id", "session_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    auditLog, auditDelta, auditSnapshot, auditCompare, auditCurrent,
+    auditSparse, auditHistory, auditOpsRollup, auditFieldFreq,
+    auditEntityActivity, auditGapDetect, auditHourly, auditSessionize)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.audit.AuditLog
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic tests of the change-log algebra against a hand-built change
+  * history (the reference's own test scenario shape: insert → updates →
+  * delete for one entity, audit_test.go). */
+class AuditLogSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  // (audit_id, entity, op, payload k) — k only carried when it changed
+  private lazy val log = Seq(
+    (1L, 10L, "I", Some(1)),
+    (2L, 10L, "U", Some(2)),
+    (3L, 10L, "U", None), // change that did not touch k
+    (4L, 10L, "U", Some(7)),
+    (5L, 10L, "D", None),
+    (6L, 20L, "I", Some(9))
+  ).toDF("audit_id", "entity_id", "operation", "k")
+
+  private val alg = AuditLog("entity_id", "audit_id")
+
+  test("delta: old is previous value, NULL on insert") {
+    val got = alg.delta(log, Seq("k"))
+      .orderBy("audit_id")
+      .select("audit_id", "old_k", "new_k")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(got(0) === ((1L, None, Some(1))))
+    assert(got(1) === ((2L, Some(1), Some(2))))
+    assert(got(2) === ((3L, Some(2), None)))
+    assert(got(4) === ((5L, Some(7), None)))
+  }
+
+  test("snapshot: state carries forward through changes that skip the field") {
+    val got = alg.snapshot(log, Seq("k"))
+      .orderBy("audit_id").select("state_k").collect().map(Option apply _.get(0))
+    assert(got.toSeq === Seq(Some(1), Some(2), Some(2), Some(7), Some(7), Some(9)))
+  }
+
+  test("compare: old state NULL on insert, new state NULL on delete") {
+    val got = alg.compare(log, Seq("k"))
+      .orderBy("audit_id")
+      .select("old_state_k", "new_state_k")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(got(0) === ((None, Some(1))))       // insert
+    assert(got(2) === ((Some(2), Some(2))))    // k untouched: state holds
+    assert(got(4) === ((Some(7), None)))       // delete
+  }
+
+  test("current: one row per entity with the final state") {
+    val got = alg.current(log, Seq("k"))
+      .orderBy("entity_id")
+      .select("entity_id", "audit_id", "state_k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((10L, 5L, 7), (20L, 6L, 9)))
+  }
+
+  test("asOf: time travel to a mid-stream audit id") {
+    val got = alg.asOf(log, Seq("k"), lit(3L))
+      .filter($"entity_id" === 10L).select("state_k").head()
+    assert(got.getInt(0) === 2)
+  }
+}
