@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+import graft.vector.CosineSimilarity
+
+/** Engine extension surface.
+  *
+  * `GraftExtensions` registers the engine's native Catalyst expressions at
+  * session build time (`SparkSession.builder().withExtensions(...)`);
+  * `GraftFunctions.ensureRegistered` does the same imperatively for
+  * sessions the engine does not construct (the driver's), so every
+  * operator works in any session handed to it.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(e.injectFunction)
+}
+
+object GraftFunctions {
+
+  type Builder = Seq[Expression] => Expression
+
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      ((exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))): Builder))
+
+  /** Idempotent runtime registration for externally-built sessions. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    descriptions.foreach { case (ident, info, builder) =>
+      registry.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
+  }
+
+  /** Column-API form of the native cosine expression. */
+  def graftCosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+}

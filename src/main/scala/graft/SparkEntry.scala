@@ -9,7 +9,10 @@ object SparkEntry {
   private def registry: Seq[Q] =
     graft.analytics.Relational.all ++
       graft.audit.AuditQueries.all ++
-      graft.streaming.EventStream.all
+      graft.streaming.EventStream.all ++
+      graft.text.TextOps.all ++
+      graft.vector.Similarity.all ++
+      graft.multimodal.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,295 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis + deduplication operators over the `documents` table.
+  *
+  * Hash-family discipline: every hash used by an oracle-verified operator
+  * is built from primitives with identical semantics in Spark and DuckDB —
+  * md5 hex, 1-based substring, strpos/instr nibble decode, explicit mod-p
+  * integer arithmetic. Ratios are computed as exact int/int double
+  * divisions before rounding, so both engines see bit-identical values.
+  *
+  * Scale design: all dedup operators are *blocked* (lang×source blocks,
+  * MinHash bands, SimHash buckets) so candidate generation is an equi-join
+  * on the block key — at 100 TB the pair space is bounded per block and the
+  * join shuffle-partitions cleanly; nothing here is O(n²) over the corpus.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  // ------------------------------------------------------------ exact --
+
+  /** Exact duplicate groups via content hash. */
+  val dedupExact: Q = Q.sql(
+    "dedup_exact",
+    """SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc_id
+      |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin) { (s, d) =>
+    docs(s, d).groupBy(md5(col("text")).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+      .orderBy("fingerprint")
+  }
+
+  /** Word-order-insensitive duplicates: sorted bag-of-words fingerprint. */
+  val dedupBow: Q = Q.sql(
+    "dedup_bow",
+    """SELECT md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fingerprint,
+      |  count(*) AS n_docs, min(doc_id) AS min_doc_id
+      |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .groupBy(md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+        .as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+      .orderBy("fingerprint")
+  }
+
+  // ---------------------------------------------------------- jaccard --
+
+  /** 3-gram shingle Jaccard near-dup pairs, blocked on (lang, source). */
+  val dedupNgramJaccard: Q = Q.sql(
+    "dedup_ngram_jaccard",
+    """WITH w AS (SELECT doc_id, lang, source, str_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, lang, source,
+      |         list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s3
+      |       FROM w),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        round(1.0 * len(list_intersect(a.s3, b.s3))
+      |          / len(list_distinct(a.s3 || b.s3)), 4) AS jacc
+      |      FROM sh a JOIN sh b
+      |        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, jacc FROM p WHERE jacc >= 0.02
+      |ORDER BY jacc DESC, doc_a, doc_b LIMIT 500""".stripMargin) { (s, d) =>
+    val sh = docs(s, d).select(col("doc_id"), col("lang"), col("source"),
+      expr("""array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+             |  i -> concat_ws(' ', element_at(split(text, ' '), i),
+             |                      element_at(split(text, ' '), i + 1),
+             |                      element_at(split(text, ' '), i + 2))))""".stripMargin)
+        .as("s3"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("s3").as("sa"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("source").as("source_b"), col("s3").as("sb"))
+    a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(lit(1.0) * size(array_intersect(col("sa"), col("sb")))
+          / size(array_union(col("sa"), col("sb"))), 4).as("jacc"))
+      .filter(col("jacc") >= 0.02)
+      .orderBy(col("jacc").desc, col("doc_a"), col("doc_b"))
+      .limit(500)
+  }
+
+  // ---------------------------------------------------------- minhash --
+
+  /** (a, b) parameters of the 4-member linear hash family over mod-p. */
+  private val minhashParams: Seq[(Long, Long)] =
+    Seq((999983L, 7L), (424243L, 99991L), (765431L, 12345L), (550007L, 777L))
+  private val P = 1000000007L
+
+  /** DuckDB: word hash = int value of the first 8 hex nibbles of md5. */
+  private def duckWordHash(w: String): String =
+    (1 to 8).map { j =>
+      val mult = 1L << (4 * (8 - j))
+      s"(CAST(strpos('0123456789abcdef', substr(md5($w), $j, 1)) AS BIGINT) - 1) * $mult"
+    }.mkString("(", " + ", ")")
+
+  /** Spark twin: conv() parses the same 8 hex chars. */
+  private def sparkWordHash(w: String): String =
+    s"cast(conv(substring(md5($w), 1, 8), 16, 10) as bigint)"
+
+  /** MinHash signatures (4 hashes = 4 single-row bands) + per-doc count of
+    * other docs sharing at least one band — the LSH candidate set size. */
+  val dedupMinhash: Q = {
+    val duckSigs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(ws, w -> ($a * ${duckWordHash("w")} + $b) % $P)) AS sig${i + 1}"
+    }.mkString(",\n  ")
+    val duckBands = minhashParams.indices
+      .map(i => s"SELECT doc_id, ${i + 1} AS band, sig${i + 1} AS v FROM sig")
+      .mkString("\n  UNION ALL ")
+    Q.sql(
+      "dedup_minhash",
+      s"""WITH docs AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+         |sig AS (SELECT doc_id, $duckSigs FROM docs),
+         |bands AS ($duckBands),
+         |m AS (SELECT a.doc_id, count(DISTINCT b.doc_id) AS nm
+         |      FROM bands a JOIN bands b
+         |        ON a.band = b.band AND a.v = b.v AND a.doc_id <> b.doc_id
+         |      GROUP BY a.doc_id)
+         |SELECT sig.doc_id, sig1, sig2, sig3, sig4,
+         |  coalesce(nm, 0) AS n_band_matches
+         |FROM sig LEFT JOIN m ON sig.doc_id = m.doc_id
+         |ORDER BY 1""".stripMargin) { (s, d) =>
+      val sigCols = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+        expr(s"array_min(transform(split(text, ' '), w -> ($a * ${sparkWordHash("w")} + $b) % $P))")
+          .as(s"sig${i + 1}")
+      }
+      val sigs = docs(s, d).select(col("doc_id") +: sigCols: _*)
+      val bands = sigs.select(col("doc_id"),
+        posexplode(array(minhashParams.indices.map(i => col(s"sig${i + 1}")): _*))
+          .as(Seq("band", "v")))
+      val m = bands.select(col("doc_id").as("doc_a"), col("band"), col("v"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("v").as("v_b")),
+          col("band") === col("band_b") && col("v") === col("v_b") && col("doc_a") =!= col("doc_b"))
+        .groupBy(col("doc_a"))
+        .agg(countDistinct("doc_b").as("nm"))
+      sigs.join(m, sigs("doc_id") === m("doc_a"), "left")
+        .select(col("doc_id"), col("sig1"), col("sig2"), col("sig3"), col("sig4"),
+          coalesce(col("nm"), lit(0L)).as("n_band_matches"))
+        .orderBy("doc_id")
+    }
+  }
+
+  // ---------------------------------------------------------- simhash --
+
+  /** 16-bit SimHash over distinct words: bit votes from the first 4 md5
+    * nibbles of each word; bucket size = docs sharing the signature. */
+  val dedupSimhash: Q = {
+    // per-bit vote: bi = 4*(j-1) + t over hex char j (1..4), bit t (0..3)
+    def bitExpr(pos: String, j: Int, t: Int) =
+      s"(((strpos('0123456789abcdef', substr($pos, $j, 1)) - 1) // ${1 << t}) % 2)"
+    def bitExprSpark(pos: String, j: Int, t: Int) =
+      s"(((instr('0123456789abcdef', substring($pos, $j, 1)) - 1) div ${1 << t}) % 2)"
+    val duckVotes = (0 until 16).map { bi =>
+      val (j, t) = (bi / 4 + 1, bi % 4)
+      s"sum(2 * ${bitExpr("h4", j, t)} - 1) AS v$bi"
+    }.mkString(",\n  ")
+    val duckBits = (0 until 16)
+      .map(bi => s"(CASE WHEN v$bi > 0 THEN ${1 << bi} ELSE 0 END)")
+      .mkString(" + ")
+    Q.sql(
+      "dedup_simhash",
+      s"""WITH w AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS word
+         |           FROM documents),
+         |h AS (SELECT doc_id, substr(md5(word), 1, 4) AS h4 FROM w),
+         |v AS (SELECT doc_id, $duckVotes FROM h GROUP BY doc_id),
+         |sh AS (SELECT doc_id, $duckBits AS simhash FROM v)
+         |SELECT doc_id, simhash,
+         |  count(*) OVER (PARTITION BY simhash) AS n_same
+         |FROM sh ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val h = docs(s, d)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+        .withColumn("h4", expr("substring(md5(word), 1, 4)"))
+      val votes = (0 until 16).map { bi =>
+        val (j, t) = (bi / 4 + 1, bi % 4)
+        sum(expr(s"2 * ${bitExprSpark("h4", j, t)} - 1")).as(s"v$bi")
+      }
+      val simhash = (0 until 16)
+        .map(bi => when(col(s"v$bi") > 0, 1 << bi).otherwise(0))
+        .reduce(_ + _)
+      h.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), simhash.as("simhash"))
+        .withColumn("n_same", count(lit(1)).over(Window.partitionBy("simhash")))
+        .orderBy("doc_id")
+    }
+  }
+
+  // ------------------------------------------------------ text analysis --
+
+  /** Stopword-profile language ID vs the labeled lang (confusion matrix). */
+  val langId: Q = Q.sql(
+    "lang_id",
+    """WITH f AS (
+      |  SELECT lang,
+      |    len(list_filter(str_split(text, ' '), w -> w = 'the')) AS n_the,
+      |    len(list_filter(str_split(text, ' '), w -> w = 'data')) AS n_data,
+      |    len(list_filter(str_split(text, ' '), w -> w = 'spark')) AS n_spark
+      |  FROM documents),
+      |p AS (SELECT lang,
+      |        CASE WHEN n_the >= n_data AND n_the >= n_spark THEN 'en'
+      |             WHEN n_data >= n_spark THEN 'es' ELSE 'zh' END AS predicted
+      |      FROM f)
+      |SELECT lang, predicted, count(*) AS n
+      |FROM p GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("lang"),
+        expr("size(filter(split(text, ' '), w -> w = 'the'))").as("n_the"),
+        expr("size(filter(split(text, ' '), w -> w = 'data'))").as("n_data"),
+        expr("size(filter(split(text, ' '), w -> w = 'spark'))").as("n_spark"))
+      .select(col("lang"),
+        when(col("n_the") >= col("n_data") && col("n_the") >= col("n_spark"), "en")
+          .when(col("n_data") >= col("n_spark"), "es")
+          .otherwise("zh").as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Per-document quality profile (type-token ratio, stopword ratio, …). */
+  val textQuality: Q = Q.sql(
+    "text_quality",
+    """WITH f AS (
+      |  SELECT doc_id, n_chars,
+      |    len(str_split(text, ' ')) AS n_words,
+      |    len(list_distinct(str_split(text, ' '))) AS n_distinct_words,
+      |    length(replace(text, ' ', '')) AS word_chars,
+      |    len(list_filter(str_split(text, ' '), w -> w IN ('the', 'a'))) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id, n_chars, n_words, n_distinct_words,
+      |  round(1.0 * word_chars / n_words, 4) AS avg_word_len,
+      |  round(1.0 * n_distinct_words / n_words, 4) AS type_token_ratio,
+      |  round(1.0 * n_stop / n_words, 4) AS stopword_ratio,
+      |  round(((1.0 * n_distinct_words / n_words) + 1 - (1.0 * n_stop / n_words)) / 2, 4)
+      |    AS quality_score
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        expr("size(split(text, ' '))").as("n_words"),
+        expr("size(array_distinct(split(text, ' ')))").as("n_distinct_words"),
+        expr("length(replace(text, ' ', ''))").as("word_chars"),
+        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))").as("n_stop"))
+      .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_distinct_words"),
+        round(lit(1.0) * col("word_chars") / col("n_words"), 4).as("avg_word_len"),
+        round(lit(1.0) * col("n_distinct_words") / col("n_words"), 4).as("type_token_ratio"),
+        round(lit(1.0) * col("n_stop") / col("n_words"), 4).as("stopword_ratio"),
+        round(((lit(1.0) * col("n_distinct_words") / col("n_words"))
+          + lit(1) - (lit(1.0) * col("n_stop") / col("n_words"))) / 2, 4)
+          .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Whitespace + chars/4 BPE-approximation token counts. */
+  val tokenCount: Q = Q.sql(
+    "token_count",
+    """SELECT doc_id,
+      |  len(str_split(text, ' ')) AS n_ws_tokens,
+      |  n_chars,
+      |  (n_chars + 3) // 4 AS approx_bpe_tokens,
+      |  round(1.0 * n_chars / len(str_split(text, ' ')), 4) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("size(split(text, ' '))").as("n_ws_tokens"),
+        col("n_chars"),
+        expr("(n_chars + 3) div 4").as("approx_bpe_tokens"),
+        round(lit(1.0) * col("n_chars") / expr("size(split(text, ' '))"), 4)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Position-weighted polynomial fingerprint (mod-p fold over words). */
+  val docFingerprint: Q = Q.sql(
+    "doc_fingerprint",
+    s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+       |SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(1, len(ws) + 1),
+       |    i -> CAST(i AS BIGINT) * (ascii(substr(ws[i], 1, 1)) * 31 + length(ws[i]))))
+       |    % $P AS BIGINT) AS fp
+       |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        expr(s"""aggregate(
+                |  transform(sequence(1, size(split(text, ' '))),
+                |    i -> cast(i as bigint) * (ascii(substring(element_at(split(text, ' '), i), 1, 1)) * 31
+                |         + length(element_at(split(text, ' '), i)))),
+                |  0L, (acc, x) -> acc + x) % $P""".stripMargin).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    dedupExact, dedupBow, dedupNgramJaccard, dedupMinhash, dedupSimhash,
+    langId, textQuality, tokenCount, docFingerprint)
+}

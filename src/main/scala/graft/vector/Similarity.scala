@@ -1,0 +1,114 @@
+package graft.vector
+
+import graft.{GraftFunctions, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the embedding column.
+  *
+  * Scale design: the brute-force scorer is only ever applied with a small,
+  * broadcastable query side (top-k for a bounded query set); the scale path
+  * is cell-blocked (IVF-style coarse quantization) so candidate generation
+  * is an equi-join on cell id — shuffle-partitionable, never an O(n²)
+  * cross product. Scoring runs through the codegen'd native
+  * [[CosineSimilarity]] expression.
+  *
+  * Determinism discipline: similarities are rounded to 4 decimals *before*
+  * ranking/thresholding on both the Spark and oracle side, so tie-breaking
+  * (by neighbor id) sees identical values in both engines.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    Tables.embeddings(s, d)
+  }
+
+  private def cosR(a: Column, b: Column): Column =
+    round(GraftFunctions.graftCosine(a, b), 4)
+
+  /** Brute-force cosine top-k per query vector (query side broadcast). */
+  val annTopk: Q = Q.sql(
+    "ann_topk",
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+      |s AS (SELECT query_id, vec_id AS neighbor_id,
+      |        round(list_cosine_similarity(qe, ce), 4) AS cos_sim
+      |      FROM q, c WHERE vec_id <> query_id),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |      FROM s)
+      |SELECT query_id, neighbor_id, cos_sim, rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosR(col("qe"), col("ce")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-style ANN: sign-bit coarse quantizer over the first 4 dimensions
+    * assigns each vector to 1 of 16 cells; search touches only the query's
+    * cell. At scale, cells are the shuffle/partition key. */
+  val annIvf: Q = Q.sql(
+    "ann_ivf",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    CAST(embedding[1] > 0 AS INT) * 8 + CAST(embedding[2] > 0 AS INT) * 4
+      |      + CAST(embedding[3] > 0 AS INT) * 2 + CAST(embedding[4] > 0 AS INT) AS cell
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, emb AS qe, cell FROM e WHERE vec_id < 10),
+      |s AS (SELECT query_id, e.vec_id AS neighbor_id, e.cell,
+      |        round(list_cosine_similarity(qe, emb), 4) AS cos_sim
+      |      FROM q JOIN e ON q.cell = e.cell AND e.vec_id <> q.query_id),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |      FROM s)
+      |SELECT query_id, neighbor_id, cell, cos_sim, rank
+      |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val cell =
+      (when(element_at(col("embedding"), 1) > 0f, 8).otherwise(0)
+        + when(element_at(col("embedding"), 2) > 0f, 4).otherwise(0)
+        + when(element_at(col("embedding"), 3) > 0f, 2).otherwise(0)
+        + when(element_at(col("embedding"), 4) > 0f, 1).otherwise(0)).cast("int")
+    val e = emb(s, d).select(col("vec_id"), col("embedding"), cell.as("cell"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell").as("qcell"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    e.join(broadcast(q), col("qcell") === col("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        cosR(col("qe"), col("embedding")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-duplicate pairs, label-blocked (the blocking key stands
+    * in for an LSH bucket at scale): cosine ≥ 0.35 within a block. */
+  val dedupEmbedding: Q = Q.sql(
+    "dedup_embedding",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      |           FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+      |  round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.35
+      |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("eb"))
+    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("label"), cosR(col("ea"), col("eb")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.35)
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+  }
+
+  val all: Seq[Q] = Seq(annTopk, annIvf, dedupEmbedding)
+}

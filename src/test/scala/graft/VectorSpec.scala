@@ -1,0 +1,65 @@
+package graft
+
+import graft.vector.CosineSimilarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the native cosine expression (interpreted and codegen paths
+  * agree, zero-norm → NULL, orthogonal/identical vectors). */
+class VectorSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private def cos(a: Seq[Float], b: Seq[Float]): Option[Double] = {
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq((a, b)).toDF("a", "b")
+      .select(call_function("graft_cosine", col("a"), col("b")).as("c"))
+    Option(df.head().get(0)).map(_.asInstanceOf[Double])
+  }
+
+  test("identical unit vectors → 1.0") {
+    assert(cos(Seq(1f, 0f, 0f), Seq(1f, 0f, 0f)).get === 1.0)
+  }
+
+  test("orthogonal vectors → 0.0") {
+    assert(cos(Seq(1f, 0f), Seq(0f, 1f)).get === 0.0)
+  }
+
+  test("opposite vectors → -1.0") {
+    assert(cos(Seq(1f, 2f), Seq(-1f, -2f)).get === -1.0)
+  }
+
+  test("zero-norm input → NULL") {
+    assert(cos(Seq(0f, 0f), Seq(1f, 2f)).isEmpty)
+  }
+
+  test("matches a reference computation on real embeddings") {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, TestSession.sfDir).limit(2)
+      .collect().map(_.getSeq[Float](1))
+    val expected = {
+      val (x, y) = (e(0).map(_.toDouble), e(1).map(_.toDouble))
+      val dot = x.zip(y).map { case (a, b) => a * b }.sum
+      dot / math.sqrt(x.map(v => v * v).sum * y.map(v => v * v).sum)
+    }
+    val got = cos(e(0), e(1)).get
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("expression survives codegen (no fallback in the plan)") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = Tables.embeddings(spark, TestSession.sfDir)
+      .select(call_function("graft_cosine", col("embedding"), col("embedding")).as("c"))
+    // all self-similarities are 1.0 (unit-norm data)
+    val n = df.filter(abs(col("c") - 1.0) > 1e-6).count()
+    assert(n === 0)
+    // the "*(n)" prefix marks a WholeStageCodegen span containing the op
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project [graft_cosine"))
+  }
+
+  test("CosineSimilarity rejects non-float-array inputs at analysis") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bad = CosineSimilarity(Literal(1), Literal(2))
+    assert(bad.checkInputDataTypes().isFailure)
+  }
+}
