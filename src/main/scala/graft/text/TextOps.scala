@@ -64,20 +64,29 @@ object TextOps {
       |        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, jacc FROM p WHERE jacc >= 0.02
       |ORDER BY jacc DESC, doc_a, doc_b LIMIT 500""".stripMargin) { (s, d) =>
-    val sh = docs(s, d).select(col("doc_id"), col("lang"), col("source"),
-      expr("""array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
-             |  i -> concat_ws(' ', element_at(split(text, ' '), i),
-             |                      element_at(split(text, ' '), i + 1),
-             |                      element_at(split(text, ' '), i + 2))))""".stripMargin)
-        .as("s3"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("s3").as("sa"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      col("source").as("source_b"), col("s3").as("sb"))
+    // Spark side uses the scale formulation: an inverted-index equi-join on
+    // (block, shingle) + count, instead of per-pair array set-ops —
+    // |a∩b| = shared-shingle count, |a∪b| = |a|+|b|-|a∩b|, identical math
+    // to the oracle's set expression but shuffle-partitionable by shingle.
+    val sh = docs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("""array_distinct(transform(sequence(1, size(ws) - 2),
+               |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+               |                      element_at(ws, i + 2))))""".stripMargin).as("s3"))
+    val ex = sh.select(col("doc_id"), col("lang"), col("source"),
+      size(col("s3")).as("sz"), explode(col("s3")).as("shingle"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+      col("sz").as("sz_a"), col("shingle"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("source").as("source_b"), col("sz").as("sz_b"), col("shingle").as("shingle_b"))
     a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b") &&
-        col("doc_a") < col("doc_b"))
+        col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("common"))
       .select(col("doc_a"), col("doc_b"),
-        round(lit(1.0) * size(array_intersect(col("sa"), col("sb")))
-          / size(array_union(col("sa"), col("sb"))), 4).as("jacc"))
+        round(lit(1.0) * col("common") / (col("sz_a") + col("sz_b") - col("common")), 4)
+          .as("jacc"))
       .filter(col("jacc") >= 0.02)
       .orderBy(col("jacc").desc, col("doc_a"), col("doc_b"))
       .limit(500)
@@ -101,18 +110,27 @@ object TextOps {
   private def sparkWordHash(w: String): String =
     s"cast(conv(substring(md5($w), 1, 8), 16, 10) as bigint)"
 
-  /** MinHash signatures (4 hashes = 4 single-row bands) + per-doc count of
-    * other docs sharing at least one band — the LSH candidate set size. */
+  /** MinHash/LSH over 3-gram shingles: 4 hashes = 4 single-row bands, plus
+    * per-doc count of other docs sharing at least one band — the LSH
+    * candidate set size.
+    *
+    * Shingles, not unigrams: with a small vocabulary every document
+    * contains nearly every word, so a unigram MinHash collides for every
+    * pair and the band join degenerates to all-pairs. The ~|vocab|³
+    * shingle space keeps band collisions ≈ true Jaccard similarity, which
+    * is what bounds the candidate join at scale. */
   val dedupMinhash: Q = {
     val duckSigs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
-      s"list_min(list_transform(ws, w -> ($a * ${duckWordHash("w")} + $b) % $P)) AS sig${i + 1}"
+      s"list_min(list_transform(s3, w -> ($a * ${duckWordHash("w")} + $b) % $P)) AS sig${i + 1}"
     }.mkString(",\n  ")
     val duckBands = minhashParams.indices
       .map(i => s"SELECT doc_id, ${i + 1} AS band, sig${i + 1} AS v FROM sig")
       .mkString("\n  UNION ALL ")
     Q.sql(
       "dedup_minhash",
-      s"""WITH docs AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+         |docs AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS s3 FROM w),
          |sig AS (SELECT doc_id, $duckSigs FROM docs),
          |bands AS ($duckBands),
          |m AS (SELECT a.doc_id, count(DISTINCT b.doc_id) AS nm
@@ -124,10 +142,16 @@ object TextOps {
          |FROM sig LEFT JOIN m ON sig.doc_id = m.doc_id
          |ORDER BY 1""".stripMargin) { (s, d) =>
       val sigCols = minhashParams.zipWithIndex.map { case ((a, b), i) =>
-        expr(s"array_min(transform(split(text, ' '), w -> ($a * ${sparkWordHash("w")} + $b) % $P))")
+        expr(s"array_min(transform(s3, w -> ($a * ${sparkWordHash("w")} + $b) % $P))")
           .as(s"sig${i + 1}")
       }
-      val sigs = docs(s, d).select(col("doc_id") +: sigCols: _*)
+      val sigs = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          expr("""transform(sequence(1, size(ws) - 2),
+                 |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+                 |                      element_at(ws, i + 2)))""".stripMargin).as("s3"))
+        .select(col("doc_id") +: sigCols: _*)
       val bands = sigs.select(col("doc_id"),
         posexplode(array(minhashParams.indices.map(i => col(s"sig${i + 1}")): _*))
           .as(Seq("band", "v")))
@@ -280,11 +304,12 @@ object TextOps {
        |    % $P AS BIGINT) AS fp
        |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
     docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         expr(s"""aggregate(
-                |  transform(sequence(1, size(split(text, ' '))),
-                |    i -> cast(i as bigint) * (ascii(substring(element_at(split(text, ' '), i), 1, 1)) * 31
-                |         + length(element_at(split(text, ' '), i)))),
+                |  transform(sequence(1, size(ws)),
+                |    i -> cast(i as bigint) * (ascii(substring(element_at(ws, i), 1, 1)) * 31
+                |         + length(element_at(ws, i)))),
                 |  0L, (acc, x) -> acc + x) % $P""".stripMargin).as("fp"))
       .orderBy("doc_id")
   }
