@@ -312,8 +312,41 @@ object AuditQueries {
       .orderBy("entity_id", "session_id")
   }
 
+  /** Per-operation value quantiles (exact interpolated percentiles — both
+    * engines implement the same (1-f)*a + f*b continuous quantile). */
+  val auditValueQuantiles: Q = Q.sql(
+    "audit_value_quantiles",
+    auditCte +
+      """SELECT operation,
+        |  round(quantile_cont(value, 0.5), 2) AS p50,
+        |  round(quantile_cont(value, 0.9), 2) AS p90,
+        |  round(quantile_cont(value, 0.99), 2) AS p99
+        |FROM audit GROUP BY operation ORDER BY operation""".stripMargin) { (s, d) =>
+    log(s, d).groupBy("operation")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 2).as("p50"),
+        round(expr("percentile(value, 0.9)"), 2).as("p90"),
+        round(expr("percentile(value, 0.99)"), 2).as("p99"))
+      .orderBy("operation")
+  }
+
+  /** Sketch-based distinct entities per day — the 100 TB path for entity
+    * cardinality (HLL++, mergeable partial aggregates; no exact-distinct
+    * shuffle). Rows-only: sketch estimates are engine-specific; the spec
+    * bounds the error against the exact count. */
+  val auditApproxEntities: Q = Q.rowsOnly("audit_approx_entities") { (s, d) =>
+    log(s, d)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(
+        approx_count_distinct("entity_id", 0.02).as("approx_entities"),
+        countDistinct("entity_id").as("exact_entities"),
+        count(lit(1)).as("n_changes"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(
     auditLog, auditDelta, auditSnapshot, auditCompare, auditCurrent,
     auditSparse, auditHistory, auditOpsRollup, auditFieldFreq,
-    auditEntityActivity, auditGapDetect, auditHourly, auditSessionize)
+    auditEntityActivity, auditGapDetect, auditHourly, auditSessionize,
+    auditValueQuantiles, auditApproxEntities)
 }

@@ -1,0 +1,36 @@
+package graft.audit
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical layout of the audit log at scale.
+  *
+  * The reference keeps one Postgres audit table per source table with a
+  * btree on primary_key (audit.go:836). The Spark-native equivalent of
+  * that access path is a *bucketed, sort-ordered* parquet table: bucketing
+  * by entity pk gives every downstream reconstruction (delta / snapshot /
+  * compare / current — all windows over `PARTITION BY pk ORDER BY seq`)
+  * its required hash distribution straight from the scan, so the
+  * per-query Exchange disappears; the in-bucket sort order turns the
+  * window sort into a near-no-op merge.
+  *
+  * At 100 TB: bucket count is chosen once for the table (≈ total size /
+  * target partition size); every audit query then runs shuffle-free, and
+  * entity-keyed joins between two bucketed audit tables co-locate.
+  */
+object AuditStorage {
+
+  /** Writes the audit log bucketed+sorted by entity; returns table name. */
+  def writeBucketed(
+      log: DataFrame, table: String, buckets: Int,
+      pkCol: String = "entity_id", seqCol: String = "audit_id"): String = {
+    log.write
+      .mode("overwrite")
+      .bucketBy(buckets, pkCol)
+      .sortBy(pkCol, seqCol)
+      .format("parquet")
+      .saveAsTable(table)
+    table
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}

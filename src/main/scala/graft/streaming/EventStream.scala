@@ -70,5 +70,89 @@ object EventStream {
     s.table(name).orderBy("win_start", "operation")
   }
 
-  val all: Seq[Q] = Seq(auditStream)
+  // ------------------------------------------------- stateful sessions --
+
+  final case class FeedEvent(entity_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(startMs: Long, lastMs: Long, n: Int, sum: Double)
+  final case class ClosedSession(
+      entity_id: Long, session_start: String, n_events: Long, session_value: Double)
+
+  /** Serializable holder: the state-update function ships to executors and
+    * must not capture the (non-serializable) enclosing object. */
+  private object Sessionizer extends Serializable {
+    val GapMs: Long = 30L * 60 * 1000
+    def fmt(ms: Long): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+
+    def update(entity: Long, rows: Iterator[FeedEvent],
+        state: org.apache.spark.sql.streaming.GroupState[SessionState])
+        : Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(ClosedSession(entity, fmt(s.startMs), s.n, math.rint(s.sum * 100) / 100))
+      } else {
+        val evs = rows.toArray.sortBy(_.ts.getTime)
+        var open = state.getOption
+        val closed = Iterator.newBuilder[ClosedSession]
+        evs.foreach { e =>
+          val t = e.ts.getTime
+          open match {
+            // gap compared at *second* granularity to match the batch
+            // operator's unix_timestamp arithmetic exactly
+            case Some(s) if (t / 1000) - (s.lastMs / 1000) <= GapMs / 1000 =>
+              open = Some(s.copy(lastMs = t, n = s.n + 1, sum = s.sum + e.value))
+            case Some(s) =>
+              closed += ClosedSession(entity, fmt(s.startMs), s.n, math.rint(s.sum * 100) / 100)
+              open = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              open = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + GapMs)
+        }
+        closed.result()
+      }
+    }
+  }
+
+  /** Per-entity session tracking with bounded state: a session closes when
+    * 30 minutes pass without a change (event-time timeout fires once the
+    * watermark passes lastSeen + gap). This is the streaming twin of the
+    * batch `audit_sessionize` operator — reconciliation is asserted in
+    * StreamingSessionSpec. */
+  def sessionize(feed: org.apache.spark.sql.Dataset[FeedEvent])
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import feed.sparkSession.implicits._
+    feed
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(Sessionizer.update _)
+  }
+
+  /** Runs the stateful sessionizer over the feed. Sessions still open when
+    * the feed ends stay in state (they would close on the next micro-batch
+    * in a live pipeline), so this emits every *closed* session. */
+  val auditSessionizeStream: Q = Q.rowsOnly("audit_sessionize_stream") { (s, d) =>
+    import s.implicits._
+    val name = "graft_sessionize_stream_out"
+    try s.catalog.dropTempView(name) catch { case _: Throwable => () }
+    val feed = readFeed(s, d)
+      .select(col("user_id").as("entity_id"), col("ts"), col("value"))
+      .as[FeedEvent]
+    val q = sessionize(feed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("entity_id", "session_start")
+  }
+
+  val all: Seq[Q] = Seq(auditStream, auditSessionizeStream)
 }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.audit.{AuditLog, AuditQueries, AuditStorage}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale claim behind AuditStorage: reconstructions over a bucketed
+  * audit log run without a shuffle (the scan itself satisfies the window's
+  * required distribution), and results equal the unbucketed path. */
+class BucketedAuditSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def shuffles(p: SparkPlan): Int = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    inner.collect { case e: ShuffleExchangeExec => e }.size
+  }
+
+  private lazy val table: String = {
+    // in-memory catalog forgets tables between JVM runs but the warehouse
+    // files persist; clear the stale location first
+    spark.sql("DROP TABLE IF EXISTS audit_log_bucketed")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "audit_log_bucketed")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
+    val log = AuditQueries.log(spark, sfDir)
+    AuditStorage.writeBucketed(log, "audit_log_bucketed", buckets = 4)
+  }
+
+  test("snapshot over the bucketed log plans zero shuffles") {
+    val alg = AuditLog("entity_id", "audit_id")
+    val snap = alg.snapshot(
+      AuditStorage.read(spark, table)
+        .withColumn("k", org.apache.spark.sql.functions.col("field_k")),
+      Seq("k"))
+    snap.collect() // force execution so AQE finalizes the plan
+    assert(shuffles(snap.queryExecution.executedPlan) === 0,
+      snap.queryExecution.executedPlan.toString)
+  }
+
+  test("bucketed and unbucketed snapshots agree") {
+    val alg = AuditLog("entity_id", "audit_id")
+    val direct = alg
+      .snapshot(AuditQueries.log(spark, sfDir)
+        .withColumn("k", org.apache.spark.sql.functions.col("field_k")), Seq("k"))
+      .select("audit_id", "state_k").orderBy("audit_id").collect()
+    val bucketed = alg
+      .snapshot(AuditStorage.read(spark, table)
+        .withColumn("k", org.apache.spark.sql.functions.col("field_k")), Seq("k"))
+      .select("audit_id", "state_k").orderBy("audit_id").collect()
+    assert(direct.toSeq === bucketed.toSeq)
+  }
+}
