@@ -16,8 +16,10 @@ import graft.vector.CosineSimilarity
   * operator works in any session handed to it.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(e.injectFunction)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+  }
 }
 
 object GraftFunctions {
@@ -31,11 +33,14 @@ object GraftFunctions {
 
   /** Idempotent runtime registration for externally-built sessions. */
   def ensureRegistered(spark: SparkSession): Unit = {
-    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     descriptions.foreach { case (ident, info, builder) =>
-      registry.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+      classic.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
     }
+    if (!classic.experimental.extraStrategies.contains(graft.plans.AsOfStrategy))
+      classic.experimental.extraStrategies =
+        classic.experimental.extraStrategies :+ graft.plans.AsOfStrategy
   }
 
   /** Column-API form of the native cosine expression. */

@@ -344,9 +344,42 @@ object AuditQueries {
       .orderBy("day")
   }
 
+  /** Point-in-time lookup via the engine's custom AS-OF JOIN operator
+    * (graft.plans.AsOfJoinExec): for each delete-class change, the
+    * entity's latest update-class value as of that moment — the
+    * reference's lateral "nearest audit row per pk" scan (audit.go:1074)
+    * as a single sort-merge pass. */
+  val auditAsofState: Q = Q.sql(
+    "audit_asof_state",
+    auditCte + """, l AS (
+      |  SELECT audit_id, entity_id, ts FROM audit WHERE event_type = 'error'),
+      |r AS (SELECT entity_id AS r_entity, ts AS r_ts, value AS r_value
+      |      FROM audit WHERE event_type = 'purchase')
+      |SELECT l.audit_id, l.entity_id,
+      |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS err_at,
+      |  r.r_value AS last_purchase_value,
+      |  strftime(r.r_ts, '%Y-%m-%d %H:%M:%S') AS last_purchase_at
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.entity_id = r.r_entity AND l.ts >= r.r_ts
+      |ORDER BY l.audit_id""".stripMargin) { (s, d) =>
+    graft.GraftFunctions.ensureRegistered(s)
+    val base = log(s, d)
+    val l = base.filter(col("event_type") === "error")
+      .select("audit_id", "entity_id", "ts")
+    val r = base.filter(col("event_type") === "purchase")
+      .select(col("entity_id").as("r_entity"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    graft.plans.AsOf.join(l, r, key = ("entity_id", "r_entity"), time = ("ts", "r_ts"))
+      .select(col("audit_id"), col("entity_id"),
+        date_format(col("ts"), TS).as("err_at"),
+        col("r_value").as("last_purchase_value"),
+        date_format(col("r_ts"), TS).as("last_purchase_at"))
+      .orderBy("audit_id")
+  }
+
   val all: Seq[Q] = Seq(
     auditLog, auditDelta, auditSnapshot, auditCompare, auditCurrent,
     auditSparse, auditHistory, auditOpsRollup, auditFieldFreq,
     auditEntityActivity, auditGapDetect, auditHourly, auditSessionize,
-    auditValueQuantiles, auditApproxEntities)
+    auditValueQuantiles, auditApproxEntities, auditAsofState)
 }

@@ -1,0 +1,187 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftPlanFactory, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning, PartitioningCollection}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+
+/** AS-OF JOIN — the audit engine's point-in-time lookup as a first-class
+  * operator: for each left row (key, t), attach the latest right row with
+  * the same key and time ≤ t.
+  *
+  * The reference answers this with a per-row correlated subquery over the
+  * audit table's pk index (audit.go:1074, `SELECT DISTINCT ON ... WHERE
+  * spa.primary_key = ... AND spa.audit_id > ... ORDER BY ... LIMIT`-shape
+  * lateral scans). Spark has no as-of join; the engine provides:
+  *
+  *  - [[AsOf.viaUnionWindow]] — composition of built-ins (union + window
+  *    last-ignoreNulls), one shuffle, whole-stage codegen'd;
+  *  - [[AsOfJoinPlan]]/[[AsOfJoinExec]] — a custom logical node, planner
+  *    strategy and physical sort-merge operator (this file): children are
+  *    hash-clustered by key and sorted by (key, time), then merged in one
+  *    linear pass per partition — no window state, no union blow-up, and
+  *    the natural shape for a 1000-executor sort-merge at 100 TB.
+  *
+  * The strategy is injected via GraftExtensions; AsOfSpec asserts both
+  * implementations agree row-for-row.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(leftTime, org.apache.spark.sql.catalyst.expressions.Ascending)),
+    Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override def outputPartitioning: Partitioning =
+    PartitioningCollection(Seq(left.outputPartitioning))
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTime = BindReferences.bindReference(leftTime, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val rightWidth = right.output.size
+
+    val outputAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // downstream exchanges/sorts require UnsafeRow output
+      val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outputAttrs, outputAttrs)
+      new Iterator[InternalRow] {
+        private val nullRight = new GenericInternalRow(rightWidth)
+        private val joined = new JoinedRow
+        private var rHead: InternalRow = _
+        private var rHeadKey: Any = _
+        private var rHeadTime: Any = _
+        private var advanceRight0 = { advanceRight(); () }
+
+        // latest right row seen for `matchKey` (defensive copy: unsafe rows
+        // returned by execute() are reused by the upstream operator)
+        private var matchRow: InternalRow = _
+        private var matchKey: Any = _
+
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            rHead = rIter.next()
+            rHeadKey = rKey.eval(rHead)
+            rHeadTime = rTime.eval(rHead)
+          } else rHead = null
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val k = lKey.eval(l)
+          val t = lTime.eval(l)
+          // consume right rows with key < k, or key == k and time <= t;
+          // the last one with key == k is the as-of match
+          var continue = rHead != null
+          while (continue) {
+            val c = keyOrd.asInstanceOf[Ordering[Any]].compare(rHeadKey, k)
+            if (c < 0) advanceRight()
+            else if (c == 0 &&
+                timeOrd.asInstanceOf[Ordering[Any]].compare(rHeadTime, t) <= 0) {
+              matchRow = rHead.copy()
+              matchKey = rHeadKey
+              advanceRight()
+            } else continue = false
+            if (rHead == null) continue = false
+          }
+          val matches = matchRow != null &&
+            keyOrd.asInstanceOf[Ordering[Any]].compare(matchKey, k) == 0
+          toUnsafe(joined(l, if (matches) matchRow else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsOf {
+
+  /** Custom-operator path (AsOfJoinExec). Column names in `right` must not
+    * collide with `left`'s. */
+  def join(leftDf: DataFrame, rightDf: DataFrame,
+      key: (String, String), time: (String, String)): DataFrame = {
+    val spark = leftDf.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val lPlan = GraftPlanFactory.analyzed(leftDf)
+    val rPlan = GraftPlanFactory.analyzed(rightDf)
+    def attr(p: LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    GraftPlanFactory.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan,
+        attr(lPlan, key._1), attr(rPlan, key._2),
+        attr(lPlan, time._1), attr(rPlan, time._2)))
+  }
+
+  /** Built-in-composition path: tag both sides, union, running
+    * last-ignoreNulls window per key ordered by (time, tag). One shuffle,
+    * fully codegen'd; semantically identical to [[join]]. */
+  def viaUnionWindow(leftDf: DataFrame, rightDf: DataFrame,
+      key: (String, String), time: (String, String),
+      rightPayload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val l = leftDf.withColumn("__tag", lit(1))
+    val r = rightDf
+      .withColumnRenamed(key._2, key._1).withColumnRenamed(time._2, time._1)
+      .withColumn("__tag", lit(0))
+    val cols = (l.columns.toSet ++ r.columns.toSet).toSeq
+    def pad(df: DataFrame) =
+      df.select(cols.map(c => if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+    // right rows sort before left rows at equal time (tag 0 < 1), so a
+    // same-timestamp right row is visible to the left row — ASOF `<=`
+    val w = Window.partitionBy(key._1).orderBy(col(time._1), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightPayload.foldLeft(pad(l).unionByName(pad(r))) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 1).drop("__tag")
+  }
+}
