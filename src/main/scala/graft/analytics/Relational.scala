@@ -270,7 +270,97 @@ object Relational {
         |ORDER BY nation, yr""".stripMargin)
   }
 
+  /** TPC-H Q13 flavor: order-count distribution via left outer join. */
+  val qCustDistribution: Q = Q.sql(
+    "q_cust_distribution",
+    """SELECT n_orders, count(*) AS n_customers
+      |FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+      |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY c_custkey)
+      |GROUP BY n_orders ORDER BY n_customers DESC, n_orders""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_orders"))
+  }
+
+  /** TPC-H Q18 flavor: HAVING over a fact aggregation, joined back. */
+  val qBigOrders: Q = Q.sql(
+    "q_big_orders",
+    """SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  round(o_totalprice, 2) AS total, round(sum_qty, 2) AS sum_qty
+      |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+    val big = li(s, d).groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    big
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        round(col("o_totalprice"), 2).as("total"),
+        round(col("sum_qty"), 2).as("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q19 flavor: disjunction of conjunctive ranges — the pushdown /
+    * predicate-simplification stress test. */
+  val qBrandRevenue: Q = Q.sql(
+    "q_brand_revenue",
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+      |       AND l_quantity BETWEEN 10 AND 35)""".stripMargin) { (s, d) =>
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 35))
+    li(s, d)
+      .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+      .filter(cond)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22 flavor: scalar subquery threshold + anti join. */
+  val qDormantCustomers: Q = Q.sql(
+    "q_dormant_customers",
+    """SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+      |FROM (SELECT c_nationkey % 10 AS cntrycode, c_acctbal
+      |      FROM customer
+      |      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      |        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'))
+      |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val threshold = c.filter(col("c_acctbal") > 0)
+      .agg(avg("c_acctbal").as("__thr"))
+    c.join(broadcast(threshold))            // singleton broadcast, no shuffle
+      .filter(col("c_acctbal") > col("__thr"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01 00:00:00")))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select((col("c_nationkey") % 10).as("cntrycode"), col("c_acctbal"))
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
-    qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation)
+    qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
+    qCustDistribution, qBigOrders, qBrandRevenue, qDormantCustomers)
 }

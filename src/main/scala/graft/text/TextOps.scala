@@ -80,7 +80,11 @@ object TextOps {
       col("sz").as("sz_a"), col("shingle"))
     val b = ex.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
       col("source").as("source_b"), col("sz").as("sz_b"), col("shingle").as("shingle_b"))
-    a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b") &&
+    // shuffle-hash: the exploded build side is too large for a healthy
+    // broadcast (driver-built hash table); hash-partitioning both sides on
+    // the (block, shingle) key builds in parallel and is the 100 TB shape
+    a.join(b.hint("shuffle_hash"),
+        col("lang") === col("lang_b") && col("source") === col("source_b") &&
         col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("common"))
@@ -145,6 +149,9 @@ object TextOps {
         expr(s"array_min(transform(s3, w -> ($a * ${sparkWordHash("w")} + $b) % $P))")
           .as(s"sig${i + 1}")
       }
+      // cached: this subtree feeds both band-join branches and the final
+      // projection — without it the md5 signature pass runs three times
+      // (at cluster scale: persist(DISK_ONLY) or a checkpoint instead)
       val sigs = docs(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .select(col("doc_id"),
@@ -152,6 +159,7 @@ object TextOps {
                  |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
                  |                      element_at(ws, i + 2)))""".stripMargin).as("s3"))
         .select(col("doc_id") +: sigCols: _*)
+        .cache()
       val bands = sigs.select(col("doc_id"),
         posexplode(array(minhashParams.indices.map(i => col(s"sig${i + 1}")): _*))
           .as(Seq("band", "v")))
