@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+    e.injectOptimizerRule(_ => graft.plans.AsOfRangePushdown)
   }
 }
 
@@ -41,6 +42,9 @@ object GraftFunctions {
     if (!classic.experimental.extraStrategies.contains(graft.plans.AsOfStrategy))
       classic.experimental.extraStrategies =
         classic.experimental.extraStrategies :+ graft.plans.AsOfStrategy
+    if (!classic.experimental.extraOptimizations.contains(graft.plans.AsOfRangePushdown))
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ graft.plans.AsOfRangePushdown
   }
 
   /** Column-API form of the native cosine expression. */

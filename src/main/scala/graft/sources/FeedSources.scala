@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Change-feed sources and the audit-log sink.
+  *
+  * The reference captures changes in-database (trigger → audit table); a
+  * Spark deployment receives the same feed as files (parquet / csv / json
+  * exports, or a stream — see graft.streaming.EventStream). One canonical
+  * schema, three formats, all reading into the same normalized feed.
+  *
+  * The sink is the audit log's resting layout: day-partitioned parquet,
+  * append-only (the no-DML guarantee, audit.go:627, expressed as storage
+  * discipline: `mode("append")`, no overwrite API exposed). Day partitions
+  * give time-range queries partition pruning — at 100 TB a "last 7 days of
+  * changes" query touches 7 directories, not the table. For entity-keyed
+  * access co-location, see AuditStorage.writeBucketed.
+  */
+object FeedSources {
+
+  /** Canonical raw feed schema (ts in epoch nanos, as exported). */
+  val feedSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def normalize(raw: DataFrame): DataFrame =
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  def parquetFeed(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalize(spark.read.schema(feedSchema).parquet(path))
+  }
+
+  def csvFeed(spark: SparkSession, path: String): DataFrame =
+    normalize(spark.read.schema(feedSchema).option("header", "true").csv(path))
+
+  def jsonFeed(spark: SparkSession, path: String): DataFrame =
+    normalize(spark.read.schema(feedSchema).json(path))
+
+  /** Appends an audit log to its day-partitioned resting layout. */
+  def appendPartitioned(log: DataFrame, path: String): Unit =
+    log.withColumn("day", to_date(col("ts")))
+      .write.mode("append")
+      .partitionBy("day")
+      .parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

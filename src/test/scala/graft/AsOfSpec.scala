@@ -39,6 +39,30 @@ class AsOfSpec extends AnyFunSuite {
     assert(plan.contains("AsOfJoin"), plan)
   }
 
+  test("AsOfRangePushdown pushes a post-join time bound into both scans") {
+    GraftFunctions.ensureRegistered(spark)
+    val base = graft.audit.AuditQueries.log(spark, TestSession.sfDir)
+    val l = base.filter(col("event_type") === "error")
+      .select("audit_id", "entity_id", "ts")
+    val r = base.filter(col("event_type") === "purchase")
+      .select(col("entity_id").as("r_entity"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    val bound = to_timestamp(lit("2024-01-15 00:00:00"))
+    val df = AsOf.join(l, r, ("entity_id", "r_entity"), ("ts", "r_ts"))
+      .filter(col("ts") <= bound)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the copied right-side bound survives optimization: r_ts <= T
+    assert(optimized.contains("(r_ts"), optimized)
+    // semantics unchanged: matches the unfiltered join post-filtered
+    val expected = AsOf.join(l, r, ("entity_id", "r_entity"), ("ts", "r_ts"))
+      .collect().filter(_.getAs[java.sql.Timestamp]("ts")
+        .compareTo(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")) <= 0)
+      .map(row => (row.getLong(0), Option(row.get(5)))).sortBy(_._1)
+    val got = df.collect()
+      .map(row => (row.getLong(0), Option(row.get(5)))).sortBy(_._1)
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("custom operator and union-window composition agree on real data") {
     GraftFunctions.ensureRegistered(spark)
     val base = graft.audit.AuditQueries.log(spark, TestSession.sfDir)

@@ -1,0 +1,55 @@
+package graft
+
+import graft.sources.FeedSources
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Feed formats round-trip into one normalized schema, and the
+  * day-partitioned sink prunes partitions for time-range queries. */
+class FeedSourcesSpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val tmp = {
+    val f = java.nio.file.Files.createTempDirectory("graft-feed").toFile
+    f.deleteOnExit(); f.getAbsolutePath
+  }
+
+  private lazy val feed = Tables.events(spark, sfDir)
+
+  test("csv and json feeds round-trip the parquet feed") {
+    val raw = FeedSources.parquetFeed(spark, s"$sfDir/events.parquet")
+      .withColumn("ts", unix_timestamp(col("ts")) * 1000000000L) // back to ns
+    raw.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    raw.write.mode("overwrite").json(s"$tmp/json")
+    val c = FeedSources.csvFeed(spark, s"$tmp/csv")
+    val j = FeedSources.jsonFeed(spark, s"$tmp/json")
+    assert(c.count() === feed.count())
+    assert(j.count() === feed.count())
+    // same content modulo the deliberate second-truncation above
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(sum("event_id"), round(sum("value"), 2)).head()
+    assert(key(c) === key(j))
+  }
+
+  test("day-partitioned sink prunes partitions for a time-range query") {
+    val path = s"$tmp/audit"
+    FeedSources.appendPartitioned(feed, path)
+    val pruned = FeedSources.readPartitioned(spark, path)
+      .filter(col("day") === "2024-01-05")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(pruned.count() > 0)
+    assert(pruned.count() < feed.count())
+  }
+
+  test("append-only: a second append adds, never rewrites") {
+    val path = s"$tmp/audit2"
+    val slice = feed.limit(100)
+    FeedSources.appendPartitioned(slice, path)
+    val n1 = FeedSources.readPartitioned(spark, path).count()
+    FeedSources.appendPartitioned(slice, path)
+    val n2 = FeedSources.readPartitioned(spark, path).count()
+    assert(n2 === n1 * 2)
+  }
+}
