@@ -322,7 +322,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic uniform k-per-group sample: keep the k docs with the
+    * smallest content hash per source — a consistent "reservoir" that
+    * needs no RNG state, re-samples identically on re-runs, and at scale
+    * is one window (or a top-k aggregate) per group, never a global sort. */
+  val samplePerSource: Q = Q.sql(
+    "sample_per_source",
+    """SELECT source, doc_id, rk
+      |FROM (SELECT source, doc_id,
+      |        row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+      |      FROM documents)
+      |WHERE rk <= 5 ORDER BY source, rk""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+    docs(s, d)
+      .select(col("source"), col("doc_id"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= 5)
+      .orderBy("source", "rk")
+  }
+
+  /** Regex pre-tokenization (the BPE-style split pass): letter runs,
+    * digit runs, and single non-alphanumeric marks. */
+  val tokenRegex: Q = Q.sql(
+    "token_regex",
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_regex_tokens,
+      |  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_distinct_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .as("n_regex_tokens"),
+        expr("size(array_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)))")
+          .as("n_distinct_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupBow, dedupNgramJaccard, dedupMinhash, dedupSimhash,
-    langId, textQuality, tokenCount, docFingerprint)
+    langId, textQuality, tokenCount, docFingerprint, samplePerSource,
+    tokenRegex)
 }
