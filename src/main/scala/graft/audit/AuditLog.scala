@@ -63,14 +63,20 @@ final case class AuditLog(pkCol: String, seqCol: String) {
     }
   }
 
-  /** Latest reconstructed state per entity (the "live table" the reference
-    * keeps alongside the audit log). */
-  def current(log: DataFrame, payload: Seq[String]): DataFrame = {
+  /** Latest reconstructed state per entity.
+    *
+    * With `dropDeleted = true` this is the reference's live table: an
+    * entity whose history ends in a delete has no row. The default keeps
+    * deleted entities' final state visible (the audit-analytics view —
+    * "what was this row when it was deleted"). */
+  def current(log: DataFrame, payload: Seq[String],
+      dropDeleted: Boolean = false): DataFrame = {
     val desc = Window.partitionBy(pkCol).orderBy(col(seqCol).desc)
-    snapshot(log, payload)
+    val latest = snapshot(log, payload)
       .withColumn("__rn", row_number().over(desc))
       .filter(col("__rn") === 1)
       .drop("__rn")
+    if (dropDeleted) latest.filter(!isDelete) else latest
   }
 
   /** State as of a given point in the change sequence (time travel). */

@@ -29,9 +29,7 @@ object AuditQueries {
     Tables.events(s, d).select(
       col("event_id").as("audit_id"),
       col("user_id").as("entity_id"),
-      when(col("event_type") === "signup", "I")
-        .when(col("event_type") === "error", "D")
-        .otherwise("U").as("operation"),
+      AuditModel.operation.as("operation"),
       col("ts"),
       get_json_object(col("props"), "$.k").cast("int").as("field_k"),
       col("value"),

@@ -19,7 +19,13 @@ final case class AuditScope(
     excludedSchemas: Seq[String] = Nil) {
 
   /** Reference isIncludedTable/isExcludedTable/isExcludedSchema combined:
-    * include-list (if present) wins first, then exclusions. */
+    * include-list (if present) wins first, then exclusions.
+    *
+    * NOTE deliberately reference-faithful quirk: schema exclusion is a raw
+    * prefix match on "schema.table" (the reference's
+    * `strings.HasPrefix(table, schema)`, audit.go:326-334), so excluding
+    * schema "tmp" also excludes "tmp2.x". Pass "tmp." to exclude exactly
+    * the schema. */
   def admits(schemaTable: String): Boolean = {
     val included = includedTables.isEmpty || includedTables.contains(schemaTable)
     val excluded = excludedTables.contains(schemaTable) ||

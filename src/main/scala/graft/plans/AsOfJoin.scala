@@ -94,12 +94,21 @@ case class AsOfJoinExec(
         private var matchRow: InternalRow = _
         private var matchKey: Any = _
 
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            rHead = rIter.next()
-            rHeadKey = rKey.eval(rHead)
-            rHeadTime = rTime.eval(rHead)
-          } else rHead = null
+        // skip right rows with NULL key or time — under SQL equality
+        // semantics they can never be an as-of match, and the interpreted
+        // orderings would NPE on them (they sort first, so skipping here
+        // keeps the merge invariant intact)
+        private def advanceRight(): Unit = {
+          rHead = null
+          while (rHead == null && rIter.hasNext) {
+            val candidate = rIter.next()
+            val ck = rKey.eval(candidate)
+            val ct = rTime.eval(candidate)
+            if (ck != null && ct != null) {
+              rHead = candidate; rHeadKey = ck; rHeadTime = ct
+            }
+          }
+        }
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -107,6 +116,8 @@ case class AsOfJoinExec(
           val l = lIter.next()
           val k = lKey.eval(l)
           val t = lTime.eval(l)
+          // NULL key/time on the left never matches anything (SQL equality)
+          if (k == null || t == null) return toUnsafe(joined(l, nullRight))
           // consume right rows with key < k, or key == k and time <= t;
           // the last one with key == k is the as-of match
           var continue = rHead != null

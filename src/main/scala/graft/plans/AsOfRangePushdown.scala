@@ -33,10 +33,17 @@ object AsOfRangePushdown extends Rule[LogicalPlan] with PredicateHelper {
       case LessThan(a: Attribute, l: Literal) if a.semanticEquals(attr) => l
     }
 
-  private def alreadyBounded(right: LogicalPlan): Boolean = right match {
-    case Filter(_, _) => true // this rule only ever adds one bound filter
-    case _ => false
-  }
+  /** True only if the right child's top filter already carries a
+    * `rightTime <= literal` conjunct (i.e. this rule already fired) — a
+    * plain user filter on the right must not disable the copy. */
+  private def alreadyBounded(right: LogicalPlan, rightTime: Expression): Boolean =
+    right match {
+      case Filter(c, _) => splitConjunctivePredicates(c).exists {
+        case LessThanOrEqual(e, _: Literal) => e.semanticEquals(rightTime)
+        case _ => false
+      }
+      case _ => false
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, j: AsOfJoinPlan) =>
@@ -51,7 +58,7 @@ object AsOfRangePushdown extends Rule[LogicalPlan] with PredicateHelper {
       else {
         val newLeft = Filter(leftOnly.reduce(And(_, _)), j.left)
         val newRight =
-          if (bounds.isEmpty || alreadyBounded(j.right)) j.right
+          if (bounds.isEmpty || alreadyBounded(j.right, j.rightTime)) j.right
           else Filter(
             bounds.map(b => LessThanOrEqual(j.rightTime, b): Expression)
               .reduce(And(_, _)),

@@ -29,7 +29,9 @@ object FeedSources {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private def normalize(raw: DataFrame): DataFrame =
+  /** Canonical ts normalization: epoch nanos → engine-native micros
+    * (integer division; a double round-trip loses precision above 2^53). */
+  def normalize(raw: DataFrame): DataFrame =
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   def parquetFeed(spark: SparkSession, path: String): DataFrame = {

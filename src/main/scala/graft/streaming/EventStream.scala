@@ -17,27 +17,17 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Raw physical schema of events.parquet (ts = TIMESTAMP(NANOS), read as
-    * long nanos — streaming sources require an explicit schema). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming DataFrame of the normalized audit feed. */
+  /** Streaming DataFrame of the normalized audit feed. Schema,
+    * nanos→micros normalization and the operation mapping are the shared
+    * canonical ones (FeedSources / AuditModel) — the streaming and batch
+    * paths must never desynchronize. */
   def readFeed(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file streaming sources need a directory; narrow to the feed file
-    s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withColumn("operation",
-        when(col("event_type") === "signup", "I")
-          .when(col("event_type") === "error", "D")
-          .otherwise("U"))
+    graft.sources.FeedSources.normalize(
+        s.readStream.schema(graft.sources.FeedSources.feedSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+      .withColumn("operation", graft.audit.AuditModel.operation)
   }
 
   /** 10-minute tumbling change rollup with a 30-minute watermark. */
@@ -85,6 +75,10 @@ object EventStream {
       java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
         .withZone(java.time.ZoneOffset.UTC)
         .format(java.time.Instant.ofEpochMilli(ms))
+    /** HALF_UP to 2 decimals — must match the batch operator's round()
+      * exactly (math.rint would round half-to-even and diverge). */
+    def round2(v: Double): Double =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
 
     def update(entity: Long, rows: Iterator[FeedEvent],
         state: org.apache.spark.sql.streaming.GroupState[SessionState])
@@ -92,7 +86,7 @@ object EventStream {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        Iterator.single(ClosedSession(entity, fmt(s.startMs), s.n, math.rint(s.sum * 100) / 100))
+        Iterator.single(ClosedSession(entity, fmt(s.startMs), s.n, round2(s.sum)))
       } else {
         val evs = rows.toArray.sortBy(_.ts.getTime)
         var open = state.getOption
@@ -105,7 +99,7 @@ object EventStream {
             case Some(s) if (t / 1000) - (s.lastMs / 1000) <= GapMs / 1000 =>
               open = Some(s.copy(lastMs = t, n = s.n + 1, sum = s.sum + e.value))
             case Some(s) =>
-              closed += ClosedSession(entity, fmt(s.startMs), s.n, math.rint(s.sum * 100) / 100)
+              closed += ClosedSession(entity, fmt(s.startMs), s.n, round2(s.sum))
               open = Some(SessionState(t, t, 1, e.value))
             case None =>
               open = Some(SessionState(t, t, 1, e.value))
@@ -152,6 +146,27 @@ object EventStream {
       .start()
     try q.processAllAvailable() finally q.stop()
     s.table(name).orderBy("entity_id", "session_start")
+  }
+
+  /** The full capture path: stream the change feed into the audit log's
+    * day-partitioned append-only resting layout (the reference's
+    * trigger→audit-table pipeline, audit.go:854, as stream→storage).
+    *
+    * Delivery is AT-LEAST-ONCE: `foreachBatch` + parquet append is not
+    * idempotent (a batch replayed after a crash-before-checkpoint lands
+    * twice). Every row therefore carries its micro-batch id, so consumers
+    * get exactly-once by deduplicating on (batch_id, event_id) — the
+    * standard Spark pattern when the sink itself can't transact. */
+  def captureToAuditSink(s: SparkSession, d: String, sinkPath: String,
+      checkpoint: String): Unit = {
+    val q = readFeed(s, d).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.FeedSources.appendPartitioned(
+          batch.toDF().withColumn("batch_id", lit(batchId)), sinkPath)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
   }
 
   val all: Seq[Q] = Seq(auditStream, auditSessionizeStream)

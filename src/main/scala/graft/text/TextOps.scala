@@ -49,6 +49,17 @@ object TextOps {
 
   // ---------------------------------------------------------- jaccard --
 
+  /** 3-gram shingle list over a word-array column. Guarded for short
+    * documents: sequence(1, n) with n < 1 would produce a *descending*
+    * sequence and element_at(ws, 0) then throws — any real corpus has
+    * sub-3-word documents even though the synthetic one doesn't. The
+    * DuckDB twin (range(1, len-1)) is empty-safe by construction. */
+  private[graft] def shingleExpr(ws: String): String =
+    s"""CASE WHEN size($ws) < 3 THEN array()
+       |ELSE transform(sequence(1, size($ws) - 2),
+       |  i -> concat_ws(' ', element_at($ws, i), element_at($ws, i + 1),
+       |                      element_at($ws, i + 2))) END""".stripMargin
+
   /** 3-gram shingle Jaccard near-dup pairs, blocked on (lang, source). */
   val dedupNgramJaccard: Q = Q.sql(
     "dedup_ngram_jaccard",
@@ -61,7 +72,8 @@ object TextOps {
       |        round(1.0 * len(list_intersect(a.s3, b.s3))
       |          / len(list_distinct(a.s3 || b.s3)), 4) AS jacc
       |      FROM sh a JOIN sh b
-      |        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+      |        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |        AND len(a.s3) > 0 AND len(b.s3) > 0)
       |SELECT doc_a, doc_b, jacc FROM p WHERE jacc >= 0.02
       |ORDER BY jacc DESC, doc_a, doc_b LIMIT 500""".stripMargin) { (s, d) =>
     // Spark side uses the scale formulation: an inverted-index equi-join on
@@ -71,9 +83,7 @@ object TextOps {
     val sh = docs(s, d)
       .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("lang"), col("source"),
-        expr("""array_distinct(transform(sequence(1, size(ws) - 2),
-               |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
-               |                      element_at(ws, i + 2))))""".stripMargin).as("s3"))
+        expr(s"array_distinct(${shingleExpr("ws")})").as("s3"))
     val ex = sh.select(col("doc_id"), col("lang"), col("source"),
       size(col("s3")).as("sz"), explode(col("s3")).as("shingle"))
     val a = ex.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
@@ -154,12 +164,9 @@ object TextOps {
       // (at cluster scale: persist(DISK_ONLY) or a checkpoint instead)
       val sigs = docs(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"),
-          expr("""transform(sequence(1, size(ws) - 2),
-                 |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
-                 |                      element_at(ws, i + 2)))""".stripMargin).as("s3"))
+        .select(col("doc_id"), expr(shingleExpr("ws")).as("s3"))
         .select(col("doc_id") +: sigCols: _*)
-        .cache()
+        .cache() // session-scoped; Verify/Bench clearCache() between queries
       val bands = sigs.select(col("doc_id"),
         posexplode(array(minhashParams.indices.map(i => col(s"sig${i + 1}")): _*))
           .as(Seq("band", "v")))

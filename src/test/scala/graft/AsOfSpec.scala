@@ -39,6 +39,28 @@ class AsOfSpec extends AnyFunSuite {
     assert(plan.contains("AsOfJoin"), plan)
   }
 
+  test("NULL keys/times never match and never crash") {
+    GraftFunctions.ensureRegistered(spark)
+    val l = Seq((1L, Option(1L), Option(10L)), (2L, Option.empty[Long], Option(5L)),
+      (3L, Option(1L), Option.empty[Long])).toDF("id", "k", "t")
+    val r = Seq((Option(1L), Option(5L), "a"), (Option.empty[Long], Option(1L), "x"),
+      (Option(1L), Option.empty[Long], "y")).toDF("rk", "rt", "v")
+    val got = AsOf.join(l, r, ("k", "rk"), ("t", "rt"))
+      .select("id", "v").orderBy("id")
+      .collect().map(row => (row.getLong(0), Option(row.getString(1))))
+    // id=1 matches "a"; null-key and null-time left rows get no match;
+    // null-key/null-time right rows are never considered
+    assert(got.toSeq === Seq((1L, Some("a")), (2L, None), (3L, None)))
+  }
+
+  test("short documents produce empty shingle sets, not a crash") {
+    val df = Seq("one two", "a b c d e").toDF("text")
+      .select(split(col("text"), " ").as("ws"))
+      .select(expr(graft.text.TextOps.shingleExpr("ws")).as("s3"))
+    val sizes = df.select(size(col("s3"))).collect().map(_.getInt(0))
+    assert(sizes.toSeq === Seq(0, 3))
+  }
+
   test("AsOfRangePushdown pushes a post-join time bound into both scans") {
     GraftFunctions.ensureRegistered(spark)
     val base = graft.audit.AuditQueries.log(spark, TestSession.sfDir)

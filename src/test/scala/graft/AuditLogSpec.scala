@@ -59,6 +59,12 @@ class AuditLogSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((10L, 5L, 7), (20L, 6L, 9)))
   }
 
+  test("current(dropDeleted): delete-terminated entities vanish (live table)") {
+    val got = alg.current(log, Seq("k"), dropDeleted = true)
+      .select("entity_id").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(20L)) // entity 10 ends in 'D'
+  }
+
   test("asOf: time travel to a mid-stream audit id") {
     val got = alg.asOf(log, Seq("k"), lit(3L))
       .filter($"entity_id" === 10L).select("state_k").head()

@@ -16,6 +16,10 @@ class AuditScopeSpec extends AnyFunSuite {
     assert(s.admits("public.orders"))
     assert(!s.admits("public.secrets"))
     assert(!s.admits("tmp.scratch"))
+    // reference-faithful quirk (audit.go:326-334, raw HasPrefix): a bare
+    // schema name also catches schemas it prefixes; the dot form doesn't
+    assert(!s.admits("tmp2.scratch"))
+    assert(AuditScope(excludedSchemas = Seq("tmp.")).admits("tmp2.scratch"))
   }
 
   test("admits: include list restricts, exclusions still apply") {

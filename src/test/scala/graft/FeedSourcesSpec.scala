@@ -43,6 +43,17 @@ class FeedSourcesSpec extends AnyFunSuite {
     assert(pruned.count() < feed.count())
   }
 
+  test("streaming capture path lands the full feed in the partitioned sink") {
+    val sink = s"$tmp/capture"
+    val ckpt = s"$tmp/capture-ckpt"
+    graft.streaming.EventStream.captureToAuditSink(spark, sfDir, sink, ckpt)
+    val landed = FeedSources.readPartitioned(spark, sink)
+    assert(landed.count() === feed.count())
+    // day-partitioned layout on disk
+    val days = new java.io.File(sink).listFiles().count(_.getName.startsWith("day="))
+    assert(days > 1)
+  }
+
   test("append-only: a second append adds, never rewrites") {
     val path = s"$tmp/audit2"
     val slice = feed.limit(100)
