@@ -54,4 +54,14 @@ object FeedSources {
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Exactly-once view over the at-least-once capture sink: replayed
+    * micro-batches (crash between write and checkpoint commit) appear as
+    * duplicate audit ids; keeping the first occurrence per id restores
+    * exactly-once semantics at read time. The dedup is a hash aggregation
+    * on the audit id — shuffle-partitionable, and prunable to the day
+    * partitions a query actually touches. */
+  def exactlyOnceView(spark: SparkSession, path: String,
+      idCol: String = "event_id"): DataFrame =
+    readPartitioned(spark, path).dropDuplicates(idCol)
 }

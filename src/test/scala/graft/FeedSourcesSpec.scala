@@ -62,5 +62,8 @@ class FeedSourcesSpec extends AnyFunSuite {
     FeedSources.appendPartitioned(slice, path)
     val n2 = FeedSources.readPartitioned(spark, path).count()
     assert(n2 === n1 * 2)
+    // a replayed batch (the at-least-once case) disappears behind the
+    // exactly-once view
+    assert(FeedSources.exactlyOnceView(spark, path).count() === n1)
   }
 }
