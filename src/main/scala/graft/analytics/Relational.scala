@@ -359,8 +359,35 @@ object Relational {
       .orderBy("cntrycode")
   }
 
+  /** Price-band classification via the banded range join (Bands.rangeJoin):
+    * interval membership as a bucketized equi-join instead of the
+    * nested-loop plan a raw `lo <= v AND v < hi` join would get. */
+  val qPriceBands: Q = Q.sql(
+    "q_price_bands",
+    """WITH bands(band, lo, hi) AS (VALUES
+      |  ('p00_25k', 0.0, 25000.0), ('p25_50k', 25000.0, 50000.0),
+      |  ('p50_75k', 50000.0, 75000.0), ('p75_110k', 75000.0, 110000.0))
+      |SELECT band, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN bands
+      |  ON l_extendedprice >= lo AND l_extendedprice < hi
+      |GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val bands = Seq(
+      ("p00_25k", 0.0, 25000.0), ("p25_50k", 25000.0, 50000.0),
+      ("p50_75k", 50000.0, 75000.0), ("p75_110k", 75000.0, 110000.0)
+    ).toDF("band", "lo", "hi")
+    Bands.rangeJoin(li(s, d), bands, "l_extendedprice", "lo", "hi",
+        bucketWidth = 25000.0)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("band")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
-    qCustDistribution, qBigOrders, qBrandRevenue, qDormantCustomers)
+    qCustDistribution, qBigOrders, qBrandRevenue, qDormantCustomers,
+    qPriceBands)
 }
