@@ -110,5 +110,24 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
   }
 
-  val all: Seq[Q] = Seq(annTopk, annIvf, dedupEmbedding)
+  /** Per-label centroids — the k-means / IVF-training building block: one
+    * partial-aggregating shuffle on (label, dim); at scale this is how IVF
+    * cells get trained (assign → recompute centroid → repeat). */
+  val embCentroids: Q = Q.sql(
+    "emb_centroids",
+    """SELECT label, dim, round(avg(v), 6) AS c, count(*) AS n
+      |FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |        generate_subscripts(embedding, 1) AS dim
+      |      FROM embeddings)
+      |GROUP BY label, dim ORDER BY label, dim""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+      .groupBy("label", "dim")
+      .agg(round(avg("v"), 6).as("c"), count(lit(1)).as("n"))
+      .orderBy("label", "dim")
+  }
+
+  val all: Seq[Q] = Seq(annTopk, annIvf, dedupEmbedding, embCentroids)
 }
