@@ -1,6 +1,6 @@
 package graft.analytics
 
-import graft.{Q, Tables}
+import graft.{Det, Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -20,30 +20,30 @@ object Relational {
     * Map-side partial aggregation keeps the shuffle at |groups| rows. */
   val q1Pricing: Q = Q.sql(
     "q1_pricing",
-    """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
-      |  count(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Det.dsumRoundSql("l_quantity", 2)} AS sum_qty,
+       |  ${Det.dsumRoundSql("l_extendedprice", 2)} AS sum_base_price,
+       |  ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount)", 2)} AS sum_disc_price,
+       |  ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 2)} AS sum_charge,
+       |  round(${Det.dsumSql("l_quantity")} / count(*), 4) AS avg_qty,
+       |  round(${Det.dsumSql("l_extendedprice")} / count(*), 4) AS avg_price,
+       |  round(${Det.dsum9Sql("l_discount")} / count(*), 4) AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
     li(s, d)
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        Det.dsumRound(col("l_quantity"), 2).as("sum_qty"),
+        Det.dsumRound(col("l_extendedprice"), 2).as("sum_base_price"),
+        Det.dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("sum_disc_price"),
+        Det.dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 2).as("sum_charge"),
+        round(Det.dsum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+        round(Det.dsum(col("l_extendedprice")) / count(lit(1)), 4).as("avg_price"),
+        round(Det.dsum9(col("l_discount")) / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -52,8 +52,8 @@ object Relational {
     * with a broadcast customer filter; top-N revenue. */
   val q3Shipping: Q = Q.sql(
     "q3_shipping",
-    """SELECT o_orderkey,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    s"""SELECT o_orderkey,
+      |  ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount)", 2)} AS revenue,
       |  CAST(o_orderdate AS DATE) AS order_date,
       |  o_orderpriority
       |FROM customer
@@ -71,7 +71,7 @@ object Relational {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Det.dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
       .select("o_orderkey", "revenue", "order_date", "o_orderpriority")
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
@@ -81,8 +81,8 @@ object Relational {
     * chain; all dims broadcast, single shuffle on the fact keys. */
   val q5RegionVolume: Q = Q.sql(
     "q5_region_volume",
-    """SELECT n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    s"""SELECT n_name,
+      |  ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount)", 2)} AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = n_nationkey
@@ -105,14 +105,14 @@ object Relational {
         col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Det.dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   /** TPC-H Q6 flavor: tight filter + single aggregate — the pushdown test. */
   val q6Forecast: Q = Q.sql(
     "q6_forecast",
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    s"""SELECT ${Det.dsumRoundSql("l_extendedprice * l_discount", 2)} AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -124,22 +124,22 @@ object Relational {
         col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
         col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
       .agg(
-        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        Det.dsumRound(col("l_extendedprice") * col("l_discount"), 2).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   /** Per-customer order totals joined back to the (broadcast) dim, top-N. */
   val qTopCustomers: Q = Q.sql(
     "q_top_customers",
-    """SELECT c_custkey, c_name, count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS total_spent
+    s"""SELECT c_custkey, c_name, count(*) AS n_orders,
+      |  ${Det.dsumRoundSql("o_totalprice", 2)} AS total_spent
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey, c_name
       |ORDER BY total_spent DESC, c_custkey
       |LIMIT 20""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_spent"))
+      .agg(count(lit(1)).as("n_orders"), Det.dsumRound(col("o_totalprice"), 2).as("total_spent"))
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .select("c_custkey", "c_name", "n_orders", "total_spent")
       .orderBy(col("total_spent").desc, col("c_custkey"))
@@ -149,22 +149,23 @@ object Relational {
   /** TPC-H Q14 flavor: promo revenue share per brand (conditional agg). */
   val qPartShare: Q = Q.sql(
     "q_part_share",
-    """SELECT p_brand,
-      |  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-      |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-      |    / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-      |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |GROUP BY p_brand
-      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    s"""SELECT p_brand,
+       |  round(100.0 * ${Det.dsumSql(
+            "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+       |    / ${Det.dsumSql("l_extendedprice * (1 - l_discount)")}, 4) AS promo_share,
+       |  ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount)", 2)} AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin) { (s, d) =>
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
     li(s, d)
       .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(
-        round(lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0)) / sum(rev), 4)
+        round(lit(100.0) * Det.dsum(when(col("p_type") === "PROMO", rev).otherwise(0))
+            / Det.dsum(rev), 4)
           .as("promo_share"),
-        round(sum(rev), 2).as("revenue"))
+        Det.dsumRound(rev, 2).as("revenue"))
       .orderBy("p_brand")
   }
 
@@ -214,25 +215,31 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
-  /** Event funnel: per-user signup→purchase conversion (conditional agg). */
+  /** Event funnel: per-user signup→purchase conversion (conditional agg).
+    *
+    * The conversion comparison runs on integer *microsecond* epochs on both
+    * sides — the engine's native timestamp precision. The raw feed is
+    * TIMESTAMP(NANOS); comparing one side at nanos and the other at micros
+    * flips the flag for pairs equal at micros but ordered at nanos. */
   val qFunnel: Q = Q.sql(
     "q_funnel",
     """SELECT user_id,
       |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
       |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      |  CASE WHEN min(CASE WHEN event_type = 'signup' THEN ts END)
-      |         < max(CASE WHEN event_type = 'purchase' THEN ts END)
+      |  CASE WHEN min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) // 1000 END)
+      |         < max(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END)
       |    THEN 1 ELSE 0 END AS converted
       |FROM events
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val us = unix_micros(col("ts"))
     Tables.events(s, d)
       .groupBy("user_id")
       .agg(
         sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"),
         sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
-        when(min(when(col("event_type") === "signup", col("ts")))
-          < max(when(col("event_type") === "purchase", col("ts"))), 1).otherwise(0)
+        when(min(when(col("event_type") === "signup", us))
+          < max(when(col("event_type") === "purchase", us)), 1).otherwise(0)
           .as("converted"))
       .orderBy("user_id")
   }
@@ -240,9 +247,9 @@ object Relational {
   /** Nation×year revenue rollup (multi-level aggregate with ALL rows). */
   val qRollupNation: Q = Q.sql(
     "q_rollup_nation",
-    """SELECT coalesce(n_name, '<ALL>') AS nation,
+    s"""SELECT coalesce(n_name, '<ALL>') AS nation,
       |  coalesce(yr, -1) AS yr,
-      |  round(sum(rev), 2) AS revenue
+      |  ${Det.dsumRoundSql("rev", 2)} AS revenue
       |FROM (
       |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
       |    l_extendedprice * (1 - l_discount) AS rev
@@ -262,9 +269,11 @@ object Relational {
     // SQL path: Dataset.rollup carries dataset-id metadata through the
     // Expand node and trips the ambiguous-self-join check after the joins.
     base.createOrReplaceTempView("graft_rollup_base")
+    // Det.dsumSql emits shared-ANSI fixed-point SQL — the same expression
+    // string runs in Spark SQL here and in the DuckDB oracle above.
     s.sql(
-      """SELECT coalesce(n_name, '<ALL>') AS nation, coalesce(yr, -1) AS yr,
-        |  round(sum(rev), 2) AS revenue
+      s"""SELECT coalesce(n_name, '<ALL>') AS nation, coalesce(yr, -1) AS yr,
+        |  ${Det.dsumRoundSql("rev", 2)} AS revenue
         |FROM graft_rollup_base
         |GROUP BY ROLLUP(n_name, yr)
         |ORDER BY nation, yr""".stripMargin)
@@ -290,23 +299,25 @@ object Relational {
   /** TPC-H Q18 flavor: HAVING over a fact aggregation, joined back. */
   val qBigOrders: Q = Q.sql(
     "q_big_orders",
-    """SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-      |  round(o_totalprice, 2) AS total, round(sum_qty, 2) AS sum_qty
-      |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
-      |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
-      |JOIN orders ON o_orderkey = l_orderkey
-      |JOIN customer ON c_custkey = o_custkey
-      |ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+    s"""SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       |  round(o_totalprice, 2) AS total, sum_qty
+       |FROM (SELECT l_orderkey, ${Det.dsumRoundSql("l_quantity", 2)} AS sum_qty
+       |      FROM lineitem GROUP BY l_orderkey
+       |      HAVING ${Det.dsumSql("l_quantity")} > 250) big
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
     val big = li(s, d).groupBy("l_orderkey")
-      .agg(sum("l_quantity").as("sum_qty"))
-      .filter(col("sum_qty") > 250)
+      .agg(Det.dsumRound(col("l_quantity"), 2).as("sum_qty"),
+        Det.dsum(col("l_quantity")).as("__raw_qty"))
+      .filter(col("__raw_qty") > 250)
     big
       .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(Tables.customer(s, d)), col("c_custkey") === col("o_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("order_date"),
         round(col("o_totalprice"), 2).as("total"),
-        round(col("sum_qty"), 2).as("sum_qty"))
+        col("sum_qty"))
       .orderBy(col("sum_qty").desc, col("o_orderkey"))
       .limit(20)
   }
@@ -315,7 +326,7 @@ object Relational {
     * predicate-simplification stress test. */
   val qBrandRevenue: Q = Q.sql(
     "q_brand_revenue",
-    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    s"""SELECT ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount)", 2)} AS revenue,
       |  count(*) AS n_items
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -330,23 +341,24 @@ object Relational {
     li(s, d)
       .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
       .filter(cond)
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(Det.dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   /** TPC-H Q22 flavor: scalar subquery threshold + anti join. */
   val qDormantCustomers: Q = Q.sql(
     "q_dormant_customers",
-    """SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
-      |FROM (SELECT c_nationkey % 10 AS cntrycode, c_acctbal
-      |      FROM customer
-      |      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-      |        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-      |                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'))
-      |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin) { (s, d) =>
+    s"""SELECT cntrycode, count(*) AS numcust, ${Det.dsumRoundSql("c_acctbal", 2)} AS totacctbal
+       |FROM (SELECT c_nationkey % 10 AS cntrycode, c_acctbal
+       |      FROM customer
+       |      WHERE c_acctbal > (SELECT ${Det.dsumSql("c_acctbal")} / count(*)
+       |                         FROM customer WHERE c_acctbal > 0)
+       |        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'))
+       |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin) { (s, d) =>
     val c = Tables.customer(s, d)
     val threshold = c.filter(col("c_acctbal") > 0)
-      .agg(avg("c_acctbal").as("__thr"))
+      .agg((Det.dsum(col("c_acctbal")) / count(lit(1))).as("__thr"))
     c.join(broadcast(threshold))            // singleton broadcast, no shuffle
       .filter(col("c_acctbal") > col("__thr"))
       .join(Tables.orders(s, d)
@@ -355,7 +367,7 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select((col("c_nationkey") % 10).as("cntrycode"), col("c_acctbal"))
       .groupBy("cntrycode")
-      .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+      .agg(count(lit(1)).as("numcust"), Det.dsumRound(col("c_acctbal"), 2).as("totacctbal"))
       .orderBy("cntrycode")
   }
 
@@ -364,11 +376,11 @@ object Relational {
     * nested-loop plan a raw `lo <= v AND v < hi` join would get. */
   val qPriceBands: Q = Q.sql(
     "q_price_bands",
-    """WITH bands(band, lo, hi) AS (VALUES
+    s"""WITH bands(band, lo, hi) AS (VALUES
       |  ('p00_25k', 0.0, 25000.0), ('p25_50k', 25000.0, 50000.0),
       |  ('p50_75k', 50000.0, 75000.0), ('p75_110k', 75000.0, 110000.0))
       |SELECT band, count(*) AS n_items,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount)", 2)} AS revenue
       |FROM lineitem JOIN bands
       |  ON l_extendedprice >= lo AND l_extendedprice < hi
       |GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
@@ -381,7 +393,7 @@ object Relational {
         bucketWidth = 25000.0)
       .groupBy("band")
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        Det.dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
       .orderBy("band")
   }
 

@@ -1,6 +1,6 @@
 package graft.audit
 
-import graft.{Q, Tables}
+import graft.{Det, Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -194,12 +194,12 @@ object AuditQueries {
   val auditOpsRollup: Q = Q.sql(
     "audit_ops_rollup",
     auditCte +
-      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, operation,
-        |  count(*) AS n_changes, round(sum(value), 2) AS total_value
-        |FROM audit GROUP BY 1, 2 ORDER BY day, operation""".stripMargin) { (s, d) =>
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, operation,
+         |  count(*) AS n_changes, ${Det.dsumRoundSql("value", 2)} AS total_value
+         |FROM audit GROUP BY 1, 2 ORDER BY day, operation""".stripMargin) { (s, d) =>
     log(s, d)
       .groupBy(to_date(date_trunc("day", col("ts"))).as("day"), col("operation"))
-      .agg(count(lit(1)).as("n_changes"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n_changes"), Det.dsumRound(col("value"), 2).as("total_value"))
       .orderBy("day", "operation")
   }
 
@@ -221,21 +221,21 @@ object AuditQueries {
   val auditEntityActivity: Q = Q.sql(
     "audit_entity_activity",
     auditCte +
-      """SELECT entity_id, count(*) AS n_changes,
-        |  sum(CASE WHEN operation = 'I' THEN 1 ELSE 0 END) AS n_inserts,
-        |  sum(CASE WHEN operation = 'U' THEN 1 ELSE 0 END) AS n_updates,
-        |  sum(CASE WHEN operation = 'D' THEN 1 ELSE 0 END) AS n_deletes,
-        |  round(sum(value), 2) AS total_value,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_change,
-        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_change
-        |FROM audit GROUP BY entity_id ORDER BY entity_id""".stripMargin) { (s, d) =>
+      s"""SELECT entity_id, count(*) AS n_changes,
+         |  sum(CASE WHEN operation = 'I' THEN 1 ELSE 0 END) AS n_inserts,
+         |  sum(CASE WHEN operation = 'U' THEN 1 ELSE 0 END) AS n_updates,
+         |  sum(CASE WHEN operation = 'D' THEN 1 ELSE 0 END) AS n_deletes,
+         |  ${Det.dsumRoundSql("value", 2)} AS total_value,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_change,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_change
+         |FROM audit GROUP BY entity_id ORDER BY entity_id""".stripMargin) { (s, d) =>
     log(s, d).groupBy("entity_id")
       .agg(
         count(lit(1)).as("n_changes"),
         sum(when(col("operation") === "I", 1).otherwise(0)).as("n_inserts"),
         sum(when(col("operation") === "U", 1).otherwise(0)).as("n_updates"),
         sum(when(col("operation") === "D", 1).otherwise(0)).as("n_deletes"),
-        round(sum("value"), 2).as("total_value"),
+        Det.dsumRound(col("value"), 2).as("total_value"),
         date_format(min("ts"), TS).as("first_change"),
         date_format(max("ts"), TS).as("last_change"))
       .orderBy("entity_id")
@@ -263,12 +263,12 @@ object AuditQueries {
   val auditHourly: Q = Q.sql(
     "audit_hourly",
     auditCte +
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-        |  operation, count(*) AS n, round(sum(value), 2) AS total_value
-        |FROM audit GROUP BY 1, 2 ORDER BY hour, operation""".stripMargin) { (s, d) =>
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |  operation, count(*) AS n, ${Det.dsumRoundSql("value", 2)} AS total_value
+         |FROM audit GROUP BY 1, 2 ORDER BY hour, operation""".stripMargin) { (s, d) =>
     log(s, d)
       .groupBy(date_format(date_trunc("hour", col("ts")), TS).as("hour"), col("operation"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), Det.dsumRound(col("value"), 2).as("total_value"))
       .orderBy("hour", "operation")
   }
 
@@ -291,7 +291,8 @@ object AuditQueries {
       |  FROM marked)
       |SELECT entity_id, session_id,
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-      |  count(*) AS n_events, round(sum(value), 2) AS session_value
+      |  count(*) AS n_events, """.stripMargin
+      + Det.dsumRoundSql("value", 2) + """ AS session_value
       |FROM sessions GROUP BY entity_id, session_id
       |ORDER BY entity_id, session_id""".stripMargin) { (s, d) =>
     val secs = unix_timestamp(col("ts"))
@@ -306,7 +307,7 @@ object AuditQueries {
       .agg(
         date_format(min("ts"), TS).as("session_start"),
         count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("session_value"))
+        Det.dsumRound(col("value"), 2).as("session_value"))
       .orderBy("entity_id", "session_id")
   }
 

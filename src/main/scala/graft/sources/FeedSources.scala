@@ -58,10 +58,14 @@ object FeedSources {
   /** Exactly-once view over the at-least-once capture sink: replayed
     * micro-batches (crash between write and checkpoint commit) appear as
     * duplicate audit ids; keeping the first occurrence per id restores
-    * exactly-once semantics at read time. The dedup is a hash aggregation
-    * on the audit id — shuffle-partitionable, and prunable to the day
-    * partitions a query actually touches. */
+    * exactly-once semantics at read time.
+    *
+    * Deduping on (day, id) rather than the id alone keeps the shuffle
+    * partition-local at scale: a replayed row carries the same event time,
+    * so its duplicate lands in the *same* day partition — a day-pruned
+    * read ("last 7 days") dedups only the partitions it touches instead of
+    * shuffling the id across the whole table's history. */
   def exactlyOnceView(spark: SparkSession, path: String,
       idCol: String = "event_id"): DataFrame =
-    readPartitioned(spark, path).dropDuplicates(idCol)
+    readPartitioned(spark, path).dropDuplicates("day", idCol)
 }

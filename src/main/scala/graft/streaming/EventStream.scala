@@ -1,9 +1,8 @@
 package graft.streaming
 
-import graft.Q
+import graft.{Det, Q}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Structured-Streaming ingestion of the audit change feed — the Spark-first
   * replacement for the reference's synchronous trigger capture path
@@ -11,11 +10,17 @@ import org.apache.spark.sql.types._
   * the feed is consumed incrementally with a watermark bounding state, and
   * windowed change rollups maintained by the engine.
   *
-  * The sink is append-only by construction (streaming aggregation state +
-  * memory/parquet sink), which is the reference's no-DML-on-audit-tables
-  * guarantee (audit.go:627) expressed in Spark's execution model.
+  * Sink discipline (the 100 TB posture): every streaming operator here
+  * terminates in a *file* sink — foreachBatch → day-partitioned parquet for
+  * capture, append-mode parquet for derived streams. Nothing materializes
+  * on the driver and no complete-mode result table is retained in state;
+  * results are verified by reading the sink back. Append-only parquet is
+  * the reference's no-DML-on-audit-tables guarantee (audit.go:627)
+  * expressed as storage discipline.
   */
 object EventStream {
+
+  private val TS = "yyyy-MM-dd HH:mm:ss"
 
   /** Streaming DataFrame of the normalized audit feed. Schema,
     * nanos→micros normalization and the operation mapping are the shared
@@ -30,40 +35,49 @@ object EventStream {
       .withColumn("operation", graft.audit.AuditModel.operation)
   }
 
-  /** 10-minute tumbling change rollup with a 30-minute watermark. */
+  /** 10-minute tumbling change rollup with a 30-minute watermark.
+    * Append-mode semantics: a window is emitted once — when the watermark
+    * passes its end — and late rows beyond the watermark are dropped
+    * (asserted in StreamingWindowSpec). State is bounded by the watermark
+    * horizon, never by stream length. */
   def windowedRollup(feed: DataFrame): DataFrame =
     feed
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "10 minutes"), col("operation"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), Det.dsumRound(col("value"), 2).as("total_value"))
       .select(
-        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        date_format(col("window.start"), TS).as("win_start"),
         col("operation"), col("n"), col("total_value"))
 
-  /** Runs the streaming pipeline to completion over the feed and returns the
-    * materialized rollup (driver-verifiable against the batch oracle). */
+  /** The full capture pipeline run end-to-end, then rolled up from the
+    * resting layout: stream → foreachBatch → day-partitioned parquet
+    * (at-least-once) → exactly-once read-back → windowed rollup. The
+    * result is the batch-twin rollup of everything captured, so the DuckDB
+    * oracle over the raw feed still verifies the whole path — ingest,
+    * sink layout, replay-dedup and rollup — with no driver-side sink. */
   val auditStream: Q = Q.sql(
     "audit_stream",
-    """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
-      |  CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
-      |    ELSE 'U' END AS operation,
-      |  count(*) AS n, round(sum(value), 2) AS total_value
-      |FROM events GROUP BY 1, 2
-      |ORDER BY win_start, operation""".stripMargin) { (s, d) =>
-    val name = "graft_audit_stream_out"
-    try s.catalog.dropTempView(name) catch { case _: Throwable => () }
-    val q = windowedRollup(readFeed(s, d))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(name).orderBy("win_start", "operation")
+    s"""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       |  CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+       |    ELSE 'U' END AS operation,
+       |  count(*) AS n, ${Det.dsumRoundSql("value", 2)} AS total_value
+       |FROM events GROUP BY 1, 2
+       |ORDER BY win_start, operation""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-audit-stream-").toString
+    captureToAuditSink(s, d, s"$tmp/sink", s"$tmp/ckpt")
+    graft.sources.FeedSources.exactlyOnceView(s, s"$tmp/sink")
+      .groupBy(window(col("ts"), "10 minutes"), col("operation"))
+      .agg(count(lit(1)).as("n"), Det.dsumRound(col("value"), 2).as("total_value"))
+      .select(
+        date_format(col("window.start"), TS).as("win_start"),
+        col("operation"), col("n"), col("total_value"))
+      .orderBy("win_start", "operation")
   }
 
   // ------------------------------------------------- stateful sessions --
 
   final case class FeedEvent(entity_id: Long, ts: java.sql.Timestamp, value: Double)
-  final case class SessionState(startMs: Long, lastMs: Long, n: Int, sum: Double)
+  final case class SessionState(startMs: Long, lastMs: Long, n: Int, sumScaled: Long)
   final case class ClosedSession(
       entity_id: Long, session_start: String, n_events: Long, session_value: Double)
 
@@ -75,10 +89,18 @@ object EventStream {
       java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
         .withZone(java.time.ZoneOffset.UTC)
         .format(java.time.Instant.ofEpochMilli(ms))
-    /** HALF_UP to 2 decimals — must match the batch operator's round()
-      * exactly (math.rint would round half-to-even and diverge). */
-    def round2(v: Double): Double =
-      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    /** Fixed-point accumulation at scale 6 — the exact arithmetic the batch
+      * operator's decimal(28,6) sum (graft.Det) performs, so the streamed
+      * session_value reconciles bit-for-bit with `audit_sessionize`
+      * (HALF_UP at both the per-value cast and the final 2-decimal round,
+      * matching Spark's double→decimal semantics). */
+    def scaled(v: Double): Long =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.unscaledValue.longValueExact
+    def round2(sumScaled: Long): Double =
+      BigDecimal(java.math.BigDecimal.valueOf(sumScaled, 6))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
 
     def update(entity: Long, rows: Iterator[FeedEvent],
         state: org.apache.spark.sql.streaming.GroupState[SessionState])
@@ -86,7 +108,7 @@ object EventStream {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        Iterator.single(ClosedSession(entity, fmt(s.startMs), s.n, round2(s.sum)))
+        Iterator.single(ClosedSession(entity, fmt(s.startMs), s.n, round2(s.sumScaled)))
       } else {
         val evs = rows.toArray.sortBy(_.ts.getTime)
         var open = state.getOption
@@ -97,12 +119,13 @@ object EventStream {
             // gap compared at *second* granularity to match the batch
             // operator's unix_timestamp arithmetic exactly
             case Some(s) if (t / 1000) - (s.lastMs / 1000) <= GapMs / 1000 =>
-              open = Some(s.copy(lastMs = t, n = s.n + 1, sum = s.sum + e.value))
+              open = Some(s.copy(lastMs = t, n = s.n + 1,
+                sumScaled = s.sumScaled + scaled(e.value)))
             case Some(s) =>
-              closed += ClosedSession(entity, fmt(s.startMs), s.n, round2(s.sum))
-              open = Some(SessionState(t, t, 1, e.value))
+              closed += ClosedSession(entity, fmt(s.startMs), s.n, round2(s.sumScaled))
+              open = Some(SessionState(t, t, 1, scaled(e.value)))
             case None =>
-              open = Some(SessionState(t, t, 1, e.value))
+              open = Some(SessionState(t, t, 1, scaled(e.value)))
           }
         }
         open.foreach { s =>
@@ -130,25 +153,30 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(Sessionizer.update _)
   }
 
-  /** Runs the stateful sessionizer over the feed. Sessions still open when
-    * the feed ends stay in state (they would close on the next micro-batch
-    * in a live pipeline), so this emits every *closed* session. */
+  /** Runs the stateful sessionizer over the feed into an append-mode
+    * parquet sink, then reads the sink back. Sessions still open when the
+    * feed ends stay in state (they would close on the next micro-batch in
+    * a live pipeline), so this emits every *closed* session. */
   val auditSessionizeStream: Q = Q.rowsOnly("audit_sessionize_stream") { (s, d) =>
     import s.implicits._
-    val name = "graft_sessionize_stream_out"
-    try s.catalog.dropTempView(name) catch { case _: Throwable => () }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sessions-").toString
     val feed = readFeed(s, d)
       .select(col("user_id").as("entity_id"), col("ts"), col("value"))
       .as[FeedEvent]
     val q = sessionize(feed)
       .writeStream.outputMode("append")
-      .format("memory").queryName(name)
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
       .start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name).orderBy("entity_id", "session_start")
+    // explicit schema: an all-sessions-open run leaves the sink empty
+    s.read.schema(org.apache.spark.sql.Encoders.product[ClosedSession].schema)
+      .parquet(s"$tmp/out")
+      .orderBy("entity_id", "session_start")
   }
 
-  /** The full capture path: stream the change feed into the audit log's
+  /** The capture path: stream the change feed into the audit log's
     * day-partitioned append-only resting layout (the reference's
     * trigger→audit-table pipeline, audit.go:854, as stream→storage).
     *

@@ -49,55 +49,97 @@ object TextOps {
 
   // ---------------------------------------------------------- jaccard --
 
-  /** 3-gram shingle list over a word-array column. Guarded for short
-    * documents: sequence(1, n) with n < 1 would produce a *descending*
-    * sequence and element_at(ws, 0) then throws — any real corpus has
-    * sub-3-word documents even though the synthetic one doesn't. The
-    * DuckDB twin (range(1, len-1)) is empty-safe by construction. */
+  /** 3-gram shingle list over a word-array column, as sliced `zip_with`
+    * rather than `transform(sequence(...), i -> element_at(ws, i)...)`.
+    *
+    * The formulation matters for performance, not just style: the optimizer
+    * (InferFiltersFromGenerate + predicate pushdown) clones this expression
+    * into scan-level filters with `ws` inlined back to `split(text)`, and
+    * higher-order functions run interpreted (no codegen, no subexpression
+    * elimination). An element_at-per-index version therefore re-splits the
+    * text once per element access — O(words²) splitting per document per
+    * evaluation — which dominated the round-1 bench. The sliced version
+    * evaluates `split` O(1) times per evaluation and zips linearly.
+    *
+    * Guarded for short documents: slice with negative length throws — any
+    * real corpus has sub-3-word documents even though the synthetic one
+    * doesn't. The DuckDB twin (range(1, len-1)) is empty-safe by
+    * construction. */
   private[graft] def shingleExpr(ws: String): String =
     s"""CASE WHEN size($ws) < 3 THEN array()
-       |ELSE transform(sequence(1, size($ws) - 2),
-       |  i -> concat_ws(' ', element_at($ws, i), element_at($ws, i + 1),
-       |                      element_at($ws, i + 2))) END""".stripMargin
+       |ELSE zip_with(
+       |  slice($ws, 1, size($ws) - 2),
+       |  zip_with(slice($ws, 2, size($ws) - 2), slice($ws, 3, size($ws) - 2),
+       |    (y, z) -> concat(y, ' ', z)),
+       |  (x, yz) -> concat(x, ' ', yz)) END""".stripMargin
 
-  /** 3-gram shingle Jaccard near-dup pairs, blocked on (lang, source). */
+  /** Per-block shingle document-frequency cap: a shingle present in more
+    * than this many documents of its (lang, source) block carries no
+    * near-duplicate signal and is dropped before candidate generation.
+    * This bounds the inverted-index join at ≤ cap² pairs per shingle — the
+    * invariant that keeps the operator finite at 100 TB, where a single
+    * boilerplate shingle can otherwise appear in millions of documents and
+    * emit O(k²) candidates. Jaccard is then measured over the capped
+    * (discriminative) shingle sets on both engines. */
+  private[graft] val ShingleDfCap = 50
+
+  /** 3-gram shingle Jaccard near-dup pairs, blocked on (lang, source),
+    * via a df-capped inverted index: candidates come from an equi-join on
+    * (block, shingle) over shingles with df ≤ [[ShingleDfCap]];
+    * |a∩b| = shared-shingle count, |a∪b| = |a|+|b|-|a∩b|. The oracle runs
+    * the identical df-capped formulation, so the hash compare verifies the
+    * whole pipeline including the cap. */
   val dedupNgramJaccard: Q = Q.sql(
     "dedup_ngram_jaccard",
-    """WITH w AS (SELECT doc_id, lang, source, str_split(text, ' ') AS ws FROM documents),
-      |sh AS (SELECT doc_id, lang, source,
-      |         list_distinct(list_transform(range(1, len(ws) - 1),
-      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s3
-      |       FROM w),
-      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |        round(1.0 * len(list_intersect(a.s3, b.s3))
-      |          / len(list_distinct(a.s3 || b.s3)), 4) AS jacc
-      |      FROM sh a JOIN sh b
-      |        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      |        AND len(a.s3) > 0 AND len(b.s3) > 0)
-      |SELECT doc_a, doc_b, jacc FROM p WHERE jacc >= 0.02
-      |ORDER BY jacc DESC, doc_a, doc_b LIMIT 500""".stripMargin) { (s, d) =>
-    // Spark side uses the scale formulation: an inverted-index equi-join on
-    // (block, shingle) + count, instead of per-pair array set-ops —
-    // |a∩b| = shared-shingle count, |a∪b| = |a|+|b|-|a∩b|, identical math
-    // to the oracle's set expression but shuffle-partitionable by shingle.
-    val sh = docs(s, d)
+    s"""WITH w AS (SELECT doc_id, lang, source, str_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id, lang, source,
+       |         list_distinct(list_transform(range(1, len(ws) - 1),
+       |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s3
+       |       FROM w),
+       |ex AS (SELECT doc_id, lang, source, unnest(s3) AS shingle FROM sh),
+       |exf AS (SELECT doc_id, lang, source, shingle FROM (
+       |          SELECT *, count(*) OVER (PARTITION BY lang, source, shingle) AS df
+       |          FROM ex)
+       |        WHERE df <= $ShingleDfCap),
+       |szs AS (SELECT doc_id, count(*) AS sz FROM exf GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |      FROM exf a JOIN exf b
+       |        ON a.lang = b.lang AND a.source = b.source
+       |        AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |j AS (SELECT doc_a, doc_b,
+       |        round(1.0 * common / (sa.sz + sb.sz - common), 4) AS jacc
+       |      FROM p JOIN szs sa ON p.doc_a = sa.doc_id
+       |             JOIN szs sb ON p.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, jacc FROM j WHERE jacc >= 0.02
+       |ORDER BY jacc DESC, doc_a, doc_b LIMIT 500""".stripMargin) { (s, d) =>
+    val ex = docs(s, d)
       .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("lang"), col("source"),
         expr(s"array_distinct(${shingleExpr("ws")})").as("s3"))
-    val ex = sh.select(col("doc_id"), col("lang"), col("source"),
-      size(col("s3")).as("sz"), explode(col("s3")).as("shingle"))
-    val a = ex.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
-      col("sz").as("sz_a"), col("shingle"))
-    val b = ex.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      col("source").as("source_b"), col("sz").as("sz_b"), col("shingle").as("shingle_b"))
+      .select(col("doc_id"), col("lang"), col("source"), explode(col("s3")).as("shingle"))
+    // df cap as a window over the join key: the window's hash partitioning
+    // on (lang, source, shingle) is exactly the join's requirement, so the
+    // exchange is computed once and reused by both join sides
+    val exf = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("lang", "source", "shingle")))
+      .filter(col("df") <= ShingleDfCap)
+      .drop("df")
+    val szs = exf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // shuffle-hash: the exploded build side is too large for a healthy
     // broadcast (driver-built hash table); hash-partitioning both sides on
     // the (block, shingle) key builds in parallel and is the 100 TB shape
-    a.join(b.hint("shuffle_hash"),
+    val pairs = exf.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("shingle"))
+      .join(exf.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+          col("source").as("source_b"), col("shingle").as("shingle_b"))
+          .hint("shuffle_hash"),
         col("lang") === col("lang_b") && col("source") === col("source_b") &&
         col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
+    pairs
+      .join(szs.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(szs.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(lit(1.0) * col("common") / (col("sz_a") + col("sz_b") - col("common")), 4)
           .as("jacc"))

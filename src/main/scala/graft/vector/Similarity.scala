@@ -1,6 +1,6 @@
 package graft.vector
 
-import graft.{GraftFunctions, Q, Tables}
+import graft.{Det, GraftFunctions, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -115,7 +115,7 @@ object Similarity {
     * cells get trained (assign → recompute centroid → repeat). */
   val embCentroids: Q = Q.sql(
     "emb_centroids",
-    """SELECT label, dim, round(avg(v), 6) AS c, count(*) AS n
+    s"""SELECT label, dim, round(${Det.dsum9Sql("v")} / count(*), 6) AS c, count(*) AS n
       |FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
       |        generate_subscripts(embedding, 1) AS dim
       |      FROM embeddings)
@@ -125,7 +125,7 @@ object Similarity {
       .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
         col("v").cast("double").as("v"))
       .groupBy("label", "dim")
-      .agg(round(avg("v"), 6).as("c"), count(lit(1)).as("n"))
+      .agg(round(Det.dsum9(col("v")) / count(lit(1)), 6).as("c"), count(lit(1)).as("n"))
       .orderBy("label", "dim")
   }
 

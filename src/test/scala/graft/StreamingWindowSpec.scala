@@ -1,0 +1,67 @@
+package graft
+
+import graft.streaming.EventStream
+// Spark 4.1 moved MemoryStream under execution.streaming.runtime
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Append-mode watermark semantics of the windowed rollup, verified
+  * through a *file* sink (the operator discipline: no driver-side result
+  * materialization):
+  *   - a window is emitted exactly once, after the watermark passes its end
+  *   - rows later than the watermark are dropped, not re-aggregated
+  *   - state never retains closed windows (bounded by the watermark
+  *     horizon — the property that keeps a year-long stream at 100 TB from
+  *     accumulating a year of window state). */
+class StreamingWindowSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  test("append-mode rollup emits closed windows once and drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-winspec-").toString
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val feed = in.toDF().toDF("ts", "operation", "value")
+
+    val q = EventStream.windowedRollup(feed)
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    def sink() = spark.read
+      .schema("win_start STRING, operation STRING, n BIGINT, total_value DOUBLE")
+      .parquet(s"$tmp/out")
+
+    try {
+      // two rows in the 10:00 window, then an 11:01 row that advances the
+      // watermark to 10:31 > 10:10, closing the first window
+      in.addData((ts("2024-01-01 10:00:30"), "I", 1.0),
+        (ts("2024-01-01 10:05:00"), "I", 2.5))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 11:01:00"), "U", 5.0))
+      q.processAllAvailable()
+
+      val closed = sink().filter(col("win_start") === "2024-01-01 10:00:00").collect()
+      assert(closed.length === 1)
+      assert(closed.head.getLong(2) === 2L)
+      assert(closed.head.getDouble(3) === 3.5)
+
+      // a late row for the already-closed window: beyond the watermark →
+      // dropped; the emitted window is immutable
+      in.addData((ts("2024-01-01 10:02:00"), "I", 100.0))
+      q.processAllAvailable()
+      val after = sink().filter(col("win_start") === "2024-01-01 10:00:00").collect()
+      assert(after.length === 1)
+      assert(after.head.getLong(2) === 2L, "late row must not reopen a closed window")
+
+      // the open 11:00 window is not in the sink yet (append mode emits
+      // only watermark-closed windows)
+      assert(sink().filter(col("win_start") === "2024-01-01 11:00:00").count() === 0)
+    } finally q.stop()
+  }
+}
