@@ -33,7 +33,9 @@ final case class AuditLog(pkCol: String, seqCol: String) {
     byEntity.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
   private val isInsert = col("operation") === "I"
-  private val isDelete = col("operation") === "D"
+  /** Delete OR truncate: the row no longer exists after either
+    * (audit.go:1362 NULLs new_* for both). */
+  private val isTerminal = col("operation").isin(AuditModel.terminalOps: _*)
 
   /** Reference `*_audit_delta`: per change, the previous (`old_*`) and
     * current (`new_*`) payload values; old is NULL on inserts. */
@@ -59,7 +61,7 @@ final case class AuditLog(pkCol: String, seqCol: String) {
       df.withColumn(s"old_state_$c",
           when(isInsert, lit(null)).otherwise(lag(col(s"state_$c"), 1).over(byEntity)))
         .withColumn(s"new_state_$c",
-          when(isDelete, lit(null)).otherwise(col(s"state_$c")))
+          when(isTerminal, lit(null)).otherwise(col(s"state_$c")))
     }
   }
 
@@ -76,10 +78,65 @@ final case class AuditLog(pkCol: String, seqCol: String) {
       .withColumn("__rn", row_number().over(desc))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    if (dropDeleted) latest.filter(!isDelete) else latest
+    if (dropDeleted) latest.filter(!isTerminal) else latest
   }
 
   /** State as of a given point in the change sequence (time travel). */
   def asOf(log: DataFrame, payload: Seq[String], maxSeq: Column): DataFrame =
     current(log.filter(col(seqCol) <= maxSeq), payload)
+
+  // ----------------------------------------------- old-values (before_change) --
+
+  /** Rows strictly after the current change — the forward scan the
+    * reference implements as a correlated `DISTINCT ON ... WHERE
+    * spa.audit_id > audit_id ORDER BY audit_id` subquery per row
+    * (audit.go:1051, audit.go:1262). As a window it is one pass over the
+    * same (pk, seq) partitioning every other reconstruction uses. */
+  private val fwdExcl: WindowSpec =
+    byEntity.rowsBetween(1, Window.unboundedFollowing)
+
+  /** Joins the live table (pk + payload columns) and coalesces each
+    * `state_c` with the live value — the reference's `row_to_json` lateral
+    * fallback for fields never touched by any later change. */
+  private def withLiveFallback(df: DataFrame, payload: Seq[String],
+      live: Option[DataFrame]): DataFrame = live match {
+    case None => df
+    case Some(l) =>
+      val lv = l.select(
+        col(pkCol).as("__live_pk") +: payload.map(c => col(c).as(s"__live_$c")): _*)
+      payload.foldLeft(df.join(lv, col(pkCol) === col("__live_pk"), "left")) {
+        (d, c) => d.withColumn(s"state_$c", coalesce(col(s"state_$c"), col(s"__live_$c")))
+      }.drop("__live_pk" +: payload.map(c => s"__live_$c"): _*)
+  }
+
+  /** Reconstruction for feeds that carry OLD values — the reference's
+    * native capture format, where each audit row's `before_change` holds
+    * the prior value of exactly the fields that change touched.
+    *
+    * The state of field c just after change i is the old value carried by
+    * the NEXT change that touched c (first non-null `old_c` strictly after
+    * i), falling back to the live row when no later change touched it.
+    * Matches `createAuditSnapshotView`'s COALESCE chain (audit.go:1262). */
+  def snapshotFromOld(log: DataFrame, payload: Seq[String],
+      live: Option[DataFrame] = None): DataFrame = {
+    val states = payload.foldLeft(log) { (df, c) =>
+      df.withColumn(s"state_$c", first(col(s"old_$c"), ignoreNulls = true).over(fwdExcl))
+    }
+    withLiveFallback(states, payload, live)
+  }
+
+  /** Delta view over an old-values feed: `old_c` is the row's own
+    * before_change (NULL on insert — nothing preceded it), `new_c` the
+    * forward-reconstructed state (NULL on delete — the reference's change
+    * payload is NULL for D). Matches `createAuditDeltaView`'s I-row
+    * backfill (audit.go:1051). */
+  def deltaFromOld(log: DataFrame, payload: Seq[String],
+      live: Option[DataFrame] = None): DataFrame = {
+    val snap = snapshotFromOld(log, payload, live)
+    payload.foldLeft(snap) { (df, c) =>
+      df.withColumn(s"old_$c", when(isInsert, lit(null)).otherwise(col(s"old_$c")))
+        .withColumn(s"new_$c", when(isTerminal, lit(null)).otherwise(col(s"state_$c")))
+        .drop(s"state_$c")
+    }
+  }
 }

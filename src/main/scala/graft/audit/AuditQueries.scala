@@ -9,9 +9,14 @@ import org.apache.spark.sql.expressions.Window
   *
   * Mapping (see SURVEY.md §2A): `event_id` = monotonic audit id
   * (reference `<table>_audit_id`), `user_id` = entity primary key,
-  * `event_type` → operation class ('signup'→I, 'error'→D, else U — the
-  * reference's `substring(TG_OP,1,1)`, audit.go:892), `props` = JSON change
-  * payload (reference `change`), `value` = audited measure.
+  * `event_type` → operation class over the full I/U/D/T domain
+  * (AuditModel.operation — the reference's `substring(TG_OP,1,1)`,
+  * audit.go:892, plus the statement-level truncate trigger,
+  * audit.go:854), `props` = JSON change payload (reference `change`),
+  * `value` = audited measure. Capture metadata (changed_by / db_user /
+  * client_addr / client_port / client_query, audit.go:773-816) is
+  * synthesized deterministically in AuditModel so both engines derive
+  * identical values.
   *
   * Payload sparsity mirrors the reference trigger, which records a field
   * only when it actually changed (hstore OLD-NEW diff, audit.go:889): the
@@ -33,7 +38,12 @@ object AuditQueries {
       col("ts"),
       get_json_object(col("props"), "$.k").cast("int").as("field_k"),
       col("value"),
-      col("event_type"))
+      col("event_type"),
+      AuditModel.changedBy.as("changed_by"),
+      AuditModel.dbUser.as("db_user"),
+      AuditModel.clientAddr.as("client_addr"),
+      AuditModel.clientPort.as("client_port"),
+      AuditModel.clientQuery.as("client_query"))
 
   /** Adds the sparse payload columns used by snapshot/compare. */
   private def sparse(df: DataFrame): DataFrame = df
@@ -42,18 +52,22 @@ object AuditQueries {
 
   /** Oracle-side twin of `log` + `sparse` (DuckDB dialect). */
   private val auditCte =
-    """WITH audit AS (
-      |  SELECT event_id AS audit_id, user_id AS entity_id,
-      |    CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
-      |      ELSE 'U' END AS operation,
-      |    ts,
-      |    CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INT) AS field_k,
-      |    value, event_type,
-      |    CASE WHEN event_type NOT IN ('signup', 'error')
-      |      THEN CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INT) END AS k,
-      |    CASE WHEN event_type = 'purchase' THEN value END AS val
-      |  FROM events)
-      |""".stripMargin
+    s"""WITH audit AS (
+       |  SELECT event_id AS audit_id, user_id AS entity_id,
+       |    ${AuditModel.operationSql} AS operation,
+       |    ts,
+       |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS field_k,
+       |    value, event_type,
+       |    ${AuditModel.changedBySql} AS changed_by,
+       |    ${AuditModel.dbUserSql} AS db_user,
+       |    ${AuditModel.clientAddrSql} AS client_addr,
+       |    ${AuditModel.clientPortSql} AS client_port,
+       |    ${AuditModel.clientQuerySql} AS client_query,
+       |    CASE WHEN event_type NOT IN ('signup', 'error')
+       |      THEN CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) END AS k,
+       |    CASE WHEN event_type = 'purchase' THEN value END AS val
+       |  FROM events)
+       |""".stripMargin
 
   private val runningW =
     "PARTITION BY entity_id ORDER BY audit_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
@@ -93,6 +107,47 @@ object AuditQueries {
       .orderBy("audit_id")
   }
 
+  /** Reference delta over an OLD-values feed (`before_change` capture,
+    * audit.go:1051): each audit row carries the value it overwrote; the
+    * new value is reconstructed by scanning *forward* for the next
+    * non-null before_change per key, falling back to the live row. The
+    * old-values feed here is derived deterministically from the events
+    * history (each change carries its predecessor's value), the live table
+    * from each entity's final row — so the oracle can reproduce the exact
+    * same reconstruction. */
+  val auditDeltaOld: Q = Q.sql(
+    "audit_delta_old",
+    auditCte + """, old_feed AS (
+      |  SELECT audit_id, entity_id, operation, value,
+      |    lag(value) OVER (PARTITION BY entity_id ORDER BY audit_id) AS old_value
+      |  FROM audit),
+      |live AS (
+      |  SELECT entity_id, value AS live_value
+      |  FROM (SELECT entity_id, value,
+      |          row_number() OVER (PARTITION BY entity_id ORDER BY audit_id DESC) AS rn
+      |        FROM audit) WHERE rn = 1),
+      |rec AS (
+      |  SELECT f.audit_id, f.entity_id, f.operation,
+      |    CASE WHEN f.operation = 'I' THEN NULL ELSE f.old_value END AS old_value,
+      |    CASE WHEN f.operation IN ('D', 'T') THEN NULL ELSE coalesce(
+      |      first_value(f.old_value IGNORE NULLS) OVER (
+      |        PARTITION BY f.entity_id ORDER BY f.audit_id
+      |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+      |      l.live_value) END AS new_value
+      |  FROM old_feed f JOIN live l ON f.entity_id = l.entity_id)
+      |SELECT audit_id, entity_id, operation, old_value, new_value
+      |FROM rec ORDER BY audit_id""".stripMargin) { (s, d) =>
+    val base = log(s, d)
+    val oldFeed = base.withColumn("old_value", lag("value", 1).over(alg.byEntity))
+    val descW = Window.partitionBy("entity_id").orderBy(col("audit_id").desc)
+    val live = base
+      .withColumn("__rn", row_number().over(descW)).filter(col("__rn") === 1)
+      .select(col("entity_id"), col("value"))
+    alg.deltaFromOld(oldFeed, Seq("value"), Some(live))
+      .select("audit_id", "entity_id", "operation", "old_value", "new_value")
+      .orderBy("audit_id")
+  }
+
   /** Reference `*_audit_snapshot` (audit.go:1262): state as of each change. */
   val auditSnapshot: Q = Q.sql(
     "audit_snapshot",
@@ -121,9 +176,9 @@ object AuditQueries {
       |  FROM audit)
       |SELECT audit_id, entity_id, operation,
       |  CASE WHEN operation = 'I' THEN NULL ELSE lag(state_k) OVER w END AS old_state_k,
-      |  CASE WHEN operation = 'D' THEN NULL ELSE state_k END AS new_state_k,
+      |  CASE WHEN operation IN ('D', 'T') THEN NULL ELSE state_k END AS new_state_k,
       |  CASE WHEN operation = 'I' THEN NULL ELSE lag(state_val) OVER w END AS old_state_val,
-      |  CASE WHEN operation = 'D' THEN NULL ELSE state_val END AS new_state_val
+      |  CASE WHEN operation IN ('D', 'T') THEN NULL ELSE state_val END AS new_state_val
       |FROM snap
       |WINDOW w AS (PARTITION BY entity_id ORDER BY audit_id)
       |ORDER BY audit_id""".stripMargin) { (s, d) =>
@@ -225,6 +280,7 @@ object AuditQueries {
          |  sum(CASE WHEN operation = 'I' THEN 1 ELSE 0 END) AS n_inserts,
          |  sum(CASE WHEN operation = 'U' THEN 1 ELSE 0 END) AS n_updates,
          |  sum(CASE WHEN operation = 'D' THEN 1 ELSE 0 END) AS n_deletes,
+         |  sum(CASE WHEN operation = 'T' THEN 1 ELSE 0 END) AS n_truncates,
          |  ${Det.dsumRoundSql("value", 2)} AS total_value,
          |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_change,
          |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_change
@@ -235,6 +291,7 @@ object AuditQueries {
         sum(when(col("operation") === "I", 1).otherwise(0)).as("n_inserts"),
         sum(when(col("operation") === "U", 1).otherwise(0)).as("n_updates"),
         sum(when(col("operation") === "D", 1).otherwise(0)).as("n_deletes"),
+        sum(when(col("operation") === "T", 1).otherwise(0)).as("n_truncates"),
         Det.dsumRound(col("value"), 2).as("total_value"),
         date_format(min("ts"), TS).as("first_change"),
         date_format(max("ts"), TS).as("last_change"))
@@ -376,9 +433,132 @@ object AuditQueries {
       .orderBy("audit_id")
   }
 
+  /** Who-changed-what: top change agents per operation per day — the #1
+    * question asked of an audit system, over the reference's `changed_by`
+    * capture column (audit.go:773). */
+  val auditWhoChanged: Q = Q.sql(
+    "audit_who_changed",
+    auditCte + """, g AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, operation,
+      |    changed_by, count(*) AS n_changes
+      |  FROM audit GROUP BY 1, 2, 3)
+      |SELECT day, operation, changed_by, n_changes, rk
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY day, operation
+      |        ORDER BY n_changes DESC, changed_by) AS rk
+      |      FROM g)
+      |WHERE rk <= 3 ORDER BY day, operation, rk""".stripMargin) { (s, d) =>
+    val g = log(s, d)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"),
+        col("operation"), col("changed_by"))
+      .agg(count(lit(1)).as("n_changes"))
+    val w = Window.partitionBy("day", "operation")
+      .orderBy(col("n_changes").desc, col("changed_by"))
+    g.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("day", "operation", "changed_by", "n_changes", "rk")
+      .orderBy("day", "operation", "rk")
+  }
+
+  /** Capture-session profile per database role: connection spread and the
+    * reference's 1000-char client_query truncation bound, observable as
+    * max_query_len (audit.go:930). */
+  val auditClientSessions: Q = Q.sql(
+    "audit_client_sessions",
+    auditCte +
+      """SELECT db_user,
+        |  count(*) AS n_changes,
+        |  count(DISTINCT client_addr) AS n_addrs,
+        |  count(DISTINCT entity_id) AS n_entities,
+        |  min(client_port) AS min_port,
+        |  max(client_port) AS max_port,
+        |  CAST(max(length(client_query)) AS BIGINT) AS max_query_len
+        |FROM audit GROUP BY db_user ORDER BY db_user""".stripMargin) { (s, d) =>
+    log(s, d).groupBy("db_user")
+      .agg(
+        count(lit(1)).as("n_changes"),
+        countDistinct("client_addr").as("n_addrs"),
+        countDistinct("entity_id").as("n_entities"),
+        min("client_port").as("min_port"),
+        max("client_port").as("max_port"),
+        max(length(col("client_query"))).cast("long").as("max_query_len"))
+      .orderBy("db_user")
+  }
+
+  /** Reference audit.audit_history true semantics (audit.go:608-625):
+    * contiguous ranges during which auditing was live, derived from the
+    * record itself as gaps-and-islands over covered hours per operation —
+    * an hour gap in the capture stream ends a range, making coverage holes
+    * visible instead of silent. */
+  val auditEnabledRanges: Q = Q.sql(
+    "audit_enabled_ranges",
+    auditCte + """, hrs AS (
+      |  SELECT operation, date_trunc('hour', ts) AS h, count(*) AS n
+      |  FROM audit GROUP BY 1, 2),
+      |isl AS (
+      |  SELECT operation, h, n,
+      |    CAST(floor(epoch(h)) AS BIGINT) // 3600
+      |      - row_number() OVER (PARTITION BY operation ORDER BY h) AS grp
+      |  FROM hrs)
+      |SELECT operation,
+      |  strftime(min(h), '%Y-%m-%d %H:%M:%S') AS enabled_from,
+      |  strftime(max(h), '%Y-%m-%d %H:%M:%S') AS enabled_to,
+      |  count(*) AS n_hours, CAST(sum(n) AS BIGINT) AS n_changes
+      |FROM isl GROUP BY operation, grp
+      |ORDER BY operation, enabled_from""".stripMargin) { (s, d) =>
+    val hrs = log(s, d)
+      .groupBy(col("operation"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val isl = hrs.withColumn("grp",
+      expr("unix_timestamp(h) div 3600")
+        - row_number().over(Window.partitionBy("operation").orderBy("h")))
+    isl.groupBy("operation", "grp")
+      .agg(
+        date_format(min("h"), TS).as("enabled_from"),
+        date_format(max("h"), TS).as("enabled_to"),
+        count(lit(1)).as("n_hours"),
+        sum("n").as("n_changes"))
+      .select("operation", "enabled_from", "enabled_to", "n_hours", "n_changes")
+      .orderBy("operation", "enabled_from")
+  }
+
+  /** Reference `hasValidPrimaryKey` (audit.go:1173-1206) as a data-quality
+    * operator: a column is a valid audit pk iff non-null on every row and
+    * unique. Guards the algebra against feeds whose duplicate/NULL pks
+    * would silently corrupt reconstructions. */
+  val auditPkValidity: Q = {
+    val candidates = Seq("audit_id", "entity_id", "field_k")
+    val oracleArm = (c: String) =>
+      s"""SELECT '$c' AS pk_candidate, count(*) AS n_rows,
+         |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+         |  CASE WHEN count($c) = count(*) AND count(DISTINCT $c) = count(*)
+         |    THEN 1 ELSE 0 END AS is_valid_pk
+         |FROM audit""".stripMargin
+    Q.sql(
+      "audit_pk_validity",
+      auditCte +
+        s"""SELECT pk_candidate, n_rows, n_nonnull, n_distinct, is_valid_pk
+           |FROM (${candidates.map(oracleArm).mkString("\nUNION ALL\n")})
+           |ORDER BY pk_candidate""".stripMargin) { (s, d) =>
+      val base = log(s, d)
+      candidates.map { c =>
+        base.agg(
+          count(lit(1)).as("n_rows"),
+          count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("n_distinct"))
+          .select(lit(c).as("pk_candidate"), col("n_rows"), col("n_nonnull"),
+            col("n_distinct"),
+            when(col("n_nonnull") === col("n_rows") &&
+              col("n_distinct") === col("n_rows"), 1).otherwise(0).as("is_valid_pk"))
+      }.reduce(_ unionByName _)
+        .orderBy("pk_candidate")
+    }
+  }
+
   val all: Seq[Q] = Seq(
-    auditLog, auditDelta, auditSnapshot, auditCompare, auditCurrent,
-    auditSparse, auditHistory, auditOpsRollup, auditFieldFreq,
+    auditLog, auditDelta, auditDeltaOld, auditSnapshot, auditCompare,
+    auditCurrent, auditSparse, auditHistory, auditOpsRollup, auditFieldFreq,
     auditEntityActivity, auditGapDetect, auditHourly, auditSessionize,
-    auditValueQuantiles, auditApproxEntities, auditAsofState)
+    auditValueQuantiles, auditApproxEntities, auditAsofState,
+    auditWhoChanged, auditClientSessions, auditEnabledRanges, auditPkValidity)
 }

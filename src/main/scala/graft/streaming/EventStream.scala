@@ -58,8 +58,7 @@ object EventStream {
   val auditStream: Q = Q.sql(
     "audit_stream",
     s"""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
-       |  CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
-       |    ELSE 'U' END AS operation,
+       |  ${graft.audit.AuditModel.operationSql} AS operation,
        |  count(*) AS n, ${Det.dsumRoundSql("value", 2)} AS total_value
        |FROM events GROUP BY 1, 2
        |ORDER BY win_start, operation""".stripMargin) { (s, d) =>

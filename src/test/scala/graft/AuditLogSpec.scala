@@ -70,4 +70,43 @@ class AuditLogSpec extends AnyFunSuite {
       .filter($"entity_id" === 10L).select("state_k").head()
     assert(got.getInt(0) === 2)
   }
+
+  // The same history as `log`, captured the way the reference's trigger
+  // actually records it: each row carries the OLD value of the fields it
+  // touched (before_change), nothing else. The live table holds the
+  // current row of still-existing entities (entity 10 was deleted).
+  private lazy val oldLog = Seq(
+    (1L, 10L, "I", None),     // insert: no before image
+    (2L, 10L, "U", Some(1)),  // overwrote k=1
+    (3L, 10L, "U", None),     // did not touch k
+    (4L, 10L, "U", Some(2)),  // overwrote k=2
+    (5L, 10L, "D", Some(7)),  // delete: before image carries k=7
+    (6L, 20L, "I", None)
+  ).toDF("audit_id", "entity_id", "operation", "old_k")
+  private lazy val live = Seq((20L, 9)).toDF("entity_id", "k")
+
+  test("snapshotFromOld: forward scan + live fallback reconstructs state") {
+    val got = alg.snapshotFromOld(oldLog, Seq("k"), Some(live))
+      .orderBy("audit_id").select("state_k").collect().map(Option apply _.get(0))
+    // after each change: 1, 2, 2, 7, <deleted>, 9 (live fallback)
+    assert(got.toSeq === Seq(Some(1), Some(2), Some(2), Some(7), None, Some(9)))
+  }
+
+  test("deltaFromOld round-trips the new-values history") {
+    val fromOld = alg.deltaFromOld(oldLog, Seq("k"), Some(live))
+      .orderBy("audit_id")
+      .select("audit_id", "old_k", "new_k")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    // new_k must equal the value each change actually set (the `k` column
+    // of the new-values log, held through no-touch changes), NULL on D
+    val newStates = alg.snapshot(log, Seq("k"))
+      .orderBy("audit_id")
+      .select("audit_id", "operation", "state_k")
+      .collect().map(r => (r.getLong(0),
+        if (r.getString(1) == "D") None else Option(r.get(2))))
+    assert(fromOld.map(t => (t._1, t._3)).toSeq === newStates.toSeq)
+    // old side is the sparse before image, NULL on I
+    assert(fromOld.map(_._2).toSeq ===
+      Seq(None, Some(1), None, Some(2), Some(7), None))
+  }
 }
