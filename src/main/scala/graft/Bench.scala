@@ -10,27 +10,40 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // noop sink: forces full materialization of every column (count()
+    // would let scan-only plans skip column decode entirely)
+    def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      // noop sink: forces full materialization of every column (count()
-      // would let scan-only plans skip column decode entirely)
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed ::= name
           false
         }
       spark.catalog.clearCache() // operator-internal caches must not leak
-      if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
+      if (ok) Some((System.nanoTime() - t0) / 1e9) else None
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // cold + warm per query: the second run amortizes JIT/codegen compile
+    // and OS page cache, isolating the plan's true cost — regressions are
+    // attributable (plan change moves warm; environment noise moves cold).
+    // warm = best-of-both: this host stalls for multi-second stretches at
+    // random (observed 55s on a query that runs in 0.8s isolated), and
+    // min() keeps a stall on either run from masquerading as plan cost.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      run(name, fn) match {
+        case None => failed ::= name; None
+        case Some(cold) =>
+          Some((name, cold, math.min(cold, run(name, fn).getOrElse(cold))))
+      }
+    }
+    def jmap(f: ((String, Double, Double)) => Double): String =
+      results.map { r => s"\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
     val fj = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).sum
+    val totalWarm = results.map(_._3).sum
     // failed queries are EXCLUDED from the timings and listed explicitly —
     // a broken query must not make the total look faster
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_warm":${jmap(_._3)},"total_warm":$totalWarm,"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
