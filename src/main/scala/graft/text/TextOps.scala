@@ -83,15 +83,12 @@ object TextOps {
     * (discriminative) shingle sets on both engines. */
   private[graft] val ShingleDfCap = 50
 
-  /** 3-gram shingle Jaccard near-dup pairs, blocked on (lang, source),
-    * via a df-capped inverted index: candidates come from an equi-join on
-    * (block, shingle) over shingles with df ≤ [[ShingleDfCap]];
-    * |a∩b| = shared-shingle count, |a∪b| = |a|+|b|-|a∩b|. The oracle runs
-    * the identical df-capped formulation, so the hash compare verifies the
-    * whole pipeline including the cap. */
-  val dedupNgramJaccard: Q = Q.sql(
-    "dedup_ngram_jaccard",
-    s"""WITH w AS (SELECT doc_id, lang, source, str_split(text, ' ') AS ws FROM documents),
+  /** CTE chain computing the df-capped jaccard pair list `j(doc_a, doc_b,
+    * jacc)` — the oracle twin of [[jaccardPairs]], shared by
+    * `dedup_ngram_jaccard` and `dedup_components` (emitted without the
+    * leading WITH so the components oracle can prepend RECURSIVE). */
+  private val jaccardPairsCtesSql: String =
+    s"""w AS (SELECT doc_id, lang, source, str_split(text, ' ') AS ws FROM documents),
        |sh AS (SELECT doc_id, lang, source,
        |         list_distinct(list_transform(range(1, len(ws) - 1),
        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s3
@@ -110,9 +107,11 @@ object TextOps {
        |j AS (SELECT doc_a, doc_b,
        |        round(1.0 * common / (sa.sz + sb.sz - common), 4) AS jacc
        |      FROM p JOIN szs sa ON p.doc_a = sa.doc_id
-       |             JOIN szs sb ON p.doc_b = sb.doc_id)
-       |SELECT doc_a, doc_b, jacc FROM j WHERE jacc >= 0.02
-       |ORDER BY jacc DESC, doc_a, doc_b LIMIT 500""".stripMargin) { (s, d) =>
+       |             JOIN szs sb ON p.doc_b = sb.doc_id)""".stripMargin
+
+  /** All same-block candidate pairs with exact (df-capped) jaccard —
+    * (doc_a, doc_b, jacc), doc_a < doc_b, unthresholded. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val ex = docs(s, d)
       .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("lang"), col("source"),
@@ -143,9 +142,104 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"),
         round(lit(1.0) * col("common") / (col("sz_a") + col("sz_b") - col("common")), 4)
           .as("jacc"))
+  }
+
+  /** 3-gram shingle Jaccard near-dup pairs, blocked on (lang, source),
+    * via a df-capped inverted index: candidates come from an equi-join on
+    * (block, shingle) over shingles with df ≤ [[ShingleDfCap]];
+    * |a∩b| = shared-shingle count, |a∪b| = |a|+|b|-|a∩b|. The oracle runs
+    * the identical df-capped formulation, so the hash compare verifies the
+    * whole pipeline including the cap. */
+  val dedupNgramJaccard: Q = Q.sql(
+    "dedup_ngram_jaccard",
+    s"""WITH $jaccardPairsCtesSql
+       |SELECT doc_a, doc_b, jacc FROM j WHERE jacc >= 0.02
+       |ORDER BY jacc DESC, doc_a, doc_b LIMIT 500""".stripMargin) { (s, d) =>
+    jaccardPairs(s, d)
       .filter(col("jacc") >= 0.02)
       .orderBy(col("jacc").desc, col("doc_a"), col("doc_b"))
       .limit(500)
+  }
+
+  /** Near-duplicate clusters: connected components over the union of two
+    * similarity relations — bag-of-words-fingerprint equality and high
+    * Jaccard (≥ 0.5 on the df-capped shingle sets). The transitive closure
+    * is what a real dedup pipeline keys its keep-one decision on: A≈B by
+    * word-set and B≈C by shingle overlap must land A, B, C in ONE group
+    * even though A and C share no direct edge.
+    *
+    * Spark shape: distributed min-label propagation with pointer jumping —
+    * labels start as each doc's own id; every round takes the min over
+    * neighbors (join + groupBy, shuffle on doc id) and then shortcuts
+    * label(v) ← label(label(v)), doubling the propagated distance so the
+    * loop converges in O(log diameter) rounds instead of O(diameter)
+    * (chains of cliques bridged by near-dup pairs have real diameter).
+    * Only the edge-induced subgraph iterates — singletons join back at the
+    * end with their own id. The driver loop iterates over ROUNDS (one
+    * convergence count per round), never over rows; each round is
+    * localCheckpoint()ed so round k+1 starts from materialized partitions
+    * instead of replaying k rounds of lineage. This is the textbook
+    * 100 TB CC shape (pointer jumping = the large-star step of
+    * large-star/small-star).
+    *
+    * The oracle computes the same closure as a recursive CTE. */
+  val dedupComponents: Q = Q.sql(
+    "dedup_components",
+    s"""WITH RECURSIVE $jaccardPairsCtesSql,
+       |bowf AS (SELECT doc_id,
+       |           md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
+       |         FROM documents),
+       |bow_edges AS (SELECT a.doc_id AS a, b.doc_id AS b
+       |              FROM bowf a JOIN bowf b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |jac_edges AS (SELECT doc_a AS a, doc_b AS b FROM j WHERE jacc >= 0.5),
+       |edges AS (SELECT a, b FROM bow_edges UNION ALL SELECT a, b FROM jac_edges),
+       |sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+       |walk(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.doc_id),
+       |comp AS (SELECT doc_id, min(label) AS component FROM walk GROUP BY doc_id)
+       |SELECT doc_id, component,
+       |  count(*) OVER (PARTITION BY component) AS n_members
+       |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bow = docs(s, d).select(col("doc_id"),
+      md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("fp"))
+    val bowEdges = bow.select(col("doc_id").as("a"), col("fp"))
+      .join(bow.select(col("doc_id").as("b"), col("fp").as("fp_b")),
+        col("fp") === col("fp_b") && col("a") < col("b"))
+      .select("a", "b")
+    val jacEdges = jaccardPairs(s, d).filter(col("jacc") >= 0.5)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = bowEdges.union(jacEdges)
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var lab = sym.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 12) {
+      val neigh = sym.join(lab, col("a") === col("doc_id"))
+        .select(col("b").as("doc_id"), col("label"))
+        .union(lab)
+        .groupBy("doc_id").agg(min("label").as("label"))
+      // pointer jump: labels are themselves node ids, so one more join
+      // resolves label(label(v)) and halves the remaining diameter
+      val jumped = neigh
+        .join(neigh.select(col("doc_id").as("__l"), col("label").as("__ll")),
+          col("label") === col("__l"), "left")
+        .select(col("doc_id"), coalesce(col("__ll"), col("label")).as("label"))
+        .localCheckpoint()
+      changed = jumped.join(lab.withColumnRenamed("label", "old_label"), Seq("doc_id"))
+        .filter(col("label") < col("old_label")).count()
+      lab = jumped
+      rounds += 1
+    }
+    docs(s, d).select(col("doc_id"))
+      .join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("component"))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("component")))
+      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------- minhash --
@@ -407,7 +501,7 @@ object TextOps {
   }
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupBow, dedupNgramJaccard, dedupMinhash, dedupSimhash,
-    langId, textQuality, tokenCount, docFingerprint, samplePerSource,
-    tokenRegex)
+    dedupExact, dedupBow, dedupNgramJaccard, dedupComponents, dedupMinhash,
+    dedupSimhash, langId, textQuality, tokenCount, docFingerprint,
+    samplePerSource, tokenRegex)
 }
