@@ -433,6 +433,45 @@ object AuditQueries {
       .orderBy("audit_id")
   }
 
+  /** As-of with a staleness bound: the last purchase within ONE HOUR
+    * before each delete-class change — the AsOfJoinExec `tolerance`
+    * parameter. A match older than the bound is NULL, not the next-older
+    * row (as-of semantics: the latest match or nothing). The oracle
+    * reproduces the bound by post-filtering DuckDB's unbounded ASOF match
+    * at explicit microsecond precision. */
+  val auditAsofTolerance: Q = Q.sql(
+    "audit_asof_tolerance",
+    auditCte + """, l AS (
+      |  SELECT audit_id, entity_id, ts FROM audit WHERE event_type = 'error'),
+      |r AS (SELECT entity_id AS r_entity, ts AS r_ts, value AS r_value
+      |      FROM audit WHERE event_type = 'purchase')
+      |SELECT l.audit_id, l.entity_id,
+      |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS err_at,
+      |  CASE WHEN r.r_ts IS NOT NULL
+      |         AND epoch_ns(l.ts) // 1000 - epoch_ns(r.r_ts) // 1000 <= 3600000000
+      |    THEN r.r_value END AS recent_purchase_value,
+      |  CASE WHEN r.r_ts IS NOT NULL
+      |         AND epoch_ns(l.ts) // 1000 - epoch_ns(r.r_ts) // 1000 <= 3600000000
+      |    THEN strftime(r.r_ts, '%Y-%m-%d %H:%M:%S') END AS recent_purchase_at
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.entity_id = r.r_entity AND l.ts >= r.r_ts
+      |ORDER BY l.audit_id""".stripMargin) { (s, d) =>
+    graft.GraftFunctions.ensureRegistered(s)
+    val base = log(s, d)
+    val l = base.filter(col("event_type") === "error")
+      .select("audit_id", "entity_id", "ts")
+    val r = base.filter(col("event_type") === "purchase")
+      .select(col("entity_id").as("r_entity"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    graft.plans.AsOf.join(l, r, key = ("entity_id", "r_entity"),
+        time = ("ts", "r_ts"), tolerance = Some(3600L * 1000000L))
+      .select(col("audit_id"), col("entity_id"),
+        date_format(col("ts"), TS).as("err_at"),
+        col("r_value").as("recent_purchase_value"),
+        date_format(col("r_ts"), TS).as("recent_purchase_at"))
+      .orderBy("audit_id")
+  }
+
   /** Who-changed-what: top change agents per operation per day — the #1
     * question asked of an audit system, over the reference's `changed_by`
     * capture column (audit.go:773). */
@@ -560,5 +599,6 @@ object AuditQueries {
     auditCurrent, auditSparse, auditHistory, auditOpsRollup, auditFieldFreq,
     auditEntityActivity, auditGapDetect, auditHourly, auditSessionize,
     auditValueQuantiles, auditApproxEntities, auditAsofState,
-    auditWhoChanged, auditClientSessions, auditEnabledRanges, auditPkValidity)
+    auditAsofTolerance, auditWhoChanged, auditClientSessions,
+    auditEnabledRanges, auditPkValidity)
 }

@@ -32,10 +32,16 @@ import org.apache.spark.sql.functions.col
   * The strategy is injected via GraftExtensions; AsOfSpec asserts both
   * implementations agree row-for-row.
   */
+/** @param tolerance max allowed `leftTime - rightTime`, in the time
+  *                  column's native internal unit (microseconds for
+  *                  TimestampType) — a match older than this is treated as
+  *                  no match (NULL right side), the standard as-of
+  *                  staleness bound. None = unbounded lookback. */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -48,7 +54,8 @@ case class AsOfJoinPlan(
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -93,6 +100,16 @@ case class AsOfJoinExec(
         // returned by execute() are reused by the upstream operator)
         private var matchRow: InternalRow = _
         private var matchKey: Any = _
+        private var matchTime: Any = _
+
+        // numeric view of a time value for the tolerance bound; time
+        // columns are integral internally (TimestampType = epoch micros)
+        private def asLong(v: Any): Long = v match {
+          case l: java.lang.Long => l
+          case i: java.lang.Integer => i.toLong
+          case s: java.lang.Short => s.toLong
+          case n: java.lang.Number => n.longValue()
+        }
 
         // skip right rows with NULL key or time — under SQL equality
         // semantics they can never be an as-of match, and the interpreted
@@ -128,12 +145,14 @@ case class AsOfJoinExec(
                 timeOrd.asInstanceOf[Ordering[Any]].compare(rHeadTime, t) <= 0) {
               matchRow = rHead.copy()
               matchKey = rHeadKey
+              matchTime = rHeadTime
               advanceRight()
             } else continue = false
             if (rHead == null) continue = false
           }
           val matches = matchRow != null &&
-            keyOrd.asInstanceOf[Ordering[Any]].compare(matchKey, k) == 0
+            keyOrd.asInstanceOf[Ordering[Any]].compare(matchKey, k) == 0 &&
+            tolerance.forall(tol => asLong(t) - asLong(matchTime) <= tol)
           toUnsafe(joined(l, if (matches) matchRow else nullRight))
         }
       }
@@ -147,8 +166,8 @@ case class AsOfJoinExec(
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -156,9 +175,12 @@ object AsOfStrategy extends SparkStrategy {
 object AsOf {
 
   /** Custom-operator path (AsOfJoinExec). Column names in `right` must not
-    * collide with `left`'s. */
+    * collide with `left`'s. `tolerance` bounds the lookback in the time
+    * column's internal unit (micros for timestamps); matches older than
+    * the bound come back NULL. */
   def join(leftDf: DataFrame, rightDf: DataFrame,
-      key: (String, String), time: (String, String)): DataFrame = {
+      key: (String, String), time: (String, String),
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = leftDf.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val lPlan = GraftPlanFactory.analyzed(leftDf)
     val rPlan = GraftPlanFactory.analyzed(rightDf)
@@ -168,7 +190,8 @@ object AsOf {
     GraftPlanFactory.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan,
         attr(lPlan, key._1), attr(rPlan, key._2),
-        attr(lPlan, time._1), attr(rPlan, time._2)))
+        attr(lPlan, time._1), attr(rPlan, time._2),
+        tolerance))
   }
 
   /** Built-in-composition path: tag both sides, union, running

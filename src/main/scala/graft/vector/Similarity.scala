@@ -129,5 +129,42 @@ object Similarity {
       .orderBy("label", "dim")
   }
 
-  val all: Seq[Q] = Seq(annTopk, annIvf, dedupEmbedding, embCentroids)
+  /** Int8 scalar quantization per vector — the ANN memory-compression
+    * step (a 4× shrink vs float32 changes what fits in executor memory at
+    * 100 TB): symmetric max-abs scaling, code = round_half_up(x·127/mx),
+    * plus the max reconstruction error as the quality readout. All
+    * arithmetic is per-element IEEE double with `floor(y + 0.5)` rounding
+    * (deterministic and identical across engines — no rint ties) and the
+    * error reduce is a max, not a sum, so no ordering concerns. */
+  val embQuantize: Q = Q.sql(
+    "emb_quantize",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |m AS (SELECT vec_id, emb,
+      |        list_max(list_transform(emb, x -> abs(x))) AS mx FROM e),
+      |c AS (SELECT vec_id, mx,
+      |        list_transform(emb, x -> CASE WHEN mx = 0 THEN 0
+      |          ELSE CAST(floor(x * 127.0 / mx + 0.5) AS INT) END) AS codes,
+      |        CASE WHEN mx = 0 THEN 0.0 ELSE list_max(
+      |          list_transform(range(1, len(emb) + 1),
+      |            i -> abs(emb[i] - CAST(floor(emb[i] * 127.0 / mx + 0.5) AS INT)
+      |                 * mx / 127.0))) END AS err
+      |      FROM m)
+      |SELECT vec_id, len(codes) AS n_dims, round(mx / 127.0, 6) AS scale,
+      |  codes, round(err, 6) AS max_err
+      |FROM c ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      .withColumn("mx", expr("array_max(transform(emb, x -> abs(x)))"))
+      .withColumn("codes", expr(
+        "transform(emb, x -> IF(mx = 0D, 0, CAST(floor(x * 127.0 / mx + 0.5) AS INT)))"))
+      .withColumn("err", expr(
+        """IF(mx = 0D, 0D, array_max(zip_with(emb, codes,
+          |  (x, c) -> abs(x - c * mx / 127.0))))""".stripMargin))
+      .select(col("vec_id"), size(col("codes")).cast("long").as("n_dims"),
+        round(col("mx") / 127.0, 6).as("scale"),
+        col("codes"), round(col("err"), 6).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(annTopk, annIvf, dedupEmbedding, embCentroids, embQuantize)
 }

@@ -30,6 +30,18 @@ class AsOfSpec extends AnyFunSuite {
       (4L, None)))      // k=3        → no right rows
   }
 
+  test("tolerance: matches older than the bound become NULL, not next-older") {
+    GraftFunctions.ensureRegistered(spark)
+    val got = AsOf.join(left, right, ("k", "rk"), ("t", "rt"), tolerance = Some(10L))
+      .select("id", "v").orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(got.toSeq === Seq(
+      (1L, None),       // latest match c at rt=11, gap 89 > 10 → NULL (no fallback)
+      (2L, Some("a")),  // gap 0 within bound
+      (3L, None),
+      (4L, None)))
+  }
+
   test("plans through AsOfJoinExec") {
     GraftFunctions.ensureRegistered(spark)
     val df = AsOf.join(left, right, ("k", "rk"), ("t", "rt"))
