@@ -73,6 +73,63 @@ object EventStream {
       .orderBy("win_start", "operation")
   }
 
+  /** Watermarked stream-stream interval join: every purchase within one
+    * hour before each error, per entity — two live feeds correlated on
+    * (key, event-time range). Both sides carry a 1-hour watermark and the
+    * join condition is a direct event-time range, so Spark bounds each
+    * side's state to the watermark horizon (the 100 TB requirement: state
+    * ∝ rate × window, never ∝ stream length). Over a finite replay the
+    * emitted pairs are exactly the batch interval join, which is the
+    * DuckDB oracle — a stream-stream operator with an exact batch twin.
+    *
+    * Timestamps are compared at the engine's native microsecond precision
+    * on both sides (the oracle brackets at epoch-micros), so boundary
+    * pairs cannot flip between engines. */
+  val auditStreamJoin: Q = Q.sql(
+    "audit_stream_join",
+    """WITH audit AS (
+      |  SELECT event_id AS audit_id, user_id AS entity_id, event_type, ts, value
+      |  FROM events)
+      |SELECT e.audit_id AS error_id, p.audit_id AS purchase_id,
+      |  e.entity_id,
+      |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_at,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
+      |  p.value AS purchase_value
+      |FROM audit e JOIN audit p
+      |  ON e.entity_id = p.entity_id
+      |  AND e.event_type = 'error' AND p.event_type = 'purchase'
+      |  AND epoch_ns(p.ts) // 1000
+      |    BETWEEN epoch_ns(e.ts) // 1000 - 3600000000 AND epoch_ns(e.ts) // 1000
+      |ORDER BY error_id, purchase_id""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-join-").toString
+    val errs = readFeed(s, d).filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_entity"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val purch = readFeed(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_entity"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val q = errs.join(purch,
+        col("e_entity") === col("p_entity") &&
+        col("p_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") <= col("e_ts"))
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.schema(
+        "error_id BIGINT, e_entity BIGINT, e_ts TIMESTAMP, purchase_id BIGINT, p_entity BIGINT, p_ts TIMESTAMP, value DOUBLE")
+      .parquet(s"$tmp/out")
+      .select(col("error_id"), col("purchase_id"), col("e_entity").as("entity_id"),
+        date_format(col("e_ts"), TS).as("err_at"),
+        date_format(col("p_ts"), TS).as("purchase_at"),
+        col("value").as("purchase_value"))
+      .orderBy("error_id", "purchase_id")
+  }
+
   // ------------------------------------------------- stateful sessions --
 
   final case class FeedEvent(entity_id: Long, ts: java.sql.Timestamp, value: Double)
@@ -196,5 +253,5 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
   }
 
-  val all: Seq[Q] = Seq(auditStream, auditSessionizeStream)
+  val all: Seq[Q] = Seq(auditStream, auditStreamJoin, auditSessionizeStream)
 }
