@@ -38,9 +38,24 @@ object Multimodal {
         n_frames = r.payload.length / 256 + 1, r.width, r.height)
     }
 
-  /** Rows-only operator: fabricates media rows from `documents` (payload =
-    * UTF-8 bytes), runs the partition-batched decode, returns features. */
-  val multimodalIngest: Q = Q.rowsOnly("multimodal_ingest") { (s, d) =>
+  /** Fabricates media rows from `documents` (payload = UTF-8 bytes), runs
+    * the partition-batched decode, returns features. The stub decode's
+    * byte statistics are independently recomputable from the source text,
+    * so the whole binary-column + mapPartitions path is ORACLE-GATED: the
+    * DuckDB twin re-derives every output column (char-code sums stand in
+    * for byte sums — the corpus is ASCII), and a drift anywhere in the
+    * Dataset encode → partition-batch → decode loop breaks the hash. */
+  val multimodalIngest: Q = Q.sql(
+    "multimodal_ingest",
+    """SELECT doc_id,
+      |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |  length(text) AS byte_len,
+      |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+      |    i -> ascii(text[i]))) AS BIGINT) AS byte_sum,
+      |  CAST(length(text) // 256 + 1 AS INT) AS n_frames,
+      |  CAST(64 + n_chars % 512 AS INT) AS width,
+      |  CAST(64 + doc_id % 512 AS INT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     Tables.documents(s, d)
       .select(
