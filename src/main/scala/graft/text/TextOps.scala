@@ -454,13 +454,16 @@ object TextOps {
        |    i -> CAST(i AS BIGINT) * (ascii(substr(ws[i], 1, 1)) * 31 + length(ws[i]))))
        |    % $P AS BIGINT) AS fp
        |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // zip_with binds each word directly — an element_at(ws, i) version
+    // would re-evaluate the (optimizer-inlined) split per element access,
+    // the same O(words²) trap documented on shingleExpr
     docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         expr(s"""aggregate(
-                |  transform(sequence(1, size(ws)),
-                |    i -> cast(i as bigint) * (ascii(substring(element_at(ws, i), 1, 1)) * 31
-                |         + length(element_at(ws, i)))),
+                |  zip_with(ws, sequence(1, size(ws)),
+                |    (w, i) -> cast(i as bigint) * (ascii(substring(w, 1, 1)) * 31
+                |         + length(w))),
                 |  0L, (acc, x) -> acc + x) % $P""".stripMargin).as("fp"))
       .orderBy("doc_id")
   }

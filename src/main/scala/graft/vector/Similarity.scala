@@ -129,6 +129,75 @@ object Similarity {
       .orderBy("label", "dim")
   }
 
+  /** Trained IVF ANN — the real two-stage shape: (1) train a coarse
+    * quantizer (per-label centroids, decimal-exact per-dim means so both
+    * engines derive bit-identical centroids), (2) assign every vector to
+    * its nearest centroid (broadcast the tiny centroid table, argmin by
+    * (L2², label)), (3) search only the query's cell (equi-join on cell =
+    * the shuffle key at scale). Distances fold per-element in array order
+    * on both engines; assignment ties break by label. nprobe=1 here; the
+    * multi-probe extension is the same plan with an exploded top-p
+    * centroid list. */
+  val annIvfTrained: Q = Q.sql(
+    "ann_ivf_trained",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      |           FROM embeddings),
+      |u AS (SELECT label, unnest(emb) AS v, generate_subscripts(emb, 1) AS dim FROM e),
+      |cd AS (SELECT label, dim,
+      |         CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+      |       FROM u GROUP BY label, dim),
+      |cent AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+      |ad AS (SELECT vec_id, clabel,
+      |         list_sum(list_transform(range(1, len(emb) + 1),
+      |           i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))) AS dist
+      |       FROM e, cent),
+      |assign AS (SELECT vec_id, clabel AS cell FROM (
+      |             SELECT *, row_number() OVER (
+      |               PARTITION BY vec_id ORDER BY dist, clabel) AS rn FROM ad)
+      |           WHERE rn = 1),
+      |q AS (SELECT e.vec_id AS query_id, e.emb AS qe, a.cell
+      |      FROM e JOIN assign a ON e.vec_id = a.vec_id WHERE e.vec_id < 10),
+      |cands AS (SELECT e.vec_id AS neighbor_id, e.emb AS ce, a.cell
+      |          FROM e JOIN assign a ON e.vec_id = a.vec_id),
+      |s AS (SELECT query_id, neighbor_id, q.cell,
+      |        round(list_cosine_similarity(qe, ce), 4) AS cos_sim
+      |      FROM q JOIN cands ON q.cell = cands.cell
+      |        AND cands.neighbor_id <> q.query_id),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |      FROM s)
+      |SELECT query_id, neighbor_id, cell, cos_sim, rank
+      |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label").as("clabel"), col("pos"))
+      .agg((Det.dsum9(col("v").cast("double")) / count(lit(1))).as("c"))
+      .groupBy("clabel")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+    val withD = e.withColumn("emb_d", expr("transform(embedding, x -> cast(x as double))"))
+    val ad = withD.join(broadcast(cent))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(emb_d, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"))
+    val assignW = Window.partitionBy("vec_id").orderBy(col("dist"), col("clabel"))
+    val assign = ad
+      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("clabel").as("cell"))
+    val assigned = e.join(assign, Seq("vec_id"))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cell").as("qcell"))
+    val rankW = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    assigned
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("cell"))
+      .join(broadcast(q), col("qcell") === col("cell") && col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        cosR(col("qe"), col("ce")).as("cos_sim"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** Int8 scalar quantization per vector — the ANN memory-compression
     * step (a 4× shrink vs float32 changes what fits in executor memory at
     * 100 TB): symmetric max-abs scaling, code = round_half_up(x·127/mx),
@@ -166,5 +235,6 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(annTopk, annIvf, dedupEmbedding, embCentroids, embQuantize)
+  val all: Seq[Q] = Seq(
+    annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids, embQuantize)
 }
