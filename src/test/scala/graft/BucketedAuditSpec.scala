@@ -47,6 +47,25 @@ class BucketedAuditSpec extends AnyFunSuite {
       snap.queryExecution.executedPlan.toString)
   }
 
+  test("as-of join over the bucketed log plans zero shuffles (co-located)") {
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.ensureRegistered(spark)
+    val b = AuditStorage.read(spark, table)
+    val l = b.filter(col("event_type") === "error")
+      .select("audit_id", "entity_id", "ts")
+    val r = b.filter(col("event_type") === "purchase")
+      .select(col("entity_id").as("r_entity"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    val j = graft.plans.AsOf.join(l, r,
+      key = ("entity_id", "r_entity"), time = ("ts", "r_ts"))
+    j.collect()
+    // both sides read the same bucketing on entity_id, which satisfies the
+    // exec's ClusteredDistribution co-partitioned — the audit table's
+    // btree-equivalent access path extends to point-in-time lookups
+    assert(shuffles(j.queryExecution.executedPlan) === 0,
+      j.queryExecution.executedPlan.toString)
+  }
+
   test("bucketed and unbucketed snapshots agree") {
     val alg = AuditLog("entity_id", "audit_id")
     val direct = alg
