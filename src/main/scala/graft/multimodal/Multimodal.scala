@@ -45,17 +45,9 @@ object Multimodal {
     * DuckDB twin re-derives every output column (char-code sums stand in
     * for byte sums — the corpus is ASCII), and a drift anywhere in the
     * Dataset encode → partition-batch → decode loop breaks the hash. */
-  val multimodalIngest: Q = Q.sql(
-    "multimodal_ingest",
-    """SELECT doc_id,
-      |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
-      |  length(text) AS byte_len,
-      |  CAST(list_sum(list_transform(range(1, length(text) + 1),
-      |    i -> ascii(text[i]))) AS BIGINT) AS byte_sum,
-      |  CAST(length(text) // 256 + 1 AS INT) AS n_frames,
-      |  CAST(64 + n_chars % 512 AS INT) AS width,
-      |  CAST(64 + doc_id % 512 AS INT) AS height
-      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+  /** The binary-ingest pipeline up through the partition-batched decode —
+    * shared by the ingest and frame-sampling operators. */
+  private def features(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
     Tables.documents(s, d)
       .select(
@@ -68,8 +60,48 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions(decodeBatch _)
       .toDF()
-      .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(multimodalIngest)
+  val multimodalIngest: Q = Q.sql(
+    "multimodal_ingest",
+    """SELECT doc_id,
+      |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |  length(text) AS byte_len,
+      |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+      |    i -> ascii(text[i]))) AS BIGINT) AS byte_sum,
+      |  CAST(length(text) // 256 + 1 AS INT) AS n_frames,
+      |  CAST(64 + n_chars % 512 AS INT) AS width,
+      |  CAST(64 + doc_id % 512 AS INT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    features(s, d).orderBy("doc_id")
+  }
+
+  /** Frame sampling over the decoded media: at most 8 evenly-strided
+    * frames per object, each with its byte offset — the "pick k frames of
+    * the video for the vision encoder" step. Sampling is declarative
+    * (explode of a stride sequence) on top of the batched decode, so the
+    * row explosion happens executor-side after pruning, never on the
+    * driver. Oracle re-derives the sampled indices arithmetically. */
+  val multimodalFrames: Q = Q.sql(
+    "multimodal_frames",
+    """WITH f AS (SELECT doc_id, CAST(length(text) // 256 + 1 AS INT) AS n_frames
+      |           FROM documents),
+      |s AS (SELECT doc_id, n_frames,
+      |        CAST(greatest(1, n_frames // 8) AS INT) AS stride FROM f),
+      |x AS (SELECT doc_id, n_frames,
+      |        CAST(unnest(range(0, n_frames, stride)) AS INT) AS frame_idx
+      |      FROM s)
+      |SELECT doc_id, n_frames, frame_idx,
+      |  CAST(frame_idx AS BIGINT) * 256 AS byte_offset
+      |FROM x ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    features(s, d)
+      .select(col("doc_id"), col("n_frames"),
+        expr("explode(sequence(0, n_frames - 1, greatest(1, n_frames div 8)))")
+          .as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        (col("frame_idx").cast("long") * 256).as("byte_offset"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val all: Seq[Q] = Seq(multimodalIngest, multimodalFrames)
 }
