@@ -103,5 +103,41 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(multimodalIngest, multimodalFrames)
+  /** Resize planning for the vision-encoder input: scale each media
+    * object to fit a 224×224 budget preserving aspect ratio (the actual
+    * pixel resample lives in the stubbed decode stage; the geometry — the
+    * part that decides bytes moved and batch shapes — is exact integer
+    * arithmetic, so it is oracle-checked). Scale factor is computed in
+    * fixed-point (×10⁶ integer division) to keep both engines identical. */
+  val multimodalResize: Q = Q.sql(
+    "multimodal_resize",
+    """WITH m AS (SELECT doc_id,
+      |    CAST(64 + n_chars % 512 AS INT) AS width,
+      |    CAST(64 + doc_id % 512 AS INT) AS height
+      |  FROM documents),
+      |s AS (SELECT doc_id, width, height,
+      |        least(1000000, least(224000000 // width, 224000000 // height)) AS scale_ppm
+      |      FROM m)
+      |SELECT doc_id, width, height,
+      |  CAST(width * scale_ppm // 1000000 AS INT) AS out_w,
+      |  CAST(height * scale_ppm // 1000000 AS INT) AS out_h,
+      |  CAST(scale_ppm AS BIGINT) AS scale_ppm,
+      |  CAST(CASE WHEN scale_ppm < 1000000 THEN 1 ELSE 0 END AS INT) AS downscaled
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (lit(64) + col("n_chars") % 512).cast("int").as("width"),
+        (lit(64) + col("doc_id") % 512).cast("int").as("height"))
+      .withColumn("scale_ppm",
+        least(lit(1000000L),
+          least(expr("224000000L div width"), expr("224000000L div height"))))
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("CAST(width * scale_ppm div 1000000 AS INT)").as("out_w"),
+        expr("CAST(height * scale_ppm div 1000000 AS INT)").as("out_h"),
+        col("scale_ppm").cast("long").as("scale_ppm"),
+        when(col("scale_ppm") < 1000000, 1).otherwise(0).cast("int").as("downscaled"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(multimodalIngest, multimodalFrames, multimodalResize)
 }

@@ -235,6 +235,34 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** L2 normalization — the prerequisite for treating dot product as
+    * cosine (what every ANN index assumes): per-vector norm, the unit
+    * vector's first component as a spot value, and a post-normalization
+    * norm check rounded to 6 decimals (≡ 1 for non-degenerate vectors).
+    * The norm fold runs per-element in array order on both engines. */
+  val embNormalize: Q = Q.sql(
+    "emb_normalize",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |n AS (SELECT vec_id, emb,
+      |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e)
+      |SELECT vec_id, round(nrm, 6) AS norm,
+      |  round(emb[1] / nrm, 6) AS u1,
+      |  round(sqrt(list_sum(list_transform(emb, x -> (x / nrm) * (x / nrm)))), 6)
+      |    AS unit_norm
+      |FROM n ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(emb, x -> x * x), 0D, (a, b) -> a + b))"))
+      .select(col("vec_id"), round(col("nrm"), 6).as("norm"),
+        round(expr("emb[0]") / col("nrm"), 6).as("u1"),
+        round(expr(
+          "sqrt(aggregate(transform(emb, x -> (x / nrm) * (x / nrm)), 0D, (a, b) -> a + b))"),
+          6).as("unit_norm"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(
-    annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids, embQuantize)
+    annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
+    embNormalize, embQuantize)
 }
