@@ -29,21 +29,30 @@ object Bench {
     // warm = best-of-both: this host stalls for multi-second stretches at
     // random (observed 55s on a query that runs in 0.8s isolated), and
     // min() keeps a stall on either run from masquerading as plan cost.
+    var warmFailed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       run(name, fn) match {
         case None => failed ::= name; None
         case Some(cold) =>
-          Some((name, cold, math.min(cold, run(name, fn).getOrElse(cold))))
+          // a warm-run crash is a real failure (flaky plan / non-idempotent
+          // sink), not a clean cold-time result — record it, don't mask it
+          val warm = run(name, fn) match {
+            case Some(w) => math.min(cold, w)
+            case None => warmFailed ::= name; cold
+          }
+          Some((name, cold, warm))
       }
     }
     def jmap(f: ((String, Double, Double)) => Double): String =
       results.map { r => s"\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
-    val fj = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jlist(xs: List[String]): String =
+      xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fj = jlist(failed)
     val total = results.map(_._2).sum
     val totalWarm = results.map(_._3).sum
     // failed queries are EXCLUDED from the timings and listed explicitly —
     // a broken query must not make the total look faster
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_warm":${jmap(_._3)},"total_warm":$totalWarm,"failed":$fj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_warm":${jmap(_._3)},"total_warm":$totalWarm,"failed":$fj,"warm_failed":${jlist(warmFailed)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

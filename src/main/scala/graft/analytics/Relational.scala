@@ -224,8 +224,8 @@ object Relational {
   val qFunnel: Q = Q.sql(
     "q_funnel",
     """SELECT user_id,
-      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
       |  CASE WHEN min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) // 1000 END)
       |         < max(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END)
       |    THEN 1 ELSE 0 END AS converted

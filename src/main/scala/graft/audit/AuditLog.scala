@@ -85,6 +85,70 @@ final case class AuditLog(pkCol: String, seqCol: String) {
   def asOf(log: DataFrame, payload: Seq[String], maxSeq: Column): DataFrame =
     current(log.filter(col(seqCol) <= maxSeq), payload)
 
+  // ------------------------------------------- statement-level truncate --
+
+  /** Per-row table-wide truncation boundary + per-field raw state and the
+    * seq of the change that set it — shared by the truncate-aware
+    * reconstructions.
+    *
+    * A TRUNCATE is statement-level in the reference (its own trigger,
+    * audit.go:854-951): ONE audit row, and the whole table is gone. T rows
+    * are therefore rare and the full T-seq set aggregates into a single
+    * broadcast row — the boundary lookup is an array scan per row, never a
+    * global (unpartitioned) running window, which would serialize 100 TB
+    * through one task. */
+  private def truncStates(log: DataFrame, payload: Seq[String]): DataFrame = {
+    val tset = log.filter(col("operation") === "T")
+      .agg(sort_array(collect_list(col(seqCol))).as("__t_seqs"))
+    val withB = log.crossJoin(broadcast(tset))
+      .withColumn("__t_boundary",
+        array_max(filter(col("__t_seqs"), t => t <= col(seqCol))))
+      .drop("__t_seqs")
+    payload.foldLeft(withB) { (df, c) =>
+      df.withColumn(s"__raw_$c", last(col(c), ignoreNulls = true).over(running))
+        .withColumn(s"__src_$c",
+          last(when(col(c).isNotNull, col(seqCol)), ignoreNulls = true).over(running))
+    }
+  }
+
+  /** True iff a value whose source seq is `src` was wiped: a truncate
+    * boundary exists and the value predates it (or never existed). */
+  private def wiped(src: Column): Column =
+    col("__t_boundary").isNotNull && (src.isNull || src <= col("__t_boundary"))
+
+  private def dropTruncInternals(df: DataFrame, payload: Seq[String]): DataFrame =
+    df.drop("__t_boundary" +: payload.flatMap(c => Seq(s"__raw_$c", s"__src_$c")): _*)
+
+  /** Snapshot under statement-level TRUNCATE semantics (audit.go:854-951):
+    * a T wipes the WHOLE table, so every entity's state is NULL between a
+    * T and that entity's next value-bearing change — state survives only
+    * if the change that set it is newer than the latest T boundary. */
+  def snapshotTruncAware(log: DataFrame, payload: Seq[String]): DataFrame = {
+    val st = truncStates(log, payload)
+    dropTruncInternals(
+      payload.foldLeft(st) { (df, c) =>
+        df.withColumn(s"state_$c",
+          when(wiped(col(s"__src_$c")), lit(null)).otherwise(col(s"__raw_$c")))
+      }, payload)
+  }
+
+  /** Compare under statement-level TRUNCATE (audit.go:1362): old state is
+    * NULL on insert OR when the prior value was wiped by a truncate at or
+    * before this change; new state is NULL after delete/truncate. */
+  def compareTruncAware(log: DataFrame, payload: Seq[String]): DataFrame = {
+    val st = truncStates(log, payload)
+    dropTruncInternals(
+      payload.foldLeft(st) { (df, c) =>
+        val pRaw = lag(col(s"__raw_$c"), 1).over(byEntity)
+        val pSrc = lag(col(s"__src_$c"), 1).over(byEntity)
+        val cur = when(wiped(col(s"__src_$c")), lit(null)).otherwise(col(s"__raw_$c"))
+        df.withColumn(s"state_$c", cur)
+          .withColumn(s"old_state_$c",
+            when(isInsert, lit(null)).when(wiped(pSrc), lit(null)).otherwise(pRaw))
+          .withColumn(s"new_state_$c", when(isTerminal, lit(null)).otherwise(cur))
+      }, payload)
+  }
+
   // ----------------------------------------------- old-values (before_change) --
 
   /** Rows strictly after the current change — the forward scan the

@@ -188,6 +188,101 @@ object AuditQueries {
       .orderBy("audit_id")
   }
 
+  /** Statement-level TRUNCATE semantics (audit.go:854-951, :1362): the
+    * reference's truncate trigger fires once per STATEMENT and the views
+    * treat it as a table-wide wipe — every entity's reconstructed state is
+    * NULL between a T and that entity's next value-bearing change, not
+    * just the entity that happened to carry the T row. The Spark side
+    * broadcasts the tiny T-seq set (one row per truncate statement);
+    * the oracle derives the same boundary with a global running max. */
+  val auditTruncateReset: Q = Q.sql(
+    "audit_truncate_reset",
+    auditCte + s""", b AS (
+      |  SELECT audit_id, entity_id, operation, k, val,
+      |    max(CASE WHEN operation = 'T' THEN audit_id END) OVER
+      |      (ORDER BY audit_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tb
+      |  FROM audit),
+      |s AS (
+      |  SELECT audit_id, entity_id, operation, tb,
+      |    last_value(k IGNORE NULLS) OVER ($runningW) AS raw_k,
+      |    last_value(CASE WHEN k IS NOT NULL THEN audit_id END IGNORE NULLS)
+      |      OVER ($runningW) AS src_k,
+      |    last_value(val IGNORE NULLS) OVER ($runningW) AS raw_val,
+      |    last_value(CASE WHEN val IS NOT NULL THEN audit_id END IGNORE NULLS)
+      |      OVER ($runningW) AS src_val
+      |  FROM b),
+      |c AS (
+      |  SELECT *,
+      |    lag(raw_k) OVER e AS p_raw_k, lag(src_k) OVER e AS p_src_k,
+      |    lag(raw_val) OVER e AS p_raw_val, lag(src_val) OVER e AS p_src_val
+      |  FROM s WINDOW e AS (PARTITION BY entity_id ORDER BY audit_id))
+      |SELECT audit_id, entity_id, operation,
+      |  CASE WHEN tb IS NOT NULL AND (src_k IS NULL OR src_k <= tb)
+      |    THEN NULL ELSE raw_k END AS state_k,
+      |  CASE WHEN operation = 'I' THEN NULL
+      |       WHEN tb IS NOT NULL AND (p_src_k IS NULL OR p_src_k <= tb) THEN NULL
+      |       ELSE p_raw_k END AS old_state_k,
+      |  CASE WHEN operation IN ('D', 'T') THEN NULL
+      |       WHEN tb IS NOT NULL AND (src_k IS NULL OR src_k <= tb) THEN NULL
+      |       ELSE raw_k END AS new_state_k,
+      |  CASE WHEN tb IS NOT NULL AND (src_val IS NULL OR src_val <= tb)
+      |    THEN NULL ELSE raw_val END AS state_val,
+      |  CASE WHEN operation = 'I' THEN NULL
+      |       WHEN tb IS NOT NULL AND (p_src_val IS NULL OR p_src_val <= tb) THEN NULL
+      |       ELSE p_raw_val END AS old_state_val,
+      |  CASE WHEN operation IN ('D', 'T') THEN NULL
+      |       WHEN tb IS NOT NULL AND (src_val IS NULL OR src_val <= tb) THEN NULL
+      |       ELSE raw_val END AS new_state_val
+      |FROM c ORDER BY audit_id""".stripMargin) { (s, d) =>
+    alg.compareTruncAware(sparse(log(s, d)), Seq("k", "val"))
+      .select("audit_id", "entity_id", "operation",
+        "state_k", "old_state_k", "new_state_k",
+        "state_val", "old_state_val", "new_state_val")
+      .orderBy("audit_id")
+  }
+
+  /** Wide-payload reconstruction — the algebra at realistic column width.
+    * The reference reconstructs EVERY column of an arbitrary table from
+    * the JSON payloads, driven by column introspection (audit.go:1051-1360,
+    * :953-1010); payload fields appear only in the changes that touched
+    * them. Here six fields, each carried by a different change class (so
+    * each state column genuinely scans a different non-null pattern),
+    * flow through the same one-shuffle snapshot that handles 2 fields —
+    * width costs columns, not passes. */
+  val auditWideSnapshot: Q = {
+    val stateCols = Seq("w_k", "w_val", "w_tag", "w_cnt", "w_who", "w_init")
+    Q.sql(
+      "audit_wide_snapshot",
+      auditCte + s""", wide AS (
+        |  SELECT audit_id, entity_id, operation,
+        |    k AS w_k,
+        |    val AS w_val,
+        |    CASE WHEN event_type = 'view' THEN 'v' || (audit_id % 10) END AS w_tag,
+        |    CASE WHEN event_type = 'click' THEN audit_id % 97 END AS w_cnt,
+        |    CASE WHEN event_type = 'signup' THEN changed_by END AS w_who,
+        |    CASE WHEN event_type = 'signup'
+        |      THEN CAST(floor(value * 100) AS BIGINT) % 1000 END AS w_init
+        |  FROM audit)
+        |SELECT audit_id, entity_id, operation,
+        |${stateCols.map(c => s"  last_value($c IGNORE NULLS) OVER ($runningW) AS state_$c")
+          .mkString(",\n")}
+        |FROM wide ORDER BY audit_id""".stripMargin) { (s, d) =>
+      val wide = sparse(log(s, d))
+        .withColumn("w_k", col("k"))
+        .withColumn("w_val", col("val"))
+        .withColumn("w_tag", when(col("event_type") === "view",
+          concat(lit("v"), (col("audit_id") % 10).cast("string"))))
+        .withColumn("w_cnt", when(col("event_type") === "click", col("audit_id") % 97))
+        .withColumn("w_who", when(col("event_type") === "signup", col("changed_by")))
+        .withColumn("w_init", when(col("event_type") === "signup",
+          floor(col("value") * 100).cast("long") % 1000))
+      alg.snapshot(wide, stateCols)
+        .select(col("audit_id") +: col("entity_id") +: col("operation") +:
+          stateCols.map(c => col(s"state_$c")): _*)
+        .orderBy("audit_id")
+    }
+  }
+
   /** Latest reconstructed state per entity (the live-table equivalent). */
   val auditCurrent: Q = Q.sql(
     "audit_current",
@@ -277,10 +372,10 @@ object AuditQueries {
     "audit_entity_activity",
     auditCte +
       s"""SELECT entity_id, count(*) AS n_changes,
-         |  sum(CASE WHEN operation = 'I' THEN 1 ELSE 0 END) AS n_inserts,
-         |  sum(CASE WHEN operation = 'U' THEN 1 ELSE 0 END) AS n_updates,
-         |  sum(CASE WHEN operation = 'D' THEN 1 ELSE 0 END) AS n_deletes,
-         |  sum(CASE WHEN operation = 'T' THEN 1 ELSE 0 END) AS n_truncates,
+         |  CAST(sum(CASE WHEN operation = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+         |  CAST(sum(CASE WHEN operation = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+         |  CAST(sum(CASE WHEN operation = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+         |  CAST(sum(CASE WHEN operation = 'T' THEN 1 ELSE 0 END) AS BIGINT) AS n_truncates,
          |  ${Det.dsumRoundSql("value", 2)} AS total_value,
          |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_change,
          |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_change
@@ -343,8 +438,8 @@ object AuditQueries {
       |  FROM audit),
       |sessions AS (
       |  SELECT entity_id, ts, value,
-      |    sum(new_session) OVER (PARTITION BY entity_id ORDER BY audit_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(sum(new_session) OVER (PARTITION BY entity_id ORDER BY audit_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM marked)
       |SELECT entity_id, session_id,
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -600,5 +695,5 @@ object AuditQueries {
     auditEntityActivity, auditGapDetect, auditHourly, auditSessionize,
     auditValueQuantiles, auditApproxEntities, auditAsofState,
     auditAsofTolerance, auditWhoChanged, auditClientSessions,
-    auditEnabledRanges, auditPkValidity)
+    auditEnabledRanges, auditPkValidity, auditTruncateReset, auditWideSnapshot)
 }

@@ -111,6 +111,17 @@ object TextOps {
 
   /** All same-block candidate pairs with exact (df-capped) jaccard —
     * (doc_a, doc_b, jacc), doc_a < doc_b, unthresholded. */
+  /** Star edges over a (doc_id, fp) fingerprint relation: every doc links
+    * to its group's min doc id — k-1 edges per k-member duplicate group
+    * (an fp self-join emits k²/2; at 100 TB a boilerplate page duplicated
+    * 1M× would mean 5·10¹¹ pairs). The connected components are identical:
+    * a star reaches every member of the group through the root. One window
+    * over the fp hash-partitioning, no join. */
+  def bowStarEdges(bow: DataFrame): DataFrame =
+    bow.withColumn("root", min("doc_id").over(Window.partitionBy("fp")))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("root").as("a"), col("doc_id").as("b"))
+
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val ex = docs(s, d)
       .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("ws"))
@@ -189,8 +200,10 @@ object TextOps {
        |bowf AS (SELECT doc_id,
        |           md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
        |         FROM documents),
-       |bow_edges AS (SELECT a.doc_id AS a, b.doc_id AS b
-       |              FROM bowf a JOIN bowf b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |bow_star AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS root
+       |             FROM bowf),
+       |bow_edges AS (SELECT root AS a, doc_id AS b FROM bow_star
+       |              WHERE doc_id <> root),
        |jac_edges AS (SELECT doc_a AS a, doc_b AS b FROM j WHERE jacc >= 0.5),
        |edges AS (SELECT a, b FROM bow_edges UNION ALL SELECT a, b FROM jac_edges),
        |sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
@@ -204,10 +217,10 @@ object TextOps {
        |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
     val bow = docs(s, d).select(col("doc_id"),
       md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("fp"))
-    val bowEdges = bow.select(col("doc_id").as("a"), col("fp"))
-      .join(bow.select(col("doc_id").as("b"), col("fp").as("fp_b")),
-        col("fp") === col("fp_b") && col("a") < col("b"))
-      .select("a", "b")
+    // star edges, not an fp self-join: each doc connects to its group's min
+    // doc id — k edges per duplicate group instead of k² (a boilerplate page
+    // duplicated 1M× would otherwise emit 5·10¹¹ pairs), identical closure
+    val bowEdges = TextOps.bowStarEdges(bow)
     val jacEdges = jaccardPairs(s, d).filter(col("jacc") >= 0.5)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val edges = bowEdges.union(jacEdges)
@@ -235,6 +248,12 @@ object TextOps {
       lab = jumped
       rounds += 1
     }
+    // a graph needing more rounds must fail loudly, not return silently
+    // non-converged components that diverge from the transitive closure
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedup_components: label propagation hit the $rounds-round cap " +
+          s"with $changed labels still moving — graph diameter exceeds 2^$rounds")
     docs(s, d).select(col("doc_id"))
       .join(lab, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("component"))

@@ -90,24 +90,57 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding near-duplicate pairs, label-blocked (the blocking key stands
-    * in for an LSH bucket at scale): cosine ≥ 0.35 within a block. */
-  val dedupEmbedding: Q = Q.sql(
-    "dedup_embedding",
-    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-      |           FROM embeddings)
-      |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
-      |  round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
-      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.35
-      |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin) { (s, d) =>
-    val e = emb(s, d)
-    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("eb"))
-    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("label"), cosR(col("ea"), col("eb")).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.35)
-      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+  /** Embedding near-duplicate pairs via random-hyperplane LSH: 2 bands of
+    * 4 sign bits each (dims 1-4 and 5-8 act as the fixed "random"
+    * hyperplanes — axis-aligned, so both engines derive identical bits);
+    * candidates are pairs sharing EITHER band's bucket (the classic
+    * multi-table OR for recall), residual check = exact cosine ≥ 0.35.
+    *
+    * Scale shape: the candidate join is an equi-join on (band, bucket) —
+    * shuffle-partitionable; unlike a label block (constant cardinality ⇒
+    * bucket size ∝ corpus), bits-per-band grows as log₂(n/target_bucket)
+    * so the per-bucket pair count stays bounded as the corpus grows. */
+  val dedupEmbedding: Q = {
+    def duckBucket(off: Int): String =
+      (1 to 4).map(i => s"CAST(emb[${off + i}] > 0 AS INT) * ${1 << (4 - i)}")
+        .mkString(" + ")
+    Q.sql(
+      "dedup_embedding",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |b AS (SELECT vec_id, ${duckBucket(0)} AS b1, ${duckBucket(4)} AS b2
+        |      FROM e),
+        |bands AS (SELECT vec_id, 1 AS band, b1 AS bucket FROM b
+        |          UNION ALL SELECT vec_id, 2 AS band, b2 AS bucket FROM b),
+        |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.bucket = y.bucket
+        |              AND x.vec_id < y.vec_id)
+        |SELECT id_a, id_b,
+        |  round(list_cosine_similarity(ea.emb, eb.emb), 4) AS cos_sim
+        |FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+        |WHERE round(list_cosine_similarity(ea.emb, eb.emb), 4) >= 0.35
+        |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin) { (s, d) =>
+      def bucket(off: Int): Column =
+        (1 to 4).map(i =>
+          when(element_at(col("embedding"), off + i) > 0f, 1 << (4 - i)).otherwise(0))
+          .reduce(_ + _).cast("int")
+      val e = emb(s, d)
+      val bands = e.select(col("vec_id"),
+          posexplode(array(bucket(0), bucket(4))).as(Seq("band0", "bucket")))
+        .select(col("vec_id"), col("band0").as("band"), col("bucket"))
+      val cand = bands.select(col("vec_id").as("id_a"), col("band"), col("bucket"))
+        .join(bands.select(col("vec_id").as("id_b"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      cand
+        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), Seq("id_a"))
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), cosR(col("ea"), col("eb")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.35)
+        .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+    }
   }
 
   /** Per-label centroids — the k-means / IVF-training building block: one
@@ -219,7 +252,7 @@ object Similarity {
       |                 * mx / 127.0))) END AS err
       |      FROM m)
       |SELECT vec_id, len(codes) AS n_dims, round(mx / 127.0, 6) AS scale,
-      |  codes, round(err, 6) AS max_err
+      |  array_to_string(codes, ',') AS codes, round(err, 6) AS max_err
       |FROM c ORDER BY vec_id""".stripMargin) { (s, d) =>
     Tables.embeddings(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
@@ -229,9 +262,12 @@ object Similarity {
       .withColumn("err", expr(
         """IF(mx = 0D, 0D, array_max(zip_with(emb, codes,
           |  (x, c) -> abs(x - c * mx / 127.0))))""".stripMargin))
+      // `codes` goes out as a delimited string, not ARRAY<INT>: array-typed
+      // output columns are unhashable downstream (pandas-side compare).
       .select(col("vec_id"), size(col("codes")).cast("long").as("n_dims"),
         round(col("mx") / 127.0, 6).as("scale"),
-        col("codes"), round(col("err"), 6).as("max_err"))
+        expr("array_join(transform(codes, c -> cast(c AS STRING)), ',')").as("codes"),
+        round(col("err"), 6).as("max_err"))
       .orderBy("vec_id")
   }
 

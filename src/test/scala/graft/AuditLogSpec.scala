@@ -71,6 +71,48 @@ class AuditLogSpec extends AnyFunSuite {
     assert(got.getInt(0) === 2)
   }
 
+  // Statement-level TRUNCATE: one T row (on whatever entity carried it)
+  // wipes the WHOLE table — every other entity's state must go NULL until
+  // its own next value-bearing change (reference audit.go:854-951, :1362).
+  private lazy val truncLog = Seq(
+    (1L, 10L, "I", Some(1)),
+    (2L, 20L, "I", Some(5)),
+    (3L, 10L, "U", Some(2)),
+    (4L, 30L, "T", None),    // TRUNCATE statement — table-wide
+    (5L, 10L, "I", Some(8)), // entity 10 re-inserted after the wipe
+    (6L, 20L, "U", None)     // entity 20 touched but k not re-set
+  ).toDF("audit_id", "entity_id", "operation", "k")
+
+  test("snapshotTruncAware: a T NULLs state for EVERY entity until re-set") {
+    val got = alg.snapshotTruncAware(truncLog, Seq("k"))
+      .orderBy("audit_id")
+      .select("audit_id", "state_k")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(got === Seq(
+      (1L, Some(1)), (2L, Some(5)), (3L, Some(2)),
+      (4L, None),      // the T row itself: table is gone
+      (5L, Some(8)),   // re-insert after the boundary survives
+      (6L, None)))     // entity 20's pre-T value stays wiped
+  }
+
+  test("snapshotTruncAware without any T matches plain snapshot") {
+    val a = alg.snapshotTruncAware(log, Seq("k"))
+      .orderBy("audit_id").select("state_k").collect().map(Option apply _.get(0))
+    val b = alg.snapshot(log, Seq("k"))
+      .orderBy("audit_id").select("state_k").collect().map(Option apply _.get(0))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("compareTruncAware: old NULL when prior value predates the boundary") {
+    val got = alg.compareTruncAware(truncLog, Seq("k"))
+      .orderBy("audit_id")
+      .select("old_state_k", "new_state_k")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq
+    assert(got(3) === ((None, None)))        // T: new wiped, old (none prior for 30)
+    assert(got(4) === ((None, Some(8))))     // re-insert: old NULL (I)
+    assert(got(5) === ((None, None)))        // entity 20 post-T: old WIPED, k unset
+  }
+
   // The same history as `log`, captured the way the reference's trigger
   // actually records it: each row carries the OLD value of the fields it
   // touched (before_change), nothing else. The live table holds the

@@ -1,6 +1,6 @@
 package graft
 
-import graft.audit.AuditScope
+import graft.audit.{AuditConfig, AuditScope}
 import org.apache.spark.sql.functions.{col, length, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -38,6 +38,66 @@ class AuditScopeSpec extends AnyFunSuite {
     val df = tables.toDF("tbl")
     val kept = s.apply(df, "tbl").collect().map(_.getString(0)).toSet
     assert(kept === tables.filter(s.admits).toSet)
+  }
+
+  // A config file with the exact field inventory of the reference's
+  // audit.yml.example (db scalars + scoping lists + capture toggles).
+  private val referenceShapedYml =
+    """# this is an example audit.yml file
+      |
+      |# database config information
+      |host: localhost
+      |port: 5432
+      |db_name: audit_star
+      |username: postgres
+      |password:
+      |ssl_mode: disable
+      |
+      |# audit star config information
+      |excluded_tables:
+      |  - teststar.table_skipme
+      |excluded_schemas:
+      |  - schema_to_exclude
+      |included_tables:
+      |  - teststar.table_keepme  # trailing comment
+      |security: definer
+      |log_client_query: false
+      |owner: test__owner
+      |""".stripMargin
+
+  test("config file round-trips the reference audit.yml field set") {
+    val cfg = AuditConfig.parse(referenceShapedYml)
+    assert(cfg.scope === AuditScope(
+      includedTables = Seq("teststar.table_keepme"),
+      excludedTables = Seq("teststar.table_skipme"),
+      excludedSchemas = Seq("schema_to_exclude")))
+    assert(!cfg.logClientQuery)
+    assert(cfg.security === "definer")
+    assert(cfg.owner === Some("test__owner"))
+    assert(!cfg.viewsOnly)
+    // db scalars preserved verbatim; empty `password:` is not a scalar
+    assert(cfg.settings("host") === "localhost")
+    assert(cfg.settings("port") === "5432")
+    assert(cfg.settings("db_name") === "audit_star")
+    assert(cfg.settings("ssl_mode") === "disable")
+    // the parsed scope drives the same admits() semantics
+    assert(cfg.admits("teststar.table_keepme"))
+    assert(!cfg.admits("teststar.table_skipme"))
+    assert(!cfg.admits("public.orders")) // include list restricts
+  }
+
+  test("config file loads from disk") {
+    val p = java.nio.file.Files.createTempFile("audit", ".yml")
+    try {
+      java.nio.file.Files.writeString(p, referenceShapedYml)
+      assert(AuditConfig.load(p) === AuditConfig.parse(referenceShapedYml))
+    } finally java.nio.file.Files.delete(p)
+  }
+
+  test("defaults: no file settings → audit everything, definer, no query log") {
+    val cfg = AuditConfig.parse("")
+    assert(cfg === AuditConfig.default)
+    assert(cfg.admits("any.table"))
   }
 
   test("payload truncation mirrors the trigger bounds") {

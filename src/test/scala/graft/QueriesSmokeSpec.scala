@@ -40,4 +40,20 @@ class QueriesSmokeSpec extends AnyFunSuite {
       assert(df.count() > 0, s"$name returned no rows")
     }
   }
+
+  // Contract: oracled queries never emit complex-typed output columns —
+  // the downstream pandas-based hash compare cannot hash ndarray cells
+  // (the r02 emb_quantize crash). Serialize arrays before the final select.
+  SparkEntry.oracleSql.keySet.toSeq.sorted.foreach { name =>
+    test(s"$name emits only scalar output columns") {
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val schema = SparkEntry.queries(name)(spark, sfDir).schema
+      val complex = schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType]
+          || f.dataType.isInstanceOf[MapType]
+          || f.dataType.isInstanceOf[StructType] => f.name
+      }
+      assert(complex.isEmpty, s"$name emits complex columns: ${complex.mkString(",")}")
+    }
+  }
 }

@@ -1,15 +1,24 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — strictly harsher.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [only names...]
 
 Reads oracle_sql.json written by graft.Verify, runs each oracle in DuckDB
 against the sfDir parquet tables, and compares with the Spark-written
-parquet in <verifyOutDir>/<name>/. Columns are sorted by name; values are
-compared exactly (with a diagnostic near-match pass for floats).
+parquet in <verifyOutDir>/<name>/.
+
+Two compare layers, both must pass:
+1. pandas layer (what the driver does): load the Spark parquet via
+   pandas/pyarrow and the oracle via DuckDB .df(); hard-fail on any
+   array-typed cell (ndarray/list — the driver's hasher crashes on these),
+   and fail on any column whose pandas dtype differs between the sides
+   (the driver's hash is dtype-sensitive: DuckDB HUGEINT → float64 vs
+   Spark int64 hash-mismatches even when values are equal).
+2. value layer: exact Python-value compare, column-sorted, for diagnosis.
 """
 import sys, json, glob, math
 import duckdb
+import numpy as np
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -32,11 +41,51 @@ def norm(v):
 def load_spark(outdir, name):
     files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
     if not files:
-        return None, None
+        return None, None, None
     t = pq.read_table(f"{outdir}/{name}")
     cols = sorted(t.column_names)
     rows = [tuple(norm(r[c]) for c in cols) for r in t.to_pylist()]
-    return cols, rows
+    return cols, rows, t.to_pandas()
+
+def dtype_tag(df, col):
+    """Canonical dtype tag for the driver-equivalence compare.
+
+    The driver's pandas hash is sensitive to the numeric FAMILY, not the
+    width: int64 5 and int32 5 hash equal, but float64 5.0 vs int64 5 do
+    not (the r02 HUGEINT→float64 killer). Likewise datetime64 resolution
+    and date-object-vs-datetime64 are loader artifacts the driver's own
+    green queries (q_running_totals, token_count) prove it tolerates.
+    So: collapse to {int, float, bool, datetime, object:<pytype>}.
+    """
+    dt = df[col].dtype
+    if dt.kind in "iu":
+        return "int"
+    if dt.kind == "f":
+        return "float"
+    if dt.kind == "b":
+        return "bool"
+    if dt.kind == "M":
+        return "datetime"
+    if dt.kind == "O":
+        nn = df[col].dropna()
+        if len(nn) == 0:
+            return "object:empty"
+        t = type(nn.iloc[0]).__name__
+        if t in ("date", "datetime", "Timestamp"):
+            return "datetime"
+        return f"object:{t}"
+    return str(dt)
+
+def array_cells(df):
+    """Columns containing ndarray/list cells — these crash the driver."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype.kind != "O":
+            continue
+        nn = df[c].dropna()
+        if len(nn) and isinstance(nn.iloc[0], (np.ndarray, list, tuple)):
+            bad.append(c)
+    return bad
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
@@ -50,13 +99,14 @@ def main():
     for name, osql in sorted(oracles.items()):
         if only and name not in only:
             continue
-        scols, srows = load_spark(outdir, name)
+        scols, srows, sdf = load_spark(outdir, name)
         if scols is None:
             print(f"FAIL {name}: no spark output");  n_fail += 1;  continue
         try:
             res = con.execute(osql)
             ocols_raw = [d[0] for d in res.description]
             orows_raw = res.fetchall()
+            odf = con.execute(osql).df()
         except Exception as ex:
             print(f"FAIL {name}: oracle error: {ex}");  n_fail += 1;  continue
         order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
@@ -65,6 +115,24 @@ def main():
         if scols != ocols:
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
             n_fail += 1;  continue
+
+        # --- driver-equivalence layer: array cells + dtypes ---
+        bad = sorted(set(array_cells(sdf)) | set(array_cells(odf)))
+        if bad:
+            print(f"FAIL {name}: array-typed column(s) {bad} — "
+                  "driver hasher crashes on ndarray cells; serialize them")
+            n_fail += 1;  continue
+        dmis = []
+        for c in scols:
+            st, ot = dtype_tag(sdf, c), dtype_tag(odf, c)
+            if st != ot:
+                dmis.append(f"{c}: spark={st} oracle={ot}")
+        if dmis:
+            print(f"FAIL {name}: dtype mismatch (driver hash is dtype-"
+                  f"sensitive): {'; '.join(dmis)}")
+            n_fail += 1;  continue
+
+        # --- value layer ---
         if srows == orows:
             print(f"PASS {name} ({len(srows)} rows)");  n_pass += 1;  continue
         n_fail += 1
