@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -45,12 +46,34 @@ object FeedSources {
   def jsonFeed(spark: SparkSession, path: String): DataFrame =
     normalize(spark.read.schema(feedSchema).json(path))
 
-  /** Appends an audit log to its day-partitioned resting layout. */
-  def appendPartitioned(log: DataFrame, path: String): Unit =
+  /** True iff the sink path already holds captured data. */
+  def sinkExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** ENFORCED immutability — the Spark analogue of the reference's no-DML
+    * trigger, which RAISES on any UPDATE/DELETE/TRUNCATE of an audit table
+    * (audit.go:627-645). Once a sink path holds captured history, append
+    * is the only write it admits; an overwrite (or any other destructive
+    * mode) is refused before a single byte moves. */
+  def writeGuarded(log: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Append): Unit = {
+    if (mode != SaveMode.Append && sinkExists(log.sparkSession, path))
+      throw new UnsupportedOperationException(
+        s"audit sink '$path' is append-only; SaveMode.$mode would destroy " +
+          "captured history (the reference raises on UPDATE/DELETE/TRUNCATE " +
+          "of audit tables, audit.go:627)")
     log.withColumn("day", to_date(col("ts")))
-      .write.mode("append")
+      .write.mode(mode)
       .partitionBy("day")
       .parquet(path)
+  }
+
+  /** Appends an audit log to its day-partitioned resting layout. */
+  def appendPartitioned(log: DataFrame, path: String): Unit =
+    writeGuarded(log, path, SaveMode.Append)
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

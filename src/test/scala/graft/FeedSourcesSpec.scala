@@ -54,6 +54,30 @@ class FeedSourcesSpec extends AnyFunSuite {
     assert(days > 1)
   }
 
+  test("immutability is ENFORCED: destructive writes to a live sink throw") {
+    import org.apache.spark.sql.SaveMode
+    val path = s"$tmp/audit3"
+    val slice = feed.limit(50)
+    FeedSources.writeGuarded(slice, path) // first append creates
+    val n1 = FeedSources.readPartitioned(spark, path).count()
+    // the reference raises on UPDATE/DELETE/TRUNCATE of audit tables
+    // (audit.go:627); here every non-append mode is refused up front
+    val ex = intercept[UnsupportedOperationException] {
+      FeedSources.writeGuarded(slice, path, SaveMode.Overwrite)
+    }
+    assert(ex.getMessage.contains("append-only"))
+    intercept[UnsupportedOperationException] {
+      FeedSources.writeGuarded(slice, path, SaveMode.ErrorIfExists)
+    }
+    intercept[UnsupportedOperationException] {
+      FeedSources.writeGuarded(slice, path, SaveMode.Ignore)
+    }
+    // nothing was destroyed by the refused writes; appends still work
+    assert(FeedSources.readPartitioned(spark, path).count() === n1)
+    FeedSources.writeGuarded(slice, path)
+    assert(FeedSources.readPartitioned(spark, path).count() === n1 * 2)
+  }
+
   test("append-only: a second append adds, never rewrites") {
     val path = s"$tmp/audit2"
     val slice = feed.limit(100)
