@@ -11,6 +11,7 @@ object SparkEntry {
       graft.audit.AuditQueries.all ++
       graft.streaming.EventStream.all ++
       graft.text.TextOps.all ++
+      graft.text.CorpusOps.all ++
       graft.vector.Similarity.all ++
       graft.multimodal.Multimodal.all
 

@@ -283,6 +283,52 @@ object AuditQueries {
     }
   }
 
+  /** Incremental CDC compaction — the operation that makes a 100 TB audit
+    * history tractable: closed history is collapsed to one state row per
+    * entity, and new changes are merged onto the compacted base instead of
+    * re-windowing the full log.
+    *
+    * The Spark side genuinely runs the two-phase path: it splits the feed
+    * at the midpoint audit id (a one-row broadcast, no collect), compacts
+    * the older half to per-entity state rows (each a pseudo-change carrying
+    * the entity's full state at its last old-half seq, operation
+    * preserved), unions the newer half on top, and reconstructs. The
+    * oracle recomputes final state over the FULL feed in one pass — so the
+    * driver's hash compare IS the proof that merge(compact(old), new) ==
+    * recompute(all), the invariant that lets a cluster window over a day's
+    * delta instead of the whole history. (History cardinality is
+    * deliberately not preserved — compaction collapses it; state is.) */
+  val auditCompact: Q = Q.sql(
+    "audit_compact",
+    auditCte + s""", snap AS (
+      |  SELECT audit_id, entity_id, operation, ts,
+      |    last_value(k IGNORE NULLS) OVER ($runningW) AS state_k,
+      |    last_value(val IGNORE NULLS) OVER ($runningW) AS state_val,
+      |    row_number() OVER (PARTITION BY entity_id ORDER BY audit_id DESC) AS rn
+      |  FROM audit)
+      |SELECT entity_id, audit_id AS last_audit_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_changed_at,
+      |  operation AS last_op, state_k, state_val
+      |FROM snap WHERE rn = 1 ORDER BY entity_id""".stripMargin) { (s, d) =>
+    val lg = sparse(log(s, d))
+      .select("audit_id", "entity_id", "operation", "ts", "k", "val")
+    val mid = lg.agg(floor(max("audit_id") / 2).cast("long").as("__mid"))
+    val wm = lg.crossJoin(broadcast(mid))
+    val oldHalf = wm.filter(col("audit_id") <= col("__mid")).drop("__mid")
+    val newHalf = wm.filter(col("audit_id") > col("__mid")).drop("__mid")
+    val descW = Window.partitionBy("entity_id").orderBy(col("audit_id").desc)
+    val compacted = alg.snapshot(oldHalf, Seq("k", "val"))
+      .withColumn("rn", row_number().over(descW)).filter(col("rn") === 1)
+      .select(col("audit_id"), col("entity_id"), col("operation"), col("ts"),
+        col("state_k").as("k"), col("state_val").as("val"))
+    alg.snapshot(compacted.unionByName(newHalf), Seq("k", "val"))
+      .withColumn("rn", row_number().over(descW)).filter(col("rn") === 1)
+      .select(col("entity_id"), col("audit_id").as("last_audit_id"),
+        date_format(col("ts"), TS).as("last_changed_at"),
+        col("operation").as("last_op"), col("state_k"), col("state_val"))
+      .orderBy("entity_id")
+  }
+
   /** Latest reconstructed state per entity (the live-table equivalent). */
   val auditCurrent: Q = Q.sql(
     "audit_current",
@@ -695,5 +741,6 @@ object AuditQueries {
     auditEntityActivity, auditGapDetect, auditHourly, auditSessionize,
     auditValueQuantiles, auditApproxEntities, auditAsofState,
     auditAsofTolerance, auditWhoChanged, auditClientSessions,
-    auditEnabledRanges, auditPkValidity, auditTruncateReset, auditWideSnapshot)
+    auditEnabledRanges, auditPkValidity, auditTruncateReset, auditWideSnapshot,
+    auditCompact)
 }

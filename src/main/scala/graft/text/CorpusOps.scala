@@ -1,0 +1,231 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators — the filter/mix/decontaminate stages a
+  * large-scale training-data pipeline runs between raw ingest and
+  * tokenization (the stage the reference's audit feed would sit upstream
+  * of). Same hash/ratio discipline as [[TextOps]]: every value is derived
+  * from primitives with identical semantics in Spark and DuckDB, ratios
+  * are exact int/int divisions rounded once.
+  *
+  * Scale design: every operator is a per-row map, a partial-aggregating
+  * groupBy, or an equi-join against a small (broadcast) side — no
+  * all-pairs shape anywhere; candidate generation for decontamination is
+  * bounded by the benchmark set size, which is tiny by construction in
+  * the real use case (held-out evals vs a 100 TB corpus).
+  */
+object CorpusOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** Word bigrams as sliced zip_with — same formulation (and for the same
+    * optimizer-inlining reason) as TextOps.shingleExpr. */
+  private def bigramExpr(ws: String): String =
+    s"""CASE WHEN size($ws) < 2 THEN array()
+       |ELSE zip_with(slice($ws, 1, size($ws) - 1), slice($ws, 2, size($ws) - 1),
+       |  (x, y) -> concat(x, ' ', y)) END""".stripMargin
+
+  /** Word 4-grams (decontamination granularity), sliced zip_with. */
+  private def gram4Expr(ws: String): String =
+    s"""CASE WHEN size($ws) < 4 THEN array()
+       |ELSE zip_with(
+       |  zip_with(slice($ws, 1, size($ws) - 3),
+       |    zip_with(slice($ws, 2, size($ws) - 3), slice($ws, 3, size($ws) - 3),
+       |      (b, c) -> concat(b, ' ', c)),
+       |    (a, bc) -> concat(a, ' ', bc)),
+       |  slice($ws, 4, size($ws) - 3),
+       |  (abc, d2) -> concat(abc, ' ', d2)) END""".stripMargin
+
+  // -------------------------------------------------------- repetition --
+
+  /** Within-document repetition profile (the Gopher-style repetition
+    * filter): fraction of duplicate bigrams and the share of the single
+    * most frequent bigram. Shape: one explode + two partial-aggregating
+    * groupBys keyed by doc — map-side combine bounds the shuffle at
+    * |distinct bigrams| rows, linear at any corpus size. */
+  val docRepetition: Q = Q.sql(
+    "doc_repetition",
+    """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))
+      |          AS gram
+      |      FROM w),
+      |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |        count(*) AS n_distinct_bigrams, CAST(max(c) AS BIGINT) AS max_freq
+      |      FROM c GROUP BY 1)
+      |SELECT doc_id, n_bigrams, n_distinct_bigrams, max_freq,
+      |  round(1.0 * (n_bigrams - n_distinct_bigrams) / n_bigrams, 4) AS dup_bigram_ratio,
+      |  round(1.0 * max_freq / n_bigrams, 4) AS top_bigram_ratio
+      |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(bigramExpr("ws"))).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max("c").as("max_freq"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"), col("max_freq"),
+        round(lit(1.0) * (col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams"), 4)
+          .as("dup_bigram_ratio"),
+        round(lit(1.0) * col("max_freq") / col("n_bigrams"), 4).as("top_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------------- quality gates --
+
+  /** C4/Gopher-style rule battery: each document is scored against
+    * independent heuristic gates and carries per-rule flags plus the
+    * verdict — the standard pre-training corpus filter, kept as flags (not
+    * a filter) so downstream stages can ablate individual rules. Pure
+    * per-row map: no shuffle at all. Thresholds sit inside this corpus's
+    * observed distribution (words 10-99 median 56, TTR 0.28-1.0 median
+    * 0.46, avg word len 3.7-5.3) so every rule actually discriminates. */
+  val qualityFilter: Q = Q.sql(
+    "quality_filter",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    len(str_split(text, ' ')) AS n_words,
+      |    len(list_distinct(str_split(text, ' '))) AS n_distinct,
+      |    length(replace(text, ' ', '')) AS word_chars,
+      |    len(list_filter(str_split(text, ' '), w -> w IN ('the', 'a', 'of'))) AS n_stop
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_words,
+      |    CASE WHEN n_words < 25 THEN 1 ELSE 0 END AS r_too_short,
+      |    CASE WHEN 1.0 * n_distinct / n_words < 0.35 THEN 1 ELSE 0 END AS r_repetitive,
+      |    CASE WHEN 1.0 * word_chars / n_words < 4.0
+      |           OR 1.0 * word_chars / n_words > 5.0 THEN 1 ELSE 0 END AS r_word_len,
+      |    CASE WHEN n_stop = 0 THEN 1 ELSE 0 END AS r_no_stopword
+      |  FROM f)
+      |SELECT doc_id, n_words, r_too_short, r_repetitive, r_word_len, r_no_stopword,
+      |  r_too_short + r_repetitive + r_word_len + r_no_stopword AS n_failed,
+      |  CASE WHEN r_too_short + r_repetitive + r_word_len + r_no_stopword = 0
+      |    THEN 1 ELSE 0 END AS passed
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val nWords = expr("size(split(text, ' '))")
+    val nDistinct = expr("size(array_distinct(split(text, ' ')))")
+    val wordChars = expr("length(replace(text, ' ', ''))")
+    val nStop = expr("size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of')))")
+    val awl = lit(1.0) * col("word_chars") / col("n_words")
+    docs(s, d)
+      .select(col("doc_id"), nWords.as("n_words"), nDistinct.as("n_distinct"),
+        wordChars.as("word_chars"), nStop.as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        when(col("n_words") < 25, 1).otherwise(0).as("r_too_short"),
+        when(lit(1.0) * col("n_distinct") / col("n_words") < 0.35, 1).otherwise(0)
+          .as("r_repetitive"),
+        when(awl < 4.0 || awl > 5.0, 1).otherwise(0).as("r_word_len"),
+        when(col("n_stop") === 0, 1).otherwise(0).as("r_no_stopword"))
+      .withColumn("n_failed",
+        col("r_too_short") + col("r_repetitive") + col("r_word_len") + col("r_no_stopword"))
+      .withColumn("passed", when(col("n_failed") === 0, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------- decontamination --
+
+  /** Train/eval contamination sweep: flags corpus documents sharing any
+    * 4-gram with a (deterministic pseudo-)held-out benchmark set — the
+    * dedup-against-test-sets step every pre-training pipeline runs.
+    *
+    * Scale shape: the benchmark side is tiny by construction (eval sets vs
+    * a 100 TB corpus), so its distinct-shingle set is BROADCAST and the
+    * probe is a map-side hash join on the shingle — the corpus is scanned
+    * once, nothing shuffles on the corpus side. */
+  val decontaminate: Q = {
+    val duckG4 =
+      "list_transform(range(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])"
+    Q.sql(
+      "decontaminate",
+      s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |ex AS (SELECT doc_id, unnest(list_distinct($duckG4)) AS shingle FROM w),
+        |b AS (SELECT doc_id AS bench_id, shingle FROM ex WHERE doc_id % 29 = 0),
+        |c AS (SELECT doc_id, shingle FROM ex WHERE doc_id % 29 <> 0)
+        |SELECT c.doc_id, count(DISTINCT c.shingle) AS n_hit_shingles,
+        |  count(DISTINCT b.bench_id) AS n_bench_docs
+        |FROM c JOIN b USING (shingle)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val ex = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(array_distinct(expr(gram4Expr("ws")))).as("shingle"))
+      val bench = ex.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("bench_id"), col("shingle"))
+      ex.filter(col("doc_id") % 29 =!= 0)
+        .join(broadcast(bench), Seq("shingle"))
+        .groupBy("doc_id").agg(
+          count_distinct(col("shingle")).as("n_hit_shingles"),
+          count_distinct(col("bench_id")).as("n_bench_docs"))
+        .orderBy("doc_id")
+    }
+  }
+
+  // ------------------------------------------------------- data mixing --
+
+  /** Deterministic stratified sample toward a target mix: each
+    * (lang, source) stratum contributes ceil(sqrt(n)) documents — the
+    * sqrt-scaling downweights dominant sources and upweights tail ones
+    * (a standard data-mixing heuristic). Selection is by content-hash
+    * order (TextOps.samplePerSource's RNG-free reservoir), so re-runs and
+    * re-partitionings sample identically. One window partitioning serves
+    * both the stratum size and the rank — a single shuffle. */
+  val corpusMix: Q = Q.sql(
+    "corpus_mix",
+    """WITH r AS (
+      |  SELECT lang, source, doc_id,
+      |    row_number() OVER (PARTITION BY lang, source ORDER BY md5(text), doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY lang, source) AS n_docs
+      |  FROM documents)
+      |SELECT lang, source, doc_id, rk, n_docs,
+      |  CAST(ceil(sqrt(n_docs)) AS BIGINT) AS n_take
+      |FROM r WHERE rk <= ceil(sqrt(n_docs))
+      |ORDER BY lang, source, rk""".stripMargin) { (s, d) =>
+    val byStratum = Window.partitionBy("lang", "source")
+    val w = byStratum.orderBy(md5(col("text")), col("doc_id"))
+    docs(s, d)
+      .select(col("lang"), col("source"), col("doc_id"),
+        row_number().over(w).as("rk"),
+        count(lit(1)).over(byStratum).as("n_docs"))
+      .withColumn("n_take", ceil(sqrt(col("n_docs"))).cast("long"))
+      .filter(col("rk") <= col("n_take"))
+      .orderBy("lang", "source", "rk")
+  }
+
+  // -------------------------------------------------- token statistics --
+
+  /** Token-count distribution per source (the data-mixing dashboard):
+    * exact interpolated quantiles + totals. Partial-aggregating groupBy
+    * on a low-cardinality key; quantiles are exact here because the
+    * per-source value lists are the decision input for mixing weights —
+    * the sketch path for arbitrary-cardinality keys is
+    * audit_value_quantiles/audit_approx_entities. */
+  val tokenHistogram: Q = Q.sql(
+    "token_histogram",
+    """WITH t AS (SELECT source, len(str_split(text, ' ')) AS n_tok FROM documents)
+      |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  round(avg(n_tok), 4) AS mean_tokens,
+      |  round(quantile_cont(n_tok, 0.25), 4) AS p25,
+      |  round(quantile_cont(n_tok, 0.50), 4) AS p50,
+      |  round(quantile_cont(n_tok, 0.75), 4) AS p75,
+      |  round(quantile_cont(n_tok, 0.90), 4) AS p90
+      |FROM t GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("source"), expr("size(split(text, ' '))").as("n_tok"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        round(avg("n_tok"), 4).as("mean_tokens"),
+        round(expr("percentile(n_tok, 0.25)"), 4).as("p25"),
+        round(expr("percentile(n_tok, 0.50)"), 4).as("p50"),
+        round(expr("percentile(n_tok, 0.75)"), 4).as("p75"),
+        round(expr("percentile(n_tok, 0.90)"), 4).as("p90"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(
+    docRepetition, qualityFilter, decontaminate, corpusMix, tokenHistogram)
+}

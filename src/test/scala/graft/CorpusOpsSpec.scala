@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.audit.AuditQueries
+import graft.text.CorpusOps
+
+/** Semantics + scale-shape guards for the corpus-curation operators. */
+class CorpusOpsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("doc_repetition: ratios are exact counts over bigram multiset") {
+    val r = CorpusOps.docRepetition.fn(spark, sf)
+      .filter(col("doc_id") === 0).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val n = row.getAs[Long]("n_bigrams")
+    val d = row.getAs[Long]("n_distinct_bigrams")
+    val m = row.getAs[Long]("max_freq")
+    assert(n >= d && m >= 1 && m <= n - d + 1)
+    assert(row.getAs[Double]("dup_bigram_ratio") ===
+      BigDecimal(1.0 * (n - d) / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("quality_filter: every rule fires somewhere and verdict is the conjunction") {
+    val q = CorpusOps.qualityFilter.fn(spark, sf).cache()
+    try {
+      for (rule <- Seq("r_too_short", "r_repetitive", "r_word_len", "r_no_stopword"))
+        assert(q.filter(col(rule) === 1).limit(1).count() === 1, s"$rule never fires")
+      assert(q.filter(col("passed") === 1 && col("n_failed") > 0).count() === 0)
+      assert(q.filter(col("passed") === 1).limit(1).count() === 1, "nothing passes")
+    } finally q.unpersist()
+  }
+
+  test("decontaminate: benchmark docs never flag themselves; hits share a real 4-gram") {
+    val hits = CorpusOps.decontaminate.fn(spark, sf)
+    assert(hits.filter(col("doc_id") % 29 === 0).count() === 0)
+    assert(hits.filter(col("n_hit_shingles") < 1 || col("n_bench_docs") < 1).count() === 0)
+  }
+
+  test("decontaminate: benchmark side is broadcast (corpus never shuffles for the probe)") {
+    val df = CorpusOps.decontaminate.fn(spark, sf)
+    df.collect() // force execution so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("BroadcastExchange"),
+      s"expected the benchmark shingle set on a BroadcastExchange:\n$plan")
+  }
+
+  test("corpus_mix: every stratum contributes exactly ceil(sqrt(n)) docs") {
+    val m = CorpusOps.corpusMix.fn(spark, sf)
+    val bad = m.groupBy("lang", "source", "n_docs", "n_take")
+      .agg(count(lit(1)).as("got"), max("rk").as("max_rk"))
+      .filter(col("got") =!= col("n_take") || col("max_rk") =!= col("n_take") ||
+        col("n_take") =!= ceil(sqrt(col("n_docs"))).cast("long"))
+    assert(bad.count() === 0)
+  }
+
+  test("audit_compact: merge(compact(old), new) == full recompute, including last_op") {
+    val compacted = AuditQueries.auditCompact.fn(spark, sf)
+    // independent full-history recompute via the audit_current operator
+    val full = AuditQueries.auditCurrent.fn(spark, sf)
+      .select(col("entity_id"), col("last_audit_id"), col("last_changed_at"),
+        col("state_k"), col("state_val"))
+    val merged = compacted
+      .select(col("entity_id"), col("last_audit_id"), col("last_changed_at"),
+        col("state_k"), col("state_val"))
+    assert(merged.exceptAll(full).count() === 0)
+    assert(full.exceptAll(merged).count() === 0)
+    // compaction preserves the terminal operation of each entity's history
+    assert(compacted.filter(!col("last_op").isin("I", "U", "D", "T")).count() === 0)
+  }
+}
