@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
+import graft.text.WordShingles
 import graft.vector.CosineSimilarity
 
 /** Engine extension surface.
@@ -30,7 +31,11 @@ object GraftFunctions {
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      ((exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))): Builder))
+      ((exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))): Builder),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      ((exprs: Seq[Expression]) => WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])): Builder))
 
   /** Idempotent runtime registration for externally-built sessions. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -20,25 +20,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object CorpusOps {
 
-  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(s) // graft_shingles in any session
+    Tables.documents(s, d)
+  }
 
-  /** Word bigrams as sliced zip_with — same formulation (and for the same
-    * optimizer-inlining reason) as TextOps.shingleExpr. */
-  private def bigramExpr(ws: String): String =
-    s"""CASE WHEN size($ws) < 2 THEN array()
-       |ELSE zip_with(slice($ws, 1, size($ws) - 1), slice($ws, 2, size($ws) - 1),
-       |  (x, y) -> concat(x, ' ', y)) END""".stripMargin
-
-  /** Word 4-grams (decontamination granularity), sliced zip_with. */
-  private def gram4Expr(ws: String): String =
-    s"""CASE WHEN size($ws) < 4 THEN array()
-       |ELSE zip_with(
-       |  zip_with(slice($ws, 1, size($ws) - 3),
-       |    zip_with(slice($ws, 2, size($ws) - 3), slice($ws, 3, size($ws) - 3),
-       |      (b, c) -> concat(b, ' ', c)),
-       |    (a, bc) -> concat(a, ' ', bc)),
-       |  slice($ws, 4, size($ws) - 3),
-       |  (abc, d2) -> concat(abc, ' ', d2)) END""".stripMargin
+  /** Word bigrams / 4-grams via the native codegen shingler
+    * ([[WordShingles]] — see TextOps.shingleExpr for why not a
+    * higher-order-function composition). */
+  private def bigramExpr(ws: String): String = s"graft_shingles($ws, 2)"
+  private def gram4Expr(ws: String): String = s"graft_shingles($ws, 4)"
 
   // -------------------------------------------------------- repetition --
 

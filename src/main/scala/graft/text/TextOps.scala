@@ -20,7 +20,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextOps {
 
-  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(s) // graft_shingles in any session
+    Tables.documents(s, d)
+  }
 
   // ------------------------------------------------------------ exact --
 
@@ -49,23 +52,26 @@ object TextOps {
 
   // ---------------------------------------------------------- jaccard --
 
-  /** 3-gram shingle list over a word-array column, as sliced `zip_with`
-    * rather than `transform(sequence(...), i -> element_at(ws, i)...)`.
+  /** 3-gram shingle list over a word-array column — the native
+    * [[WordShingles]] codegen expression (empty for sub-3-word docs).
     *
-    * The formulation matters for performance, not just style: the optimizer
-    * (InferFiltersFromGenerate + predicate pushdown) clones this expression
-    * into scan-level filters with `ws` inlined back to `split(text)`, and
-    * higher-order functions run interpreted (no codegen, no subexpression
-    * elimination). An element_at-per-index version therefore re-splits the
-    * text once per element access — O(words²) splitting per document per
-    * evaluation — which dominated the round-1 bench. The sliced version
-    * evaluates `split` O(1) times per evaluation and zips linearly.
-    *
-    * Guarded for short documents: slice with negative length throws — any
-    * real corpus has sub-3-word documents even though the synthetic one
-    * doesn't. The DuckDB twin (range(1, len-1)) is empty-safe by
-    * construction. */
+    * History of this call site, because the formulation decided two
+    * rounds of bench: `transform(sequence(...), i -> element_at(ws, i)
+    * ...)` was O(words²) per evaluation (the optimizer's
+    * InferFiltersFromGenerate clones the expression into scan filters
+    * with `ws` inlined back to `split(text)`, and higher-order functions
+    * run interpreted — no codegen, no subexpression elimination), fixed in
+    * round 2 by a sliced `zip_with` ([[shingleHofExpr]]). Round 3 moved
+    * the primitive into a Catalyst Expression with `doGenCode`: one
+    * generated loop, no intermediate slice arrays, and the enclosing
+    * Project stays inside whole-stage codegen. */
   private[graft] def shingleExpr(ws: String): String =
+    s"graft_shingles($ws, 3)"
+
+  /** The round-2 sliced-`zip_with` formulation, kept as the
+    * composition-only twin ([[WordShingles]] equivalence is spec-asserted
+    * against it). */
+  private[graft] def shingleHofExpr(ws: String): String =
     s"""CASE WHEN size($ws) < 3 THEN array()
        |ELSE zip_with(
        |  slice($ws, 1, size($ws) - 2),

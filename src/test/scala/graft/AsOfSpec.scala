@@ -66,6 +66,7 @@ class AsOfSpec extends AnyFunSuite {
   }
 
   test("short documents produce empty shingle sets, not a crash") {
+    GraftFunctions.ensureRegistered(spark)
     val df = Seq("one two", "a b c d e").toDF("text")
       .select(split(col("text"), " ").as("ws"))
       .select(expr(graft.text.TextOps.shingleExpr("ws")).as("s3"))
