@@ -232,6 +232,46 @@ object EventStream {
       .orderBy("entity_id", "session_start")
   }
 
+  /** Streaming exactly-once over an at-least-once feed: the capture path
+    * (foreachBatch + parquet append) redelivers on crash-replay, and a real
+    * message bus redelivers by contract — so the engine must dedup IN the
+    * stream. A deterministic "redelivered" copy of the feed (every 10th
+    * audit id appended twice) streams through
+    * `dropDuplicatesWithinWatermark` on the audit id: state is bounded by
+    * the 1-hour watermark horizon (the 100 TB requirement — a plain
+    * streaming dropDuplicates keeps every id ever seen), duplicates beyond
+    * the horizon are the sink view's (day, id) dedup's job
+    * (FeedSources.exactlyOnceView). The deduped stream lands in an
+    * append-mode parquet sink; the per-op rollup of the sink is compared
+    * against the oracle over the CLEAN feed — any surviving duplicate
+    * inflates a count and fails the hash. */
+  val auditStreamDedup: Q = Q.sql(
+    "audit_stream_dedup",
+    s"""SELECT ${graft.audit.AuditModel.operationSql} AS operation,
+       |  count(*) AS n, ${Det.dsumRoundSql("value", 2)} AS total_value
+       |FROM events GROUP BY 1 ORDER BY operation""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup-").toString
+    val base = graft.Tables.events(s, d)
+    base.write.parquet(s"$tmp/feed")
+    base.filter(col("event_id") % 10 === 0).write.mode("append").parquet(s"$tmp/feed")
+    val q = s.readStream.schema(base.schema).parquet(s"$tmp/feed")
+      .withColumn("operation", graft.audit.AuditModel.operation)
+      .select(col("event_id").as("audit_id"), col("operation"), col("ts"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("audit_id")
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.schema("audit_id BIGINT, operation STRING, ts TIMESTAMP, value DOUBLE")
+      .parquet(s"$tmp/out")
+      .groupBy("operation")
+      .agg(count(lit(1)).as("n"), Det.dsumRound(col("value"), 2).as("total_value"))
+      .orderBy("operation")
+  }
+
   /** The capture path: stream the change feed into the audit log's
     * day-partitioned append-only resting layout (the reference's
     * trigger→audit-table pipeline, audit.go:854, as stream→storage).
@@ -253,5 +293,6 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
   }
 
-  val all: Seq[Q] = Seq(auditStream, auditStreamJoin, auditSessionizeStream)
+  val all: Seq[Q] = Seq(auditStream, auditStreamJoin, auditSessionizeStream,
+    auditStreamDedup)
 }

@@ -64,4 +64,21 @@ class StreamingWindowSpec extends AnyFunSuite {
       assert(sink().filter(col("win_start") === "2024-01-01 11:00:00").count() === 0)
     } finally q.stop()
   }
+
+  test("stream dedup: the redelivered feed really duplicates, the op removes all of it") {
+    val sf = "/root/testdata/sf0.001"
+    val clean = Tables.events(spark, sf)
+    val nClean = clean.count()
+    val nDup = clean.filter(col("event_id") % 10 === 0).count()
+    assert(nDup > 0, "redelivery slice is empty — the dedup test would be vacuous")
+    // the operator's end-to-end result equals the clean per-op counts
+    val got = graft.streaming.EventStream.auditStreamDedup.fn(spark, sf)
+    val want = clean
+      .withColumn("operation", graft.audit.AuditModel.operation)
+      .groupBy("operation")
+      .agg(count(lit(1)).as("n"), Det.dsumRound(col("value"), 2).as("total_value"))
+      .orderBy("operation")
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+    assert(got.agg(sum("n")).head.getLong(0) === nClean)
+  }
 }
