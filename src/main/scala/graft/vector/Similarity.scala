@@ -298,7 +298,85 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Product quantization — the compression step past scalar int8
+    * (emb_quantize): the 64-dim vector splits into 4 subspaces of 16 dims,
+    * each encoded as the id of its nearest sub-codeword, so a vector
+    * stores in 4 codes instead of 64 floats (the asymmetric-distance
+    * search layout that makes billion-vector ANN fit executor memory).
+    *
+    * Codebooks are trained exactly like ann_ivf_trained's coarse
+    * quantizer — decimal-exact per-label centroids (the label plays the
+    * k-means seed) — restricted to each subspace's dims. Reconstruction
+    * error falls out for free: the codeword for subspace m is the argmin
+    * centroid over those dims, so recon L2² = Σ_m min-dist, summed in
+    * fixed pivot order (d1+d2+d3+d4) on both engines.
+    *
+    * Scale shape: the codebook is tiny (labels × 64 doubles) and
+    * BROADCAST; assignment is a per-row argmin over the broadcast — one
+    * corpus scan, no shuffle until the contractual output sort. */
+  val annPq: Q = Q.sql(
+    "ann_pq",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      |           FROM embeddings),
+      |u AS (SELECT label, unnest(emb) AS v, generate_subscripts(emb, 1) AS dim FROM e),
+      |cd AS (SELECT label, dim,
+      |         CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+      |       FROM u GROUP BY label, dim),
+      |cent AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+      |sub AS (SELECT unnest([1, 2, 3, 4]) AS m),
+      |ad AS (SELECT vec_id, m, clabel,
+      |         list_sum(list_transform(range((m-1)*16 + 1, m*16 + 1),
+      |           i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))) AS dist
+      |       FROM e, cent, sub),
+      |amin AS (SELECT vec_id, m, clabel AS code, dist FROM (
+      |           SELECT *, row_number() OVER (
+      |             PARTITION BY vec_id, m ORDER BY dist, clabel) AS rn FROM ad)
+      |         WHERE rn = 1),
+      |p AS (SELECT vec_id,
+      |        max(CASE WHEN m = 1 THEN code END) AS c1,
+      |        max(CASE WHEN m = 2 THEN code END) AS c2,
+      |        max(CASE WHEN m = 3 THEN code END) AS c3,
+      |        max(CASE WHEN m = 4 THEN code END) AS c4,
+      |        max(CASE WHEN m = 1 THEN dist END) AS d1,
+      |        max(CASE WHEN m = 2 THEN dist END) AS d2,
+      |        max(CASE WHEN m = 3 THEN dist END) AS d3,
+      |        max(CASE WHEN m = 4 THEN dist END) AS d4
+      |      FROM amin GROUP BY vec_id)
+      |SELECT vec_id, c1 || ',' || c2 || ',' || c3 || ',' || c4 AS codes,
+      |  round(d1 + d2 + d3 + d4, 6) AS recon_err
+      |FROM p ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label").as("clabel"), col("pos"))
+      .agg((Det.dsum9(col("v").cast("double")) / count(lit(1))).as("c"))
+      .groupBy("clabel")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+    val ad = e
+      .withColumn("emb_d", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("m", explode(array((1 to 4).map(lit): _*)))
+      .join(broadcast(cent))
+      .withColumn("dist", expr(
+        """aggregate(
+          |  zip_with(slice(emb_d, (m-1)*16 + 1, 16), slice(cv, (m-1)*16 + 1, 16),
+          |    (x, y) -> (x - y) * (x - y)),
+          |  0D, (a, b) -> a + b)""".stripMargin))
+    val aminW = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("clabel"))
+    val amin = ad
+      .withColumn("rn", row_number().over(aminW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("clabel").as("code"), col("dist"))
+    def pick(i: Int, c: String) = max(when(col("m") === i, col(c))).as(s"${c(0)}$i"
+      ) // c1..c4 / d1..d4
+    amin.groupBy("vec_id")
+      .agg(pick(1, "code"), pick(2, "code"), pick(3, "code"), pick(4, "code"),
+        pick(1, "dist"), pick(2, "dist"), pick(3, "dist"), pick(4, "dist"))
+      .select(col("vec_id"),
+        concat_ws(",", col("c1"), col("c2"), col("c3"), col("c4")).as("codes"),
+        round(col("d1") + col("d2") + col("d3") + col("d4"), 6).as("recon_err"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
-    embNormalize, embQuantize)
+    embNormalize, embQuantize, annPq)
 }

@@ -62,4 +62,19 @@ class VectorSpec extends AnyFunSuite {
     val bad = CosineSimilarity(Literal(1), Literal(2))
     assert(bad.checkInputDataTypes().isFailure)
   }
+
+  test("ann_pq: 4 codes per vector from the label domain, codebook broadcast") {
+    val df = graft.vector.Similarity.annPq.fn(spark, TestSession.sfDir)
+    df.collect() // force execution so AQE finalizes the plan
+    val labels = Tables.embeddings(spark, TestSession.sfDir)
+      .select("label").distinct().as[Int].collect().toSet
+    val bad = df.filter(size(split(col("codes"), ",")) =!= 4 || col("recon_err") < 0)
+    assert(bad.count() === 0)
+    val codes = df.select(explode(split(col("codes"), ",")).as("c"))
+      .select(col("c").cast("int").as("c"))
+      .distinct().as[Int].collect().toSet
+    assert(codes.subsetOf(labels), s"codes $codes outside label domain $labels")
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "expected the PQ codebook on a BroadcastExchange")
+  }
 }
