@@ -376,7 +376,88 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** The PQ search path: asymmetric-distance (ADC) top-k. Queries keep
+    * their raw vectors; database vectors exist ONLY as their 4 PQ codes —
+    * distance is to the reconstruction (concatenated sub-codewords), which
+    * is exactly what a PQ index computes via lookup tables at serve time.
+    *
+    * Scale shape: reconstruction is a per-row join against the broadcast
+    * codebook (no shuffle), and the query side is broadcast as in
+    * ann_topk — the corpus streams once; ADC distances are rounded before
+    * ranking so tie-breaks see identical values in both engines. */
+  val annPqSearch: Q = Q.sql(
+    "ann_pq_search",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      |           FROM embeddings),
+      |u AS (SELECT label, unnest(emb) AS v, generate_subscripts(emb, 1) AS dim FROM e),
+      |cd AS (SELECT label, dim,
+      |         CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+      |       FROM u GROUP BY label, dim),
+      |cent AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+      |sub AS (SELECT unnest([1, 2, 3, 4]) AS m),
+      |ad AS (SELECT vec_id, m, clabel,
+      |         list_sum(list_transform(range((m-1)*16 + 1, m*16 + 1),
+      |           i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))) AS dist
+      |       FROM e, cent, sub),
+      |amin AS (SELECT vec_id, m, clabel AS code FROM (
+      |           SELECT *, row_number() OVER (
+      |             PARTITION BY vec_id, m ORDER BY dist, clabel) AS rn FROM ad)
+      |         WHERE rn = 1),
+      |cw AS (SELECT a.vec_id, a.m, cent.cv[(a.m-1)*16 + 1 : a.m*16] AS sub_cw
+      |       FROM amin a JOIN cent ON cent.clabel = a.code),
+      |recon AS (SELECT vec_id, flatten(list(sub_cw ORDER BY m)) AS rv
+      |          FROM cw GROUP BY vec_id),
+      |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+      |s AS (SELECT query_id, r.vec_id AS neighbor_id,
+      |        round(list_sum(list_transform(range(1, 65),
+      |          i -> (qe[i] - rv[i]) * (qe[i] - rv[i]))), 6) AS adc_dist
+      |      FROM q, recon r WHERE r.vec_id <> query_id),
+      |rk AS (SELECT *, row_number() OVER (
+      |         PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+      |       FROM s)
+      |SELECT query_id, neighbor_id, adc_dist, rank
+      |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label").as("clabel"), col("pos"))
+      .agg((Det.dsum9(col("v").cast("double")) / count(lit(1))).as("c"))
+      .groupBy("clabel")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+    val ad = e
+      .withColumn("emb_d", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("m", explode(array((1 to 4).map(lit): _*)))
+      .join(broadcast(cent))
+      .withColumn("dist", expr(
+        """aggregate(
+          |  zip_with(slice(emb_d, (m-1)*16 + 1, 16), slice(cv, (m-1)*16 + 1, 16),
+          |    (x, y) -> (x - y) * (x - y)),
+          |  0D, (a, b) -> a + b)""".stripMargin))
+    val aminW = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("clabel"))
+    val amin = ad
+      .withColumn("rn", row_number().over(aminW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("clabel").as("code"))
+    val recon = amin
+      .join(broadcast(cent), col("code") === col("clabel"))
+      .withColumn("sub_cw", expr("slice(cv, (m-1)*16 + 1, 16)"))
+      .groupBy("vec_id")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(m, sub_cw))), x -> x.sub_cw))")
+        .as("rv"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("qe"))
+    val rankW = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))
+    recon.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(expr(
+          "aggregate(zip_with(qe, rv, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"),
+          6).as("adc_dist"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
-    embNormalize, embQuantize, annPq)
+    embNormalize, embQuantize, annPq, annPqSearch)
 }
