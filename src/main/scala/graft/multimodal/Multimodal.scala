@@ -139,5 +139,33 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(multimodalIngest, multimodalFrames, multimodalResize)
+  /** Content-digest dedup of the binary payload — the "same image under
+    * ten URLs" step, run BEFORE decode so duplicate media never reach the
+    * (expensive) codec stage. Hashing is over the raw bytes of the binary
+    * column, grouped per media type; a pure hash-groupBy, so it scales
+    * like dedup_exact. The oracle hashes the identical bytes (the corpus
+    * is ASCII, so md5(text) = md5(payload)) — any drift in the
+    * binary-ingest encode breaks the hash. */
+  val multimodalDedup: Q = Q.sql(
+    "multimodal_dedup",
+    """SELECT ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |  md5(text) AS content_hash,
+      |  count(*) AS n_objects, min(doc_id) AS min_doc_id,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_bytes
+      |FROM documents
+      |GROUP BY 1, 2 ORDER BY media_type, content_hash""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      .groupBy(col("media_type"), md5(col("payload")).as("content_hash"))
+      .agg(count(lit(1)).as("n_objects"), min("doc_id").as("min_doc_id"),
+        sum(length(col("payload"))).as("total_bytes"))
+      .orderBy("media_type", "content_hash")
+  }
+
+  val all: Seq[Q] = Seq(multimodalIngest, multimodalFrames, multimodalResize,
+    multimodalDedup)
 }
