@@ -397,9 +397,33 @@ object Relational {
       .orderBy("band")
   }
 
+  /** The salted-join path under the driver's gate: per-nation order
+    * rollup where the orders⨝customer join runs through
+    * [[Skew.saltedJoin]] (probe rows spread across 8 salt values, build
+    * side replicated ×8, equi-join on (key, salt)) — the explicit
+    * mitigation for a planned-hot key that AQE's runtime split can't see
+    * in advance. The oracle is the PLAIN join, so the hash compare proves
+    * salting is invisible to results; SkewSpec separately proves the
+    * partition spread. */
+  val qSkewSalted: Q = Q.sql(
+    "q_skew_salted",
+    s"""SELECT c_nationkey, count(*) AS n_orders,
+       |  ${Det.dsumRoundSql("o_totalprice", 2)} AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+    Skew.saltedJoin(
+        Tables.orders(s, d).select("o_custkey", "o_totalprice"),
+        Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        "o_custkey", "c_custkey", factor = 8)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsumRound(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_nationkey")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
     qCustDistribution, qBigOrders, qBrandRevenue, qDormantCustomers,
-    qPriceBands)
+    qPriceBands, qSkewSalted)
 }
