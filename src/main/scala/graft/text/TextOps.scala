@@ -294,19 +294,42 @@ object TextOps {
     * pair and the band join degenerates to all-pairs. The ~|vocab|³
     * shingle space keeps band collisions ≈ true Jaccard similarity, which
     * is what bounds the candidate join at scale. */
-  val dedupMinhash: Q = {
+  /** Shingle MinHash signatures (doc_id, s3, sig1..sig4) — shared by the
+    * banding dedup and the estimator-quality readout. Cached: the subtree
+    * feeds both band-join branches and the final projection — without it
+    * the md5 signature pass runs three times (at cluster scale:
+    * persist(DISK_ONLY) or a checkpoint instead; session-scoped here,
+    * Verify/Bench clearCache() between queries). */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val sigCols = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      expr(s"array_min(transform(s3, w -> ($a * ${sparkWordHash("w")} + $b) % $P))")
+        .as(s"sig${i + 1}")
+    }
+    docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(shingleExpr("ws")).as("s3"))
+      .select(col("doc_id") +: col("s3") +: sigCols: _*)
+      .cache()
+  }
+
+  /** Oracle twin of [[minhashSigs]]'s CTE prefix (docs → sig). */
+  private def duckSigCtes: String = {
     val duckSigs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(s3, w -> ($a * ${duckWordHash("w")} + $b) % $P)) AS sig${i + 1}"
     }.mkString(",\n  ")
+    s"""w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+       |docs AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS s3 FROM w),
+       |sig AS (SELECT doc_id, s3, $duckSigs FROM docs)""".stripMargin
+  }
+
+  val dedupMinhash: Q = {
     val duckBands = minhashParams.indices
       .map(i => s"SELECT doc_id, ${i + 1} AS band, sig${i + 1} AS v FROM sig")
       .mkString("\n  UNION ALL ")
     Q.sql(
       "dedup_minhash",
-      s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
-         |docs AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
-         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS s3 FROM w),
-         |sig AS (SELECT doc_id, $duckSigs FROM docs),
+      s"""WITH $duckSigCtes,
          |bands AS ($duckBands),
          |m AS (SELECT a.doc_id, count(DISTINCT b.doc_id) AS nm
          |      FROM bands a JOIN bands b
@@ -316,18 +339,7 @@ object TextOps {
          |  coalesce(nm, 0) AS n_band_matches
          |FROM sig LEFT JOIN m ON sig.doc_id = m.doc_id
          |ORDER BY 1""".stripMargin) { (s, d) =>
-      val sigCols = minhashParams.zipWithIndex.map { case ((a, b), i) =>
-        expr(s"array_min(transform(s3, w -> ($a * ${sparkWordHash("w")} + $b) % $P))")
-          .as(s"sig${i + 1}")
-      }
-      // cached: this subtree feeds both band-join branches and the final
-      // projection — without it the md5 signature pass runs three times
-      // (at cluster scale: persist(DISK_ONLY) or a checkpoint instead)
-      val sigs = docs(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), expr(shingleExpr("ws")).as("s3"))
-        .select(col("doc_id") +: sigCols: _*)
-        .cache() // session-scoped; Verify/Bench clearCache() between queries
+      val sigs = minhashSigs(s, d).drop("s3")
       val bands = sigs.select(col("doc_id"),
         posexplode(array(minhashParams.indices.map(i => col(s"sig${i + 1}")): _*))
           .as(Seq("band", "v")))
@@ -341,6 +353,69 @@ object TextOps {
           coalesce(col("nm"), lit(0L)).as("n_band_matches"))
         .orderBy("doc_id")
     }
+  }
+
+  /** Estimator-quality readout for the MinHash family: on every LSH
+    * candidate pair (≥1 matching band), the signature-estimated Jaccard
+    * (matching components / 4) against the EXACT Jaccard over distinct
+    * shingle sets — the accuracy audit that justifies trusting band
+    * collisions as a similarity proxy at 100 TB, where exact Jaccard on
+    * all pairs is unaffordable. Exact similarity is computed only on the
+    * LSH-bounded candidate set (that is the scale shape: estimate
+    * globally, verify locally); per-pair cost is one array intersect. */
+  val dedupMinhashEst: Q = Q.sql(
+    "dedup_minhash_est",
+    s"""WITH $duckSigCtes,
+       |bands AS (${minhashParams.indices
+      .map(i => s"SELECT doc_id, ${i + 1} AS band, sig${i + 1} AS v FROM sig")
+      .mkString("\n  UNION ALL ")}),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+       |sd AS (SELECT doc_id, list_distinct(s3) AS s3d, sig1, sig2, sig3, sig4
+       |       FROM sig),
+       |j AS (SELECT doc_a, doc_b,
+       |        (CASE WHEN sa.sig1 = sb.sig1 THEN 1 ELSE 0 END
+       |         + CASE WHEN sa.sig2 = sb.sig2 THEN 1 ELSE 0 END
+       |         + CASE WHEN sa.sig3 = sb.sig3 THEN 1 ELSE 0 END
+       |         + CASE WHEN sa.sig4 = sb.sig4 THEN 1 ELSE 0 END) AS n_sig_match,
+       |        len(list_intersect(sa.s3d, sb.s3d)) AS common,
+       |        len(sa.s3d) AS za, len(sb.s3d) AS zb
+       |      FROM pairs JOIN sd sa ON sa.doc_id = doc_a
+       |                 JOIN sd sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, n_sig_match,
+       |  round(n_sig_match / 4.0, 4) AS est_jacc,
+       |  round(1.0 * common / (za + zb - common), 4) AS exact_jacc,
+       |  round(abs(round(n_sig_match / 4.0, 4)
+       |    - round(1.0 * common / (za + zb - common), 4)), 4) AS abs_err
+       |FROM j ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val sigs = minhashSigs(s, d)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array(minhashParams.indices.map(i => col(s"sig${i + 1}")): _*))
+        .as(Seq("band", "v")))
+    val pairs = bands.select(col("doc_id").as("doc_a"), col("band"), col("v"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("v")),
+        Seq("band", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    def side(tag: String) = sigs.select(
+      col("doc_id").as(s"doc_$tag") +: array_distinct(col("s3")).as(s"s3d_$tag") +:
+        (1 to 4).map(i => col(s"sig$i").as(s"sig${i}_$tag")): _*)
+    val nMatch = (1 to 4)
+      .map(i => when(col(s"sig${i}_a") === col(s"sig${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = round(col("n_sig_match") / 4.0, 4)
+    val exact = round(lit(1.0) * col("common")
+      / (col("za") + col("zb") - col("common")), 4)
+    pairs.join(side("a"), Seq("doc_a")).join(side("b"), Seq("doc_b"))
+      .withColumn("n_sig_match", nMatch)
+      .withColumn("common", size(array_intersect(col("s3d_a"), col("s3d_b"))))
+      .withColumn("za", size(col("s3d_a")))
+      .withColumn("zb", size(col("s3d_b")))
+      .select(col("doc_a"), col("doc_b"), col("n_sig_match"),
+        est.as("est_jacc"), exact.as("exact_jacc"),
+        round(abs(est - exact), 4).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
   }
 
   // ---------------------------------------------------------- simhash --
@@ -530,6 +605,6 @@ object TextOps {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupBow, dedupNgramJaccard, dedupComponents, dedupMinhash,
-    dedupSimhash, langId, textQuality, tokenCount, docFingerprint,
-    samplePerSource, tokenRegex)
+    dedupMinhashEst, dedupSimhash, langId, textQuality, tokenCount,
+    docFingerprint, samplePerSource, tokenRegex)
 }
