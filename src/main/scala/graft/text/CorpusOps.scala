@@ -217,6 +217,51 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------- sequence packing --
+
+  /** Concatenate-and-chunk sequence packing: documents stream per source in
+    * doc_id order into a contiguous token tape, cut into fixed 512-token
+    * training sequences — the step that turns a curated corpus into model
+    * inputs. Each doc gets its byte-exact placement: start offset on the
+    * tape, first/last chunk touched, and whether it straddles a boundary
+    * (the tax the packing efficiency report cares about).
+    *
+    * Scale shape: one running-sum window per source partition — the same
+    * single-shuffle shape as every audit reconstruction; no driver state,
+    * no sequential loop. Deterministic by construction (doc_id order), so
+    * re-runs and re-partitionings produce the identical tape — which is
+    * what makes checkpoint-resumable training data possible. */
+  val packSequences: Q = Q.sql(
+    "pack_sequences",
+    """WITH t AS (SELECT doc_id, source, len(str_split(text, ' ')) AS n_tok
+      |           FROM documents),
+      |c AS (SELECT doc_id, source, n_tok,
+      |        CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+      |          AS BIGINT) AS start_off
+      |      FROM t)
+      |SELECT doc_id, source, n_tok, start_off,
+      |  start_off // 512 AS chunk_first,
+      |  (start_off + n_tok - 1) // 512 AS chunk_last,
+      |  CAST(start_off // 512 <> (start_off + n_tok - 1) // 512 AS INT)
+      |    AS straddles
+      |FROM c ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+    val tape = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("size(split(text, ' '))").as("n_tok"))
+      .withColumn("start_off",
+        (sum("n_tok").over(tape) - col("n_tok")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("start_off"),
+        expr("start_off div 512").as("chunk_first"),
+        expr("(start_off + n_tok - 1) div 512").as("chunk_last"),
+        expr("CAST(start_off div 512 <> (start_off + n_tok - 1) div 512 AS INT)")
+          .as("straddles"))
+      .orderBy("source", "doc_id")
+  }
+
   val all: Seq[Q] = Seq(
-    docRepetition, qualityFilter, decontaminate, corpusMix, tokenHistogram)
+    docRepetition, qualityFilter, decontaminate, corpusMix, tokenHistogram,
+    packSequences)
 }

@@ -58,6 +58,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("pack_sequences: the tape is contiguous and chunk bounds are exact") {
+    import org.apache.spark.sql.expressions.Window
+    val p = CorpusOps.packSequences.fn(spark, sf)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val gaps = p.withColumn("prev_end", lag(col("start_off") + col("n_tok"), 1, 0).over(w))
+      .filter(col("start_off") =!= col("prev_end"))
+    assert(gaps.count() === 0, "tape has a gap or overlap")
+    val badChunk = p.filter(
+      col("chunk_first") =!= floor(col("start_off") / 512) ||
+      col("chunk_last") =!= floor((col("start_off") + col("n_tok") - 1) / 512) ||
+      (col("straddles") === 1) =!= (col("chunk_first") =!= col("chunk_last")))
+    assert(badChunk.count() === 0)
+    // some docs straddle and some don't — the readout is non-degenerate
+    assert(p.filter(col("straddles") === 1).limit(1).count() === 1)
+    assert(p.filter(col("straddles") === 0).limit(1).count() === 1)
+  }
+
   test("audit_compact: merge(compact(old), new) == full recompute, including last_op") {
     val compacted = AuditQueries.auditCompact.fn(spark, sf)
     // independent full-history recompute via the audit_current operator
