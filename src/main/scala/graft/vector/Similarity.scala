@@ -457,7 +457,55 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN quality audit: recall@3 of the IVF index against the brute-force
+    * ground truth, per query — the readout that justifies serving from
+    * cells instead of scanning the corpus (the same estimate-globally /
+    * audit-locally shape as dedup_minhash_est). Composes the two existing
+    * operators, so the audit can never drift from what the index actually
+    * returns; the ground-truth side stays affordable because the query set
+    * is the bounded broadcast side. */
+  val annRecall: Q = Q.sql(
+    "ann_recall",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    CAST(emb[1] > 0 AS INT) * 8 + CAST(emb[2] > 0 AS INT) * 4
+      |      + CAST(emb[3] > 0 AS INT) * 2 + CAST(emb[4] > 0 AS INT) AS cell
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, emb AS qe, cell AS qcell
+      |      FROM e WHERE vec_id < 10),
+      |bf AS (SELECT query_id, vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(qe, emb), 4) AS cs
+      |       FROM q JOIN e ON e.vec_id <> q.query_id),
+      |bf3 AS (SELECT query_id, neighbor_id FROM (
+      |          SELECT *, row_number() OVER (
+      |            PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+      |          FROM bf) WHERE rk <= 3),
+      |iv AS (SELECT query_id, e.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(qe, emb), 4) AS cs
+      |       FROM q JOIN e ON q.qcell = e.cell AND e.vec_id <> q.query_id),
+      |iv3 AS (SELECT query_id, neighbor_id FROM (
+      |          SELECT *, row_number() OVER (
+      |            PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+      |          FROM iv) WHERE rk <= 3)
+      |SELECT b.query_id, count(i.neighbor_id) AS n_hits, count(*) AS n_exact,
+      |  round(count(i.neighbor_id) / 3.0, 4) AS recall_at_3
+      |FROM bf3 b LEFT JOIN iv3 i
+      |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin) { (s, d) =>
+    val bf3 = annTopk.fn(s, d).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val iv3 = annIvf.fn(s, d).filter(col("rank") <= 3)
+      .select(col("query_id").as("iv_query"), col("neighbor_id").as("iv_neighbor"))
+    bf3.join(iv3,
+        col("query_id") === col("iv_query") && col("neighbor_id") === col("iv_neighbor"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(col("iv_neighbor")).as("n_hits"), count(lit(1)).as("n_exact"),
+        round(count(col("iv_neighbor")) / 3.0, 4).as("recall_at_3"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[Q] = Seq(
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
-    embNormalize, embQuantize, annPq, annPqSearch)
+    embNormalize, embQuantize, annPq, annPqSearch, annRecall)
 }
