@@ -46,6 +46,9 @@ object FeedSources {
   def jsonFeed(spark: SparkSession, path: String): DataFrame =
     normalize(spark.read.schema(feedSchema).json(path))
 
+  def orcFeed(spark: SparkSession, path: String): DataFrame =
+    normalize(spark.read.schema(feedSchema).orc(path))
+
   /** True iff the sink path already holds captured data. */
   def sinkExists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)

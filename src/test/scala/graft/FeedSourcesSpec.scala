@@ -16,19 +16,23 @@ class FeedSourcesSpec extends AnyFunSuite {
 
   private lazy val feed = Tables.events(spark, sfDir)
 
-  test("csv and json feeds round-trip the parquet feed") {
+  test("csv, json and orc feeds round-trip the parquet feed") {
     val raw = FeedSources.parquetFeed(spark, s"$sfDir/events.parquet")
       .withColumn("ts", unix_timestamp(col("ts")) * 1000000000L) // back to ns
     raw.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
     raw.write.mode("overwrite").json(s"$tmp/json")
+    raw.write.mode("overwrite").orc(s"$tmp/orc")
     val c = FeedSources.csvFeed(spark, s"$tmp/csv")
     val j = FeedSources.jsonFeed(spark, s"$tmp/json")
+    val o = FeedSources.orcFeed(spark, s"$tmp/orc")
     assert(c.count() === feed.count())
     assert(j.count() === feed.count())
+    assert(o.count() === feed.count())
     // same content modulo the deliberate second-truncation above
     val key = (df: org.apache.spark.sql.DataFrame) =>
       df.agg(sum("event_id"), round(sum("value"), 2)).head()
     assert(key(c) === key(j))
+    assert(key(o) === key(j))
   }
 
   test("day-partitioned sink prunes partitions for a time-range query") {
