@@ -41,6 +41,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
     }
   }
 
+  // Contract: no operator's physical plan may contain a CartesianProduct —
+  // the shape that turns a 100 TB input into an unbounded pair space. The
+  // deliberate small-side products (1-row broadcast of a midpoint/T-set,
+  // broadcast codebooks/query sets) plan as BroadcastNestedLoopJoin over a
+  // bounded build side, never CartesianProduct.
+  SparkEntry.oracleSql.keySet.toSeq.sorted.foreach { name =>
+    test(s"$name plans without a CartesianProduct") {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plan:\n$plan")
+    }
+  }
+
   // Contract: oracled queries never emit complex-typed output columns —
   // the downstream pandas-based hash compare cannot hash ndarray cells
   // (the r02 emb_quantize crash). Serialize arrays before the final select.
