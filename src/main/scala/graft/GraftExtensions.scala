@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.text.WordShingles
+import graft.text.{MinHashSig, WordShingles}
 import graft.vector.CosineSimilarity
 
 /** Engine extension surface.
@@ -35,7 +35,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       ((exprs: Seq[Expression]) => WordShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Int])): Builder))
+        exprs(1).eval().asInstanceOf[Int])): Builder),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      ((exprs: Seq[Expression]) => MinHashSig(exprs(0))): Builder))
 
   /** Idempotent runtime registration for externally-built sessions. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -269,10 +269,11 @@ object TextOps {
 
   // ---------------------------------------------------------- minhash --
 
-  /** (a, b) parameters of the 4-member linear hash family over mod-p. */
-  private val minhashParams: Seq[(Long, Long)] =
-    Seq((999983L, 7L), (424243L, 99991L), (765431L, 12345L), (550007L, 777L))
-  private val P = 1000000007L
+  /** (a, b) parameters of the 4-member linear hash family over mod-p —
+    * defined once in [[MinHashSig]] (the native expression) and quoted
+    * into the oracle SQL from there, so Spark and DuckDB cannot drift. */
+  private val minhashParams: Seq[(Long, Long)] = MinHashSig.Params
+  private val P = MinHashSig.P
 
   /** DuckDB: word hash = int value of the first 8 hex nibbles of md5. */
   private def duckWordHash(w: String): String =
@@ -301,15 +302,20 @@ object TextOps {
     * persist(DISK_ONLY) or a checkpoint instead; session-scoped here,
     * Verify/Bench clearCache() between queries). */
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val sigCols = minhashParams.zipWithIndex.map { case ((a, b), i) =>
-      expr(s"array_min(transform(s3, w -> ($a * ${sparkWordHash("w")} + $b) % $P))")
-        .as(s"sig${i + 1}")
-    }
+    val sigCols = minhashParams.indices.map(i =>
+      element_at(col("__sigs"), i + 1).as(s"sig${i + 1}"))
     docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), expr(shingleExpr("ws")).as("s3"))
+      .withColumn("__sigs", expr("graft_minhash_sig(s3)"))
       .select(col("doc_id") +: col("s3") +: sigCols: _*)
       .cache()
+  }
+
+  /** The composition twin of `graft_minhash_sig` (spec-asserted equal). */
+  private[graft] def minhashSigHofExpr(i: Int): String = {
+    val (a, b) = minhashParams(i)
+    s"array_min(transform(s3, w -> ($a * ${sparkWordHash("w")} + $b) % $P))"
   }
 
   /** Oracle twin of [[minhashSigs]]'s CTE prefix (docs → sig). */
