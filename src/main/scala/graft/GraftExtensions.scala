@@ -34,8 +34,22 @@ object GraftFunctions {
       ((exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))): Builder),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
-      ((exprs: Seq[Expression]) => WordShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Int])): Builder),
+      ((exprs: Seq[Expression]) => {
+        // validate here: builder failures surface as raw internal
+        // exceptions at resolution, so name the function and the rule
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_shingles expects (array<string>, n), got ${exprs.length} arguments")
+        if (!exprs(1).foldable)
+          throw new IllegalArgumentException(
+            "graft_shingles: n must be a literal integer")
+        WordShingles(exprs(0), exprs(1).eval() match {
+          case i: java.lang.Integer => i.intValue
+          case l: java.lang.Long if l == l.intValue.toLong => l.intValue
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles: n must be a literal integer, got $other")
+        })
+      }): Builder),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       ((exprs: Seq[Expression]) => MinHashSig(exprs(0))): Builder))

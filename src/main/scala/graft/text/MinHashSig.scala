@@ -22,8 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * oracle's nibble-decode twin: h = first 4 md5 bytes big-endian
   * (= the integer value of the first 8 lowercase hex chars), all in
   * non-overflowing long math (a < 2²⁰, h < 2³², a·h < 2⁵² < 2⁶³).
-  * Returns NULL for an empty shingle set (matching `array_min(array())`)
-  * and for NULL input.
+  * NULL elements are skipped, matching the twin exactly (md5(NULL) is
+  * NULL and `array_min` ignores NULLs); an input that is NULL, empty, or
+  * all-NULL yields NULL (`array_min` of no non-null values).
   */
 case class MinHashSig(child: Expression) extends UnaryExpression {
 
@@ -40,21 +41,25 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any = {
     val shingles = input.asInstanceOf[ArrayData]
     val n = shingles.numElements()
-    if (n == 0) return null
     val mins = Array.fill(MinHashSig.Params.length)(Long.MaxValue)
+    var hashed = 0
     var i = 0
     while (i < n) {
-      val h = MinHashSig.hash32(shingles.getUTF8String(i))
-      var k = 0
-      while (k < mins.length) {
-        val (a, b) = MinHashSig.Params(k)
-        val v = (a * h + b) % MinHashSig.P
-        if (v < mins(k)) mins(k) = v
-        k += 1
+      if (!shingles.isNullAt(i)) {
+        hashed += 1
+        val h = MinHashSig.hash32(shingles.getUTF8String(i))
+        var k = 0
+        while (k < mins.length) {
+          val (a, b) = MinHashSig.Params(k)
+          val v = (a * h + b) % MinHashSig.P
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(mins.map(java.lang.Long.valueOf(_): Any))
+    if (hashed == 0) null
+    else new GenericArrayData(mins.map(java.lang.Long.valueOf(_): Any))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -62,6 +67,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val h = ctx.freshName("h")
+      val hashed = ctx.freshName("hashed")
       val mins = MinHashSig.Params.indices.map(k => ctx.freshName(s"min$k"))
       val decls = mins.map(m => s"long $m = Long.MAX_VALUE;").mkString("\n")
       val updates = MinHashSig.Params.zip(mins).map { case ((a, b), m) =>
@@ -69,14 +75,18 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
       }.mkString("\n    ")
       s"""
          |int $n = $shingles.numElements();
-         |if ($n == 0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  $decls
-         |  for (int $i = 0; $i < $n; $i++) {
+         |int $hashed = 0;
+         |$decls
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$shingles.isNullAt($i)) {
+         |    $hashed++;
          |    long $h = graft.text.MinHashSig.hash32($shingles.getUTF8String($i));
          |    $updates
          |  }
+         |}
+         |if ($hashed == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |    new long[]{${mins.mkString(", ")}});
          |}

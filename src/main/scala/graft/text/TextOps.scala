@@ -301,15 +301,23 @@ object TextOps {
     * the md5 signature pass runs three times (at cluster scale:
     * persist(DISK_ONLY) or a checkpoint instead; session-scoped here,
     * Verify/Bench clearCache() between queries). */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+  /** `withShingles` controls what the cache holds: the banding op needs
+    * only (doc_id, 4 longs); caching the shingle arrays too would store
+    * ~3× the corpus text for nothing. The estimator audit opts in and
+    * gets the deduplicated sets (what it actually intersects). */
+  private def minhashSigs(s: SparkSession, d: String,
+      withShingles: Boolean = false): DataFrame = {
     val sigCols = minhashParams.indices.map(i =>
       element_at(col("__sigs"), i + 1).as(s"sig${i + 1}"))
-    docs(s, d)
+    val base = docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), expr(shingleExpr("ws")).as("s3"))
       .withColumn("__sigs", expr("graft_minhash_sig(s3)"))
-      .select(col("doc_id") +: col("s3") +: sigCols: _*)
-      .cache()
+    val cols =
+      if (withShingles)
+        col("doc_id") +: array_distinct(col("s3")).as("s3d") +: sigCols
+      else col("doc_id") +: sigCols
+    base.select(cols: _*).cache()
   }
 
   /** The composition twin of `graft_minhash_sig` (spec-asserted equal). */
@@ -345,7 +353,7 @@ object TextOps {
          |  coalesce(nm, 0) AS n_band_matches
          |FROM sig LEFT JOIN m ON sig.doc_id = m.doc_id
          |ORDER BY 1""".stripMargin) { (s, d) =>
-      val sigs = minhashSigs(s, d).drop("s3")
+      val sigs = minhashSigs(s, d)
       val bands = sigs.select(col("doc_id"),
         posexplode(array(minhashParams.indices.map(i => col(s"sig${i + 1}")): _*))
           .as(Seq("band", "v")))
@@ -369,7 +377,10 @@ object TextOps {
     * all pairs is unaffordable. Exact similarity is computed only on the
     * LSH-bounded candidate set (that is the scale shape: estimate
     * globally, verify locally); per-pair cost is one array intersect. */
-  val dedupMinhashEst: Q = Q.sql(
+  val dedupMinhashEst: Q = {
+    val k = minhashParams.length
+    val sigNames = minhashParams.indices.map(i => s"sig${i + 1}")
+    Q.sql(
     "dedup_minhash_est",
     s"""WITH $duckSigCtes,
        |bands AS (${minhashParams.indices
@@ -378,24 +389,23 @@ object TextOps {
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM bands a JOIN bands b
        |            ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
-       |sd AS (SELECT doc_id, list_distinct(s3) AS s3d, sig1, sig2, sig3, sig4
+       |sd AS (SELECT doc_id, list_distinct(s3) AS s3d, ${sigNames.mkString(", ")}
        |       FROM sig),
        |j AS (SELECT doc_a, doc_b,
-       |        (CASE WHEN sa.sig1 = sb.sig1 THEN 1 ELSE 0 END
-       |         + CASE WHEN sa.sig2 = sb.sig2 THEN 1 ELSE 0 END
-       |         + CASE WHEN sa.sig3 = sb.sig3 THEN 1 ELSE 0 END
-       |         + CASE WHEN sa.sig4 = sb.sig4 THEN 1 ELSE 0 END) AS n_sig_match,
+       |        (${sigNames
+      .map(n => s"CASE WHEN sa.$n = sb.$n THEN 1 ELSE 0 END")
+      .mkString("\n         + ")}) AS n_sig_match,
        |        len(list_intersect(sa.s3d, sb.s3d)) AS common,
        |        len(sa.s3d) AS za, len(sb.s3d) AS zb
        |      FROM pairs JOIN sd sa ON sa.doc_id = doc_a
        |                 JOIN sd sb ON sb.doc_id = doc_b)
        |SELECT doc_a, doc_b, n_sig_match,
-       |  round(n_sig_match / 4.0, 4) AS est_jacc,
+       |  round(n_sig_match / $k.0, 4) AS est_jacc,
        |  round(1.0 * common / (za + zb - common), 4) AS exact_jacc,
-       |  round(abs(round(n_sig_match / 4.0, 4)
+       |  round(abs(round(n_sig_match / $k.0, 4)
        |    - round(1.0 * common / (za + zb - common), 4)), 4) AS abs_err
        |FROM j ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val sigs = minhashSigs(s, d)
+    val sigs = minhashSigs(s, d, withShingles = true)
     val bands = sigs.select(col("doc_id"),
       posexplode(array(minhashParams.indices.map(i => col(s"sig${i + 1}")): _*))
         .as(Seq("band", "v")))
@@ -405,12 +415,12 @@ object TextOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     def side(tag: String) = sigs.select(
-      col("doc_id").as(s"doc_$tag") +: array_distinct(col("s3")).as(s"s3d_$tag") +:
-        (1 to 4).map(i => col(s"sig$i").as(s"sig${i}_$tag")): _*)
-    val nMatch = (1 to 4)
-      .map(i => when(col(s"sig${i}_a") === col(s"sig${i}_b"), 1).otherwise(0))
+      col("doc_id").as(s"doc_$tag") +: col("s3d").as(s"s3d_$tag") +:
+        sigNames.map(n => col(n).as(s"${n}_$tag")): _*)
+    val nMatch = sigNames
+      .map(n => when(col(s"${n}_a") === col(s"${n}_b"), 1).otherwise(0))
       .reduce(_ + _)
-    val est = round(col("n_sig_match") / 4.0, 4)
+    val est = round(col("n_sig_match") / k.toDouble, 4)
     val exact = round(lit(1.0) * col("common")
       / (col("za") + col("zb") - col("common")), 4)
     pairs.join(side("a"), Seq("doc_a")).join(side("b"), Seq("doc_b"))
@@ -422,6 +432,7 @@ object TextOps {
         est.as("est_jacc"), exact.as("exact_jacc"),
         round(abs(est - exact), 4).as("abs_err"))
       .orderBy("doc_a", "doc_b")
+  }
   }
 
   // ---------------------------------------------------------- simhash --

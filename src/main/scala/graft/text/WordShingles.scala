@@ -23,13 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics are identical to the composition it replaces (and to the
   * DuckDB oracle's `list_transform(range(...), ...)` twin): documents
   * shorter than n words yield an empty array; output order follows word
-  * order. Returns NULL only for NULL input.
+  * order; a shingle touching a NULL word is NULL (`concat` semantics —
+  * `split()` output never contains nulls, but the function is public).
+  * Returns NULL only for NULL input.
   */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
   override def prettyName: String = "graft_shingles"
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -48,8 +50,13 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     var i = 0
     while (i < m) {
       var j = 0
-      while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
-      out(i) = UTF8String.concatWs(sep, parts: _*)
+      var hasNull = false
+      while (j < n) {
+        if (words.isNullAt(i + j)) hasNull = true
+        else parts(j) = words.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = if (hasNull) null else UTF8String.concatWs(sep, parts: _*)
       i += 1
     }
     new GenericArrayData(out)
@@ -65,16 +72,19 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val u = classOf[UTF8String].getName
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $k = $words.numElements();
          |int $m = $k < $n ? 0 : $k - $n + 1;
          |$u[] $out = new $u[$m];
          |$u[] $parts = new $u[$n];
          |for (int $i = 0; $i < $m; $i++) {
+         |  boolean $hasNull = false;
          |  for (int $j = 0; $j < $n; $j++) {
-         |    $parts[$j] = $words.getUTF8String($i + $j);
+         |    if ($words.isNullAt($i + $j)) { $hasNull = true; }
+         |    else { $parts[$j] = $words.getUTF8String($i + $j); }
          |  }
-         |  $out[$i] = $u.concatWs($sepRef, $parts);
+         |  $out[$i] = $hasNull ? null : $u.concatWs($sepRef, $parts);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

@@ -28,6 +28,56 @@ object Similarity {
   private def cosR(a: Column, b: Column): Column =
     round(GraftFunctions.graftCosine(a, b), 4)
 
+  // ---- shared quantizer-training blocks (trained IVF + PQ, both engines) --
+
+  /** Decimal-exact per-label centroid CTEs (e, u, cd, cent) — the single
+    * oracle-side definition of quantizer training. */
+  private val centCtesSql: String =
+    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      |           FROM embeddings),
+      |u AS (SELECT label, unnest(emb) AS v, generate_subscripts(emb, 1) AS dim FROM e),
+      |cd AS (SELECT label, dim,
+      |         CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+      |       FROM u GROUP BY label, dim),
+      |cent AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM cd GROUP BY label)""".stripMargin
+
+  /** PQ subspace argmin CTEs (sub, ad, amin) on top of [[centCtesSql]]. */
+  private val pqAminCtesSql: String =
+    """sub AS (SELECT unnest([1, 2, 3, 4]) AS m),
+      |ad AS (SELECT vec_id, m, clabel,
+      |         list_sum(list_transform(range((m-1)*16 + 1, m*16 + 1),
+      |           i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))) AS dist
+      |       FROM e, cent, sub),
+      |amin AS (SELECT vec_id, m, clabel AS code, dist FROM (
+      |           SELECT *, row_number() OVER (
+      |             PARTITION BY vec_id, m ORDER BY dist, clabel) AS rn FROM ad)
+      |         WHERE rn = 1)""".stripMargin
+
+  /** Spark twin of `cent`: decimal-exact per-label centroids. */
+  private def labelCentroids(e: DataFrame): DataFrame = e
+    .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    .groupBy(col("label").as("clabel"), col("pos"))
+    .agg((Det.dsum9(col("v").cast("double")) / count(lit(1))).as("c"))
+    .groupBy("clabel")
+    .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+
+  /** Spark twin of `amin`: per-(vector, subspace) nearest sub-codeword —
+    * (vec_id, m, code, dist); the codebook rides a broadcast. */
+  private def pqAmin(e: DataFrame): DataFrame = {
+    val ad = e
+      .withColumn("emb_d", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("m", explode(array((1 to 4).map(lit): _*)))
+      .join(broadcast(labelCentroids(e)))
+      .withColumn("dist", expr(
+        """aggregate(
+          |  zip_with(slice(emb_d, (m-1)*16 + 1, 16), slice(cv, (m-1)*16 + 1, 16),
+          |    (x, y) -> (x - y) * (x - y)),
+          |  0D, (a, b) -> a + b)""".stripMargin))
+    val aminW = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("clabel"))
+    ad.withColumn("rn", row_number().over(aminW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("clabel").as("code"), col("dist"))
+  }
+
   /** Brute-force cosine top-k per query vector (query side broadcast). */
   val annTopk: Q = Q.sql(
     "ann_topk",
@@ -173,13 +223,7 @@ object Similarity {
     * centroid list. */
   val annIvfTrained: Q = Q.sql(
     "ann_ivf_trained",
-    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-      |           FROM embeddings),
-      |u AS (SELECT label, unnest(emb) AS v, generate_subscripts(emb, 1) AS dim FROM e),
-      |cd AS (SELECT label, dim,
-      |         CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
-      |       FROM u GROUP BY label, dim),
-      |cent AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+    s"""WITH $centCtesSql,
       |ad AS (SELECT vec_id, clabel,
       |         list_sum(list_transform(range(1, len(emb) + 1),
       |           i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))) AS dist
@@ -202,12 +246,7 @@ object Similarity {
       |SELECT query_id, neighbor_id, cell, cos_sim, rank
       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val e = emb(s, d)
-    val cent = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label").as("clabel"), col("pos"))
-      .agg((Det.dsum9(col("v").cast("double")) / count(lit(1))).as("c"))
-      .groupBy("clabel")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+    val cent = labelCentroids(e)
     val withD = e.withColumn("emb_d", expr("transform(embedding, x -> cast(x as double))"))
     val ad = withD.join(broadcast(cent))
       .withColumn("dist", expr(
@@ -316,22 +355,8 @@ object Similarity {
     * corpus scan, no shuffle until the contractual output sort. */
   val annPq: Q = Q.sql(
     "ann_pq",
-    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-      |           FROM embeddings),
-      |u AS (SELECT label, unnest(emb) AS v, generate_subscripts(emb, 1) AS dim FROM e),
-      |cd AS (SELECT label, dim,
-      |         CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
-      |       FROM u GROUP BY label, dim),
-      |cent AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
-      |sub AS (SELECT unnest([1, 2, 3, 4]) AS m),
-      |ad AS (SELECT vec_id, m, clabel,
-      |         list_sum(list_transform(range((m-1)*16 + 1, m*16 + 1),
-      |           i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))) AS dist
-      |       FROM e, cent, sub),
-      |amin AS (SELECT vec_id, m, clabel AS code, dist FROM (
-      |           SELECT *, row_number() OVER (
-      |             PARTITION BY vec_id, m ORDER BY dist, clabel) AS rn FROM ad)
-      |         WHERE rn = 1),
+    s"""WITH $centCtesSql,
+      |$pqAminCtesSql,
       |p AS (SELECT vec_id,
       |        max(CASE WHEN m = 1 THEN code END) AS c1,
       |        max(CASE WHEN m = 2 THEN code END) AS c2,
@@ -345,29 +370,9 @@ object Similarity {
       |SELECT vec_id, c1 || ',' || c2 || ',' || c3 || ',' || c4 AS codes,
       |  round(d1 + d2 + d3 + d4, 6) AS recon_err
       |FROM p ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val e = emb(s, d)
-    val cent = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label").as("clabel"), col("pos"))
-      .agg((Det.dsum9(col("v").cast("double")) / count(lit(1))).as("c"))
-      .groupBy("clabel")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
-    val ad = e
-      .withColumn("emb_d", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("m", explode(array((1 to 4).map(lit): _*)))
-      .join(broadcast(cent))
-      .withColumn("dist", expr(
-        """aggregate(
-          |  zip_with(slice(emb_d, (m-1)*16 + 1, 16), slice(cv, (m-1)*16 + 1, 16),
-          |    (x, y) -> (x - y) * (x - y)),
-          |  0D, (a, b) -> a + b)""".stripMargin))
-    val aminW = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("clabel"))
-    val amin = ad
-      .withColumn("rn", row_number().over(aminW)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("clabel").as("code"), col("dist"))
     def pick(i: Int, c: String) = max(when(col("m") === i, col(c))).as(s"${c(0)}$i"
       ) // c1..c4 / d1..d4
-    amin.groupBy("vec_id")
+    pqAmin(emb(s, d)).groupBy("vec_id")
       .agg(pick(1, "code"), pick(2, "code"), pick(3, "code"), pick(4, "code"),
         pick(1, "dist"), pick(2, "dist"), pick(3, "dist"), pick(4, "dist"))
       .select(col("vec_id"),
@@ -387,22 +392,8 @@ object Similarity {
     * ranking so tie-breaks see identical values in both engines. */
   val annPqSearch: Q = Q.sql(
     "ann_pq_search",
-    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-      |           FROM embeddings),
-      |u AS (SELECT label, unnest(emb) AS v, generate_subscripts(emb, 1) AS dim FROM e),
-      |cd AS (SELECT label, dim,
-      |         CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
-      |       FROM u GROUP BY label, dim),
-      |cent AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
-      |sub AS (SELECT unnest([1, 2, 3, 4]) AS m),
-      |ad AS (SELECT vec_id, m, clabel,
-      |         list_sum(list_transform(range((m-1)*16 + 1, m*16 + 1),
-      |           i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))) AS dist
-      |       FROM e, cent, sub),
-      |amin AS (SELECT vec_id, m, clabel AS code FROM (
-      |           SELECT *, row_number() OVER (
-      |             PARTITION BY vec_id, m ORDER BY dist, clabel) AS rn FROM ad)
-      |         WHERE rn = 1),
+    s"""WITH $centCtesSql,
+      |$pqAminCtesSql,
       |cw AS (SELECT a.vec_id, a.m, cent.cv[(a.m-1)*16 + 1 : a.m*16] AS sub_cw
       |       FROM amin a JOIN cent ON cent.clabel = a.code),
       |recon AS (SELECT vec_id, flatten(list(sub_cw ORDER BY m)) AS rv
@@ -418,27 +409,8 @@ object Similarity {
       |SELECT query_id, neighbor_id, adc_dist, rank
       |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val e = emb(s, d)
-    val cent = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label").as("clabel"), col("pos"))
-      .agg((Det.dsum9(col("v").cast("double")) / count(lit(1))).as("c"))
-      .groupBy("clabel")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
-    val ad = e
-      .withColumn("emb_d", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("m", explode(array((1 to 4).map(lit): _*)))
-      .join(broadcast(cent))
-      .withColumn("dist", expr(
-        """aggregate(
-          |  zip_with(slice(emb_d, (m-1)*16 + 1, 16), slice(cv, (m-1)*16 + 1, 16),
-          |    (x, y) -> (x - y) * (x - y)),
-          |  0D, (a, b) -> a + b)""".stripMargin))
-    val aminW = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("clabel"))
-    val amin = ad
-      .withColumn("rn", row_number().over(aminW)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("clabel").as("code"))
-    val recon = amin
-      .join(broadcast(cent), col("code") === col("clabel"))
+    val recon = pqAmin(e)
+      .join(broadcast(labelCentroids(e)), col("code") === col("clabel"))
       .withColumn("sub_cw", expr("slice(cv, (m-1)*16 + 1, 16)"))
       .groupBy("vec_id")
       .agg(expr("flatten(transform(array_sort(collect_list(struct(m, sub_cw))), x -> x.sub_cw))")

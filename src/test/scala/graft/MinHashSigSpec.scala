@@ -31,6 +31,26 @@ class MinHashSigSpec extends AnyFunSuite {
     assert(!r(1).isNullAt(0) && r(1).getSeq[Long](0).length === 4)
   }
 
+  test("null shingles are skipped (array_min semantics); all-null input is NULL") {
+    GraftFunctions.ensureRegistered(spark)
+    val rows = Seq(
+      (1, Seq(Some("x y z"), None)),   // null skipped, hash of the rest
+      (2, Seq(Some("x y z"))),         // reference without the null
+      (3, Seq[Option[String]](None))   // all-null → NULL signature
+    ).toDF("id", "s3")
+      .select(col("id"), expr("graft_minhash_sig(s3)").as("sigs"))
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[Long](1) === rows(1).getSeq[Long](1))
+    assert(rows(2).isNullAt(1))
+    // interpreted path agrees
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq("x y z", null), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    val viaEval = MinHashSig(lit).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray
+    assert(viaEval.toSeq === rows(1).getSeq[Long](1))
+  }
+
   test("interpreted eval matches codegen") {
     val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
       Seq("x y z", "y z w"), org.apache.spark.sql.types.ArrayType(

@@ -33,40 +33,40 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+  // Built ONCE per suite and shared by every generated test below: some
+  // operator fns are side-effecting at construction (the streaming ops run
+  // their full capture pipeline, dedup_components its propagation rounds),
+  // so building per-test would re-run those pipelines per assertion family.
+  private lazy val dfs: Map[String, org.apache.spark.sql.DataFrame] =
+    SparkEntry.queries.map { case (n, fn) => n -> fn(spark, sfDir) }
+
+  SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"$name executes at sf0.001 and returns rows") {
-      val df = fn(spark, sfDir)
+      val df = dfs(name)
       assert(df.columns.nonEmpty)
       assert(df.count() > 0, s"$name returned no rows")
     }
   }
 
-  // Contract: no operator's physical plan may contain a CartesianProduct —
-  // the shape that turns a 100 TB input into an unbounded pair space. The
-  // deliberate small-side products (1-row broadcast of a midpoint/T-set,
-  // broadcast codebooks/query sets) plan as BroadcastNestedLoopJoin over a
-  // bounded build side, never CartesianProduct.
+  // Two contracts per oracled query, checked on the shared plan:
+  // 1. No complex-typed output columns — the downstream pandas-based hash
+  //    compare cannot hash ndarray cells (the r02 emb_quantize crash).
+  // 2. No CartesianProduct node — the shape that turns a 100 TB input
+  //    into an unbounded pair space. The deliberate small-side products
+  //    (1-row midpoint/T-set, codebook/query-set broadcasts) plan as
+  //    BroadcastNestedLoopJoin over a bounded build side.
   SparkEntry.oracleSql.keySet.toSeq.sorted.foreach { name =>
-    test(s"$name plans without a CartesianProduct") {
-      val plan = SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"), s"$name plan:\n$plan")
-    }
-  }
-
-  // Contract: oracled queries never emit complex-typed output columns —
-  // the downstream pandas-based hash compare cannot hash ndarray cells
-  // (the r02 emb_quantize crash). Serialize arrays before the final select.
-  SparkEntry.oracleSql.keySet.toSeq.sorted.foreach { name =>
-    test(s"$name emits only scalar output columns") {
+    test(s"$name emits scalar columns and plans without CartesianProduct") {
       import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-      val schema = SparkEntry.queries(name)(spark, sfDir).schema
-      val complex = schema.fields.collect {
+      val df = dfs(name)
+      val complex = df.schema.fields.collect {
         case f if f.dataType.isInstanceOf[ArrayType]
           || f.dataType.isInstanceOf[MapType]
           || f.dataType.isInstanceOf[StructType] => f.name
       }
       assert(complex.isEmpty, s"$name emits complex columns: ${complex.mkString(",")}")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plan:\n$plan")
     }
   }
 }

@@ -33,6 +33,22 @@ class WordShinglesSpec extends AnyFunSuite {
     assert(df(2) === (Seq.empty, Seq.empty))
   }
 
+  test("null words yield null shingles (concat semantics), same on both paths") {
+    GraftFunctions.ensureRegistered(spark)
+    // codegen path over a real column
+    val viaCol = Seq(Seq(Some("a"), None, Some("c"))).toDF("ws")
+      .select(expr("graft_shingles(ws, 2)").as("g"))
+      .head.getSeq[String](0)
+    assert(viaCol === Seq(null, null))
+    // interpreted path via direct eval
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq("a", null, "c"), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    val viaEval = WordShingles(lit, 2).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until 2).forall(viaEval.isNullAt))
+  }
+
   test("interpreted eval path matches codegen output") {
     // exercise nullSafeEval directly (codegen is the default path above)
     val e = WordShingles(
