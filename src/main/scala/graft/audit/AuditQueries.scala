@@ -329,6 +329,33 @@ object AuditQueries {
       .orderBy("entity_id")
   }
 
+  /** Retention sweep — which day partitions of the audit sink are
+    * archival-eligible under a hot-window cutoff, sized for the move (row
+    * count, distinct entities, payload-byte estimate). Day is the
+    * archival unit because it is the sink's physical partition key
+    * (FeedSources day-partitioned layout): at 100 TB this query drives
+    * moving cold partitions to cheaper storage, and the day filter prunes
+    * at the scan — the hot window is never read. The reference keeps
+    * audit rows forever (no retention machinery); this is the
+    * operational complement a deployment needs. */
+  val auditRetention: Q = Q.sql(
+    "audit_retention",
+    auditCte +
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_changes,
+        |  count(DISTINCT entity_id) AS n_entities,
+        |  CAST(sum(length(client_query)) AS BIGINT) AS est_payload_bytes
+        |FROM audit
+        |WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+    log(s, d)
+      .filter(col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_changes"),
+        count_distinct(col("entity_id")).as("n_entities"),
+        sum(length(col("client_query"))).as("est_payload_bytes"))
+      .orderBy("day")
+  }
+
   /** Latest reconstructed state per entity (the live-table equivalent). */
   val auditCurrent: Q = Q.sql(
     "audit_current",
@@ -742,5 +769,5 @@ object AuditQueries {
     auditValueQuantiles, auditApproxEntities, auditAsofState,
     auditAsofTolerance, auditWhoChanged, auditClientSessions,
     auditEnabledRanges, auditPkValidity, auditTruncateReset, auditWideSnapshot,
-    auditCompact)
+    auditCompact, auditRetention)
 }

@@ -61,6 +61,27 @@ object Similarity {
     .groupBy("clabel")
     .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
 
+  /** Full-vector centroid-distance ranks CTEs (ad, ar) on top of
+    * [[centCtesSql]] — rn = 1 is the IVF cell assignment; rn ≤ p is the
+    * multi-probe list. */
+  private val centRanksCtesSql: String =
+    """ad AS (SELECT vec_id, clabel,
+      |         list_sum(list_transform(range(1, len(emb) + 1),
+      |           i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))) AS dist
+      |       FROM e, cent),
+      |ar AS (SELECT vec_id, clabel, row_number() OVER (
+      |         PARTITION BY vec_id ORDER BY dist, clabel) AS rn FROM ad)""".stripMargin
+
+  /** Spark twin of `ar`: every (vector, centroid) pair ranked by L2²
+    * (ties by label) — filter rn = 1 for assignment, rn ≤ p for probes. */
+  private def centroidRanks(e: DataFrame): DataFrame = e
+    .withColumn("emb_d", expr("transform(embedding, x -> cast(x as double))"))
+    .join(broadcast(labelCentroids(e)))
+    .withColumn("dist", expr(
+      "aggregate(zip_with(emb_d, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"))
+    .withColumn("rn", row_number().over(
+      Window.partitionBy("vec_id").orderBy(col("dist"), col("clabel"))))
+
   /** Spark twin of `amin`: per-(vector, subspace) nearest sub-codeword —
     * (vec_id, m, code, dist); the codebook rides a broadcast. */
   private def pqAmin(e: DataFrame): DataFrame = {
@@ -224,14 +245,8 @@ object Similarity {
   val annIvfTrained: Q = Q.sql(
     "ann_ivf_trained",
     s"""WITH $centCtesSql,
-      |ad AS (SELECT vec_id, clabel,
-      |         list_sum(list_transform(range(1, len(emb) + 1),
-      |           i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))) AS dist
-      |       FROM e, cent),
-      |assign AS (SELECT vec_id, clabel AS cell FROM (
-      |             SELECT *, row_number() OVER (
-      |               PARTITION BY vec_id ORDER BY dist, clabel) AS rn FROM ad)
-      |           WHERE rn = 1),
+      |$centRanksCtesSql,
+      |assign AS (SELECT vec_id, clabel AS cell FROM ar WHERE rn = 1),
       |q AS (SELECT e.vec_id AS query_id, e.emb AS qe, a.cell
       |      FROM e JOIN assign a ON e.vec_id = a.vec_id WHERE e.vec_id < 10),
       |cands AS (SELECT e.vec_id AS neighbor_id, e.emb AS ce, a.cell
@@ -246,14 +261,7 @@ object Similarity {
       |SELECT query_id, neighbor_id, cell, cos_sim, rank
       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val e = emb(s, d)
-    val cent = labelCentroids(e)
-    val withD = e.withColumn("emb_d", expr("transform(embedding, x -> cast(x as double))"))
-    val ad = withD.join(broadcast(cent))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(emb_d, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"))
-    val assignW = Window.partitionBy("vec_id").orderBy(col("dist"), col("clabel"))
-    val assign = ad
-      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
+    val assign = centroidRanks(e).filter(col("rn") === 1)
       .select(col("vec_id"), col("clabel").as("cell"))
     val assigned = e.join(assign, Seq("vec_id"))
     val q = assigned.filter(col("vec_id") < 10)
@@ -477,7 +485,56 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Multi-probe trained IVF (nprobe = 2): each query searches its TWO
+    * nearest cells — the standard recall knob when the true neighbor sits
+    * across a cell boundary. Database vectors keep their rn = 1
+    * assignment, so the probe fan-out multiplies only the bounded query
+    * side (still broadcast); each candidate lives in exactly one cell, so
+    * no pair is scored twice. `probe` records which probe found the
+    * neighbor — probe-2 rows in the output are exactly the recall that
+    * nprobe = 1 (ann_ivf_trained) forfeits. */
+  val annIvfMultiprobe: Q = Q.sql(
+    "ann_ivf_multiprobe",
+    s"""WITH $centCtesSql,
+      |$centRanksCtesSql,
+      |assign AS (SELECT vec_id, clabel AS cell FROM ar WHERE rn = 1),
+      |qprobe AS (SELECT vec_id, clabel AS cell, CAST(rn AS INT) AS probe
+      |           FROM ar WHERE rn <= 2 AND vec_id < 10),
+      |q AS (SELECT e.vec_id AS query_id, e.emb AS qe, p.cell, p.probe
+      |      FROM e JOIN qprobe p ON e.vec_id = p.vec_id),
+      |cands AS (SELECT e.vec_id AS neighbor_id, e.emb AS ce, a.cell
+      |          FROM e JOIN assign a ON e.vec_id = a.vec_id),
+      |s AS (SELECT query_id, neighbor_id, q.cell, q.probe,
+      |        round(list_cosine_similarity(qe, ce), 4) AS cos_sim
+      |      FROM q JOIN cands ON q.cell = cands.cell
+      |        AND cands.neighbor_id <> q.query_id),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |      FROM s)
+      |SELECT query_id, neighbor_id, cell, probe, cos_sim, rank
+      |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val ranks = centroidRanks(e)
+    val assign = ranks.filter(col("rn") === 1)
+      .select(col("vec_id"), col("clabel").as("cell"))
+    val qprobe = ranks.filter(col("rn") <= 2 && col("vec_id") < 10)
+      .select(col("vec_id"), col("clabel").as("qcell"), col("rn").cast("int").as("probe"))
+    val q = e.join(qprobe, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("qcell"), col("probe"))
+    val rankW = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    e.join(assign, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("cell"))
+      .join(broadcast(q), col("qcell") === col("cell") && col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("probe"),
+        cosR(col("qe"), col("ce")).as("cos_sim"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
-    embNormalize, embQuantize, annPq, annPqSearch, annRecall)
+    embNormalize, embQuantize, annPq, annPqSearch, annRecall,
+    annIvfMultiprobe)
 }
