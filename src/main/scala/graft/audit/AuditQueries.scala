@@ -536,6 +536,47 @@ object AuditQueries {
       .orderBy("entity_id", "session_id")
   }
 
+  /** Declarative gap sessions via Spark's native `session_window` — the
+    * engine-maintained form of audit_sessionize (which builds sessions by
+    * hand with lag+cumsum): one groupBy, windows merged by the engine,
+    * and in streaming the same expression is incrementally maintained
+    * with watermark-bounded state. Semantics differ from the hand-rolled
+    * op at the boundary — session_window closes at last_ts + gap
+    * EXCLUSIVE (an event exactly 30 min later starts a new session) and
+    * compares at microsecond precision — so the oracle mirrors those
+    * rules exactly (>= gap at epoch-micros, ordered by event time). */
+  val auditSessionWindow: Q = Q.sql(
+    "audit_session_window",
+    auditCte + """, marked AS (
+      |  SELECT entity_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |         WHEN epoch_ns(ts) // 1000 - epoch_ns(lag(ts) OVER w) // 1000
+      |           >= 1800000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM audit
+      |  WINDOW w AS (PARTITION BY entity_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT entity_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY entity_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT entity_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  count(*) AS n_events, """.stripMargin
+      + Det.dsumRoundSql("value", 2) + """ AS session_value
+      |FROM sessions GROUP BY entity_id, sid
+      |ORDER BY entity_id, session_start""".stripMargin) { (s, d) =>
+    log(s, d)
+      .groupBy(col("entity_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.dsumRound(col("value"), 2).as("session_value"))
+      .select(col("entity_id"),
+        date_format(col("w.start"), TS).as("session_start"),
+        date_format(col("w.end"), TS).as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy("entity_id", "session_start")
+  }
+
   /** Per-operation value quantiles (exact interpolated percentiles — both
     * engines implement the same (1-f)*a + f*b continuous quantile). */
   val auditValueQuantiles: Q = Q.sql(
@@ -769,5 +810,5 @@ object AuditQueries {
     auditValueQuantiles, auditApproxEntities, auditAsofState,
     auditAsofTolerance, auditWhoChanged, auditClientSessions,
     auditEnabledRanges, auditPkValidity, auditTruncateReset, auditWideSnapshot,
-    auditCompact, auditRetention)
+    auditCompact, auditRetention, auditSessionWindow)
 }
