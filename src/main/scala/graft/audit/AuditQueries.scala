@@ -577,6 +577,44 @@ object AuditQueries {
       .orderBy("entity_id", "session_start")
   }
 
+  /** Capture-health monitoring: per-(day, operation) change volume versus
+    * a trailing 7-day baseline; a day outside ±50% of its baseline is
+    * flagged. A silent trigger outage or a runaway writer shows up here
+    * before it shows up as missing history (the companion to
+    * audit_gap_detect, which sees lost ids only after the fact). Baseline
+    * arithmetic is exact-integer sums divided once — deterministic on
+    * both engines; days with under 3 prior observations carry no verdict.
+    * One groupBy + one trailing window per op class. */
+  val auditDailyAnomaly: Q = Q.sql(
+    "audit_daily_anomaly",
+    auditCte + """, d AS (
+      |  SELECT CAST(ts AS DATE) AS day, operation, count(*) AS n
+      |  FROM audit GROUP BY 1, 2),
+      |w AS (
+      |  SELECT day, operation, n,
+      |    avg(n) OVER tw AS base, count(*) OVER tw AS n_hist
+      |  FROM d
+      |  WINDOW tw AS (PARTITION BY operation ORDER BY day
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT day, operation, n,
+      |  CASE WHEN n_hist >= 3 THEN round(base, 2) END AS baseline,
+      |  CASE WHEN n_hist >= 3 AND (n > 1.5 * base OR n < 0.5 * base)
+      |    THEN 1 ELSE 0 END AS anomaly
+      |FROM w ORDER BY operation, day""".stripMargin) { (s, d) =>
+    val tw = Window.partitionBy("operation").orderBy("day").rowsBetween(-7, -1)
+    log(s, d)
+      .groupBy(col("ts").cast("date").as("day"), col("operation"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("base", avg("n").over(tw))
+      .withColumn("n_hist", count(lit(1)).over(tw))
+      .select(col("day"), col("operation"), col("n"),
+        when(col("n_hist") >= 3, round(col("base"), 2)).as("baseline"),
+        when(col("n_hist") >= 3 &&
+          (col("n") > lit(1.5) * col("base") || col("n") < lit(0.5) * col("base")), 1)
+          .otherwise(0).as("anomaly"))
+      .orderBy("operation", "day")
+  }
+
   /** Per-operation value quantiles (exact interpolated percentiles — both
     * engines implement the same (1-f)*a + f*b continuous quantile). */
   val auditValueQuantiles: Q = Q.sql(
@@ -810,5 +848,5 @@ object AuditQueries {
     auditValueQuantiles, auditApproxEntities, auditAsofState,
     auditAsofTolerance, auditWhoChanged, auditClientSessions,
     auditEnabledRanges, auditPkValidity, auditTruncateReset, auditWideSnapshot,
-    auditCompact, auditRetention, auditSessionWindow)
+    auditCompact, auditRetention, auditSessionWindow, auditDailyAnomaly)
 }

@@ -261,7 +261,89 @@ object CorpusOps {
       .orderBy("source", "doc_id")
   }
 
+  // ---------------------------------------------------- curation funnel --
+
+  /** The curation funnel report: how many documents survive each pipeline
+    * stage, per stratum — the summary every corpus release publishes.
+    * Stages cascade (each applies to the previous stage's survivors):
+    * total → quality gates → exact-dedup keep (min doc id of the md5
+    * group survives) → decontamination (no 4-gram shared with the
+    * held-out benchmark). Benchmark docs themselves are out of scope row
+    * zero. Shape: the stage flags are per-row maps or broadcast/window
+    * lookups the earlier operators already proved; the funnel is one
+    * partial-aggregating groupBy over them. */
+  val corpusFunnel: Q = Q.sql(
+    "corpus_funnel",
+    """WITH f AS (
+      |  SELECT doc_id, lang, source,
+      |    len(str_split(text, ' ')) AS n_words,
+      |    len(list_distinct(str_split(text, ' '))) AS n_distinct,
+      |    length(replace(text, ' ', '')) AS word_chars,
+      |    len(list_filter(str_split(text, ' '), w -> w IN ('the', 'a', 'of'))) AS n_stop,
+      |    md5(text) AS fp,
+      |    str_split(text, ' ') AS ws
+      |  FROM documents WHERE doc_id % 29 <> 0),
+      |q AS (SELECT *,
+      |    CASE WHEN n_words >= 25 AND 1.0 * n_distinct / n_words >= 0.35
+      |           AND 1.0 * word_chars / n_words BETWEEN 4.0 AND 5.0
+      |           AND n_stop > 0 THEN 1 ELSE 0 END AS ok_quality,
+      |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END
+      |      AS ok_unique
+      |  FROM f),
+      |ex AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 2),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])))
+      |           AS shingle
+      |       FROM f),
+      |b AS (SELECT DISTINCT shingle FROM (
+      |        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 2),
+      |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS shingle
+      |        FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+      |              WHERE doc_id % 29 = 0))),
+      |hit AS (SELECT DISTINCT ex.doc_id FROM ex JOIN b USING (shingle))
+      |SELECT lang, source, count(*) AS n_total,
+      |  CAST(sum(ok_quality) AS BIGINT) AS n_quality,
+      |  CAST(sum(CASE WHEN ok_quality = 1 AND ok_unique = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_unique,
+      |  CAST(sum(CASE WHEN ok_quality = 1 AND ok_unique = 1
+      |    AND hit.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+      |FROM q LEFT JOIN hit ON q.doc_id = hit.doc_id
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
+    val base = docs(s, d).filter(col("doc_id") % 29 =!= 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        expr("size(split(text, ' '))").as("n_words"),
+        expr("size(array_distinct(split(text, ' ')))").as("n_distinct"),
+        expr("length(replace(text, ' ', ''))").as("word_chars"),
+        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of')))").as("n_stop"),
+        md5(col("text")).as("fp"))
+    val awl = lit(1.0) * col("word_chars") / col("n_words")
+    val flagged = base
+      .withColumn("ok_quality",
+        when(col("n_words") >= 25 &&
+          lit(1.0) * col("n_distinct") / col("n_words") >= 0.35 &&
+          awl.between(4.0, 5.0) && col("n_stop") > 0, 1).otherwise(0))
+      .withColumn("ok_unique",
+        when(col("doc_id") === min("doc_id").over(Window.partitionBy("fp")), 1)
+          .otherwise(0))
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(array_distinct(expr(gram4Expr("ws")))).as("shingle"))
+    val benchShingles = grams(docs(s, d).filter(col("doc_id") % 29 === 0))
+      .select("shingle").distinct()
+    val hit = grams(base).join(broadcast(benchShingles), Seq("shingle"))
+      .select(col("doc_id").as("hit_id")).distinct()
+    flagged.join(hit, col("doc_id") === col("hit_id"), "left")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_total"),
+        sum("ok_quality").as("n_quality"),
+        sum(when(col("ok_quality") === 1 && col("ok_unique") === 1, 1).otherwise(0))
+          .as("n_unique"),
+        sum(when(col("ok_quality") === 1 && col("ok_unique") === 1
+          && col("hit_id").isNull, 1).otherwise(0)).as("n_clean"))
+      .orderBy("lang", "source")
+  }
+
   val all: Seq[Q] = Seq(
     docRepetition, qualityFilter, decontaminate, corpusMix, tokenHistogram,
-    packSequences)
+    packSequences, corpusFunnel)
 }
