@@ -334,10 +334,13 @@ object AuditQueries {
     * count, distinct entities, payload-byte estimate). Day is the
     * archival unit because it is the sink's physical partition key
     * (FeedSources day-partitioned layout): at 100 TB this query drives
-    * moving cold partitions to cheaper storage, and the day filter prunes
-    * at the scan — the hot window is never read. The reference keeps
-    * audit rows forever (no retention machinery); this is the
-    * operational complement a deployment needs. */
+    * moving cold partitions to cheaper storage. Here it runs over the
+    * driver's FLAT events feed, so the ts cutoff is a data filter; over
+    * the resting layout the same predicate on the `day` partition column
+    * prunes at the scan and the hot window is never read —
+    * FeedSourcesSpec asserts that PartitionFilters pruning. The
+    * reference keeps audit rows forever (no retention machinery); this
+    * is the operational complement a deployment needs. */
   val auditRetention: Q = Q.sql(
     "audit_retention",
     auditCte +
@@ -578,33 +581,57 @@ object AuditQueries {
   }
 
   /** Capture-health monitoring: per-(day, operation) change volume versus
-    * a trailing 7-day baseline; a day outside ±50% of its baseline is
-    * flagged. A silent trigger outage or a runaway writer shows up here
-    * before it shows up as missing history (the companion to
-    * audit_gap_detect, which sees lost ids only after the fact). Baseline
+    * a trailing 7-calendar-day baseline; a day outside ±50% of its
+    * baseline is flagged. The grid is a CALENDAR scaffold (generated
+    * min..max day range × op classes, zero-filled) — without it a totally silent day
+    * produces no group row at all and the headline scenario (trigger
+    * fully down) could never flag, and gap days would stretch a
+    * row-based frame past 7 calendar days. A zero-volume day flags
+    * immediately (0 < 0.5·baseline). The scaffold cross join is
+    * |days|×|ops| — trivially broadcastable at any scale. Baseline
     * arithmetic is exact-integer sums divided once — deterministic on
-    * both engines; days with under 3 prior observations carry no verdict.
-    * One groupBy + one trailing window per op class. */
+    * both engines; days with under 3 prior scaffold days carry no
+    * verdict. Companion to audit_gap_detect, which sees lost ids only
+    * after the fact. */
   val auditDailyAnomaly: Q = Q.sql(
     "audit_daily_anomaly",
     auditCte + """, d AS (
       |  SELECT CAST(ts AS DATE) AS day, operation, count(*) AS n
       |  FROM audit GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM audit),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+      |grid AS (
+      |  SELECT day, operation
+      |  FROM days CROSS JOIN (SELECT DISTINCT operation FROM audit)),
+      |filled AS (
+      |  SELECT grid.day, grid.operation, coalesce(d.n, 0) AS n
+      |  FROM grid LEFT JOIN d ON grid.day = d.day AND grid.operation = d.operation),
       |w AS (
       |  SELECT day, operation, n,
       |    avg(n) OVER tw AS base, count(*) OVER tw AS n_hist
-      |  FROM d
+      |  FROM filled
       |  WINDOW tw AS (PARTITION BY operation ORDER BY day
       |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
-      |SELECT day, operation, n,
+      |SELECT day, operation, CAST(n AS BIGINT) AS n,
       |  CASE WHEN n_hist >= 3 THEN round(base, 2) END AS baseline,
       |  CASE WHEN n_hist >= 3 AND (n > 1.5 * base OR n < 0.5 * base)
       |    THEN 1 ELSE 0 END AS anomaly
       |FROM w ORDER BY operation, day""".stripMargin) { (s, d) =>
-    val tw = Window.partitionBy("operation").orderBy("day").rowsBetween(-7, -1)
-    log(s, d)
+    val counts = log(s, d)
       .groupBy(col("ts").cast("date").as("day"), col("operation"))
       .agg(count(lit(1)).as("n"))
+    // full calendar range, so a day silent across EVERY op class still
+    // appears (observed-days-only would drop it); sequence(date, date)
+    // steps one day in both engines
+    val days = counts.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days.crossJoin(counts.select("operation").distinct())
+    val tw = Window.partitionBy("operation").orderBy("day").rowsBetween(-7, -1)
+    grid.join(counts, Seq("day", "operation"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
       .withColumn("base", avg("n").over(tw))
       .withColumn("n_hist", count(lit(1)).over(tw))
       .select(col("day"), col("operation"), col("n"),

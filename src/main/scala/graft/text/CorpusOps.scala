@@ -31,6 +31,52 @@ object CorpusOps {
   private def bigramExpr(ws: String): String = s"graft_shingles($ws, 2)"
   private def gram4Expr(ws: String): String = s"graft_shingles($ws, 4)"
 
+  /** DuckDB twin of [[gram4Expr]] — single definition shared by
+    * decontaminate and the funnel (drift here silently desynchronizes the
+    * funnel from the stage it summarizes). */
+  private val duckG4: String =
+    "list_transform(range(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])"
+
+  /** Quality-gate features + per-rule flags — the single source of the
+    * thresholds, shared by quality_filter (flags per rule) and
+    * corpus_funnel (their conjunction). Both dialects are emitted from
+    * the same pairs. */
+  private val duckQualityFeatures: String =
+    """len(str_split(text, ' ')) AS n_words,
+      |    len(list_distinct(str_split(text, ' '))) AS n_distinct,
+      |    length(replace(text, ' ', '')) AS word_chars,
+      |    len(list_filter(str_split(text, ' '), w -> w IN ('the', 'a', 'of'))) AS n_stop""".stripMargin
+
+  private val ruleFlags: Seq[(String, String)] = Seq(
+    "r_too_short" -> "n_words < 25",
+    "r_repetitive" -> "1.0 * n_distinct / n_words < 0.35",
+    "r_word_len" ->
+      "1.0 * word_chars / n_words < 4.0 OR 1.0 * word_chars / n_words > 5.0",
+    "r_no_stopword" -> "n_stop = 0")
+
+  private def duckFlagExprs: String = ruleFlags
+    .map { case (n, p) => s"CASE WHEN $p THEN 1 ELSE 0 END AS $n" }
+    .mkString(",\n    ")
+
+  /** SQL for "all gates pass" (both dialects accept it verbatim). */
+  private val passAllSql: String = ruleFlags
+    .map { case (_, p) => s"(CASE WHEN $p THEN 1 ELSE 0 END)" }
+    .mkString(" + ") + " = 0"
+
+  /** Adds the feature + per-rule flag columns on the Spark side (rule
+    * predicates are the exact strings the oracles use). */
+  private def withQualityFlags(df: DataFrame): DataFrame = {
+    val staged = df
+      .withColumn("n_words", expr("size(split(text, ' '))"))
+      .withColumn("n_distinct", expr("size(array_distinct(split(text, ' ')))"))
+      .withColumn("word_chars", expr("length(replace(text, ' ', ''))"))
+      .withColumn("n_stop",
+        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of')))"))
+    ruleFlags.foldLeft(staged) { case (d, (n, p)) =>
+      d.withColumn(n, when(expr(p), 1).otherwise(0))
+    }
+  }
+
   // -------------------------------------------------------- repetition --
 
   /** Within-document repetition profile (the Gopher-style repetition
@@ -79,42 +125,23 @@ object CorpusOps {
     * 0.46, avg word len 3.7-5.3) so every rule actually discriminates. */
   val qualityFilter: Q = Q.sql(
     "quality_filter",
-    """WITH f AS (
+    s"""WITH f AS (
       |  SELECT doc_id,
-      |    len(str_split(text, ' ')) AS n_words,
-      |    len(list_distinct(str_split(text, ' '))) AS n_distinct,
-      |    length(replace(text, ' ', '')) AS word_chars,
-      |    len(list_filter(str_split(text, ' '), w -> w IN ('the', 'a', 'of'))) AS n_stop
+      |    $duckQualityFeatures
       |  FROM documents),
       |r AS (SELECT doc_id, n_words,
-      |    CASE WHEN n_words < 25 THEN 1 ELSE 0 END AS r_too_short,
-      |    CASE WHEN 1.0 * n_distinct / n_words < 0.35 THEN 1 ELSE 0 END AS r_repetitive,
-      |    CASE WHEN 1.0 * word_chars / n_words < 4.0
-      |           OR 1.0 * word_chars / n_words > 5.0 THEN 1 ELSE 0 END AS r_word_len,
-      |    CASE WHEN n_stop = 0 THEN 1 ELSE 0 END AS r_no_stopword
+      |    $duckFlagExprs
       |  FROM f)
-      |SELECT doc_id, n_words, r_too_short, r_repetitive, r_word_len, r_no_stopword,
-      |  r_too_short + r_repetitive + r_word_len + r_no_stopword AS n_failed,
-      |  CASE WHEN r_too_short + r_repetitive + r_word_len + r_no_stopword = 0
+      |SELECT doc_id, n_words, ${ruleFlags.map(_._1).mkString(", ")},
+      |  ${ruleFlags.map(_._1).mkString(" + ")} AS n_failed,
+      |  CASE WHEN ${ruleFlags.map(_._1).mkString(" + ")} = 0
       |    THEN 1 ELSE 0 END AS passed
       |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val nWords = expr("size(split(text, ' '))")
-    val nDistinct = expr("size(array_distinct(split(text, ' ')))")
-    val wordChars = expr("length(replace(text, ' ', ''))")
-    val nStop = expr("size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of')))")
-    val awl = lit(1.0) * col("word_chars") / col("n_words")
-    docs(s, d)
-      .select(col("doc_id"), nWords.as("n_words"), nDistinct.as("n_distinct"),
-        wordChars.as("word_chars"), nStop.as("n_stop"))
-      .select(col("doc_id"), col("n_words"),
-        when(col("n_words") < 25, 1).otherwise(0).as("r_too_short"),
-        when(lit(1.0) * col("n_distinct") / col("n_words") < 0.35, 1).otherwise(0)
-          .as("r_repetitive"),
-        when(awl < 4.0 || awl > 5.0, 1).otherwise(0).as("r_word_len"),
-        when(col("n_stop") === 0, 1).otherwise(0).as("r_no_stopword"))
-      .withColumn("n_failed",
-        col("r_too_short") + col("r_repetitive") + col("r_word_len") + col("r_no_stopword"))
+    withQualityFlags(docs(s, d))
+      .withColumn("n_failed", ruleFlags.map(f => col(f._1)).reduce(_ + _))
       .withColumn("passed", when(col("n_failed") === 0, 1).otherwise(0))
+      .select(col("doc_id") +: col("n_words") +:
+        (ruleFlags.map(f => col(f._1)) ++ Seq(col("n_failed"), col("passed"))): _*)
       .orderBy("doc_id")
   }
 
@@ -129,8 +156,6 @@ object CorpusOps {
     * probe is a map-side hash join on the shingle — the corpus is scanned
     * once, nothing shuffles on the corpus side. */
   val decontaminate: Q = {
-    val duckG4 =
-      "list_transform(range(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])"
     Q.sql(
       "decontaminate",
       s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
@@ -274,30 +299,20 @@ object CorpusOps {
     * partial-aggregating groupBy over them. */
   val corpusFunnel: Q = Q.sql(
     "corpus_funnel",
-    """WITH f AS (
+    s"""WITH f AS (
       |  SELECT doc_id, lang, source,
-      |    len(str_split(text, ' ')) AS n_words,
-      |    len(list_distinct(str_split(text, ' '))) AS n_distinct,
-      |    length(replace(text, ' ', '')) AS word_chars,
-      |    len(list_filter(str_split(text, ' '), w -> w IN ('the', 'a', 'of'))) AS n_stop,
+      |    $duckQualityFeatures,
       |    md5(text) AS fp,
       |    str_split(text, ' ') AS ws
       |  FROM documents WHERE doc_id % 29 <> 0),
       |q AS (SELECT *,
-      |    CASE WHEN n_words >= 25 AND 1.0 * n_distinct / n_words >= 0.35
-      |           AND 1.0 * word_chars / n_words BETWEEN 4.0 AND 5.0
-      |           AND n_stop > 0 THEN 1 ELSE 0 END AS ok_quality,
+      |    CASE WHEN $passAllSql THEN 1 ELSE 0 END AS ok_quality,
       |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END
       |      AS ok_unique
       |  FROM f),
-      |ex AS (SELECT doc_id,
-      |         unnest(list_distinct(list_transform(range(1, len(ws) - 2),
-      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])))
-      |           AS shingle
-      |       FROM f),
+      |ex AS (SELECT doc_id, unnest(list_distinct($duckG4)) AS shingle FROM f),
       |b AS (SELECT DISTINCT shingle FROM (
-      |        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 2),
-      |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS shingle
+      |        SELECT doc_id, unnest(list_distinct($duckG4)) AS shingle
       |        FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents
       |              WHERE doc_id % 29 = 0))),
       |hit AS (SELECT DISTINCT ex.doc_id FROM ex JOIN b USING (shingle))
@@ -309,19 +324,11 @@ object CorpusOps {
       |    AND hit.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
       |FROM q LEFT JOIN hit ON q.doc_id = hit.doc_id
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
-    val base = docs(s, d).filter(col("doc_id") % 29 =!= 0)
-      .select(col("doc_id"), col("lang"), col("source"), col("text"),
-        expr("size(split(text, ' '))").as("n_words"),
-        expr("size(array_distinct(split(text, ' ')))").as("n_distinct"),
-        expr("length(replace(text, ' ', ''))").as("word_chars"),
-        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of')))").as("n_stop"),
-        md5(col("text")).as("fp"))
-    val awl = lit(1.0) * col("word_chars") / col("n_words")
+    val base = withQualityFlags(docs(s, d).filter(col("doc_id") % 29 =!= 0))
+      .withColumn("fp", md5(col("text")))
     val flagged = base
       .withColumn("ok_quality",
-        when(col("n_words") >= 25 &&
-          lit(1.0) * col("n_distinct") / col("n_words") >= 0.35 &&
-          awl.between(4.0, 5.0) && col("n_stop") > 0, 1).otherwise(0))
+        when(ruleFlags.map(f => col(f._1)).reduce(_ + _) === 0, 1).otherwise(0))
       .withColumn("ok_unique",
         when(col("doc_id") === min("doc_id").over(Window.partitionBy("fp")), 1)
           .otherwise(0))

@@ -514,10 +514,15 @@ object Similarity {
       |SELECT query_id, neighbor_id, cell, probe, cos_sim, rank
       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val e = emb(s, d)
-    val ranks = centroidRanks(e)
+    // cached: assign and qprobe both branch off this subtree, and without
+    // the cache each branch re-runs centroid training + the full
+    // |vectors|×|centroids| distance scoring (tiny to store: ≤2 rows of
+    // (id, label, rn) per vector; session-scoped, Verify/Bench clearCache)
+    val ranks = centroidRanks(e).filter(col("rn") <= 2)
+      .select(col("vec_id"), col("clabel"), col("rn")).cache()
     val assign = ranks.filter(col("rn") === 1)
       .select(col("vec_id"), col("clabel").as("cell"))
-    val qprobe = ranks.filter(col("rn") <= 2 && col("vec_id") < 10)
+    val qprobe = ranks.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("clabel").as("qcell"), col("rn").cast("int").as("probe"))
     val q = e.join(qprobe, Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),

@@ -12,13 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class BucketedAuditSpec extends AnyFunSuite {
   import TestSession._
 
-  private def shuffles(p: SparkPlan): Int = {
-    val inner = p match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case other => other
-    }
-    inner.collect { case e: ShuffleExchangeExec => e }.size
-  }
+  // AQE-aware: descends into query stages (a naive collect over
+  // ShuffleExchangeExec sees nothing under AQE and asserts vacuously)
+  private def shuffles(p: SparkPlan): Int = TestSession.shuffleCount(p)
 
   private lazy val table: String = {
     // in-memory catalog forgets tables between JVM runs but the warehouse
@@ -68,10 +64,16 @@ class BucketedAuditSpec extends AnyFunSuite {
 
   test("bucketed and unbucketed snapshots agree") {
     val alg = AuditLog("entity_id", "audit_id")
-    val direct = alg
+    val directDf = alg
       .snapshot(AuditQueries.log(spark, sfDir)
         .withColumn("k", org.apache.spark.sql.functions.col("field_k")), Seq("k"))
-      .select("audit_id", "state_k").orderBy("audit_id").collect()
+      .select("audit_id", "state_k").orderBy("audit_id")
+    val direct = directDf.collect()
+    // positive control for the zero-shuffle assertions above: the SAME
+    // reconstruction over the unbucketed feed MUST show its window
+    // exchange — proving the counter is not vacuous under AQE
+    assert(shuffles(directDf.queryExecution.executedPlan) >= 1,
+      directDf.queryExecution.executedPlan.toString)
     val bucketed = alg
       .snapshot(AuditStorage.read(spark, table)
         .withColumn("k", org.apache.spark.sql.functions.col("field_k")), Seq("k"))

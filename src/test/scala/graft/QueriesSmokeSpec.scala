@@ -17,6 +17,26 @@ object TestSession {
     s
   }
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Counts data shuffles in a (possibly adaptively executed) plan. Under
+    * AQE, exchanges hide inside ShuffleQueryStageExec LEAF nodes, so a
+    * plain `collect { case e: ShuffleExchangeExec => }` sees nothing and
+    * every `=== 0` assertion passes vacuously — this walker descends into
+    * query stages. ReusedExchange is deliberately not counted (a reused
+    * exchange is the sharing we want to reward). */
+  def shuffleCount(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    var n = 0
+    def walk(x: SparkPlan): Unit = x match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case e: ShuffleExchangeLike => n += 1; e.children.foreach(walk)
+      case o => o.children.foreach(walk)
+    }
+    walk(p); n
+  }
 }
 
 /** Every registered operator must build a plan and execute at sf0.001.
