@@ -50,9 +50,15 @@ object Bench {
     val fj = jlist(failed)
     val total = results.map(_._2).sum
     val totalWarm = results.map(_._3).sum
+    // Structured Streaming ops pay a fixed per-micro-batch machinery cost
+    // (~16 s across the four at sf0.1) that is independent of data volume;
+    // split them out so batch-plan regressions aren't masked by it.
+    val streamingNames = SparkEntry.queries.keySet.filter(_.contains("stream"))
+    val totalWarmStreaming = results.filter(r => streamingNames(r._1)).map(_._3).sum
+    val totalWarmBatch = totalWarm - totalWarmStreaming
     // failed queries are EXCLUDED from the timings and listed explicitly —
     // a broken query must not make the total look faster
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_warm":${jmap(_._3)},"total_warm":$totalWarm,"failed":$fj,"warm_failed":${jlist(warmFailed)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_warm":${jmap(_._3)},"total_warm":$totalWarm,"total_warm_batch":$totalWarmBatch,"total_warm_streaming":$totalWarmStreaming,"failed":$fj,"warm_failed":${jlist(warmFailed)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -8,9 +8,17 @@ import org.apache.spark.sql.expressions.Window
 /** Relational analytics core — the query engine underneath the reference's
   * audit views (TPC-H-flavored over the driver's star schema).
   *
-  * Scale posture: dimension tables (region/nation/supplier/part/customer)
-  * are broadcast; fact joins shuffle on their keys with AQE; every filter
-  * and projection is declarative so parquet pushdown/pruning applies.
+  * Scale posture — size-gated broadcast discipline:
+  *   - BOUNDED dims (region=5, nation=25, supplier at fixed deployment
+  *     cardinality) carry an explicit `broadcast()` hint: always correct,
+  *     saves AQE a size estimate.
+  *   - SF-SCALING tables (customer, part) are joined UN-HINTED. They grow
+  *     linearly with the corpus, so a forced hint is a driver OOM at the
+  *     100 TB posture — and being a hint, AQE cannot override it. Un-hinted,
+  *     `autoBroadcastJoinThreshold`/AQE picks broadcast at small SF and
+  *     shuffle-hash at scale. PlanShapeSpec pins both halves of this policy.
+  * Fact joins shuffle on their keys with AQE; every filter and projection
+  * is declarative so parquet pushdown/pruning applies.
   */
 object Relational {
 
@@ -69,7 +77,7 @@ object Relational {
     val o = Tables.orders(s, d).filter(col("o_orderdate") < to_timestamp(lit("1998-06-01 00:00:00")))
     val l = li(s, d).filter(col("l_shipdate") > to_timestamp(lit("1998-06-01 00:00:00")))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))   // sf-scaling: un-hinted, AQE size-gates
       .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"), col("o_orderpriority"))
       .agg(Det.dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
       .select("o_orderkey", "revenue", "order_date", "o_orderpriority")
@@ -140,7 +148,7 @@ object Relational {
     Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"), Det.dsumRound(col("o_totalprice"), 2).as("total_spent"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .select("c_custkey", "c_name", "n_orders", "total_spent")
       .orderBy(col("total_spent").desc, col("c_custkey"))
       .limit(20)
@@ -159,7 +167,7 @@ object Relational {
        |ORDER BY p_brand""".stripMargin) { (s, d) =>
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
     li(s, d)
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(
         round(lit(100.0) * Det.dsum(when(col("p_type") === "PROMO", rev).otherwise(0))
@@ -261,7 +269,7 @@ object Relational {
       |ORDER BY nation, yr""".stripMargin) { (s, d) =>
     val base = li(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .select(
         col("n_name"), year(col("o_orderdate")).cast("int").as("yr"),
@@ -313,7 +321,7 @@ object Relational {
       .filter(col("__raw_qty") > 250)
     big
       .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("c_custkey") === col("o_custkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("order_date"),
         round(col("o_totalprice"), 2).as("total"),
@@ -339,7 +347,7 @@ object Relational {
       (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
         col("l_quantity").between(10, 35))
     li(s, d)
-      .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+      .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
       .filter(cond)
       .agg(Det.dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
         count(lit(1)).as("n_items"))

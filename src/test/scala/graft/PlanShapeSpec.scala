@@ -64,6 +64,49 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 3, s"truncate_reset window stack split:\n$p")
   }
 
+  // --- size-gated broadcast discipline -------------------------------
+  // Policy (Relational.scala scaladoc): bounded dims (region/nation/
+  // supplier) carry an explicit broadcast hint; sf-scaling tables
+  // (customer, part) are joined UN-HINTED so AQE picks broadcast at small
+  // SF and shuffle-hash at 100 TB. A forced hint on a scaling table is a
+  // driver OOM AQE cannot override.
+
+  private def hintedColumns(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+        h.child.output.map(_.name)
+    }.flatten
+
+  test("broadcast policy positive control: q5's bounded dims ARE hinted") {
+    // guards the negative assertions below against vacuously passing
+    // because hint nodes stopped being visible in the analyzed plan
+    val hints = hintedColumns(SparkEntry.queries("q5_region_volume")(spark, sfDir))
+    assert(hints.exists(_.startsWith("s_")), s"supplier hint missing: $hints")
+    assert(hints.exists(_.startsWith("n_")), s"nation hint missing: $hints")
+    assert(hints.exists(_.startsWith("r_")), s"region hint missing: $hints")
+  }
+
+  private val scalingJoinQueries = Seq(
+    "q3_shipping", "q_top_customers", "q_rollup_nation",
+    "q_cust_distribution", "q_big_orders", "q_part_share", "q_brand_revenue")
+
+  test("no broadcast hint on sf-scaling customer/part in any weak-listed query") {
+    for (q <- scalingJoinQueries) {
+      val bad = hintedColumns(SparkEntry.queries(q)(spark, sfDir))
+        .filter(c => c.startsWith("c_") || c.startsWith("p_"))
+      assert(bad.isEmpty, s"$q forces a broadcast hint on sf-scaling columns: $bad")
+    }
+  }
+
+  test("un-hinted customer/part joins still broadcast at small SF (size gate works)") {
+    for (q <- Seq("q3_shipping", "q_top_customers", "q_part_share",
+        "q_big_orders", "q_brand_revenue")) {
+      val p = finalPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert(p.toString.contains("BroadcastHashJoin"),
+        s"$q fell out of broadcast at sf0.001 — size gate broken:\n$p")
+    }
+  }
+
   test("dedup_ngram_jaccard: candidate join reuses the df-cap window's partitioning") {
     val p = finalPlan(SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir))
     val s = p.toString
