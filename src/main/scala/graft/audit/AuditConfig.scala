@@ -32,6 +32,24 @@ object AuditConfig {
     AuditConfig(AuditScope(), logClientQuery = false, security = "definer",
       owner = None, viewsOnly = false, settings = Map.empty)
 
+  /** Settings capture cannot run without — the analog of the reference's
+    * `audit_star.changed_by` database setting, whose absence hard-fails
+    * setup (`ensureSettingExists`, audit.go:559-581). */
+  val RequiredCaptureSettings: Seq[String] = Seq("changed_by")
+
+  /** Validates that every required capture setting is present; returns the
+    * config unchanged or throws, mirroring the reference's fail-at-setup
+    * posture (a capture path that silently records NULL changed_by would
+    * poison the whole audit history). */
+  def validateCapture(cfg: AuditConfig,
+      required: Seq[String] = RequiredCaptureSettings): AuditConfig = {
+    val missing = required.filterNot(cfg.settings.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"missing required capture setting(s): ${missing.mkString(", ")} " +
+        "(reference ensureSettingExists, audit.go:559-581)")
+    cfg
+  }
+
   def load(path: Path): AuditConfig = parse(
     Files.readAllLines(path).asScala.toSeq)
 

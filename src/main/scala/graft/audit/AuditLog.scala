@@ -24,6 +24,15 @@ import org.apache.spark.sql.expressions.{Window, WindowSpec}
   *   - payload columns: the changed-field values carried by each change
   *     (reference `change`/`before_change` JSON, already extracted).
   */
+/** A typed payload column: the audit feed carries the value as an
+  * extracted STRING (the reference's JSON `->>` form), and every
+  * reconstruction casts its outputs back to `sqlType` — the reference's
+  * `(before_change ->> '{col}')::{dataType}` (audit.go:1074 delta,
+  * :1262 snapshot, :1362 compare). Keeping the cast at the OUTPUT edge
+  * (not on the stored log) matches the reference: the audit table itself
+  * is type-erased JSON; only the views are typed. */
+final case class TypedField(name: String, sqlType: String)
+
 final case class AuditLog(pkCol: String, seqCol: String) {
 
   /** One partitioning reused by every reconstruction — at scale this is the
@@ -84,6 +93,28 @@ final case class AuditLog(pkCol: String, seqCol: String) {
   /** State as of a given point in the change sequence (time travel). */
   def asOf(log: DataFrame, payload: Seq[String], maxSeq: Column): DataFrame =
     current(log.filter(col(seqCol) <= maxSeq), payload)
+
+  // ------------------------------------------------------ typed payloads --
+
+  /** Delta over a typed payload: reconstruct on the string form, cast the
+    * OUTPUT columns. `old_*` is NULL on insert (nothing preceded the row);
+    * a malformed value surfaces as the cast's NULL, exactly as the
+    * reference's `::type` would error-or-null per dialect. */
+  def deltaTyped(log: DataFrame, payload: Seq[TypedField]): DataFrame =
+    payload.foldLeft(log) { (df, f) =>
+      df.withColumn(s"old_${f.name}",
+          when(isInsert, lit(null))
+            .otherwise(lag(col(f.name), 1).over(byEntity)).cast(f.sqlType))
+        .withColumn(s"new_${f.name}", col(f.name).cast(f.sqlType))
+    }
+
+  /** Snapshot over a typed payload: running last non-null string state per
+    * key, cast back to the declared source type (audit.go:1262). */
+  def snapshotTyped(log: DataFrame, payload: Seq[TypedField]): DataFrame =
+    payload.foldLeft(log) { (df, f) =>
+      df.withColumn(s"state_${f.name}",
+        last(col(f.name), ignoreNulls = true).over(running).cast(f.sqlType))
+    }
 
   // ------------------------------------------- statement-level truncate --
 

@@ -188,6 +188,103 @@ object AuditQueries {
       .orderBy("audit_id")
   }
 
+  /** Reference views-only mode (`auditViewsOnly`, audit.go:516; flag
+    * audit.go:34): regenerate the analytical views over an audit table
+    * that already exists, capture untouched. The Spark side first
+    * materializes the audit sink (bucketed+sorted by entity — the
+    * btree-equivalent layout, AuditStorage), then AuditViews.rebuild
+    * derives delta + snapshot + compare reading ONLY the written sink;
+    * the bucketed scan satisfies the windows' distribution so the rebuild
+    * itself plans zero data shuffles (pinned in PlanShapeSpec — the one
+    * exchange in this op is the contractual output ORDER BY). The oracle
+    * recomputes the same views from the raw feed, so the hash also proves
+    * sink round-trip fidelity. */
+  val auditViewsOnly: Q = Q.sql(
+    "audit_views_only",
+    auditCte + s""", snap AS (
+      |  SELECT audit_id, entity_id, operation, k, val,
+      |    last_value(k IGNORE NULLS) OVER ($runningW) AS state_k,
+      |    last_value(val IGNORE NULLS) OVER ($runningW) AS state_val
+      |  FROM audit)
+      |SELECT audit_id, entity_id, operation, state_k, state_val,
+      |  CASE WHEN operation = 'I' THEN NULL ELSE lag(state_k) OVER w END AS old_state_k,
+      |  CASE WHEN operation IN ('D', 'T') THEN NULL ELSE state_k END AS new_state_k,
+      |  CASE WHEN operation = 'I' THEN NULL ELSE lag(state_val) OVER w END AS old_state_val,
+      |  CASE WHEN operation IN ('D', 'T') THEN NULL ELSE state_val END AS new_state_val,
+      |  CASE WHEN operation = 'I' THEN NULL ELSE lag(k) OVER w END AS old_k,
+      |  k AS new_k,
+      |  CASE WHEN operation = 'I' THEN NULL ELSE lag(val) OVER w END AS old_val,
+      |  val AS new_val
+      |FROM snap
+      |WINDOW w AS (PARTITION BY entity_id ORDER BY audit_id)
+      |ORDER BY audit_id""".stripMargin) { (s, d) =>
+    AuditStorage.rewriteBucketed(s,
+      sparse(log(s, d)).select("audit_id", "entity_id", "operation", "k", "val"),
+      table = "graft_audit_sink", buckets = 8)
+    val cfg = AuditConfig.parse(
+      """views_only: true
+        |changed_by: app.changed_by""".stripMargin)
+    AuditViews.rebuild(s, cfg, "graft_audit_sink")
+      .select("audit_id", "entity_id", "operation", "state_k", "state_val",
+        "old_state_k", "new_state_k", "old_state_val", "new_state_val",
+        "old_k", "new_k", "old_val", "new_val")
+      .orderBy("audit_id")
+  }
+
+  /** Typed payload reconstruction (audit.go:1074, :1262): the reference
+    * stores change payloads as type-erased JSON and each generated view
+    * casts every extracted value back to the source column's type —
+    * `(before_change ->> '{col}')::{dataType}`. Here the feed carries an
+    * INT, a DECIMAL(12,2) and a DATE field as extracted strings (the
+    * `->>` form, built with cast/strftime arithmetic shared by both
+    * engines), reconstruction runs on the strings, and the outputs are
+    * cast back via [[TypedField]] — delta old/new pairs plus a typed
+    * snapshot state column. */
+  val auditTypedDelta: Q = Q.sql(
+    "audit_typed_delta",
+    auditCte + s""", typed AS (
+      |  SELECT audit_id, entity_id, operation,
+      |    CAST(k AS VARCHAR) AS k_s,
+      |    CASE WHEN event_type = 'purchase'
+      |      THEN CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) END AS amount_s,
+      |    CASE WHEN operation = 'I' THEN strftime(ts, '%Y-%m-%d') END AS day_s
+      |  FROM audit)
+      |SELECT audit_id, entity_id, operation,
+      |  CAST(CASE WHEN operation = 'I' THEN NULL ELSE lag(k_s) OVER w END AS INT) AS old_k,
+      |  CAST(k_s AS INT) AS new_k,
+      |  CAST(CAST(CASE WHEN operation = 'I' THEN NULL ELSE lag(amount_s) OVER w END
+      |    AS DECIMAL(12,2)) AS DOUBLE) AS old_amount,
+      |  CAST(CAST(amount_s AS DECIMAL(12,2)) AS DOUBLE) AS new_amount,
+      |  CAST(CASE WHEN operation = 'I' THEN NULL ELSE lag(day_s) OVER w END AS DATE) AS old_day,
+      |  CAST(day_s AS DATE) AS new_day,
+      |  CAST(CAST(last_value(amount_s IGNORE NULLS) OVER ($runningW)
+      |    AS DECIMAL(12,2)) AS DOUBLE) AS state_amount
+      |FROM typed
+      |WINDOW w AS (PARTITION BY entity_id ORDER BY audit_id)
+      |ORDER BY audit_id""".stripMargin) { (s, d) =>
+    val typed = sparse(log(s, d)).select(
+      col("audit_id"), col("entity_id"), col("operation"),
+      col("k").cast("string").as("k_s"),
+      when(col("event_type") === "purchase",
+        col("value").cast("decimal(12,2)").cast("string")).as("amount_s"),
+      when(col("operation") === "I", date_format(col("ts"), "yyyy-MM-dd")).as("day_s"))
+    val fields = Seq(
+      TypedField("k_s", "int"), TypedField("amount_s", "decimal(12,2)"),
+      TypedField("day_s", "date"))
+    alg.snapshotTyped(alg.deltaTyped(typed, fields),
+        Seq(TypedField("amount_s", "decimal(12,2)")))
+      .select(
+        col("audit_id"), col("entity_id"), col("operation"),
+        col("old_k_s").as("old_k"), col("new_k_s").as("new_k"),
+        // decimal-typed reconstruction surfaced as DOUBLE (Det convention:
+        // exact work in decimal space; the harness compares float dtypes)
+        col("old_amount_s").cast("double").as("old_amount"),
+        col("new_amount_s").cast("double").as("new_amount"),
+        col("old_day_s").as("old_day"), col("new_day_s").as("new_day"),
+        col("state_amount_s").cast("double").as("state_amount"))
+      .orderBy("audit_id")
+  }
+
   /** Statement-level TRUNCATE semantics (audit.go:854-951, :1362): the
     * reference's truncate trigger fires once per STATEMENT and the views
     * treat it as a table-wide wipe — every entity's reconstructed state is
@@ -869,7 +966,8 @@ object AuditQueries {
   }
 
   val all: Seq[Q] = Seq(
-    auditLog, auditDelta, auditDeltaOld, auditSnapshot, auditCompare,
+    auditLog, auditDelta, auditDeltaOld, auditTypedDelta, auditViewsOnly,
+    auditSnapshot, auditCompare,
     auditCurrent, auditSparse, auditHistory, auditOpsRollup, auditFieldFreq,
     auditEntityActivity, auditGapDetect, auditHourly, auditSessionize,
     auditValueQuantiles, auditApproxEntities, auditAsofState,

@@ -33,4 +33,22 @@ object AuditStorage {
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Idempotent (re)write of a bucketed audit sink. The in-memory catalog
+    * forgets tables between JVM runs while warehouse files persist, so a
+    * bare overwrite can fail on a stale non-empty location — drop both
+    * first. */
+  def rewriteBucketed(
+      spark: SparkSession, log: DataFrame, table: String, buckets: Int,
+      pkCol: String = "entity_id", seqCol: String = "audit_id"): String = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
+    writeBucketed(log, table, buckets, pkCol, seqCol)
+  }
 }

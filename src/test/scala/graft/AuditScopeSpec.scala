@@ -100,6 +100,29 @@ class AuditScopeSpec extends AnyFunSuite {
     assert(cfg.admits("any.table"))
   }
 
+  test("required capture settings: missing changed_by hard-fails at setup") {
+    // reference ensureSettingExists (audit.go:559-581): setup refuses to
+    // install capture when audit_star.changed_by is unset
+    val cfg = AuditConfig.parse("views_only: true")
+    val e = intercept[IllegalStateException](AuditConfig.validateCapture(cfg))
+    assert(e.getMessage.contains("changed_by"))
+  }
+
+  test("required capture settings: present changed_by validates unchanged") {
+    val cfg = AuditConfig.parse("changed_by: app.changed_by\nhost: localhost")
+    assert(AuditConfig.validateCapture(cfg) === cfg)
+    // extra required keys are also enforced
+    val e = intercept[IllegalStateException](
+      AuditConfig.validateCapture(cfg, required = Seq("changed_by", "db_name")))
+    assert(e.getMessage.contains("db_name") && !e.getMessage.contains("changed_by,"))
+  }
+
+  test("views-only rebuild refuses a config without the views_only flag") {
+    val cfg = AuditConfig.parse("changed_by: app.changed_by")
+    intercept[IllegalArgumentException](
+      graft.audit.AuditViews.rebuild(TestSession.spark, cfg, "no_such_table"))
+  }
+
   test("payload truncation mirrors the trigger bounds") {
     val df = Seq("x" * 600).toDF("v")
       .select(length(AuditScope.truncateValue(col("v"))).as("lv"),

@@ -64,6 +64,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 3, s"truncate_reset window stack split:\n$p")
   }
 
+  test("audit_views_only: rebuild over the bucketed sink is shuffle-free") {
+    // the op's fn writes the sink eagerly, then returns the lazy rebuild;
+    // the bucketed scan satisfies every window's distribution, so the ONE
+    // exchange left is the contractual output ORDER BY
+    val p = finalPlan(SparkEntry.queries("audit_views_only")(spark, sfDir))
+    assert(shuffles(p) <= 1, s"views-only rebuild gained a data exchange:\n$p")
+  }
+
   // --- size-gated broadcast discipline -------------------------------
   // Policy (Relational.scala scaladoc): bounded dims (region/nation/
   // supplier) carry an explicit broadcast hint; sf-scaling tables
