@@ -538,8 +538,170 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ------------------------- parameterized k-means IVF (k cells, Lloyd) --
+
+  private val l2Fold =
+    "aggregate(zip_with(emb_d, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"
+
+  /** K-means-trained centroid ranks with cell count and Lloyd rounds as
+    * REAL knobs — the 100 TB shape the fixed label quantizer only sketched
+    * (cells in the hundreds-to-thousands, trained, nprobe a parameter).
+    *
+    * Deterministic everywhere so the DuckDB oracle reproduces training
+    * bit-for-bit: seeds are the embeddings of the k smallest vec_ids
+    * (cid = rank); each Lloyd round assigns every vector to its nearest
+    * centroid (L2² folded in array order, ties by cid — argmin as an
+    * order-independent `min(struct(dist, cid))`, partial-aggregating
+    * map-side) and recomputes centroids as decimal-exact per-dim means.
+    * A cluster that loses all members simply drops out, identically in
+    * both engines.
+    *
+    * Scale shape per round: centroids are a broadcast (k × dims doubles);
+    * assignment is one corpus scan + a groupBy(vec) partial agg; centroid
+    * recompute is one partial-aggregating shuffle on (cid, dim). Rounds
+    * are O(log-ish) few and each is linear — the standard distributed
+    * Lloyd schedule. */
+  private def kmeansRanks(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val embD = e.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("emb_d"))
+    val seedW = Window.orderBy("vec_id") // k rows post-limit: single tiny partition
+    var cent = embD.orderBy("vec_id").limit(k)
+      .select(row_number().over(seedW).as("cid"), col("emb_d").as("cv"))
+    for (_ <- 1 to rounds) {
+      val assign = embD.join(broadcast(cent))
+        .withColumn("dist", expr(l2Fold))
+        .groupBy("vec_id").agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+      cent = assign.join(embD, "vec_id")
+        .select(col("cid"), posexplode(col("emb_d")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg((Det.dsum9(col("v")) / count(lit(1))).as("c"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+    }
+    embD.join(broadcast(cent))
+      .withColumn("dist", expr(l2Fold))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+  }
+
+  /** Oracle twin of [[kmeansRanks]] (rounds = 2 unrolled as CTE hops) +
+    * the probe/search CTEs; ends with `iv3` = the index's top-3 ids. */
+  private def kmeansSearchSql(k: Int, nprobe: Int): String = {
+    def dist(e: String, c: String) =
+      s"list_sum(list_transform(range(1, 65), i -> ($e[i] - $c[i]) * ($e[i] - $c[i])))"
+    def assignCte(src: String) =
+      s"""(SELECT vec_id, cid FROM (
+         |   SELECT e.vec_id, s.cid, row_number() OVER (
+         |     PARTITION BY e.vec_id ORDER BY ${dist("e.emb", "s.cv")}, s.cid) AS rn
+         |   FROM e, $src s) WHERE rn = 1)""".stripMargin
+    def centCte(asg: String) =
+      s"""(SELECT cid, list(c ORDER BY dim) AS cv FROM (
+         |   SELECT $asg.cid, u.dim,
+         |     CAST(sum(CAST(u.v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+         |   FROM $asg JOIN e USING (vec_id),
+         |     LATERAL (SELECT unnest(e.emb) AS v, generate_subscripts(e.emb, 1) AS dim) u
+         |   GROUP BY $asg.cid, u.dim) GROUP BY cid)""".stripMargin
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, emb AS cv
+       |          FROM e ORDER BY vec_id LIMIT $k),
+       |a1 AS ${assignCte("seeds")},
+       |c1 AS ${centCte("a1")},
+       |a2 AS ${assignCte("c1")},
+       |c2 AS ${centCte("a2")},
+       |ar AS (SELECT e.vec_id, s.cid, row_number() OVER (
+       |         PARTITION BY e.vec_id ORDER BY ${dist("e.emb", "s.cv")}, s.cid) AS rn
+       |       FROM e, c2 s),
+       |assign AS (SELECT vec_id, cid AS cell FROM ar WHERE rn = 1),
+       |qprobe AS (SELECT vec_id, cid AS cell, CAST(rn AS INT) AS probe
+       |           FROM ar WHERE rn <= $nprobe AND vec_id < 10),
+       |q AS (SELECT e.vec_id AS query_id, e.emb AS qe, p.cell, p.probe
+       |      FROM e JOIN qprobe p ON e.vec_id = p.vec_id),
+       |cands AS (SELECT e.vec_id AS neighbor_id, e.emb AS ce, a.cell
+       |          FROM e JOIN assign a ON e.vec_id = a.vec_id),
+       |s AS (SELECT query_id, neighbor_id, q.cell, q.probe,
+       |        round(list_cosine_similarity(qe, ce), 4) AS cos_sim
+       |      FROM q JOIN cands ON q.cell = cands.cell
+       |        AND cands.neighbor_id <> q.query_id),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |      FROM s)""".stripMargin
+  }
+
+  /** Spark search path over [[kmeansRanks]]: database vectors keep their
+    * rn = 1 cell; queries probe their `nprobe` nearest cells (fan-out only
+    * on the bounded broadcast query side; every candidate lives in exactly
+    * one cell, so nothing scores twice). */
+  private def kmeansSearch(s: SparkSession, d: String,
+      k: Int, rounds: Int, nprobe: Int): DataFrame = {
+    val e = emb(s, d)
+    // cached for the same reason as ann_ivf_multiprobe: assign and qprobe
+    // both branch off training; ≤nprobe tiny rows per vector
+    val ranks = kmeansRanks(e, k, rounds).filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("cid"), col("rn")).cache()
+    val assign = ranks.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val qprobe = ranks.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("cid").as("qcell"), col("rn").cast("int").as("probe"))
+    val q = e.join(qprobe, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("qcell"), col("probe"))
+    val rankW = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    e.join(assign, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("cell"))
+      .join(broadcast(q), col("qcell") === col("cell") && col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("probe"),
+        cosR(col("qe"), col("ce")).as("cos_sim"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Parameterized trained IVF at k = 64 cells, 2 Lloyd rounds,
+    * nprobe = 2 — the knobs the fixed 20-cell label quantizer lacked. */
+  val annIvfKmeans: Q = Q.sql(
+    "ann_ivf_kmeans",
+    s"""WITH ${kmeansSearchSql(k = 64, nprobe = 2)}
+       |SELECT query_id, neighbor_id, cell, probe, cos_sim, rank
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    kmeansSearch(s, d, k = 64, rounds = 2, nprobe = 2)
+  }
+
+  /** Recall@3 audit of the k-means index vs brute-force ground truth —
+    * same estimate-globally/verify-locally shape as ann_recall; VectorSpec
+    * asserts it dominates the sign-bit index per query. */
+  val annRecallKmeans: Q = Q.sql(
+    "ann_recall_kmeans",
+    s"""WITH ${kmeansSearchSql(k = 64, nprobe = 2)},
+       |iv3 AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+       |bf AS (SELECT q2.query_id, e.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(q2.qe, e.emb), 4) AS cs
+       |       FROM (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10) q2
+       |       JOIN e ON e.vec_id <> q2.query_id),
+       |bf3 AS (SELECT query_id, neighbor_id FROM (
+       |          SELECT *, row_number() OVER (
+       |            PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+       |          FROM bf) WHERE rk <= 3)
+       |SELECT b.query_id, count(i.neighbor_id) AS n_hits, count(*) AS n_exact,
+       |  round(count(i.neighbor_id) / 3.0, 4) AS recall_at_3
+       |FROM bf3 b LEFT JOIN iv3 i
+       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin) { (s, d) =>
+    val bf3 = annTopk.fn(s, d).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val iv3 = annIvfKmeans.fn(s, d)
+      .select(col("query_id").as("iv_query"), col("neighbor_id").as("iv_neighbor"))
+    bf3.join(iv3,
+        col("query_id") === col("iv_query") && col("neighbor_id") === col("iv_neighbor"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(col("iv_neighbor")).as("n_hits"), count(lit(1)).as("n_exact"),
+        round(count(col("iv_neighbor")) / 3.0, 4).as("recall_at_3"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[Q] = Seq(
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
     embNormalize, embQuantize, annPq, annPqSearch, annRecall,
-    annIvfMultiprobe)
+    annIvfMultiprobe, annIvfKmeans, annRecallKmeans)
 }

@@ -63,6 +63,23 @@ class VectorSpec extends AnyFunSuite {
     assert(bad.checkInputDataTypes().isFailure)
   }
 
+  test("k-means IVF (k=64, nprobe=2) recall@3 dominates the sign-bit index per query") {
+    // the parameterized trained quantizer must be worth its training cost:
+    // recall at least matches the untrained 16-cell sign-bit index on
+    // EVERY query, and strictly beats it in aggregate
+    def recalls(q: graft.Q): Map[Long, Double] =
+      q.fn(spark, TestSession.sfDir)
+        .select(col("query_id").cast("long"), col("recall_at_3").cast("double"))
+        .as[(Long, Double)].collect().toMap
+    val signBit = recalls(graft.vector.Similarity.annRecall)
+    val kmeans = recalls(graft.vector.Similarity.annRecallKmeans)
+    assert(kmeans.keySet === signBit.keySet)
+    signBit.foreach { case (q, r) =>
+      assert(kmeans(q) >= r, s"query $q: kmeans ${kmeans(q)} < sign-bit $r")
+    }
+    assert(kmeans.values.sum > signBit.values.sum)
+  }
+
   test("ann_pq: 4 codes per vector from the label domain, codebook broadcast") {
     val df = graft.vector.Similarity.annPq.fn(spark, TestSession.sfDir)
     df.collect() // force execution so AQE finalizes the plan
