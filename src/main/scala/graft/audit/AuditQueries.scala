@@ -762,12 +762,23 @@ object AuditQueries {
     * shuffle). Rows-only: sketch estimates are engine-specific; the spec
     * bounds the error against the exact count. */
   val auditApproxEntities: Q = Q.rowsOnly("audit_approx_entities") { (s, d) =>
+    // rows-only by design (HLL++ sketch values are engine-specific), but
+    // the output carries its own semantic audit: exact distinct alongside
+    // the sketch and `within_bound` = relative error ≤ 10% (5× the
+    // configured 2% rsd — comfortably past the sketch's 3-sigma tail, so
+    // a false alarm means the sketch is actually broken). The driver's
+    // rows>0 check therefore lands on rows that each assert their own
+    // invariant; SketchSpec enforces within_bound = true for every day.
     log(s, d)
       .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
       .agg(
         approx_count_distinct("entity_id", 0.02).as("approx_entities"),
         countDistinct("entity_id").as("exact_entities"),
         count(lit(1)).as("n_changes"))
+      .withColumn("rel_err",
+        round(abs(col("approx_entities") - col("exact_entities"))
+          / col("exact_entities"), 4))
+      .withColumn("within_bound", col("rel_err") <= 0.10)
       .orderBy("day")
   }
 

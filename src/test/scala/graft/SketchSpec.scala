@@ -17,4 +17,12 @@ class SketchSpec extends AnyFunSuite {
         s"approx=$approx exact=$exact")
     }
   }
+
+  test("the op's own within_bound invariant column holds on every row") {
+    // the driver-visible semantic check: each output row asserts its own
+    // sketch-error bound, so a rows>0 gate is no longer content-blind
+    val df = SparkEntry.queries("audit_approx_entities")(spark, sfDir)
+    assert(df.columns.contains("within_bound") && df.columns.contains("rel_err"))
+    assert(df.filter(!org.apache.spark.sql.functions.col("within_bound")).count() === 0)
+  }
 }
