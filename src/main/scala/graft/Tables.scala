@@ -23,15 +23,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as raw long nanos and truncate to microseconds (the
-    * engine's native timestamp precision). Integer division — a double
-    * round-trip would lose precision above 2^53 ns. */
+  /** events.ts in the driver's data is parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects; read it as raw long nanos and
+    * truncate to microseconds (the engine's native timestamp precision).
+    * Integer division — a double round-trip would lose precision above
+    * 2^53 ns. Re-materialized feeds (e.g. the gen_scale.py sf1 replica)
+    * carry ts already at micros; accept both encodings. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    graft.sources.FeedSources.normalize(apply(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -741,20 +741,45 @@ object AuditQueries {
 
   /** Per-operation value quantiles (exact interpolated percentiles — both
     * engines implement the same (1-f)*a + f*b continuous quantile). */
-  val auditValueQuantiles: Q = Q.sql(
-    "audit_value_quantiles",
-    auditCte +
-      """SELECT operation,
-        |  round(quantile_cont(value, 0.5), 2) AS p50,
-        |  round(quantile_cont(value, 0.9), 2) AS p90,
-        |  round(quantile_cont(value, 0.99), 2) AS p99
-        |FROM audit GROUP BY operation ORDER BY operation""".stripMargin) { (s, d) =>
-    log(s, d).groupBy("operation")
-      .agg(
-        round(expr("percentile(value, 0.5)"), 2).as("p50"),
-        round(expr("percentile(value, 0.9)"), 2).as("p90"),
-        round(expr("percentile(value, 0.99)"), 2).as("p99"))
-      .orderBy("operation")
+  val auditValueQuantiles: Q = {
+    // Linear-interpolated quantile with the interpolation expression
+    // SHARED TEXTUALLY between engines. Native implementations
+    // (Spark `percentile`, DuckDB `quantile_cont`) interpolate with
+    // differently-ordered fp expressions; on a tie-adjacent value
+    // (e.g. an exact .xx5 midpoint, first observed at sf1) the 1-ulp
+    // difference flips round(·, 2). Running the identical IEEE
+    // expression on both sides makes the double — and its rounding —
+    // bit-equal, and the sorted-rank formulation is also explicitly
+    // partition-independent.
+    // floor(x*100 + 0.5)/100 instead of round(x, 2): Spark's round goes
+    // through the double's SHORTEST decimal repr (BigDecimal.valueOf) while
+    // DuckDB rounds the exact binary value — 34.92499…97 prints "34.925"
+    // and the engines split. The floor form is pure IEEE arithmetic, so
+    // identical text ⇒ bit-identical output (same trick as emb_quantize).
+    def qexpr(f: String, name: String): String = {
+      val lo = s"max(CASE WHEN rn = CAST(floor((n - 1) * $f) AS BIGINT) THEN value END)"
+      val hi = s"max(CASE WHEN rn = CAST(floor((n - 1) * $f) AS BIGINT) + 1 THEN value END)"
+      val frac = s"((max(n) - 1) * $f - CAST(floor((max(n) - 1) * $f) AS BIGINT))"
+      s"floor(($lo + (coalesce($hi, $lo) - $lo) * $frac) * 100 + 0.5) / 100 AS $name"
+    }
+    def sel(src: String): String =
+      s"""WITH o AS (
+         |  SELECT operation, value,
+         |    row_number() OVER (PARTITION BY operation ORDER BY value, audit_id) - 1 AS rn,
+         |    count(*) OVER (PARTITION BY operation) AS n
+         |  FROM $src WHERE value IS NOT NULL)
+         |SELECT operation,
+         |  ${qexpr("0.5", "p50")},
+         |  ${qexpr("0.9", "p90")},
+         |  ${qexpr("0.99", "p99")}
+         |FROM o GROUP BY operation ORDER BY operation""".stripMargin
+    Q.sql(
+      "audit_value_quantiles",
+      auditCte + sel("audit").replaceFirst("^WITH o AS", ", o AS")) { (s, d) =>
+      log(s, d).select("audit_id", "operation", "value")
+        .createOrReplaceTempView("graft_vq_base")
+      s.sql(sel("graft_vq_base"))
+    }
   }
 
   /** Sketch-based distinct entities per day — the 100 TB path for entity

@@ -30,14 +30,38 @@ object FeedSources {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Canonical ts normalization: epoch nanos → engine-native micros
-    * (integer division; a double round-trip loses precision above 2^53). */
-  def normalize(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Canonical ts normalization to the engine-native instant-micros
+    * TIMESTAMP, tolerant of the feed's physical encoding:
+    *   - LONG epoch nanos (the driver's TIMESTAMP(NANOS) read via
+    *     nanosAsLong): integer-divide to micros — a double round-trip
+    *     loses precision above 2^53 ns;
+    *   - TIMESTAMP_NTZ micros (re-materialized feeds, e.g. the
+    *     gen_scale.py replicas): cast — the session runs pinned to UTC,
+    *     so the wall-clock reading is the same instant;
+    *   - TIMESTAMP: already native. */
+  def normalize(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => raw
+  }
+
+  /** [[feedSchema]] with ts matching the actual file encoding — file
+    * streaming sources require an explicit schema, and a LongType ts over
+    * a TIMESTAMP-encoded file (or vice versa) mis-reads. One batch footer
+    * peek decides. */
+  def feedSchemaFor(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val actual = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(dir).schema("ts").dataType
+    StructType(feedSchema.map(f => if (f.name == "ts") f.copy(dataType = actual) else f))
+  }
 
   def parquetFeed(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalize(spark.read.schema(feedSchema).parquet(path))
+    // parquet is self-describing: honor the file's ts encoding and let
+    // normalize converge it (a forced LongType over a TIMESTAMP file
+    // mis-reads)
+    normalize(spark.read.parquet(path))
   }
 
   def csvFeed(spark: SparkSession, path: String): DataFrame =

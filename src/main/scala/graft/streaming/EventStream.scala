@@ -28,9 +28,11 @@ object EventStream {
     * paths must never desynchronize. */
   def readFeed(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // file streaming sources need a directory; narrow to the feed file
+    // file streaming sources need a directory; narrow to the feed file.
+    // Schema matches the file's actual ts encoding (nanos-long vs micros
+    // timestamp) — normalize converges both to instant-micros.
     graft.sources.FeedSources.normalize(
-        s.readStream.schema(graft.sources.FeedSources.feedSchema)
+        s.readStream.schema(graft.sources.FeedSources.feedSchemaFor(s, d))
           .option("pathGlobFilter", "events.parquet").parquet(d))
       .withColumn("operation", graft.audit.AuditModel.operation)
   }
