@@ -350,7 +350,50 @@ object CorpusOps {
       .orderBy("lang", "source")
   }
 
+  /** Deterministic stratified train/val/test split (90/5/5): the split of
+    * a document is a pure function of its id — `md5(doc_id)`-derived
+    * bucket mod 100 — NOT of row order, partitioning, or corpus size. At
+    * 100 TB that property is what makes the split reproducible across
+    * re-shards and incremental ingests: a document keeps its split for
+    * life, and train/eval contamination can't creep in through a
+    * re-partition. Output: per-(lang, source) stratum composition with
+    * each split's document/token share — the skew readout (id-hash
+    * splitting guarantees global fractions, not per-stratum ones).
+    *
+    * Per-row map + one partial-aggregating groupBy; the share window runs
+    * over the tiny aggregated stratum table. */
+  val corpusSplit: Q = {
+    val duckBucket = s"${TextOps.duckWordHash("CAST(doc_id AS VARCHAR)")} % 100"
+    val sparkBucket = s"${TextOps.sparkWordHash("cast(doc_id as string)")} % 100"
+    def splitCase(b: String) =
+      s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' ELSE 'test' END"
+    Q.sql(
+      "corpus_split",
+      s"""WITH b AS (
+         |  SELECT lang, source, ${splitCase(duckBucket)} AS split,
+         |    len(str_split(text, ' ')) AS n_words
+         |  FROM documents),
+         |c AS (SELECT lang, source, split, count(*) AS n_docs,
+         |        CAST(sum(n_words) AS BIGINT) AS n_words
+         |      FROM b GROUP BY lang, source, split)
+         |SELECT lang, source, split, n_docs, n_words,
+         |  round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang, source), 4)
+         |    AS doc_share
+         |FROM c ORDER BY lang, source, split""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang", "source")
+      docs(s, d)
+        .select(col("lang"), col("source"),
+          expr(splitCase(sparkBucket)).as("split"),
+          size(split(col("text"), " ")).as("n_words"))
+        .groupBy("lang", "source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"))
+        .withColumn("doc_share",
+          round(col("n_docs") * lit(1.0) / sum("n_docs").over(w), 4))
+        .orderBy("lang", "source", "split")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     docRepetition, qualityFilter, decontaminate, corpusMix, tokenHistogram,
-    packSequences, corpusFunnel)
+    packSequences, corpusFunnel, corpusSplit)
 }
