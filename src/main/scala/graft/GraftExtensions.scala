@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
+import graft.audit.ArrayFloorSearch
 import graft.text.{MinHashSig, WordShingles}
-import graft.vector.CosineSimilarity
+import graft.vector.{CosineSimilarity, L2Squared}
 
 /** Engine extension surface.
   *
@@ -52,7 +53,13 @@ object GraftFunctions {
       }): Builder),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
-      ((exprs: Seq[Expression]) => MinHashSig(exprs(0))): Builder))
+      ((exprs: Seq[Expression]) => MinHashSig(exprs(0))): Builder),
+    (FunctionIdentifier("graft_floor_search"),
+      new ExpressionInfo(classOf[ArrayFloorSearch].getName, "graft_floor_search"),
+      ((exprs: Seq[Expression]) => ArrayFloorSearch(exprs(0), exprs(1))): Builder),
+    (FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
+      ((exprs: Seq[Expression]) => L2Squared(exprs(0), exprs(1))): Builder))
 
   /** Idempotent runtime registration for externally-built sessions. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -72,4 +79,12 @@ object GraftFunctions {
   /** Column-API form of the native cosine expression. */
   def graftCosine(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
+
+  /** Column-API form of the native sorted-array floor search. */
+  def graftFloorSearch(sorted: Column, v: Column): Column =
+    call_function("graft_floor_search", sorted, v)
+
+  /** Column-API form of the native squared-L2 distance. */
+  def graftL2sq(a: Column, b: Column): Column =
+    call_function("graft_l2sq", a, b)
 }

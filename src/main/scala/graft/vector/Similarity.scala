@@ -73,12 +73,14 @@ object Similarity {
       |         PARTITION BY vec_id ORDER BY dist, clabel) AS rn FROM ad)""".stripMargin
 
   /** Spark twin of `ar`: every (vector, centroid) pair ranked by L2²
-    * (ties by label) — filter rn = 1 for assignment, rn ≤ p for probes. */
+    * (ties by label) — filter rn = 1 for assignment, rn ≤ p for probes.
+    * Distance runs through the native graft_l2sq loop (bit-identical to
+    * the HOF fold and the oracle's list_sum, minus the per-pair array
+    * allocation). */
   private def centroidRanks(e: DataFrame): DataFrame = e
     .withColumn("emb_d", expr("transform(embedding, x -> cast(x as double))"))
     .join(broadcast(labelCentroids(e)))
-    .withColumn("dist", expr(
-      "aggregate(zip_with(emb_d, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"))
+    .withColumn("dist", expr("graft_l2sq(emb_d, cv)"))
     .withColumn("rn", row_number().over(
       Window.partitionBy("vec_id").orderBy(col("dist"), col("clabel"))))
 
@@ -90,10 +92,7 @@ object Similarity {
       .withColumn("m", explode(array((1 to 4).map(lit): _*)))
       .join(broadcast(labelCentroids(e)))
       .withColumn("dist", expr(
-        """aggregate(
-          |  zip_with(slice(emb_d, (m-1)*16 + 1, 16), slice(cv, (m-1)*16 + 1, 16),
-          |    (x, y) -> (x - y) * (x - y)),
-          |  0D, (a, b) -> a + b)""".stripMargin))
+        "graft_l2sq(slice(emb_d, (m-1)*16 + 1, 16), slice(cv, (m-1)*16 + 1, 16))"))
     val aminW = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("clabel"))
     ad.withColumn("rn", row_number().over(aminW)).filter(col("rn") === 1)
       .select(col("vec_id"), col("m"), col("clabel").as("code"), col("dist"))
@@ -162,44 +161,59 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs via random-hyperplane LSH: 2 bands of
-    * 4 sign bits each (dims 1-4 and 5-8 act as the fixed "random"
-    * hyperplanes — axis-aligned, so both engines derive identical bits);
-    * candidates are pairs sharing EITHER band's bucket (the classic
+    * sign bits (axis-aligned hyperplanes, so both engines derive identical
+    * bits); candidates are pairs sharing EITHER band's bucket (the classic
     * multi-table OR for recall), residual check = exact cosine ≥ 0.35.
     *
-    * Scale shape: the candidate join is an equi-join on (band, bucket) —
-    * shuffle-partitionable; unlike a label block (constant cardinality ⇒
-    * bucket size ∝ corpus), bits-per-band grows as log₂(n/target_bucket)
-    * so the per-bucket pair count stays bounded as the corpus grows. */
+    * Scale shape — ADAPTIVE bits-per-band (round 4): a fixed bit count
+    * means bucket size ∝ corpus and the candidate join quietly goes
+    * quadratic (measured 1.0 s → 26.8 s at sf0.1 → sf1 with 4 fixed
+    * bits). Bits now grow with the corpus: the smallest b ∈ [4, 16] with
+    * 32·2^b ≥ n (integer comparisons only — a float log₂ would be
+    * libm-dependent and could split the engines at a boundary), so the
+    * expected bucket stays ≈ 32 vectors and per-bucket pair work is
+    * bounded as the corpus grows. Band k reads dims (k-1)·b+1 … k·b;
+    * b ≤ 16 keeps both bands inside the 64-dim vector with room for more
+    * bands. At sf0.01 (n=500 ⇒ b=4) this reproduces the previous
+    * semantics bit-for-bit. */
   val dedupEmbedding: Q = {
-    def duckBucket(off: Int): String =
-      (1 to 4).map(i => s"CAST(emb[${off + i}] > 0 AS INT) * ${1 << (4 - i)}")
-        .mkString(" + ")
+    // CASE chain valid in BOTH dialects; 32·2^16 = 2M vectors headroom
+    val bitsCase = (4 to 15).map(b => s"WHEN n <= ${32L * (1L << b)} THEN $b")
+      .mkString("CASE ", " ", " ELSE 16 END")
     Q.sql(
       "dedup_embedding",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |           FROM embeddings),
-        |b AS (SELECT vec_id, ${duckBucket(0)} AS b1, ${duckBucket(4)} AS b2
-        |      FROM e),
-        |bands AS (SELECT vec_id, 1 AS band, b1 AS bucket FROM b
-        |          UNION ALL SELECT vec_id, 2 AS band, b2 AS bucket FROM b),
+        |n1 AS (SELECT count(*) AS n FROM e),
+        |eb AS (SELECT vec_id, emb, ($bitsCase) AS b FROM e, n1),
+        |bands AS (SELECT vec_id, band,
+        |            list_sum(list_transform(range(1, b + 1),
+        |              i -> CASE WHEN emb[(band - 1) * b + i] > 0
+        |                   THEN (CAST(1 AS BIGINT) << CAST(b - i AS INT))
+        |                   ELSE CAST(0 AS BIGINT) END)) AS bucket
+        |          FROM eb, (SELECT unnest([1, 2]) AS band) bb),
         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
         |         FROM bands x JOIN bands y
         |           ON x.band = y.band AND x.bucket = y.bucket
         |              AND x.vec_id < y.vec_id)
         |SELECT id_a, id_b,
-        |  round(list_cosine_similarity(ea.emb, eb.emb), 4) AS cos_sim
-        |FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
-        |WHERE round(list_cosine_similarity(ea.emb, eb.emb), 4) >= 0.35
+        |  round(list_cosine_similarity(ea.emb, eb2.emb), 4) AS cos_sim
+        |FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb2 ON eb2.vec_id = id_b
+        |WHERE round(list_cosine_similarity(ea.emb, eb2.emb), 4) >= 0.35
         |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin) { (s, d) =>
-      def bucket(off: Int): Column =
-        (1 to 4).map(i =>
-          when(element_at(col("embedding"), off + i) > 0f, 1 << (4 - i)).otherwise(0))
-          .reduce(_ + _).cast("int")
       val e = emb(s, d)
-      val bands = e.select(col("vec_id"),
-          posexplode(array(bucket(0), bucket(4))).as(Seq("band0", "bucket")))
-        .select(col("vec_id"), col("band0").as("band"), col("bucket"))
+      val n1 = e.agg(count(lit(1)).as("n"))
+      val bands = e.crossJoin(broadcast(n1))
+        .withColumn("b", expr(bitsCase))
+        .select(col("vec_id"), col("b"), col("embedding"),
+          explode(expr("array(1, 2)")).as("band"))
+        .withColumn("bucket", expr(
+          """aggregate(transform(sequence(1, b),
+            |    i -> IF(element_at(embedding, CAST((band - 1) * b + i AS INT)) > CAST(0 AS DOUBLE),
+            |            shiftleft(CAST(1 AS BIGINT), CAST(b - i AS INT)),
+            |            CAST(0 AS BIGINT))),
+            |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+        .select("vec_id", "band", "bucket")
       val cand = bands.select(col("vec_id").as("id_a"), col("band"), col("bucket"))
         .join(bands.select(col("vec_id").as("id_b"), col("band"), col("bucket")),
           Seq("band", "bucket"))
@@ -429,9 +443,7 @@ object Similarity {
     val rankW = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))
     recon.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(expr(
-          "aggregate(zip_with(qe, rv, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"),
-          6).as("adc_dist"))
+        round(expr("graft_l2sq(qe, rv)"), 6).as("adc_dist"))
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= 3)
       .orderBy("query_id", "rank")
@@ -540,8 +552,9 @@ object Similarity {
 
   // ------------------------- parameterized k-means IVF (k cells, Lloyd) --
 
-  private val l2Fold =
-    "aggregate(zip_with(emb_d, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"
+  // native codegen loop; bit-identical to the zip_with/aggregate HOF fold
+  // it replaced (left-to-right accumulation) without per-pair allocation
+  private val l2Fold = "graft_l2sq(emb_d, cv)"
 
   /** K-means-trained centroid ranks with cell count and Lloyd rounds as
     * REAL knobs — the 100 TB shape the fixed label quantizer only sketched
