@@ -412,14 +412,30 @@ object Similarity {
     * codebook (no shuffle), and the query side is broadcast as in
     * ann_topk — the corpus streams once; ADC distances are rounded before
     * ranking so tie-breaks see identical values in both engines. */
+  /** Oracle CTEs (cw, recon) reconstructing every database vector from its
+    * PQ codes — shared by the ADC serve path and its composites. */
+  private val pqReconCtesSql: String =
+    """cw AS (SELECT a.vec_id, a.m, cent.cv[(a.m-1)*16 + 1 : a.m*16] AS sub_cw
+      |       FROM amin a JOIN cent ON cent.clabel = a.code),
+      |recon AS (SELECT vec_id, flatten(list(sub_cw ORDER BY m)) AS rv
+      |          FROM cw GROUP BY vec_id)""".stripMargin
+
+  /** Spark twin of `recon`: (vec_id, rv) with rv = the concatenation of
+    * the vector's four nearest sub-codewords (broadcast codebook join —
+    * no shuffle; exactly what a PQ index stores, expanded). */
+  private def pqRecon(e: DataFrame): DataFrame =
+    pqAmin(e)
+      .join(broadcast(labelCentroids(e)), col("code") === col("clabel"))
+      .withColumn("sub_cw", expr("slice(cv, (m-1)*16 + 1, 16)"))
+      .groupBy("vec_id")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(m, sub_cw))), x -> x.sub_cw))")
+        .as("rv"))
+
   val annPqSearch: Q = Q.sql(
     "ann_pq_search",
     s"""WITH $centCtesSql,
       |$pqAminCtesSql,
-      |cw AS (SELECT a.vec_id, a.m, cent.cv[(a.m-1)*16 + 1 : a.m*16] AS sub_cw
-      |       FROM amin a JOIN cent ON cent.clabel = a.code),
-      |recon AS (SELECT vec_id, flatten(list(sub_cw ORDER BY m)) AS rv
-      |          FROM cw GROUP BY vec_id),
+      |$pqReconCtesSql,
       |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
       |s AS (SELECT query_id, r.vec_id AS neighbor_id,
       |        round(list_sum(list_transform(range(1, 65),
@@ -431,12 +447,7 @@ object Similarity {
       |SELECT query_id, neighbor_id, adc_dist, rank
       |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val e = emb(s, d)
-    val recon = pqAmin(e)
-      .join(broadcast(labelCentroids(e)), col("code") === col("clabel"))
-      .withColumn("sub_cw", expr("slice(cv, (m-1)*16 + 1, 16)"))
-      .groupBy("vec_id")
-      .agg(expr("flatten(transform(array_sort(collect_list(struct(m, sub_cw))), x -> x.sub_cw))")
-        .as("rv"))
+    val recon = pqRecon(e)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"),
         expr("transform(embedding, x -> cast(x as double))").as("qe"))
