@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.audit.ArrayFloorSearch
+import graft.audit.{ArrayBucket, ArrayFloorSearch}
 import graft.text.{MinHashSig, WordShingles}
 import graft.vector.{CosineSimilarity, L2Squared}
 
@@ -59,7 +59,10 @@ object GraftFunctions {
       ((exprs: Seq[Expression]) => ArrayFloorSearch(exprs(0), exprs(1))): Builder),
     (FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
-      ((exprs: Seq[Expression]) => L2Squared(exprs(0), exprs(1))): Builder))
+      ((exprs: Seq[Expression]) => L2Squared(exprs(0), exprs(1))): Builder),
+    (FunctionIdentifier("graft_array_bucket"),
+      new ExpressionInfo(classOf[ArrayBucket].getName, "graft_array_bucket"),
+      ((exprs: Seq[Expression]) => ArrayBucket(exprs(0), exprs(1))): Builder))
 
   /** Idempotent runtime registration for externally-built sessions. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -87,4 +90,8 @@ object GraftFunctions {
   /** Column-API form of the native squared-L2 distance. */
   def graftL2sq(a: Column, b: Column): Column =
     call_function("graft_l2sq", a, b)
+
+  /** Column-API form of the native sorted-array range-bucket assigner. */
+  def graftArrayBucket(boundaries: Column, v: Column): Column =
+    call_function("graft_array_bucket", boundaries, v)
 }

@@ -762,25 +762,120 @@ object AuditQueries {
       val frac = s"((max(n) - 1) * $f - CAST(floor((max(n) - 1) * $f) AS BIGINT))"
       s"floor(($lo + (coalesce($hi, $lo) - $lo) * $frac) * 100 + 0.5) / 100 AS $name"
     }
-    def sel(src: String): String =
-      s"""WITH o AS (
-         |  SELECT operation, value,
-         |    row_number() OVER (PARTITION BY operation ORDER BY value, audit_id) - 1 AS rn,
-         |    count(*) OVER (PARTITION BY operation) AS n
-         |  FROM $src WHERE value IS NOT NULL)
-         |SELECT operation,
+    // Final aggregation over per-row (operation, value, rn, n) — this text
+    // is the part shared between engines (see scaladoc above).
+    def finalSel(src: String): String =
+      s"""SELECT operation,
          |  ${qexpr("0.5", "p50")},
          |  ${qexpr("0.9", "p90")},
          |  ${qexpr("0.99", "p99")}
-         |FROM o GROUP BY operation ORDER BY operation""".stripMargin
+         |FROM $src GROUP BY operation ORDER BY operation""".stripMargin
+    // Oracle-side rank assignment: the textbook single window. Fine in
+    // DuckDB (single node); NOT how the Spark side ranks — see below.
+    val oracleRanks =
+      """, o AS (
+        |  SELECT operation, value,
+        |    row_number() OVER (PARTITION BY operation ORDER BY value, audit_id) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY operation) AS n
+        |  FROM audit WHERE value IS NOT NULL)
+        |""".stripMargin
     Q.sql(
       "audit_value_quantiles",
-      auditCte + sel("audit").replaceFirst("^WITH o AS", ", o AS")) { (s, d) =>
-      log(s, d).select("audit_id", "operation", "value")
-        .createOrReplaceTempView("graft_vq_base")
-      s.sql(sel("graft_vq_base"))
+      auditCte + oracleRanks + finalSel("o")) { (s, d) =>
+      // Scale-safe exact ranks. A `row_number() OVER (PARTITION BY
+      // operation …)` window would sort the ENTIRE feed into |op-classes|
+      // (~4) partitions — a straggler/OOM by construction at 100 TB. So
+      // rank in two levels instead:
+      //   1. one cheap mergeable pass learns ~equi-depth value boundaries
+      //      per operation (approx_percentile sketch);
+      //   2. each row gets a range-bucket via O(log B) native binary
+      //      search (ArrayBucket) on the broadcast boundaries — bucket is
+      //      monotone in value and equal values share a bucket, so
+      //      bucket-local order extends to the global order;
+      //   3. row_number within (operation, bucket) — |ops|×B bounded
+      //      window partitions, parallelism scales with the B knob —
+      //      plus broadcast per-bucket offsets = exact global ranks.
+      // The ranks (and thus the oracle hash) are bit-identical to the
+      // single-window form, independent of B and of sketch precision.
+      graft.GraftFunctions.ensureRegistered(s)
+      val B = math.max(s.conf.get("spark.sql.shuffle.partitions").toInt, 2)
+      val base = log(s, d).filter(col("value").isNotNull)
+        .select("audit_id", "operation", "value")
+      val fracs = array((1 until B).map(i => lit(i.toDouble / B)): _*)
+      val bounds = base.groupBy("operation")
+        .agg(percentile_approx(col("value"), fracs, lit(10000)).as("bnds"))
+      val bucketed = base.join(broadcast(bounds), Seq("operation"))
+        .withColumn("bucket",
+          graft.GraftFunctions.graftArrayBucket(col("bnds"), col("value")))
+        .drop("bnds")
+      // per-(operation,bucket) counts → rank offset of each bucket and the
+      // per-operation total; |ops|×B rows, broadcast back onto the feed
+      val wOp = Window.partitionBy("operation")
+      val off = bucketed.groupBy("operation", "bucket")
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(
+          sum("bn").over(wOp.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum("bn").over(wOp))
+        .select("operation", "bucket", "off", "n")
+      val wLocal = Window.partitionBy("operation", "bucket")
+        .orderBy("value", "audit_id")
+      bucketed.join(broadcast(off), Seq("operation", "bucket"))
+        .withColumn("rn",
+          row_number().over(wLocal).cast("long") + col("off") - 1)
+        .select("operation", "value", "rn", "n")
+        .createOrReplaceTempView("graft_vq_o")
+      s.sql(finalSel("graft_vq_o"))
     }
   }
+
+  /** Mergeable sketch twin of audit_value_quantiles — the 100 TB default
+    * path: one partial-aggregate pass (t-digest-style percentile_approx),
+    * no ranks, no window, no full-feed shuffle. Rows-only by design
+    * (sketch outputs are engine-specific); like audit_approx_entities the
+    * output self-audits in RANK space — the space the sketch actually
+    * makes a guarantee in (relative rank error ≤ 1/accuracy; a value-space
+    * bound is unprovable: at small n a heavy tail puts the nearest-rank
+    * sketch value arbitrarily far from the interpolated exact quantile).
+    * A second mergeable pass counts each approx value's exact rank in the
+    * feed; `within_bound` = every |rank/n − f| ≤ 2ε + 2/n (2× the
+    * sketch's nominal ε=1e-4 plus discreteness slop, so a false alarm
+    * means the sketch is actually broken). The exact interpolated
+    * quantiles ride along for human diffing. SketchSpec enforces
+    * within_bound for every operation. */
+  val auditValueQuantilesApprox: Q =
+    Q.rowsOnly("audit_value_quantiles_approx") { (s, d) =>
+      val feed = log(s, d).filter(col("value").isNotNull)
+        .select("operation", "value")
+      val approx = feed.groupBy("operation")
+        .agg(
+          percentile_approx(col("value"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("q"),
+          count(lit(1)).as("n_values"))
+      // exact rank of each sketch value: one broadcast of the |ops|-row
+      // sketch table back over the feed, partial-agg conditional counts
+      val ranks = feed.join(broadcast(approx.select("operation", "q")), Seq("operation"))
+        .groupBy("operation")
+        .agg(
+          sum(when(col("value") <= col("q")(0), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("value") <= col("q")(1), 1L).otherwise(0L)).as("r90"),
+          sum(when(col("value") <= col("q")(2), 1L).otherwise(0L)).as("r99"))
+      val exact = auditValueQuantiles.fn(s, d)
+        .select(col("operation"), col("p50").as("exact_p50"),
+          col("p90").as("exact_p90"), col("p99").as("exact_p99"))
+      val n = col("n_values").cast("double")
+      val slack = lit(2.0e-4) + lit(2.0) / n
+      def ok(r: String, f: Double) = abs(col(r) / n - f) <= slack
+      approx.join(ranks, Seq("operation")).join(exact, Seq("operation"))
+        .select(col("operation"), col("n_values"),
+          round(col("q")(0), 2).as("p50_approx"),
+          round(col("q")(1), 2).as("p90_approx"),
+          round(col("q")(2), 2).as("p99_approx"),
+          col("exact_p50"), col("exact_p90"), col("exact_p99"),
+          (ok("r50", 0.5) && ok("r90", 0.9) && ok("r99", 0.99))
+            .as("within_bound"))
+        .orderBy("operation")
+    }
 
   /** Sketch-based distinct entities per day — the 100 TB path for entity
     * cardinality (HLL++, mergeable partial aggregates; no exact-distinct
@@ -1006,7 +1101,8 @@ object AuditQueries {
     auditSnapshot, auditCompare,
     auditCurrent, auditSparse, auditHistory, auditOpsRollup, auditFieldFreq,
     auditEntityActivity, auditGapDetect, auditHourly, auditSessionize,
-    auditValueQuantiles, auditApproxEntities, auditAsofState,
+    auditValueQuantiles, auditValueQuantilesApprox, auditApproxEntities,
+    auditAsofState,
     auditAsofTolerance, auditWhoChanged, auditClientSessions,
     auditEnabledRanges, auditPkValidity, auditTruncateReset, auditWideSnapshot,
     auditCompact, auditRetention, auditSessionWindow, auditDailyAnomaly)

@@ -115,6 +115,35 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("audit_value_quantiles: rank window is bucketed, never |op|-partition full-feed") {
+    // the round-4/5 scale-killer pin: exact ranks must come from the
+    // (operation, bucket) window — |ops|×B bounded partitions — not a
+    // row_number over PARTITION BY operation alone, which sorts the whole
+    // 100 TB feed into ~4 partitions. The tiny offset windows (over the
+    // |ops|×B bucket-count aggregate) legitimately partition by operation
+    // alone, so the pin targets the row_number window specifically.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = finalPlan(SparkEntry.queries("audit_value_quantiles")(spark, sfDir))
+    val windows = scala.collection.mutable.Buffer.empty[WindowExec]
+    def walk(x: SparkPlan): Unit = x match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case w: WindowExec => windows += w; w.children.foreach(walk)
+      case o => o.children.foreach(walk)
+    }
+    walk(p)
+    val rankWindows = windows.filter(_.windowExpression.mkString.contains("row_number"))
+    assert(rankWindows.nonEmpty, s"rank window not found in plan:\n$p")
+    rankWindows.foreach { w =>
+      assert(w.partitionSpec.length == 2 &&
+        w.partitionSpec.map(_.toString).exists(_.contains("bucket")),
+        s"full-feed rank window fell back to |op|-partitioning: " +
+          s"${w.partitionSpec}\n$p")
+    }
+  }
+
   test("dedup_ngram_jaccard: candidate join reuses the df-cap window's partitioning") {
     val p = finalPlan(SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir))
     val s = p.toString

@@ -18,6 +18,23 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("audit_value_quantiles_approx: sketch rank error within bound, exact twin rides along") {
+    // the 100 TB quantile path: every sketch value's exact rank must sit
+    // within 2ε + 2/n of its target fraction (the sketch's own contract),
+    // and the op must carry the exact interpolated quantiles for diffing
+    val df = SparkEntry.queries("audit_value_quantiles_approx")(spark, sfDir)
+    assert(Seq("within_bound", "exact_p50", "p50_approx").forall(df.columns.contains))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(df.filter(!org.apache.spark.sql.functions.col("within_bound")).count() === 0,
+      rows.mkString("\n"))
+    // and the medians of the two paths agree exactly where n is large
+    // (sketch holds all values below its compression threshold)
+    rows.filter(_.getAs[Long]("n_values") >= 100).foreach { r =>
+      assert(math.abs(r.getAs[Double]("p50_approx") - r.getAs[Double]("exact_p50")) <= 1.0, r)
+    }
+  }
+
   test("the op's own within_bound invariant column holds on every row") {
     // the driver-visible semantic check: each output row asserts its own
     // sketch-error bound, so a rows>0 gate is no longer content-blind
