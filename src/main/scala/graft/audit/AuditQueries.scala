@@ -231,6 +231,102 @@ object AuditQueries {
       .orderBy("audit_id")
   }
 
+  /** views_only at realistic table width and with real types — the
+    * reference's RunAll loop regenerates views over ALL columns of each
+    * audited table, each cast back to its source type (per-table column
+    * discovery `tableColumns` audit.go:1208; typed view expressions
+    * audit.go:1074/:1262/:1362). Here a SIX-field type-erased sink
+    * (int / decimal / string / int / string / bigint payloads, stored as
+    * strings — the audit table is JSON in the reference) is written
+    * bucketed, the config's include-list admits it, and
+    * AuditViews.rebuildTyped discovers the payload from the sink schema
+    * and derives typed snapshot + compare columns reading only the sink —
+    * still zero data shuffles (bucketed scan feeds every window;
+    * PlanShapeSpec pin). The oracle recomputes from the raw feed, so the
+    * hash also proves typed sink round-trip fidelity. */
+  val auditViewsTyped: Q = {
+    val sel = Seq("audit_id", "entity_id", "operation",
+      "state_w_k", "state_w_val", "state_w_tag", "state_w_cnt",
+      "state_w_who", "state_w_init",
+      "old_state_w_val", "new_state_w_val",
+      "old_state_w_cnt", "new_state_w_cnt")
+    Q.sql(
+      "audit_views_typed",
+      auditCte + s""", typed AS (
+        |  SELECT audit_id, entity_id, operation,
+        |    CAST(k AS VARCHAR) AS w_k,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) END AS w_val,
+        |    CASE WHEN event_type = 'view'
+        |      THEN 'v' || CAST(audit_id % 10 AS VARCHAR) END AS w_tag,
+        |    CASE WHEN event_type = 'click'
+        |      THEN CAST(audit_id % 97 AS VARCHAR) END AS w_cnt,
+        |    CASE WHEN event_type = 'signup' THEN changed_by END AS w_who,
+        |    CASE WHEN event_type = 'signup'
+        |      THEN CAST(CAST(floor(value * 100) AS BIGINT) % 1000 AS VARCHAR) END AS w_init
+        |  FROM audit),
+        |snap AS (
+        |  SELECT audit_id, entity_id, operation,
+        |    last_value(w_k IGNORE NULLS) OVER ($runningW) AS s_w_k,
+        |    last_value(w_val IGNORE NULLS) OVER ($runningW) AS s_w_val,
+        |    last_value(w_tag IGNORE NULLS) OVER ($runningW) AS s_w_tag,
+        |    last_value(w_cnt IGNORE NULLS) OVER ($runningW) AS s_w_cnt,
+        |    last_value(w_who IGNORE NULLS) OVER ($runningW) AS s_w_who,
+        |    last_value(w_init IGNORE NULLS) OVER ($runningW) AS s_w_init
+        |  FROM typed)
+        |SELECT audit_id, entity_id, operation,
+        |  CAST(s_w_k AS INT) AS state_w_k,
+        |  CAST(CAST(s_w_val AS DECIMAL(12,2)) AS DOUBLE) AS state_w_val,
+        |  s_w_tag AS state_w_tag,
+        |  CAST(s_w_cnt AS INT) AS state_w_cnt,
+        |  s_w_who AS state_w_who,
+        |  CAST(s_w_init AS BIGINT) AS state_w_init,
+        |  CAST(CAST(CASE WHEN operation = 'I' THEN NULL
+        |    ELSE lag(s_w_val) OVER w END AS DECIMAL(12,2)) AS DOUBLE) AS old_state_w_val,
+        |  CAST(CAST(CASE WHEN operation IN ('D', 'T') THEN NULL
+        |    ELSE s_w_val END AS DECIMAL(12,2)) AS DOUBLE) AS new_state_w_val,
+        |  CAST(CASE WHEN operation = 'I' THEN NULL
+        |    ELSE lag(s_w_cnt) OVER w END AS INT) AS old_state_w_cnt,
+        |  CAST(CASE WHEN operation IN ('D', 'T') THEN NULL
+        |    ELSE s_w_cnt END AS INT) AS new_state_w_cnt
+        |FROM snap
+        |WINDOW w AS (PARTITION BY entity_id ORDER BY audit_id)
+        |ORDER BY audit_id""".stripMargin) { (s, d) =>
+      val typed = sparse(log(s, d)).select(
+        col("audit_id"), col("entity_id"), col("operation"),
+        col("k").cast("string").as("w_k"),
+        when(col("event_type") === "purchase",
+          col("value").cast("decimal(12,2)").cast("string")).as("w_val"),
+        when(col("event_type") === "view",
+          concat(lit("v"), (col("audit_id") % 10).cast("string"))).as("w_tag"),
+        when(col("event_type") === "click",
+          (col("audit_id") % 97).cast("string")).as("w_cnt"),
+        when(col("event_type") === "signup", col("changed_by")).as("w_who"),
+        when(col("event_type") === "signup",
+          (floor(col("value") * 100).cast("long") % 1000).cast("string")).as("w_init"))
+      AuditStorage.rewriteBucketed(s, typed,
+        table = "graft_audit_sink_typed", buckets = 8)
+      val cfg = AuditConfig.parse(
+        """views_only: true
+          |changed_by: app.changed_by
+          |included_tables:
+          |  - graft_audit_sink_typed""".stripMargin)
+      val fields = Seq(
+        TypedField("w_k", "int"), TypedField("w_val", "decimal(12,2)"),
+        TypedField("w_tag", "string"), TypedField("w_cnt", "int"),
+        TypedField("w_who", "string"), TypedField("w_init", "bigint"))
+      val rebuilt = AuditViews.rebuildTyped(s, cfg, "graft_audit_sink_typed", fields)
+      rebuilt
+        .select(sel.map {
+          // decimal-typed reconstruction surfaced as DOUBLE (Det
+          // convention: exact work in decimal space, float at the edge)
+          case c if c.endsWith("w_val") => col(c).cast("double").as(c)
+          case c => col(c)
+        }: _*)
+        .orderBy("audit_id")
+    }
+  }
+
   /** Typed payload reconstruction (audit.go:1074, :1262): the reference
     * stores change payloads as type-erased JSON and each generated view
     * casts every extracted value back to the source column's type —
@@ -1098,7 +1194,7 @@ object AuditQueries {
 
   val all: Seq[Q] = Seq(
     auditLog, auditDelta, auditDeltaOld, auditTypedDelta, auditViewsOnly,
-    auditSnapshot, auditCompare,
+    auditViewsTyped, auditSnapshot, auditCompare,
     auditCurrent, auditSparse, auditHistory, auditOpsRollup, auditFieldFreq,
     auditEntityActivity, auditGapDetect, auditHourly, auditSessionize,
     auditValueQuantiles, auditValueQuantilesApprox, auditApproxEntities,

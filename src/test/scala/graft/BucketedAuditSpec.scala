@@ -62,6 +62,43 @@ class BucketedAuditSpec extends AnyFunSuite {
       j.queryExecution.executedPlan.toString)
   }
 
+  test("rebuildAll: config scope drives the multi-table views_only loop") {
+    // the reference's RunAll (audit.go:127-199): every admitted table gets
+    // its views rebuilt, excluded ones are skipped, and each rebuild
+    // covers whatever columns THAT sink has (tableColumns, audit.go:1208)
+    import org.apache.spark.sql.functions.col
+    import graft.audit.{AuditConfig, AuditViews}
+    val base = AuditQueries.log(spark, sfDir)
+      .select("audit_id", "entity_id", "operation", "field_k", "value")
+    AuditStorage.rewriteBucketed(spark,
+      base.select("audit_id", "entity_id", "operation", "field_k"),
+      "graft_feed_a", buckets = 2)
+    AuditStorage.rewriteBucketed(spark,
+      base.withColumn("v2", col("value") * 2).drop("field_k"),
+      "graft_feed_b", buckets = 2)
+    AuditStorage.rewriteBucketed(spark,
+      base.select("audit_id", "entity_id", "operation"),
+      "graft_feed_c", buckets = 2)
+    val cfg = AuditConfig.parse(
+      """views_only: true
+        |changed_by: app.changed_by
+        |excluded_tables:
+        |  - graft_feed_c""".stripMargin)
+    val views = AuditViews.rebuildAll(spark, cfg,
+      Seq("graft_feed_a", "graft_feed_b", "graft_feed_c"))
+    assert(views.keySet === Set("graft_feed_a", "graft_feed_b"))
+    // per-sink column discovery: each rebuild covers that sink's payload
+    assert(views("graft_feed_a").columns.contains("state_field_k"))
+    assert(!views("graft_feed_a").columns.contains("state_value"))
+    assert(Seq("state_value", "state_v2", "old_state_v2", "new_v2")
+      .forall(views("graft_feed_b").columns.contains))
+    assert(views("graft_feed_a").count() > 0 && views("graft_feed_b").count() > 0)
+    // an explicit rebuild of an out-of-scope table must refuse
+    intercept[IllegalArgumentException] {
+      AuditViews.rebuild(spark, cfg, "graft_feed_c")
+    }
+  }
+
   test("bucketed and unbucketed snapshots agree") {
     val alg = AuditLog("entity_id", "audit_id")
     val directDf = alg

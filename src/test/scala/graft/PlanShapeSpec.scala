@@ -115,6 +115,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("audit_views_typed: 6-field typed rebuild over the bucketed sink is shuffle-free") {
+    // same zero-data-shuffle contract as audit_views_only, held at
+    // realistic width: the bucketed scan feeds every stacked window of the
+    // typed 6-column rebuild; the one exchange is the output ORDER BY
+    val p = finalPlan(SparkEntry.queries("audit_views_typed")(spark, sfDir))
+    assert(shuffles(p) <= 1, s"typed views rebuild gained a data exchange:\n$p")
+  }
+
   test("audit_value_quantiles: rank window is bucketed, never |op|-partition full-feed") {
     // the round-4/5 scale-killer pin: exact ranks must come from the
     // (operation, bucket) window — |ops|×B bounded partitions — not a
