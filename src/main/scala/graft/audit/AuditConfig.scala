@@ -24,6 +24,19 @@ final case class AuditConfig(
 
   /** The scoping predicate, delegated (audit.go:300-395). */
   def admits(schemaTable: String): Boolean = scope.admits(schemaTable)
+
+  /** Execution principal under the configured security mode — the analog
+    * of SECURITY DEFINER/INVOKER on the reference's trigger functions
+    * (audit.go:854, :908) combined with the audit objects' owner role
+    * (audit.go:201-215): `definer` runs capture as the owning role
+    * (`owner:`, falling back to the session user when none is set);
+    * `invoker` always runs as the calling session user. A single-principal
+    * Spark deployment collapses both to the session user unless `owner:`
+    * is set — but the settings are validated and surfaced
+    * (AuditStorage.applyOwnership stamps them on every sink), never
+    * silently swallowed. */
+  def executionPrincipal(sessionUser: String): String =
+    if (security == "definer") owner.getOrElse(sessionUser) else sessionUser
 }
 
 object AuditConfig {
@@ -98,13 +111,20 @@ object AuditConfig {
       scalars.get(k).map(_.equalsIgnoreCase("true")).getOrElse(dflt)
     val scopeKeys = Set("included_tables", "excluded_tables", "excluded_schemas")
     val captureKeys = Set("log_client_query", "security", "owner", "views_only")
+    // fail at parse, not at first use: an unknown security mode silently
+    // defaulting would be the exact trap the reference avoids by only
+    // generating DEFINER or INVOKER function bodies (audit.go:854, :908)
+    val security = scalars.getOrElse("security", "definer")
+    if (!Set("definer", "invoker")(security))
+      throw new IllegalArgumentException(
+        s"security: must be 'definer' or 'invoker' (audit.go:854/:908), got '$security'")
     AuditConfig(
       scope = AuditScope(
         includedTables = list("included_tables"),
         excludedTables = list("excluded_tables"),
         excludedSchemas = list("excluded_schemas")),
       logClientQuery = bool("log_client_query", dflt = false),
-      security = scalars.getOrElse("security", "definer"),
+      security = security,
       owner = scalars.get("owner"),
       viewsOnly = bool("views_only", dflt = false),
       settings = scalars.toMap.removedAll(captureKeys) ++

@@ -34,6 +34,21 @@ object AuditStorage {
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** Applies the config's ownership/security posture to a written sink —
+    * the reference's `ALTER FUNCTION … OWNER TO` + SECURITY clause
+    * application (audit.go:201-215, :854, :908), re-expressed as catalog
+    * table properties: `graft.owner` = the execution principal the
+    * config resolves (owner role under `definer`, session user under
+    * `invoker`), `graft.security` = the mode itself. Returns the
+    * principal so callers can log or assert it. */
+  def applyOwnership(spark: SparkSession, table: String,
+      cfg: AuditConfig): String = {
+    val principal = cfg.executionPrincipal(spark.sparkContext.sparkUser)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.owner' = '$principal', 'graft.security' = '${cfg.security}')")
+    principal
+  }
+
   /** Idempotent (re)write of a bucketed audit sink. The in-memory catalog
     * forgets tables between JVM runs while warehouse files persist, so a
     * bare overwrite can fail on a stale non-empty location — drop both

@@ -318,7 +318,14 @@ object TextOps {
       if (withShingles)
         col("doc_id") +: array_distinct(col("s3")).as("s3d") +: sigCols
       else col("doc_id") +: sigCols
-    base.select(cols: _*).cache()
+    // MEMORY_AND_DISK, not cache(): the signature table is ~9 longs +
+    // optional shingle array per doc — small relative to the corpus but
+    // still ∝ |docs|, so at 100 TB a memory-only cache would silently
+    // recompute evicted partitions (shingling + minhash, the expensive
+    // part) every time a consumer misses; spilling to local disk keeps the
+    // recompute bound at one
+    base.select(cols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** The composition twin of `graft_minhash_sig` (spec-asserted equal). */

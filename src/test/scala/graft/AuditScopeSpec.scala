@@ -123,6 +123,43 @@ class AuditScopeSpec extends AnyFunSuite {
       graft.audit.AuditViews.rebuild(TestSession.spark, cfg, "no_such_table"))
   }
 
+  test("security: unknown mode is rejected at parse, not silently defaulted") {
+    val ex = intercept[IllegalArgumentException] {
+      AuditConfig.parse("security: elevated")
+    }
+    assert(ex.getMessage.contains("definer"))
+    // the two reference-generated modes both parse (audit.go:854, :908)
+    assert(AuditConfig.parse("security: definer").security === "definer")
+    assert(AuditConfig.parse("security: invoker").security === "invoker")
+  }
+
+  test("security/owner resolve the execution principal like DEFINER/INVOKER") {
+    // definer = run as the owning role (audit.go:201-215), falling back to
+    // the session user; invoker = always the calling session user
+    val definerOwned = AuditConfig.parse("security: definer\nowner: audit_admin")
+    assert(definerOwned.executionPrincipal("alice") === "audit_admin")
+    val definerUnowned = AuditConfig.parse("security: definer")
+    assert(definerUnowned.executionPrincipal("alice") === "alice")
+    val invokerOwned = AuditConfig.parse("security: invoker\nowner: audit_admin")
+    assert(invokerOwned.executionPrincipal("alice") === "alice")
+  }
+
+  test("applyOwnership stamps the resolved principal on a written sink") {
+    import graft.audit.AuditStorage
+    val df = Seq((1L, 10L, "I", 5)).toDF("audit_id", "entity_id", "operation", "k")
+    AuditStorage.rewriteBucketed(spark, df, "graft_owned_sink", buckets = 1)
+    val cfg = AuditConfig.parse(
+      """security: definer
+        |owner: audit_admin
+        |changed_by: app.changed_by""".stripMargin)
+    val principal = AuditStorage.applyOwnership(spark, "graft_owned_sink", cfg)
+    assert(principal === "audit_admin")
+    val props = spark.sql("SHOW TBLPROPERTIES graft_owned_sink")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.owner") === Some("audit_admin"))
+    assert(props.get("graft.security") === Some("definer"))
+  }
+
   test("payload truncation mirrors the trigger bounds") {
     val df = Seq("x" * 600).toDF("v")
       .select(length(AuditScope.truncateValue(col("v"))).as("lv"),

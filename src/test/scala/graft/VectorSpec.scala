@@ -80,6 +80,34 @@ class VectorSpec extends AnyFunSuite {
     assert(kmeans.values.sum > signBit.values.sum)
   }
 
+  test("seeding knob: id recall holds ≥ 0.73 and maximin wins the k-means objective (sf0.01)") {
+    // at sf0.01 — the correctness-gate SF, where the measured claims in
+    // the Similarity scaladocs were made; sf0.001 has only ~50 vectors
+    // for k = 64 so seeding comparisons degenerate there
+    val sf = "/root/testdata/sf0.01"
+    val meanRecall = graft.vector.Similarity.annRecallKmeans.fn(spark, sf)
+      .agg(avg(col("recall_at_3"))).as[Double].collect().head
+    assert(meanRecall >= 0.73, s"id-seeded mean recall@3 fell to $meanRecall")
+    val conv = graft.vector.Similarity.annKmeansConvergence.fn(spark, sf)
+      .select(col("seeding"), col("round").cast("int"), col("n_cells").cast("long"),
+        col("total_shift").cast("double"), col("total_sse").cast("double"))
+      .as[(String, Int, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(conv.size === 4)
+    for (s <- Seq("id", "maximin")) {
+      assert(conv((s, 1))._3 === 64L, s"$s lost cells in round 1")
+      // Lloyd converges: round-2 movement is a small fraction of round 1
+      assert(conv((s, 2))._4 < conv((s, 1))._4 / 10, s"$s did not converge")
+      // each round improves the objective
+      assert(conv((s, 2))._5 < conv((s, 1))._5, s"$s sse did not improve")
+    }
+    // the knob's point: farthest-point seeding reaches lower quantization
+    // error than id-order seeding at every round
+    for (r <- 1 to 2)
+      assert(conv(("maximin", r))._5 < conv(("id", r))._5,
+        s"maximin sse did not beat id at round $r")
+  }
+
   test("ann_pq: 4 codes per vector from the label domain, codebook broadcast") {
     val df = graft.vector.Similarity.annPq.fn(spark, TestSession.sfDir)
     df.collect() // force execution so AQE finalizes the plan
