@@ -22,6 +22,33 @@ object EventStream {
 
   private val TS = "yyyy-MM-dd HH:mm:ss"
 
+  /** Drains a bounded replay and blocks until the query self-terminates.
+    *
+    * Two scale knobs, both about not inheriting batch settings blindly:
+    * the query runs under `Trigger.AvailableNow` (process everything
+    * available, including the trailing no-data batch that advances the
+    * watermark for stateful emission/eviction, then stop — the bounded
+    * replay trigger), and `spark.sql.shuffle.partitions` is pinned to
+    * `statePartitions` for the query's lifetime. State store count is a
+    * knob of state VOLUME (rate × watermark horizon), not of the batch
+    * engine's shuffle width: every stateful operator commits one state
+    * store per partition per micro-batch, so a 32-wide batch knob buys a
+    * kilobyte-scale session state 32 store commits per batch — pure fixed
+    * cost. On a cluster the same argument sizes it UP independently of
+    * the batch side when the horizon's state is large. */
+  private def drained(s: SparkSession, statePartitions: Int = 8)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, statePartitions.toString)
+    try {
+      val q = start
+      try q.awaitTermination() finally q.stop()
+    } finally s.conf.set(key, prev)
+  }
+
+  private val availableNow = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+
   /** Streaming DataFrame of the normalized audit feed. Schema,
     * nanos→micros normalization and the operation mapping are the shared
     * canonical ones (FeedSources / AuditModel) — the streaming and batch
@@ -112,16 +139,18 @@ object EventStream {
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_entity"),
         col("ts").as("p_ts"), col("value"))
       .withWatermark("p_ts", "1 hour")
-    val q = errs.join(purch,
-        col("e_entity") === col("p_entity") &&
-        col("p_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR") &&
-        col("p_ts") <= col("e_ts"))
-      .writeStream.outputMode("append")
-      .format("parquet")
-      .option("path", s"$tmp/out")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    drained(s) {
+      errs.join(purch,
+          col("e_entity") === col("p_entity") &&
+          col("p_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("e_ts"))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(availableNow)
+        .start()
+    }
     s.read.schema(
         "error_id BIGINT, e_entity BIGINT, e_ts TIMESTAMP, purchase_id BIGINT, p_entity BIGINT, p_ts TIMESTAMP, value DOUBLE")
       .parquet(s"$tmp/out")
@@ -221,13 +250,15 @@ object EventStream {
     val feed = readFeed(s, d)
       .select(col("user_id").as("entity_id"), col("ts"), col("value"))
       .as[FeedEvent]
-    val q = sessionize(feed)
-      .writeStream.outputMode("append")
-      .format("parquet")
-      .option("path", s"$tmp/out")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    drained(s) {
+      sessionize(feed)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(availableNow)
+        .start()
+    }
     // explicit schema: an all-sessions-open run leaves the sink empty
     s.read.schema(org.apache.spark.sql.Encoders.product[ClosedSession].schema)
       .parquet(s"$tmp/out")
@@ -256,17 +287,19 @@ object EventStream {
     val base = graft.Tables.events(s, d)
     base.write.parquet(s"$tmp/feed")
     base.filter(col("event_id") % 10 === 0).write.mode("append").parquet(s"$tmp/feed")
-    val q = s.readStream.schema(base.schema).parquet(s"$tmp/feed")
-      .withColumn("operation", graft.audit.AuditModel.operation)
-      .select(col("event_id").as("audit_id"), col("operation"), col("ts"), col("value"))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("audit_id")
-      .writeStream.outputMode("append")
-      .format("parquet")
-      .option("path", s"$tmp/out")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    drained(s) {
+      s.readStream.schema(base.schema).parquet(s"$tmp/feed")
+        .withColumn("operation", graft.audit.AuditModel.operation)
+        .select(col("event_id").as("audit_id"), col("operation"), col("ts"), col("value"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("audit_id")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(availableNow)
+        .start()
+    }
     s.read.schema("audit_id BIGINT, operation STRING, ts TIMESTAMP, value DOUBLE")
       .parquet(s"$tmp/out")
       .groupBy("operation")
@@ -285,14 +318,16 @@ object EventStream {
     * standard Spark pattern when the sink itself can't transact. */
   def captureToAuditSink(s: SparkSession, d: String, sinkPath: String,
       checkpoint: String): Unit = {
-    val q = readFeed(s, d).writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.sources.FeedSources.appendPartitioned(
-          batch.toDF().withColumn("batch_id", lit(batchId)), sinkPath)
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    drained(s) {
+      readFeed(s, d).writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          graft.sources.FeedSources.appendPartitioned(
+            batch.toDF().withColumn("batch_id", lit(batchId)), sinkPath)
+        }
+        .trigger(availableNow)
+        .start()
+    }
   }
 
   val all: Seq[Q] = Seq(auditStream, auditStreamJoin, auditSessionizeStream,
