@@ -88,40 +88,65 @@ def array_cells(df):
     return bad
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
+    # --json <path>: also emit a driver-format artifact
+    # ({name: {rows_match, schema_match, hash_match, spark_rows,
+    #   oracle_rows, err}}) so scale-gate runs can be committed as
+    # CORRECTNESS_sf1.json-style evidence.
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sfdir, outdir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    only = set(sys.argv[3:])
+    only = set(args[2:])
+    report = {}
+
+    def record(name, srows=None, orows=None, err=None, ok=False):
+        report[name] = {
+            "rows_match": bool(ok or (srows is not None and orows is not None
+                                      and len(srows) == len(orows))),
+            "schema_match": bool(ok or err not in ("columns", "dtype")),
+            "hash_match": bool(ok),
+            "spark_rows": None if srows is None else len(srows),
+            "oracle_rows": None if orows is None else len(orows),
+            "err": err,
+        }
+
     for name, osql in sorted(oracles.items()):
         if only and name not in only:
             continue
         scols, srows, sdf = load_spark(outdir, name)
         if scols is None:
-            print(f"FAIL {name}: no spark output");  n_fail += 1;  continue
+            print(f"FAIL {name}: no spark output")
+            record(name, err="no_output");  n_fail += 1;  continue
         try:
             res = con.execute(osql)
             ocols_raw = [d[0] for d in res.description]
             orows_raw = res.fetchall()
             odf = con.execute(osql).df()
         except Exception as ex:
-            print(f"FAIL {name}: oracle error: {ex}");  n_fail += 1;  continue
+            print(f"FAIL {name}: oracle error: {ex}")
+            record(name, srows=srows, err=f"oracle: {ex}");  n_fail += 1;  continue
         order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
         ocols = [ocols_raw[i] for i in order]
         orows = [tuple(norm(r[i]) for i in order) for r in orows_raw]
         if scols != ocols:
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
-            n_fail += 1;  continue
+            record(name, srows, orows, err="columns");  n_fail += 1;  continue
 
         # --- driver-equivalence layer: array cells + dtypes ---
         bad = sorted(set(array_cells(sdf)) | set(array_cells(odf)))
         if bad:
             print(f"FAIL {name}: array-typed column(s) {bad} — "
                   "driver hasher crashes on ndarray cells; serialize them")
-            n_fail += 1;  continue
+            record(name, srows, orows, err="array_cells");  n_fail += 1;  continue
         dmis = []
         for c in scols:
             st, ot = dtype_tag(sdf, c), dtype_tag(odf, c)
@@ -130,18 +155,43 @@ def main():
         if dmis:
             print(f"FAIL {name}: dtype mismatch (driver hash is dtype-"
                   f"sensitive): {'; '.join(dmis)}")
-            n_fail += 1;  continue
+            record(name, srows, orows, err="dtype");  n_fail += 1;  continue
 
         # --- value layer ---
         if srows == orows:
-            print(f"PASS {name} ({len(srows)} rows)");  n_pass += 1;  continue
+            print(f"PASS {name} ({len(srows)} rows)")
+            record(name, srows, orows, ok=True);  n_pass += 1;  continue
         n_fail += 1
         print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+        record(name, srows, orows, err="values")
         for i, (a, b) in enumerate(zip(srows, orows)):
             if a != b:
                 print(f"  first diff at row {i}:\n    spark : {a}\n    oracle: {b}")
                 break
+    # rows-only ops (dumped, but no oracle SQL): the driver records a
+    # weaker rows>0 check with err="no_oracle" — mirror that
+    import os
+    for name in sorted(os.listdir(outdir)):
+        if name in oracles or not os.path.isdir(f"{outdir}/{name}"):
+            continue
+        if only and name not in only:
+            continue
+        scols, srows, _ = load_spark(outdir, name)
+        ok = srows is not None and len(srows) > 0
+        # driver convention: match fields are null for no-oracle entries;
+        # the check is rows > 0
+        report[name] = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None if srows is None else len(srows),
+            "oracle_rows": None, "err": "no_oracle"}
+        print(f"{'ROWS' if ok else 'FAIL'} {name} "
+              f"({0 if srows is None else len(srows)} rows, no oracle)")
+        if not ok:
+            n_fail += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
