@@ -1,0 +1,110 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Privacy gate for training-data export — the de-identification stage a
+  * pipeline runs before audit/CRM-derived tables may join a training
+  * corpus. The reference engine captures full before/after row images
+  * (audit.go:889 — values of changed fields verbatim), so anything built
+  * on its history inherits raw identifiers; these operators are the
+  * outbound counterpart: pseudonymize direct identifiers, generalize
+  * quasi-identifiers, and MEASURE the re-identification risk that remains
+  * (k-anonymity over the released tuple) so a release gate has a number
+  * to threshold on.
+  *
+  * Scale design: pseudonymization is a per-row codegen'd projection
+  * (md5 + concat — no UDF, no shuffle); the referential-integrity proof
+  * is one partial-aggregating groupBy on the fact side plus one equi-join
+  * on the original key (AQE/broadcast decides the physical join); the
+  * k-anonymity audit is two partial-aggregating groupBys, the second over
+  * at most |distinct quasi-tuples| rows. Nothing is all-pairs, nothing
+  * collects; both ops scale as a linear pass at 100 TB.
+  */
+object Privacy {
+
+  /** Deterministic salted pseudonym: stable across tables (the same key
+    * always maps to the same token, so post-scrub joins still work) while
+    * unlinkable to the raw key without the salt. The salt is a literal
+    * here because the DuckDB oracle must replay it; a deployment passes
+    * its own secret. */
+  private val Salt = "graft-pii-v1"
+  private def pseudo(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(md5(concat(lit(Salt + "|"), key.cast("string"))), 1, 16)
+  private def pseudoSql(key: String): String =
+    s"substring(md5('$Salt|' || CAST($key AS VARCHAR)), 1, 16)"
+
+  /** Account balances released only as 1000-unit bands (generalization —
+    * the quasi-identifier keeps its analytic value, loses its precision). */
+  private def band(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (floor(c / 1000) * 1000).cast("long")
+  private def bandSql(c: String): String =
+    s"CAST(floor($c / 1000) * 1000 AS BIGINT)"
+
+  /** De-identified customer export: the direct identifier (c_name) is
+    * DROPPED, the key is replaced by its salted pseudonym, the balance is
+    * banded, and coarse categoricals pass through. `n_orders` is the
+    * referential-integrity proof: it is computed by joining the FACT side
+    * through the same pseudonym function, so the op demonstrates that
+    * cross-table analysis still works on the de-identified export —
+    * the property that makes pseudonymization (vs redaction) worth it. */
+  val piiScrub: Q = Q.sql(
+    "pii_scrub",
+    s"""SELECT ${pseudoSql("c_custkey")} AS pseudo_id,
+       |  CAST(c_nationkey AS INT) AS nation_id,
+       |  ${bandSql("c_acctbal")} AS acctbal_band,
+       |  c_mktsegment AS mktsegment,
+       |  CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders
+       |FROM customer c LEFT JOIN (
+       |  SELECT ${pseudoSql("o_custkey")} AS o_pseudo, count(*) AS n_orders
+       |  FROM orders GROUP BY 1) o ON ${pseudoSql("c_custkey")} = o.o_pseudo
+       |ORDER BY pseudo_id""".stripMargin) { (s, d) =>
+    // fact side is aggregated BEFORE the join (partial-agg shuffle on the
+    // pseudonym), so the join's build side is one row per customer, never
+    // one per order
+    val perCust = Tables.orders(s, d)
+      .groupBy(pseudo(col("o_custkey")).as("o_pseudo"))
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(s, d)
+      .select(pseudo(col("c_custkey")).as("pseudo_id"),
+        col("c_nationkey").cast("int").as("nation_id"),
+        band(col("c_acctbal")).as("acctbal_band"),
+        col("c_mktsegment").as("mktsegment"))
+      .join(perCust, col("pseudo_id") === col("o_pseudo"), "left")
+      .select(col("pseudo_id"), col("nation_id"), col("acctbal_band"),
+        col("mktsegment"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("pseudo_id")
+  }
+
+  /** k-anonymity audit of the released tuple: every customer in the
+    * export shares its (nation, balance band, segment) quasi-identifier
+    * with k-1 others; this histogram reports how many equivalence classes
+    * exist at each k and flags the ones below the release threshold
+    * (k < 5 — the classes a gate would suppress or re-generalize). The
+    * export op above and this audit read the SAME generalization
+    * definitions, so the measured risk is the released risk. */
+  val piiKanon: Q = Q.sql(
+    "pii_kanon",
+    s"""WITH classes AS (
+       |  SELECT c_nationkey, ${bandSql("c_acctbal")} AS acctbal_band,
+       |    c_mktsegment, count(*) AS k
+       |  FROM customer GROUP BY 1, 2, 3)
+       |SELECT CAST(k AS BIGINT) AS k_size, count(*) AS n_classes,
+       |  CAST(k * count(*) AS BIGINT) AS n_rows,
+       |  (k < 5) AS below_threshold
+       |FROM classes GROUP BY k ORDER BY k_size""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), band(col("c_acctbal")).as("acctbal_band"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("k").as("k_size"))
+      .agg(count(lit(1)).as("n_classes"))
+      .select(col("k_size"), col("n_classes"),
+        (col("k_size") * col("n_classes")).as("n_rows"),
+        (col("k_size") < 5).as("below_threshold"))
+      .orderBy("k_size")
+  }
+
+  val all: Seq[Q] = Seq(piiScrub, piiKanon)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.text.Privacy
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The privacy-gate invariants that make the de-identified export
+  * releasable: pseudonyms are injective (joins survive) yet contain no
+  * raw identifier, generalization is lossy in the released direction,
+  * and the k-anonymity audit accounts for every released row. */
+class PrivacySpec extends AnyFunSuite {
+  import TestSession.{spark, sfDir}
+
+  private lazy val scrub = Privacy.piiScrub.fn(spark, sfDir).cache()
+  private lazy val kanon = Privacy.piiKanon.fn(spark, sfDir).collect()
+
+  test("pseudonymization is injective: one pseudonym per customer, no collisions") {
+    val customers = Tables.customer(spark, sfDir).count()
+    assert(scrub.count() === customers)
+    assert(scrub.select("pseudo_id").distinct().count() === customers)
+  }
+
+  test("no direct identifier survives: schema drops c_name, values carry no raw key") {
+    assert(!scrub.columns.contains("c_name") && !scrub.columns.contains("c_custkey"))
+    // the pseudonym is hex — it cannot textually embed 'Customer#...' names
+    assert(scrub.filter(!col("pseudo_id").rlike("^[0-9a-f]{16}$")).count() === 0)
+  }
+
+  test("referential integrity survives the scrub: n_orders totals the fact table") {
+    val totalOrders = Tables.orders(spark, sfDir).count()
+    val viaScrub = scrub.agg(sum("n_orders")).collect()(0).getLong(0)
+    assert(viaScrub === totalOrders, "orders lost or duplicated through the pseudonym join")
+  }
+
+  test("generalization is lossy: banded balances take far fewer values than raw") {
+    val raw = Tables.customer(spark, sfDir).select("c_acctbal").distinct().count()
+    val banded = scrub.select("acctbal_band").distinct().count()
+    assert(banded < raw / 10, s"banding barely generalized: $banded of $raw")
+  }
+
+  test("k-anonymity histogram accounts for every released row exactly once") {
+    val released = kanon.map(r => r.getAs[Long]("n_rows")).sum
+    assert(released === scrub.count())
+    // class arithmetic holds: n_rows = k_size * n_classes on every row
+    kanon.foreach { r =>
+      assert(r.getAs[Long]("n_rows") ===
+        r.getAs[Long]("k_size") * r.getAs[Long]("n_classes"))
+      assert(r.getAs[Boolean]("below_threshold") === (r.getAs[Long]("k_size") < 5))
+    }
+  }
+
+  test("audit and export share the generalization: kanon classes partition the scrub") {
+    // regroup the RELEASED export by its quasi-identifier and rebuild the
+    // histogram — it must equal the audit op bit-for-bit (the audit is a
+    // measurement of the released table, not of a parallel definition)
+    val rebuilt = scrub
+      .groupBy("nation_id", "acctbal_band", "mktsegment")
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("k").as("k_size")).agg(count(lit(1)).as("n_classes"))
+      .select(col("k_size"), col("n_classes"),
+        (col("k_size") * col("n_classes")).as("n_rows"),
+        (col("k_size") < 5).as("below_threshold"))
+      .orderBy("k_size").collect()
+    assert(rebuilt.toSeq === kanon.toSeq)
+  }
+}
