@@ -12,6 +12,7 @@ object SparkEntry {
       graft.streaming.EventStream.all ++
       graft.text.TextOps.all ++
       graft.text.CorpusOps.all ++
+      graft.text.Retrieval.all ++
       graft.text.Privacy.all ++
       graft.vector.Similarity.all ++
       graft.multimodal.Multimodal.all

@@ -1,0 +1,219 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Retrieval-side operators of the training-data pipeline: within-doc
+  * chunking (the unit RAG/context-window serving indexes), lexical BM25
+  * top-k (the keyword twin of vector.Similarity's ann_topk), and the
+  * corpus n-gram dashboard. Reference analog: the audit engine's view
+  * layer exposes row-level history for ad-hoc lookup
+  * (/root/reference/audit/audit.go:127-199); these are the lookup
+  * structures a corpus-scale system builds over text instead of rows.
+  *
+  * Same determinism discipline as [[TextOps]]/[[CorpusOps]]: every value
+  * is computable token-for-token in DuckDB, double contributions are
+  * rounded once then summed as DECIMAL (exact, order-independent — a
+  * shuffle must not change a score), ranks order by (value, id).
+  */
+object Retrieval {
+
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(s) // graft_shingles in any session
+    Tables.documents(s, d)
+  }
+
+  // --------------------------------------------------------- chunking --
+
+  /** Sliding-window geometry: 64-word chunks every 48 words (16-word
+    * overlap), the last window clipped at the document end. */
+  private[graft] val ChunkWords = 64
+  private[graft] val ChunkStride = 48
+
+  /** Fixed-window word chunking with overlap — the within-document twin of
+    * CorpusOps.pack_sequences (which packs ACROSS documents): every doc
+    * explodes into 64-word windows on a 48-word stride, each chunk carrying
+    * its exact placement (index, start offset, clipped length) and an
+    * md5 digest of its text, so a serving index can verify chunk content
+    * byte-for-byte without shipping the text twice.
+    *
+    * Shape: pure per-row flatmap — split, sequence(), one explode, all
+    * codegen built-ins; ZERO shuffle before the output sort (spec-pinned).
+    * At 100 TB this is the ideal operator: linear scan, no exchange,
+    * output partitioning inherited from the input files. */
+  val docChunk: Q = Q.sql(
+    "doc_chunk",
+    s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+       |s AS (SELECT doc_id, ws, len(ws) AS n,
+       |        unnest(range(0, len(ws), $ChunkStride)) AS start_word
+       |      FROM w)
+       |SELECT doc_id,
+       |  CAST(start_word // $ChunkStride AS BIGINT) AS chunk_idx,
+       |  CAST(start_word AS BIGINT) AS start_word,
+       |  CAST(least(n - start_word, $ChunkWords) AS BIGINT) AS chunk_words,
+       |  md5(array_to_string(ws[start_word + 1 : least(start_word + $ChunkWords, n)], ' '))
+       |    AS chunk_digest
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(expr(s"sequence(0, n - 1, $ChunkStride)")).as("start_word"))
+      .select(col("doc_id"),
+        (col("start_word") / ChunkStride).cast("long").as("chunk_idx"),
+        col("start_word").cast("long").as("start_word"),
+        least(col("n") - col("start_word"), lit(ChunkWords)).cast("long").as("chunk_words"),
+        md5(array_join(expr(s"slice(ws, start_word + 1, $ChunkWords)"), " "))
+          .as("chunk_digest"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // ------------------------------------------------------------- bm25 --
+
+  private[graft] val K1 = "1.2"
+  private[graft] val B = "0.75"
+  private[graft] val TopK = 10
+
+  /** The fixed query workload (id → terms). Terms are drawn from the
+    * corpus vocabulary across the df spectrum — 'dup' is rare (markers the
+    * generator plants in near-duplicate docs), the rest are common — so
+    * the idf weighting is actually exercised. */
+  private[graft] val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("dup", "customer", "row"),
+    2 -> Seq("spark", "stream", "batch", "window"),
+    3 -> Seq("vector", "hash", "join", "merge"))
+
+  /** One BM25 term contribution (Robertson/Spärck Jones idf, k1/b
+    * saturation) — ONE formula string evaluated by both engines
+    * token-for-token, so the two sides perform bit-identical IEEE
+    * arithmetic. Rounded to 6 decimals HERE (once), then summed as
+    * DECIMAL: exact, order-independent addition — a shuffle reordering
+    * partial sums cannot move a score across a rounding boundary. */
+  private val contribFormula: String =
+    s"round(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * ($K1 + 1) " +
+      s"/ (tf + $K1 * (1 - $B + $B * dl * n_docs / sum_dl)), 6)"
+
+  /** Lexical top-k retrieval: BM25 over an inverted index — the keyword
+    * twin of ann_topk, and together with it the two serve paths a corpus
+    * platform exposes (sparse + dense). Scale shape: the corpus is
+    * scanned once into per-(doc, term) tf with dl carried through the
+    * partial-aggregating groupBy (no second corpus pass for doc length);
+    * QUERY side, per-term df table (≤ |distinct query terms| rows) and the
+    * 1-row corpus stats all broadcast — the corpus never shuffles for the
+    * probe, exactly the decontaminate posture. Top-k per query ranks the
+    * ROUNDED score (ann_pq_search discipline) with doc_id tiebreak. */
+  val bm25Search: Q = {
+    val duckQueryValues = bm25Queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    Q.sql(
+      "bm25_search",
+      s"""WITH qt(query_id, term) AS (VALUES $duckQueryValues),
+         |w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+         |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+         |st AS (SELECT count(*) AS n_docs, sum(len(ws)) AS sum_dl FROM w),
+         |dft AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+         |c AS (SELECT qt.query_id, tf.doc_id,
+         |        CAST($contribFormula AS DECIMAL(18, 6)) AS c
+         |      FROM qt JOIN tf ON qt.term = tf.term
+         |           JOIN dft ON dft.term = qt.term CROSS JOIN st),
+         |sc AS (SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS score
+         |       FROM c GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, doc_id) AS rnk
+         |      FROM sc)
+         |SELECT query_id, rnk, doc_id, score FROM r
+         |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val qt = bm25Queries
+        .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+        .toDF("query_id", "term")
+      // distinct terms built driver-side (bounded by the query workload) —
+      // a Spark .distinct() here would buy a shuffle to dedup ~10 rows
+      val qTerms = bm25Queries.flatMap(_._2).distinct.toDF("term")
+      // persisted because BOTH the df pass and the score pass read it —
+      // without this the corpus is scanned + exploded + aggregated twice
+      // (minhashSigs discipline: MEMORY_AND_DISK so eviction at 100 TB
+      // degrades to local-disk reads, not a silent recompute)
+      val tf = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = docs(s, d)
+        .select(size(split(col("text"), " ")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val dft = tf.join(broadcast(qTerms), Seq("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val contrib = tf.join(broadcast(qt), Seq("term"))
+        .join(broadcast(dft), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("c", expr(contribFormula).cast("decimal(18,6)"))
+      contrib.groupBy("query_id", "doc_id").agg(sum("c").as("dsum"))
+        .withColumn("score", round(col("dsum").cast("double"), 4))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
+        .orderBy("query_id", "rnk")
+    }
+  }
+
+  // ------------------------------------------------------ ngram stats --
+
+  private[graft] val NgramTopN = 10
+  private[graft] val NgramBuckets = 64
+
+  /** Corpus n-gram dashboard: the top-10 trigrams per language by
+    * frequency — what a corpus release publishes to show boilerplate and
+    * what decontamination/repetition thresholds are tuned against.
+    *
+    * Scale shape: explode → one partial-aggregating groupBy (shuffle
+    * bounded at |distinct trigrams|, not corpus size) → TWO-PHASE top-k:
+    * a per-(lang, hash-bucket) row_number keeps ≤ 10 rows from each of 64
+    * buckets, then the global per-lang rank runs over ≤ 640 survivors.
+    * A single per-lang rank window would drag every distinct trigram of a
+    * language into ONE partition — the audit_value_quantiles trap; the
+    * bucket pre-pass is a pure superset reduction (each global top-10 gram
+    * is in its own bucket's top-10 under the same (n DESC, gram) order),
+    * so the oracle doesn't need to model the buckets at all. */
+  val ngramStats: Q = Q.sql(
+    "ngram_stats",
+    s"""WITH w AS (SELECT lang, str_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT lang, unnest(list_transform(range(1, len(ws) - 1),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+       |      FROM w),
+       |c AS (SELECT lang, gram, count(*) AS n FROM g GROUP BY 1, 2),
+       |r AS (SELECT lang, gram, n,
+       |        row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rnk
+       |      FROM c)
+       |SELECT lang, rnk, gram, n FROM r
+       |WHERE rnk <= $NgramTopN ORDER BY lang, rnk""".stripMargin) { (s, d) =>
+    val counts = docs(s, d)
+      .select(col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("lang"), explode(expr("graft_shingles(ws, 3)")).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+    // bucket fn needs no oracle parity: membership in the global top-10
+    // implies membership in the owning bucket's top-10 for ANY partition
+    // of the grams, so the pre-pass only discards non-winners
+    val pre = counts
+      .withColumn("bucket", pmod(hash(col("gram")), lit(NgramBuckets)))
+      .withColumn("pre_rnk", row_number().over(
+        Window.partitionBy("lang", "bucket").orderBy(col("n").desc, col("gram"))))
+      .filter(col("pre_rnk") <= NgramTopN)
+      .drop("bucket", "pre_rnk")
+    pre
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n").desc, col("gram"))))
+      .filter(col("rnk") <= NgramTopN)
+      .select(col("lang"), col("rnk"), col("gram"), col("n"))
+      .orderBy("lang", "rnk")
+  }
+
+  val all: Seq[Q] = Seq(docChunk, bm25Search, ngramStats)
+}

@@ -178,31 +178,13 @@ object TextOps {
       .limit(500)
   }
 
-  /** Near-duplicate clusters: connected components over the union of two
-    * similarity relations — bag-of-words-fingerprint equality and high
-    * Jaccard (≥ 0.5 on the df-capped shingle sets). The transitive closure
-    * is what a real dedup pipeline keys its keep-one decision on: A≈B by
-    * word-set and B≈C by shingle overlap must land A, B, C in ONE group
-    * even though A and C share no direct edge.
-    *
-    * Spark shape: distributed min-label propagation with pointer jumping —
-    * labels start as each doc's own id; every round takes the min over
-    * neighbors (join + groupBy, shuffle on doc id) and then shortcuts
-    * label(v) ← label(label(v)), doubling the propagated distance so the
-    * loop converges in O(log diameter) rounds instead of O(diameter)
-    * (chains of cliques bridged by near-dup pairs have real diameter).
-    * Only the edge-induced subgraph iterates — singletons join back at the
-    * end with their own id. The driver loop iterates over ROUNDS (one
-    * convergence count per round), never over rows; each round is
-    * localCheckpoint()ed so round k+1 starts from materialized partitions
-    * instead of replaying k rounds of lineage. This is the textbook
-    * 100 TB CC shape (pointer jumping = the large-star step of
-    * large-star/small-star).
-    *
-    * The oracle computes the same closure as a recursive CTE. */
-  val dedupComponents: Q = Q.sql(
-    "dedup_components",
-    s"""WITH RECURSIVE $jaccardPairsCtesSql,
+  /** Oracle CTE chain ending in `comp(doc_id, component)` — the recursive
+    * transitive-closure twin of [[componentLabels]]. Shared by
+    * dedup_components and dedup_keep_best (callers prepend
+    * `WITH RECURSIVE`), so the keep-one decision audits against the
+    * exact same closure as the cluster report. */
+  private val componentsCtesSql: String =
+    s"""$jaccardPairsCtesSql,
        |bowf AS (SELECT doc_id,
        |           md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
        |         FROM documents),
@@ -217,10 +199,14 @@ object TextOps {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.doc_id),
-       |comp AS (SELECT doc_id, min(label) AS component FROM walk GROUP BY doc_id)
-       |SELECT doc_id, component,
-       |  count(*) OVER (PARTITION BY component) AS n_members
-       |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |comp AS (SELECT doc_id, min(label) AS component FROM walk GROUP BY doc_id)""".stripMargin
+
+  /** (doc_id, component) for EVERY document (singletons label themselves)
+    * — the min-reachable-id labeling over the bow ∪ high-Jaccard edge
+    * graph via the pointer-jumping loop described on [[dedupComponents]].
+    * The shared Spark-side engine of dedup_components (cluster report)
+    * and dedup_keep_best (the keep-one decision). */
+  private[text] def componentLabels(s: SparkSession, d: String): DataFrame = {
     val bow = docs(s, d).select(col("doc_id"),
       md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("fp"))
     // star edges, not an fp self-join: each doc connects to its group's min
@@ -263,8 +249,97 @@ object TextOps {
     docs(s, d).select(col("doc_id"))
       .join(lab, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("component"))
+  }
+
+  /** Near-duplicate clusters: connected components over the union of two
+    * similarity relations — bag-of-words-fingerprint equality and high
+    * Jaccard (≥ 0.5 on the df-capped shingle sets). The transitive closure
+    * is what a real dedup pipeline keys its keep-one decision on: A≈B by
+    * word-set and B≈C by shingle overlap must land A, B, C in ONE group
+    * even though A and C share no direct edge.
+    *
+    * Spark shape ([[componentLabels]]): distributed min-label propagation
+    * with pointer jumping — labels start as each doc's own id; every round
+    * takes the min over neighbors (join + groupBy, shuffle on doc id) and
+    * then shortcuts label(v) ← label(label(v)), doubling the propagated
+    * distance so the loop converges in O(log diameter) rounds instead of
+    * O(diameter) (chains of cliques bridged by near-dup pairs have real
+    * diameter). Only the edge-induced subgraph iterates — singletons join
+    * back at the end with their own id. The driver loop iterates over
+    * ROUNDS (one convergence count per round), never over rows; each round
+    * is localCheckpoint()ed so round k+1 starts from materialized
+    * partitions instead of replaying k rounds of lineage. This is the
+    * textbook 100 TB CC shape (pointer jumping = the large-star step of
+    * large-star/small-star).
+    *
+    * The oracle computes the same closure as a recursive CTE. */
+  val dedupComponents: Q = Q.sql(
+    "dedup_components",
+    s"""WITH RECURSIVE $componentsCtesSql
+       |SELECT doc_id, component,
+       |  count(*) OVER (PARTITION BY component) AS n_members
+       |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+    componentLabels(s, d)
       .withColumn("n_members", count(lit(1)).over(Window.partitionBy("component")))
       .orderBy("doc_id")
+  }
+
+  /** The decision dedup_components exists to feed: one KEPT document per
+    * near-dup cluster (argmax quality_score, ties to the smaller doc_id —
+    * text_quality's exact score definition, so "best" here = "best" on
+    * the quality dashboard), plus what dropping the rest saves. Only
+    * multi-member clusters appear — singletons have no decision to make.
+    *
+    * Shape on top of the label engine: one equi-join (labels ⋈ per-doc
+    * scores, both keyed by doc_id) and two windows sharing ONE exchange on
+    * `component` (row_number needs a sort in the partition; count/sum are
+    * frame-free over the same partitioning, so Catalyst stacks them on a
+    * single hash exchange). Cluster sizes are near-dup groups — bounded in
+    * practice, and never the full-feed-in-one-partition shape. */
+  val dedupKeepBest: Q = Q.sql(
+    "dedup_keep_best",
+    s"""WITH RECURSIVE $componentsCtesSql,
+       |f AS (SELECT doc_id, n_chars,
+       |        len(str_split(text, ' ')) AS n_words,
+       |        len(list_distinct(str_split(text, ' '))) AS n_distinct_words,
+       |        len(list_filter(str_split(text, ' '), w -> w IN ('the', 'a'))) AS n_stop
+       |      FROM documents),
+       |sc AS (SELECT doc_id, n_chars,
+       |         round(((1.0 * n_distinct_words / n_words) + 1 - (1.0 * n_stop / n_words)) / 2, 4)
+       |           AS quality_score
+       |       FROM f),
+       |m AS (SELECT c.component, c.doc_id, sc.quality_score, sc.n_chars,
+       |        row_number() OVER (PARTITION BY c.component
+       |                           ORDER BY sc.quality_score DESC, c.doc_id) AS rk,
+       |        count(*) OVER (PARTITION BY c.component) AS n_members,
+       |        sum(sc.n_chars) OVER (PARTITION BY c.component) AS total_chars
+       |      FROM comp c JOIN sc ON c.doc_id = sc.doc_id)
+       |SELECT component, CAST(n_members AS BIGINT) AS n_members,
+       |  doc_id AS kept_doc, quality_score AS kept_score,
+       |  CAST(total_chars - n_chars AS BIGINT) AS chars_dropped
+       |FROM m WHERE rk = 1 AND n_members >= 2
+       |ORDER BY component""".stripMargin) { (s, d) =>
+    val scores = docs(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        expr("size(split(text, ' '))").as("n_words"),
+        expr("size(array_distinct(split(text, ' ')))").as("n_distinct_words"),
+        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))").as("n_stop"))
+      .select(col("doc_id"), col("n_chars"),
+        round(((lit(1.0) * col("n_distinct_words") / col("n_words"))
+          + lit(1) - (lit(1.0) * col("n_stop") / col("n_words"))) / 2, 4)
+          .as("quality_score"))
+    val byComponent = Window.partitionBy("component")
+    componentLabels(s, d)
+      .join(scores, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        byComponent.orderBy(col("quality_score").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(byComponent))
+      .withColumn("total_chars", sum("n_chars").over(byComponent))
+      .filter(col("rk") === 1 && col("n_members") >= 2)
+      .select(col("component"), col("n_members").cast("long").as("n_members"),
+        col("doc_id").as("kept_doc"), col("quality_score").as("kept_score"),
+        (col("total_chars") - col("n_chars")).cast("long").as("chars_dropped"))
+      .orderBy("component")
   }
 
   // ---------------------------------------------------------- minhash --
@@ -629,7 +704,7 @@ object TextOps {
   }
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupBow, dedupNgramJaccard, dedupComponents, dedupMinhash,
-    dedupMinhashEst, dedupSimhash, langId, textQuality, tokenCount,
-    docFingerprint, samplePerSource, tokenRegex)
+    dedupExact, dedupBow, dedupNgramJaccard, dedupComponents, dedupKeepBest,
+    dedupMinhash, dedupMinhashEst, dedupSimhash, langId, textQuality,
+    tokenCount, docFingerprint, samplePerSource, tokenRegex)
 }

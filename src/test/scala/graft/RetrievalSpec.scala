@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Retrieval operators: plan pins (chunking shuffle-free, BM25 probe
+  * broadcast, two-phase top-k lossless) plus full value-level brute-force
+  * replicas in plain Scala — the oracle gate checks DuckDB parity, these
+  * check the MATH against an independent implementation. */
+class RetrievalSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+  }
+
+  private def broadcasts(p: SparkPlan): Int = {
+    var n = 0
+    def walk(x: SparkPlan): Unit = x match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case e: BroadcastExchangeLike => n += 1; e.children.foreach(walk)
+      case o => o.children.foreach(walk)
+    }
+    walk(p); n
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def docRows: Array[(Long, String)] =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+  // ---------------------------------------------------------- doc_chunk --
+
+  test("doc_chunk: exact window geometry and digests vs a local replica") {
+    val got = SparkEntry.queries("doc_chunk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val expected = docRows.flatMap { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val n = ws.length
+      (0 until n by graft.text.Retrieval.ChunkStride).map { st =>
+        (id, (st / graft.text.Retrieval.ChunkStride).toLong, st.toLong,
+          math.min(graft.text.Retrieval.ChunkWords, n - st).toLong,
+          md5hex(ws.slice(st, st + graft.text.Retrieval.ChunkWords).mkString(" ")))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.length === expected.length)
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("doc_chunk: pure flatmap — no exchange except the output sort") {
+    val p = finalPlan(SparkEntry.queries("doc_chunk")(spark, sfDir))
+    assert(shuffleCount(p) <= 1, s"doc_chunk gained a data exchange:\n$p")
+  }
+
+  // -------------------------------------------------------- bm25_search --
+
+  test("bm25_search: scores match an independent BM25 computed locally") {
+    import graft.text.Retrieval.{bm25Queries, TopK}
+    val docs = docRows.map { case (id, text) => (id, text.split(" ", -1)) }
+    val nDocs = docs.length.toLong
+    val sumDl = docs.map(_._2.length.toLong).sum
+    val expected = bm25Queries.flatMap { case (qid, terms) =>
+      val scored = docs.flatMap { case (id, ws) =>
+        val dl = ws.length
+        val tf = ws.groupBy(identity).map { case (w, g) => w -> g.length }
+        val contribs = terms.distinct.flatMap { t =>
+          tf.get(t).map { f =>
+            val df = docs.count(_._2.contains(t)).toLong
+            val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1)
+            val c = idf * f * (1.2 + 1) /
+              (f + 1.2 * (1 - 0.75 + 0.75 * dl * nDocs / sumDl.toDouble))
+            BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          }
+        }
+        if (contribs.isEmpty) None
+        else {
+          val score = BigDecimal(contribs.sum.toDouble)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Some((id, score))
+        }
+      }
+      scored.sortBy { case (id, sc) => (-sc, id) }.take(TopK)
+        .zipWithIndex.map { case ((id, sc), i) => (qid, i + 1, id, sc) }
+    }
+    val got = SparkEntry.queries("bm25_search")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // ids and ranks exactly; scores to 1.5e-4 — the replica's double→
+    // BigDecimal rounding chain differs from Spark's in the last ulp on
+    // boundary values (bit-exactness vs DuckDB is the oracle gate's job)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === expected.map(t => (t._1, t._2, t._3)))
+    got.zip(expected).foreach { case ((_, _, _, g), (_, _, _, e)) =>
+      assert(math.abs(g - e) <= 1.5e-4, s"score drift: $g vs $e")
+    }
+  }
+
+  test("bm25_search: probe side broadcasts, corpus aggregates stay bounded") {
+    val p = finalPlan(SparkEntry.queries("bm25_search")(spark, sfDir))
+    // query terms + per-term df + 1-row corpus stats: all three must ship
+    // to the corpus, never the reverse
+    assert(broadcasts(p) >= 3, s"bm25 probe side fell out of broadcast:\n$p")
+    // corpus tf agg, df agg, score agg, rank window, output sort — a join
+    // that shuffled the corpus for the probe would push this past the cap
+    assert(shuffleCount(p) <= 6, s"bm25 corpus side gained a shuffle:\n$p")
+  }
+
+  // -------------------------------------------------------- ngram_stats --
+
+  test("ngram_stats: bucketed two-phase top-k is lossless vs direct top-k") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val direct = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"))
+        .as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n").desc, col("gram"))))
+      .filter(col("rnk") <= graft.text.Retrieval.NgramTopN)
+      .select("lang", "rnk", "gram", "n")
+      .orderBy("lang", "rnk").collect().toSeq
+    val got = SparkEntry.queries("ngram_stats")(spark, sfDir).collect().toSeq
+    assert(got === direct)
+  }
+
+  test("ngram_stats: per-lang rank partitions are (lang, bucket), not lang") {
+    // the audit_value_quantiles lesson applied at authoring time: the full
+    // distinct-gram set must first be cut by the 64-way hash bucket; only
+    // <= 640 survivors per lang may reach the single-partition-per-lang
+    // global window
+    val df = SparkEntry.queries("ngram_stats")(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.references.map(_.name).mkString(",")).mkString("|")
+    }
+    assert(windows.exists(_.contains("bucket")),
+      s"bucket pre-pass window missing: $windows")
+  }
+
+  // ---------------------------------------------------- dedup_keep_best --
+
+  test("dedup_keep_best: kept doc is its component's quality argmax") {
+    val comps = SparkEntry.queries("dedup_components")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // doc_id -> component
+    val quality = SparkEntry.queries("text_quality")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(r.fieldIndex("quality_score")),
+        r.getLong(r.fieldIndex("n_chars"))))
+      .map { case (id, sc, nc) => id -> ((sc, nc)) }.toMap
+    val byComponent = comps.groupBy(_._2).filter(_._2.length >= 2)
+    val got = SparkEntry.queries("dedup_keep_best")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.map(_._1).toSet === byComponent.keySet)
+    for ((component, members, kept, keptScore, charsDropped) <- got) {
+      val ms = byComponent(component).map(_._1)
+      assert(members === ms.length.toLong)
+      val best = ms.minBy(id => (-quality(id)._1, id))
+      assert(kept === best, s"component $component kept $kept, expected $best")
+      assert(keptScore === quality(best)._1)
+      assert(charsDropped === ms.map(quality(_)._2).sum - quality(best)._2)
+    }
+  }
+}
