@@ -211,6 +211,53 @@ object CorpusOps {
       .orderBy("lang", "source", "rk")
   }
 
+  /** Temperature-scaled mixing weights per language — the multilingual
+    * sampling standard: raw share pᵢ = tokensᵢ/Σtokens is flattened to
+    * wᵢ ∝ tokensᵢ^(1/T) with T = 2 (i.e. √tokens), so low-resource
+    * languages are upsampled without letting any language dominate.
+    * `boost` = temp_share / nat_share is the per-language up/downsampling
+    * factor a corpus loader applies. corpus_mix caps ABSOLUTE per-stratum
+    * counts (√n docs); this computes the RELATIVE rates between strata —
+    * the two knobs a mixing stage exposes.
+    *
+    * Scale shape: one partial-aggregating groupBy on lang (the full
+    * corpus reduces map-side to |langs| rows), a 1-row total broadcast —
+    * nothing else. Determinism: √tokens is rounded once to 4 decimals and
+    * the denominator summed as DECIMAL (exact, order-independent); shares
+    * divide ROUNDED values, so a shuffle cannot move a weight. */
+  val corpusTemperature: Q = Q.sql(
+    "corpus_temperature",
+    """WITH s AS (SELECT lang, count(*) AS n_docs,
+      |        sum(len(str_split(text, ' '))) AS tokens
+      |      FROM documents GROUP BY 1),
+      |w AS (SELECT lang, n_docs, tokens,
+      |        CAST(round(sqrt(1.0 * tokens), 4) AS DECIMAL(18, 4)) AS wgt
+      |      FROM s),
+      |t AS (SELECT sum(wgt) AS sum_wgt, sum(tokens) AS sum_tokens FROM w)
+      |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(tokens AS BIGINT) AS tokens,
+      |  round(1.0 * tokens / sum_tokens, 6) AS nat_share,
+      |  round(CAST(wgt AS DOUBLE) / CAST(sum_wgt AS DOUBLE), 6) AS temp_share,
+      |  round(round(CAST(wgt AS DOUBLE) / CAST(sum_wgt AS DOUBLE), 6)
+      |        / round(1.0 * tokens / sum_tokens, 6), 4) AS boost
+      |FROM w CROSS JOIN t ORDER BY lang""".stripMargin) { (s, d) =>
+    val perLang = docs(s, d)
+      .select(col("lang"), expr("size(split(text, ' '))").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+      .withColumn("wgt",
+        round(sqrt(lit(1.0) * col("tokens")), 4).cast("decimal(18,4)"))
+    val totals = perLang.agg(sum("wgt").as("sum_wgt"), sum("tokens").as("sum_tokens"))
+    val tempShare = round(col("wgt").cast("double") / col("sum_wgt").cast("double"), 6)
+    val natShare = round(lit(1.0) * col("tokens") / col("sum_tokens"), 6)
+    perLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs").cast("long").as("n_docs"),
+        col("tokens").cast("long").as("tokens"),
+        natShare.as("nat_share"), tempShare.as("temp_share"),
+        round(tempShare / natShare, 4).as("boost"))
+      .orderBy("lang")
+  }
+
   // -------------------------------------------------- token statistics --
 
   /** Token-count distribution per source (the data-mixing dashboard):
@@ -394,6 +441,6 @@ object CorpusOps {
   }
 
   val all: Seq[Q] = Seq(
-    docRepetition, qualityFilter, decontaminate, corpusMix, tokenHistogram,
-    packSequences, corpusFunnel, corpusSplit)
+    docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
+    tokenHistogram, packSequences, corpusFunnel, corpusSplit)
 }

@@ -164,6 +164,117 @@ object Retrieval {
     }
   }
 
+  // -------------------------------------------------- tf-idf keywords --
+
+  private[graft] val KeywordsTopK = 3
+
+  /** One tf-idf score — ONE formula string evaluated by both engines
+    * (bm25 discipline): plain tf × ln(N/df), rounded once to 6 decimals.
+    * No further arithmetic happens after the round, so the score needs no
+    * decimal-sum protection — it is a single expression per (doc, term). */
+  private val tfidfFormula: String = "round(tf * ln(1.0 * n_docs / df), 6)"
+
+  /** Per-document keyword extraction: the top-3 terms of every document by
+    * tf-idf — the compact content descriptor a corpus catalog publishes
+    * per doc (and the classical sparse counterpart of an embedding).
+    *
+    * Scale shape: one corpus pass into per-(doc, term) tf (persisted —
+    * BOTH the df aggregation and the scoring pass read it, the bm25
+    * discipline); df is a partial-aggregating groupBy bounded at |vocab|;
+    * the tf ⋈ df equi-join shuffles on term with partial aggregation
+    * already done on both sides (AQE picks the physical join — df MAY
+    * broadcast at small vocab but is not forced to, since vocabulary
+    * grows with the corpus); the 1-row doc count broadcasts. The rank
+    * window partitions by doc_id — bounded by document length, never a
+    * full-feed partition. */
+  val tfidfKeywords: Q = Q.sql(
+    "tfidf_keywords",
+    s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+       |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs FROM w),
+       |sc AS (SELECT tf.doc_id, tf.term, $tfidfFormula AS score
+       |       FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN st),
+       |r AS (SELECT doc_id, term, score,
+       |        row_number() OVER (PARTITION BY doc_id
+       |                           ORDER BY score DESC, term) AS rnk
+       |      FROM sc)
+       |SELECT doc_id, rnk, term, score FROM r
+       |WHERE rnk <= $KeywordsTopK ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.join(dft, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", expr(tfidfFormula))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rnk") <= KeywordsTopK)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  // ----------------------------------------------------- chunk overlap --
+
+  /** Cross-document PARTIAL duplication: which documents share full
+    * 64-word windows with other documents. Whole-doc dedup (exact/bow/
+    * minhash) misses a doc that merely CONTAINS a copied span; the chunk
+    * digest stream catches it — the containment complement of
+    * dedup_* over the same window geometry doc_chunk serves.
+    *
+    * Scale shape: full-window digests (clipped tails excluded — their
+    * varying lengths make digests trivially unique) → per-(doc, digest)
+    * dedup via partial-aggregating groupBy (persisted: read by the
+    * digest-count pass AND the per-doc rollup) → digest counts (bounded
+    * at |distinct windows|) → equi-join back on digest → per-doc rollup.
+    * Nothing is all-pairs: a window shared by k docs costs k join rows,
+    * not k². Only docs with at least one shared window are reported. */
+  val chunkOverlap: Q = Q.sql(
+    "chunk_overlap",
+    s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+       |s AS (SELECT doc_id, ws, len(ws) AS n,
+       |        unnest(range(0, len(ws), $ChunkStride)) AS start_word
+       |      FROM w),
+       |ch AS (SELECT doc_id,
+       |         md5(array_to_string(ws[start_word + 1 : start_word + $ChunkWords], ' '))
+       |           AS digest
+       |       FROM s WHERE n - start_word >= $ChunkWords),
+       |dd AS (SELECT DISTINCT doc_id, digest FROM ch),
+       |cnt AS (SELECT digest, count(*) AS n_docs FROM dd GROUP BY 1),
+       |per AS (SELECT dd.doc_id, count(*) AS n_digests,
+       |          sum(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared
+       |        FROM dd JOIN cnt ON dd.digest = cnt.digest GROUP BY 1)
+       |SELECT doc_id, CAST(n_digests AS BIGINT) AS n_digests,
+       |  CAST(n_shared AS BIGINT) AS n_shared,
+       |  round(1.0 * n_shared / n_digests, 4) AS shared_ratio
+       |FROM per WHERE n_shared >= 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(expr(s"sequence(0, n - 1, $ChunkStride)")).as("start_word"))
+      .filter(col("n") - col("start_word") >= ChunkWords)
+      .select(col("doc_id"),
+        md5(array_join(expr(s"slice(ws, start_word + 1, $ChunkWords)"), " "))
+          .as("digest"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = dd.groupBy("digest").agg(count(lit(1)).as("n_docs"))
+    dd.join(cnt, Seq("digest"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_digests"),
+        sum(when(col("n_docs") >= 2, 1).otherwise(0)).as("n_shared"))
+      .filter(col("n_shared") >= 1)
+      .select(col("doc_id"), col("n_digests").cast("long").as("n_digests"),
+        col("n_shared").cast("long").as("n_shared"),
+        round(lit(1.0) * col("n_shared") / col("n_digests"), 4).as("shared_ratio"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------ ngram stats --
 
   private[graft] val NgramTopN = 10
@@ -215,5 +326,5 @@ object Retrieval {
       .orderBy("lang", "rnk")
   }
 
-  val all: Seq[Q] = Seq(docChunk, bm25Search, ngramStats)
+  val all: Seq[Q] = Seq(docChunk, bm25Search, tfidfKeywords, chunkOverlap, ngramStats)
 }

@@ -626,6 +626,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** One Shannon-entropy term — ONE formula string evaluated by both
+    * engines, rounded once to 6 decimals, then summed as DECIMAL (exact,
+    * order-independent — the bm25 contribution discipline). */
+  private val entropyTermFormula: String =
+    "round(-(1.0 * c / n) * ln(1.0 * c / n), 6)"
+
+  /** Per-document unigram Shannon entropy — the information-density
+    * quality signal: near-zero for a doc that repeats one word (spam /
+    * boilerplate), ln(n_words) for all-distinct text. Complements
+    * text_quality's ratio heuristics (type-token ratio is blind to HOW
+    * skewed the repeated mass is) and doc_repetition's top-gram share
+    * (which only sees the single heaviest gram).
+    *
+    * Scale shape: explode → one partial-aggregating groupBy on
+    * (doc, term) → one partial-aggregating groupBy on doc. Both shuffles
+    * are map-side combined; nothing is all-pairs, no window. The entropy
+    * sum is DECIMAL so shuffle order cannot move a score. */
+  val textEntropy: Q = Q.sql(
+    "text_entropy",
+    s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+       |t AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS term FROM w),
+       |tf AS (SELECT doc_id, n, term, count(*) AS c FROM t GROUP BY 1, 2, 3),
+       |e AS (SELECT doc_id, n, count(*) AS n_distinct,
+       |        sum(CAST($entropyTermFormula AS DECIMAL(18, 6))) AS h
+       |      FROM tf GROUP BY 1, 2)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       |  CAST(n_distinct AS BIGINT) AS n_distinct,
+       |  CAST(h AS DOUBLE) AS entropy
+       |FROM e ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("term"))
+      .groupBy("doc_id", "n", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(expr(entropyTermFormula).cast("decimal(18,6)")).as("h"))
+      .select(col("doc_id"), col("n").cast("long").as("n_words"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        col("h").cast("double").as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Whitespace + chars/4 BPE-approximation token counts. */
   val tokenCount: Q = Q.sql(
     "token_count",
@@ -706,5 +748,5 @@ object TextOps {
   val all: Seq[Q] = Seq(
     dedupExact, dedupBow, dedupNgramJaccard, dedupComponents, dedupKeepBest,
     dedupMinhash, dedupMinhashEst, dedupSimhash, langId, textQuality,
-    tokenCount, docFingerprint, samplePerSource, tokenRegex)
+    textEntropy, tokenCount, docFingerprint, samplePerSource, tokenRegex)
 }

@@ -58,6 +58,55 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("text_entropy: Shannon entropy matches a local replica; bounds hold") {
+    val docsArr = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val expected = docsArr.map { case (id, ws) =>
+      val n = ws.length
+      val tf = ws.groupBy(identity).map(_._2.length)
+      val h = tf.map { c =>
+        BigDecimal(-(1.0 * c / n) * math.log(1.0 * c / n))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (id, n.toLong, tf.size.toLong, h.toDouble)
+    }.sortBy(_._1)
+    val got = graft.text.TextOps.textEntropy.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case ((gi, gn, gd, gh), (ei, en, ed, eh)) =>
+      assert((gi, gn, gd) === ((ei, en, ed)))
+      assert(math.abs(gh - eh) <= 1e-5, s"doc $gi entropy drift: $gh vs $eh")
+      // 0 (one repeated word) <= H <= ln(n_words) (all words distinct);
+      // each term carries up to 5e-7 of round-to-6-decimals error, so the
+      // bound gets n_distinct * 5e-7 of slack
+      assert(gh >= 0.0 && gh <= math.log(gn.toDouble) + 5e-7 * gd + 1e-9)
+    }
+  }
+
+  test("corpus_temperature: shares sum to 1 and flattening is monotone") {
+    val rows = CorpusOps.corpusTemperature.fn(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("nat_share"),
+        r.getAs[Double]("temp_share"), r.getAs[Double]("boost")))
+    assert(rows.length >= 3)
+    assert(math.abs(rows.map(_._2).sum - 1.0) <= 1e-4)
+    assert(math.abs(rows.map(_._3).sum - 1.0) <= 1e-4)
+    rows.foreach { case (lang, nat, temp, boost) =>
+      assert(math.abs(boost - temp / nat) <= 1e-3, s"$lang boost != temp/nat")
+    }
+    // temperature flattening: boost is strictly decreasing in corpus share
+    // (low-resource up, high-resource down), and the scaled distribution is
+    // strictly closer to uniform than the natural one
+    val byShare = rows.sortBy(_._2)
+    byShare.sliding(2).foreach {
+      case Array((_, n1, _, b1), (_, n2, _, b2)) if n1 < n2 => assert(b1 > b2)
+      case _ =>
+    }
+    val spreadNat = byShare.last._2 - byShare.head._2
+    val spreadTemp = rows.map(_._3).max - rows.map(_._3).min
+    assert(spreadTemp < spreadNat)
+  }
+
   test("pack_sequences: the tape is contiguous and chunk bounds are exact") {
     import org.apache.spark.sql.expressions.Window
     val p = CorpusOps.packSequences.fn(spark, sf)

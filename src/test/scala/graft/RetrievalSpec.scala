@@ -149,6 +149,58 @@ class RetrievalSpec extends AnyFunSuite {
       s"bucket pre-pass window missing: $windows")
   }
 
+  // ----------------------------------------------------- tfidf_keywords --
+
+  test("tfidf_keywords: top-3 terms match an independent tf-idf computed locally") {
+    val docs = docRows.map { case (id, text) => (id, text.split(" ", -1)) }
+    val nDocs = docs.length.toLong
+    val dfMap = docs.flatMap { case (_, ws) => ws.distinct }
+      .groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val expected = docs.flatMap { case (id, ws) =>
+      val tf = ws.groupBy(identity).map { case (w, g) => w -> g.length }
+      tf.toSeq.map { case (t, f) =>
+        val score = BigDecimal(f * math.log(1.0 * nDocs / dfMap(t)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (t, score)
+      }.sortBy { case (t, sc) => (-sc, t) }
+        .take(graft.text.Retrieval.KeywordsTopK)
+        .zipWithIndex.map { case ((t, sc), i) => (id, i + 1, t, sc) }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("tfidf_keywords")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === expected.map(t => (t._1, t._2, t._3)))
+    got.zip(expected).foreach { case ((_, _, _, g), (_, _, _, e)) =>
+      assert(math.abs(g - e) <= 1e-5, s"score drift: $g vs $e")
+    }
+  }
+
+  // ------------------------------------------------------ chunk_overlap --
+
+  test("chunk_overlap: per-doc shared-window counts match a local replica") {
+    val stride = graft.text.Retrieval.ChunkStride
+    val cw = graft.text.Retrieval.ChunkWords
+    val dd = docRows.flatMap { case (id, text) =>
+      val ws = text.split(" ", -1)
+      (0 until ws.length by stride)
+        .filter(st => ws.length - st >= cw)
+        .map(st => (id, md5hex(ws.slice(st, st + cw).mkString(" "))))
+        .distinct
+    }
+    val counts = dd.groupBy(_._2).map { case (dg, g) => dg -> g.length }
+    val expected = dd.groupBy(_._1).toSeq.flatMap { case (id, chunks) =>
+      val n = chunks.length.toLong
+      val shared = chunks.count(c => counts(c._2) >= 2).toLong
+      if (shared >= 1)
+        Some((id, n, shared,
+          BigDecimal(1.0 * shared / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      else None
+    }.sortBy(_._1)
+    assert(expected.nonEmpty, "fixture lost its shared windows — test is vacuous")
+    val got = SparkEntry.queries("chunk_overlap")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === expected)
+  }
+
   // ---------------------------------------------------- dedup_keep_best --
 
   test("dedup_keep_best: kept doc is its component's quality argmax") {
