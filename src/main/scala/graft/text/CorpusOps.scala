@@ -247,10 +247,16 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
       .withColumn("wgt",
         round(sqrt(lit(1.0) * col("tokens")), 4).cast("decimal(18,4)"))
-    val totals = perLang.agg(sum("wgt").as("sum_wgt"), sum("tokens").as("sum_tokens"))
+    // totals come from the per-lang AGGREGATE via an unpartitioned window
+    // (≤ |langs| rows — bounded, never feed-sized), so the corpus is
+    // scanned exactly once; a separate totals branch would re-scan and
+    // re-aggregate the full corpus at 100 TB
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val tempShare = round(col("wgt").cast("double") / col("sum_wgt").cast("double"), 6)
     val natShare = round(lit(1.0) * col("tokens") / col("sum_tokens"), 6)
-    perLang.crossJoin(broadcast(totals))
+    perLang
+      .withColumn("sum_wgt", sum("wgt").over(w))
+      .withColumn("sum_tokens", sum("tokens").over(w))
       .select(col("lang"), col("n_docs").cast("long").as("n_docs"),
         col("tokens").cast("long").as("tokens"),
         natShare.as("nat_share"), tempShare.as("temp_share"),

@@ -518,6 +518,62 @@ object TextOps {
   }
   }
 
+  // ------------------------------------------------------ incremental --
+
+  /** Continuous-ingest dedup: admit/reject every document of an incoming
+    * batch (doc_id ≡ 0 mod 10, ~10% — the "today's crawl" slice) against
+    * the EXISTING corpus via minhash band collisions — the decision a
+    * pipeline makes on every ingest without ever re-deduping the corpus.
+    * Each admitted/rejected doc carries its evidence: how many existing
+    * docs share a band, and the smallest such doc id.
+    *
+    * Scale shape (the decontaminate posture, applied to LSH): the BATCH
+    * side's band table broadcasts — a daily batch is tiny next to a
+    * 100 TB corpus — so the corpus band table is scanned once and never
+    * shuffles for the probe. (For a batch too big to broadcast, drop the
+    * hint and the same plan shuffles both sides on (band, v) — the
+    * decision AQE already owns.) The LEFT join back to the batch keeps
+    * no-match docs in the report with verdict 'admit'. */
+  val dedupIncremental: Q = {
+    val duckBands = minhashParams.indices
+      .map(i => s"SELECT doc_id, ${i + 1} AS band, sig${i + 1} AS v FROM sig")
+      .mkString("\n  UNION ALL ")
+    Q.sql(
+      "dedup_incremental",
+      s"""WITH $duckSigCtes,
+         |bands AS ($duckBands),
+         |ib AS (SELECT doc_id AS inc_id, band, v FROM bands WHERE doc_id % 10 = 0),
+         |eb AS (SELECT doc_id AS ex_id, band, v FROM bands WHERE doc_id % 10 <> 0),
+         |m AS (SELECT inc_id, count(DISTINCT ex_id) AS n_near_dups,
+         |        min(ex_id) AS first_match
+         |      FROM ib JOIN eb USING (band, v) GROUP BY 1),
+         |i AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+         |SELECT i.doc_id, coalesce(n_near_dups, 0) AS n_near_dups, first_match,
+         |  CASE WHEN coalesce(n_near_dups, 0) >= 1 THEN 'near_dup'
+         |       ELSE 'admit' END AS verdict
+         |FROM i LEFT JOIN m ON m.inc_id = i.doc_id
+         |ORDER BY i.doc_id""".stripMargin) { (s, d) =>
+      val sigs = minhashSigs(s, d)
+      val bands = sigs.select(col("doc_id"),
+        posexplode(array(minhashParams.indices.map(i => col(s"sig${i + 1}")): _*))
+          .as(Seq("band", "v")))
+      val incB = bands.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("inc_id"), col("band"), col("v"))
+      val exB = bands.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("ex_id"), col("band"), col("v"))
+      val matches = exB.join(broadcast(incB), Seq("band", "v"))
+        .groupBy("inc_id")
+        .agg(countDistinct("ex_id").as("n_near_dups"), min("ex_id").as("first_match"))
+      sigs.filter(col("doc_id") % 10 === 0).select("doc_id")
+        .join(matches, col("doc_id") === col("inc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          col("first_match"),
+          when(col("n_near_dups") >= 1, "near_dup").otherwise("admit").as("verdict"))
+        .orderBy("doc_id")
+    }
+  }
+
   // ---------------------------------------------------------- simhash --
 
   /** 16-bit SimHash over distinct words: bit votes from the first 4 md5
@@ -747,6 +803,7 @@ object TextOps {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupBow, dedupNgramJaccard, dedupComponents, dedupKeepBest,
-    dedupMinhash, dedupMinhashEst, dedupSimhash, langId, textQuality,
-    textEntropy, tokenCount, docFingerprint, samplePerSource, tokenRegex)
+    dedupMinhash, dedupMinhashEst, dedupIncremental, dedupSimhash, langId,
+    textQuality, textEntropy, tokenCount, docFingerprint, samplePerSource,
+    tokenRegex)
 }

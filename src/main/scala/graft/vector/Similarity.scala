@@ -941,9 +941,60 @@ object Similarity {
     }
   }
 
+  /** Embedding-space data-quality audit: vectors whose L2² distance to
+    * their OWN label centroid is a z ≥ 2 outlier within the label — the
+    * mislabeled/corrupted-embedding sweep a pipeline runs before letting a
+    * batch into training (a vector far from its class center is either a
+    * labeling error or a degenerate embedding).
+    *
+    * Scale shape: the centroid table (|labels| rows) broadcasts; distance
+    * is one codegen [[L2Squared]] pass over the corpus; per-label moments
+    * are ONE partial-aggregating groupBy (n, Σd, Σd² — mergeable, so the
+    * same op incrementalizes over batches); the tiny stats table
+    * broadcasts back for the z test. No window, nothing all-pairs.
+    *
+    * Determinism: dist is rounded once to 6 decimals, then BOTH moments
+    * are summed as DECIMAL (exact, order-independent; d² of a 6-decimal
+    * value ≤ 8 is exactly representable in a double, so the cast loses
+    * nothing); mean/E[x²] divide the exact sums as doubles, z is rounded
+    * to 4 before the ≥ 2 threshold — both engines threshold the identical
+    * value. */
+  val embOutliers: Q = Q.sql(
+    "emb_outliers",
+    s"""WITH $centCtesSql,
+      |dv AS (SELECT e.vec_id, e.label,
+      |         round(list_sum(list_transform(range(1, len(emb) + 1),
+      |           i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))), 6) AS dist
+      |       FROM e JOIN cent ON e.label = cent.clabel),
+      |st AS (SELECT label,
+      |         CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean,
+      |         CAST(sum(CAST(dist * dist AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS ex2
+      |       FROM dv GROUP BY label),
+      |z AS (SELECT dv.vec_id, dv.label, dv.dist,
+      |        round((dv.dist - st.mean) / sqrt(st.ex2 - st.mean * st.mean), 4) AS z
+      |      FROM dv JOIN st ON dv.label = st.label)
+      |SELECT vec_id, label, dist, z FROM z
+      |WHERE z >= 2 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+      .withColumn("emb_d", expr("transform(embedding, x -> cast(x as double))"))
+    val dv = e.join(broadcast(labelCentroids(e)), col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"),
+        round(expr("graft_l2sq(emb_d, cv)"), 6).as("dist"))
+    val st = dv.groupBy("label").agg(
+      (sum(col("dist").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("mean"),
+      (sum((col("dist") * col("dist")).cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("ex2"))
+    dv.join(broadcast(st), Seq("label"))
+      .withColumn("z", round((col("dist") - col("mean"))
+        / sqrt(col("ex2") - col("mean") * col("mean")), 4))
+      .filter(col("z") >= 2)
+      .select(col("vec_id"), col("label"), col("dist"), col("z"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
     embNormalize, embQuantize, annPq, annPqSearch, annRecall,
     annIvfMultiprobe, annIvfKmeans, annRecallKmeans,
-    annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence)
+    annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers)
 }

@@ -159,4 +159,51 @@ class PlanShapeSpec extends AnyFunSuite {
     // the block+shingle key), never a nested-loop/cartesian shape
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
+
+  test("tfidf_keywords: df side is NOT force-broadcast (vocab scales with corpus)") {
+    // the 1-row doc-count stats frame broadcasts; the per-term df table
+    // must reach the tf ⋈ df join un-hinted — at small SF AQE may still
+    // pick broadcast (fine, size-gated), but the LOGICAL plan must not
+    // carry a ResolvedHint pinning |vocab| rows to the driver at 100 TB
+    val df = SparkEntry.queries("tfidf_keywords")(spark, sfDir)
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    // exactly the one deliberate broadcast: the 1-row global doc count
+    assert(hinted.length == 1, s"tfidf broadcast hints changed: $hinted")
+    // the contribution join itself stays an equi-join shape
+    val s = finalPlan(df).toString
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("chunk_overlap: digest self-correlation is an equi-join, never all-pairs") {
+    val p = finalPlan(SparkEntry.queries("chunk_overlap")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    // (doc,digest) dedup, digest counts, the join back, per-doc rollup,
+    // output sort — a k² pair expansion would add exchanges beyond this
+    assert(shuffles(p) <= 5, s"chunk_overlap gained an exchange:\n$s")
+  }
+
+  test("corpus_temperature: one corpus scan; totals off the aggregate, not a re-scan") {
+    val df = SparkEntry.queries("corpus_temperature")(spark, sfDir)
+    val p = finalPlan(df)
+    // lang-agg exchange + the tiny unpartitioned totals window (≤ |langs|
+    // rows) + contractual output sort; the corpus reduces map-side first
+    assert(shuffles(p) <= 3, s"corpus_temperature gained an exchange:\n$p")
+    // exactly ONE scan of documents — a separate totals branch would
+    // re-read and re-aggregate the full corpus (AQE-aware walk: scans
+    // hide inside query stages)
+    var scans = 0
+    def walk(x: org.apache.spark.sql.execution.SparkPlan): Unit = x match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        scans += 1; f.children.foreach(walk)
+      case o => o.children.foreach(walk)
+    }
+    walk(p)
+    assert(scans == 1, s"corpus scanned ${scans}x:\n$p")
+  }
 }

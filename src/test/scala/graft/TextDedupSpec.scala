@@ -24,6 +24,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(roots.sameElements(Array(1L, 101L)))
   }
 
+  test("dedup_incremental: verdicts match a direct cross-split band probe") {
+    GraftFunctions.ensureRegistered(spark)
+    // independent band table straight off the (already spec-verified)
+    // native signature expression — no shared helper with the op's plan
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(TextOps.shingleExpr("ws")).as("s3"))
+      .withColumn("sigs", expr("graft_minhash_sig(s3)"))
+      .select(col("doc_id"), posexplode(col("sigs")).as(Seq("band", "v")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val (inc, ex) = sigs.partition(_._1 % 10 == 0)
+    val exByBand = ex.groupBy(t => (t._2, t._3))
+    val expected = inc.map(_._1).distinct.sorted.map { id =>
+      val hits = inc.filter(_._1 == id)
+        .flatMap(t => exByBand.getOrElse((t._2, t._3), Array.empty).map(_._1))
+        .distinct
+      (id, hits.length.toLong,
+        if (hits.isEmpty) None else Some(hits.min),
+        if (hits.nonEmpty) "near_dup" else "admit")
+    }
+    val got = TextOps.dedupIncremental.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
+    assert(got.toSeq === expected.toSeq)
+    assert(expected.exists(_._4 == "near_dup"), "fixture has no cross-split near-dup — vacuous")
+    assert(expected.exists(_._4 == "admit"), "every incoming doc matched — vacuous")
+  }
+
   test("star edges yield the same components as the all-pairs closure") {
     // star edges (1,2),(1,3) must connect {1,2,3} exactly like pair edges
     val bow = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "fp")

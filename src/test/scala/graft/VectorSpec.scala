@@ -122,4 +122,39 @@ class VectorSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
       "expected the PQ codebook on a BroadcastExchange")
   }
+
+  test("emb_outliers: flagged set matches a local z-score replica") {
+    val rows = Tables.embeddings(spark, TestSession.sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val byLabel = rows.groupBy(_._2)
+    val expected = byLabel.toSeq.flatMap { case (_, vs) =>
+      val dim = vs.head._3.length
+      // decimal-exact per-dim mean (the centroid both engines derive)
+      val cent = (0 until dim).map { i =>
+        (vs.map(v => BigDecimal(v._3(i)).setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+          / vs.length).toDouble
+      }.toArray
+      val dists = vs.map { case (id, _, e) =>
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { val t = e(i) - cent(i); acc += t * t; i += 1 }
+        (id, BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val n = dists.length
+      val mean = dists.map(d => BigDecimal(d._2)).sum.toDouble / n
+      val ex2 = dists.map(d => BigDecimal(d._2) * BigDecimal(d._2)).sum.toDouble / n
+      val std = math.sqrt(ex2 - mean * mean)
+      dists.map { case (id, dd) =>
+        (id, BigDecimal((dd - mean) / std).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.filter(_._2 >= 2.0)
+    }.sortBy(_._1)
+    val got = graft.vector.Similarity.embOutliers.fn(spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === expected.map(_._1))
+    got.zip(expected).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) <= 1e-3, s"z drift: $g vs $e")
+    }
+  }
 }
