@@ -1192,6 +1192,88 @@ object AuditQueries {
     }
   }
 
+  /** SCD-2 materialization of the snapshot view: every change opens a
+    * validity interval over the reconstructed state, closed (exclusive)
+    * by the entity's next change; the open interval is the current row.
+    * The reference's `*_audit_snapshot` view (audit.go:1262) reconstructs
+    * state as-of each change per lookup — SCD-2 is the warehouse-standard
+    * materialization of those as-of ranges, serving point-in-time equi
+    * joins (`valid_from <= t < valid_to`) without re-scanning history.
+    *
+    * Scale shape: the state reconstruction and the `lead` both ride
+    * [[AuditLog.byEntity]] — one (entity, audit_id) Exchange serves every
+    * column; no second shuffle, no broadcast. */
+  val auditScd2: Q = Q.sql(
+    "audit_scd2",
+    auditCte + s""", snap AS (
+      |  SELECT audit_id, entity_id, operation, ts,
+      |    last_value(k IGNORE NULLS) OVER ($runningW) AS state_k,
+      |    last_value(val IGNORE NULLS) OVER ($runningW) AS state_val
+      |  FROM audit)
+      |SELECT audit_id, entity_id, operation, state_k, state_val,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  strftime(lead(ts) OVER (PARTITION BY entity_id ORDER BY audit_id),
+      |           '%Y-%m-%d %H:%M:%S') AS valid_to,
+      |  CASE WHEN lead(ts) OVER (PARTITION BY entity_id ORDER BY audit_id)
+      |    IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM snap ORDER BY entity_id, audit_id""".stripMargin) { (s, d) =>
+    alg.snapshot(sparse(log(s, d)), Seq("k", "val"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(alg.byEntity))
+      .select(col("audit_id"), col("entity_id"), col("operation"),
+        col("state_k"), col("state_val"),
+        date_format(col("ts"), TS).as("valid_from"),
+        date_format(col("next_ts"), TS).as("valid_to"),
+        when(col("next_ts").isNull, 1).otherwise(0).as("is_current"))
+      .orderBy("entity_id", "audit_id")
+  }
+
+  /** Deleted-entity forensics: entities with audit history whose live
+    * dimension row is gone. After a hard delete the audit log is the only
+    * surviving record — recovering the last known state from it is exactly
+    * the use case the reference's reconstruction views exist for
+    * (audit.go:1051-1362). The live set is simulated deterministically
+    * (customer keys with `c_custkey % 7 <> 0`; every 7th row "deleted")
+    * so both engines probe the identical dimension.
+    *
+    * Scale shape: current-state-per-entity rides the shared byEntity
+    * window (output bounded at |entities|), then one LEFT ANTI equi-join
+    * against the live key set — both sides hash-partition on the key; no
+    * broadcast assumed (a real dimension can be billions of rows), no
+    * all-pairs anywhere. */
+  val auditOrphans: Q = Q.sql(
+    "audit_orphans",
+    auditCte + s""", snap AS (
+      |  SELECT audit_id, entity_id, operation, ts,
+      |    last_value(k IGNORE NULLS) OVER ($runningW) AS state_k,
+      |    last_value(val IGNORE NULLS) OVER ($runningW) AS state_val,
+      |    row_number() OVER (PARTITION BY entity_id ORDER BY audit_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY entity_id) AS n_changes
+      |  FROM audit),
+      |cur AS (SELECT * FROM snap WHERE rn = 1),
+      |live AS (SELECT c_custkey AS entity_id FROM customer
+      |         WHERE c_custkey % 7 <> 0)
+      |SELECT cur.entity_id, audit_id AS last_audit_id,
+      |  operation AS last_operation,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_changed_at,
+      |  state_k, state_val, n_changes
+      |FROM cur ANTI JOIN live ON cur.entity_id = live.entity_id
+      |ORDER BY cur.entity_id""".stripMargin) { (s, d) =>
+    val live = Tables.customer(s, d)
+      .filter(col("c_custkey") % 7 =!= 0)
+      .select(col("c_custkey").as("entity_id"))
+    val descW = Window.partitionBy("entity_id").orderBy(col("audit_id").desc)
+    alg.snapshot(sparse(log(s, d)), Seq("k", "val"))
+      .withColumn("rn", row_number().over(descW))
+      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy("entity_id")))
+      .filter(col("rn") === 1)
+      .join(live, Seq("entity_id"), "left_anti")
+      .select(col("entity_id"), col("audit_id").as("last_audit_id"),
+        col("operation").as("last_operation"),
+        date_format(col("ts"), TS).as("last_changed_at"),
+        col("state_k"), col("state_val"), col("n_changes"))
+      .orderBy("entity_id")
+  }
+
   val all: Seq[Q] = Seq(
     auditLog, auditDelta, auditDeltaOld, auditTypedDelta, auditViewsOnly,
     auditViewsTyped, auditSnapshot, auditCompare,
@@ -1201,5 +1283,6 @@ object AuditQueries {
     auditAsofState,
     auditAsofTolerance, auditWhoChanged, auditClientSessions,
     auditEnabledRanges, auditPkValidity, auditTruncateReset, auditWideSnapshot,
-    auditCompact, auditRetention, auditSessionWindow, auditDailyAnomaly)
+    auditCompact, auditRetention, auditSessionWindow, auditDailyAnomaly,
+    auditScd2, auditOrphans)
 }

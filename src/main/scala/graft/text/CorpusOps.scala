@@ -446,7 +446,125 @@ object CorpusOps {
     }
   }
 
+  // --------------------------------------------------- unigram LM score --
+
+  /** Per-term surprisal, rounded once then scaled by the exact integer
+    * term count — the only float op in the perplexity pipeline (both
+    * dialects accept it verbatim; `ct`/`nt` are exact BIGINTs). */
+  private val surprisalFormula =
+    "round(-log2((1.0 * ct) / nt), 6)"
+
+  /** CCNet-style unigram language-model scoring: per-document
+    * cross-entropy (bits/token) under the corpus's own unigram
+    * distribution, plus perplexity — the standard "looks like the corpus"
+    * quality signal (gibberish and boilerplate both surface as outliers).
+    *
+    * Scale shape: one corpus pass into per-(doc, term) counts (persisted
+    * MEMORY_AND_DISK — read by the global-count agg AND the scoring
+    * pass, the [[Retrieval]] tfidf posture); global term counts shuffle
+    * on term with partial agg on both sides (vocabulary grows with the
+    * corpus, so the model side is NOT broadcast); the 1-row total IS
+    * broadcast. Determinism: surprisal rounded once to 6, multiplied by
+    * the exact integer tf, summed as DECIMAL — order-independent. */
+  val corpusPerplexity: Q = Q.sql(
+    "corpus_perplexity",
+    s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS term FROM w),
+      |tf AS (SELECT doc_id, n, term, count(*) AS c FROM t GROUP BY 1, 2, 3),
+      |gt AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM gt),
+      |sc AS (SELECT tf.doc_id, tf.n,
+      |         c * CAST($surprisalFormula AS DECIMAL(18, 6)) AS contrib
+      |       FROM tf JOIN gt ON tf.term = gt.term CROSS JOIN tot),
+      |agg AS (SELECT doc_id, n, count(*) AS n_distinct_terms,
+      |          sum(contrib) AS bits
+      |        FROM sc GROUP BY 1, 2)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+      |  CAST(n_distinct_terms AS BIGINT) AS n_distinct_terms,
+      |  round(CAST(bits AS DOUBLE) / n, 4) AS xent,
+      |  round(power(2, round(CAST(bits AS DOUBLE) / n, 4)), 2) AS ppl
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tf = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("term"))
+      .groupBy("doc_id", "n", "term").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gt = tf.groupBy("term").agg(sum("c").cast("long").as("ct"))
+    val tot = gt.agg(sum("ct").cast("long").as("nt"))
+    tf.join(gt, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib",
+        col("c") * expr(surprisalFormula).cast("decimal(18,6)"))
+      .groupBy("doc_id", "n")
+      .agg(count(lit(1)).as("n_distinct_terms"), sum("contrib").as("bits"))
+      .select(col("doc_id"), col("n").cast("long").as("n_words"),
+        col("n_distinct_terms").cast("long").as("n_distinct_terms"),
+        round(col("bits").cast("double") / col("n"), 4).as("xent"),
+        round(pow(lit(2), round(col("bits").cast("double") / col("n"), 4)), 2)
+          .as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------- boilerplate n-grams --
+
+  /** A bigram is boilerplate within its source when it appears in ≥ 10%
+    * of the source's documents and at least 3 of them (thresholds sit
+    * inside this corpus's observed DF distribution: per-source max DF
+    * share is 20-32%, with 100-200 bigrams over the 10% line). */
+  private val BoilerMinDf = 3
+  private val BoilerShare = 0.10
+
+  /** Per-source boilerplate detection (the CCNet/C4 header-footer
+    * filter): bigrams shared by an unusually large fraction of one
+    * source's documents are template text — navigation chrome, license
+    * headers, sign-offs — and each document is scored by how much of it
+    * is template. Whole-doc dedup never sees this (the surrounding text
+    * differs); [[Retrieval.chunkOverlap]] needs a full 64-word window to
+    * fire. Shape: per-doc DISTINCT bigrams (partial-agg bounded), DF per
+    * (source, bigram) partial agg, per-source doc counts joined on the
+    * tiny source dimension (broadcast), then ONE equi-join of the doc
+    * bigram stream against the flagged set on (source, gram) — flagged
+    * vocabulary is small by construction (high-DF survivors only), but
+    * NOT force-broadcast: it grows with source count, AQE decides. */
+  val boilerplateNgrams: Q = Q.sql(
+    "boilerplate_ngrams",
+    s"""WITH w AS (SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, source, unnest(list_distinct(
+      |        list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))
+      |        AS gram
+      |      FROM w),
+      |df AS (SELECT source, gram, count(*) AS df FROM g GROUP BY 1, 2),
+      |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |bp AS (SELECT df.source, gram FROM df JOIN nd ON df.source = nd.source
+      |       WHERE df >= $BoilerMinDf AND 1.0 * df / n_docs >= $BoilerShare),
+      |per AS (SELECT g.doc_id, count(*) AS n_grams,
+      |          sum(CASE WHEN bp.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+      |        FROM g LEFT JOIN bp ON g.source = bp.source AND g.gram = bp.gram
+      |        GROUP BY 1)
+      |SELECT doc_id, n_grams, CAST(n_boiler AS BIGINT) AS n_boiler,
+      |  round(1.0 * n_boiler / n_grams, 4) AS boiler_ratio
+      |FROM per ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val g = docs(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(expr(bigramExpr("ws")))).as("gram"))
+    val df = g.groupBy("source", "gram").agg(count(lit(1)).as("df"))
+    val nd = docs(s, d).groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val bp = df.join(broadcast(nd), Seq("source"))
+      .filter(col("df") >= BoilerMinDf &&
+        lit(1.0) * col("df") / col("n_docs") >= BoilerShare)
+      .select(col("source"), col("gram"), lit(1).as("is_bp"))
+    g.join(bp, Seq("source", "gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("is_bp").isNotNull, 1).otherwise(0)).as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        round(lit(1.0) * col("n_boiler") / col("n_grams"), 4).as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
-    tokenHistogram, packSequences, corpusFunnel, corpusSplit)
+    tokenHistogram, packSequences, corpusFunnel, corpusSplit,
+    corpusPerplexity, boilerplateNgrams)
 }

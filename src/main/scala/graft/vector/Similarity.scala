@@ -992,9 +992,49 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Per-dimension embedding-feature health: n, mean, std, min, max for
+    * every vector dimension — the drift/dead-dimension audit run before
+    * trusting an embedding column (a collapsed dim shows std ≈ 0, a
+    * mis-scaled encoder shows in min/max). Shape: one posexplode into
+    * (dim, value) pairs + ONE partial-aggregating groupBy bounded at
+    * |dims| output rows — the moments (n, Σv, Σv²) are mergeable partials,
+    * so the shuffle carries |dims| × partitions rows regardless of corpus
+    * size. Determinism: values rounded once to 6, summed as DECIMAL
+    * (order-independent); mean/ex2 divide the exact sums as doubles
+    * ([[embOutliers]]'s discipline). */
+  val embDimStats: Q = Q.sql(
+    "emb_dim_stats",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |u AS (SELECT unnest(emb) AS x, generate_subscripts(emb, 1) AS dim FROM e),
+      |r AS (SELECT CAST(dim AS BIGINT) AS dim, round(x, 6) AS v FROM u),
+      |a AS (SELECT dim, count(*) AS n_vecs,
+      |        CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean,
+      |        CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS ex2,
+      |        min(v) AS vmin, max(v) AS vmax
+      |      FROM r GROUP BY dim)
+      |SELECT dim, n_vecs, round(mean, 6) AS mean,
+      |  round(sqrt(ex2 - mean * mean), 6) AS std, vmin, vmax
+      |FROM a ORDER BY dim""".stripMargin) { (s, d) =>
+    emb(s, d)
+      .select(posexplode(expr("transform(embedding, x -> cast(x as double))"))
+        .as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), round(col("x"), 6).as("v"))
+      .groupBy("dim").agg(
+        count(lit(1)).as("n_vecs"),
+        (sum(col("v").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("mean"),
+        (sum((col("v") * col("v")).cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("ex2"),
+        min("v").as("vmin"), max("v").as("vmax"))
+      .select(col("dim"), col("n_vecs"), round(col("mean"), 6).as("mean"),
+        round(sqrt(col("ex2") - col("mean") * col("mean")), 6).as("std"),
+        col("vmin"), col("vmax"))
+      .orderBy("dim")
+  }
+
   val all: Seq[Q] = Seq(
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
     embNormalize, embQuantize, annPq, annPqSearch, annRecall,
     annIvfMultiprobe, annIvfKmeans, annRecallKmeans,
-    annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers)
+    annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
+    embDimStats)
 }

@@ -151,4 +151,53 @@ class AuditLogSpec extends AnyFunSuite {
     assert(fromOld.map(_._2).toSeq ===
       Seq(None, Some(1), None, Some(2), Some(7), None))
   }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("audit_scd2: intervals tile each entity's timeline, one open row per entity") {
+    val scd = graft.audit.AuditQueries.auditScd2.fn(spark, sf).cache()
+    try {
+      // exactly one open (is_current) interval per entity
+      val open = scd.filter(col("is_current") === 1)
+        .groupBy("entity_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") =!= 1)
+      assert(open.count() === 0)
+      // each closed interval's valid_to equals the entity's next valid_from
+      // (no gaps, no overlaps — the timeline tiles exactly)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("entity_id").orderBy("audit_id")
+      val holes = scd
+        .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+        .filter(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"))
+      assert(holes.count() === 0)
+      // reconstructed state matches the snapshot view at the same change
+      val snap = graft.audit.AuditQueries.auditSnapshot.fn(spark, sf)
+        .select(col("audit_id"), col("state_k").as("snap_k"))
+      val drift = scd.join(snap, Seq("audit_id"))
+        .filter(!(col("state_k") <=> col("snap_k")))
+      assert(drift.count() === 0)
+    } finally scd.unpersist()
+  }
+
+  test("audit_orphans: reports exactly the audited entities missing from the live set") {
+    val orphans = graft.audit.AuditQueries.auditOrphans.fn(spark, sf).cache()
+    try {
+      // expected set recomputed independently: audited entities ANTI the
+      // simulated live dimension (c_custkey % 7 <> 0)
+      val audited = Tables.events(spark, sf)
+        .select(col("user_id").as("entity_id")).distinct()
+      val live = Tables.customer(spark, sf)
+        .filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey").as("entity_id"))
+      val expected = audited.join(live, Seq("entity_id"), "left_anti")
+      assert(orphans.count() === expected.count())
+      assert(orphans.join(expected, Seq("entity_id"), "left_anti").count() === 0)
+      // the recovered state agrees with audit_current for those entities
+      val cur = graft.audit.AuditQueries.auditCurrent.fn(spark, sf)
+        .select(col("entity_id"), col("state_val").as("cur_val"))
+      val drift = orphans.join(cur, Seq("entity_id"))
+        .filter(!(col("state_val") <=> col("cur_val")))
+      assert(drift.count() === 0)
+    } finally orphans.unpersist()
+  }
 }

@@ -138,4 +138,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     // compaction preserves the terminal operation of each entity's history
     assert(compacted.filter(!col("last_op").isin("I", "U", "D", "T")).count() === 0)
   }
+
+  test("corpus_perplexity: cross-entropy dominates each doc's own entropy (Gibbs)") {
+    val ppl = CorpusOps.corpusPerplexity.fn(spark, sf)
+      .select(col("doc_id"), col("xent"), col("ppl"))
+    val ent = graft.text.TextOps.textEntropy.fn(spark, sf)
+      .select(col("doc_id"), col("entropy"))
+    // H(doc) <= CE(doc, corpus-model) for every doc — equality only if the
+    // doc IS the corpus distribution; tolerance covers the two roundings
+    val bad = ppl.join(ent, Seq("doc_id"))
+      .filter(col("xent") < col("entropy") - 0.001)
+    assert(bad.count() === 0)
+    // ppl is 2^xent, computed from the already-rounded xent
+    val drift = ppl.withColumn("expect", round(pow(lit(2), col("xent")), 2))
+      .filter(abs(col("ppl") - col("expect")) > 1e-9)
+    assert(drift.count() === 0)
+  }
+
+  test("boilerplate_ngrams: gram accounting is exact and the thresholds discriminate") {
+    val b = CorpusOps.boilerplateNgrams.fn(spark, sf).cache()
+    try {
+      assert(b.filter(col("n_boiler") > col("n_grams") ||
+        col("boiler_ratio") < 0 || col("boiler_ratio") > 1).count() === 0)
+      // n_grams is each doc's DISTINCT bigram count, recomputed directly
+      val direct = Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          expr("size(array_distinct(transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
+            "(w, i) -> concat(w, ' ', element_at(split(text, ' '), i + 2)))))").as("expect"))
+      val drift = b.join(direct, Seq("doc_id"))
+        .filter(col("n_grams") =!= col("expect"))
+      assert(drift.count() === 0)
+      // the 10%/3-doc thresholds fire on this corpus but don't flag the
+      // bulk of any doc's text — boilerplate is the minority share
+      val tot = b.agg(sum("n_boiler").cast("long").as("nb"),
+        sum("n_grams").cast("long").as("ng"), max("boiler_ratio").as("mx"))
+        .collect().head
+      assert(tot.getAs[Long]("nb") > 0, "thresholds never fire")
+      assert(tot.getAs[Long]("nb") < tot.getAs[Long]("ng") / 2,
+        "flagged mass should be the minority of gram mass")
+    } finally b.unpersist()
+  }
 }

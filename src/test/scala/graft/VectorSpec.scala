@@ -157,4 +157,21 @@ class VectorSpec extends AnyFunSuite {
       assert(math.abs(g - e) <= 1e-3, s"z drift: $g vs $e")
     }
   }
+
+  test("emb_dim_stats: one row per dimension with coherent moments") {
+    val sf = "/root/testdata/sf0.001"
+    val stats = graft.vector.Similarity.embDimStats.fn(spark, sf).collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val dims = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.size(col("embedding")).as("d"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(dims === Seq(stats.length), "one output row per vector dimension")
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") === nVecs)
+      val (mean, std) = (r.getAs[Double]("mean"), r.getAs[Double]("std"))
+      val (mn, mx) = (r.getAs[Double]("vmin"), r.getAs[Double]("vmax"))
+      assert(mn <= mean && mean <= mx, s"mean outside [min,max] at dim ${r.get(0)}")
+      assert(std >= 0 && std <= (mx - mn), s"std out of range at dim ${r.get(0)}")
+    }
+  }
 }
