@@ -429,9 +429,47 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** Year-over-year revenue growth per nation — the trend report layered
+    * on the audit rollups (lag-over-aggregate, the one window shape the
+    * core set lacked). The window runs on the AGGREGATED (nation, year)
+    * set — ≤ |nations| × |years| rows regardless of fact size — so the
+    * per-nation partitioning is safe at any scale; the heavy lifting is
+    * the partial-agg groupBy underneath. Growth is derived from the
+    * already-rounded yearly revenues (identical doubles on both engines),
+    * rounded once more at the output edge. */
+  val qYearlyGrowth: Q = Q.sql(
+    "q_yearly_growth",
+    s"""WITH y AS (
+      |  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    count(*) AS n_orders,
+      |    ${Det.dsumRoundSql("o_totalprice", 2)} AS revenue
+      |  FROM orders, customer, nation
+      |  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT n_name, yr, n_orders, revenue,
+      |    lag(revenue) OVER (PARTITION BY n_name ORDER BY yr) AS prev_revenue
+      |  FROM y)
+      |SELECT n_name, yr, n_orders, revenue, prev_revenue,
+      |  round(100 * (revenue - prev_revenue) / prev_revenue, 2) AS growth_pct
+      |FROM g ORDER BY n_name, yr""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsumRound(col("o_totalprice"), 2).as("revenue"))
+      .withColumn("prev_revenue",
+        lag(col("revenue"), 1).over(Window.partitionBy("n_name").orderBy("yr")))
+      .withColumn("growth_pct",
+        round(lit(100) * (col("revenue") - col("prev_revenue")) / col("prev_revenue"), 2))
+      .select("n_name", "yr", "n_orders", "revenue", "prev_revenue", "growth_pct")
+      .orderBy("n_name", "yr")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
     qCustDistribution, qBigOrders, qBrandRevenue, qDormantCustomers,
-    qPriceBands, qSkewSalted)
+    qPriceBands, qSkewSalted, qYearlyGrowth)
 }

@@ -649,6 +649,72 @@ object TextOps {
       .orderBy("lang", "predicted")
   }
 
+  /** Classifier-eval report over the [[langId]] confusion matrix: per
+    * true language, support, predicted volume, true positives, and
+    * precision/recall/F1 — the quality readout published before trusting
+    * a language gate to route a 100 TB corpus (a bad classifier silently
+    * starves a whole language's mix). Precision is NULL for a language
+    * the classifier never predicts (no 0-division fiction). Shape: the
+    * full-corpus scan collapses into the ≤ |langs|² matrix first; every
+    * metric is arithmetic over that tiny aggregate, F1 derived from the
+    * ALREADY-ROUNDED precision/recall (identical doubles both engines).
+    * A spec pins metrics-vs-matrix reconciliation so this op cannot
+    * drift from lang_id's prediction rule. */
+  val langIdMetrics: Q = Q.sql(
+    "lang_id_metrics",
+    """WITH f AS (
+      |  SELECT lang,
+      |    len(list_filter(str_split(text, ' '), w -> w = 'the')) AS n_the,
+      |    len(list_filter(str_split(text, ' '), w -> w = 'data')) AS n_data,
+      |    len(list_filter(str_split(text, ' '), w -> w = 'spark')) AS n_spark
+      |  FROM documents),
+      |p AS (SELECT lang,
+      |        CASE WHEN n_the >= n_data AND n_the >= n_spark THEN 'en'
+      |             WHEN n_data >= n_spark THEN 'es' ELSE 'zh' END AS predicted
+      |      FROM f),
+      |m AS (SELECT lang, predicted, count(*) AS n FROM p GROUP BY 1, 2),
+      |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true,
+      |        CAST(sum(CASE WHEN predicted = lang THEN n ELSE 0 END) AS BIGINT) AS tp
+      |      FROM m GROUP BY 1),
+      |pv AS (SELECT predicted, CAST(sum(n) AS BIGINT) AS n_pred FROM m GROUP BY 1),
+      |s AS (SELECT t.lang, n_true, coalesce(n_pred, 0) AS n_pred, tp,
+      |        CASE WHEN coalesce(n_pred, 0) = 0 THEN NULL
+      |          ELSE round(1.0 * tp / n_pred, 4) END AS prec,
+      |        round(1.0 * tp / n_true, 4) AS rec
+      |      FROM t LEFT JOIN pv ON pv.predicted = t.lang)
+      |SELECT lang, n_true, n_pred, tp, prec, rec,
+      |  CASE WHEN prec IS NULL OR prec + rec = 0 THEN NULL
+      |    ELSE round(2 * prec * rec / (prec + rec), 4) END AS f1
+      |FROM s ORDER BY lang""".stripMargin) { (s, d) =>
+    val matrix = docs(s, d)
+      .select(col("lang"),
+        expr("size(filter(split(text, ' '), w -> w = 'the'))").as("n_the"),
+        expr("size(filter(split(text, ' '), w -> w = 'data'))").as("n_data"),
+        expr("size(filter(split(text, ' '), w -> w = 'spark'))").as("n_spark"))
+      .select(col("lang"),
+        when(col("n_the") >= col("n_data") && col("n_the") >= col("n_spark"), "en")
+          .when(col("n_data") >= col("n_spark"), "es")
+          .otherwise("zh").as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+    val t = matrix.groupBy("lang").agg(
+      sum("n").cast("long").as("n_true"),
+      sum(when(col("predicted") === col("lang"), col("n")).otherwise(0))
+        .cast("long").as("tp"))
+    val pv = matrix.groupBy("predicted").agg(sum("n").cast("long").as("n_pred"))
+    t.join(pv, col("lang") === col("predicted"), "left")
+      .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
+      .withColumn("prec",
+        when(col("n_pred") === 0, lit(null))
+          .otherwise(round(lit(1.0) * col("tp") / col("n_pred"), 4)))
+      .withColumn("rec", round(lit(1.0) * col("tp") / col("n_true"), 4))
+      .withColumn("f1",
+        when(col("prec").isNull || col("prec") + col("rec") === 0, lit(null))
+          .otherwise(round(lit(2) * col("prec") * col("rec") / (col("prec") + col("rec")), 4)))
+      .select("lang", "n_true", "n_pred", "tp", "prec", "rec", "f1")
+      .orderBy("lang")
+  }
+
   /** Per-document quality profile (type-token ratio, stopword ratio, …). */
   val textQuality: Q = Q.sql(
     "text_quality",
@@ -804,6 +870,6 @@ object TextOps {
   val all: Seq[Q] = Seq(
     dedupExact, dedupBow, dedupNgramJaccard, dedupComponents, dedupKeepBest,
     dedupMinhash, dedupMinhashEst, dedupIncremental, dedupSimhash, langId,
-    textQuality, textEntropy, tokenCount, docFingerprint, samplePerSource,
-    tokenRegex)
+    langIdMetrics, textQuality, textEntropy, tokenCount, docFingerprint,
+    samplePerSource, tokenRegex)
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Relational
+import graft.text.TextOps
+
+/** Guards for the evaluation/report operators: the classifier-metrics
+  * readout must reconcile with the confusion matrix it summarizes, and
+  * the YoY report must reconcile with its own yearly aggregate. */
+class EvalOpsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("lang_id_metrics reconciles with the lang_id confusion matrix") {
+    val matrix = TextOps.langId.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val metrics = TextOps.langIdMetrics.fn(spark, sf).collect()
+    assert(metrics.map(_.getString(0)).toSet === matrix.map(_._1).toSet,
+      "one metrics row per true language")
+    metrics.foreach { r =>
+      val lang = r.getString(0)
+      val nTrue = matrix.filter(_._1 == lang).map(_._3).sum
+      val nPred = matrix.filter(_._2 == lang).map(_._3).sum
+      val tp = matrix.filter(m => m._1 == lang && m._2 == lang).map(_._3).sum
+      assert(r.getAs[Long]("n_true") === nTrue, s"$lang n_true")
+      assert(r.getAs[Long]("n_pred") === nPred, s"$lang n_pred")
+      assert(r.getAs[Long]("tp") === tp, s"$lang tp")
+      if (nPred == 0) assert(r.isNullAt(r.fieldIndex("prec")), s"$lang prec")
+      else assert(math.abs(r.getAs[Double]("prec") - 1.0 * tp / nPred) < 1e-4)
+      assert(math.abs(r.getAs[Double]("rec") - 1.0 * tp / nTrue) < 1e-4)
+    }
+    // the readout is non-degenerate on this corpus: some language scores,
+    // and the never-predicted case (NULL precision, not 0/0 fiction) occurs
+    assert(metrics.exists(r => !r.isNullAt(r.fieldIndex("f1")) &&
+      r.getAs[Double]("f1") > 0))
+    assert(metrics.exists(r => r.isNullAt(r.fieldIndex("prec"))))
+  }
+
+  test("q_yearly_growth: growth_pct matches the revenue lag per nation") {
+    val g = Relational.qYearlyGrowth.fn(spark, sf).collect()
+    // first year per nation carries NULL growth; later years match the lag
+    g.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val byYear = rows.sortBy(_.getLong(1))
+      assert(byYear.head.isNullAt(byYear.head.fieldIndex("growth_pct")))
+      byYear.sliding(2).foreach {
+        case Array(prev, cur) =>
+          val expect = BigDecimal(
+            100 * (cur.getAs[Double]("revenue") - prev.getAs[Double]("revenue"))
+              / prev.getAs[Double]("revenue"))
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(cur.getAs[Double]("prev_revenue") === prev.getAs[Double]("revenue"))
+          assert(math.abs(cur.getAs[Double]("growth_pct") - expect) < 1e-9,
+            s"${cur.getString(0)} ${cur.getLong(1)}")
+        case _ => ()
+      }
+    }
+    assert(g.nonEmpty)
+  }
+}
