@@ -206,4 +206,36 @@ class PlanShapeSpec extends AnyFunSuite {
     walk(p)
     assert(scans == 1, s"corpus scanned ${scans}x:\n$p")
   }
+
+  test("corpus_perplexity: unigram model is NOT force-broadcast (vocab scales)") {
+    // same policy as tfidf_keywords: the 1-row token total broadcasts,
+    // the per-term model table reaches the tf ⋈ model join un-hinted —
+    // vocabulary grows with the corpus and a hint would pin it driver-side
+    val df = SparkEntry.queries("corpus_perplexity")(spark, sfDir)
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.length == 1, s"perplexity broadcast hints changed: $hinted")
+    assert(!finalPlan(df).toString.contains("CartesianProduct"))
+  }
+
+  test("audit_scd2: state and lead ride one shared entity exchange") {
+    val p = finalPlan(SparkEntry.queries("audit_scd2")(spark, sfDir))
+    // one (entity, audit_id) window exchange + contractual output sort —
+    // a second window partitioning would betray a split plan
+    assert(shuffles(p) <= 2, s"scd2 windows no longer share an exchange:\n$p")
+  }
+
+  test("boilerplate_ngrams: flagged-set join is an equi-join; only the source dim is hinted") {
+    val df = SparkEntry.queries("boilerplate_ngrams")(spark, sfDir)
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    // exactly one deliberate hint: the per-source doc-count dimension;
+    // the (source, gram) flagged set must stay un-hinted (it grows with
+    // source count — AQE size-gates it instead)
+    assert(hinted.length == 1, s"boilerplate broadcast hints changed: $hinted")
+    val s = finalPlan(df).toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
 }
