@@ -477,13 +477,16 @@ object CorpusOps {
       |         c * CAST($surprisalFormula AS DECIMAL(18, 6)) AS contrib
       |       FROM tf JOIN gt ON tf.term = gt.term CROSS JOIN tot),
       |agg AS (SELECT doc_id, n, count(*) AS n_distinct_terms,
-      |          sum(contrib) AS bits
-      |        FROM sc GROUP BY 1, 2)
+      |          CAST(sum(contrib) * 1000000 AS BIGINT) AS bits_micro
+      |        FROM sc GROUP BY 1, 2),
+      |x AS (SELECT doc_id, n, n_distinct_terms,
+      |        (2 * bits_micro + 100 * n) // (200 * n) AS xent_e4
+      |      FROM agg)
       |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
       |  CAST(n_distinct_terms AS BIGINT) AS n_distinct_terms,
-      |  round(CAST(bits AS DOUBLE) / n, 4) AS xent,
-      |  round(power(2, round(CAST(bits AS DOUBLE) / n, 4)), 2) AS ppl
-      |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |  CAST(xent_e4 AS DOUBLE) / 10000 AS xent,
+      |  round(power(2, CAST(xent_e4 AS DOUBLE) / 10000), 2) AS ppl
+      |FROM x ORDER BY doc_id""".stripMargin) { (s, d) =>
     val tf = docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("term"))
@@ -496,12 +499,18 @@ object CorpusOps {
       .withColumn("contrib",
         col("c") * expr(surprisalFormula).cast("decimal(18,6)"))
       .groupBy("doc_id", "n")
-      .agg(count(lit(1)).as("n_distinct_terms"), sum("contrib").as("bits"))
+      .agg(count(lit(1)).as("n_distinct_terms"),
+        // bits is an exact DECIMAL sum; the 4-decimal HALF_UP rounding of
+        // bits/n is then done in pure INTEGER arithmetic — a double
+        // quotient would tie-break differently across engines when its
+        // shortest decimal repr lands on a 5 (bit at sf1: doc 2256)
+        (sum("contrib") * 1000000).cast("long").as("bits_micro"))
+      .withColumn("xent_e4",
+        expr("(2 * bits_micro + 100 * n) div (200 * n)"))
       .select(col("doc_id"), col("n").cast("long").as("n_words"),
         col("n_distinct_terms").cast("long").as("n_distinct_terms"),
-        round(col("bits").cast("double") / col("n"), 4).as("xent"),
-        round(pow(lit(2), round(col("bits").cast("double") / col("n"), 4)), 2)
-          .as("ppl"))
+        (col("xent_e4").cast("double") / 10000).as("xent"),
+        round(pow(lit(2), col("xent_e4").cast("double") / 10000), 2).as("ppl"))
       .orderBy("doc_id")
   }
 
