@@ -572,8 +572,123 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------- vocabulary curves --
+
+  /** Vocabulary saturation by corpus decile (the Heaps-law readout): how
+    * many term types are first seen in each tenth of the corpus, with the
+    * cumulative share of the final vocabulary — flat tail = the corpus
+    * has stopped teaching the tokenizer/model new words; a late spike =
+    * a contaminating source entered mid-ingest. Decile = pure function of
+    * doc_id against the (1-row broadcast) max id, so the curve is stable
+    * under re-sharding. Shape: distinct (doc, term) partial agg →
+    * min-doc-per-term partial agg (bounded at |vocab|) → 10-row groupBy;
+    * per-decile token mass rides a second cheap pass over documents.
+    * The token-mass side drives (left join), so a saturated decile that
+    * taught no new types still appears with new_types = 0 — the flat
+    * tail IS the signal this curve exists to show. */
+  val vocabGrowth: Q = Q.sql(
+    "vocab_growth",
+    """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+      |mx AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+      |dt AS (SELECT DISTINCT doc_id, unnest(ws) AS term FROM w),
+      |ft AS (SELECT term, min(doc_id) AS first_doc FROM dt GROUP BY 1),
+      |fd AS (SELECT CAST(first_doc * 10 // n_docs AS BIGINT) AS decile,
+      |         count(*) AS new_types
+      |       FROM ft CROSS JOIN mx GROUP BY 1),
+      |tok AS (SELECT CAST(doc_id * 10 // n_docs AS BIGINT) AS decile,
+      |          CAST(sum(len(ws)) AS BIGINT) AS n_tokens
+      |        FROM w CROSS JOIN mx GROUP BY 1),
+      |cum AS (SELECT tok.decile, coalesce(new_types, 0) AS new_types,
+      |          n_tokens,
+      |          sum(coalesce(new_types, 0)) OVER (ORDER BY tok.decile)
+      |            AS cum_types,
+      |          sum(coalesce(new_types, 0)) OVER () AS total_types
+      |        FROM tok LEFT JOIN fd ON fd.decile = tok.decile)
+      |SELECT decile, n_tokens, new_types,
+      |  CAST(cum_types AS BIGINT) AS cum_types,
+      |  round(1.0 * cum_types / total_types, 4) AS vocab_share
+      |FROM cum ORDER BY decile""".stripMargin) { (s, d) =>
+    val w = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val mx = docs(s, d).agg((max("doc_id") + 1).as("n_docs"))
+    val ft = w.select(col("doc_id"), explode(col("ws")).as("term")).distinct()
+      .groupBy("term").agg(min("doc_id").as("first_doc"))
+    val fd = ft.crossJoin(broadcast(mx))
+      .groupBy(expr("first_doc * 10 div n_docs").as("decile"))
+      .agg(count(lit(1)).as("new_types"))
+    val tok = w.crossJoin(broadcast(mx))
+      .groupBy(expr("doc_id * 10 div n_docs").as("decile"))
+      .agg(sum(size(col("ws"))).as("n_tokens"))
+    val cumW = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy()
+    tok.join(fd, Seq("decile"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_types", sum("new_types").over(cumW))
+      .withColumn("total_types", sum("new_types").over(allW))
+      .select(col("decile"), col("n_tokens"), col("new_types"),
+        col("cum_types").cast("long").as("cum_types"),
+        round(lit(1.0) * col("cum_types") / col("total_types"), 4).as("vocab_share"))
+      .orderBy("decile")
+  }
+
+  /** Out-of-vocabulary audit of the held-out split: per language, the
+    * share of `val`-split tokens (and types) whose term never occurs in
+    * the `train` split — read BEFORE freezing a tokenizer or trusting
+    * val perplexity (an OOV-heavy language's eval numbers measure the
+    * unknown-token path, not the model). Reuses corpus_split's exact
+    * md5(doc_id) rule, so the audit describes the real released split.
+    * Shape: train vocabulary is a distinct-term partial agg (bounded at
+    * |vocab|, NOT broadcast — it scales with the corpus); val term
+    * counts equi-join it on term with partial aggs on both sides; the
+    * |langs|-row rollup ends it. */
+  val oovRate: Q = {
+    val duckBucket = s"${TextOps.duckWordHash("CAST(doc_id AS VARCHAR)")} % 100"
+    val sparkBucket = s"${TextOps.sparkWordHash("cast(doc_id as string)")} % 100"
+    Q.sql(
+      "oov_rate",
+      s"""WITH b AS (SELECT doc_id, lang, str_split(text, ' ') AS ws,
+         |         $duckBucket AS bucket
+         |       FROM documents),
+         |tv AS (SELECT DISTINCT unnest(ws) AS term FROM b WHERE bucket < 90),
+         |vt AS (SELECT lang, unnest(ws) AS term FROM b
+         |       WHERE bucket >= 90 AND bucket < 95),
+         |vc AS (SELECT lang, term, count(*) AS c FROM vt GROUP BY 1, 2),
+         |j AS (SELECT vc.lang, vc.term, vc.c,
+         |        CASE WHEN tv.term IS NULL THEN 1 ELSE 0 END AS oov
+         |      FROM vc LEFT JOIN tv ON vc.term = tv.term)
+         |SELECT lang,
+         |  CAST(sum(c) AS BIGINT) AS n_val_tokens,
+         |  CAST(sum(oov * c) AS BIGINT) AS n_oov_tokens,
+         |  round(1.0 * sum(oov * c) / sum(c), 4) AS oov_token_rate,
+         |  count(*) AS n_val_types,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov_types,
+         |  round(1.0 * sum(oov) / count(*), 4) AS oov_type_rate
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val b = docs(s, d).select(col("doc_id"), col("lang"),
+        split(col("text"), " ").as("ws"),
+        expr(sparkBucket).as("bucket"))
+      val tv = b.filter(col("bucket") < 90)
+        .select(explode(col("ws")).as("term")).distinct()
+        .withColumn("in_train", lit(1))
+      val vc = b.filter(col("bucket") >= 90 && col("bucket") < 95)
+        .select(col("lang"), explode(col("ws")).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      vc.join(tv, Seq("term"), "left")
+        .withColumn("oov", when(col("in_train").isNull, 1).otherwise(0))
+        .groupBy("lang").agg(
+          sum("c").cast("long").as("n_val_tokens"),
+          sum(col("oov") * col("c")).cast("long").as("n_oov_tokens"),
+          round(lit(1.0) * sum(col("oov") * col("c")) / sum("c"), 4)
+            .as("oov_token_rate"),
+          count(lit(1)).as("n_val_types"),
+          sum("oov").cast("long").as("n_oov_types"),
+          round(lit(1.0) * sum("oov") / count(lit(1)), 4).as("oov_type_rate"))
+        .orderBy("lang")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
     tokenHistogram, packSequences, corpusFunnel, corpusSplit,
-    corpusPerplexity, boilerplateNgrams)
+    corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate)
 }

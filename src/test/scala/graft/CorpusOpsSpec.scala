@@ -178,4 +178,74 @@ class CorpusOpsSpec extends AnyFunSuite {
         "flagged mass should be the minority of gram mass")
     } finally b.unpersist()
   }
+
+  test("vocab_growth: full 10-decile curve with exact type/token accounting") {
+    val g = CorpusOps.vocabGrowth.fn(spark, sf).collect()
+    // every decile appears even when it taught no new types (left-join
+    // semantics — the flat tail is the curve's whole point)
+    assert(g.map(_.getAs[Long]("decile")).toSeq === (0L to 9L))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val totalTypes = docs.select(explode(col("ws")).as("t"))
+      .agg(countDistinct("t")).collect().head.getLong(0)
+    val totalTokens = docs.agg(sum(size(col("ws")))).collect().head.getLong(0)
+    assert(g.map(_.getAs[Long]("new_types")).sum === totalTypes)
+    assert(g.map(_.getAs[Long]("n_tokens")).sum === totalTokens)
+    // cumulative is the running sum of per-decile counts, ending at 100%
+    val runningSum = g.map(_.getAs[Long]("new_types")).scanLeft(0L)(_ + _).drop(1)
+    assert(g.map(_.getAs[Long]("cum_types")).toSeq === runningSum.toSeq)
+    assert(g.last.getAs[Double]("vocab_share") === 1.0)
+  }
+
+  test("oov_rate: exact per-language accounting vs a driver-side recompute") {
+    val bucketSql =
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"),
+        expr(bucketSql).as("bucket"))
+      .collect()
+    val train = rows.filter(_.getAs[Long]("bucket") < 90)
+      .flatMap(_.getAs[collection.Seq[String]]("ws")).toSet
+    val expect = rows
+      .filter { r => val b = r.getAs[Long]("bucket"); b >= 90 && b < 95 }
+      .groupBy(_.getAs[String]("lang"))
+      .map { case (lang, rs) =>
+        val toks = rs.flatMap(_.getAs[collection.Seq[String]]("ws"))
+        val types = toks.toSet
+        lang -> (toks.length.toLong, toks.count(t => !train(t)).toLong,
+          types.size.toLong, types.count(t => !train(t)).toLong)
+      }
+    val got = CorpusOps.oovRate.fn(spark, sf).collect()
+    assert(got.map(_.getAs[String]("lang")).toSet === expect.keySet)
+    got.foreach { r =>
+      val (nt, no, nty, noty) = expect(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_val_tokens") === nt)
+      assert(r.getAs[Long]("n_oov_tokens") === no)
+      assert(r.getAs[Long]("n_val_types") === nty)
+      assert(r.getAs[Long]("n_oov_types") === noty)
+    }
+  }
+
+  test("oov_rate: the oov branch fires on a crafted val-only term") {
+    // the synthetic corpus's 31-term vocabulary is always fully covered by
+    // train, so build a tiny feed where one val-bucket doc carries a term
+    // no train doc has — the audit must count it in both rates
+    val ids = spark.range(0, 200).toDF("doc_id")
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"))
+    val valId = ids.filter(col("bucket") >= 90 && col("bucket") < 95)
+      .agg(min("doc_id")).collect().head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-oov").toString
+    import spark.implicits._
+    (0L until 200L).map { i =>
+      val text = if (i == valId) "alpha beta zzquux" else "alpha beta gamma"
+      (i, "en", text)
+    }.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CorpusOps.oovRate.fn(spark, dir).collect()
+    assert(r.length === 1 && r.head.getAs[String]("lang") === "en")
+    assert(r.head.getAs[Long]("n_oov_tokens") === 1L)
+    assert(r.head.getAs[Long]("n_oov_types") === 1L)
+    assert(r.head.getAs[Double]("oov_type_rate") > 0.0)
+  }
 }

@@ -238,4 +238,31 @@ class PlanShapeSpec extends AnyFunSuite {
     val s = finalPlan(df).toString
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
+
+  test("vocab_growth: only the 1-row doc-count aggregate broadcasts") {
+    val df = SparkEntry.queries("vocab_growth")(spark, sfDir)
+    // exactly two deliberate hints, both the 1-row max(doc_id) aggregate
+    // feeding the decile arithmetic — the (doc, term) stream and the
+    // per-term first-doc table must reach their aggs un-hinted (vocab
+    // and corpus both scale); the unpartitioned cum/total windows run on
+    // the ≤ 10-row decile aggregate, never the raw feed
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.length == 2, s"vocab_growth broadcast hints changed: $hinted")
+    assert(!finalPlan(df).toString.contains("CartesianProduct"))
+  }
+
+  test("oov_rate: train vocabulary is NOT force-broadcast (scales with corpus)") {
+    val df = SparkEntry.queries("oov_rate")(spark, sfDir)
+    // the distinct-term train vocabulary grows with the corpus — it must
+    // reach the val ⋈ train probe un-hinted (AQE may still size-gate a
+    // broadcast at small SF; that is the size gate's call, not a pin)
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.isEmpty, s"oov_rate gained a broadcast hint: $hinted")
+    val s = finalPlan(df).toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
 }
