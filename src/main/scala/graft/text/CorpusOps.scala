@@ -687,8 +687,95 @@ object CorpusOps {
     }
   }
 
+  // ------------------------------------------------------- zipf fit --
+
+  private[graft] val ZipfTopK = 1000
+  private[graft] val ZipfBuckets = 64
+
+  /** Per-language Zipf (rank-frequency power-law) fit: least-squares
+    * slope / intercept / r² of log2(freq) against log2(rank) over the
+    * top-1000 terms — natural language sits near slope ≈ −1 with high
+    * r²; machine-generated or template text bends the curve, and a
+    * slope drifting across ingest batches is an early corruption signal.
+    * Head-rank fitting (top-k) is the standard Zipf protocol AND the
+    * scale guard: the rank window never sees the full vocabulary.
+    *
+    * Scale shape: per-(lang, term) counts are one partial-agg groupBy
+    * bounded at |vocab|; ranks use the ngram_stats TWO-PHASE top-k (a
+    * per-(lang, 64-bucket) row_number pre-pass keeps ≤ 1000 per bucket,
+    * the global per-lang rank runs over the ≤ 64k survivors — never the
+    * full vocabulary in one partition); the regression reduces to ONE
+    * |langs|-row groupBy of DECIMAL sums. Determinism: log2 of exact
+    * integers rounded once to 6 decimals, products re-rounded to scale 6
+    * (every sum stays ≤ 13 significant digits — exact as DOUBLE), all
+    * final arithmetic in identically-shaped DOUBLE expressions. */
+  val zipfFit: Q = {
+    def lg(x: String) = s"CAST(round(log2($x), 6) AS DECIMAL(18, 6))"
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    // shared final-math formulas (identical expression trees → identical
+    // IEEE evaluation in both engines)
+    val num = s"(${d("nt")} * ${d("sxy")} - ${d("sx")} * ${d("sy")})"
+    val den = s"(${d("nt")} * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
+    val denY = s"(${d("nt")} * ${d("syy")} - ${d("sy")} * ${d("sy")})"
+    val slopeRaw = s"($num / nullif($den, 0))"
+    val slopeF = s"round($slopeRaw, 4)"
+    val interceptF = s"round((${d("sy")} - $slopeRaw * ${d("sx")}) / ${d("nt")}, 4)"
+    val r2F = s"round($num * $num / nullif($den * $denY, 0), 4)"
+    Q.sql(
+      "zipf_fit",
+      s"""WITH w AS (SELECT lang, unnest(str_split(text, ' ')) AS term
+         |       FROM documents),
+         |lc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+         |       FROM w GROUP BY 1, 2),
+         |r AS (SELECT lang, c,
+         |        row_number() OVER (PARTITION BY lang ORDER BY c DESC, term)
+         |          AS rnk
+         |      FROM lc),
+         |p AS (SELECT lang, ${lg("rnk")} AS x, ${lg("c")} AS y
+         |      FROM r WHERE rnk <= $ZipfTopK),
+         |a AS (SELECT lang, count(*) AS nt,
+         |        sum(x) AS sx, sum(y) AS sy,
+         |        sum(CAST(round(x * y, 6) AS DECIMAL(18, 6))) AS sxy,
+         |        sum(CAST(round(x * x, 6) AS DECIMAL(18, 6))) AS sxx,
+         |        sum(CAST(round(y * y, 6) AS DECIMAL(18, 6))) AS syy
+         |      FROM p GROUP BY 1)
+         |SELECT lang, CAST(nt AS BIGINT) AS n_terms,
+         |  $slopeF AS slope, $interceptF AS intercept, $r2F AS r2
+         |FROM a ORDER BY lang""".stripMargin) { (s, dir) =>
+      val lc = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      // two-phase top-k: membership in the global top-1000 implies
+      // membership in the owning bucket's top-1000 under the same
+      // (c DESC, term) order — the pre-pass only discards non-winners,
+      // so the oracle needs no bucket model
+      val pre = lc
+        .withColumn("bucket", pmod(hash(col("term")), lit(ZipfBuckets)))
+        .withColumn("pre_rnk", row_number().over(
+          Window.partitionBy("lang", "bucket").orderBy(col("c").desc, col("term"))))
+        .filter(col("pre_rnk") <= ZipfTopK)
+        .drop("bucket", "pre_rnk")
+      pre
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("c").desc, col("term"))))
+        .filter(col("rnk") <= ZipfTopK)
+        .withColumn("x", expr(lg("rnk")))
+        .withColumn("y", expr(lg("c")))
+        .groupBy("lang").agg(
+          count(lit(1)).as("nt"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("CAST(round(x * y, 6) AS DECIMAL(18, 6))")).as("sxy"),
+          sum(expr("CAST(round(x * x, 6) AS DECIMAL(18, 6))")).as("sxx"),
+          sum(expr("CAST(round(y * y, 6) AS DECIMAL(18, 6))")).as("syy"))
+        .select(col("lang"), col("nt").cast("long").as("n_terms"),
+          expr(slopeF).as("slope"), expr(interceptF).as("intercept"),
+          expr(r2F).as("r2"))
+        .orderBy("lang")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
     tokenHistogram, packSequences, corpusFunnel, corpusSplit,
-    corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate)
+    corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate, zipfFit)
 }

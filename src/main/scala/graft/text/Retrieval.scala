@@ -326,5 +326,73 @@ object Retrieval {
       .orderBy("lang", "rnk")
   }
 
-  val all: Seq[Q] = Seq(docChunk, bm25Search, tfidfKeywords, chunkOverlap, ngramStats)
+  // ----------------------------------------------------- collocations --
+
+  private[graft] val PmiMinCount = 5
+
+  /** Pointwise mutual information of adjacent word pairs — the
+    * collocation table ("strong association", not "high frequency": a
+    * rare pair of rare words can outrank the corpus's top bigram). The
+    * complement of ngram_stats' frequency top-k; multiword-expression
+    * tokenizer vocabularies and phrase-mining both start here.
+    *
+    * PMI(x,y) = log2( p(xy) / (p(x) p(y)) ) with p from corpus counts;
+    * pairs seen < 5 times are cut (PMI of a count-1 pair is noise).
+    *
+    * Scale shape: unigram and bigram counts are partial-agg groupBys
+    * bounded at |vocab| / |distinct bigrams|; both count tables persist
+    * MEMORY_AND_DISK (each is read twice — the 1-row total agg AND the
+    * scoring join); the two cx/cy probes are term equi-joins against the
+    * un-hinted unigram table (vocabulary grows with the corpus); only
+    * the two 1-row totals broadcast. Determinism: each log2 of an exact
+    * integer count is rounded once to 6 decimals, combined as DECIMAL
+    * (exact, order-independent), emitted at scale 6 — no double quotient
+    * exists to tie-break across engines. */
+  val pmiBigrams: Q = {
+    def lg(x: String) = s"CAST(round(log2($x), 6) AS DECIMAL(18, 6))"
+    val pmiFormula =
+      s"CAST(${lg("cxy")} + 2 * ${lg("n")} - ${lg("nb")} - ${lg("cx")} - ${lg("cy")} AS DOUBLE)"
+    Q.sql(
+      "pmi_bigrams",
+      s"""WITH w AS (SELECT str_split(text, ' ') AS ws FROM documents),
+         |ug AS (SELECT unnest(ws) AS term FROM w),
+         |uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM ug GROUP BY 1),
+         |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+         |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+         |         i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w),
+         |bc AS (SELECT gram, CAST(count(*) AS BIGINT) AS cxy FROM bg GROUP BY 1),
+         |nbt AS (SELECT CAST(sum(cxy) AS BIGINT) AS nb FROM bc),
+         |j AS (SELECT gram, cxy, ux.c AS cx, uy.c AS cy, n, nb
+         |      FROM bc
+         |      JOIN uc ux ON split_part(gram, ' ', 1) = ux.term
+         |      JOIN uc uy ON split_part(gram, ' ', 2) = uy.term
+         |      CROSS JOIN nt CROSS JOIN nbt
+         |      WHERE cxy >= $PmiMinCount)
+         |SELECT gram, cxy AS c_pair, cx AS c_left, cy AS c_right,
+         |  $pmiFormula AS pmi
+         |FROM j ORDER BY gram""".stripMargin) { (s, d) =>
+      val w = docs(s, d).select(split(col("text"), " ").as("ws"))
+      val uc = w.select(explode(col("ws")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nt = uc.agg(sum("c").cast("long").as("n"))
+      val bc = w.select(explode(expr("graft_shingles(ws, 2)")).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cxy"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nbt = bc.agg(sum("cxy").cast("long").as("nb"))
+      bc.filter(col("cxy") >= PmiMinCount)
+        .withColumn("w1", expr("split_part(gram, ' ', 1)"))
+        .withColumn("w2", expr("split_part(gram, ' ', 2)"))
+        .join(uc.withColumnRenamed("term", "w1").withColumnRenamed("c", "cx"), Seq("w1"))
+        .join(uc.withColumnRenamed("term", "w2").withColumnRenamed("c", "cy"), Seq("w2"))
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(nbt))
+        .withColumn("pmi", expr(pmiFormula))
+        .select(col("gram"), col("cxy").as("c_pair"),
+          col("cx").as("c_left"), col("cy").as("c_right"), col("pmi"))
+        .orderBy("gram")
+    }
+  }
+
+  val all: Seq[Q] = Seq(docChunk, bm25Search, tfidfKeywords, chunkOverlap,
+    ngramStats, pmiBigrams)
 }

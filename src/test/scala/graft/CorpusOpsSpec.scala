@@ -248,4 +248,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.head.getAs[Long]("n_oov_types") === 1L)
     assert(r.head.getAs[Double]("oov_type_rate") > 0.0)
   }
+
+  test("zipf_fit: regression matches a driver-side least-squares replica") {
+    val counts = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("term"), r.getAs[Long]("c")))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def lg2(v: Long) = r6(math.log(v.toDouble) / math.log(2.0))
+    val got = CorpusOps.zipfFit.fn(spark, sf).collect()
+    assert(got.map(_.getAs[String]("lang")).toSeq ===
+      counts.map(_._1).distinct.sorted.toSeq)
+    got.foreach { row =>
+      val lang = row.getAs[String]("lang")
+      val ranked = counts.filter(_._1 == lang)
+        .sortBy { case (_, t, c) => (-c, t) }
+        .take(graft.text.CorpusOps.ZipfTopK)
+        .zipWithIndex
+        .map { case ((_, _, c), i) => (lg2(i + 1L), lg2(c)) }
+      val n = ranked.length.toDouble
+      assert(row.getAs[Long]("n_terms") === ranked.length.toLong)
+      def s6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val sx = ranked.map(_._1).sum.toDouble
+      val sy = ranked.map(_._2).sum.toDouble
+      val sxy = ranked.map { case (x, y) => s6(x * y) }.sum.toDouble
+      val sxx = ranked.map { case (x, _) => s6(x * x) }.sum.toDouble
+      val syy = ranked.map { case (_, y) => s6(y * y) }.sum.toDouble
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val slope = num / den
+      assert(math.abs(row.getAs[Double]("slope") - slope) < 1e-3)
+      assert(math.abs(row.getAs[Double]("intercept") - (sy - slope * sx) / n) < 1e-3)
+      assert(math.abs(row.getAs[Double]("r2") -
+        num * num / (den * (n * syy - sy * sy))) < 1e-3)
+      // a rank-frequency fit on real counts must slope downward; r² is a
+      // valid share (the near-uniform synthetic corpus sits around 0.09 —
+      // exactly the "not Zipfian" readout the operator exists to surface)
+      assert(row.getAs[Double]("slope") < 0.0)
+      assert(row.getAs[Double]("r2") > 0.0 && row.getAs[Double]("r2") <= 1.0)
+    }
+  }
 }

@@ -265,4 +265,30 @@ class PlanShapeSpec extends AnyFunSuite {
     val s = finalPlan(df).toString
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
+
+  test("pmi_bigrams: only the two 1-row totals broadcast; unigram probes un-hinted") {
+    val df = SparkEntry.queries("pmi_bigrams")(spark, sfDir)
+    // the cx/cy probes join the unigram count table, which grows with the
+    // corpus vocabulary — it must reach both joins un-hinted (AQE
+    // size-gates); the only deliberate hints are the 1-row token and
+    // bigram totals
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.length == 2, s"pmi_bigrams broadcast hints changed: $hinted")
+    assert(!finalPlan(df).toString.contains("CartesianProduct"))
+  }
+
+  test("zipf_fit: rank partitions are (lang, bucket) first, never bare lang on the full vocab") {
+    // the audit_value_quantiles lesson at authoring time (ngram_stats
+    // posture): the full per-lang vocabulary must be cut by the 64-way
+    // hash bucket before the single-partition-per-lang global rank
+    val df = SparkEntry.queries("zipf_fit")(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.references.map(_.name).mkString(",")).mkString("|")
+    }
+    assert(windows.exists(_.contains("bucket")),
+      s"bucket pre-pass window missing: $windows")
+  }
 }

@@ -223,4 +223,40 @@ class RetrievalSpec extends AnyFunSuite {
       assert(charsDropped === ms.map(quality(_)._2).sum - quality(best)._2)
     }
   }
+
+  // ------------------------------------------------------- pmi_bigrams --
+
+  test("pmi_bigrams: counts and PMI match an independent local replica") {
+    val texts = docRows.map(_._2.split(" ", -1))
+    val uni = texts.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bi = texts.flatMap(ws => ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = uni.values.sum
+    val nb = bi.values.sum
+    val got = SparkEntry.queries("pmi_bigrams")(spark, sfDir).collect()
+    val expectGrams = bi.filter(_._2 >= graft.text.Retrieval.PmiMinCount).keySet
+    assert(got.map(_.getAs[String]("gram")).toSet === expectGrams)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def lg2(c: Long) = r6(math.log(c.toDouble) / math.log(2.0))
+    got.foreach { r =>
+      val g = r.getAs[String]("gram")
+      val Array(w1, w2) = g.split(" ", 2)
+      assert(r.getAs[Long]("c_pair") === bi(g))
+      assert(r.getAs[Long]("c_left") === uni(w1))
+      assert(r.getAs[Long]("c_right") === uni(w2))
+      val pmi = (lg2(bi(g)) + lg2(n) * 2 - lg2(nb) - lg2(uni(w1)) - lg2(uni(w2))).toDouble
+      // 2e-6 absorbs a possible last-ulp difference between the replica's
+      // log and the engine's at a 6th-decimal rounding boundary
+      assert(math.abs(r.getAs[Double]("pmi") - pmi) < 2e-6,
+        s"$g pmi ${r.getAs[Double]("pmi")} != $pmi")
+    }
+    // association != frequency: the full PMI ordering must disagree with
+    // the count ordering somewhere, or the operator adds nothing over
+    // ngram_stats' frequency top-k
+    val byPmi = got.sortBy(r => (-r.getAs[Double]("pmi"), r.getAs[String]("gram")))
+      .map(_.getAs[String]("gram")).toSeq
+    val byCount = got.sortBy(r => (-r.getAs[Long]("c_pair"), r.getAs[String]("gram")))
+      .map(_.getAs[String]("gram")).toSeq
+    assert(byPmi !== byCount)
+  }
 }
