@@ -774,8 +774,84 @@ object CorpusOps {
     }
   }
 
+  // ---------------------------------------------------- release card --
+
+  /** The per-(lang, source) corpus release card: doc/token volume, token
+    * share of the whole corpus, average document length, quality-gate
+    * pass share (the exact conjunction quality_filter publishes), type
+    * count, and the share of docs whose full text is an exact duplicate
+    * of ANY corpus doc (corpus-wide md5 groups, the dedup_exact
+    * membership) — the one-table summary a corpus release ships and the
+    * first thing reviewed when a new source lands.
+    *
+    * Scale shape: one per-doc pass computes words/flags/md5; corpus-wide
+    * dup membership is a partial-agg groupBy on the digest joined back
+    * as an equi-join (both sides scale — no hint, AQE decides); the type
+    * count is a distinct (lang, source, term) partial agg bounded at
+    * |vocab| × |groups|; everything then collapses to a ≤ |groups|-row
+    * aggregate, where the 1-row total joins via the unpartitioned-window
+    * trick on the tiny aggregate. Shares rounded once from exact
+    * BIGINT ratios. */
+  val corpusReport: Q = Q.sql(
+    "corpus_report",
+    s"""WITH q AS (SELECT doc_id, lang, source, md5(text) AS digest,
+       |         $duckQualityFeatures
+       |       FROM documents),
+       |f AS (SELECT doc_id, lang, source, digest, n_words,
+       |        CASE WHEN $passAllSql THEN 1 ELSE 0 END AS passed
+       |      FROM q),
+       |dup AS (SELECT digest, count(*) AS n_same FROM f GROUP BY 1),
+       |fd AS (SELECT f.*, CASE WHEN n_same > 1 THEN 1 ELSE 0 END AS is_dup
+       |       FROM f JOIN dup ON f.digest = dup.digest),
+       |ty AS (SELECT lang, source, count(*) AS n_types FROM (
+       |         SELECT DISTINCT lang, source, unnest(str_split(text, ' ')) AS term
+       |         FROM documents) GROUP BY 1, 2),
+       |g AS (SELECT lang, source,
+       |        count(*) AS n_docs,
+       |        CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       |        CAST(sum(passed) AS BIGINT) AS n_pass,
+       |        CAST(sum(is_dup) AS BIGINT) AS n_exact_dup
+       |      FROM fd GROUP BY 1, 2)
+       |SELECT g.lang AS lang, g.source AS source, n_docs, n_tokens,
+       |  round(1.0 * n_tokens / sum(n_tokens) OVER (), 4) AS token_share,
+       |  round(1.0 * n_tokens / n_docs, 2) AS avg_doc_words,
+       |  round(1.0 * n_pass / n_docs, 4) AS pass_share,
+       |  round(1.0 * n_exact_dup / n_docs, 4) AS dup_share,
+       |  n_types
+       |FROM g JOIN ty ON g.lang = ty.lang AND g.source = ty.source
+       |ORDER BY g.lang, g.source""".stripMargin) { (s, d) =>
+    val f = withQualityFlags(docs(s, d))
+      .withColumn("passed", when(expr(passAllSql), 1).otherwise(0))
+      .withColumn("digest", md5(col("text")))
+      .select("doc_id", "lang", "source", "n_words", "digest", "passed")
+    val dup = f.groupBy("digest").agg(count(lit(1)).as("n_same"))
+    val g = f.join(dup, Seq("digest"))
+      .withColumn("is_dup", when(col("n_same") > 1, 1).otherwise(0))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").cast("long").as("n_tokens"),
+        sum("passed").cast("long").as("n_pass"),
+        sum("is_dup").cast("long").as("n_exact_dup"))
+    val ty = docs(s, d)
+      .select(col("lang"), col("source"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_types"))
+    val allW = Window.partitionBy()
+    g.join(ty, Seq("lang", "source"))
+      .withColumn("token_share",
+        round(lit(1.0) * col("n_tokens") / sum("n_tokens").over(allW), 4))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("token_share"),
+        round(lit(1.0) * col("n_tokens") / col("n_docs"), 2).as("avg_doc_words"),
+        round(lit(1.0) * col("n_pass") / col("n_docs"), 4).as("pass_share"),
+        round(lit(1.0) * col("n_exact_dup") / col("n_docs"), 4).as("dup_share"),
+        col("n_types"))
+      .orderBy("lang", "source")
+  }
+
   val all: Seq[Q] = Seq(
     docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
     tokenHistogram, packSequences, corpusFunnel, corpusSplit,
-    corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate, zipfFit)
+    corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate, zipfFit,
+    corpusReport)
 }

@@ -289,4 +289,40 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(row.getAs[Double]("r2") > 0.0 && row.getAs[Double]("r2") <= 1.0)
     }
   }
+
+  test("corpus_report: volumes, dup membership and pass counts match replicas") {
+    val rep = CorpusOps.corpusReport.fn(spark, sf).collect()
+    val rows = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    // group accounting from a driver-side replica
+    def digest(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dupDigests = rows.groupBy(r => digest(r._4)).filter(_._2.length > 1).keySet
+    val byGroup = rows.groupBy(r => (r._2, r._3))
+    assert(rep.length === byGroup.size)
+    val totalTokens = rows.map(_._4.split(" ", -1).length.toLong).sum
+    rep.foreach { r =>
+      val g = byGroup((r.getAs[String]("lang"), r.getAs[String]("source")))
+      assert(r.getAs[Long]("n_docs") === g.length.toLong)
+      val toks = g.map(_._4.split(" ", -1).length.toLong).sum
+      assert(r.getAs[Long]("n_tokens") === toks)
+      assert(r.getAs[Long]("n_types") ===
+        g.flatMap(_._4.split(" ", -1)).distinct.length.toLong)
+      val nDup = g.count(row => dupDigests(digest(row._4)))
+      assert(r.getAs[Double]("dup_share") ===
+        BigDecimal(1.0 * nDup / g.length).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(math.abs(r.getAs[Double]("token_share") - 1.0 * toks / totalTokens) < 1e-4)
+    }
+    // pass_share ≡ quality_filter's conjunction — the two ops cannot drift
+    val passByDoc = CorpusOps.qualityFilter.fn(spark, sf)
+      .select("doc_id", "passed").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("passed")).toMap
+    rep.foreach { r =>
+      val g = byGroup((r.getAs[String]("lang"), r.getAs[String]("source")))
+      val nPass = g.map(row => passByDoc(row._1)).sum
+      assert(r.getAs[Double]("pass_share") ===
+        BigDecimal(1.0 * nPass / g.length).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
 }

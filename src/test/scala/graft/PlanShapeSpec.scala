@@ -279,6 +279,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!finalPlan(df).toString.contains("CartesianProduct"))
   }
 
+  test("corpus_report: dup-digest join un-hinted; no hint anywhere") {
+    val df = SparkEntry.queries("corpus_report")(spark, sfDir)
+    // the md5-digest dup count joins two corpus-scaling sides — neither
+    // may be pinned driver-side; the only window is the unpartitioned
+    // token total over the ≤ |lang × source| aggregate
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.isEmpty, s"corpus_report gained a broadcast hint: $hinted")
+    assert(!finalPlan(df).toString.contains("CartesianProduct"))
+  }
+
   test("zipf_fit: rank partitions are (lang, bucket) first, never bare lang on the full vocab") {
     // the audit_value_quantiles lesson at authoring time (ngram_stats
     // posture): the full per-lang vocabulary must be cut by the 64-way
