@@ -820,10 +820,14 @@ object CorpusOps {
        |  n_types
        |FROM g JOIN ty ON g.lang = ty.lang AND g.source = ty.source
        |ORDER BY g.lang, g.source""".stripMargin) { (s, d) =>
+    // the per-doc feature pass is read twice (digest groupBy + join-back);
+    // persisting the TEXT-FREE projection keeps the cache at a few dozen
+    // bytes/doc and saves a second full scan-and-hash of the corpus
     val f = withQualityFlags(docs(s, d))
       .withColumn("passed", when(expr(passAllSql), 1).otherwise(0))
       .withColumn("digest", md5(col("text")))
       .select("doc_id", "lang", "source", "n_words", "digest", "passed")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = f.groupBy("digest").agg(count(lit(1)).as("n_same"))
     val g = f.join(dup, Seq("digest"))
       .withColumn("is_dup", when(col("n_same") > 1, 1).otherwise(0))
