@@ -128,7 +128,13 @@ object TextOps {
       .filter(col("doc_id") =!= col("root"))
       .select(col("root").as("a"), col("doc_id").as("b"))
 
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  /** All same-block candidate pairs over the df-capped shingle sets with
+    * the raw overlap facts — (doc_a, doc_b, common, sz_a, sz_b),
+    * doc_a < doc_b, unthresholded. Shared base of [[dedupNgramJaccard]]
+    * (symmetric |a∩b|/|a∪b|) and [[dedupContainment]] (asymmetric
+    * |a∩b|/min(|a|,|b|)) — one candidate generator, two similarity
+    * readouts. */
+  private def cappedPairStats(s: SparkSession, d: String): DataFrame = {
     val ex = docs(s, d)
       .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("lang"), col("source"),
@@ -156,10 +162,13 @@ object TextOps {
     pairs
       .join(szs.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(szs.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+  }
+
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    cappedPairStats(s, d)
       .select(col("doc_a"), col("doc_b"),
         round(lit(1.0) * col("common") / (col("sz_a") + col("sz_b") - col("common")), 4)
           .as("jacc"))
-  }
 
   /** 3-gram shingle Jaccard near-dup pairs, blocked on (lang, source),
     * via a df-capped inverted index: candidates come from an equi-join on
@@ -175,6 +184,61 @@ object TextOps {
     jaccardPairs(s, d)
       .filter(col("jacc") >= 0.02)
       .orderBy(col("jacc").desc, col("doc_a"), col("doc_b"))
+      .limit(500)
+  }
+
+  /** Asymmetric near-dup: shingle-set CONTAINMENT |a∩b| / min(|a|,|b|) on
+    * the same df-capped candidate pairs as [[dedupNgramJaccard]] — the
+    * quote-inclusion / page-inside-crawl case symmetric Jaccard
+    * structurally misses (a 100-shingle doc fully embedded in a
+    * 10,000-shingle doc has containment 1.0 but Jaccard ≤ 0.01, under any
+    * Jaccard threshold). `beyond_jaccard` flags exactly those pairs: high
+    * containment (≥ 0.5) that a 0.5-Jaccard dedup would keep as distinct.
+    *
+    * Scale: identical posture to dedup_ngram_jaccard — candidates bounded
+    * at cap² per (block, shingle) by the df cap, one shuffle-hash
+    * equi-join, the similarity readout is a per-pair projection. Both
+    * metrics are emitted side by side so the audit is self-contained.
+    * Reference analog: the dup-candidate review a release pipeline runs
+    * before choosing drop rules (cf. audit.go's view-driven review flow,
+    * /root/reference/audit/audit.go:127-199). */
+  val dedupContainment: Q = Q.sql(
+    "dedup_containment",
+    s"""WITH $jaccardPairsCtesSql,
+       |cst AS (SELECT p.doc_a, p.doc_b, p.common, sa.sz AS sz_a, sb.sz AS sz_b
+       |        FROM p JOIN szs sa ON p.doc_a = sa.doc_id
+       |               JOIN szs sb ON p.doc_b = sb.doc_id),
+       |ct AS (SELECT
+       |         CASE WHEN sz_a <= sz_b THEN doc_a ELSE doc_b END AS doc_small,
+       |         CASE WHEN sz_a <= sz_b THEN doc_b ELSE doc_a END AS doc_big,
+       |         least(sz_a, sz_b) AS sz_small,
+       |         greatest(sz_a, sz_b) AS sz_big,
+       |         common,
+       |         round(1.0 * common / least(sz_a, sz_b), 4) AS containment,
+       |         round(1.0 * common / (sz_a + sz_b - common), 4) AS jacc
+       |       FROM cst)
+       |SELECT doc_small, doc_big, sz_small, sz_big, common, containment, jacc,
+       |  CASE WHEN containment >= 0.5 AND jacc < 0.5 THEN 1 ELSE 0 END
+       |    AS beyond_jaccard
+       |FROM ct WHERE containment >= 0.02
+       |ORDER BY containment DESC, doc_small, doc_big LIMIT 500""".stripMargin) { (s, d) =>
+    cappedPairStats(s, d)
+      .withColumn("doc_small",
+        when(col("sz_a") <= col("sz_b"), col("doc_a")).otherwise(col("doc_b")))
+      .withColumn("doc_big",
+        when(col("sz_a") <= col("sz_b"), col("doc_b")).otherwise(col("doc_a")))
+      .withColumn("sz_small", least(col("sz_a"), col("sz_b")))
+      .withColumn("sz_big", greatest(col("sz_a"), col("sz_b")))
+      .withColumn("containment",
+        round(lit(1.0) * col("common") / col("sz_small"), 4))
+      .withColumn("jacc",
+        round(lit(1.0) * col("common") / (col("sz_a") + col("sz_b") - col("common")), 4))
+      .filter(col("containment") >= 0.02)
+      .withColumn("beyond_jaccard",
+        when(col("containment") >= 0.5 && col("jacc") < 0.5, 1).otherwise(0))
+      .select("doc_small", "doc_big", "sz_small", "sz_big", "common",
+        "containment", "jacc", "beyond_jaccard")
+      .orderBy(col("containment").desc, col("doc_small"), col("doc_big"))
       .limit(500)
   }
 
@@ -868,7 +932,8 @@ object TextOps {
   }
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupBow, dedupNgramJaccard, dedupComponents, dedupKeepBest,
+    dedupExact, dedupBow, dedupNgramJaccard, dedupContainment,
+    dedupComponents, dedupKeepBest,
     dedupMinhash, dedupMinhashEst, dedupIncremental, dedupSimhash, langId,
     langIdMetrics, textQuality, textEntropy, tokenCount, docFingerprint,
     samplePerSource, tokenRegex)

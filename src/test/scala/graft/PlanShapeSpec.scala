@@ -160,6 +160,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("dedup_containment: equi-join candidates, no cartesian, no broadcast hint") {
+    val df = SparkEntry.queries("dedup_containment")(spark, sfDir)
+    val s = finalPlan(df).toString
+    // same posture as dedup_ngram_jaccard: the inverted-index candidate
+    // join must stay an equi-join on (block, shingle) — both sides scale
+    // with the corpus, so neither may be pinned to the driver
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.hints.strategy.exists(_.toString.contains("BROADCAST")) => h
+    }
+    assert(hinted.isEmpty, s"dedup_containment gained a broadcast hint: $hinted")
+  }
+
   test("tfidf_keywords: df side is NOT force-broadcast (vocab scales with corpus)") {
     // the 1-row doc-count stats frame broadcasts; the per-term df table
     // must reach the tf ⋈ df join un-hinted — at small SF AQE may still

@@ -52,6 +52,55 @@ class TextDedupSpec extends AnyFunSuite {
     assert(expected.exists(_._4 == "admit"), "every incoming doc matched — vacuous")
   }
 
+  test("dedup_containment: metrics match a plain-Scala replica of the capped sets") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def r4(n: Long, d: Long): JBD =
+      JBD.valueOf(1.0 * n / d).setScale(4, RoundingMode.HALF_UP)
+    val docRows = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2)), r.getString(3)))
+    val sh = docRows.map { case (id, blk, text) =>
+      val ws = text.split(" ", -1)
+      val s3 = (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").toSet
+      (id, blk, s3)
+    }
+    // per-block document frequency over the distinct shingle sets
+    val df = sh.flatMap { case (_, blk, s3) => s3.iterator.map(g => (blk, g)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val capped = sh.map { case (id, blk, s3) =>
+      (id, blk, s3.filter(g => df((blk, g)) <= text.TextOps.ShingleDfCap))
+    }
+    val expected = capped.groupBy(_._2).values.toSeq.flatMap { ds =>
+      val sorted = ds.toSeq.sortBy(_._1)
+      for {
+        ia <- sorted.indices
+        a = sorted(ia)
+        b <- sorted.drop(ia + 1)
+        common = (a._3 & b._3).size.toLong
+        if common > 0
+        szA = a._3.size.toLong
+        szB = b._3.size.toLong
+        cont = r4(common, math.min(szA, szB))
+        if cont.doubleValue >= 0.02
+      } yield {
+        val (small, big) = if (szA <= szB) (a._1, b._1) else (b._1, a._1)
+        val jacc = r4(common, szA + szB - common)
+        val beyond = if (cont.doubleValue >= 0.5 && jacc.doubleValue < 0.5) 1 else 0
+        (small, big, math.min(szA, szB), math.max(szA, szB), common,
+          cont.doubleValue, jacc.doubleValue, beyond)
+      }
+    }.sortBy(t => (-t._6, t._1, t._2))
+    val got = text.TextOps.dedupContainment.fn(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getInt(7)))
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture produced no containment candidates — vacuous")
+    // the asymmetry is real on this corpus: containment strictly exceeds
+    // jaccard somewhere (otherwise the op measures nothing new)
+    assert(got.exists(t => t._6 > t._7),
+      "no pair with containment > jaccard — asymmetric readout vacuous")
+  }
+
   test("star edges yield the same components as the all-pairs closure") {
     // star edges (1,2),(1,3) must connect {1,2,3} exactly like pair edges
     val bow = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "fp")
