@@ -330,6 +330,74 @@ object EventStream {
     }
   }
 
+  /** Streaming corpus ingest QA — the block-C twin of [[auditStream]]'s
+    * capture pipeline: documents arrive as files, every doc is scored
+    * in-flight against the exact quality gates of CorpusOps.quality_filter
+    * (the SAME ruleFlags source — the streaming gate cannot drift from the
+    * batch one), and the scored stream lands in a lang-partitioned
+    * append-only parquet sink via foreachBatch. The rollup — per
+    * (lang, source) doc volume, gate pass count/share and token mass — is
+    * computed from the resting sink after an exactly-once read-back
+    * (dropDuplicates on (lang, doc_id): a replayed micro-batch rewrites
+    * the same lang partition, so the dedup shuffle stays partition-local,
+    * the FeedSources.exactlyOnceView argument).
+    *
+    * Scale: the in-flight stage is a stateless per-row projection — no
+    * watermark, no state store, unbounded rate; the only stateful work is
+    * the batch rollup over the sink, a partial-aggregating groupBy bounded
+    * at |lang × source| output rows. This is the ingest-side dashboard a
+    * corpus pipeline watches while a crawl lands, vs the at-rest reports
+    * (corpus_report) run per release. */
+  val corpusStreamQa: Q = Q.sql(
+    "corpus_stream_qa",
+    s"""WITH f AS (SELECT doc_id, lang, source,
+       |    ${graft.text.CorpusOps.duckQualityFeatures}
+       |  FROM documents),
+       |sc AS (SELECT lang, source, n_words,
+       |         CASE WHEN ${graft.text.CorpusOps.passAllSql} THEN 1 ELSE 0 END
+       |           AS passed
+       |       FROM f)
+       |SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum(passed) AS BIGINT) AS n_pass,
+       |  CAST(sum(n_words) AS BIGINT) AS total_words,
+       |  round(1.0 * sum(passed) / count(*), 4) AS pass_share
+       |FROM sc GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-corpus-stream-").toString
+    // one batch footer peek for the file-stream schema (file sources
+    // require it explicitly), then the capture replay
+    val docSchema = graft.Tables.documents(s, d).schema
+    drained(s) {
+      val feed = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      graft.text.CorpusOps.withQualityFlags(feed)
+        .withColumn("passed",
+          when(expr(graft.text.CorpusOps.passAllSql), 1).otherwise(0))
+        .select("doc_id", "lang", "source", "n_words", "passed")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.toDF().write.mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy("lang").parquet(s"$tmp/sink")
+        }
+        .trigger(availableNow)
+        .start()
+    }
+    corpusQaRollup(s, s"$tmp/sink")
+  }
+
+  /** Exactly-once rollup over the at-least-once scored-doc sink — also
+    * exercised directly (against a deliberately replayed sink) by
+    * StreamingWindowSpec. */
+  private[graft] def corpusQaRollup(s: SparkSession, sinkPath: String): DataFrame =
+    s.read.parquet(sinkPath)
+      .dropDuplicates("lang", "doc_id")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("passed").as("n_pass"),
+        sum("n_words").as("total_words"),
+        round(lit(1.0) * sum("passed") / count(lit(1)), 4).as("pass_share"))
+      .orderBy("lang", "source")
+
   val all: Seq[Q] = Seq(auditStream, auditStreamJoin, auditSessionizeStream,
-    auditStreamDedup)
+    auditStreamDedup, corpusStreamQa)
 }

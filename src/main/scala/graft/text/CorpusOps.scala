@@ -41,7 +41,7 @@ object CorpusOps {
     * thresholds, shared by quality_filter (flags per rule) and
     * corpus_funnel (their conjunction). Both dialects are emitted from
     * the same pairs. */
-  private val duckQualityFeatures: String =
+  private[graft] val duckQualityFeatures: String =
     """len(str_split(text, ' ')) AS n_words,
       |    len(list_distinct(str_split(text, ' '))) AS n_distinct,
       |    length(replace(text, ' ', '')) AS word_chars,
@@ -58,14 +58,16 @@ object CorpusOps {
     .map { case (n, p) => s"CASE WHEN $p THEN 1 ELSE 0 END AS $n" }
     .mkString(",\n    ")
 
-  /** SQL for "all gates pass" (both dialects accept it verbatim). */
-  private val passAllSql: String = ruleFlags
+  /** SQL for "all gates pass" (both dialects accept it verbatim). Shared
+    * with the streaming ingest monitor (EventStream.corpusStreamQa) so the
+    * in-flight gate can never drift from the batch one. */
+  private[graft] val passAllSql: String = ruleFlags
     .map { case (_, p) => s"(CASE WHEN $p THEN 1 ELSE 0 END)" }
     .mkString(" + ") + " = 0"
 
   /** Adds the feature + per-rule flag columns on the Spark side (rule
     * predicates are the exact strings the oracles use). */
-  private def withQualityFlags(df: DataFrame): DataFrame = {
+  private[graft] def withQualityFlags(df: DataFrame): DataFrame = {
     val staged = df
       .withColumn("n_words", expr("size(split(text, ' '))"))
       .withColumn("n_distinct", expr("size(array_distinct(split(text, ' ')))"))

@@ -65,6 +65,41 @@ class StreamingWindowSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("corpus_stream_qa: streamed gate ≡ batch gate; replayed capture doesn't double-count") {
+    val sf = "/root/testdata/sf0.001"
+    // the full streamed pipeline reconciles with a direct batch rollup
+    // built from the SAME rule source (quality gates cannot drift)
+    val got = graft.streaming.EventStream.corpusStreamQa.fn(spark, sf).collect().toSeq
+    val want = graft.text.CorpusOps
+      .withQualityFlags(Tables.documents(spark, sf))
+      .withColumn("passed",
+        when(expr(graft.text.CorpusOps.passAllSql), 1).otherwise(0))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("passed").as("n_pass"),
+        sum(expr("size(split(text, ' '))")).as("total_words"),
+        round(lit(1.0) * sum("passed") / count(lit(1)), 4).as("pass_share"))
+      .orderBy("lang", "source").collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "empty rollup — vacuous")
+    assert(got.exists(_.getLong(3) > 0), "no doc passes any gate — vacuous")
+
+    // a replayed micro-batch (crash between sink write and checkpoint
+    // commit) appends the same scored rows again; the exactly-once
+    // read-back must return the identical rollup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csq-replay-").toString
+    val scored = graft.text.CorpusOps
+      .withQualityFlags(Tables.documents(spark, sf))
+      .withColumn("passed",
+        when(expr(graft.text.CorpusOps.passAllSql), 1).otherwise(0))
+      .select("doc_id", "lang", "source", "n_words", "passed")
+    scored.write.mode("append").partitionBy("lang").parquet(s"$tmp/sink")
+    val once = graft.streaming.EventStream.corpusQaRollup(spark, s"$tmp/sink").collect()
+    scored.write.mode("append").partitionBy("lang").parquet(s"$tmp/sink") // the replay
+    val twice = graft.streaming.EventStream.corpusQaRollup(spark, s"$tmp/sink").collect()
+    assert(once.toSeq === twice.toSeq,
+      "replayed capture changed the rollup — exactly-once read-back broken")
+  }
+
   test("stream dedup: the redelivered feed really duplicates, the op removes all of it") {
     val sf = "/root/testdata/sf0.001"
     val clean = Tables.events(spark, sf)
