@@ -15,6 +15,7 @@ object SparkEntry {
       graft.text.Retrieval.all ++
       graft.text.Privacy.all ++
       graft.vector.Similarity.all ++
+      graft.vector.Pca.all ++
       graft.multimodal.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -174,6 +174,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hinted.isEmpty, s"dedup_containment gained a broadcast hint: $hinted")
   }
 
+  test("emb_pca_power: no shuffle or join ever keys on vec_id") {
+    val df = SparkEntry.queries("emb_pca_power")(spark, sfDir)
+    val s = finalPlan(df).toString
+    // the whole point of the fold-then-|dims|-groupBy shape: per-vector
+    // work never shuffles — projections are array folds, every exchange
+    // carries dim-keyed (≤ |dims| distinct) or 1-row frames
+    assert(!s.contains("hashpartitioning(vec_id"),
+      s"emb_pca_power gained a per-vector shuffle:\n$s")
+    // the centered corpus is persisted (read by variance pass + 3 rounds)
+    assert(s.contains("InMemoryTableScan"),
+      s"centered corpus no longer persisted:\n$s")
+  }
+
   test("tfidf_keywords: df side is NOT force-broadcast (vocab scales with corpus)") {
     // the 1-row doc-count stats frame broadcasts; the per-term df table
     // must reach the tf ⋈ df join un-hinted — at small SF AQE may still

@@ -158,6 +158,48 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_pca_power: unit direction near a covariance fixed point, coherent shares") {
+    val rows = graft.vector.Pca.embPcaPower.fn(spark, TestSession.sfDir).collect()
+    assert(rows.length === 64)
+    val sorted = rows.sortBy(_.getLong(0))
+    val loading = sorted.map(_.getDouble(2))
+    val lambda1 = sorted.head.getDouble(3)
+    val share = sorted.head.getDouble(4)
+    assert(sorted.forall(r => r.getDouble(3) == lambda1 && r.getDouble(4) == share))
+    assert(math.abs(loading.map(x => x * x).sum - 1.0) < 1e-3, "direction not unit")
+    assert(lambda1 > 0 && share > 0 && share <= 1.0)
+
+    // independent covariance action on the RAW floats (no rounding, no
+    // decimals): the returned direction must be near a fixed point of C,
+    // and the reported eigenvalue/share must match C's action on it
+    val emb = Tables.embeddings(spark, TestSession.sfDir).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = emb.length
+    val d = loading.length
+    val mu = Array.tabulate(d)(j => emb.map(_(j)).sum / n)
+    val cent = emb.map(v => Array.tabulate(d)(j => v(j) - mu(j)))
+    val y = Array.fill(d)(0.0)
+    var sumS2 = 0.0
+    cent.foreach { c =>
+      var s = 0.0
+      var j = 0
+      while (j < d) { s += c(j) * loading(j); j += 1 }
+      sumS2 += s * s
+      j = 0
+      while (j < d) { y(j) += c(j) * s; j += 1 }
+    }
+    val ny = math.sqrt(y.map(x => x * x).sum)
+    val cos = (0 until d).map(j => y(j) / ny * loading(j)).sum
+    assert(cos > 0.98, s"loading is not near an eigendirection: cos(v, Cv) = $cos")
+    // lambda1 is the Rayleigh quotient of the published loading — the
+    // raw-float replica must agree to ~rounding noise
+    assert(math.abs(sumS2 / n - lambda1) / lambda1 < 0.01,
+      s"lambda1 drift: replica ${sumS2 / n} vs reported $lambda1")
+    val tot = cent.map(_.map(x => x * x).sum).sum
+    assert(math.abs(sumS2 / tot - share) / share < 0.01,
+      s"explained_share drift: replica ${sumS2 / tot} vs reported $share")
+  }
+
   test("emb_dim_stats: one row per dimension with coherent moments") {
     val sf = "/root/testdata/sf0.001"
     val stats = graft.vector.Similarity.embDimStats.fn(spark, sf).collect()
