@@ -467,9 +467,50 @@ object Relational {
       .orderBy("n_name", "yr")
   }
 
+  /** TPC-H Q8 flavor: each nation's revenue share within its region per
+    * year — the market-share report. The share window runs on the
+    * AGGREGATED (region, nation, year) set (≤ |nations| × |years| rows at
+    * any fact size); the heavy join tree underneath shuffles once per
+    * big-big edge with the two bounded dims broadcast. Shares divide the
+    * already-rounded group revenues with the region-year total summed as
+    * exact DECIMAL (order-free), rounded once at the output edge. */
+  val qMarketShare: Q = Q.sql(
+    "q_market_share",
+    s"""WITH base AS (
+      |  SELECT r_name AS region, n_name AS nation,
+      |    CAST(year(o_orderdate) AS INT) AS yr,
+      |    l_extendedprice * (1 - l_discount) AS rev
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey),
+      |g AS (SELECT region, nation, yr, ${Det.dsumRoundSql("rev", 2)} AS revenue
+      |      FROM base GROUP BY region, nation, yr)
+      |SELECT region, nation, yr, revenue,
+      |  round(revenue / CAST(sum(CAST(revenue AS DECIMAL(28,2)))
+      |    OVER (PARTITION BY region, yr) AS DOUBLE), 6) AS share
+      |FROM g ORDER BY region, yr, nation""".stripMargin) { (s, d) =>
+    val base = li(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("int").as("yr"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val w = Window.partitionBy("region", "yr")
+    base.groupBy("region", "nation", "yr")
+      .agg(Det.dsumRound(col("rev"), 2).as("revenue"))
+      .withColumn("share",
+        round(col("revenue")
+          / sum(col("revenue").cast("decimal(28,2)")).over(w).cast("double"), 6))
+      .orderBy("region", "yr", "nation")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
     qCustDistribution, qBigOrders, qBrandRevenue, qDormantCustomers,
-    qPriceBands, qSkewSalted, qYearlyGrowth)
+    qPriceBands, qSkewSalted, qYearlyGrowth, qMarketShare)
 }

@@ -59,4 +59,23 @@ class EvalOpsSpec extends AnyFunSuite {
     }
     assert(g.nonEmpty)
   }
+
+  test("q_market_share: shares sum to 1 per (region, yr) and match the revenue ratio") {
+    val rows = Relational.qMarketShare.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getString(0), r.getInt(2))).foreach { case (key, grp) =>
+      val total = grp.map(r => BigDecimal(r.getAs[Double]("revenue"))).sum
+      val shareSum = grp.map(_.getAs[Double]("share")).sum
+      assert(math.abs(shareSum - 1.0) < 1e-4, s"$key shares sum to $shareSum")
+      grp.foreach { r =>
+        val expect = BigDecimal(r.getAs[Double]("revenue") / total.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getAs[Double]("share") - expect) < 1e-9, s"$key")
+      }
+    }
+    // every region-year slice holds all and only its nations (5 per region
+    // in the TPC-H layout) — a missing nation would silently inflate shares
+    assert(rows.groupBy(r => (r.getString(0), r.getInt(2))).values
+      .forall(g => g.map(_.getString(1)).distinct.length == g.length))
+  }
 }
