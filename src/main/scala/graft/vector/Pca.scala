@@ -77,48 +77,85 @@ object Pca {
       .agg(expr("transform(array_sort(collect_list(struct(dim, p))), t -> t.p)")
         .as("p_arr"))
 
-  /** Oracle twin of one round: projection s, matrix-vector product y,
-    * squared norm q, next direction p. Round 1 multiplies by the constant
-    * seed; later rounds join the previous direction table on dim. */
-  private def roundSql(i: Int): String = {
-    val (pTerm, pJoin) =
-      if (i == 1) ("CAST(0.125 AS DOUBLE)", "")
-      else ("p.p", s" JOIN p${i - 1} p ON ce.dim = p.dim")
-    s"""s$i AS MATERIALIZED (SELECT ce.vec_id,
-       |  CAST(round(sum(CAST(ce.c * $pTerm AS DECIMAL(28,12))), 6) AS DOUBLE) AS s
-       |  FROM ce$pJoin GROUP BY ce.vec_id),
-       |y$i AS MATERIALIZED (SELECT ce.dim,
-       |  CAST(round(sum(CAST(ce.c * s$i.s AS DECIMAL(28,12))), 6) AS DOUBLE) AS y
-       |  FROM ce JOIN s$i ON ce.vec_id = s$i.vec_id GROUP BY ce.dim),
-       |q$i AS (SELECT CAST(sum(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS q FROM y$i),
-       |p$i AS (SELECT dim, round(y / sqrt((SELECT q FROM q$i)), 6) AS p FROM y$i)""".stripMargin
+  /** Power-iterate `rounds` times over a persisted centered corpus and
+    * return the published loadings, the final direction array and the
+    * Rayleigh numerator Σs² of that direction (1-row frame `l`). */
+  private def topComponent(cent: DataFrame, seed: DataFrame,
+      rounds: Int): (DataFrame, DataFrame, DataFrame) = {
+    var pArr = seed
+    var lastY: DataFrame = null
+    var lastQ: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val y = powerRound(cent, pArr)
+      val q = norm2(y)
+      lastY = y; lastQ = q
+      pArr = normalized(y, q)
+    }
+    val loadings = lastY.crossJoin(broadcast(lastQ))
+      .select(col("dim"), round(col("y") / sqrt(col("q")), 6).as("loading"))
+    // the Rayleigh quotient OF THE PUBLISHED loading (one more projection
+    // pass), not the previous iterate's norm — the released numbers must
+    // describe the released direction
+    val lam = withProjection(cent, pArr)
+      .agg(sum((col("s") * col("s")).cast("decimal(28,12)")).cast("double").as("l"))
+    (loadings, pArr, lam)
   }
 
-  val embPcaPower: Q = Q.sql(
-    "emb_pca_power", {
-      val rounds = (1 to Rounds).map(roundSql).mkString(",\n")
-      s"""WITH e AS MATERIALIZED (SELECT vec_id,
-         |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS v
-         |  FROM embeddings),
-         |nv AS (SELECT count(*) AS n FROM e),
-         |u AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM e),
-         |mu AS MATERIALIZED (SELECT CAST(dim AS BIGINT) AS dim,
-         |    round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS m
-         |  FROM u GROUP BY dim),
-         |ce AS MATERIALIZED (SELECT u.vec_id, CAST(u.dim AS BIGINT) AS dim,
-         |    u.x - mu.m AS c
-         |  FROM u JOIN mu ON CAST(u.dim AS BIGINT) = mu.dim),
-         |tot AS (SELECT CAST(sum(CAST(c * c AS DECIMAL(28,12))) AS DOUBLE) AS t FROM ce),
-         |$rounds,
-         |sf AS (SELECT ce.vec_id,
-         |  CAST(round(sum(CAST(ce.c * p.p AS DECIMAL(28,12))), 6) AS DOUBLE) AS s
-         |  FROM ce JOIN p$Rounds p ON ce.dim = p.dim GROUP BY ce.vec_id),
-         |lam AS (SELECT CAST(sum(CAST(s * s AS DECIMAL(28,12))) AS DOUBLE) AS l FROM sf)
-         |SELECT mu.dim, mu.m AS mu, p$Rounds.p AS loading,
-         |  round((SELECT l FROM lam) / (SELECT n FROM nv), 6) AS lambda1,
-         |  round((SELECT l FROM lam) / (SELECT t FROM tot), 6) AS explained_share
-         |FROM mu JOIN p$Rounds USING (dim) ORDER BY mu.dim""".stripMargin
-    }) { (s, d) =>
+  /** Deflation: subtract the component's span per row — c ← c − s·p,
+    * re-rounded ONCE in decimal space to scale 6 so the second component's
+    * machinery sees the same exact-decimal invariant as the first. */
+  private def deflated(cent: DataFrame, pArr: DataFrame): DataFrame =
+    withProjection(cent, pArr)
+      .select(col("vec_id"),
+        expr("""zip_with(c, p_arr, (a, b) ->
+                 cast(round(cast(a - s * b as decimal(28,12)), 6) as double))""")
+          .as("c"))
+
+  /** Oracle twin of one round over centered-corpus CTE `$ce`: projection
+    * s, matrix-vector product y, squared norm q, next direction p — CTE
+    * names prefixed with `$x`. Round 1 multiplies by the constant seed;
+    * later rounds join the previous direction table on dim. */
+  private def roundSql(i: Int, ce: String = "ce", x: String = ""): String = {
+    val (pTerm, pJoin) =
+      if (i == 1) ("CAST(0.125 AS DOUBLE)", "")
+      else (s"p.p", s" JOIN ${x}p${i - 1} p ON $ce.dim = p.dim")
+    s"""${x}s$i AS MATERIALIZED (SELECT $ce.vec_id,
+       |  CAST(round(sum(CAST($ce.c * $pTerm AS DECIMAL(28,12))), 6) AS DOUBLE) AS s
+       |  FROM $ce$pJoin GROUP BY $ce.vec_id),
+       |${x}y$i AS MATERIALIZED (SELECT $ce.dim,
+       |  CAST(round(sum(CAST($ce.c * ${x}s$i.s AS DECIMAL(28,12))), 6) AS DOUBLE) AS y
+       |  FROM $ce JOIN ${x}s$i ON $ce.vec_id = ${x}s$i.vec_id GROUP BY $ce.dim),
+       |${x}q$i AS (SELECT CAST(sum(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS q FROM ${x}y$i),
+       |${x}p$i AS (SELECT dim, round(y / sqrt((SELECT q FROM ${x}q$i)), 6) AS p FROM ${x}y$i)""".stripMargin
+  }
+
+  /** Oracle twin of the Rayleigh pass: final projection `${x}sf` off
+    * direction `${x}p$rounds`, numerator `${x}lam`. */
+  private def rayleighSql(rounds: Int, ce: String = "ce", x: String = ""): String =
+    s"""${x}sf AS MATERIALIZED (SELECT $ce.vec_id,
+       |  CAST(round(sum(CAST($ce.c * p.p AS DECIMAL(28,12))), 6) AS DOUBLE) AS s
+       |  FROM $ce JOIN ${x}p$rounds p ON $ce.dim = p.dim GROUP BY $ce.vec_id),
+       |${x}lam AS (SELECT CAST(sum(CAST(s * s AS DECIMAL(28,12))) AS DOUBLE) AS l FROM ${x}sf)""".stripMargin
+
+  /** Oracle CTEs shared by both PCA ops: rounded source e, count nv,
+    * exploded u, per-dim mean mu, centered corpus ce, total variance tot. */
+  private val preludeSql: String =
+    s"""e AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS v
+       |  FROM embeddings),
+       |nv AS (SELECT count(*) AS n FROM e),
+       |u AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM e),
+       |mu AS MATERIALIZED (SELECT CAST(dim AS BIGINT) AS dim,
+       |    round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS m
+       |  FROM u GROUP BY dim),
+       |ce AS MATERIALIZED (SELECT u.vec_id, CAST(u.dim AS BIGINT) AS dim,
+       |    u.x - mu.m AS c
+       |  FROM u JOIN mu ON CAST(u.dim AS BIGINT) = mu.dim),
+       |tot AS (SELECT CAST(sum(CAST(c * c AS DECIMAL(28,12))) AS DOUBLE) AS t FROM ce)""".stripMargin
+
+  /** Spark prelude: (mu frame, centered+persisted corpus, tot, nv, seed). */
+  private def prelude(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e0 = emb(s, d).select(col("vec_id"),
       expr("transform(embedding, x -> round(cast(x as double), 6))").as("v"))
     val mu = e0.select(posexplode(col("v")).as(Seq("pos", "x")))
@@ -139,22 +176,22 @@ object Pca {
     val nv = e0.agg(count(lit(1)).as("n"))
     val seed = muArr.select(
       expr("transform(mu_arr, x -> cast(0.125 as double))").as("p_arr"))
-    var pArr = seed
-    var lastY: DataFrame = null
-    var lastQ: DataFrame = null
-    for (_ <- 1 to Rounds) {
-      val y = powerRound(cent, pArr)
-      val q = norm2(y)
-      lastY = y; lastQ = q
-      pArr = normalized(y, q)
-    }
-    val loadings = lastY.crossJoin(broadcast(lastQ))
-      .select(col("dim"), round(col("y") / sqrt(col("q")), 6).as("loading"))
-    // report the Rayleigh quotient OF THE PUBLISHED loading (one more
-    // projection pass), not the previous iterate's norm — the released
-    // numbers must describe the released direction
-    val lam = withProjection(cent, pArr)
-      .agg(sum((col("s") * col("s")).cast("decimal(28,12)")).cast("double").as("l"))
+    (mu, cent, tot, nv, seed)
+  }
+
+  val embPcaPower: Q = Q.sql(
+    "emb_pca_power", {
+      val rounds = (1 to Rounds).map(i => roundSql(i)).mkString(",\n")
+      s"""WITH $preludeSql,
+         |$rounds,
+         |${rayleighSql(Rounds)}
+         |SELECT mu.dim, mu.m AS mu, p$Rounds.p AS loading,
+         |  round((SELECT l FROM lam) / (SELECT n FROM nv), 6) AS lambda1,
+         |  round((SELECT l FROM lam) / (SELECT t FROM tot), 6) AS explained_share
+         |FROM mu JOIN p$Rounds USING (dim) ORDER BY mu.dim""".stripMargin
+    }) { (s, d) =>
+    val (mu, cent, tot, nv, seed) = prelude(s, d)
+    val (loadings, _, lam) = topComponent(cent, seed, Rounds)
     mu.join(loadings, Seq("dim"))
       .crossJoin(broadcast(lam))
       .crossJoin(broadcast(nv))
@@ -165,5 +202,61 @@ object Pca {
       .orderBy("dim")
   }
 
-  val all: Seq[Q] = Seq(embPcaPower)
+  /** Top-2 components with deflation — the encoder-collapse detector:
+    * `anisotropy` = λ1/λ2 near 1 means a healthy spread-out cloud; large
+    * means the embedding space is dominated by one direction (a common
+    * contrastive-training pathology — cosine similarity degenerates and
+    * every ANN index on top of it loses recall). Component 2 is the top
+    * component of the DEFLATED corpus c − (c·v1)v1, re-rounded once in
+    * decimal space so the exact-decimal invariant holds recursively.
+    * `ortho_err` = Σ v1·v2 audits the deflation (≈ 0 by construction).
+    * 2 rounds per component (the convergence-vs-cost knob; the
+    * single-component op runs 3). Same zero-vec_id-shuffle posture — the
+    * deflated corpus persists MEMORY_AND_DISK like the centered one. */
+  val embPca2: Q = Q.sql(
+    "emb_pca2", {
+      val r = 2
+      val rounds1 = (1 to r).map(i => roundSql(i)).mkString(",\n")
+      val rounds2 = (1 to r).map(i => roundSql(i, "ce2", "b")).mkString(",\n")
+      s"""WITH $preludeSql,
+         |$rounds1,
+         |${rayleighSql(r)},
+         |ce2 AS MATERIALIZED (SELECT ce.vec_id, ce.dim,
+         |  CAST(round(CAST(ce.c - sf.s * p.p AS DECIMAL(28,12)), 6) AS DOUBLE) AS c
+         |  FROM ce JOIN sf ON ce.vec_id = sf.vec_id
+         |          JOIN p$r p ON ce.dim = p.dim),
+         |$rounds2,
+         |${rayleighSql(r, "ce2", "b")},
+         |ortho AS (SELECT CAST(sum(CAST(a.p * b.p AS DECIMAL(28,12))) AS DOUBLE) AS o
+         |          FROM p$r a JOIN bp$r b ON a.dim = b.dim)
+         |SELECT a.dim, a.p AS loading1, b.p AS loading2,
+         |  round((SELECT l FROM lam) / (SELECT n FROM nv), 6) AS lambda1,
+         |  round((SELECT l FROM blam) / (SELECT n FROM nv), 6) AS lambda2,
+         |  round((SELECT l FROM lam) / (SELECT l FROM blam), 4) AS anisotropy,
+         |  round((SELECT o FROM ortho), 6) AS ortho_err
+         |FROM p$r a JOIN bp$r b ON a.dim = b.dim ORDER BY a.dim""".stripMargin
+    }) { (s, d) =>
+    val r = 2
+    val (_, cent, _, nv, seed) = prelude(s, d)
+    val (l1, p1, lam1) = topComponent(cent, seed, r)
+    val cent2 = deflated(cent, p1).persist(StorageLevel.MEMORY_AND_DISK)
+    val (l2, p2, lam2) = topComponent(cent2, seed, r)
+    val ortho = l1.select(col("dim"), col("loading").as("a"))
+      .join(l2.select(col("dim"), col("loading").as("b")), Seq("dim"))
+      .agg(sum((col("a") * col("b")).cast("decimal(28,12)")).cast("double").as("o"))
+    l1.select(col("dim"), col("loading").as("loading1"))
+      .join(l2.select(col("dim"), col("loading").as("loading2")), Seq("dim"))
+      .crossJoin(broadcast(lam1.select(col("l").as("l1"))))
+      .crossJoin(broadcast(lam2.select(col("l").as("l2"))))
+      .crossJoin(broadcast(nv))
+      .crossJoin(broadcast(ortho))
+      .select(col("dim"), col("loading1"), col("loading2"),
+        round(col("l1") / col("n"), 6).as("lambda1"),
+        round(col("l2") / col("n"), 6).as("lambda2"),
+        round(col("l1") / col("l2"), 4).as("anisotropy"),
+        round(col("o"), 6).as("ortho_err"))
+      .orderBy("dim")
+  }
+
+  val all: Seq[Q] = Seq(embPcaPower, embPca2)
 }

@@ -187,6 +187,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"centered corpus no longer persisted:\n$s")
   }
 
+  test("emb_pca2: no shuffle or join ever keys on vec_id (deflation included)") {
+    val df = SparkEntry.queries("emb_pca2")(spark, sfDir)
+    val s = finalPlan(df).toString
+    assert(!s.contains("hashpartitioning(vec_id"),
+      s"emb_pca2 gained a per-vector shuffle:\n$s")
+    assert(s.contains("InMemoryTableScan"),
+      s"centered/deflated corpus no longer persisted:\n$s")
+  }
+
   test("tfidf_keywords: df side is NOT force-broadcast (vocab scales with corpus)") {
     // the 1-row doc-count stats frame broadcasts; the per-term df table
     // must reach the tf ⋈ df join un-hinted — at small SF AQE may still

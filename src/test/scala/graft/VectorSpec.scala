@@ -200,6 +200,39 @@ class VectorSpec extends AnyFunSuite {
       s"explained_share drift: replica ${sumS2 / tot} vs reported $share")
   }
 
+  test("emb_pca2: orthogonal unit components, lambda2 is the deflated Rayleigh quotient") {
+    val rows = graft.vector.Pca.embPca2.fn(spark, TestSession.sfDir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length === 64)
+    val l1 = rows.map(_.getDouble(1))
+    val l2 = rows.map(_.getDouble(2))
+    val (lam1, lam2) = (rows.head.getDouble(3), rows.head.getDouble(4))
+    val aniso = rows.head.getDouble(5)
+    val orthoErr = rows.head.getDouble(6)
+    assert(math.abs(l1.map(x => x * x).sum - 1.0) < 1e-3)
+    assert(math.abs(l2.map(x => x * x).sum - 1.0) < 1e-3)
+    assert(math.abs(orthoErr) < 1e-3, s"components not orthogonal: $orthoErr")
+    assert(lam1 >= lam2 * 0.999, s"power iteration inverted the spectrum: $lam1 < $lam2")
+    assert(math.abs(aniso - lam1 / lam2) < 1e-3)
+    // raw-float replica: deflate by the published v1, then lambda2 must be
+    // the Rayleigh quotient of the published v2 on that deflated cloud
+    val emb = Tables.embeddings(spark, TestSession.sfDir).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = emb.length
+    val d = l1.length
+    val mu = Array.tabulate(d)(j => emb.map(_(j)).sum / n)
+    var sumS2 = 0.0
+    emb.foreach { v =>
+      val c = Array.tabulate(d)(j => v(j) - mu(j))
+      val s1 = (0 until d).map(j => c(j) * l1(j)).sum
+      val c2 = Array.tabulate(d)(j => c(j) - s1 * l1(j))
+      val s2 = (0 until d).map(j => c2(j) * l2(j)).sum
+      sumS2 += s2 * s2
+    }
+    assert(math.abs(sumS2 / n - lam2) / lam2 < 0.01,
+      s"lambda2 drift: replica ${sumS2 / n} vs reported $lam2")
+  }
+
   test("emb_dim_stats: one row per dimension with coherent moments") {
     val sf = "/root/testdata/sf0.001"
     val stats = graft.vector.Similarity.embDimStats.fn(spark, sf).collect()
