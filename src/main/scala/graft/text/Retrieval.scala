@@ -129,38 +129,146 @@ object Retrieval {
          |      FROM sc)
          |SELECT query_id, rnk, doc_id, score FROM r
          |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+      val (_, topk) = bm25Machine(s, d)
+      topk.orderBy("query_id", "rnk")
+    }
+  }
+
+  /** The shared BM25 engine: (persisted per-(doc, dl, term) tf table,
+    * per-query top-k frame). bm25_search serves the top-k directly;
+    * bm25_eval audits it against a BM25-independent relevance definition
+    * over the SAME tf table — composed from the live machinery so the
+    * audit cannot drift from what the serve path returns (the ann_recall
+    * discipline). */
+  private def bm25Machine(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val qt = bm25Queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    // distinct terms built driver-side (bounded by the query workload) —
+    // a Spark .distinct() here would buy a shuffle to dedup ~10 rows
+    val qTerms = bm25Queries.flatMap(_._2).distinct.toDF("term")
+    // persisted because BOTH the df pass and the score pass read it —
+    // without this the corpus is scanned + exploded + aggregated twice
+    // (minhashSigs discipline: MEMORY_AND_DISK so eviction at 100 TB
+    // degrades to local-disk reads, not a silent recompute)
+    val tf = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = docs(s, d)
+      .select(size(split(col("text"), " ")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val dft = tf.join(broadcast(qTerms), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(qt), Seq("term"))
+      .join(broadcast(dft), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c", expr(contribFormula).cast("decimal(18,6)"))
+    val topk = contrib.groupBy("query_id", "doc_id").agg(sum("c").as("dsum"))
+      .withColumn("score", round(col("dsum").cast("double"), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
+    (tf, topk)
+  }
+
+  /** Retrieval-quality audit of the BM25 serve path against a
+    * BM25-INDEPENDENT relevance definition: a document is relevant to a
+    * query iff it contains EVERY query term (conjunctive boolean
+    * retrieval — derivable exactly on both engines, no judgment labels
+    * needed). Per query: relevant-set size, hits in the top-$TopK,
+    * precision@k, recall@k (against the best achievable, min(n_rel, k))
+    * and MRR — the dashboard that says whether idf + saturation actually
+    * surface conjunctive matches above partial ones on THIS corpus.
+    *
+    * Scale: relevance candidates come from the same persisted tf table
+    * probed by the broadcast query terms (the corpus never shuffles for
+    * the probe); the per-(query, doc) match count is a partial-agg
+    * groupBy bounded by docs-containing-a-query-term; everything after is
+    * ≤ |queries| × k rows. */
+  val bm25Eval: Q = {
+    val duckQueryValues = bm25Queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    Q.sql(
+      "bm25_eval",
+      s"""WITH qt(query_id, term) AS (VALUES $duckQueryValues),
+         |qn AS (SELECT query_id, count(DISTINCT term) AS nq FROM qt GROUP BY 1),
+         |w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+         |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+         |st AS (SELECT count(*) AS n_docs, sum(len(ws)) AS sum_dl FROM w),
+         |dft AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+         |c AS (SELECT qt.query_id, tf.doc_id,
+         |        CAST($contribFormula AS DECIMAL(18, 6)) AS c
+         |      FROM qt JOIN tf ON qt.term = tf.term
+         |           JOIN dft ON dft.term = qt.term CROSS JOIN st),
+         |sc AS (SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS score
+         |       FROM c GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, doc_id) AS rnk
+         |      FROM sc),
+         |topk AS (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= $TopK),
+         |rel AS (SELECT qt.query_id, tf.doc_id
+         |        FROM qt JOIN tf ON qt.term = tf.term
+         |        GROUP BY qt.query_id, tf.doc_id
+         |        HAVING count(DISTINCT qt.term) =
+         |          (SELECT nq FROM qn WHERE qn.query_id = qt.query_id)),
+         |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+         |hit AS (SELECT topk.query_id,
+         |          count(rel.doc_id) AS hits,
+         |          min(CASE WHEN rel.doc_id IS NOT NULL THEN topk.rnk END) AS first_rel
+         |        FROM topk LEFT JOIN rel
+         |          ON topk.query_id = rel.query_id AND topk.doc_id = rel.doc_id
+         |        GROUP BY topk.query_id)
+         |SELECT qn.query_id,
+         |  coalesce(nrel.n_rel, 0) AS n_rel,
+         |  coalesce(hit.hits, 0) AS hits,
+         |  round(1.0 * coalesce(hit.hits, 0) / $TopK, 4) AS precision_at_k,
+         |  CASE WHEN coalesce(nrel.n_rel, 0) = 0 THEN NULL
+         |       ELSE round(1.0 * coalesce(hit.hits, 0)
+         |                  / least(nrel.n_rel, $TopK), 4) END AS recall_at_k,
+         |  round(coalesce(1.0 / hit.first_rel, 0), 4) AS mrr
+         |FROM qn LEFT JOIN nrel ON qn.query_id = nrel.query_id
+         |        LEFT JOIN hit ON qn.query_id = hit.query_id
+         |ORDER BY qn.query_id""".stripMargin) { (s, d) =>
       import s.implicits._
+      val (tf, topk) = bm25Machine(s, d)
       val qt = bm25Queries
         .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
         .toDF("query_id", "term")
-      // distinct terms built driver-side (bounded by the query workload) —
-      // a Spark .distinct() here would buy a shuffle to dedup ~10 rows
-      val qTerms = bm25Queries.flatMap(_._2).distinct.toDF("term")
-      // persisted because BOTH the df pass and the score pass read it —
-      // without this the corpus is scanned + exploded + aggregated twice
-      // (minhashSigs discipline: MEMORY_AND_DISK so eviction at 100 TB
-      // degrades to local-disk reads, not a silent recompute)
-      val tf = docs(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("term"))
-        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val stats = docs(s, d)
-        .select(size(split(col("text"), " ")).as("dl"))
-        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-      val dft = tf.join(broadcast(qTerms), Seq("term"))
-        .groupBy("term").agg(count(lit(1)).as("df"))
-      val contrib = tf.join(broadcast(qt), Seq("term"))
-        .join(broadcast(dft), Seq("term"))
-        .crossJoin(broadcast(stats))
-        .withColumn("c", expr(contribFormula).cast("decimal(18,6)"))
-      contrib.groupBy("query_id", "doc_id").agg(sum("c").as("dsum"))
-        .withColumn("score", round(col("dsum").cast("double"), 4))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
-        .filter(col("rnk") <= TopK)
-        .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
-        .orderBy("query_id", "rnk")
+      val qn = bm25Queries.map { case (qid, ts) => (qid, ts.distinct.size.toLong) }
+        .toDF("query_id", "nq")
+      val rel = tf.join(broadcast(qt), Seq("term"))
+        .groupBy("query_id", "doc_id")
+        .agg(countDistinct(col("term")).as("nmatch"))
+        .join(broadcast(qn), Seq("query_id"))
+        .filter(col("nmatch") === col("nq"))
+        .select("query_id", "doc_id")
+      val nrel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+      val relR = rel.select(col("query_id").as("rq"), col("doc_id").as("rel_doc"))
+      val hits = topk
+        .join(relR, col("query_id") === col("rq") && col("doc_id") === col("rel_doc"),
+          "left")
+        .groupBy("query_id")
+        .agg(count(col("rel_doc")).as("hits"),
+          min(when(col("rel_doc").isNotNull, col("rnk"))).as("first_rel"))
+      qn.join(nrel, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(lit(1.0) * coalesce(col("hits"), lit(0L)) / TopK, 4).as("precision_at_k"),
+          when(coalesce(col("n_rel"), lit(0L)) === 0, lit(null).cast("double"))
+            .otherwise(round(lit(1.0) * coalesce(col("hits"), lit(0L))
+              / least(col("n_rel"), lit(TopK.toLong)), 4)).as("recall_at_k"),
+          round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 4).as("mrr"))
+        .orderBy("query_id")
     }
   }
 
@@ -393,6 +501,6 @@ object Retrieval {
     }
   }
 
-  val all: Seq[Q] = Seq(docChunk, bm25Search, tfidfKeywords, chunkOverlap,
+  val all: Seq[Q] = Seq(docChunk, bm25Search, bm25Eval, tfidfKeywords, chunkOverlap,
     ngramStats, pmiBigrams)
 }

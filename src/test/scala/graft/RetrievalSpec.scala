@@ -117,6 +117,32 @@ class RetrievalSpec extends AnyFunSuite {
 
   // -------------------------------------------------------- ngram_stats --
 
+  test("bm25_eval: metrics match a local conjunctive-relevance replica") {
+    import graft.text.Retrieval.{bm25Queries, TopK}
+    val docs = docRows.map { case (id, text) => (id, text.split(" ", -1).toSet) }
+    // the serve path's top-k, taken from the (replica-verified) live op
+    val topk = SparkEntry.queries("bm25_search")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val expected = bm25Queries.map { case (qid, terms) =>
+      val ts = terms.distinct.toSet
+      val rel = docs.filter { case (_, ws) => ts.subsetOf(ws) }.map(_._1).toSet
+      val ranked = topk.filter(_._1 == qid).sortBy(_._2)
+      val hits = ranked.count(t => rel(t._3))
+      val firstRel = ranked.find(t => rel(t._3)).map(_._2)
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (qid, rel.size.toLong, hits.toLong, r4(1.0 * hits / TopK),
+        if (rel.isEmpty) None else Some(r4(1.0 * hits / math.min(rel.size, TopK))),
+        r4(firstRel.map(1.0 / _).getOrElse(0.0)))
+    }
+    val got = SparkEntry.queries("bm25_eval")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getDouble(5)))
+    assert(got.toSeq === expected)
+    assert(expected.exists(_._2 > 0), "no query has any relevant doc — vacuous")
+    assert(expected.exists(_._3 > 0), "no hits anywhere — vacuous")
+  }
+
   test("ngram_stats: bucketed two-phase top-k is lossless vs direct top-k") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
