@@ -1203,6 +1203,57 @@ object AuditQueries {
     * Scale shape: the state reconstruction and the `lead` both ride
     * [[AuditLog.byEntity]] — one (entity, audit_id) Exchange serves every
     * column; no second shuffle, no broadcast. */
+  /** Capture-lag dashboard: how stale is each entity's last audited
+    * change relative to the feed head — the first chart an on-call pager
+    * for the capture path looks at (a trigger outage shows up as mass
+    * migration into the old buckets long before anyone queries a view;
+    * reference analog: the enable/disable capture toggles whose outages
+    * audit_enabled_ranges reconstructs, audit.go:300-395).
+    *
+    * Shape: per-entity last-change is ONE partial-aggregating groupBy
+    * bounded at |entities|; the feed head is a 1-row broadcast; the
+    * bucket rollup and its share window run on the ≤ 5-row bucket
+    * aggregate. Staleness is exact integer seconds on both engines
+    * (unix_timestamp ↔ floor(epoch())). */
+  val auditFreshness: Q = Q.sql(
+    "audit_freshness",
+    auditCte + """, le AS (SELECT entity_id, max(ts) AS last_ts
+      |            FROM audit GROUP BY entity_id),
+      |hd AS (SELECT max(ts) AS head_ts FROM audit),
+      |st AS (SELECT entity_id,
+      |         CAST(floor(epoch((SELECT head_ts FROM hd))) AS BIGINT)
+      |           - CAST(floor(epoch(last_ts)) AS BIGINT) AS staleness_s
+      |       FROM le),
+      |b AS (SELECT CASE WHEN staleness_s < 3600 THEN '0_lt_1h'
+      |               WHEN staleness_s < 21600 THEN '1_1h_6h'
+      |               WHEN staleness_s < 86400 THEN '2_6h_24h'
+      |               WHEN staleness_s < 604800 THEN '3_1d_7d'
+      |               ELSE '4_ge_7d' END AS bucket, staleness_s
+      |      FROM st)
+      |SELECT bucket, count(*) AS n_entities,
+      |  min(staleness_s) AS min_s, max(staleness_s) AS max_s,
+      |  round(1.0 * count(*) / sum(count(*)) OVER (), 4) AS share
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    val le = log(s, d).groupBy("entity_id").agg(max("ts").as("last_ts"))
+    val hd = log(s, d).agg(max("ts").as("head_ts"))
+    val st = le.crossJoin(broadcast(hd))
+      .select((unix_timestamp(col("head_ts"))
+        - unix_timestamp(col("last_ts"))).as("staleness_s"))
+    val b = st.withColumn("bucket",
+      when(col("staleness_s") < 3600, "0_lt_1h")
+        .when(col("staleness_s") < 21600, "1_1h_6h")
+        .when(col("staleness_s") < 86400, "2_6h_24h")
+        .when(col("staleness_s") < 604800, "3_1d_7d")
+        .otherwise("4_ge_7d"))
+    b.groupBy("bucket")
+      .agg(count(lit(1)).as("n_entities"),
+        min("staleness_s").as("min_s"), max("staleness_s").as("max_s"))
+      .withColumn("share",
+        round(lit(1.0) * col("n_entities")
+          / sum(col("n_entities")).over(Window.partitionBy()), 4))
+      .orderBy("bucket")
+  }
+
   val auditScd2: Q = Q.sql(
     "audit_scd2",
     auditCte + s""", snap AS (
@@ -1284,5 +1335,5 @@ object AuditQueries {
     auditAsofTolerance, auditWhoChanged, auditClientSessions,
     auditEnabledRanges, auditPkValidity, auditTruncateReset, auditWideSnapshot,
     auditCompact, auditRetention, auditSessionWindow, auditDailyAnomaly,
-    auditScd2, auditOrphans)
+    auditScd2, auditOrphans, auditFreshness)
 }

@@ -179,6 +179,35 @@ class AuditLogSpec extends AnyFunSuite {
     } finally scd.unpersist()
   }
 
+  test("audit_freshness: buckets partition the entity set, staleness matches a replica") {
+    val rows = graft.audit.AuditQueries.auditFreshness.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nEntities = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nEntities,
+      "buckets do not partition the entity set")
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-3, "shares don't sum to 1")
+    // bucket ranges must be disjoint and ordered (min of the next bucket
+    // above the max of the previous one)
+    val sorted = rows.sortBy(_.getString(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) < b.getLong(2), s"$a overlaps $b")
+      case _ => ()
+    }
+    // replica: per-entity staleness from the raw feed, bucketed locally
+    val feed = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val head = feed.map(_._2).max
+    val byEntity = feed.groupBy(_._1).map { case (_, g) => head - g.map(_._2).max }
+    def bucket(s: Long) =
+      if (s < 3600) "0_lt_1h" else if (s < 21600) "1_1h_6h"
+      else if (s < 86400) "2_6h_24h" else if (s < 604800) "3_1d_7d" else "4_ge_7d"
+    val expect = byEntity.groupBy(bucket).map { case (b, g) =>
+      (b, g.size.toLong, g.min, g.max) }.toSeq.sortBy(_._1)
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1) === expect)
+  }
+
   test("audit_orphans: reports exactly the audited entities missing from the live set") {
     val orphans = graft.audit.AuditQueries.auditOrphans.fn(spark, sf).cache()
     try {
