@@ -398,6 +398,60 @@ object EventStream {
         round(lit(1.0) * sum("passed") / count(lit(1)), 4).as("pass_share"))
       .orderBy("lang", "source")
 
+  /** Streaming twin of TextOps.dedup_incremental — the admit/reject
+    * decision AS the ingest runs: incoming documents (the doc_id ≡ 0 mod
+    * 10 split) arrive as a file stream; each micro-batch computes its
+    * minhash bands in-flight (the SAME shared band definition as the
+    * batch op — the two paths cannot drift) and probes the persisted
+    * existing-corpus band index, broadcasting the tiny batch side so the
+    * index never shuffles for the probe (the batch op's posture, per
+    * micro-batch). Verdicts land in an append-only sink; the result is
+    * the exactly-once read-back, and the ORACLE IS dedup_incremental's —
+    * a crash-replayed streaming ingest must produce byte-identical
+    * admit/reject decisions to the batch backfill.
+    *
+    * Scale: per-ingest-batch cost = one scan of the (MEMORY_AND_DISK)
+    * band index + a broadcast of the batch's bands; no watermark state —
+    * the dedup state IS the index, maintained outside the stream. */
+  val streamDedupIncremental: Q = Q.sql(
+    "stream_dedup_incremental",
+    graft.text.TextOps.dedupIncremental.oracle.get) { (s, d) =>
+    graft.GraftFunctions.ensureRegistered(s)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdi-").toString
+    val exBands = graft.text.TextOps.minhashBandsOf(
+        graft.Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
+      .select(col("doc_id").as("ex_id"), col("band"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docSchema = graft.Tables.documents(s, d).schema
+    drained(s) {
+      s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .filter(col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val incB = graft.text.TextOps.minhashBandsOf(batch.toDF())
+            .select(col("doc_id").as("inc_id"), col("band"), col("v"))
+          val verdicts = exBands.join(broadcast(incB), Seq("band", "v"))
+            .groupBy("inc_id")
+            .agg(countDistinct("ex_id").as("n_near_dups"),
+              min("ex_id").as("first_match"))
+          batch.toDF().select(col("doc_id"))
+            .join(verdicts, col("doc_id") === col("inc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+              col("first_match"),
+              when(col("n_near_dups") >= 1, "near_dup").otherwise("admit")
+                .as("verdict"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$tmp/sink")
+        }
+        .trigger(availableNow)
+        .start()
+    }
+    s.read.parquet(s"$tmp/sink").dropDuplicates("doc_id").orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(auditStream, auditStreamJoin, auditSessionizeStream,
-    auditStreamDedup, corpusStreamQa)
+    auditStreamDedup, corpusStreamQa, streamDedupIncremental)
 }

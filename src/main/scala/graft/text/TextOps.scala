@@ -467,6 +467,19 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** (doc_id, band, v) minhash band rows of an arbitrary (doc_id, text)
+    * frame — the probe-index unit shared by dedup_incremental (batch
+    * split) and its streaming ingest twin
+    * (EventStream.streamDedupIncremental, which probes per micro-batch).
+    * One shared definition: the two admit/reject paths cannot drift. */
+  private[graft] def minhashBandsOf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(shingleExpr("ws")).as("s3"))
+      .withColumn("__sigs", expr("graft_minhash_sig(s3)"))
+      .select(col("doc_id"),
+        posexplode(array(minhashParams.indices
+          .map(i => element_at(col("__sigs"), i + 1)): _*)).as(Seq("band", "v")))
+
   /** The composition twin of `graft_minhash_sig` (spec-asserted equal). */
   private[graft] def minhashSigHofExpr(i: Int): String = {
     val (a, b) = minhashParams(i)

@@ -100,6 +100,18 @@ class StreamingWindowSpec extends AnyFunSuite {
       "replayed capture changed the rollup — exactly-once read-back broken")
   }
 
+  test("stream_dedup_incremental: streamed verdicts ≡ batch backfill verdicts") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.EventStream.streamDedupIncremental
+      .fn(spark, sf).collect().toSeq
+    val batch = graft.text.TextOps.dedupIncremental
+      .fn(spark, sf).collect().toSeq
+    assert(streamed === batch,
+      "streaming ingest and batch backfill disagree on admit/reject")
+    assert(streamed.exists(_.getString(3) == "near_dup"), "no near-dup — vacuous")
+    assert(streamed.exists(_.getString(3) == "admit"), "no admit — vacuous")
+  }
+
   test("stream dedup: the redelivered feed really duplicates, the op removes all of it") {
     val sf = "/root/testdata/sf0.001"
     val clean = Tables.events(spark, sf)
