@@ -416,14 +416,14 @@ object TextOps {
 
   /** DuckDB: word hash = int value of the first 8 hex nibbles of md5.
     * (package-visible: CorpusOps.corpus_split buckets on the same hash.) */
-  private[text] def duckWordHash(w: String): String =
+  private[graft] def duckWordHash(w: String): String =
     (1 to 8).map { j =>
       val mult = 1L << (4 * (8 - j))
       s"(CAST(strpos('0123456789abcdef', substr(md5($w), $j, 1)) AS BIGINT) - 1) * $mult"
     }.mkString("(", " + ", ")")
 
   /** Spark twin: conv() parses the same 8 hex chars. */
-  private[text] def sparkWordHash(w: String): String =
+  private[graft] def sparkWordHash(w: String): String =
     s"cast(conv(substring(md5($w), 1, 8), 16, 10) as bigint)"
 
   /** MinHash/LSH over 3-gram shingles: 4 hashes = 4 single-row bands, plus

@@ -1031,10 +1031,91 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Encoder-drift audit between two ingest batches — the check a
+    * continuously-trained encoder needs before mixing old and new
+    * embeddings in one index: per label, centroid shift (L2) and cosine
+    * between the batch centroids. A re-trained encoder that moved the
+    * space shows up as cos ≪ 1 long before recall degrades; emb_dim_stats
+    * sees per-dim scale drift, this sees rotation. The batch split is the
+    * corpus_split discipline — a pure function of md5(vec_id), stable
+    * across re-shards.
+    *
+    * Shape: ONE posexplode pass → partial-agg groupBy bounded at
+    * |labels| × 2 × |dims| (decimal-exact per-dim means, the
+    * emb_centroids machinery) → per-(label, dim) old/new self-join on the
+    * bounded centroid set → |labels|-row aggregate of exact scale-12
+    * decimal sums; shift/cos take sqrt/divide in DOUBLE once, rounded
+    * once. */
+  val embDrift: Q = {
+    val duckBatch =
+      s"CASE WHEN ${graft.text.TextOps.duckWordHash("CAST(vec_id AS VARCHAR)")} % 2 = 0 " +
+        "THEN 'old' ELSE 'new' END"
+    val sparkBatch =
+      s"CASE WHEN ${graft.text.TextOps.sparkWordHash("cast(vec_id as string)")} % 2 = 0 " +
+        "THEN 'old' ELSE 'new' END"
+    Q.sql(
+      "emb_drift",
+      s"""WITH u AS (SELECT label, $duckBatch AS batch,
+         |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+         |    generate_subscripts(embedding, 1) AS dim
+         |  FROM embeddings),
+         |c AS (SELECT label, batch, CAST(dim AS BIGINT) AS dim,
+         |        round(${Det.dsum9Sql("v")} / count(*), 6) AS c, count(*) AS n
+         |      FROM u GROUP BY 1, 2, 3),
+         |nb AS (SELECT label, batch, max(n) AS n FROM c GROUP BY 1, 2),
+         |p AS (SELECT o.label, o.dim, o.c AS co, w.c AS cn
+         |      FROM c o JOIN c w ON o.label = w.label AND o.dim = w.dim
+         |      WHERE o.batch = 'old' AND w.batch = 'new'),
+         |m AS (SELECT label,
+         |        CAST(sum(CAST((co - cn) * (co - cn) AS DECIMAL(28,12))) AS DOUBLE) AS d2,
+         |        CAST(sum(CAST(co * cn AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+         |        CAST(sum(CAST(co * co AS DECIMAL(28,12))) AS DOUBLE) AS no2,
+         |        CAST(sum(CAST(cn * cn AS DECIMAL(28,12))) AS DOUBLE) AS nn2
+         |      FROM p GROUP BY label)
+         |SELECT m.label, a.n AS n_old, b.n AS n_new,
+         |  round(sqrt(d2), 6) AS centroid_shift,
+         |  round(dot / (sqrt(no2) * sqrt(nn2)), 6) AS centroid_cos
+         |FROM m JOIN nb a ON m.label = a.label AND a.batch = 'old'
+         |       JOIN nb b ON m.label = b.label AND b.batch = 'new'
+         |ORDER BY m.label""".stripMargin) { (s, d) =>
+      val u = emb(s, d)
+        .select(col("label"), expr(sparkBatch).as("batch"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("batch"),
+          (col("pos") + 1).cast("long").as("dim"), col("v").cast("double").as("v"))
+      val c = u.groupBy("label", "batch", "dim")
+        .agg(round(Det.dsum9(col("v")) / count(lit(1)), 6).as("c"),
+          count(lit(1)).as("n"))
+      val nb = c.groupBy("label", "batch").agg(max("n").as("n"))
+      val p = c.filter(col("batch") === "old")
+        .select(col("label"), col("dim"), col("c").as("co"))
+        .join(c.filter(col("batch") === "new")
+          .select(col("label").as("l2"), col("dim").as("d2col"), col("c").as("cn")),
+          col("label") === col("l2") && col("dim") === col("d2col"))
+      val m = p.groupBy("label").agg(
+        sum(((col("co") - col("cn")) * (col("co") - col("cn")))
+          .cast("decimal(28,12)")).cast("double").as("d2"),
+        sum((col("co") * col("cn")).cast("decimal(28,12)")).cast("double").as("dot"),
+        sum((col("co") * col("co")).cast("decimal(28,12)")).cast("double").as("no2"),
+        sum((col("cn") * col("cn")).cast("decimal(28,12)")).cast("double").as("nn2"))
+      m.join(nb.filter(col("batch") === "old")
+          .select(col("label").as("la"), col("n").as("n_old")),
+          col("label") === col("la"))
+        .join(nb.filter(col("batch") === "new")
+          .select(col("label").as("lb"), col("n").as("n_new")),
+          col("label") === col("lb"))
+        .select(col("label"), col("n_old"), col("n_new"),
+          round(sqrt(col("d2")), 6).as("centroid_shift"),
+          round(col("dot") / (sqrt(col("no2")) * sqrt(col("nn2"))), 6)
+            .as("centroid_cos"))
+        .orderBy("label")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
     embNormalize, embQuantize, annPq, annPqSearch, annRecall,
     annIvfMultiprobe, annIvfKmeans, annRecallKmeans,
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
-    embDimStats)
+    embDimStats, embDrift)
 }

@@ -233,6 +233,50 @@ class VectorSpec extends AnyFunSuite {
       s"lambda2 drift: replica ${sumS2 / n} vs reported $lam2")
   }
 
+  test("emb_drift: per-label shift/cos match a local replica of the hash split") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Tables.embeddings(spark, TestSession.sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def batch(id: Long): String =
+      if (java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 2 == 0) "old"
+      else "new"
+    val expected = rows.groupBy(_._2).toSeq.map { case (label, vs) =>
+      val dim = vs.head._3.length
+      def centroid(b: String): (Array[Double], Int) = {
+        val sel = vs.filter(v => batch(v._1) == b)
+        (Array.tabulate(dim) { j =>
+          BigDecimal((sel.map(v => BigDecimal(v._3(j))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum / sel.length).toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }, sel.length)
+      }
+      val (co, nOld) = centroid("old")
+      val (cn, nNew) = centroid("new")
+      val d2 = (0 until dim).map(j => (co(j) - cn(j)) * (co(j) - cn(j))).sum
+      val dot = (0 until dim).map(j => co(j) * cn(j)).sum
+      val cos = dot / (math.sqrt(co.map(x => x * x).sum) * math.sqrt(cn.map(x => x * x).sum))
+      (label.toLong, nOld.toLong, nNew.toLong, math.sqrt(d2), cos)
+    }.sortBy(_._1)
+    val got = graft.vector.Similarity.embDrift.fn(spark, TestSession.sfDir)
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) === expected.map(t => (t._1, t._2, t._3)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-4, s"shift drift at label ${g._1}: ${g._4} vs ${e._4}")
+      assert(math.abs(g._5 - e._5) < 1e-4, s"cos drift at label ${g._1}: ${g._5} vs ${e._5}")
+    }
+    // these label centroids sit near the origin, so half-sample cosine is
+    // legitimately noisy — only bound it to the valid range; the shift
+    // column must still be non-vacuous
+    assert(got.forall(t => t._5 >= -1.0001 && t._5 <= 1.0001))
+    assert(got.exists(_._4 > 0), "zero shift everywhere — vacuous")
+    assert(got.forall(t => t._2 > 0 && t._3 > 0), "a split side is empty")
+  }
+
   test("emb_dim_stats: one row per dimension with coherent moments") {
     val sf = "/root/testdata/sf0.001"
     val stats = graft.vector.Similarity.embDimStats.fn(spark, sf).collect()
