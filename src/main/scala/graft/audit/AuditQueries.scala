@@ -1325,6 +1325,145 @@ object AuditQueries {
       .orderBy("entity_id")
   }
 
+  /** Lost-update risk audit: consecutive changes to the SAME entity from
+    * DIFFERENT database sessions within 5 minutes — the write-write
+    * conflict window the audit log's session-capture columns
+    * (session_user / client metadata, audit.go:773-816) exist to make
+    * visible (two sessions read-modify-writing one row; last write
+    * silently wins). The session identity is `db_user`: `changed_by` is
+    * the app-level agent, constant per entity in this feed, while the DB
+    * role actually holding the write lock varies per statement. Each
+    * reported row is one suspicious handoff with its gap and both
+    * sessions; audit_who_changed shows who writes a lot, this shows who
+    * writes OVER each other.
+    *
+    * Scale shape: ONE lag window on the shared (entity, audit_id)
+    * distribution — the audit_gap_detect posture — then a per-row filter;
+    * no joins, no second Exchange, output bounded by the conflict count. */
+  val auditConcurrentWriters: Q = Q.sql(
+    "audit_concurrent_writers",
+    auditCte + s""", l AS (
+      |  SELECT entity_id, audit_id, ts, changed_by, db_user,
+      |    lag(audit_id) OVER (PARTITION BY entity_id ORDER BY audit_id) AS prev_audit_id,
+      |    lag(ts) OVER (PARTITION BY entity_id ORDER BY audit_id) AS prev_ts,
+      |    lag(db_user) OVER (PARTITION BY entity_id ORDER BY audit_id) AS prev_session
+      |  FROM audit)
+      |SELECT entity_id, audit_id, prev_audit_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT)
+      |    AS gap_s,
+      |  db_user, prev_session, changed_by
+      |FROM l
+      |WHERE prev_session IS NOT NULL AND prev_session <> db_user
+      |  AND CAST(floor(epoch(ts)) AS BIGINT)
+      |    - CAST(floor(epoch(prev_ts)) AS BIGINT) < 300
+      |ORDER BY entity_id, audit_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("entity_id").orderBy("audit_id")
+    log(s, d)
+      .select(col("entity_id"), col("audit_id"), col("ts"),
+        col("changed_by"), col("db_user"))
+      .withColumn("prev_audit_id", lag("audit_id", 1).over(w))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("prev_session", lag("db_user", 1).over(w))
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+      .filter(col("prev_session").isNotNull
+        && col("prev_session") =!= col("db_user")
+        && col("gap_s") < 300)
+      .select("entity_id", "audit_id", "prev_audit_id", "gap_s",
+        "db_user", "prev_session", "changed_by")
+      .orderBy("entity_id", "audit_id")
+  }
+
+  /** Point-in-time recovery script — the operation the audit log exists
+    * to make possible (the reference's reconstruction views, audit.go:
+    * 1051-1362, are the read side of exactly this): for every entity
+    * whose state moved after the rollback point T (midpoint audit_id,
+    * the audit_compact split), emit the inverse action that restores its
+    * T-state:
+    *
+    *   - `DELETE`   — entity created after T (no pre-T history), or
+    *     deleted at T and resurrected after: remove it.
+    *   - `REINSERT` — entity live at T but currently deleted: put the
+    *     T-state row back.
+    *   - `UPDATE`   — live both sides with drifted payload: set the
+    *     T-state values.
+    *
+    * Entities untouched after T, whose post-T churn lands back on the
+    * T-state (same liveness), or deleted on BOTH sides (payload drift on
+    * a tombstone is not restorable state) produce no action — the script
+    * is minimal. Liveness = "last operation is not a delete"; the payload
+    * compare is null-safe on both engines.
+    *
+    * Scale shape: ONE 1-row cutoff broadcast; the snapshot window, both
+    * rn=1 top-1 passes, the post-T count and all three self-joins key on
+    * entity_id — one hash distribution end to end, every derived frame
+    * bounded at |entities| rows. No broadcast of any entity-scale side. */
+  val auditRollback: Q = Q.sql(
+    "audit_rollback",
+    auditCte + s""", cut AS (SELECT CAST(floor(max(audit_id) / 2) AS BIGINT) AS mid FROM audit),
+      |snap AS (
+      |  SELECT audit_id, entity_id, operation, ts,
+      |    last_value(k IGNORE NULLS) OVER ($runningW) AS state_k,
+      |    last_value(val IGNORE NULLS) OVER ($runningW) AS state_val
+      |  FROM audit),
+      |pre AS (SELECT entity_id, operation AS pre_op,
+      |          state_k AS restore_k, state_val AS restore_val
+      |        FROM (SELECT snap.*, row_number() OVER (
+      |                PARTITION BY entity_id ORDER BY audit_id DESC) AS rn
+      |              FROM snap, cut WHERE audit_id <= mid) WHERE rn = 1),
+      |cur AS (SELECT entity_id, operation AS cur_op,
+      |          state_k AS cur_k, state_val AS cur_val
+      |        FROM (SELECT snap.*, row_number() OVER (
+      |                PARTITION BY entity_id ORDER BY audit_id DESC) AS rn
+      |              FROM snap) WHERE rn = 1),
+      |post AS (SELECT entity_id, count(*) AS n_changes_after
+      |         FROM audit, cut WHERE audit_id > mid GROUP BY 1)
+      |SELECT cur.entity_id,
+      |  CASE WHEN pre.entity_id IS NULL THEN 'DELETE'
+      |       WHEN pre_op = 'D' AND cur_op <> 'D' THEN 'DELETE'
+      |       WHEN pre_op <> 'D' AND cur_op = 'D' THEN 'REINSERT'
+      |       ELSE 'UPDATE' END AS action,
+      |  cur_op, cur_k, cur_val, restore_k, restore_val, n_changes_after
+      |FROM cur JOIN post ON cur.entity_id = post.entity_id
+      |LEFT JOIN pre ON cur.entity_id = pre.entity_id
+      |WHERE pre.entity_id IS NULL
+      |   OR ((pre_op = 'D') <> (cur_op = 'D'))
+      |   OR (pre_op <> 'D' AND cur_op <> 'D'
+      |       AND (cur_k IS DISTINCT FROM restore_k
+      |            OR cur_val IS DISTINCT FROM restore_val))
+      |ORDER BY cur.entity_id""".stripMargin) { (s, d) =>
+    val lg = sparse(log(s, d))
+      .select("audit_id", "entity_id", "operation", "ts", "k", "val")
+    val mid = lg.agg(floor(max("audit_id") / 2).cast("long").as("mid"))
+    val snap = alg.snapshot(lg, Seq("k", "val")).crossJoin(broadcast(mid))
+    val descW = Window.partitionBy("entity_id").orderBy(col("audit_id").desc)
+    val pre = snap.filter(col("audit_id") <= col("mid"))
+      .withColumn("rn", row_number().over(descW)).filter(col("rn") === 1)
+      .select(col("entity_id"), col("operation").as("pre_op"),
+        col("state_k").as("restore_k"), col("state_val").as("restore_val"))
+    val cur = snap
+      .withColumn("rn", row_number().over(descW)).filter(col("rn") === 1)
+      .select(col("entity_id"), col("operation").as("cur_op"),
+        col("state_k").as("cur_k"), col("state_val").as("cur_val"))
+    val post = snap.filter(col("audit_id") > col("mid"))
+      .groupBy("entity_id").agg(count(lit(1)).as("n_changes_after"))
+    cur.join(post, Seq("entity_id"))
+      .join(pre, Seq("entity_id"), "left")
+      .filter(col("pre_op").isNull
+        || ((col("pre_op") === "D") =!= (col("cur_op") === "D"))
+        || (col("pre_op") =!= "D" && col("cur_op") =!= "D"
+          && (!(col("cur_k") <=> col("restore_k"))
+            || !(col("cur_val") <=> col("restore_val")))))
+      .select(col("entity_id"),
+        when(col("pre_op").isNull, "DELETE")
+          .when(col("pre_op") === "D" && col("cur_op") =!= "D", "DELETE")
+          .when(col("pre_op") =!= "D" && col("cur_op") === "D", "REINSERT")
+          .otherwise("UPDATE").as("action"),
+        col("cur_op"), col("cur_k"), col("cur_val"),
+        col("restore_k"), col("restore_val"), col("n_changes_after"))
+      .orderBy("entity_id")
+  }
+
   val all: Seq[Q] = Seq(
     auditLog, auditDelta, auditDeltaOld, auditTypedDelta, auditViewsOnly,
     auditViewsTyped, auditSnapshot, auditCompare,
@@ -1335,5 +1474,6 @@ object AuditQueries {
     auditAsofTolerance, auditWhoChanged, auditClientSessions,
     auditEnabledRanges, auditPkValidity, auditTruncateReset, auditWideSnapshot,
     auditCompact, auditRetention, auditSessionWindow, auditDailyAnomaly,
-    auditScd2, auditOrphans, auditFreshness)
+    auditScd2, auditOrphans, auditFreshness, auditRollback,
+    auditConcurrentWriters)
 }

@@ -855,9 +855,78 @@ object CorpusOps {
       .orderBy("lang", "source")
   }
 
+  // ------------------------------------------------------ epoch plan --
+
+  private[graft] val MaxEpochs = 4
+
+  /** Training-token allocation under the temperature mix — the plan that
+    * turns corpus_temperature's weights into an executable schedule: with
+    * a one-corpus-pass token budget (Σ tokens) redistributed by the T=2
+    * weights, each language gets `allocated_tokens`; languages whose
+    * allocation exceeds their natural mass repeat data across epochs
+    * (`epochs_raw`), capped at 4 epochs — past ~4 repeats extra epochs
+    * stop buying loss (the data-constrained scaling result, Muennighoff
+    * et al. 2023) — so `planned_tokens` is the delivered allocation and
+    * `data_constrained = 1` marks languages where the cap bound (the
+    * "go collect more of this language" flag).
+    *
+    * Scale shape: identical to corpus_temperature — ONE corpus scan into
+    * a |langs|-row aggregate, totals via unpartitioned window on that
+    * aggregate, all further math driver-scale. Determinism: weights are
+    * √tokens rounded once to DECIMAL(18,4); shares rounded once to 6;
+    * allocations floor an identical double product of (rounded share ×
+    * exact integer total) on both engines. */
+  val epochPlan: Q = {
+    val share = "round(CAST(wgt AS DOUBLE) / CAST(sum_wgt AS DOUBLE), 6)"
+    val alloc = s"CAST(floor($share * sum_tokens) AS BIGINT)"
+    Q.sql(
+      "epoch_plan",
+      s"""WITH s AS (SELECT lang, CAST(sum(len(str_split(text, ' '))) AS BIGINT)
+       |          AS tokens
+       |      FROM documents GROUP BY 1),
+       |w AS (SELECT lang, tokens,
+       |        CAST(round(sqrt(1.0 * tokens), 4) AS DECIMAL(18, 4)) AS wgt
+       |      FROM s),
+       |t AS (SELECT sum(wgt) AS sum_wgt, CAST(sum(tokens) AS BIGINT)
+       |        AS sum_tokens FROM w),
+       |a AS (SELECT lang, tokens, $alloc AS allocated_tokens
+       |      FROM w CROSS JOIN t)
+       |SELECT lang, tokens, allocated_tokens,
+       |  round(1.0 * allocated_tokens / tokens, 4) AS epochs_raw,
+       |  least(allocated_tokens, $MaxEpochs * tokens) AS planned_tokens,
+       |  round(1.0 * least(allocated_tokens, $MaxEpochs * tokens) / tokens, 4)
+       |    AS epochs_planned,
+       |  CASE WHEN allocated_tokens > $MaxEpochs * tokens THEN 1 ELSE 0 END
+       |    AS data_constrained
+       |FROM a ORDER BY lang""".stripMargin) { (s, d) =>
+      val perLang = docs(s, d)
+        .select(col("lang"), expr("size(split(text, ' '))").as("n_tok"))
+        .groupBy("lang")
+        .agg(sum("n_tok").cast("long").as("tokens"))
+        .withColumn("wgt",
+          round(sqrt(lit(1.0) * col("tokens")), 4).cast("decimal(18,4)"))
+      val allW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      perLang
+        .withColumn("sum_wgt", sum("wgt").over(allW))
+        .withColumn("sum_tokens", sum("tokens").over(allW).cast("long"))
+        .withColumn("allocated_tokens", expr(alloc))
+        .select(col("lang"), col("tokens"), col("allocated_tokens"),
+          round(lit(1.0) * col("allocated_tokens") / col("tokens"), 4)
+            .as("epochs_raw"),
+          least(col("allocated_tokens"), lit(MaxEpochs) * col("tokens"))
+            .as("planned_tokens"),
+          round(lit(1.0)
+            * least(col("allocated_tokens"), lit(MaxEpochs) * col("tokens"))
+            / col("tokens"), 4).as("epochs_planned"),
+          when(col("allocated_tokens") > lit(MaxEpochs) * col("tokens"), 1)
+            .otherwise(0).as("data_constrained"))
+        .orderBy("lang")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
     tokenHistogram, packSequences, corpusFunnel, corpusSplit,
     corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate, zipfFit,
-    corpusReport)
+    corpusReport, epochPlan)
 }

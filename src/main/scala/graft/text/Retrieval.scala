@@ -501,6 +501,117 @@ object Retrieval {
     }
   }
 
+  // ---------------------------------------------------- hybrid fusion --
+
+  private[graft] val RrfC = 60
+  private[graft] val DenseTopK = 10
+
+  /** One reciprocal-rank contribution, rounded once to 6 decimals as
+    * DECIMAL (absent-from-list = 0) — evaluated from ONE formula string
+    * by both engines so the fused score is bit-identical. */
+  private def rrfContrib(rankCol: String): String =
+    s"coalesce(CAST(round(1.0 / ($RrfC + $rankCol), 6) AS DECIMAL(18, 6)), " +
+      "CAST(0 AS DECIMAL(18, 6)))"
+
+  private val rrfFormula: String =
+    s"round(CAST(${rrfContrib("sparse_rnk")} + ${rrfContrib("dense_rnk")} AS DOUBLE), 6)"
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the two serve paths a
+    * corpus platform runs side by side — BM25 over the inverted index
+    * (sparse) and cosine top-k over the embedding index (dense). RRF
+    * (Cormack et al., SIGIR'09) needs no score calibration between the
+    * paths: each doc scores Σ 1/(60 + rank) over the lists that returned
+    * it, so a doc surfaced by BOTH paths outranks one surfaced by either
+    * alone. The dense leg is seeded by pseudo-relevance feedback
+    * (query-by-example, the Rocchio pattern): each query's dense vector
+    * is the embedding of its top-1 lexical hit, so the dense list pulls
+    * docs semantically near the best keyword match — and the seed doc
+    * itself rides both lists, anchoring the fusion.
+    *
+    * Scale shape: the sparse path is bm25Machine unchanged (corpus never
+    * shuffles for the probe); the ≤|queries|-row seed set broadcasts into
+    * one embedding-scan equi-join to fetch query vectors, then the
+    * query-vector side broadcasts against one more embedding scan
+    * (ann_topk posture); both rank windows partition by query, bounded by
+    * corpus/cell size; the fusion FULL OUTER join and final rank act on
+    * ≤ |queries| × (sparse k + dense k) rows — driver-scale arithmetic at
+    * any corpus size. Contributions are rounded once then summed as
+    * DECIMAL (exact, order-independent); the fused rank orders by the
+    * rounded score with doc_id tiebreak. */
+  val hybridRrf: Q = {
+    val duckQueryValues = bm25Queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    Q.sql(
+      "hybrid_rrf",
+      s"""WITH qt(query_id, term) AS (VALUES $duckQueryValues),
+         |w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+         |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+         |st AS (SELECT count(*) AS n_docs, sum(len(ws)) AS sum_dl FROM w),
+         |dft AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+         |c AS (SELECT qt.query_id, tf.doc_id,
+         |        CAST($contribFormula AS DECIMAL(18, 6)) AS c
+         |      FROM qt JOIN tf ON qt.term = tf.term
+         |           JOIN dft ON dft.term = qt.term CROSS JOIN st),
+         |bsc AS (SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS score
+         |        FROM c GROUP BY 1, 2),
+         |sk AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |         CAST(rnk AS BIGINT) AS sparse_rnk
+         |       FROM (SELECT query_id, doc_id,
+         |               row_number() OVER (PARTITION BY query_id
+         |                                  ORDER BY score DESC, doc_id) AS rnk
+         |             FROM bsc) WHERE rnk <= $TopK),
+         |seed AS (SELECT query_id, doc_id FROM sk WHERE sparse_rnk = 1),
+         |q AS (SELECT seed.query_id, CAST(e.embedding AS DOUBLE[]) AS qe
+         |      FROM seed JOIN embeddings e ON e.vec_id = seed.doc_id),
+         |ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |ds AS (SELECT query_id, vec_id AS doc_id,
+         |         round(list_cosine_similarity(qe, emb), 4) AS cos_sim
+         |       FROM q, ce),
+         |dk AS (SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS dense_rnk
+         |       FROM (SELECT query_id, doc_id,
+         |               row_number() OVER (PARTITION BY query_id
+         |                                  ORDER BY cos_sim DESC, doc_id) AS rnk
+         |             FROM ds) WHERE rnk <= $DenseTopK),
+         |f AS (SELECT query_id, doc_id, sparse_rnk, dense_rnk,
+         |        $rrfFormula AS rrf_score
+         |      FROM sk FULL JOIN dk USING (query_id, doc_id)),
+         |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY rrf_score DESC, doc_id) AS fused_rank FROM f)
+         |SELECT query_id, fused_rank, doc_id, rrf_score, sparse_rnk, dense_rnk
+         |FROM fr WHERE fused_rank <= $TopK
+         |ORDER BY query_id, fused_rank""".stripMargin) { (s, d) =>
+      val (_, topk) = bm25Machine(s, d)
+      val sk = topk.select(col("query_id").cast("long").as("query_id"),
+        col("doc_id"), col("rnk").cast("long").as("sparse_rnk"))
+      val e = graft.Tables.embeddings(s, d)
+      val seed = sk.filter(col("sparse_rnk") === 1).select("query_id", "doc_id")
+      val q = e.join(broadcast(seed), col("vec_id") === col("doc_id"))
+        .select(col("query_id"), col("embedding").as("qe"))
+      val denseW = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("doc_id"))
+      val dk = e.select(col("vec_id").as("doc_id"), col("embedding").as("emb"))
+        .crossJoin(broadcast(q))
+        .select(col("query_id"), col("doc_id"),
+          round(graft.GraftFunctions.graftCosine(col("qe"), col("emb")), 4)
+            .as("cos_sim"))
+        .withColumn("rnk", row_number().over(denseW))
+        .filter(col("rnk") <= DenseTopK)
+        .select(col("query_id"), col("doc_id"), col("rnk").cast("long").as("dense_rnk"))
+      val fusedW = Window.partitionBy("query_id")
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+      sk.join(dk, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_score", expr(rrfFormula))
+        .withColumn("fused_rank", row_number().over(fusedW))
+        .filter(col("fused_rank") <= TopK)
+        .select(col("query_id"), col("fused_rank"), col("doc_id"),
+          col("rrf_score"), col("sparse_rnk"), col("dense_rnk"))
+        .orderBy("query_id", "fused_rank")
+    }
+  }
+
   val all: Seq[Q] = Seq(docChunk, bm25Search, bm25Eval, tfidfKeywords, chunkOverlap,
-    ngramStats, pmiBigrams)
+    ngramStats, pmiBigrams, hybridRrf)
 }

@@ -229,4 +229,74 @@ class AuditLogSpec extends AnyFunSuite {
       assert(drift.count() === 0)
     } finally orphans.unpersist()
   }
+
+  test("audit_rollback: applying the script to current state reproduces the T-state") {
+    // The invariant the op exists for: (current entity set + script) ==
+    // (entity set and payload state as of the rollback point T). Both
+    // sides are recomputed here from the raw feed with an independent
+    // driver-side fold, then the script is APPLIED and compared.
+    val feed = graft.audit.AuditQueries.log(spark, TestSession.sfDir)
+      .select("audit_id", "entity_id", "operation", "event_type", "field_k", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .sortBy(_._1)
+    val mid = feed.map(_._1).max / 2
+    // driver-side snapshot fold: sparse payload (k on U, val on purchase)
+    def stateUpTo(cut: Long): Map[Long, (String, Option[Int], Option[Double])] =
+      feed.filter(_._1 <= cut).groupBy(_._2).map { case (e, rows) =>
+        var k: Option[Int] = None; var v: Option[Double] = None; var op = ""
+        rows.sortBy(_._1).foreach { case (_, _, o, et, fk, vv) =>
+          op = o
+          if (o == "U" && fk.isDefined) k = fk
+          if (et == "purchase" && vv.isDefined) v = vv
+        }
+        e -> (op, k, v)
+      }
+    val tState = stateUpTo(mid)
+    val cState = stateUpTo(Long.MaxValue)
+    // live = last op is not a delete (the op's liveness rule)
+    val tLive = tState.filter(_._2._1 != "D").map { case (e, (_, k, v)) => e -> (k, v) }
+    // apply the script on top of current
+    var applied = cState.filter(_._2._1 != "D")
+      .map { case (e, (_, k, v)) => e -> (k, v) }
+    val script = SparkEntry.queries("audit_rollback")(spark, TestSession.sfDir)
+      .select("entity_id", "action", "restore_k", "restore_val")
+      .collect()
+    script.foreach { r =>
+      val e = r.getLong(0)
+      r.getString(1) match {
+        case "DELETE" => applied = applied - e
+        case _ => applied = applied + (e -> ((
+          if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      }
+    }
+    assert(applied === tLive,
+      s"rollback script does not restore the T-state (T=$mid)")
+    // minimality: every scripted entity genuinely moved after T
+    val post = feed.filter(_._1 > mid).map(_._2).toSet
+    assert(script.map(_.getLong(0)).forall(post.contains))
+  }
+
+  test("audit_concurrent_writers: rows match a driver-side consecutive-pair replica") {
+    val got = SparkEntry.queries("audit_concurrent_writers")(spark, TestSession.sfDir)
+      .select("audit_id", "prev_audit_id", "gap_s")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val feed = graft.audit.AuditQueries.log(spark, TestSession.sfDir)
+      .select(col("audit_id"), col("entity_id"),
+        unix_timestamp(col("ts")).as("sec"), col("db_user"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = feed.groupBy(_._2).values.flatMap { rows =>
+      rows.sortBy(_._1).sliding(2).collect {
+        case Array((pid, _, pts, pu), (id, _, ts, u))
+          if pu != u && ts - pts < 300 => (id, pid, ts - pts)
+      }
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty) // the conflict branch actually fires at sf0.001
+  }
 }

@@ -325,4 +325,35 @@ class CorpusOpsSpec extends AnyFunSuite {
         BigDecimal(1.0 * nPass / g.length).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
+
+  test("epoch_plan: allocation conserves the budget, caps bind and flag correctly") {
+    val rows = CorpusOps.epochPlan.fn(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("tokens"),
+        r.getAs[Long]("allocated_tokens"), r.getAs[Double]("epochs_raw"),
+        r.getAs[Long]("planned_tokens"), r.getAs[Double]("epochs_planned"),
+        r.getAs[Int]("data_constrained")))
+    assert(rows.length >= 3)
+    val budget = rows.map(_._2).sum
+    // Σ floor(share_i × budget) never exceeds the budget by more than the
+    // |langs| rounding slack, and never undershoots by more than that
+    val allocated = rows.map(_._3).sum
+    assert(allocated <= budget + rows.length && allocated >= budget - rows.length,
+      s"allocation drifted from budget: $allocated vs $budget")
+    rows.foreach { case (lang, tok, alloc, eRaw, planned, ePlanned, constrained) =>
+      assert(planned === math.min(alloc, CorpusOps.MaxEpochs.toLong * tok), lang)
+      assert(ePlanned <= CorpusOps.MaxEpochs + 1e-9, lang)
+      assert((constrained == 1) === (alloc > CorpusOps.MaxEpochs.toLong * tok), lang)
+      assert(math.abs(eRaw - 1.0 * alloc / tok) <= 1e-4, lang)
+    }
+    // the temperature mix must actually redistribute: at least one
+    // language trains past 1 epoch and one below
+    assert(rows.exists(_._4 > 1.0) && rows.exists(_._4 < 1.0))
+    // consistency with corpus_temperature: allocation share == temp_share
+    // up to the floor slack (±1 token / budget) and the two 1e-6 roundings
+    val temp = CorpusOps.corpusTemperature.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("temp_share")).toMap
+    rows.foreach { case (lang, _, alloc, _, _, _, _) =>
+      assert(math.abs(1.0 * alloc / budget - temp(lang)) < 1.0 / budget + 2e-6, lang)
+    }
+  }
 }

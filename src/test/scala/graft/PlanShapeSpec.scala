@@ -327,6 +327,78 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!finalPlan(df).toString.contains("CartesianProduct"))
   }
 
+  test("audit_rollback: only the 1-row cutoff broadcasts; every join keys on entity_id") {
+    val df = SparkEntry.queries("audit_rollback")(spark, sfDir)
+    // ONE deliberate hint — the 1-row midpoint aggregate (cloned per reuse
+    // of `snap` in the analyzed tree); cur/pre/post are all
+    // |entities|-bounded and must reach their joins un-hinted, so every
+    // hinted subtree must be a global (no-grouping ⇒ 1-row) aggregate
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.nonEmpty && hinted.forall(_.child match {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.isEmpty
+      case _ => false
+    }), s"audit_rollback broadcast hints changed: $hinted")
+    val s = finalPlan(df).toString
+    assert(!s.contains("CartesianProduct"), s)
+    // every window in the plan partitions by entity_id — no full-feed
+    // single-partition window can hide here
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.references.map(_.name).mkString(",")).mkString("|")
+    }
+    assert(windows.nonEmpty && windows.forall(_.contains("entity_id")),
+      s"rollback window partitioning drifted: $windows")
+  }
+
+  test("audit_concurrent_writers: one lag window on the shared entity exchange") {
+    val p = finalPlan(SparkEntry.queries("audit_concurrent_writers")(spark, sfDir))
+    // the (entity, audit_id) lag exchange + the contractual output sort
+    assert(shuffles(p) <= 2, s"concurrent_writers gained an exchange:\n$p")
+  }
+
+  test("epoch_plan: one corpus scan; allocation math on the |langs| aggregate") {
+    val df = SparkEntry.queries("epoch_plan")(spark, sfDir)
+    val p = finalPlan(df)
+    // lang-agg exchange + tiny unpartitioned totals window + output sort
+    // (the corpus_temperature posture)
+    assert(shuffles(p) <= 3, s"epoch_plan gained an exchange:\n$p")
+    var scans = 0
+    def walk(x: org.apache.spark.sql.execution.SparkPlan): Unit = x match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        scans += 1; f.children.foreach(walk)
+      case o => o.children.foreach(walk)
+    }
+    walk(p)
+    assert(scans == 1, s"epoch_plan corpus scanned ${scans}x:\n$p")
+  }
+
+  test("hybrid_rrf: only workload-bounded sides are hinted; no cartesian") {
+    val df = SparkEntry.queries("hybrid_rrf")(spark, sfDir)
+    // every deliberate hint is bounded by the query workload: the bm25
+    // machine's qt / qTerms (pure LocalRelation), dft / 1-row stats
+    // (aggregates), the ≤|queries| PRF seed set and the dense
+    // query-vector side (both funnel through the top-k aggregate+window
+    // machinery). A hinted subtree that is a bare projection over a
+    // parquet scan — broadcasting the raw corpus/embedding feed — is the
+    // regression this pins against.
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LocalRelation}
+    def bounded(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collectFirst { case _: Aggregate => () }.isDefined ||
+        p.collect { case l: LeafNode => l }.forall(_.isInstanceOf[LocalRelation])
+    assert(hinted.nonEmpty && hinted.forall(h => bounded(h.child)),
+      s"hybrid_rrf hinted an unbounded side: $hinted")
+    assert(!finalPlan(df).toString.contains("CartesianProduct"))
+  }
+
   test("zipf_fit: rank partitions are (lang, bucket) first, never bare lang on the full vocab") {
     // the audit_value_quantiles lesson at authoring time (ngram_stats
     // posture): the full per-lang vocabulary must be cut by the 64-way

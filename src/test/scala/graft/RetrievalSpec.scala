@@ -285,4 +285,52 @@ class RetrievalSpec extends AnyFunSuite {
       .map(_.getAs[String]("gram")).toSeq
     assert(byPmi !== byCount)
   }
+
+  test("hybrid_rrf: fusion arithmetic, list membership and ordering are exact") {
+    val fused = SparkEntry.queries("hybrid_rrf")(spark, sfDir).collect()
+    // 1. the sparse membership is EXACTLY bm25_search's top-k
+    val sparse = SparkEntry.queries("bm25_search")(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("query_id").toLong, r.getAs[Long]("doc_id"))
+        -> r.getAs[Long]("rnk")).toMap
+    val fusedSparse = fused.filter(!_.isNullAt(4))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+        -> r.getAs[Long]("sparse_rnk")).toMap
+    // every fused sparse rank is the serve path's rank (the fused top-10
+    // may drop a tail sparse doc, so subset — but ranks must agree)
+    fusedSparse.foreach { case (k, rnk) => assert(sparse(k) === rnk) }
+    // 2. per row: rrf_score == round(contrib(sparse) + contrib(dense), 6)
+    def contrib(rnk: Option[Long]): BigDecimal = rnk
+      .map(r => BigDecimal(1.0 / (graft.text.Retrieval.RrfC + r))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .getOrElse(BigDecimal(0))
+    fused.foreach { r =>
+      val s = if (r.isNullAt(4)) None else Some(r.getAs[Long]("sparse_rnk"))
+      val d = if (r.isNullAt(5)) None else Some(r.getAs[Long]("dense_rnk"))
+      assert(s.isDefined || d.isDefined)
+      assert(BigDecimal(r.getAs[Double]("rrf_score")) === contrib(s) + contrib(d),
+        s"row $r")
+    }
+    // 3. fused_rank is dense 1..n per query in (score desc, doc) order
+    fused.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("fused_rank"))
+      assert(sorted.map(_.getAs[Int]("fused_rank")).toSeq === (1 to rows.length))
+      val scores = sorted.map(r =>
+        (-r.getAs[Double]("rrf_score"), r.getAs[Long]("doc_id"))).toSeq
+      assert(scores === scores.sorted)
+    }
+    // 4. the PRF anchor: every query's sparse-rank-1 doc seeds the dense
+    // leg, so it must surface in BOTH lists (cos(self) = 1 → dense
+    // top-k) and therefore outrank every single-list doc
+    fused.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val anchor = rows.find(r => !r.isNullAt(4) && r.getAs[Long]("sparse_rnk") == 1L)
+      assert(anchor.exists(r => !r.isNullAt(5)),
+        s"PRF anchor missing from the dense list: ${rows.toSeq}")
+      val both = rows.filter(r => !r.isNullAt(4) && !r.isNullAt(5))
+        .map(_.getAs[Double]("rrf_score"))
+      val single = rows.filter(r => r.isNullAt(4) || r.isNullAt(5))
+        .map(_.getAs[Double]("rrf_score"))
+      assert(both.nonEmpty)
+      if (single.nonEmpty) assert(both.min > single.max)
+    }
+  }
 }
