@@ -944,10 +944,91 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------- lsh curve --
+
+  /** Detector-quality audit for the LSH dedup path: the empirical
+    * sensitivity curve P(band collision | exact Jaccard) against the LSH
+    * theory curve 1 − (1 − j)^b for b = 4 single-row bands — the chart
+    * that justifies the band/row configuration before a 100 TB dedup run
+    * (too-flat ⇒ missed near-dups, too-steep-too-early ⇒ candidate
+    * explosion). dedup_minhash_est audits the ESTIMATOR per pair; this
+    * audits the DETECTOR per similarity bucket.
+    *
+    * Universe = exact df-capped candidate pairs (dedup_ngram_jaccard's
+    * ground truth) FULL OUTER the distinct band-collision pairs; a
+    * detected pair outside the candidate set (cross-block or zero shared
+    * capped shingle) has exact Jaccard 0 and lands in the lowest bucket —
+    * the false-positive mass the curve's left edge shows. theo_rate is
+    * evaluated at the bucket lower bound with a pure-integer numerator
+    * (10⁴ − (10−b)⁴)/10⁴ — exact on both engines, no cross-engine pow.
+    *
+    * Scale shape: the exact side is the capped machinery (≤ cap² pairs
+    * per (block, shingle)); the band side is the collision set (≈ true
+    * near-dups + b·random collisions); both sides hash-partition on
+    * (doc_a, doc_b) for the FULL OUTER — no broadcast of either
+    * pair-scale side — and the final aggregate is ≤ 10 rows. */
+  val dedupLshCurve: Q = {
+    val duckSigs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(s3, w -> ($a * ${duckWordHash("w")} + $b) % $P)) AS sig${i + 1}"
+    }.mkString(",\n  ")
+    val duckBands = minhashParams.indices
+      .map(i => s"SELECT doc_id, ${i + 1} AS band, sig${i + 1} AS v FROM lsig")
+      .mkString("\n  UNION ALL ")
+    Q.sql(
+      "dedup_lsh_curve",
+      s"""WITH $jaccardPairsCtesSql,
+         |lw AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+         |ld AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS s3 FROM lw),
+         |lsig AS (SELECT doc_id, $duckSigs FROM ld),
+         |bands AS ($duckBands),
+         |det AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |        FROM bands a JOIN bands b
+         |          ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+         |u AS (SELECT coalesce(j.jacc, 0) AS jacc,
+         |        CASE WHEN det.doc_a IS NULL THEN 0 ELSE 1 END AS det
+         |      FROM j FULL JOIN det
+         |        ON j.doc_a = det.doc_a AND j.doc_b = det.doc_b),
+         |bk AS (SELECT least(CAST(floor(jacc * 10) AS INT), 9) AS bucket,
+         |         count(*) AS n_pairs, CAST(sum(det) AS BIGINT) AS n_detected
+         |       FROM u GROUP BY 1)
+         |SELECT round(bucket / 10.0, 1) AS bucket_lo, n_pairs, n_detected,
+         |  round(1.0 * n_detected / n_pairs, 4) AS detect_rate,
+         |  round((10000 - (10 - bucket) * (10 - bucket) * (10 - bucket)
+         |    * (10 - bucket)) / 10000.0, 4) AS theo_rate
+         |FROM bk ORDER BY bucket_lo""".stripMargin) { (s, d) =>
+      val exact = jaccardPairs(s, d)
+      val sigs = minhashSigs(s, d)
+      val bands = sigs.select(col("doc_id"),
+        posexplode(array(minhashParams.indices.map(i => col(s"sig${i + 1}")): _*))
+          .as(Seq("band", "v")))
+      val det = bands.select(col("doc_id").as("doc_a"), col("band"), col("v"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("v")),
+          Seq("band", "v"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .withColumn("det", lit(1))
+      val m = lit(10) - col("bucket")
+      exact.join(det, Seq("doc_a", "doc_b"), "full_outer")
+        .select(coalesce(col("jacc"), lit(0.0)).as("jacc"),
+          coalesce(col("det"), lit(0)).as("det"))
+        .withColumn("bucket",
+          least(floor(col("jacc") * 10).cast("int"), lit(9)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"), sum("det").cast("long").as("n_detected"))
+        .select(round(col("bucket") / 10.0, 1).as("bucket_lo"),
+          col("n_pairs"), col("n_detected"),
+          round(lit(1.0) * col("n_detected") / col("n_pairs"), 4).as("detect_rate"),
+          round((lit(10000) - m * m * m * m) / 10000.0, 4).as("theo_rate"))
+        .orderBy("bucket_lo")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupBow, dedupNgramJaccard, dedupContainment,
     dedupComponents, dedupKeepBest,
-    dedupMinhash, dedupMinhashEst, dedupIncremental, dedupSimhash, langId,
+    dedupMinhash, dedupMinhashEst, dedupIncremental, dedupSimhash,
+    dedupLshCurve, langId,
     langIdMetrics, textQuality, textEntropy, tokenCount, docFingerprint,
     samplePerSource, tokenRegex)
 }

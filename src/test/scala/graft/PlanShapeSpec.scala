@@ -399,6 +399,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!finalPlan(df).toString.contains("CartesianProduct"))
   }
 
+  test("dedup_lsh_curve: pair-scale sides never broadcast; no cartesian") {
+    val df = SparkEntry.queries("dedup_lsh_curve")(spark, sfDir)
+    // the only deliberate hint is cappedPairStats' shuffle_hash — both the
+    // exact-pair and band-pair sides scale with the corpus, so a broadcast
+    // hint anywhere in this plan is a 100 TB OOM
+    val strategies = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+        h.hints.strategy
+    }.flatten
+    assert(strategies.nonEmpty &&
+      strategies.forall(_ == org.apache.spark.sql.catalyst.plans.logical.SHUFFLE_HASH),
+      s"dedup_lsh_curve hint policy drifted: $strategies")
+    assert(!finalPlan(df).toString.contains("CartesianProduct"))
+  }
+
   test("zipf_fit: rank partitions are (lang, bucket) first, never bare lang on the full vocab") {
     // the audit_value_quantiles lesson at authoring time (ngram_stats
     // posture): the full per-lang vocabulary must be cut by the 64-way

@@ -101,6 +101,72 @@ class TextDedupSpec extends AnyFunSuite {
       "no pair with containment > jaccard — asymmetric readout vacuous")
   }
 
+  test("dedup_lsh_curve: buckets match a driver-side replica; theory curve exact") {
+    GraftFunctions.ensureRegistered(spark)
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def r4(n: Long, d: Long): Double =
+      JBD.valueOf(1.0 * n / d).setScale(4, RoundingMode.HALF_UP).doubleValue
+    // exact df-capped candidate pairs (the dedup_containment replica)
+    val docRows = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2)), r.getString(3)))
+    val sh = docRows.map { case (id, blk, text) =>
+      val ws = text.split(" ", -1)
+      val s3 = (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").toSet
+      (id, blk, s3)
+    }
+    val df = sh.flatMap { case (_, blk, s3) => s3.iterator.map(g => (blk, g)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val capped = sh.map { case (id, blk, s3) =>
+      (id, blk, s3.filter(g => df((blk, g)) <= text.TextOps.ShingleDfCap))
+    }
+    val exactJacc: Map[(Long, Long), Double] =
+      capped.groupBy(_._2).values.toSeq.flatMap { ds =>
+        val sorted = ds.toSeq.sortBy(_._1)
+        for {
+          ia <- sorted.indices; a = sorted(ia); b <- sorted.drop(ia + 1)
+          common = (a._3 & b._3).size.toLong if common > 0
+        } yield (a._1, b._1) ->
+          r4(common, a._3.size.toLong + b._3.size.toLong - common)
+      }.toMap
+    // band-collision pairs off the spec-verified native signature
+    val sigRows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(TextOps.shingleExpr("ws")).as("s3"))
+      .withColumn("sigs", expr("graft_minhash_sig(s3)"))
+      .select(col("doc_id"), posexplode(col("sigs")).as(Seq("band", "v")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val det: Set[(Long, Long)] = sigRows.groupBy(t => (t._2, t._3)).values
+      .flatMap { g =>
+        val ids = g.map(_._1).distinct.sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    // bucketed counts over the union universe
+    val universe = (exactJacc.keySet ++ det).toSeq
+    val expected = universe
+      .map { p =>
+        val j = exactJacc.getOrElse(p, 0.0)
+        (math.min(math.floor(j * 10).toInt, 9), if (det(p)) 1L else 0L)
+      }
+      .groupBy(_._1).toSeq
+      .map { case (b, xs) =>
+        val np = xs.length.toLong; val nd = xs.map(_._2).sum
+        (r4(b, 10), np, nd, r4(nd, np),
+          r4(10000L - math.pow(10 - b, 4).toLong, 10000L))
+      }.sortBy(_._1)
+    val got = text.TextOps.dedupLshCurve.fn(spark, sfDir).collect().toSeq
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got === expected)
+    assert(got.map(_._2).sum > got.length, "near-degenerate universe — vacuous")
+    // the curve measures something: some bucket is imperfectly detected
+    // and some high bucket detects at a higher rate than bucket 0
+    assert(got.exists(t => t._4 < 1.0))
+    val byBucket = got.map(t => t._1 -> t._4).toMap
+    assert(byBucket.keySet.exists(_ >= 0.5),
+      "no candidate pair above jaccard 0.5 — curve right edge vacuous")
+  }
+
   test("star edges yield the same components as the all-pairs closure") {
     // star edges (1,2),(1,3) must connect {1,2,3} exactly like pair edges
     val bow = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "fp")
