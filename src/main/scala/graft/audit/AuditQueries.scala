@@ -1464,6 +1464,71 @@ object AuditQueries {
       .orderBy("entity_id")
   }
 
+  /** Capture-schema drift: day-over-day evolution of the payload field
+    * DOMAIN — the audit-feed analog of the reference's per-table column
+    * discovery (`tableColumns`, audit.go:1208, re-run on every rebuild
+    * precisely because audited schemas drift). A field id first seen
+    * today means an app deploy widened the audited payload (views must be
+    * rebuilt to expose it); a field carried yesterday but absent today is
+    * either seasonal traffic or a capture regression — the count makes
+    * both visible per day, with the cumulative domain size alongside.
+    *
+    * `n_vanished` compares against the previous OBSERVED day (lag over
+    * the distinct-day frame), not calendar arithmetic — robust to feed
+    * gaps, which audit_gap_detect owns.
+    *
+    * Scale shape: ONE distinct over (day, field) — a partial-agg shuffle
+    * bounded at |days|×|fields| rows — then every frame (per-day counts,
+    * per-field first-seen, carried-vs-today LEFT ANTI) is derived from
+    * that bounded set; the two unpartitioned windows (prev-day lag,
+    * cumulative sum) act on ≤ |days| aggregated rows, the
+    * audit_daily_anomaly posture. */
+  val auditSchemaDrift: Q = Q.sql(
+    "audit_schema_drift",
+    auditCte + s""", df AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, field_k
+      |  FROM audit WHERE field_k IS NOT NULL),
+      |nf AS (SELECT day, count(*) AS n_fields FROM df GROUP BY 1),
+      |nn AS (SELECT first_seen AS day, count(*) AS n_new
+      |       FROM (SELECT field_k, min(day) AS first_seen FROM df GROUP BY 1)
+      |       GROUP BY 1),
+      |pd AS (SELECT day, lag(day) OVER (ORDER BY day) AS prev_day
+      |       FROM (SELECT DISTINCT day FROM df)),
+      |carried AS (SELECT pd.day, p.field_k
+      |            FROM pd JOIN df p ON p.day = pd.prev_day),
+      |nv AS (SELECT day, count(*) AS n_vanished FROM carried c
+      |       WHERE NOT EXISTS (SELECT 1 FROM df
+      |                         WHERE df.day = c.day AND df.field_k = c.field_k)
+      |       GROUP BY 1)
+      |SELECT nf.day, n_fields,
+      |  coalesce(n_new, 0) AS n_new, coalesce(n_vanished, 0) AS n_vanished,
+      |  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY nf.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_cum
+      |FROM nf LEFT JOIN nn ON nn.day = nf.day LEFT JOIN nv ON nv.day = nf.day
+      |ORDER BY nf.day""".stripMargin) { (s, d) =>
+    val df = log(s, d).filter(col("field_k").isNotNull)
+      .select(to_date(date_trunc("day", col("ts"))).as("day"), col("field_k"))
+      .distinct()
+    val nf = df.groupBy("day").agg(count(lit(1)).as("n_fields"))
+    val nn = df.groupBy("field_k").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val pd = df.select("day").distinct()
+      .withColumn("prev_day", lag("day", 1).over(Window.orderBy("day")))
+    val carried = pd.join(df.select(col("day").as("prev_day"), col("field_k")),
+        Seq("prev_day"))
+      .select("day", "field_k")
+    val nv = carried.join(df, Seq("day", "field_k"), "left_anti")
+      .groupBy("day").agg(count(lit(1)).as("n_vanished"))
+    val cumW = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nf.join(nn, Seq("day"), "left").join(nv, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_vanished", coalesce(col("n_vanished"), lit(0L)))
+      .withColumn("n_cum", sum("n_new").over(cumW).cast("long"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(
     auditLog, auditDelta, auditDeltaOld, auditTypedDelta, auditViewsOnly,
     auditViewsTyped, auditSnapshot, auditCompare,
@@ -1475,5 +1540,5 @@ object AuditQueries {
     auditEnabledRanges, auditPkValidity, auditTruncateReset, auditWideSnapshot,
     auditCompact, auditRetention, auditSessionWindow, auditDailyAnomaly,
     auditScd2, auditOrphans, auditFreshness, auditRollback,
-    auditConcurrentWriters)
+    auditConcurrentWriters, auditSchemaDrift)
 }

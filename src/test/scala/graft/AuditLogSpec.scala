@@ -280,6 +280,32 @@ class AuditLogSpec extends AnyFunSuite {
     assert(script.map(_.getLong(0)).forall(post.contains))
   }
 
+  test("audit_schema_drift: counts match a driver-side field-set replica") {
+    val pairs = graft.audit.AuditQueries.log(spark, TestSession.sfDir)
+      .filter(col("field_k").isNotNull)
+      .select(to_date(date_trunc("day", col("ts"))).as("day"), col("field_k"))
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1))).toSet
+    val byDay: Map[String, Set[Int]] =
+      pairs.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2) }
+    val days = byDay.keys.toSeq.sorted
+    val firstSeen = pairs.groupBy(_._2).map { case (f, xs) => f -> xs.map(_._1).min }
+    var cum = 0L
+    val expected = days.zipWithIndex.map { case (day, i) =>
+      val nNew = firstSeen.count(_._2 == day).toLong
+      val nVan = if (i == 0) 0L
+        else (byDay(days(i - 1)) -- byDay(day)).size.toLong
+      cum += nNew
+      (day, byDay(day).size.toLong, nNew, nVan, cum)
+    }
+    val got = SparkEntry.queries("audit_schema_drift")(spark, TestSession.sfDir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    // churn is real on this feed: fields both appear and vanish mid-feed
+    assert(expected.drop(1).exists(_._3 > 0), "no new field after day 1 — vacuous")
+    assert(expected.exists(_._4 > 0), "no vanished field — vacuous")
+  }
+
   test("audit_concurrent_writers: rows match a driver-side consecutive-pair replica") {
     val got = SparkEntry.queries("audit_concurrent_writers")(spark, TestSession.sfDir)
       .select("audit_id", "prev_audit_id", "gap_s")
