@@ -341,6 +341,77 @@ object CorpusOps {
       .orderBy("source", "doc_id")
   }
 
+  /** Packing-efficiency report over the [[packSequences]] tape — the
+    * numbers that decide the chunk length and whether to pack with
+    * document resets: per source, chunk count and tail padding (the only
+    * padding concat-and-chunk produces), fill rate, docs straddling a
+    * chunk boundary, and total boundary crossings (each crossing is a
+    * training sequence whose attention window spans two documents — the
+    * contamination a reset-mask would cut; crossings, not straddlers, is
+    * the right numerator since one long doc can cross many boundaries).
+    *
+    * Scale shape: the per-source tape window and the per-source aggregate
+    * share ONE hash distribution — the window's Exchange satisfies the
+    * aggregate's requirement, so adding this report to the packing pass
+    * costs zero extra shuffles (PlanShapeSpec-pinned); output is
+    * |sources| rows. All counts are exact integers; the two rates are
+    * single-rounded quotients. */
+  val packEfficiency: Q = Q.sql(
+    "pack_efficiency",
+    """WITH t AS (SELECT doc_id, source, len(str_split(text, ' ')) AS n_tok
+      |           FROM documents),
+      |c AS (SELECT doc_id, source, n_tok,
+      |        CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+      |          AS BIGINT) AS start_off
+      |      FROM t),
+      |p AS (SELECT source, n_tok, start_off // 512 AS cf,
+      |        (start_off + n_tok - 1) // 512 AS cl
+      |      FROM c)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST((sum(n_tok) + 511) // 512 AS BIGINT) AS n_chunks,
+      |  CAST(((sum(n_tok) + 511) // 512) * 512 - sum(n_tok) AS BIGINT)
+      |    AS tail_pad,
+      |  round(1.0 * sum(n_tok) / (((sum(n_tok) + 511) // 512) * 512), 4)
+      |    AS fill_rate,
+      |  CAST(sum(CASE WHEN cf <> cl THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_straddlers,
+      |  round(1.0 * sum(CASE WHEN cf <> cl THEN 1 ELSE 0 END) / count(*), 4)
+      |    AS straddle_share,
+      |  CAST(sum(cl - cf) AS BIGINT) AS n_crossings,
+      |  round(1.0 * sum(cl - cf) / count(*), 4) AS crossings_per_doc
+      |FROM p GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val tape = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("size(split(text, ' '))").as("n_tok"))
+      .withColumn("start_off",
+        (sum("n_tok").over(tape) - col("n_tok")).cast("long"))
+      .withColumn("cf", expr("start_off div 512"))
+      .withColumn("cl", expr("(start_off + n_tok - 1) div 512"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("long").as("total_tokens"),
+        sum(when(col("cf") =!= col("cl"), 1).otherwise(0)).cast("long")
+          .as("n_straddlers"),
+        sum(col("cl") - col("cf")).cast("long").as("n_crossings"))
+      .withColumn("n_chunks", expr("(total_tokens + 511) div 512"))
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("n_chunks"),
+        (col("n_chunks") * 512 - col("total_tokens")).as("tail_pad"),
+        round(lit(1.0) * col("total_tokens") / (col("n_chunks") * 512), 4)
+          .as("fill_rate"),
+        col("n_straddlers"),
+        round(lit(1.0) * col("n_straddlers") / col("n_docs"), 4)
+          .as("straddle_share"),
+        col("n_crossings"),
+        round(lit(1.0) * col("n_crossings") / col("n_docs"), 4)
+          .as("crossings_per_doc"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------- curation funnel --
 
   /** The curation funnel report: how many documents survive each pipeline
@@ -926,7 +997,7 @@ object CorpusOps {
 
   val all: Seq[Q] = Seq(
     docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
-    tokenHistogram, packSequences, corpusFunnel, corpusSplit,
+    tokenHistogram, packSequences, packEfficiency, corpusFunnel, corpusSplit,
     corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate, zipfFit,
     corpusReport, epochPlan)
 }

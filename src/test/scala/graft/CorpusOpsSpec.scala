@@ -326,6 +326,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_efficiency: metrics match a replica folded from the pack_sequences tape") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def r4(n: Long, d: Long): Double =
+      JBD.valueOf(1.0 * n / d).setScale(4, RoundingMode.HALF_UP).doubleValue
+    val tape = CorpusOps.packSequences.fn(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("n_tok").toLong,
+        r.getAs[Long]("chunk_first"), r.getAs[Long]("chunk_last")))
+    val expected = tape.groupBy(_._1).toSeq.map { case (src, rows) =>
+      val nDocs = rows.length.toLong
+      val total = rows.map(_._2).sum
+      val nChunks = (total + 511) / 512
+      val straddlers = rows.count(t => t._3 != t._4).toLong
+      val crossings = rows.map(t => t._4 - t._3).sum
+      (src, nDocs, total, nChunks, nChunks * 512 - total,
+        r4(total, nChunks * 512), straddlers, r4(straddlers, nDocs),
+        crossings, r4(crossings, nDocs))
+    }.sortBy(_._1)
+    val got = CorpusOps.packEfficiency.fn(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6), r.getDouble(7),
+        r.getLong(8), r.getDouble(9)))
+    assert(got === expected)
+    // the report measures something on this corpus
+    assert(got.forall(t => t._6 <= 1.0 && t._5 < 512))
+    assert(got.exists(_._7 > 0), "no straddling doc — vacuous")
+    // a doc can cross >1 boundary iff it is longer than the chunk: pin the
+    // equivalence rather than assume the corpus has a >512-token doc
+    val maxTok = tape.map(_._2).max
+    if (maxTok > 512) assert(got.exists(t => t._9 > t._7))
+    else assert(got.forall(t => t._9 == t._7))
+  }
+
   test("epoch_plan: allocation conserves the budget, caps bind and flag correctly") {
     val rows = CorpusOps.epochPlan.fn(spark, sf).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("tokens"),

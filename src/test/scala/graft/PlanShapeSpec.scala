@@ -399,6 +399,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!finalPlan(df).toString.contains("CartesianProduct"))
   }
 
+  test("pack_efficiency: window and aggregate share one source exchange") {
+    // the tape window hash-partitions by source; the per-source aggregate
+    // must reuse that distribution — one data exchange + the output sort
+    val p = finalPlan(SparkEntry.queries("pack_efficiency")(spark, sfDir))
+    assert(shuffles(p) <= 2, s"pack_efficiency gained an exchange:\n$p")
+  }
+
   test("dedup_lsh_curve: pair-scale sides never broadcast; no cartesian") {
     val df = SparkEntry.queries("dedup_lsh_curve")(spark, sfDir)
     // the only deliberate hint is cappedPairStats' shuffle_hash — both the
