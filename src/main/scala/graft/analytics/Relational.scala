@@ -508,9 +508,60 @@ object Relational {
       .orderBy("region", "yr", "nation")
   }
 
+  /** TPC-H Q7 flavor (volume shipping): cross-nation trade lanes — revenue
+    * per (supplier nation → customer nation, ship year), exporters only
+    * (supp ≠ cust nation). The join topology no other relational op here
+    * exercises: the nation dim enters TWICE through different paths
+    * (lineitem→supplier→nation vs orders→customer→nation), so the two
+    * broadcasts must stay independent — a naive shared-dim rewrite would
+    * corrupt the lane key.
+    *
+    * Scale shape: lineitem⨝orders shuffles on orderkey (the one big
+    * exchange), customer un-hinted (SF-scaling, AQE decides), supplier
+    * and both nation copies broadcast (bounded dims per the policy
+    * header); the lane aggregate is ≤ 25×24×|years| rows. */
+  val qTradeLanes: Q = Q.sql(
+    "q_trade_lanes",
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount)", 2)} AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name <> n2.n_name
+      |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("nk_supp"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("nk_cust"), col("n_name").as("cust_nation"))
+    li(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("nk_supp"))
+      .join(broadcast(n2), col("c_nationkey") === col("nk_cust"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .select(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(Det.dsumRound(col("rev"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
     qCustDistribution, qBigOrders, qBrandRevenue, qDormantCustomers,
-    qPriceBands, qSkewSalted, qYearlyGrowth, qMarketShare)
+    qPriceBands, qSkewSalted, qYearlyGrowth, qMarketShare, qTradeLanes)
 }

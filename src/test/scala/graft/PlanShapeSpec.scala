@@ -96,7 +96,8 @@ class PlanShapeSpec extends AnyFunSuite {
 
   private val scalingJoinQueries = Seq(
     "q3_shipping", "q_top_customers", "q_rollup_nation",
-    "q_cust_distribution", "q_big_orders", "q_part_share", "q_brand_revenue")
+    "q_cust_distribution", "q_big_orders", "q_part_share", "q_brand_revenue",
+    "q_trade_lanes")
 
   test("no broadcast hint on sf-scaling customer/part in any weak-listed query") {
     for (q <- scalingJoinQueries) {
@@ -397,6 +398,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hinted.nonEmpty && hinted.forall(h => bounded(h.child)),
       s"hybrid_rrf hinted an unbounded side: $hinted")
     assert(!finalPlan(df).toString.contains("CartesianProduct"))
+  }
+
+  test("q_trade_lanes: shipdate filter reaches the lineitem scan; nation enters twice") {
+    val df = SparkEntry.queries("q_trade_lanes")(spark, sfDir)
+    val p = finalPlan(df)
+    // the ship-window predicate must be pushed into the parquet scan, not
+    // evaluated post-join
+    val scans = p.toString
+    assert(scans.contains("PushedFilters") && scans.contains("l_shipdate"),
+      s"shipdate filter not pushed to the lineitem scan:\n$p")
+    // both nation paths broadcast independently (supp and cust lanes)
+    val nationScans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if r.schema.fieldNames.contains("n_nationkey") => r
+    }
+    assert(nationScans.length == 2, s"nation dim must enter twice: $nationScans")
+    assert(!scans.contains("CartesianProduct"))
   }
 
   test("pack_efficiency: window and aggregate share one source exchange") {
