@@ -565,6 +565,78 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF+PQ — the production ANN composition (coarse quantizer to prune
+    * the corpus, product quantizer to compress what remains): the query
+    * probes its 2 nearest cells (ann_ivf_multiprobe's restriction) and
+    * scores ONLY those candidates by asymmetric distance to their PQ
+    * reconstruction (ann_pq_search's serve math). At 100 TB this is the
+    * index a serving tier actually holds — cells bound the scan,
+    * 4-byte-code vectors bound the memory; the raw corpus is never
+    * touched at query time.
+    *
+    * Scale shape: cell assignment and probe list share one persisted
+    * centroid-rank subtree (the multiprobe discipline); the
+    * reconstruction side is a broadcast-codebook join (no shuffle); the
+    * corpus-scale recon⨝assign equi-join on vec_id is un-hinted (both
+    * sides ∝ corpus — AQE owns the strategy); only the ≤ 2·|queries|-row
+    * probe side broadcasts. Each database vector lives in exactly one
+    * cell, so no candidate is scored twice. */
+  val annIvfPq: Q = Q.sql(
+    "ann_ivf_pq",
+    s"""WITH $centCtesSql,
+      |$pqAminCtesSql,
+      |$pqReconCtesSql,
+      |fad AS (SELECT vec_id, clabel,
+      |         list_sum(list_transform(range(1, len(emb) + 1),
+      |           i -> (emb[i] - cv[i]) * (emb[i] - cv[i]))) AS dist
+      |       FROM e, cent),
+      |far AS (SELECT vec_id, clabel, row_number() OVER (
+      |         PARTITION BY vec_id ORDER BY dist, clabel) AS rn FROM fad),
+      |asg AS (SELECT vec_id, clabel AS cell FROM far WHERE rn = 1),
+      |qp AS (SELECT f.vec_id AS query_id, e.emb AS qe, f.clabel AS cell,
+      |         CAST(f.rn AS INT) AS probe
+      |       FROM far f JOIN e ON e.vec_id = f.vec_id
+      |       WHERE f.vec_id < 10 AND f.rn <= 2),
+      |cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id, qp.probe,
+      |           round(list_sum(list_transform(range(1, 65),
+      |             i -> (qe[i] - rv[i]) * (qe[i] - rv[i]))), 6) AS adc_dist
+      |         FROM qp JOIN asg a ON a.cell = qp.cell
+      |              JOIN recon r ON r.vec_id = a.vec_id
+      |         WHERE a.vec_id <> qp.query_id),
+      |rk AS (SELECT *, row_number() OVER (
+      |         PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+      |       FROM cand)
+      |SELECT query_id, rank, neighbor_id, adc_dist, probe
+      |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    // shared centroid-rank subtree: assignment + probe list (the
+    // ann_ivf_multiprobe persistence discipline — MEMORY_AND_DISK so an
+    // eviction at scale re-reads local disk, not re-trains)
+    val ranks = centroidRanks(e).filter(col("rn") <= 2)
+      .select(col("vec_id"), col("clabel"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val asg = ranks.filter(col("rn") === 1)
+      .select(col("vec_id"), col("clabel").as("cell"))
+    val qp = e
+      .join(ranks.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("clabel").as("qcell"),
+          col("rn").cast("int").as("probe")), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("qe"),
+        col("qcell"), col("probe"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    pqRecon(e).join(asg, Seq("vec_id"))
+      .join(broadcast(qp),
+        col("qcell") === col("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("probe"),
+        round(expr("graft_l2sq(qe, rv)"), 6).as("adc_dist"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "neighbor_id", "adc_dist", "probe")
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------- parameterized k-means IVF (k cells, Lloyd) --
 
   // native codegen loop; bit-identical to the zip_with/aggregate HOF fold
@@ -1115,7 +1187,7 @@ object Similarity {
   val all: Seq[Q] = Seq(
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
     embNormalize, embQuantize, annPq, annPqSearch, annRecall,
-    annIvfMultiprobe, annIvfKmeans, annRecallKmeans,
+    annIvfMultiprobe, annIvfPq, annIvfKmeans, annRecallKmeans,
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
     embDimStats, embDrift)
 }

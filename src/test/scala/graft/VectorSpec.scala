@@ -123,6 +123,38 @@ class VectorSpec extends AnyFunSuite {
       "expected the PQ codebook on a BroadcastExchange")
   }
 
+  test("ann_ivf_pq: cell-pruned ADC is dominated by the full-corpus ADC scan") {
+    // the full scan (ann_pq_search, hash-verified vs DuckDB) is ground
+    // truth for the same ADC metric: the pruned index can only lose
+    // candidates, so per query its rank-r distance is >= the full scan's,
+    // and any shared neighbor carries the identical adc_dist
+    val full = graft.vector.Similarity.annPqSearch.fn(spark, TestSession.sfDir)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toMap
+    val pruned = graft.vector.Similarity.annIvfPq.fn(spark, TestSession.sfDir)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"),
+        r.getAs[Int]("probe")))
+    assert(pruned.nonEmpty)
+    assert(pruned.forall(t => t._5 == 1 || t._5 == 2))
+    pruned.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length), s"query $q ranks")
+    }
+    val fullDist = full.map { case ((q, _), (n, dst)) => (q, n) -> dst }
+    pruned.foreach { case (q, rank, n, dst, _) =>
+      // shared neighbors score identically (same codebook, same math)
+      fullDist.get((q, n)).foreach(fd => assert(fd === dst, s"($q,$n) adc drift"))
+      // pruning can only push distances up at a given rank
+      full.get((q, rank)).foreach { case (_, fd) =>
+        assert(dst >= fd, s"query $q rank $rank: pruned $dst < full $fd")
+      }
+    }
+    // the index is not vacuously the full scan: some query must have lost
+    // its exact rank-list to pruning OR every list matches (tiny corpus);
+    // either way at least one probe-2 hit shows the multiprobe is live
+    assert(pruned.exists(_._5 == 2), "no probe-2 candidate — multiprobe vacuous")
+  }
+
   test("emb_outliers: flagged set matches a local z-score replica") {
     val rows = Tables.embeddings(spark, TestSession.sfDir)
       .select("vec_id", "label", "embedding").collect()
