@@ -1613,6 +1613,63 @@ object AuditQueries {
       .orderBy("day")
   }
 
+  /** Operation-transition matrix: per-entity consecutive (prev_op → op)
+    * pair counts over the whole feed, with share and a legality verdict —
+    * the state-machine audit of the capture path itself. A trigger-based
+    * log (audit.go:854-908) can only emit I as an entity's first row and
+    * only U/D/T after a live state; `anomalous = 1` marks transitions a
+    * correct capture cannot produce (change-after-delete with no
+    * intervening insert, double insert, insert-after-update) — any
+    * nonzero anomalous row is lost-capture evidence localized to a
+    * transition class, sharper than audit_gap_detect's id holes.
+    * TRUNCATE ('T') is statement-level and wipes every entity, so x→T is
+    * always legal but only an insert may follow it for a given entity.
+    * (This synthetic feed is NOT a legal trigger log — the op is the
+    * detector, and the spec pins which cells it lights up on this feed.)
+    *
+    * Scale shape: one lag window on the shared (entity, audit_id)
+    * distribution — the audit_gap_detect posture — then a partial-agg
+    * groupBy bounded at the 5×5 op-pair domain; share math on that
+    * bounded frame via one unpartitioned window over ≤ 25 rows. */
+  val auditOpTransitions: Q = Q.sql(
+    "audit_op_transitions",
+    auditCte + s""", l AS (
+      |  SELECT entity_id,
+      |    coalesce(lag(operation) OVER (
+      |      PARTITION BY entity_id ORDER BY audit_id), '^') AS prev_op,
+      |    operation AS op
+      |  FROM audit),
+      |c AS (SELECT prev_op, op, count(*) AS n,
+      |        count(DISTINCT entity_id) AS n_entities
+      |      FROM l GROUP BY 1, 2)
+      |SELECT prev_op, op, n, n_entities,
+      |  round(1.0 * n / sum(n) OVER (), 6) AS share,
+      |  CASE WHEN prev_op = '^' AND op <> 'I' THEN 1
+      |       WHEN prev_op = 'I' AND op = 'I' THEN 1
+      |       WHEN prev_op = 'U' AND op = 'I' THEN 1
+      |       WHEN prev_op = 'D' AND op IN ('U', 'D') THEN 1
+      |       WHEN prev_op = 'T' AND op IN ('U', 'D') THEN 1
+      |       ELSE 0 END AS anomalous
+      |FROM c ORDER BY prev_op, op""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("entity_id").orderBy("audit_id")
+    val allW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    log(s, d)
+      .select(col("entity_id"), col("audit_id"), col("operation"))
+      .withColumn("prev_op", coalesce(lag("operation", 1).over(w), lit("^")))
+      .groupBy(col("prev_op"), col("operation").as("op"))
+      .agg(count(lit(1)).as("n"), countDistinct("entity_id").as("n_entities"))
+      .withColumn("share", round(lit(1.0) * col("n") / sum("n").over(allW), 6))
+      .withColumn("anomalous",
+        when(col("prev_op") === "^" && col("op") =!= "I", 1)
+          .when(col("prev_op") === "I" && col("op") === "I", 1)
+          .when(col("prev_op") === "U" && col("op") === "I", 1)
+          .when(col("prev_op") === "D" && col("op").isin("U", "D"), 1)
+          .when(col("prev_op") === "T" && col("op").isin("U", "D"), 1)
+          .otherwise(0))
+      .select("prev_op", "op", "n", "n_entities", "share", "anomalous")
+      .orderBy("prev_op", "op")
+  }
+
   val all: Seq[Q] = Seq(
     auditLog, auditDelta, auditDeltaOld, auditTypedDelta, auditViewsOnly,
     auditViewsTyped, auditSnapshot, auditCompare,
@@ -1624,5 +1681,6 @@ object AuditQueries {
     auditEnabledRanges, auditPkValidity, auditTruncateReset, auditWideSnapshot,
     auditCompact, auditRetention, auditSessionWindow, auditDailyAnomaly,
     auditScd2, auditOrphans, auditFreshness, auditRollback,
-    auditConcurrentWriters, auditSchemaDrift, auditValueDrift)
+    auditConcurrentWriters, auditSchemaDrift, auditValueDrift,
+    auditOpTransitions)
 }

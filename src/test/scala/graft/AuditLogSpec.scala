@@ -306,6 +306,39 @@ class AuditLogSpec extends AnyFunSuite {
     assert(expected.exists(_._4 > 0), "no vanished field — vacuous")
   }
 
+  test("audit_op_transitions: matrix matches a driver-side pair fold") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val feed = graft.audit.AuditQueries.log(spark, TestSession.sfDir)
+      .select("entity_id", "audit_id", "operation")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val pairs = feed.groupBy(_._1).toSeq.flatMap { case (e, rows) =>
+      val ops = rows.sortBy(_._2).map(_._3)
+      ("^" +: ops.init).zip(ops).map { case (p, o) => (e, p, o) }
+    }
+    val total = pairs.length.toLong
+    def bad(p: String, o: String): Int =
+      if ((p == "^" && o != "I") || (p == "I" && o == "I") ||
+        (p == "U" && o == "I") ||
+        ((p == "D" || p == "T") && (o == "U" || o == "D"))) 1 else 0
+    val expected = pairs.groupBy(t => (t._2, t._3)).toSeq.map { case ((p, o), xs) =>
+      (p, o, xs.length.toLong, xs.map(_._1).distinct.length.toLong,
+        JBD.valueOf(1.0 * xs.length / total)
+          .setScale(6, RoundingMode.HALF_UP).doubleValue, bad(p, o))
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("audit_op_transitions")(spark, TestSession.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5))).toSeq
+    assert(got === expected)
+    // shares account for every observed pair exactly once
+    assert(got.map(_._3).sum === total)
+    // this synthetic feed is not a legal trigger log: the detector must
+    // light up somewhere, and the legal U→U bulk must dominate
+    assert(got.exists(_._6 == 1))
+    // U→U is the modal transition (updates dominate any live change feed)
+    val modal = got.maxBy(_._3)
+    assert((modal._1, modal._2) === (("U", "U")), s"modal transition: $modal")
+  }
+
   test("audit_value_drift: TVD matches a driver-side share fold; flag coherent") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     def share(n: Long, d: Long): JBD =
