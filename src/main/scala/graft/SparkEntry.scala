@@ -8,6 +8,7 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     graft.analytics.Relational.all ++
+      graft.analytics.EventAnalytics.all ++
       graft.audit.AuditQueries.all ++
       graft.streaming.EventStream.all ++
       graft.text.TextOps.all ++

@@ -1,0 +1,139 @@
+package graft.analytics
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics surface over the raw `events` stream table — the
+  * cohort/funnel reports a usage-analytics consumer of the reference's
+  * change feed runs downstream of the audit machinery (the reference
+  * exposes the feed; these are the canonical queries run against it).
+  * Unlike the graft.audit ops, these read `events` as behavioral data
+  * (user_id × event_type × ts), not as an I/U/D change log.
+  *
+  * Scale posture shared by both ops: every stage keys on user_id, so all
+  * shuffles land on one exchange family (AQE aligns/reuses them); no
+  * window ever partitions by a low-cardinality key over the raw feed —
+  * aggregates collapse to |users| (then |days| / |stages|) rows first.
+  */
+object EventAnalytics {
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+
+  /** Cohort retention matrix on purchase activity: users cohorted by
+    * first-purchase day; a cohort-day × day-offset cell counts the
+    * distinct users of that cohort purchasing again at that offset.
+    * Purchase (not any-event) activity keeps the matrix discriminative on
+    * a dense feed — and is the semantics a revenue-retention report wants.
+    *
+    * Scale shape: the feed collapses to (user, day) pairs, the cohort
+    * assignment is a user-keyed aggregate joined back user-to-user (same
+    * exchange family), and the matrix itself is ≤ |days|² cells; the
+    * per-cohort size join is a broadcast of ≤ |days| rows. */
+  val eventRetention: Q = Q.sql(
+    "event_retention",
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+      |c AS (SELECT cohort_day, count(*) AS cohort_users FROM f GROUP BY 1),
+      |a AS (
+      |  SELECT DISTINCT f.cohort_day,
+      |    CAST(date_diff('day', f.cohort_day, ev.day) AS INT) AS day_offset,
+      |    ev.user_id
+      |  FROM ev JOIN f ON ev.user_id = f.user_id),
+      |r AS (SELECT cohort_day, day_offset, count(*) AS active_users
+      |      FROM a GROUP BY 1, 2)
+      |SELECT r.cohort_day, r.day_offset, c.cohort_users, r.active_users,
+      |  round(CAST(active_users AS DOUBLE) / cohort_users, 4) AS retention
+      |FROM r JOIN c ON r.cohort_day = c.cohort_day
+      |ORDER BY r.cohort_day, r.day_offset""".stripMargin) { (s, d) =>
+    // no early per-(user, day) distinct: min(day) needs none, and the
+    // (cohort, offset, user) distinct below dedups the cells anyway — a
+    // pre-distinct would cost one extra full-feed exchange for nothing
+    val days = ev(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val cohorts = first.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_users"))
+    days.join(first, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("int").as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(cohorts), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("cohort_users"),
+        col("active_users"),
+        round(col("active_users").cast("double") / col("cohort_users"), 4)
+          .as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** First-touch conversion funnel signup → view → click → purchase, each
+    * step bounded to 24 h after the previous step's first touch. The
+    * sequential dependency (step k's window opens at step k-1's first
+    * qualifying ts) is what plain conditional aggregation cannot express;
+    * each stage is a user-keyed min-aggregate semi-joined forward, so the
+    * whole chain rides one user_id exchange family and the stage frontier
+    * only ever SHRINKS (150 → 39 → 16 → 5 at sf0.01). The final report is
+    * four single-row aggregates unioned, with conversion ratios from a
+    * window over those 4 rows. */
+  val eventFunnel: Q = Q.sql(
+    "event_funnel",
+    """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'view' AND e.ts > s1.t
+      |         AND e.ts <= s1.t + INTERVAL 24 HOUR GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s2.t
+      |         AND e.ts <= s2.t + INTERVAL 24 HOUR GROUP BY 1),
+      |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |       JOIN s3 ON e.user_id = s3.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s3.t
+      |         AND e.ts <= s3.t + INTERVAL 24 HOUR GROUP BY 1),
+      |u AS (
+      |  SELECT 1 AS step, 'signup' AS stage, count(*) AS n_users FROM s1
+      |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+      |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+      |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+      |SELECT step, stage, n_users,
+      |  round(CAST(n_users AS DOUBLE)
+      |    / lag(n_users) OVER (ORDER BY step), 4) AS conv_prev,
+      |  round(CAST(n_users AS DOUBLE)
+      |    / first_value(n_users) OVER (ORDER BY step), 4) AS conv_total
+      |FROM u ORDER BY step""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select("user_id", "event_type", "ts")
+    val win = expr("INTERVAL 24 HOURS")
+    def stage(prev: DataFrame, etype: String): DataFrame =
+      e.filter(col("event_type") === etype)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+        .filter(col("ts") > col("t_prev") && col("ts") <= col("t_prev") + win)
+        .groupBy("user_id").agg(min("ts").as("t"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t"))
+    val s2 = stage(s1, "view")
+    val s3 = stage(s2, "click")
+    val s4 = stage(s3, "purchase")
+    def cnt(df: DataFrame, step: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(name).as("stage"), col("n_users"))
+    val u = cnt(s1, 1, "signup").unionAll(cnt(s2, 2, "view"))
+      .unionAll(cnt(s3, 3, "click")).unionAll(cnt(s4, 4, "purchase"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("step")
+    u.select(col("step"), col("stage"), col("n_users"),
+        round(col("n_users").cast("double") / lag("n_users", 1).over(w), 4)
+          .as("conv_prev"),
+        round(col("n_users").cast("double") / first("n_users").over(w), 4)
+          .as("conv_total"))
+      .orderBy("step")
+  }
+
+  val all: Seq[Q] = Seq(eventRetention, eventFunnel)
+}

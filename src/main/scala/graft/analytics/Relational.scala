@@ -559,9 +559,113 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q14 flavor (promotion effect): per ship month, the share of
+    * revenue coming from PROMO-type parts. Conditional aggregation — the
+    * promo split rides the SAME partial aggregate as the total (one scan,
+    * one shuffle of ≤ |months| rows), never a second pass or a self-join.
+    * part is sf-scaling, so the join stays un-hinted per the policy
+    * header; pct divides the two already-rounded group sums. */
+  val qPromoShare: Q = Q.sql(
+    "q_promo_share",
+    s"""SELECT CAST(year(l_shipdate) AS INT) AS yr,
+      |  CAST(month(l_shipdate) AS INT) AS mo,
+      |  count(*) AS n_items,
+      |  ${Det.dsumRoundSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 2)} AS promo_revenue,
+      |  ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount)", 2)} AS revenue,
+      |  round(100 * ${Det.dsumRoundSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 2)}
+      |    / ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount)", 2)}, 4) AS promo_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin) { (s, d) =>
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val promoRev = when(col("p_type") === "PROMO", rev).otherwise(lit(0))
+    li(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("int").as("yr"),
+        month(col("l_shipdate")).cast("int").as("mo"))
+      .agg(count(lit(1)).as("n_items"),
+        Det.dsumRound(promoRev, 2).as("promo_revenue"),
+        Det.dsumRound(rev, 2).as("revenue"))
+      .withColumn("promo_pct",
+        round(lit(100) * col("promo_revenue") / col("revenue"), 4))
+      .orderBy("yr", "mo")
+  }
+
+  /** TPC-H Q17 flavor (small-quantity revenue): per-part 20%-of-average
+    * quantity thresholds, then the yearly revenue locked in below-threshold
+    * line items, rolled up per brand. The aggregate-then-rejoin shape: the
+    * threshold side collapses lineitem to |parts| rows FIRST, and the
+    * rejoin runs partkey-to-partkey — both sides shuffle on l_partkey, so
+    * AQE can reuse/align the exchanges; nothing ever joins the raw fact
+    * table to itself row-to-row. The threshold average divides an exact
+    * decimal sum by the group count (order-free, identical cross-engine),
+    * making the `<` cut bit-stable. */
+  val qSmallQuantity: Q = Q.sql(
+    "q_small_quantity",
+    s"""WITH pa AS (
+      |  SELECT l_partkey AS pk,
+      |    0.2 * ${Det.dsumSql("l_quantity")} / count(*) AS qty_thresh
+      |  FROM lineitem GROUP BY 1)
+      |SELECT p_brand, count(*) AS n_small,
+      |  round(${Det.dsumSql("l_extendedprice")} / 7, 2) AS avg_yearly
+      |FROM lineitem
+      |JOIN pa ON l_partkey = pk
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE l_quantity < qty_thresh
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+    val thresh = li(s, d)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((lit(0.2) * Det.dsum(col("l_quantity")) / count(lit(1)))
+        .as("qty_thresh"))
+    li(s, d)
+      .join(thresh, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        round(Det.dsum(col("l_extendedprice")) / 7, 2).as("avg_yearly"))
+      .orderBy("p_brand")
+  }
+
+  /** TPC-H Q19 flavor (disjunctive predicates): OR-of-ANDs over columns of
+    * BOTH join sides — the pushdown stress case. Catalyst factors the
+    * common per-side conjuncts out of the disjunction, so the part scan
+    * receives the brand IN-list (+ size ceiling) and the lineitem scan the
+    * overall quantity envelope as PushedFilters (PlanShapeSpec pin); the
+    * full three-arm predicate then re-applies post-join. At 100 TB that
+    * factoring is the difference between scanning three brands' worth of
+    * parts and scanning all of them. */
+  val qDisjunctive: Q = Q.sql(
+    "q_disjunctive",
+    s"""SELECT p_brand, count(*) AS n_items,
+      |  ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount)", 2)} AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 40)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+    val arm1 = col("p_brand") === "Brand#5" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 15)
+    val arm2 = col("p_brand") === "Brand#14" &&
+      col("p_size").between(1, 25) && col("l_quantity").between(10, 30)
+    val arm3 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 35) && col("l_quantity").between(20, 40)
+    li(s, d)
+      .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+      .filter(arm1 || arm2 || arm3)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        Det.dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .as("revenue"))
+      .orderBy("p_brand")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
     qCustDistribution, qBigOrders, qBrandRevenue, qDormantCustomers,
-    qPriceBands, qSkewSalted, qYearlyGrowth, qMarketShare, qTradeLanes)
+    qPriceBands, qSkewSalted, qYearlyGrowth, qMarketShare, qTradeLanes,
+    qPromoShare, qSmallQuantity, qDisjunctive)
 }

@@ -1670,6 +1670,49 @@ object AuditQueries {
       .orderBy("prev_op", "op")
   }
 
+  /** Per-entity lifetime card: first/last operation, change count, exact
+    * lifespan, and a live/deleted verdict from the terminal operation —
+    * the per-key summary the reference's per-table audit views leave to
+    * the reader (it is the `GROUP BY pkey` rollup of the raw audit
+    * projection, audit.go:1015-1051). first_op/last_op pick the
+    * operation at the min/max audit id (unique ids → deterministic);
+    * lifetime is the exact microsecond span between first and last
+    * capture, integer math in both engines.
+    *
+    * Scale shape: ONE partial-agg groupBy on entity_id over the feed —
+    * min/max/min_by/max_by/count all combine map-side, so the shuffle
+    * carries |entities| pre-aggregated rows, never the raw history. */
+  val auditEntityLifetime: Q = Q.sql(
+    "audit_entity_lifetime",
+    auditCte +
+      """SELECT entity_id,
+        |  min_by(operation, audit_id) AS first_op,
+        |  max_by(operation, audit_id) AS last_op,
+        |  count(*) AS n_changes,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_at,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_at,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS lifetime_us,
+        |  CASE WHEN max_by(operation, audit_id) IN ('D', 'T')
+        |    THEN 'deleted' ELSE 'live' END AS status
+        |FROM audit GROUP BY entity_id ORDER BY entity_id""".stripMargin) { (s, d) =>
+    log(s, d)
+      .groupBy("entity_id")
+      .agg(
+        min_by(col("operation"), col("audit_id")).as("first_op"),
+        max_by(col("operation"), col("audit_id")).as("last_op"),
+        count(lit(1)).as("n_changes"),
+        date_format(min(col("ts")), TS).as("first_at"),
+        date_format(max(col("ts")), TS).as("last_at"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("lifetime_us"))
+      .withColumn("status",
+        when(col("last_op").isin(AuditModel.terminalOps: _*), "deleted")
+          .otherwise("live"))
+      .select("entity_id", "first_op", "last_op", "n_changes",
+        "first_at", "last_at", "lifetime_us", "status")
+      .orderBy("entity_id")
+  }
+
   val all: Seq[Q] = Seq(
     auditLog, auditDelta, auditDeltaOld, auditTypedDelta, auditViewsOnly,
     auditViewsTyped, auditSnapshot, auditCompare,
@@ -1682,5 +1725,5 @@ object AuditQueries {
     auditCompact, auditRetention, auditSessionWindow, auditDailyAnomaly,
     auditScd2, auditOrphans, auditFreshness, auditRollback,
     auditConcurrentWriters, auditSchemaDrift, auditValueDrift,
-    auditOpTransitions)
+    auditOpTransitions, auditEntityLifetime)
 }

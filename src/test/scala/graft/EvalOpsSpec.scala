@@ -78,4 +78,48 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(rows.groupBy(r => (r.getString(0), r.getInt(2))).values
       .forall(g => g.map(_.getString(1)).distinct.length == g.length))
   }
+
+  test("q_promo_share: pct matches the conditional split; promo never exceeds total") {
+    val rows = Relational.qPromoShare.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val promo = r.getAs[Double]("promo_revenue")
+      val total = r.getAs[Double]("revenue")
+      assert(promo >= 0 && promo <= total, s"${r.getInt(0)}-${r.getInt(1)}")
+      val expect = BigDecimal(100 * promo / total)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("promo_pct") - expect) < 1e-9)
+    }
+    // PROMO is one of six uniform type values — the share must be material
+    // in some month, or the conditional aggregation silently dropped rows
+    assert(rows.exists(_.getAs[Double]("promo_pct") > 5.0))
+  }
+
+  test("q_small_quantity: the threshold cut reconciles with a direct recount") {
+    val rows = Relational.qSmallQuantity.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_small") > 0 &&
+      r.getAs[Double]("avg_yearly") > 0))
+    // recount below-threshold items from the raw tables with independent
+    // (plain-double) math; Det's decimal path must agree on the count
+    val li = Tables.lineitem(spark, sf)
+    val thresh = li.groupBy(col("l_partkey").as("pk"))
+      .agg((lit(0.2) * sum(col("l_quantity").cast("decimal(28,6)")).cast("double")
+        / count(lit(1))).as("th"))
+    val expect = li.join(thresh, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("th"))
+      .join(Tables.part(spark, sf), col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getAs[Long]("n_small")).toMap
+      === expect)
+  }
+
+  test("q_disjunctive: exactly the three predicate arms' brands survive") {
+    val rows = Relational.qDisjunctive.fn(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq
+      === Seq("Brand#14", "Brand#23", "Brand#5"))
+    rows.foreach(r => assert(r.getAs[Long]("n_items") > 0 &&
+      r.getAs[Double]("revenue") > 0))
+  }
 }

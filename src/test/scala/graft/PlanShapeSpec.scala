@@ -439,6 +439,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!finalPlan(df).toString.contains("CartesianProduct"))
   }
 
+  test("q_promo_share: conditional split rides ONE aggregate; part joins by size gate") {
+    // promo and total revenue come from the same partial aggregate — a
+    // second scan or self-join would double the fact-table cost
+    val p = finalPlan(SparkEntry.queries("q_promo_share")(spark, sfDir))
+    assert(p.toString.contains("BroadcastHashJoin"),
+      s"un-hinted part join fell out of broadcast at sf0.001:\n$p")
+    assert(shuffles(p) <= 2, s"q_promo_share gained an exchange:\n$p")
+  }
+
+  test("q_disjunctive: OR-of-ANDs factors into per-side pushed filters") {
+    // Catalyst must extract the brand IN-list (part side) and the quantity
+    // envelope (lineitem side) out of the three-arm disjunction — at 100 TB
+    // this is the difference between scanning 3 brands and all of them
+    val s = finalPlan(SparkEntry.queries("q_disjunctive")(spark, sfDir)).toString
+    assert(s.contains("PushedFilters") && s.contains("p_brand"),
+      s"brand disjunction not pushed to the part scan:\n$s")
+    assert(s.contains("l_quantity"),
+      s"quantity envelope not pushed to the lineitem scan:\n$s")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("event_retention: cohort-size join broadcasts; no raw-feed window") {
+    val df = SparkEntry.queries("event_retention")(spark, sfDir)
+    val p = finalPlan(df)
+    assert(p.toString.contains("BroadcastHashJoin"),
+      s"bounded cohort side must broadcast:\n$p")
+    // all heavy stages key on user_id then collapse — nothing windows the
+    // raw feed, and the exchange count stays flat as the feed grows
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"event_retention grew a window: $windows")
+    assert(shuffles(p) <= 6, s"event_retention exchange count grew:\n$p")
+  }
+
   test("zipf_fit: rank partitions are (lang, bucket) first, never bare lang on the full vocab") {
     // the audit_value_quantiles lesson at authoring time (ngram_stats
     // posture): the full per-lang vocabulary must be cut by the 64-way
