@@ -662,10 +662,43 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** CUBE over (order year, priority): all four aggregation strata — the
+    * cell grid, per-year and per-priority margins, and the grand total —
+    * from ONE pass with partial aggregation (Expand feeds each input row
+    * to the 4 grouping sets before the shuffle; the exchange still
+    * carries only ≤ 4×|yr|×|pri| aggregated rows). Explicit grouping()
+    * flags rather than NULL-sniffing (a NULL data value and a margin row
+    * are distinguishable), and the output order keys on the flags first
+    * so NULL-ordering differences between engines can never matter: a
+    * nulled-out column is constant within its stratum. */
+  val qCubeVolume: Q = Q.sql(
+    "q_cube_volume",
+    s"""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |  o_orderpriority AS priority,
+      |  CAST(GROUPING(CAST(year(o_orderdate) AS INT)) AS INT) AS g_yr,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+      |  count(*) AS n_orders,
+      |  ${Det.dsumRoundSql("o_totalprice", 2)} AS revenue
+      |FROM orders
+      |GROUP BY CUBE(CAST(year(o_orderdate) AS INT), o_orderpriority)
+      |ORDER BY g_yr, g_pri, yr, priority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).cast("int").as("yr"),
+        col("o_orderpriority").as("priority"), col("o_totalprice"))
+      .cube(col("yr"), col("priority"))
+      .agg(
+        grouping(col("yr")).cast("int").as("g_yr"),
+        grouping(col("priority")).cast("int").as("g_pri"),
+        count(lit(1)).as("n_orders"),
+        Det.dsumRound(col("o_totalprice"), 2).as("revenue"))
+      .select("yr", "priority", "g_yr", "g_pri", "n_orders", "revenue")
+      .orderBy("g_yr", "g_pri", "yr", "priority")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
     qCustDistribution, qBigOrders, qBrandRevenue, qDormantCustomers,
     qPriceBands, qSkewSalted, qYearlyGrowth, qMarketShare, qTradeLanes,
-    qPromoShare, qSmallQuantity, qDisjunctive)
+    qPromoShare, qSmallQuantity, qDisjunctive, qCubeVolume)
 }

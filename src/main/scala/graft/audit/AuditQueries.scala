@@ -1713,6 +1713,76 @@ object AuditQueries {
       .orderBy("entity_id")
   }
 
+  /** Day × operation pivot matrix — the wide-format daily ops dashboard
+    * (audit_hourly's long format, pivoted the way the reference's
+    * consumers chart it). The pivot uses an EXPLICIT operation-domain
+    * list: Spark's value-less `pivot(col)` runs a whole extra job just to
+    * discover the distinct values — with the I/U/D/T domain fixed by the
+    * capture trigger (audit.go:892), that discovery scan is pure waste at
+    * 100 TB. One partial-agg groupBy; output is |days| wide rows. */
+  val auditOpPivot: Q = Q.sql(
+    "audit_op_pivot",
+    auditCte +
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CASE WHEN operation = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+        |  CAST(sum(CASE WHEN operation = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+        |  CAST(sum(CASE WHEN operation = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+        |  CAST(sum(CASE WHEN operation = 'T' THEN 1 ELSE 0 END) AS BIGINT) AS n_trunc,
+        |  count(*) AS n_total
+        |FROM audit GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+    log(s, d)
+      .select(to_date(col("ts")).as("day"), col("operation"))
+      .groupBy("day")
+      .pivot("operation", Seq("I", "U", "D", "T"))
+      .agg(count(lit(1)))
+      .select(col("day"),
+        coalesce(col("I"), lit(0L)).as("n_ins"),
+        coalesce(col("U"), lit(0L)).as("n_upd"),
+        coalesce(col("D"), lit(0L)).as("n_del"),
+        coalesce(col("T"), lit(0L)).as("n_trunc"))
+      .withColumn("n_total",
+        col("n_ins") + col("n_upd") + col("n_del") + col("n_trunc"))
+      .orderBy("day")
+  }
+
+  /** Rolling 7-day change-volume trend per operation class — the
+    * smoothed load curve operations teams watch instead of the spiky
+    * daily counts (audit_daily_anomaly flags days against a global mean;
+    * this gives the trailing-window view). The RANGE frame is over the
+    * integer day index, so a day with zero changes genuinely thins the
+    * window rather than silently shifting it (ROWS BETWEEN would slide
+    * over gaps as if they were days).
+    *
+    * Scale shape: the raw feed collapses to the |ops|×|days| daily grid
+    * first (one partial-agg groupBy); the range window then runs on that
+    * bounded aggregate — never on raw history. */
+  val auditRollingVolume: Q = Q.sql(
+    "audit_rolling_volume",
+    auditCte + """, g AS (
+      |  SELECT operation, CAST(ts AS DATE) AS day,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+      |    count(*) AS n_changes
+      |  FROM audit GROUP BY 1, 2, 3)
+      |SELECT operation, day, n_changes,
+      |  CAST(sum(n_changes) OVER w AS BIGINT) AS sum_7d,
+      |  round(avg(n_changes) OVER w, 4) AS avg_7d
+      |FROM g
+      |WINDOW w AS (PARTITION BY operation ORDER BY day_num
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY operation, day""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("operation").orderBy("day_num")
+      .rangeBetween(-6, Window.currentRow)
+    log(s, d)
+      .groupBy(col("operation"), to_date(col("ts")).as("day"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .as("day_num"))
+      .agg(count(lit(1)).as("n_changes"))
+      .select(col("operation"), col("day"), col("n_changes"),
+        sum("n_changes").over(w).cast("long").as("sum_7d"),
+        round(avg("n_changes").over(w), 4).as("avg_7d"))
+      .orderBy("operation", "day")
+  }
+
   val all: Seq[Q] = Seq(
     auditLog, auditDelta, auditDeltaOld, auditTypedDelta, auditViewsOnly,
     auditViewsTyped, auditSnapshot, auditCompare,
@@ -1725,5 +1795,6 @@ object AuditQueries {
     auditCompact, auditRetention, auditSessionWindow, auditDailyAnomaly,
     auditScd2, auditOrphans, auditFreshness, auditRollback,
     auditConcurrentWriters, auditSchemaDrift, auditValueDrift,
-    auditOpTransitions, auditEntityLifetime)
+    auditOpTransitions, auditEntityLifetime, auditOpPivot,
+    auditRollingVolume)
 }

@@ -995,9 +995,70 @@ object CorpusOps {
     }
   }
 
+  /** Cross-split contamination audit: for each eval split, how many
+    * documents share at least one 4-gram with ANY train document — the
+    * leakage check a release runs after [[corpusSplit]] (id-hash
+    * splitting keeps a document's split stable, but near-duplicate TEXTS
+    * still land on both sides; decontaminate probes a fixed benchmark,
+    * this probes the split boundary itself).
+    *
+    * Scale shape: the train side collapses to its DISTINCT shingle set
+    * and the probe is a LEFT SEMI join on shingle — membership only, so
+    * a stopword-ish shingle shared by millions of docs on both sides
+    * contributes zero pair blowup (the decontaminate inner join would
+    * multiply; semi short-circuits). Neither side is broadcast: both
+    * scale with the corpus. The totals pass re-reads only doc_id
+    * (column-pruned — the split is a pure id function). */
+  val splitLeakage: Q = {
+    val duckBucket = s"${TextOps.duckWordHash("CAST(doc_id AS VARCHAR)")} % 100"
+    val sparkBucket = s"${TextOps.sparkWordHash("cast(doc_id as string)")} % 100"
+    def splitCase(b: String) =
+      s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' ELSE 'test' END"
+    Q.sql(
+      "split_leakage",
+      s"""WITH w AS (
+         |  SELECT doc_id, ${splitCase(duckBucket)} AS split,
+         |    str_split(text, ' ') AS ws
+         |  FROM documents),
+         |ex AS (SELECT doc_id, split, unnest(list_distinct($duckG4)) AS shingle
+         |       FROM w),
+         |tr AS (SELECT DISTINCT shingle FROM ex WHERE split = 'train'),
+         |leaked AS (
+         |  SELECT DISTINCT ex.doc_id, ex.split
+         |  FROM ex JOIN tr USING (shingle) WHERE ex.split <> 'train'),
+         |tot AS (SELECT split, count(*) AS n_docs FROM w
+         |        WHERE split <> 'train' GROUP BY 1),
+         |l AS (SELECT split, count(*) AS n_leaked FROM leaked GROUP BY 1)
+         |SELECT tot.split, tot.n_docs,
+         |  coalesce(l.n_leaked, 0) AS n_leaked,
+         |  round(CAST(coalesce(l.n_leaked, 0) AS DOUBLE) / tot.n_docs, 4)
+         |    AS leak_share
+         |FROM tot LEFT JOIN l ON tot.split = l.split
+         |ORDER BY tot.split""".stripMargin) { (s, d) =>
+      val w = docs(s, d).select(col("doc_id"),
+        expr(splitCase(sparkBucket)).as("split"),
+        split(col("text"), " ").as("ws"))
+      val ex = w.select(col("doc_id"), col("split"),
+        explode(array_distinct(expr(gram4Expr("ws")))).as("shingle"))
+      val tr = ex.filter(col("split") === "train").select("shingle").distinct()
+      val leaked = ex.filter(col("split") =!= "train")
+        .join(tr, Seq("shingle"), "left_semi")
+        .select("doc_id", "split").distinct()
+        .groupBy("split").agg(count(lit(1)).as("n_leaked"))
+      val tot = w.filter(col("split") =!= "train")
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))
+      tot.join(leaked, Seq("split"), "left")
+        .select(col("split"), col("n_docs"),
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+          round(coalesce(col("n_leaked"), lit(0L)).cast("double")
+            / col("n_docs"), 4).as("leak_share"))
+        .orderBy("split")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
     tokenHistogram, packSequences, packEfficiency, corpusFunnel, corpusSplit,
     corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate, zipfFit,
-    corpusReport, epochPlan)
+    corpusReport, epochPlan, splitLeakage)
 }

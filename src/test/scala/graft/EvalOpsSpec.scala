@@ -122,4 +122,30 @@ class EvalOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_items") > 0 &&
       r.getAs[Double]("revenue") > 0))
   }
+
+  test("q_cube_volume: every margin reconciles with its cells; flags never lie") {
+    val rows = Relational.qCubeVolume.fn(spark, sf).collect()
+    val cells = rows.filter(r => r.getInt(2) == 0 && r.getInt(3) == 0)
+    val yrMargins = rows.filter(r => r.getInt(2) == 0 && r.getInt(3) == 1)
+    val priMargins = rows.filter(r => r.getInt(2) == 1 && r.getInt(3) == 0)
+    val grand = rows.filter(r => r.getInt(2) == 1 && r.getInt(3) == 1)
+    assert(grand.length === 1 && cells.nonEmpty)
+    // a flag of 1 means that column is aggregated out (NULL), and only then
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === (r.getInt(2) == 1), "yr flag")
+      assert(r.isNullAt(1) === (r.getInt(3) == 1), "priority flag")
+    }
+    assert(grand.head.getAs[Long]("n_orders")
+      === Tables.orders(spark, sf).count())
+    yrMargins.foreach { m =>
+      val mine = cells.filter(_.getInt(0) == m.getInt(0))
+      assert(mine.map(_.getAs[Long]("n_orders")).sum
+        === m.getAs[Long]("n_orders"), s"yr ${m.getInt(0)} margin")
+    }
+    priMargins.foreach { m =>
+      val mine = cells.filter(_.getString(1) == m.getString(1))
+      assert(mine.map(_.getAs[Long]("n_orders")).sum
+        === m.getAs[Long]("n_orders"), s"priority ${m.getString(1)} margin")
+    }
+  }
 }

@@ -98,4 +98,61 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(rows.exists(_.getString(rows.head.fieldIndex("status")) == "live"))
     assert(rows.exists(_.getString(rows.head.fieldIndex("status")) == "deleted"))
   }
+
+  test("audit_op_pivot: wide rows reconcile with the long-format daily counts") {
+    val wide = AuditQueries.auditOpPivot.fn(spark, sf).collect()
+    assert(wide.nonEmpty)
+    val long = AuditQueries.log(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("operation")).count()
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    wide.foreach { r =>
+      val day = r.getDate(0).toString
+      def n(op: String) = long.getOrElse((day, op), 0L)
+      assert(r.getAs[Long]("n_ins") === n("I"), s"$day I")
+      assert(r.getAs[Long]("n_upd") === n("U"), s"$day U")
+      assert(r.getAs[Long]("n_del") === n("D"), s"$day D")
+      assert(r.getAs[Long]("n_trunc") === n("T"), s"$day T")
+      assert(r.getAs[Long]("n_total") === r.getAs[Long]("n_ins")
+        + r.getAs[Long]("n_upd") + r.getAs[Long]("n_del")
+        + r.getAs[Long]("n_trunc"))
+    }
+    // a day with zero truncates exists — the coalesce-to-0 path is live
+    assert(wide.exists(_.getAs[Long]("n_trunc") == 0L))
+  }
+
+  test("audit_rolling_volume: RANGE frame sums exactly the trailing 7 days") {
+    val rows = AuditQueries.auditRollingVolume.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (op, grp) =>
+      val byDay = grp.map(r => r.getDate(1).toLocalDate.toEpochDay
+        -> r.getAs[Long]("n_changes")).toMap
+      grp.foreach { r =>
+        val d = r.getDate(1).toLocalDate.toEpochDay
+        val expect = (d - 6 to d).flatMap(byDay.get).sum
+        assert(r.getAs[Long]("sum_7d") === expect, s"$op day $d")
+        val present = (d - 6 to d).count(byDay.contains)
+        val expectAvg = BigDecimal(expect.toDouble / present)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getAs[Double]("avg_7d") - expectAvg) < 1e-9,
+          s"$op day $d avg")
+      }
+    }
+    // the T class is sparse at sf0.001 — gap days must THIN the frame
+    // (present < 7), which only the RANGE frame does correctly
+    assert(rows.filter(_.getString(0) == "T").length <
+      rows.filter(_.getString(0) == "U").length)
+  }
+
+  test("split_leakage: semi-join verdicts reconcile with a direct shingle probe") {
+    val rows = graft.text.CorpusOps.splitLeakage.fn(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("test", "val"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_leaked") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("leak_share") >= 0.0 &&
+        r.getAs[Double]("leak_share") <= 1.0)
+    }
+    // non-degenerate on this corpus: leakage exists but is not total
+    assert(rows.exists(_.getAs[Long]("n_leaked") > 0))
+  }
 }

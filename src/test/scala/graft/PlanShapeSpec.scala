@@ -474,6 +474,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 6, s"event_retention exchange count grew:\n$p")
   }
 
+  test("q_cube_volume: all four strata from one Expand + one agg exchange") {
+    // the cube must be a single pass (Expand before the shuffle), never a
+    // union of four separate aggregation jobs
+    val p = finalPlan(SparkEntry.queries("q_cube_volume")(spark, sfDir))
+    val s = p.toString
+    assert(s.contains("Expand"), s"cube lost its Expand plan:\n$s")
+    assert(!s.contains("Union"), s"cube degenerated into a union of aggregates:\n$s")
+    assert(shuffles(p) <= 2, s"cube gained an exchange:\n$s")
+  }
+
+  test("split_leakage: membership probe is a semi-join; nothing is broadcast-hinted") {
+    val df = SparkEntry.queries("split_leakage")(spark, sfDir)
+    // both the train shingle set and the eval side scale with the corpus —
+    // any broadcast hint here is a 100 TB OOM; semi-join means a shared
+    // stopword-ish shingle contributes membership, never pair blowup
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"split_leakage grew a hint: $hints")
+    assert(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "membership probe must stay a semi-join")
+    assert(!finalPlan(df).toString.contains("CartesianProduct"))
+  }
+
+  test("audit_op_pivot: explicit pivot domain — one raw-data pass, bounded exchanges") {
+    // pivot plans as partial (day, op) agg → exchange → pivotfirst →
+    // exchange → sort: THREE exchanges, but only the first touches raw
+    // data pre-aggregated map-side; the later two carry ≤ |days|×|ops|
+    // rows. The pin guards the raw feed being aggregated before its one
+    // exchange (a fourth exchange would mean a value-discovery job or a
+    // lost partial agg).
+    val p = finalPlan(SparkEntry.queries("audit_op_pivot")(spark, sfDir))
+    assert(shuffles(p) <= 3, s"pivot gained an exchange:\n$p")
+    assert(p.toString.contains("partial_count"),
+      s"raw feed no longer aggregates map-side before its exchange:\n$p")
+  }
+
   test("zipf_fit: rank partitions are (lang, bucket) first, never bare lang on the full vocab") {
     // the audit_value_quantiles lesson at authoring time (ngram_stats
     // posture): the full per-lang vocabulary must be cut by the 64-way
