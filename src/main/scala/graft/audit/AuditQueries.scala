@@ -1783,6 +1783,90 @@ object AuditQueries {
       .orderBy("operation", "day")
   }
 
+  /** Sliding-window change rate: 1-hour windows every 15 minutes — the
+    * smooth rate curve a tumbling rollup (audit_hourly) quantizes away.
+    * Spark's sliding `window()` expands each row into window/slide = 4
+    * window assignments BEFORE the partial aggregate — a fixed 4× map-side
+    * expansion (never data-dependent), after which the shuffle carries
+    * only (window, partial) rows. Exact distinct entities per window costs
+    * a (window, entity) partial grid — still window-bounded. */
+  val auditSlidingRate: Q = Q.sql(
+    "audit_sliding_rate",
+    auditCte + """, x AS (
+      |  SELECT entity_id, ts, unnest([0, 1, 2, 3]) AS k FROM audit),
+      |w AS (SELECT entity_id,
+      |        time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * k)
+      |          AS win_start
+      |      FROM x)
+      |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  count(*) AS n_changes,
+      |  count(DISTINCT entity_id) AS n_entities,
+      |  round(count(*) / 60.0, 4) AS rate_per_min
+      |FROM w GROUP BY 1 ORDER BY win_start""".stripMargin) { (s, d) =>
+    log(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_changes"),
+        count_distinct(col("entity_id")).as("n_entities"))
+      .select(date_format(col("window.start"), TS).as("win_start"),
+        col("n_changes"), col("n_entities"),
+        round(col("n_changes") / 60.0, 4).as("rate_per_min"))
+      .orderBy("win_start")
+  }
+
+  /** Per-entity value outliers: purchase rows deviating more than 3σ from
+    * their OWN entity's value history — the account-level anomaly the
+    * global daily z-score (audit_daily_anomaly) averages away. The
+    * aggregate-then-rejoin shape: per-entity moments first (shuffle
+    * carries |entities| rows), rejoin entity-to-entity on the aligned
+    * exchange. Moments are exact-decimal sums (order-free): squares at
+    * DECIMAL(18,6)×DECIMAL(18,6) = exact (37,12) in BOTH engines (28,6
+    * squares would overflow 38 digits and silently lose exactness), so
+    * mean/variance — and therefore the 3σ cut — are bit-stable. Entities
+    * need ≥ 12 purchases and positive variance (a constant history has no
+    * outliers, and 0/0 would be NaN). */
+  val auditValueOutliers: Q = Q.sql(
+    "audit_value_outliers",
+    auditCte + s""", p AS (
+      |  SELECT audit_id, entity_id, value FROM audit
+      |  WHERE event_type = 'purchase'),
+      |st AS (
+      |  SELECT entity_id, count(*) AS n,
+      |    ${Det.dsumSql("value")} AS s1,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+      |      AS DOUBLE) AS s2
+      |  FROM p GROUP BY 1 HAVING count(*) >= 12),
+      |z AS (
+      |  SELECT p.audit_id, p.entity_id, p.value, st.n,
+      |    (p.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS zscore
+      |  FROM p JOIN st USING (entity_id)
+      |  WHERE s2 - s1 * s1 / n > 0)
+      |SELECT audit_id, entity_id, CAST(n AS BIGINT) AS n_history,
+      |  round(value, 2) AS value, round(zscore, 4) AS zscore
+      |FROM z WHERE abs(zscore) > 3 ORDER BY audit_id""".stripMargin) { (s, d) =>
+    val dec = "decimal(18,6)"
+    val p = log(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("audit_id"), col("entity_id"), col("value"))
+    val st = p.groupBy("entity_id")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("value")).as("s1"),
+        sum(col("value").cast(dec) * col("value").cast(dec)).cast("double")
+          .as("s2"))
+      .filter(col("n") >= 12)
+    val variance = (col("s2") - col("s1") * col("s1") / col("n"))
+    p.join(st, Seq("entity_id"))
+      .filter(variance > 0)
+      .withColumn("zscore",
+        (col("value") - col("s1") / col("n"))
+          / sqrt(variance / (col("n") - 1)))
+      .filter(abs(col("zscore")) > 3)
+      .select(col("audit_id"), col("entity_id"),
+        col("n").cast("long").as("n_history"),
+        round(col("value"), 2).as("value"),
+        round(col("zscore"), 4).as("zscore"))
+      .orderBy("audit_id")
+  }
+
   val all: Seq[Q] = Seq(
     auditLog, auditDelta, auditDeltaOld, auditTypedDelta, auditViewsOnly,
     auditViewsTyped, auditSnapshot, auditCompare,
@@ -1796,5 +1880,5 @@ object AuditQueries {
     auditScd2, auditOrphans, auditFreshness, auditRollback,
     auditConcurrentWriters, auditSchemaDrift, auditValueDrift,
     auditOpTransitions, auditEntityLifetime, auditOpPivot,
-    auditRollingVolume)
+    auditRollingVolume, auditSlidingRate, auditValueOutliers)
 }

@@ -144,6 +144,52 @@ class EventAnalyticsSpec extends AnyFunSuite {
       rows.filter(_.getString(0) == "U").length)
   }
 
+  test("audit_sliding_rate: every change lands in exactly 4 overlapping windows") {
+    val rows = AuditQueries.auditSlidingRate.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val feedCount = Tables.events(spark, sf).count()
+    // 1 h window / 15 min slide = 4 assignments per event, no more, no less
+    assert(rows.map(_.getAs[Long]("n_changes")).sum === 4 * feedCount)
+    rows.foreach { r =>
+      // starts sit on the 15-minute grid
+      val mins = r.getString(0).substring(14, 16).toInt
+      assert(mins % 15 === 0 && r.getString(0).endsWith(":00"), r.getString(0))
+      assert(r.getAs[Long]("n_entities") <= r.getAs[Long]("n_changes"))
+      val rate = BigDecimal(r.getAs[Long]("n_changes") / 60.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("rate_per_min") - rate) < 1e-9)
+    }
+    // successive 15-min starts overlap: distinct starts outnumber hours
+    val hours = rows.map(_.getString(0).substring(0, 13)).distinct.length
+    assert(rows.length > hours)
+  }
+
+  test("audit_value_outliers: every flagged row reconciles with its entity history") {
+    val rows = AuditQueries.auditValueOutliers.fn(spark, sf).collect()
+    assert(rows.nonEmpty, "detector must fire on this feed")
+    val hist = AuditQueries.log(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("entity_id", "value").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    rows.foreach { r =>
+      val vs = hist(r.getLong(1))
+      assert(r.getAs[Long]("n_history") === vs.length.toLong)
+      assert(vs.length >= 12)
+      val n = vs.length
+      val mean = vs.sum / n
+      val sd = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+      // recompute in plain double math; the op's exact-decimal moments
+      // must land within float noise of the naive two-pass formula
+      val z = r.getAs[Double]("zscore")
+      assert(math.abs(z) > 3)
+      val direct = (vs.find(v => math.abs(BigDecimal(v)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        - r.getAs[Double]("value")) < 1e-9).get - mean) / sd
+      assert(math.abs(math.abs(direct) - math.abs(z)) < 1e-3,
+        s"entity ${r.getLong(1)} z $z vs $direct")
+    }
+  }
+
   test("split_leakage: semi-join verdicts reconcile with a direct shingle probe") {
     val rows = graft.text.CorpusOps.splitLeakage.fn(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq === Seq("test", "val"))
