@@ -695,10 +695,46 @@ object Relational {
       .orderBy("g_yr", "g_pri", "yr", "priority")
   }
 
+  /** TPC-H Q15 flavor (top supplier): supplier(s) whose Q1-1996 revenue
+    * equals the maximum — the argmax-over-aggregate shape. No global
+    * sort/rank anywhere: the per-supplier aggregate reduces to a 1-row
+    * max that broadcasts back over the same aggregate (a window-rank
+    * formulation would sort |suppliers| in one partition; a top-N limit
+    * would silently drop ties, which Q15 must keep). Revenue compared at
+    * the already-rounded DECIMAL-exact value — equality against the max
+    * is bit-stable, the classic float-argmax trap avoided. */
+  val qTopSupplier: Q = Q.sql(
+    "q_top_supplier",
+    s"""WITH r AS (
+      |  SELECT l_suppkey,
+      |    ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount)", 2)} AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY 1),
+      |m AS (SELECT max(total_revenue) AS top_rev FROM r)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM r JOIN supplier ON s_suppkey = l_suppkey
+      |CROSS JOIN m WHERE total_revenue = top_rev
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val r = li(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+      .groupBy("l_suppkey")
+      .agg(Det.dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+        .as("total_revenue"))
+    val m = r.agg(max("total_revenue").as("top_rev"))
+    r.join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(m))
+      .filter(col("total_revenue") === col("top_rev"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
     qCustDistribution, qBigOrders, qBrandRevenue, qDormantCustomers,
     qPriceBands, qSkewSalted, qYearlyGrowth, qMarketShare, qTradeLanes,
-    qPromoShare, qSmallQuantity, qDisjunctive, qCubeVolume)
+    qPromoShare, qSmallQuantity, qDisjunctive, qCubeVolume, qTopSupplier)
 }

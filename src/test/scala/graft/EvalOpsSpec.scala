@@ -123,6 +123,22 @@ class EvalOpsSpec extends AnyFunSuite {
       r.getAs[Double]("revenue") > 0))
   }
 
+  test("q_top_supplier: exactly the argmax suppliers, ties kept") {
+    val rows = Relational.qTopSupplier.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byRev = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+      .groupBy("l_suppkey")
+      .agg(Det.dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+        .as("rev"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val top = byRev.values.max
+    assert(rows.map(_.getAs[Double]("total_revenue")).forall(_ == top))
+    assert(rows.map(_.getLong(0)).toSet
+      === byRev.filter(_._2 == top).keySet)
+  }
+
   test("q_cube_volume: every margin reconciles with its cells; flags never lie") {
     val rows = Relational.qCubeVolume.fn(spark, sf).collect()
     val cells = rows.filter(r => r.getInt(2) == 0 && r.getInt(3) == 0)

@@ -511,6 +511,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"raw feed no longer aggregates map-side before its exchange:\n$p")
   }
 
+  test("q_top_supplier: argmax via 1-row broadcast, never a global rank window") {
+    val df = SparkEntry.queries("q_top_supplier")(spark, sfDir)
+    // a window-rank formulation would sort |suppliers| in one partition
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"q_top_supplier grew a rank window: $windows")
+    val p = finalPlan(df)
+    assert(p.toString.contains("BroadcastNestedLoopJoin")
+      || p.toString.contains("BroadcastHashJoin"),
+      s"1-row max must broadcast:\n$p")
+  }
+
   test("zipf_fit: rank partitions are (lang, bucket) first, never bare lang on the full vocab") {
     // the audit_value_quantiles lesson at authoring time (ngram_stats
     // posture): the full per-lang vocabulary must be cut by the 64-way
