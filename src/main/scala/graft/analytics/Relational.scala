@@ -731,10 +731,88 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q10 flavor (returned-item report): revenue lost to returns per
+    * customer over one quarter, top 20 accounts. The quarter predicate is
+    * pushed to the orders scan and `l_returnflag = 'R'` to the lineitem
+    * scan BEFORE their one big orderkey shuffle; the |customers| aggregate
+    * then joins customer un-hinted (sf-scaling — AQE decides) and nation
+    * broadcast. Top-20 is `orderBy.limit` = TakeOrderedAndProject: each
+    * partition keeps 20 rows and the driver merges |partitions|×20 — never
+    * a global sort. Ties broken by c_custkey so the cut is deterministic;
+    * revenue compared at the already-rounded DECIMAL-exact value. */
+  val qReturnedCustomers: Q = Q.sql(
+    "q_returned_customers",
+    s"""SELECT c_custkey, c_name, n_name,
+      |  ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount)", 2)} AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-10-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+    li(s, d).filter(col("l_returnflag") === "R")
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey")
+      .agg(Det.dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+      .select("c_custkey", "c_name", "n_name", "revenue", "n_items")
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q9 flavor (product-line profit): per (supplier nation, order
+    * year) profit on widget-family parts, with supply cost synthesized as
+    * 80% of `p_retailprice` (the driver schema carries no partsupp table;
+    * the factor is fixed and documented so both engines derive identical
+    * amounts). The `p_name LIKE '%widget%'` predicate is pushed to the
+    * part scan — at 100 TB that prunes the part⨝lineitem probe to the
+    * matching family before the fact shuffle; orders joins on the orderkey
+    * exchange only to supply the year; supplier/nation broadcast. The
+    * profit expression rides ONE decimal-exact sum: each term is cast at
+    * scale 6 where the product is exact, so engine summation order can
+    * never move the rounded result. */
+  val qNationProfit: Q = Q.sql(
+    "q_nation_profit",
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS yr,
+      |  ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount) - 0.8 * p_retailprice * l_quantity", 2)} AS profit,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY n_name, yr
+      |ORDER BY nation, yr""".stripMargin) { (s, d) =>
+    val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      lit(0.8) * col("p_retailprice") * col("l_quantity")
+    li(s, d)
+      .join(Tables.part(s, d).filter(col("p_name").like("%widget%")),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("int").as("yr"))
+      .agg(Det.dsumRound(amount, 2).as("profit"),
+        count(lit(1)).as("n_items"))
+      .orderBy("nation", "yr")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
     qCustDistribution, qBigOrders, qBrandRevenue, qDormantCustomers,
     qPriceBands, qSkewSalted, qYearlyGrowth, qMarketShare, qTradeLanes,
-    qPromoShare, qSmallQuantity, qDisjunctive, qCubeVolume, qTopSupplier)
+    qPromoShare, qSmallQuantity, qDisjunctive, qCubeVolume, qTopSupplier,
+    qReturnedCustomers, qNationProfit)
 }

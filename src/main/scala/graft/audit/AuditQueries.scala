@@ -1867,6 +1867,80 @@ object AuditQueries {
       .orderBy("audit_id")
   }
 
+  /** Day-of-week × hour capture heat profile — the calendar fingerprint of
+    * the change workload (a batch job writing Sunday 03:00, humans writing
+    * weekday business hours; a flat profile on a human-driven table =
+    * runaway automation). Engine-neutral weekday arithmetic: `dow` is
+    * derived from the epoch-day count ((days + 3) mod 7 → 0 = Monday —
+    * 1970-01-01 was a Thursday), NEVER from the engines' dayofweek()
+    * functions, whose 0/1-base and week-start conventions differ. One
+    * partial-agg groupBy bounded at 7×24 = 168 output rows at any feed
+    * size; the share window runs over that bounded aggregate. */
+  val auditDowProfile: Q = Q.sql(
+    "audit_dow_profile",
+    auditCte +
+      s"""SELECT ((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7) AS dow,
+        |  CAST(hour(ts) AS INT) AS hr,
+        |  count(*) AS n_changes,
+        |  count(DISTINCT entity_id) AS n_entities,
+        |  CAST(((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7) >= 5 AS BOOLEAN) AS weekend,
+        |  round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+        |FROM audit
+        |GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin) { (s, d) =>
+    val shareW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    log(s, d)
+      .groupBy(
+        ((datediff(to_date(col("ts")), to_date(lit("1970-01-01"))) + 3) % 7)
+          .cast("long").as("dow"),
+        hour(col("ts")).cast("int").as("hr"))
+      .agg(count(lit(1)).as("n_changes"),
+        countDistinct(col("entity_id")).as("n_entities"))
+      .withColumn("weekend", col("dow") >= 5)
+      .withColumn("share",
+        round(col("n_changes") * lit(1.0) / sum(col("n_changes")).over(shareW), 6))
+      .select("dow", "hr", "n_changes", "n_entities", "weekend", "share")
+      .orderBy("dow", "hr")
+  }
+
+  /** Payload-volume profile per operation class: how many bytes of change
+    * payload the capture path writes, split into carried vs empty rows —
+    * the sizing input for the audit sink's storage budget (the reference's
+    * hstore diff records only changed fields, audit.go:889, so payload
+    * mass concentrates in U rows; a fat D payload = a trigger bug).
+    * Byte lengths are exact octet_length on the raw JSON string; ONE feed
+    * scan (the payload column rides the same projection as the derived
+    * op/sparse fields — no join back to the feed), one partial-agg groupBy
+    * bounded at |op| output rows. */
+  val auditPayloadBytes: Q = Q.sql(
+    "audit_payload_bytes",
+    s"""WITH payload AS (
+      |  SELECT ${AuditModel.operationSql} AS operation,
+      |    strlen(props) AS nbytes,
+      |    CASE WHEN (event_type NOT IN ('signup', 'error')
+      |          AND NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') IS NOT NULL)
+      |        OR event_type = 'purchase' THEN 1 ELSE 0 END AS carrying
+      |  FROM events)
+      |SELECT operation, count(*) AS n_changes,
+      |  CAST(sum(carrying) AS BIGINT) AS n_carrying,
+      |  CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+      |  CAST(max(nbytes) AS INT) AS max_bytes,
+      |  round(sum(nbytes) * 1.0 / count(*), 4) AS avg_bytes
+      |FROM payload GROUP BY operation ORDER BY operation""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(AuditModel.operation.as("operation"),
+        octet_length(col("props")).as("nbytes"),
+        when((!col("event_type").isin("signup", "error") &&
+            get_json_object(col("props"), "$.k").isNotNull) ||
+            col("event_type") === "purchase", 1).otherwise(0).as("carrying"))
+      .groupBy("operation")
+      .agg(count(lit(1)).as("n_changes"),
+        sum(col("carrying")).cast("long").as("n_carrying"),
+        sum(col("nbytes")).cast("long").as("total_bytes"),
+        max(col("nbytes")).cast("int").as("max_bytes"),
+        round(sum(col("nbytes")) * lit(1.0) / count(lit(1)), 4).as("avg_bytes"))
+      .orderBy("operation")
+  }
+
   val all: Seq[Q] = Seq(
     auditLog, auditDelta, auditDeltaOld, auditTypedDelta, auditViewsOnly,
     auditViewsTyped, auditSnapshot, auditCompare,
@@ -1880,5 +1954,6 @@ object AuditQueries {
     auditScd2, auditOrphans, auditFreshness, auditRollback,
     auditConcurrentWriters, auditSchemaDrift, auditValueDrift,
     auditOpTransitions, auditEntityLifetime, auditOpPivot,
-    auditRollingVolume, auditSlidingRate, auditValueOutliers)
+    auditRollingVolume, auditSlidingRate, auditValueOutliers,
+    auditDowProfile, auditPayloadBytes)
 }

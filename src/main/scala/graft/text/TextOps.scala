@@ -1024,11 +1024,69 @@ object TextOps {
     }
   }
 
+  /** Per-document language-label disagreement audit: the docs where the
+    * lang_id classifier contradicts the ingest label, with the vote
+    * evidence (stopword hit counts) and the decision margin — the review
+    * queue a labeling pipeline works through (lang_id/lang_id_metrics say
+    * HOW OFTEN the gate and the labels disagree; this says WHICH docs, so
+    * mislabeled ingest batches can be traced to their source). Exactly
+    * lang_id's prediction rule over the same features (the matrix ops and
+    * this row-level view cannot drift — same expressions, spec-pinned
+    * reconciliation); margin = winner votes − label-language votes (0 =
+    * tie the argmax broke against the label; large = confidently foreign
+    * text under that label). Pure per-row map + filter — ZERO shuffle at
+    * any corpus size; output bounded by the disagreement count. */
+  val docLangOutliers: Q = Q.sql(
+    "doc_lang_outliers",
+    """WITH f AS (
+      |  SELECT doc_id, lang, source,
+      |    len(list_filter(str_split(text, ' '), w -> w = 'the')) AS n_the,
+      |    len(list_filter(str_split(text, ' '), w -> w = 'data')) AS n_data,
+      |    len(list_filter(str_split(text, ' '), w -> w = 'spark')) AS n_spark
+      |  FROM documents),
+      |p AS (SELECT doc_id, lang, source, n_the, n_data, n_spark,
+      |        CASE WHEN n_the >= n_data AND n_the >= n_spark THEN 'en'
+      |             WHEN n_data >= n_spark THEN 'es' ELSE 'zh' END AS predicted,
+      |        CASE WHEN n_the >= n_data AND n_the >= n_spark THEN n_the
+      |             WHEN n_data >= n_spark THEN n_data ELSE n_spark END AS win_votes,
+      |        CASE lang WHEN 'en' THEN n_the WHEN 'es' THEN n_data ELSE n_spark END AS label_votes
+      |      FROM f)
+      |SELECT doc_id, lang, predicted, source,
+      |  CAST(n_the AS INT) AS n_the, CAST(n_data AS INT) AS n_data,
+      |  CAST(n_spark AS INT) AS n_spark,
+      |  CAST(win_votes - label_votes AS INT) AS margin
+      |FROM p WHERE predicted <> lang ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("size(filter(split(text, ' '), w -> w = 'the'))").as("n_the"),
+        expr("size(filter(split(text, ' '), w -> w = 'data'))").as("n_data"),
+        expr("size(filter(split(text, ' '), w -> w = 'spark'))").as("n_spark"))
+      .withColumn("predicted",
+        when(col("n_the") >= col("n_data") && col("n_the") >= col("n_spark"), "en")
+          .when(col("n_data") >= col("n_spark"), "es")
+          .otherwise("zh"))
+      .withColumn("win_votes",
+        when(col("n_the") >= col("n_data") && col("n_the") >= col("n_spark"), col("n_the"))
+          .when(col("n_data") >= col("n_spark"), col("n_data"))
+          .otherwise(col("n_spark")))
+      .withColumn("label_votes",
+        when(col("lang") === "en", col("n_the"))
+          .when(col("lang") === "es", col("n_data"))
+          .otherwise(col("n_spark")))
+      .filter(col("predicted") =!= col("lang"))
+      .select(col("doc_id"), col("lang"), col("predicted"), col("source"),
+        col("n_the").cast("int").as("n_the"),
+        col("n_data").cast("int").as("n_data"),
+        col("n_spark").cast("int").as("n_spark"),
+        (col("win_votes") - col("label_votes")).cast("int").as("margin"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupBow, dedupNgramJaccard, dedupContainment,
     dedupComponents, dedupKeepBest,
     dedupMinhash, dedupMinhashEst, dedupIncremental, dedupSimhash,
     dedupLshCurve, langId,
     langIdMetrics, textQuality, textEntropy, tokenCount, docFingerprint,
-    samplePerSource, tokenRegex)
+    samplePerSource, tokenRegex, docLangOutliers)
 }
