@@ -43,8 +43,9 @@ object Bench {
           Some((name, cold, warm))
       }
     }
-    def jmap(f: ((String, Double, Double)) => Double): String =
-      results.map { r => s"\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
+    def r3(x: Double): String = f"$x%.3f"
+    def jmap(rs: Seq[(String, Double, Double)], f: ((String, Double, Double)) => Double): String =
+      rs.map { r => "\"" + r._1 + "\":" + r3(f(r)) }.mkString("{", ",", "}")
     def jlist(xs: List[String]): String =
       xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fj = jlist(failed)
@@ -58,7 +59,17 @@ object Bench {
     val totalWarmBatch = totalWarm - totalWarmStreaming
     // failed queries are EXCLUDED from the timings and listed explicitly —
     // a broken query must not make the total look faster
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_warm":${jmap(_._3)},"total_warm":$totalWarm,"total_warm_batch":$totalWarmBatch,"total_warm_streaming":$totalWarmStreaming,"failed":$fj,"warm_failed":${jlist(warmFailed)},"sf":"$sfDir"}""")
+    val detail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results, _._2)},"queries_warm":${jmap(results, _._3)},"total_warm":${r3(totalWarm)},"total_warm_batch":${r3(totalWarmBatch)},"total_warm_streaming":${r3(totalWarmStreaming)},"failed":$fj,"warm_failed":${jlist(warmFailed)},"sf":"$sfDir"}"""
+    // The driver keeps only the LAST ~2000 chars of sbt output, so the
+    // final printed line must fit entirely inside that window or its JSON
+    // is unparseable (rounds 4-6 all hit this). Full per-query detail goes
+    // to a file (committed with the round snapshot) and an early log line;
+    // the last line is a compact summary: totals + failures + slowest-25.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      detail.getBytes("UTF-8"))
+    println("[bench-detail] " + detail)
+    val slowest = results.sortBy(-_._3).take(25)
+    println(s"""{"metric":"total_warm","value":${r3(totalWarm)},"unit":"sec","queries":${jmap(slowest, _._3)},"n_queries":${results.size},"total_cold":${r3(total)},"total_warm_batch":${r3(totalWarmBatch)},"total_warm_streaming":${r3(totalWarmStreaming)},"failed":$fj,"warm_failed":${jlist(warmFailed)},"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

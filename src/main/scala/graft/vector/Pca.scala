@@ -65,17 +65,19 @@ object Pca {
       .groupBy("dim")
       .agg(round(sum(col("t")), 6).cast("double").as("y"))
 
-  /** ‖y‖² as an exact decimal-sum 1-row frame (q). */
-  private def norm2(y: DataFrame): DataFrame =
-    y.agg(sum((col("y") * col("y")).cast("decimal(28,12)")).cast("double").as("q"))
-
   /** y → unit-ish direction rounded to scale 6, as a 1-row array frame
-    * (the broadcast side of the next round). */
-  private def normalized(y: DataFrame, q: DataFrame): DataFrame =
-    y.crossJoin(broadcast(q))
-      .select(col("dim"), round(col("y") / sqrt(col("q")), 6).as("p"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, p))), t -> t.p)")
-        .as("p_arr"))
+    * (the broadcast side of the next round). ONE aggregation computes the
+    * sorted y-array AND ‖y‖² together, then normalizes inside a transform
+    * lambda — no separate norm frame, no crossJoin broadcast hop (each
+    * eliminated hop was a whole scheduled job in the iterate chain, and at
+    * 2 000 vectors the chain's job count IS the operator's cost). Same
+    * arithmetic as the two-frame version: round(y / sqrt(q), 6) in DOUBLE. */
+  private def normalized(y: DataFrame): DataFrame =
+    y.agg(
+      expr("transform(array_sort(collect_list(struct(dim, y))), t -> t.y)")
+        .as("y_arr"),
+      sum((col("y") * col("y")).cast("decimal(28,12)")).cast("double").as("q"))
+      .select(expr("transform(y_arr, v -> round(v / sqrt(q), 6))").as("p_arr"))
 
   /** Power-iterate `rounds` times over a persisted centered corpus and
     * return the published loadings, the final direction array and the
@@ -83,16 +85,13 @@ object Pca {
   private def topComponent(cent: DataFrame, seed: DataFrame,
       rounds: Int): (DataFrame, DataFrame, DataFrame) = {
     var pArr = seed
-    var lastY: DataFrame = null
-    var lastQ: DataFrame = null
-    for (_ <- 1 to rounds) {
-      val y = powerRound(cent, pArr)
-      val q = norm2(y)
-      lastY = y; lastQ = q
-      pArr = normalized(y, q)
-    }
-    val loadings = lastY.crossJoin(broadcast(lastQ))
-      .select(col("dim"), round(col("y") / sqrt(col("q")), 6).as("loading"))
+    for (_ <- 1 to rounds) pArr = normalized(powerRound(cent, pArr))
+    // the published loadings ARE the final direction array — explode it
+    // back to (dim, loading) rows instead of re-deriving y/√q (zero extra
+    // passes; values identical by construction)
+    val loadings = pArr
+      .select(posexplode(col("p_arr")).as(Seq("pos", "loading")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("loading"))
     // the Rayleigh quotient OF THE PUBLISHED loading (one more projection
     // pass), not the previous iterate's norm — the released numbers must
     // describe the released direction
@@ -153,9 +152,10 @@ object Pca {
        |  FROM u JOIN mu ON CAST(u.dim AS BIGINT) = mu.dim),
        |tot AS (SELECT CAST(sum(CAST(c * c AS DECIMAL(28,12))) AS DOUBLE) AS t FROM ce)""".stripMargin
 
-  /** Spark prelude: (mu frame, centered+persisted corpus, tot, nv, seed). */
+  /** Spark prelude: (mu frame, centered+persisted corpus, stats = 1-row
+    * (n = corpus count, t = total variance Σc²), seed). */
   private def prelude(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e0 = emb(s, d).select(col("vec_id"),
       expr("transform(embedding, x -> round(cast(x as double), 6))").as("v"))
     val mu = e0.select(posexplode(col("v")).as(Seq("pos", "x")))
@@ -171,12 +171,19 @@ object Pca {
     val cent = e0.crossJoin(broadcast(muArr))
       .select(col("vec_id"), expr("zip_with(v, mu_arr, (a, b) -> a - b)").as("c"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val tot = cent.select(explode(col("c")).as("cv"))
-      .agg(sum((col("cv") * col("cv")).cast("decimal(28,12)")).cast("double").as("t"))
-    val nv = e0.agg(count(lit(1)).as("n"))
+    // tot (Σc², exact decimal — per-row fold subtotals are exact, so their
+    // sum equals the flat exploded sum) and nv (corpus count) ride ONE
+    // aggregate over the cached corpus: one job instead of two
+    val stats = cent.agg(
+      count(lit(1)).as("n"),
+      sum(expr("""aggregate(
+                   transform(c, x -> cast(x * x as decimal(28,12))),
+                   cast(0 as decimal(28,12)),
+                   (acc, t) -> cast(acc + t as decimal(28,12)))"""))
+        .cast("double").as("t"))
     val seed = muArr.select(
       expr("transform(mu_arr, x -> cast(0.125 as double))").as("p_arr"))
-    (mu, cent, tot, nv, seed)
+    (mu, cent, stats, seed)
   }
 
   val embPcaPower: Q = Q.sql(
@@ -190,12 +197,11 @@ object Pca {
          |  round((SELECT l FROM lam) / (SELECT t FROM tot), 6) AS explained_share
          |FROM mu JOIN p$Rounds USING (dim) ORDER BY mu.dim""".stripMargin
     }) { (s, d) =>
-    val (mu, cent, tot, nv, seed) = prelude(s, d)
+    val (mu, cent, stats, seed) = prelude(s, d)
     val (loadings, _, lam) = topComponent(cent, seed, Rounds)
     mu.join(loadings, Seq("dim"))
       .crossJoin(broadcast(lam))
-      .crossJoin(broadcast(nv))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(stats))
       .select(col("dim"), col("m").as("mu"), col("loading"),
         round(col("l") / col("n"), 6).as("lambda1"),
         round(col("l") / col("t"), 6).as("explained_share"))
@@ -237,7 +243,7 @@ object Pca {
          |FROM p$r a JOIN bp$r b ON a.dim = b.dim ORDER BY a.dim""".stripMargin
     }) { (s, d) =>
     val r = 2
-    val (_, cent, _, nv, seed) = prelude(s, d)
+    val (_, cent, stats, seed) = prelude(s, d)
     val (l1, p1, lam1) = topComponent(cent, seed, r)
     val cent2 = deflated(cent, p1).persist(StorageLevel.MEMORY_AND_DISK)
     val (l2, p2, lam2) = topComponent(cent2, seed, r)
@@ -248,7 +254,7 @@ object Pca {
       .join(l2.select(col("dim"), col("loading").as("loading2")), Seq("dim"))
       .crossJoin(broadcast(lam1.select(col("l").as("l1"))))
       .crossJoin(broadcast(lam2.select(col("l").as("l2"))))
-      .crossJoin(broadcast(nv))
+      .crossJoin(broadcast(stats.select("n")))
       .crossJoin(broadcast(ortho))
       .select(col("dim"), col("loading1"), col("loading2"),
         round(col("l1") / col("n"), 6).as("lambda1"),
