@@ -1876,6 +1876,72 @@ object AuditQueries {
     * functions, whose 0/1-base and week-start conventions differ. One
     * partial-agg groupBy bounded at 7×24 = 168 output rows at any feed
     * size; the share window runs over that bounded aggregate. */
+  /** Exponentially-weighted (decay 0.7, 14-day horizon) daily change
+    * volume per op class, with an anomaly verdict per day — the smoothed
+    * trend audit_rolling_volume's flat 7-day mean can't give (a flat mean
+    * reacts a week late; EWMA weights yesterday 10/7× over the day
+    * before). The volume twin of audit_value_drift's distribution check.
+    *
+    * Exactness: the decay weights (7/10)^j are carried as EXACT integer
+    * literals 7^j·10^(13−j) (one shared Scala constant emits both
+    * dialects), numerator and denominator sum as DECIMAL — so the
+    * weighted mean is a single double division of two exact decimals,
+    * rounded once; engine summation order can never move it. Days absent
+    * from the feed genuinely THIN the window (weights renormalize over
+    * present days — the audit_rolling_volume RANGE discipline).
+    *
+    * Scale: the raw feed partial-aggregates to the ≤ |ops|×|days| daily
+    * frame before anything else; the 14-day band join runs aggregate-to-
+    * aggregate (both sides the SAME canonical plan — AQE's exchange reuse
+    * materializes it once), output ≤ 14× the daily frame, re-aggregated
+    * to |ops|×|days|. Nothing feed-sized is ever joined or windowed. */
+  val auditEwmaVolume: Q = {
+    // w_j = 7^j * 10^(13-j): EXACT integer encoding of decay^j at scale
+    // 13 (7^13·10^0 through 10^13) — shared by both dialects
+    val wCase = (0 to 13)
+      .map(j => s"WHEN $j THEN ${BigInt(7).pow(j) * BigInt(10).pow(13 - j)}")
+      .mkString("CASE a.day_num - b.day_num ", " ", " END")
+    val ewmaExpr =
+      s"""round(CAST(sum(CAST($wCase AS DECIMAL(20,0)) * b.n_changes) AS DOUBLE)
+         |      / CAST(sum(CAST($wCase AS DECIMAL(20,0))) AS DOUBLE), 4)""".stripMargin
+    Q.sql(
+      "audit_ewma_volume",
+      auditCte + s""", g AS (
+        |  SELECT operation, CAST(ts AS DATE) AS day,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+        |    count(*) AS n_changes
+        |  FROM audit GROUP BY 1, 2, 3),
+        |e AS (
+        |  SELECT a.operation, a.day, a.n_changes, $ewmaExpr AS ewma_14d
+        |  FROM g a JOIN g b ON a.operation = b.operation
+        |    AND b.day_num BETWEEN a.day_num - 13 AND a.day_num
+        |  GROUP BY 1, 2, 3)
+        |SELECT operation, day, n_changes, ewma_14d,
+        |  round(n_changes / ewma_14d, 4) AS ratio,
+        |  (round(n_changes / ewma_14d, 4) >= 2.0
+        |   OR round(n_changes / ewma_14d, 4) <= 0.5) AS anomaly
+        |FROM e ORDER BY operation, day""".stripMargin) { (s, d) =>
+      val g = log(s, d)
+        .groupBy(col("operation"), to_date(col("ts")).as("day"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .as("day_num"))
+        .agg(count(lit(1)).as("n_changes"))
+      val ratio = round(col("n_changes") / col("ewma_14d"), 4)
+      g.as("a")
+        .join(g.as("b"),
+          col("a.operation") === col("b.operation") &&
+            col("b.day_num") >= col("a.day_num") - 13 &&
+            col("b.day_num") <= col("a.day_num"))
+        .groupBy(col("a.operation").as("operation"), col("a.day").as("day"),
+          col("a.n_changes").as("n_changes"))
+        .agg(expr(ewmaExpr).as("ewma_14d"))
+        .select(col("operation"), col("day"), col("n_changes"),
+          col("ewma_14d"), ratio.as("ratio"),
+          (ratio >= 2.0 || ratio <= 0.5).as("anomaly"))
+        .orderBy("operation", "day")
+    }
+  }
+
   val auditDowProfile: Q = Q.sql(
     "audit_dow_profile",
     auditCte +
@@ -1955,5 +2021,5 @@ object AuditQueries {
     auditConcurrentWriters, auditSchemaDrift, auditValueDrift,
     auditOpTransitions, auditEntityLifetime, auditOpPivot,
     auditRollingVolume, auditSlidingRate, auditValueOutliers,
-    auditDowProfile, auditPayloadBytes)
+    auditDowProfile, auditPayloadBytes, auditEwmaVolume)
 }

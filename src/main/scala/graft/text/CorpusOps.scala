@@ -1056,9 +1056,139 @@ object CorpusOps {
     }
   }
 
+  /** Per-document content novelty under ingest order: the share of a
+    * doc's distinct 3-gram shingles whose FIRST corpus occurrence (min
+    * doc_id) is this doc — 1.0 = genuinely new content, ~0 = everything
+    * was already ingested (the near-dup long tail dedup's pairwise passes
+    * rank by similarity, this ranks by contribution). The curation use:
+    * novelty-weighted sampling keeps late corpora from re-paying for
+    * content the early corpora already contributed.
+    *
+    * Scale shape: the classic inverted-index two-pass — explode to
+    * (shingle, doc) [linear], partial-agg min(doc_id) per shingle
+    * [|shingles|-bounded output], equi-join the exploded frame back on
+    * the SAME shingle distribution (no df-cap needed: the firsts side is
+    * one row per shingle, so join output = explode output exactly — never
+    * quadratic), re-aggregate per doc. Three linear shuffles, no window
+    * over raw data, no all-pairs anywhere. */
+  val ngramNovelty: Q = Q.sql(
+    "ngram_novelty",
+    """WITH w AS (SELECT doc_id, lang, source, str_split(text, ' ') AS ws
+      |       FROM documents),
+      |sh AS (SELECT doc_id, lang, source,
+      |         list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s3
+      |       FROM w),
+      |ex AS (SELECT doc_id, lang, source, unnest(s3) AS shingle FROM sh),
+      |f AS (SELECT shingle, min(doc_id) AS first_doc FROM ex GROUP BY 1)
+      |SELECT ex.doc_id, ex.lang, ex.source,
+      |  count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  round(1.0 * sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+      |        / count(*), 4) AS novelty
+      |FROM ex JOIN f USING (shingle)
+      |GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ex = docs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(s"array_distinct(${TextOps.shingleExpr("split(text, ' ')")})")
+          .as("s3"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(col("s3")).as("shingle"))
+    val firsts = ex.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    val novel = sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
+    ex.join(firsts, Seq("shingle"))
+      .groupBy("doc_id", "lang", "source")
+      .agg(count(lit(1)).as("n_shingles"),
+        novel.cast("long").as("n_novel"),
+        round(lit(1.0) * novel / count(lit(1)), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic weighted (importance) sampling EXECUTING the
+    * corpus_temperature rates: each language's acceptance rate is its
+    * temperature boost × a 0.5 base rate (capped at 1), and a document is
+    * kept iff its content-stable hash falls under the rate — the stage
+    * that turns corpus_temperature's report into an actual sampled
+    * corpus, with the realized rate alongside the target as the
+    * self-audit (they converge as |docs| grows; both published).
+    * Re-run/re-partition/re-shard stable: the keep decision is a pure
+    * function of doc_id (the corpus_split hash discipline), never of RNG
+    * or row order.
+    *
+    * Scale shape: scan 1 partial-aggregates to the |langs| rate frame
+    * (temperature arithmetic identical to corpus_temperature — exact
+    * decimal weight sums, shares of rounded values); scan 2 joins that
+    * tiny frame back broadcast and partial-aggregates the keep flags —
+    * the corpus itself is never shuffled, output ≤ |langs| rows. */
+  val sampleWeighted: Q = {
+    val duckHash = s"${TextOps.duckWordHash("CAST(doc_id AS VARCHAR)")} % 1000000"
+    val sparkHash = s"${TextOps.sparkWordHash("cast(doc_id as string)")} % 1000000"
+    Q.sql(
+      "sample_weighted",
+      s"""WITH s AS (SELECT lang, count(*) AS n_docs,
+        |        sum(len(str_split(text, ' '))) AS tokens
+        |      FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n_docs, tokens,
+        |        CAST(round(sqrt(1.0 * tokens), 4) AS DECIMAL(18, 4)) AS wgt
+        |      FROM s),
+        |t AS (SELECT sum(wgt) AS sum_wgt, sum(tokens) AS sum_tokens FROM w),
+        |r AS (SELECT lang, n_docs, tokens,
+        |        least(1.0, round(
+        |          round(round(CAST(wgt AS DOUBLE) / CAST(sum_wgt AS DOUBLE), 6)
+        |                / round(1.0 * tokens / sum_tokens, 6), 4) * 0.5, 4))
+        |          AS rate
+        |      FROM w CROSS JOIN t),
+        |k AS (SELECT d.lang,
+        |        CAST(sum(CASE WHEN $duckHash
+        |          < CAST(round(r.rate * 1000000, 0) AS BIGINT)
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |        CAST(sum(CASE WHEN $duckHash
+        |          < CAST(round(r.rate * 1000000, 0) AS BIGINT)
+        |          THEN len(str_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+        |          AS kept_tokens
+        |      FROM documents d JOIN r USING (lang) GROUP BY 1)
+        |SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+        |  CAST(r.tokens AS BIGINT) AS tokens, r.rate,
+        |  k.n_kept, k.kept_tokens,
+        |  round(1.0 * k.n_kept / r.n_docs, 4) AS realized_rate
+        |FROM r JOIN k USING (lang) ORDER BY r.lang""".stripMargin) { (s, d) =>
+      val perLang = docs(s, d)
+        .select(col("lang"), expr("size(split(text, ' '))").as("n_tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+        .withColumn("wgt",
+          round(sqrt(lit(1.0) * col("tokens")), 4).cast("decimal(18,4)"))
+      val allW = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val boost = round(
+        round(col("wgt").cast("double") / sum("wgt").over(allW).cast("double"), 6)
+          / round(lit(1.0) * col("tokens") / sum("tokens").over(allW), 6), 4)
+      val rates = perLang
+        .select(col("lang"), col("n_docs"), col("tokens"),
+          least(lit(1.0), round(boost * 0.5, 4)).as("rate"))
+      val keep = expr(sparkHash) <
+        round(col("rate") * 1000000, 0).cast("long")
+      val kept = docs(s, d)
+        .select(col("lang"), col("doc_id"),
+          expr("size(split(text, ' '))").as("n_tok"))
+        .join(broadcast(rates.select("lang", "rate")), Seq("lang"))
+        .groupBy("lang")
+        .agg(sum(when(keep, 1).otherwise(0)).cast("long").as("n_kept"),
+          sum(when(keep, col("n_tok")).otherwise(0)).cast("long")
+            .as("kept_tokens"))
+      rates.join(kept, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("tokens"), col("rate"),
+          col("n_kept"), col("kept_tokens"),
+          round(lit(1.0) * col("n_kept") / col("n_docs"), 4)
+            .as("realized_rate"))
+        .orderBy("lang")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
     tokenHistogram, packSequences, packEfficiency, corpusFunnel, corpusSplit,
     corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate, zipfFit,
-    corpusReport, epochPlan, splitLeakage)
+    corpusReport, epochPlan, splitLeakage, ngramNovelty, sampleWeighted)
 }

@@ -388,4 +388,47 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(math.abs(1.0 * alloc / budget - temp(lang)) < 1.0 / budget + 2e-6, lang)
     }
   }
+
+  test("ngram_novelty: every shingle is novel exactly once; first doc scores 1.0") {
+    val rows = CorpusOps.ngramNovelty.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+      val nov = r.getAs[Double]("novelty")
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+    // Σ n_novel over docs = |distinct corpus shingles|: each shingle has
+    // exactly one first occurrence — the conservation law of the op
+    graft.GraftFunctions.ensureRegistered(spark)
+    val distinctShingles = graft.Tables.documents(spark, sf)
+      .select(explode(expr("array_distinct(graft_shingles(split(text, ' '), 3))"))
+        .as("s"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum === distinctShingles)
+    // the earliest doc can only contain first-seen content
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Double]("novelty") === 1.0)
+  }
+
+  test("sample_weighted: rates bounded, realized tracks target, re-run identical") {
+    val rows = CorpusOps.sampleWeighted.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("tokens"))
+      // the md5-threshold keep rule realizes the target rate up to
+      // binomial noise at this stratum size
+      assert(math.abs(r.getAs[Double]("realized_rate") - rate) < 0.2,
+        s"${r.getString(0)}: realized ${r.getAs[Double]("realized_rate")} vs $rate")
+    }
+    // upsampling is real: at least one lang is kept at a higher rate than
+    // another (temperature flattening moves rates apart)
+    val rates = rows.map(_.getAs[Double]("rate"))
+    assert(rates.max > rates.min)
+    // pure function of the corpus — a re-run is bit-identical
+    val again = CorpusOps.sampleWeighted.fn(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }

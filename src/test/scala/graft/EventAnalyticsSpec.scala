@@ -201,4 +201,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // non-degenerate on this corpus: leakage exists but is not total
     assert(rows.exists(_.getAs[Long]("n_leaked") > 0))
   }
+
+  test("audit_ewma_volume: weighted mean reconciles exactly; anomaly = ratio cut") {
+    val rows = AuditQueries.auditEwmaVolume.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = AuditQueries.log(spark, sf)
+      .groupBy(col("operation"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+    val byOp = daily.groupBy(_._1)
+    rows.foreach { r =>
+      val op = r.getString(0)
+      val day = r.getDate(1).toLocalDate.toEpochDay
+      // recompute the weighted mean from raw daily counts with the same
+      // exact integer weights 7^j·10^(13-j); the published value must be
+      // its half-up 4-decimal rounding, bit for bit
+      val hist = byOp(op).filter(t => t._2 <= day && t._2 >= day - 13)
+      val num = hist.map { case (_, d2, n2) =>
+        val j = (day - d2).toInt
+        BigInt(7).pow(j) * BigInt(10).pow(13 - j) * BigInt(n2)
+      }.sum
+      val den = hist.map { case (_, d2, _) =>
+        val j = (day - d2).toInt
+        BigInt(7).pow(j) * BigInt(10).pow(13 - j)
+      }.sum
+      val expected = BigDecimal(num.toDouble / den.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("ewma_14d") - expected) < 2e-4,
+        s"$op day $day: ${r.getAs[Double]("ewma_14d")} vs $expected")
+      val ratio = r.getAs[Double]("ratio")
+      assert(r.getAs[Boolean]("anomaly") === (ratio >= 2.0 || ratio <= 0.5))
+    }
+    // smoothing is real: the trend differs from the raw count somewhere
+    assert(rows.exists(r =>
+      math.abs(r.getAs[Double]("ewma_14d") - r.getAs[Long]("n_changes")) > 1e-9))
+  }
 }
