@@ -685,9 +685,16 @@ object Similarity {
         var n = 1
         while (n < k) {
           val m = math.min(batch, k - n)
-          val md = embD.join(broadcast(picked.select(col("emb_d").as("cv"))))
-            .groupBy("vec_id").agg(min(expr(l2Fold)).as("md"))
-          val next = embD.join(md, "vec_id")
+          // min-L2² to the chosen set as a per-row fold over the ≤k-row
+          // broadcast array — min is order-free, so this is value-identical
+          // to the former join + groupBy(vec_id) while shuffling NOTHING
+          // (the old shape re-exchanged the whole corpus per seed round)
+          val pickedArr = picked.agg(collect_list(col("emb_d")).as("pvs"))
+          val next = embD.crossJoin(broadcast(pickedArr))
+            .select(col("vec_id"), col("emb_d"),
+              expr("""aggregate(pvs, cast('Infinity' as double),
+                       (acc, pv) -> least(acc, graft_l2sq(emb_d, pv)))""")
+                .as("md"))
             .orderBy(col("md").desc, col("vec_id")).limit(m)
             .select("vec_id", "emb_d")
           picked = picked.unionByName(next).localCheckpoint()
@@ -699,6 +706,26 @@ object Similarity {
     chosen.select(row_number().over(seedW).as("cid"), col("emb_d").as("cv"))
   }
 
+  /** Centroid set folded to ONE broadcast row — array of (cid, cv) sorted
+    * by cid. All per-vector centroid math (argmin assignment, min dist,
+    * full rank order) then runs as a per-row fold/sort over this bounded
+    * array: ZERO corpus-wide shuffle, where the join + groupBy(vec_id) /
+    * per-vector window alternatives re-exchange the whole corpus on every
+    * use — at 100 TB the difference between one map pass and a corpus
+    * shuffle per Lloyd round. */
+  private def centsArr(cent: DataFrame): DataFrame =
+    cent.agg(expr("array_sort(collect_list(struct(cid, cv)))").as("cents"))
+
+  /** argmin over the cents array by (dist, cid): strict `<` on a
+    * cid-ascending fold keeps the lower cid on distance ties — exactly
+    * `min(struct(dist, cid))`, the old shuffle-side tie rule. */
+  private val argminCid =
+    """aggregate(cents,
+      |  named_struct('d', cast('Infinity' as double), 'cid', -1),
+      |  (acc, x) -> IF(graft_l2sq(emb_d, x.cv) < acc.d,
+      |    named_struct('d', graft_l2sq(emb_d, x.cv), 'cid', x.cid),
+      |    acc)).cid""".stripMargin
+
   /** Centroid sets per Lloyd round: element 0 = the seeds, element r = the
     * decimal-exact means after round r — exposed so the convergence audit
     * can difference consecutive rounds. */
@@ -707,11 +734,14 @@ object Similarity {
     var cent = seedCentroids(embD, k, seeding)
     val out = scala.collection.mutable.Buffer(cent)
     for (_ <- 1 to rounds) {
-      val assign = embD.join(broadcast(cent))
-        .withColumn("dist", expr(l2Fold))
-        .groupBy("vec_id").agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"))
-      cent = assign.join(embD, "vec_id")
+      // per-row argmin fold over the broadcast centroid array, emb_d
+      // carried through — the round's ONLY exchange is the (cid, pos)
+      // partial aggregate (≤ k×|dims| rows per partition map-side); the
+      // former join + groupBy(vec_id) + join-back shuffled the corpus
+      // twice per round for the same values
+      val assign = embD.crossJoin(broadcast(centsArr(cent)))
+        .select(col("vec_id"), col("emb_d"), expr(argminCid).as("cid"))
+      cent = assign
         .select(col("cid"), posexplode(col("emb_d")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
         .agg((Det.dsum9(col("v")) / count(lit(1))).as("c"))
@@ -726,10 +756,18 @@ object Similarity {
       seeding: String = "id"): DataFrame = {
     val embD = toEmbD(e)
     val cent = kmeansRounds(embD, k, rounds, seeding).last
-    embD.join(broadcast(cent))
-      .withColumn("dist", expr(l2Fold))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+    // rank = position in the per-row (dist, cid)-sorted centroid array —
+    // the same total order the old per-vector row_number window produced,
+    // without shuffling |vectors|×k rows to sort them
+    embD.crossJoin(broadcast(centsArr(cent)))
+      .select(col("vec_id"),
+        posexplode(expr(
+          """array_sort(transform(cents,
+            |  x -> named_struct('dist', graft_l2sq(emb_d, x.cv),
+            |                    'cid', x.cid)))""".stripMargin))
+          .as(Seq("pos", "dc")))
+      .select(col("vec_id"), col("dc.cid").as("cid"),
+        col("dc.dist").as("dist"), (col("pos") + 1).cast("int").as("rn"))
   }
 
   private def kmeansDistSql(e: String, c: String) =
@@ -1000,9 +1038,14 @@ object Similarity {
           val shift = cs(r).join(prev, Seq("cid"))
             .agg(count(lit(1)).as("n_cells"),
               dsumR6(expr("graft_l2sq(cv, pv)")).as("total_shift"))
-          val sse = embD.join(broadcast(cs(r)))
-            .withColumn("dist", expr(l2Fold))
-            .groupBy("vec_id").agg(min(col("dist")).as("d"))
+          // per-vector min dist as a fold over the broadcast centroid
+          // array (min is order-free — value-identical to the former
+          // groupBy(vec_id) min without the corpus shuffle)
+          val sse = embD.crossJoin(broadcast(centsArr(cs(r))))
+            .select(expr(
+              """aggregate(cents, cast('Infinity' as double),
+                |  (acc, x) -> least(acc, graft_l2sq(emb_d, x.cv)))""".stripMargin)
+              .as("d"))
             .agg(dsumR6(col("d")).as("total_sse"))
           shift.crossJoin(sse) // two 1-row aggregates
             .select(lit(seeding).as("seeding"), lit(r).as("round"),
