@@ -76,26 +76,47 @@ object Similarity {
     * (ties by label) — filter rn = 1 for assignment, rn ≤ p for probes.
     * Distance runs through the native graft_l2sq loop (bit-identical to
     * the HOF fold and the oracle's list_sum, minus the per-pair array
-    * allocation). */
-  private def centroidRanks(e: DataFrame): DataFrame = e
-    .withColumn("emb_d", expr("transform(embedding, x -> cast(x as double))"))
-    .join(broadcast(labelCentroids(e)))
-    .withColumn("dist", expr("graft_l2sq(emb_d, cv)"))
-    .withColumn("rn", row_number().over(
-      Window.partitionBy("vec_id").orderBy(col("dist"), col("clabel"))))
+    * allocation). Rank = position in the per-row (dist, clabel)-sorted
+    * centroid array — the same total order the per-vector row_number
+    * window produced without shuffling |vectors|×|cells| rows (the
+    * kmeansRanks discipline). */
+  private def centroidRanks(e: DataFrame): DataFrame = {
+    val centArr = labelCentroids(e)
+      .agg(expr("array_sort(collect_list(struct(clabel, cv)))").as("cents"))
+    e.withColumn("emb_d", expr("transform(embedding, x -> cast(x as double))"))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"),
+        posexplode(expr(
+          """array_sort(transform(cents,
+            |  x -> named_struct('dist', graft_l2sq(emb_d, x.cv),
+            |                    'clabel', x.clabel)))""".stripMargin))
+          .as(Seq("pos", "dc")))
+      .select(col("vec_id"), col("dc.clabel").as("clabel"),
+        col("dc.dist").as("dist"), (col("pos") + 1).cast("int").as("rn"))
+  }
 
   /** Spark twin of `amin`: per-(vector, subspace) nearest sub-codeword —
-    * (vec_id, m, code, dist); the codebook rides a broadcast. */
+    * (vec_id, m, code, dist); the codebook rides a broadcast. The argmin
+    * is a per-row fold over the codebook array with the same
+    * (dist, clabel) tie rule as the former per-(vector, m) window — no
+    * |vectors|×4×|codebook| shuffle. */
   private def pqAmin(e: DataFrame): DataFrame = {
-    val ad = e
-      .withColumn("emb_d", expr("transform(embedding, x -> cast(x as double))"))
+    val centArr = labelCentroids(e)
+      .agg(expr("array_sort(collect_list(struct(clabel, cv)))").as("cents"))
+    val sub = "slice(emb_d, (m-1)*16 + 1, 16)"
+    e.withColumn("emb_d", expr("transform(embedding, x -> cast(x as double))"))
+      .crossJoin(broadcast(centArr))
       .withColumn("m", explode(array((1 to 4).map(lit): _*)))
-      .join(broadcast(labelCentroids(e)))
-      .withColumn("dist", expr(
-        "graft_l2sq(slice(emb_d, (m-1)*16 + 1, 16), slice(cv, (m-1)*16 + 1, 16))"))
-    val aminW = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("clabel"))
-    ad.withColumn("rn", row_number().over(aminW)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("clabel").as("code"), col("dist"))
+      .select(col("vec_id"), col("m"),
+        expr(
+          s"""aggregate(cents,
+             |  named_struct('d', cast('Infinity' as double), 'c', -1),
+             |  (acc, x) -> IF(graft_l2sq($sub, slice(x.cv, (m-1)*16 + 1, 16)) < acc.d,
+             |    named_struct('d', graft_l2sq($sub, slice(x.cv, (m-1)*16 + 1, 16)),
+             |                 'c', x.clabel),
+             |    acc))""".stripMargin).as("mc"))
+      .select(col("vec_id"), col("m"), col("mc.c").as("code"),
+        col("mc.d").as("dist"))
   }
 
   /** Brute-force cosine top-k per query vector (query side broadcast). */
