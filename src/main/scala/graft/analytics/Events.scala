@@ -3,6 +3,7 @@ package graft.analytics
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Product-analytics surface over the raw `events` stream table — the
   * cohort/funnel reports a usage-analytics consumer of the reference's
@@ -135,5 +136,61 @@ object EventAnalytics {
       .orderBy("step")
   }
 
-  val all: Seq[Q] = Seq(eventRetention, eventFunnel)
+  /** Top 3-step behavioral paths: the most common event-type triples
+    * taken within a session (consecutive events ≤ 30 min apart — the
+    * audit_sessionize gap rule), with each path's share of all triples —
+    * the "what do users actually do" report funnels can't give (a funnel
+    * fixes the sequence up front; this discovers the sequences worth
+    * building funnels for).
+    *
+    * Scale: ONE user-keyed window over the feed (lag ×4 stacked on a
+    * single exchange — the audit_sessionize distribution), per-row gap
+    * filter, then a partial-agg groupBy bounded at |event types|³ paths;
+    * the share join is a 1-row broadcast and top-20 is
+    * TakeOrderedAndProject. Timestamps compared at exact microseconds on
+    * both engines, ties broken by event_id, so path counts cannot drift. */
+  val eventPaths: Q = Q.sql(
+    "event_paths",
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type, 1) OVER w AS p1,
+      |    lag(event_type, 2) OVER w AS p2,
+      |    lag(ts, 1) OVER w AS t1,
+      |    lag(ts, 2) OVER w AS t2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |p AS (SELECT p2 || ' > ' || p1 || ' > ' || event_type AS path
+      |      FROM o
+      |      WHERE p2 IS NOT NULL
+      |        AND epoch_ns(ts) // 1000 - epoch_ns(t1) // 1000 <= 1800000000
+      |        AND epoch_ns(t1) // 1000 - epoch_ns(t2) // 1000 <= 1800000000),
+      |c AS (SELECT path, count(*) AS n FROM p GROUP BY 1),
+      |t AS (SELECT sum(n) AS total FROM c)
+      |SELECT path, n, round(1.0 * n / total, 4) AS share
+      |FROM c CROSS JOIN t
+      |ORDER BY n DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800000000L // 30 min in microseconds
+    val o = ev(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        lag(col("event_type"), 1).over(w).as("p1"),
+        lag(col("event_type"), 2).over(w).as("p2"),
+        lag(col("ts"), 1).over(w).as("t1"),
+        lag(col("ts"), 2).over(w).as("t2"))
+    val paths = o
+      .filter(col("p2").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("t1")) <= gapUs &&
+        unix_micros(col("t1")) - unix_micros(col("t2")) <= gapUs)
+      .select(concat(col("p2"), lit(" > "), col("p1"), lit(" > "),
+        col("event_type")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    val total = paths.agg(sum("n").as("total"))
+    paths.crossJoin(broadcast(total))
+      .select(col("path"), col("n"),
+        round(lit(1.0) * col("n") / col("total"), 4).as("share"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(eventRetention, eventFunnel, eventPaths)
 }

@@ -808,11 +808,61 @@ object Relational {
       .orderBy("nation", "yr")
   }
 
+  /** TPC-H Q21 flavor (waiting suppliers): suppliers who were the ONLY
+    * late shipper in a multi-supplier order — the blame report Q21 writes
+    * with a correlated EXISTS + NOT EXISTS pair. Re-expressed as
+    * aggregate-then-filter: ONE conditional aggregate per order computes
+    * the distinct-supplier count, the distinct-LATE-supplier count and
+    * (when unique) that supplier's identity, so the double correlated
+    * subquery becomes two filters on an |orders|-bounded frame — no
+    * self-join of lineitem against itself, no EXISTS re-scan. "Late" =
+    * shipped >90 days after order date (the schema carries no
+    * commit/receipt dates; the fixed horizon is documented so both
+    * engines derive identical verdicts).
+    *
+    * Scale: lineitem⨝orders is the one big orderkey exchange (order-date
+    * window pushed to the orders scan first); everything after runs on
+    * per-order then per-supplier aggregates; supplier broadcast at the
+    * bounded-dim policy. */
+  val qSupplierWait: Q = Q.sql(
+    "q_supplier_wait",
+    """WITH o AS (SELECT l_orderkey, l_suppkey,
+      |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END AS late
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+      |p AS (SELECT l_orderkey,
+      |        count(DISTINCT l_suppkey) AS n_supp,
+      |        count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp,
+      |        max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+      |      FROM o GROUP BY 1),
+      |w AS (SELECT late_supp AS s_key, count(*) AS numwait
+      |      FROM p WHERE n_supp >= 2 AND n_late_supp = 1 GROUP BY 1)
+      |SELECT s.s_suppkey, s.s_name, w.numwait
+      |FROM w JOIN supplier s ON s.s_suppkey = w.s_key
+      |ORDER BY numwait DESC, s_suppkey""".stripMargin) { (s, d) =>
+    val late = when(
+      col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1)
+      .otherwise(0)
+    val perOrder = li(s, d)
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), late.as("late"))
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late") === 1, col("l_suppkey"))).as("n_late_supp"),
+        max(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
+    perOrder
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .groupBy(col("late_supp").as("s_key"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("s_key"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
     qCustDistribution, qBigOrders, qBrandRevenue, qDormantCustomers,
     qPriceBands, qSkewSalted, qYearlyGrowth, qMarketShare, qTradeLanes,
     qPromoShare, qSmallQuantity, qDisjunctive, qCubeVolume, qTopSupplier,
-    qReturnedCustomers, qNationProfit)
+    qReturnedCustomers, qNationProfit, qSupplierWait)
 }

@@ -1942,6 +1942,86 @@ object AuditQueries {
     }
   }
 
+  /** Lag-1 / lag-7 autocorrelation of daily change volume per op class —
+    * the NUMERIC seasonality verdict behind audit_dow_profile's visual
+    * heat map: r₇ ≫ r₁ is a weekly-batch workload, r₁ high is trending
+    * drift, both ≈ 0 is memoryless noise (in which case
+    * audit_daily_anomaly's trailing-mean baseline is trustworthy; strong
+    * seasonality means it flags every Sunday). Pearson over the
+    * (xₜ, xₜ₋L) pairs of the daily series.
+    *
+    * Exactness: all six sufficient statistics (k, Σx, Σy, Σxy, Σx², Σy²)
+    * are exact decimal sums of integer counts — order-independent — and
+    * the correlation is one shared double expression over them, rounded
+    * once; zero-variance arms publish NULL, not a 0/0 artifact.
+    *
+    * Scale: the feed partial-aggregates to the ≤ |ops|×|days| daily frame
+    * before anything else; each lag arm is an aggregate-to-aggregate
+    * equi-join on (operation, shifted day) — bounded both sides. */
+  val auditVolumeAutocorr: Q = {
+    val dailySql =
+      """g AS (
+        |  SELECT operation,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+        |    count(*) AS n_changes
+        |  FROM audit GROUP BY 1, 2)""".stripMargin
+    def armSql(lag: Int) =
+      s"""c$lag AS (
+         |  SELECT a.operation, count(*) AS k,
+         |    CAST(sum(CAST(a.n_changes AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(b.n_changes AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(a.n_changes AS DECIMAL(18,0)) * b.n_changes) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(a.n_changes AS DECIMAL(18,0)) * a.n_changes) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(b.n_changes AS DECIMAL(18,0)) * b.n_changes) AS DOUBLE) AS syy
+         |  FROM g a JOIN g b ON a.operation = b.operation
+         |    AND b.day_num = a.day_num - $lag
+         |  GROUP BY 1),
+         |r$lag AS (
+         |  SELECT operation, CAST($lag AS INT) AS lag, k AS n_pairs,
+         |    CASE WHEN (k * sxx - sx * sx) * (k * syy - sy * sy) > 0
+         |      THEN round((k * sxy - sx * sy)
+         |                 / sqrt((k * sxx - sx * sx) * (k * syy - sy * sy)), 4)
+         |    END AS autocorr
+         |  FROM c$lag)""".stripMargin
+    Q.sql(
+      "audit_volume_autocorr",
+      auditCte + s""", $dailySql,
+        |${armSql(1)},
+        |${armSql(7)}
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r7
+        |ORDER BY operation, lag""".stripMargin) { (s, d) =>
+      val g = log(s, d)
+        .groupBy(col("operation"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .as("day_num"))
+        .agg(count(lit(1)).as("n_changes"))
+      def arm(lag: Int): DataFrame = {
+        val stats = g.as("a")
+          .join(g.as("b"),
+            col("a.operation") === col("b.operation") &&
+              col("b.day_num") === col("a.day_num") - lag)
+          .groupBy(col("a.operation").as("operation"))
+          .agg(count(lit(1)).as("k"),
+            sum(col("a.n_changes").cast("decimal(38,0)")).cast("double").as("sx"),
+            sum(col("b.n_changes").cast("decimal(38,0)")).cast("double").as("sy"),
+            sum(col("a.n_changes").cast("decimal(18,0)") * col("b.n_changes"))
+              .cast("double").as("sxy"),
+            sum(col("a.n_changes").cast("decimal(18,0)") * col("a.n_changes"))
+              .cast("double").as("sxx"),
+            sum(col("b.n_changes").cast("decimal(18,0)") * col("b.n_changes"))
+              .cast("double").as("syy"))
+        val varProd = (col("k") * col("sxx") - col("sx") * col("sx")) *
+          (col("k") * col("syy") - col("sy") * col("sy"))
+        stats.select(col("operation"), lit(lag).as("lag"),
+          col("k").as("n_pairs"),
+          when(varProd > 0,
+            round((col("k") * col("sxy") - col("sx") * col("sy"))
+              / sqrt(varProd), 4)).as("autocorr"))
+      }
+      arm(1).unionByName(arm(7)).orderBy("operation", "lag")
+    }
+  }
+
   val auditDowProfile: Q = Q.sql(
     "audit_dow_profile",
     auditCte +
@@ -2021,5 +2101,6 @@ object AuditQueries {
     auditConcurrentWriters, auditSchemaDrift, auditValueDrift,
     auditOpTransitions, auditEntityLifetime, auditOpPivot,
     auditRollingVolume, auditSlidingRate, auditValueOutliers,
-    auditDowProfile, auditPayloadBytes, auditEwmaVolume)
+    auditDowProfile, auditPayloadBytes, auditEwmaVolume,
+    auditVolumeAutocorr)
 }

@@ -1186,9 +1186,55 @@ object CorpusOps {
     }
   }
 
+  /** EXACT token-length quantiles per language (p50/p90/p99 + max) — the
+    * packing/truncation sizing input (pack_sequences' budget and a
+    * max-length cutoff are chosen off these). Exactness at scale WITHOUT
+    * a global sort: token length is a small-integer domain, so the corpus
+    * partial-aggregates to a (lang, length)→count histogram first
+    * (bounded at |langs|×|distinct lengths| at any corpus size) and the
+    * quantile is read off the cumulative histogram — the lower-quantile
+    * rule value = min{len : cum ≥ ⌈p·n⌉} — where a rank/percentile
+    * window over raw docs would sort the corpus (the
+    * audit_value_quantiles lesson, solved by domain-boundedness instead
+    * of sketching: these quantiles are exact). */
+  val tokenLengthQuantiles: Q = {
+    def qSel(p: String, alias: String) =
+      s"CAST(min(CASE WHEN cum >= CAST(ceil($p * n_docs) AS BIGINT) THEN n_words END) AS INT) AS $alias"
+    Q.sql(
+      "token_length_quantiles",
+      s"""WITH h AS (SELECT lang, len(str_split(text, ' ')) AS n_words
+        |       FROM documents),
+        |c AS (SELECT lang, n_words, count(*) AS cnt FROM h GROUP BY 1, 2),
+        |t AS (SELECT lang, n_words, cnt,
+        |        sum(cnt) OVER (PARTITION BY lang ORDER BY n_words) AS cum,
+        |        sum(cnt) OVER (PARTITION BY lang) AS n_docs
+        |      FROM c)
+        |SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
+        |  ${qSel("0.5", "p50")}, ${qSel("0.9", "p90")}, ${qSel("0.99", "p99")},
+        |  CAST(max(n_words) AS INT) AS max_words
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val hist = docs(s, d)
+        .select(col("lang"), expr("size(split(text, ' '))").as("n_words"))
+        .groupBy("lang", "n_words").agg(count(lit(1)).as("cnt"))
+      val byLang = Window.partitionBy("lang")
+      val t = hist
+        .withColumn("cum", sum("cnt").over(byLang.orderBy("n_words")))
+        .withColumn("n_docs", sum("cnt").over(byLang))
+      def q(p: Double, alias: String) =
+        min(when(col("cum") >= ceil(lit(p) * col("n_docs")).cast("long"),
+          col("n_words"))).cast("int").as(alias)
+      t.groupBy("lang")
+        .agg(max("n_docs").cast("long").as("n_docs"),
+          q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99"),
+          max("n_words").cast("int").as("max_words"))
+        .orderBy("lang")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
     tokenHistogram, packSequences, packEfficiency, corpusFunnel, corpusSplit,
     corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate, zipfFit,
-    corpusReport, epochPlan, splitLeakage, ngramNovelty, sampleWeighted)
+    corpusReport, epochPlan, splitLeakage, ngramNovelty, sampleWeighted,
+    tokenLengthQuantiles)
 }

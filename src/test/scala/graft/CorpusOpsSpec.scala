@@ -431,4 +431,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     val again = CorpusOps.sampleWeighted.fn(spark, sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("token_length_quantiles: histogram quantiles equal sorted-list quantiles") {
+    val rows = CorpusOps.tokenLengthQuantiles.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lengths = graft.Tables.documents(spark, sf)
+      .select(col("lang"), expr("size(split(text, ' '))").as("n")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getInt(1)).sorted).toMap
+    rows.foreach { r =>
+      val ls = lengths(r.getString(0))
+      assert(r.getAs[Long]("n_docs") === ls.length.toLong)
+      // lower-quantile rule on the fully sorted list: ⌈p·n⌉-th smallest
+      def q(p: Double) = ls(math.ceil(p * ls.length).toInt - 1)
+      assert(r.getAs[Int]("p50") === q(0.5), s"${r.getString(0)} p50")
+      assert(r.getAs[Int]("p90") === q(0.9), s"${r.getString(0)} p90")
+      assert(r.getAs[Int]("p99") === q(0.99), s"${r.getString(0)} p99")
+      assert(r.getAs[Int]("max_words") === ls.max)
+      assert(r.getAs[Int]("p50") <= r.getAs[Int]("p90") &&
+        r.getAs[Int]("p90") <= r.getAs[Int]("p99") &&
+        r.getAs[Int]("p99") <= r.getAs[Int]("max_words"))
+    }
+  }
 }

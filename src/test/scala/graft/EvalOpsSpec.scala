@@ -164,4 +164,59 @@ class EvalOpsSpec extends AnyFunSuite {
         === m.getAs[Long]("n_orders"), s"priority ${m.getString(1)} margin")
     }
   }
+
+  test("q_supplier_wait: numwait total = orders with >=2 suppliers and exactly 1 late") {
+    val rows = Relational.qSupplierWait.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // no supplier appears twice; counts are positive and ordered
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    assert(rows.map(_.getAs[Long]("numwait")).forall(_ > 0))
+    assert(rows.map(_.getAs[Long]("numwait")).toSeq
+      === rows.map(_.getAs[Long]("numwait")).sortBy(-_).toSeq)
+    // direct recomputation of the blamable-order count
+    val perOrder = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .as("late"))
+      .collect()
+      .groupBy(_.getLong(0))
+    val blamable = perOrder.values.count { ls =>
+      val supps = ls.map(_.getLong(1)).distinct
+      val lateSupps = ls.filter(_.getBoolean(2)).map(_.getLong(1)).distinct
+      supps.length >= 2 && lateSupps.length == 1
+    }
+    assert(rows.map(_.getAs[Long]("numwait")).sum === blamable.toLong)
+  }
+
+  test("audit_volume_autocorr: Pearson reconciles with a direct recomputation") {
+    val rows = graft.audit.AuditQueries.auditVolumeAutocorr.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.audit.AuditQueries.log(spark, sf)
+      .groupBy(col("operation"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val op = r.getString(0); val lag = r.getInt(1)
+      val byDay = daily(op).map(t => t._2 -> t._3).toMap
+      val pairs = byDay.keys.toSeq.sorted
+        .flatMap(d => byDay.get(d - lag).map(y => (byDay(d).toDouble, y.toDouble)))
+      assert(r.getAs[Long]("n_pairs") === pairs.length.toLong, s"$op lag $lag pairs")
+      if (!r.isNullAt(3)) {
+        val k = pairs.length
+        val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val direct = (k * sxy - sx * sy) /
+          math.sqrt((k * sxx - sx * sx) * (k * syy - sy * sy))
+        val got = r.getAs[Double]("autocorr")
+        assert(math.abs(got - direct) < 1e-3, s"$op lag $lag: $got vs $direct")
+        assert(math.abs(got) <= 1.0)
+      }
+    }
+    // both lags published for every op present
+    assert(rows.groupBy(_.getString(0)).values.forall(_.length == 2))
+  }
 }

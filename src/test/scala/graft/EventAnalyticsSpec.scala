@@ -236,4 +236,42 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(rows.exists(r =>
       math.abs(r.getAs[Double]("ewma_14d") - r.getAs[Long]("n_changes")) > 1e-9))
   }
+
+  test("event_paths: counts reconcile with a direct triple scan; shares bounded") {
+    val rows = EventAnalytics.eventPaths.fn(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val types = Set("signup", "view", "click", "purchase", "error")
+    rows.foreach { r =>
+      val steps = r.getString(0).split(" > ")
+      assert(steps.length === 3 && steps.forall(types))
+      assert(r.getAs[Long]("n") > 0)
+      assert(r.getAs[Double]("share") > 0.0 && r.getAs[Double]("share") <= 1.0)
+    }
+    // descending by count, path tiebreak — deterministic top-20
+    assert(rows.map(_.getAs[Long]("n")).toSeq ===
+      rows.map(_.getAs[Long]("n")).sortBy(-_).toSeq)
+    // direct recomputation of the top path's count from the raw feed
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000,
+        r.getLong(3)))
+      .groupBy(_._1)
+    val gap = 1800000000L
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    ev.values.foreach { es =>
+      val s = es.sortBy(e => (e._3, e._4)).toSeq
+      s.sliding(3).filter(_.length == 3).foreach { w =>
+        val (a, b, c) = (w(0), w(1), w(2))
+        if (b._3 - a._3 <= gap && c._3 - b._3 <= gap) {
+          val p = s"${a._2} > ${b._2} > ${c._2}"
+          counts(p) = counts.getOrElse(p, 0L) + 1
+        }
+      }
+    }
+    val top = rows.head
+    assert(counts(top.getString(0)) === top.getAs[Long]("n"))
+    assert(counts.values.max === top.getAs[Long]("n"))
+  }
 }
