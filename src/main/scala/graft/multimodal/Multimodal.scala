@@ -166,6 +166,95 @@ object Multimodal {
       .orderBy("media_type", "content_hash")
   }
 
+  /** Pre-codec quality gate over the decoded feature stream — the reject
+    * pass a media pipeline runs between ingest and the (expensive)
+    * encoder: undersized blobs (truncated upload), oversized blobs
+    * (budget), extreme aspect ratios (banner/scrollbar junk for a vision
+    * encoder), over-long clips. Flags ride the SAME mapPartitions decode
+    * path as ingest (the gate exercises the real plumbing); the report is
+    * a |media_type|-bounded partial-agg rollup with per-rule counts and
+    * the pass rate. Thresholds are fixed constants shared with the
+    * oracle, which re-derives every feature from the source bytes. */
+  val multimodalQualityGate: Q = Q.sql(
+    "multimodal_quality_gate",
+    """WITH f AS (SELECT doc_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    length(text) AS byte_len,
+      |    CAST(length(text) // 256 + 1 AS INT) AS n_frames,
+      |    CAST(64 + n_chars % 512 AS INT) AS width,
+      |    CAST(64 + doc_id % 512 AS INT) AS height
+      |  FROM documents),
+      |g AS (SELECT media_type,
+      |        CASE WHEN byte_len < 16 THEN 1 ELSE 0 END AS f_undersize,
+      |        CASE WHEN byte_len > 4096 THEN 1 ELSE 0 END AS f_oversize,
+      |        CASE WHEN width > 4 * height OR height > 4 * width THEN 1 ELSE 0 END AS f_aspect,
+      |        CASE WHEN n_frames > 16 THEN 1 ELSE 0 END AS f_frames
+      |      FROM f)
+      |SELECT media_type, count(*) AS n_objects,
+      |  CAST(sum(f_undersize) AS BIGINT) AS n_undersize,
+      |  CAST(sum(f_oversize) AS BIGINT) AS n_oversize,
+      |  CAST(sum(f_aspect) AS BIGINT) AS n_aspect,
+      |  CAST(sum(f_frames) AS BIGINT) AS n_frames_over,
+      |  CAST(sum(CASE WHEN f_undersize + f_oversize + f_aspect + f_frames = 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |  round(1.0 * sum(CASE WHEN f_undersize + f_oversize + f_aspect + f_frames = 0
+      |    THEN 1 ELSE 0 END) / count(*), 4) AS pass_rate
+      |FROM g GROUP BY media_type ORDER BY media_type""".stripMargin) { (s, d) =>
+    val g = features(s, d)
+      .select(col("media_type"),
+        when(col("byte_len") < 16, 1).otherwise(0).as("f_undersize"),
+        when(col("byte_len") > 4096, 1).otherwise(0).as("f_oversize"),
+        when(col("width") > lit(4) * col("height") ||
+          col("height") > lit(4) * col("width"), 1).otherwise(0).as("f_aspect"),
+        when(col("n_frames") > 16, 1).otherwise(0).as("f_frames"))
+    val failSum = col("f_undersize") + col("f_oversize") + col("f_aspect") +
+      col("f_frames")
+    g.withColumn("passed", when(failSum === 0, 1).otherwise(0))
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_objects"),
+        sum("f_undersize").cast("long").as("n_undersize"),
+        sum("f_oversize").cast("long").as("n_oversize"),
+        sum("f_aspect").cast("long").as("n_aspect"),
+        sum("f_frames").cast("long").as("n_frames_over"),
+        sum("passed").cast("long").as("n_pass"),
+        round(lit(1.0) * sum("passed") / count(lit(1)), 4).as("pass_rate"))
+      .orderBy("media_type")
+  }
+
+  /** Audio framing plan — the fbank/MFCC window geometry computed from
+    * the payload: treating the (stub-decoded) payload as 16 kHz mono
+    * 1-byte samples, emit per clip the 25 ms window / 10 ms hop count
+    * (400/160 samples), the clip duration and the unwindowed tail — what
+    * a feature extractor needs to size its output tensor BEFORE decoding
+    * (allocation planning at 100 TB happens on metadata, not samples).
+    * Rides the mapPartitions decode path; per-row integer arithmetic,
+    * zero shuffle; oracle re-derives from the source bytes. */
+  val multimodalAudioWindows: Q = Q.sql(
+    "multimodal_audio_windows",
+    """WITH a AS (SELECT doc_id, length(text) AS n_samples
+      |  FROM documents WHERE CAST(doc_id % 3 + 1 AS INT) = 2)
+      |SELECT doc_id, n_samples,
+      |  CAST(n_samples * 1000 // 16000 AS INT) AS duration_ms,
+      |  CAST(CASE WHEN n_samples >= 400
+      |    THEN (n_samples - 400) // 160 + 1 ELSE 0 END AS INT) AS n_windows,
+      |  CAST(CASE WHEN n_samples >= 400
+      |    THEN n_samples - (400 + ((n_samples - 400) // 160) * 160)
+      |    ELSE n_samples END AS INT) AS tail_samples
+      |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
+    features(s, d)
+      .filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("byte_len").as("n_samples"))
+      .select(col("doc_id"), col("n_samples"),
+        expr("CAST(n_samples * 1000 div 16000 AS INT)").as("duration_ms"),
+        expr("""CAST(CASE WHEN n_samples >= 400
+                THEN (n_samples - 400) div 160 + 1 ELSE 0 END AS INT)""")
+          .as("n_windows"),
+        expr("""CAST(CASE WHEN n_samples >= 400
+                THEN n_samples - (400 + ((n_samples - 400) div 160) * 160)
+                ELSE n_samples END AS INT)""").as("tail_samples"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(multimodalIngest, multimodalFrames, multimodalResize,
-    multimodalDedup)
+    multimodalDedup, multimodalQualityGate, multimodalAudioWindows)
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+/** Semantics guards for the multimodal gate/framing operators (the
+  * binary-column ingest path itself is oracle-gated via check.py). */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("multimodal_quality_gate: totals conserve and flags reconcile") {
+    val rows = Multimodal.multimodalQualityGate.fn(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("audio", "image", "video"))
+    val corpus = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_objects")).sum === corpus)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_objects")
+      val pass = r.getAs[Long]("n_pass")
+      assert(pass <= n)
+      assert(r.getAs[Double]("pass_rate") ===
+        BigDecimal(1.0 * pass / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // a clip passing has no flag counted against it: flags can overlap,
+      // so n - pass <= sum of flag counts
+      val flags = Seq("n_undersize", "n_oversize", "n_aspect", "n_frames_over")
+        .map(r.getAs[Long])
+      assert(n - pass <= flags.sum)
+    }
+    // direct recomputation of the aspect flag across the corpus
+    val directAspect = Tables.documents(spark, sf)
+      .select((lit(64) + col("n_chars") % 512).as("w"),
+        (lit(64) + col("doc_id") % 512).as("h"))
+      .filter(col("w") > lit(4) * col("h") || col("h") > lit(4) * col("w"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_aspect")).sum === directAspect)
+  }
+
+  test("multimodal_audio_windows: framing identity holds per clip") {
+    val rows = Multimodal.multimodalAudioWindows.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 3 === 1L, "audio = doc_id % 3 == 1")
+      val n = r.getAs[Int]("n_samples")
+      val w = r.getAs[Int]("n_windows")
+      val tail = r.getAs[Int]("tail_samples")
+      assert(r.getAs[Int]("duration_ms") === n * 1000 / 16000)
+      if (w > 0) {
+        // windows cover exactly the non-tail prefix: 400 + (w-1)*160 + tail = n
+        assert(400 + (w - 1) * 160 + tail === n, s"doc ${r.getLong(0)}")
+        assert(tail >= 0 && tail < 160)
+      } else assert(tail === n && n < 400)
+    }
+    // one row per audio object — nothing dropped by the decode path
+    val nAudio = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 1).count()
+    assert(rows.length.toLong === nAudio)
+  }
+}
