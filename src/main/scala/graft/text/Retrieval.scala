@@ -612,6 +612,48 @@ object Retrieval {
     }
   }
 
+  /** Chunk-granular dedup over doc_chunk's sliding windows: digests that
+    * recur across ≥2 DOCUMENTS — the boilerplate/quoted-passage dup that
+    * document-level dedup can't see (two distinct pages sharing a footer
+    * or a quoted paragraph dedup_exact scores as different docs). Runs on
+    * the SAME chunk geometry the RAG serving path uses (ChunkWords/
+    * ChunkStride), so "duplicate chunk" here = duplicate retrieval unit.
+    *
+    * Scale shape: doc_chunk's explode is linear; the digest groupBy is a
+    * hash partial-agg (dedup_exact's shape) bounded by |distinct
+    * digests|; the ≥2-docs filter runs on the aggregate. Within-doc
+    * self-overlap (stride < window re-hashing the same words) cannot
+    * inflate the report: the count is distinct DOCS per digest. */
+  val chunkDedup: Q = Q.sql(
+    "chunk_dedup",
+    s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+       |s AS (SELECT doc_id, ws, len(ws) AS n,
+       |        unnest(range(0, len(ws), $ChunkStride)) AS start_word
+       |      FROM w),
+       |c AS (SELECT doc_id,
+       |        md5(array_to_string(ws[start_word + 1 : least(start_word + $ChunkWords, n)], ' '))
+       |          AS chunk_digest
+       |      FROM s)
+       |SELECT chunk_digest, count(*) AS n_chunks,
+       |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+       |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY chunk_digest""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(expr(s"sequence(0, n - 1, $ChunkStride)")).as("start_word"))
+      .select(col("doc_id"),
+        md5(array_join(expr(s"slice(ws, start_word + 1, $ChunkWords)"), " "))
+          .as("chunk_digest"))
+      .groupBy("chunk_digest")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("chunk_digest")
+  }
+
   val all: Seq[Q] = Seq(docChunk, bm25Search, bm25Eval, tfidfKeywords, chunkOverlap,
-    ngramStats, pmiBigrams, hybridRrf)
+    ngramStats, pmiBigrams, hybridRrf, chunkDedup)
 }

@@ -333,4 +333,31 @@ class RetrievalSpec extends AnyFunSuite {
       if (single.nonEmpty) assert(both.min > single.max)
     }
   }
+
+  test("chunk_dedup: every reported digest really spans >=2 docs with identical text") {
+    val rows = graft.text.Retrieval.chunkDedup.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the near-dup corpus must share chunks")
+    // local replica of the chunk digests from raw text
+    val chunks = docRows.flatMap { case (id, text) =>
+      val ws = text.split(" ", -1)
+      (0 until ws.length by graft.text.Retrieval.ChunkStride).map { s0 =>
+        val piece = ws.slice(s0,
+          math.min(s0 + graft.text.Retrieval.ChunkWords, ws.length))
+          .mkString(" ")
+        (id, md5hex(piece))
+      }
+    }
+    val byDigest = chunks.groupBy(_._2)
+    rows.foreach { r =>
+      val d = r.getString(0)
+      val mine = byDigest(d)
+      assert(r.getAs[Long]("n_chunks") === mine.length.toLong, s"$d n_chunks")
+      assert(r.getAs[Long]("n_docs") === mine.map(_._1).distinct.length.toLong)
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Long]("first_doc") === mine.map(_._1).min)
+    }
+    // completeness: every >=2-doc digest in the replica is reported
+    val expect = byDigest.filter(_._2.map(_._1).distinct.length >= 2).keySet
+    assert(rows.map(_.getString(0)).toSet === expect)
+  }
 }
