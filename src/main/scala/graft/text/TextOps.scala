@@ -1082,11 +1082,63 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Dedup yield curve: for each candidate jaccard threshold, how many
+    * near-dup pairs fire and how much of the corpus the min-id-keep rule
+    * would drop — the sizing report a curation run reads BEFORE picking
+    * its threshold (dedup_ngram_jaccard answers "who is a dup at 0.7";
+    * this answers "what does 0.6 vs 0.8 cost", which is how the 0.7 gets
+    * chosen). Victim counting is distinct-doc_b (the pair's larger id —
+    * exactly the doc the keep rule removes), so a doc in ten pairs counts
+    * once.
+    *
+    * Scale: ONE pass over the df-capped pair list (already bounded at
+    * cap² per shingle by the inverted-index discipline) joined to the
+    * 5-row threshold frame (broadcast nested-loop on a 5-row side — the
+    * bounded side ships, pairs never re-shuffle), partial-agged to 5
+    * rows; corpus size is a 1-row broadcast. */
+  val dedupThresholdCurve: Q = Q.sql(
+    "dedup_threshold_curve",
+    s"""WITH $jaccardPairsCtesSql,
+       |th AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+       |m AS (SELECT th.threshold, j.doc_b
+       |      FROM th JOIN j ON j.jacc >= th.threshold),
+       |a AS (SELECT threshold, count(*) AS n_pairs,
+       |        count(DISTINCT doc_b) AS n_docs_dropped
+       |      FROM m GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT th.threshold,
+       |  coalesce(a.n_pairs, 0) AS n_pairs,
+       |  coalesce(a.n_docs_dropped, 0) AS n_docs_dropped,
+       |  round(1.0 * coalesce(a.n_docs_dropped, 0) / n.n_docs, 4) AS drop_share
+       |FROM th LEFT JOIN a USING (threshold) CROSS JOIN n
+       |ORDER BY th.threshold""".stripMargin) { (s, d) =>
+    val pairs = jaccardPairs(s, d)
+    val th = (5 to 9).map(_ / 10.0)
+    val thDf = s.createDataFrame(
+      s.sparkContext.parallelize(th.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("threshold",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val agg = pairs.join(broadcast(thDf), col("jacc") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_dropped"))
+    val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    broadcast(thDf).join(agg, Seq("threshold"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+        round(lit(1.0) * coalesce(col("n_docs_dropped"), lit(0L))
+          / col("n_docs"), 4).as("drop_share"))
+      .orderBy("threshold")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupBow, dedupNgramJaccard, dedupContainment,
     dedupComponents, dedupKeepBest,
     dedupMinhash, dedupMinhashEst, dedupIncremental, dedupSimhash,
     dedupLshCurve, langId,
     langIdMetrics, textQuality, textEntropy, tokenCount, docFingerprint,
-    samplePerSource, tokenRegex, docLangOutliers)
+    samplePerSource, tokenRegex, docLangOutliers, dedupThresholdCurve)
 }

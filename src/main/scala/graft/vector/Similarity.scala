@@ -1248,10 +1248,80 @@ object Similarity {
     }
   }
 
+  /** Cell-blocked k-NN graph (k = 3) with per-cell quality stats — the
+    * construction step of graph-based curation (neighborhood-vote label
+    * cleaning, graph dedup, diversity sampling all start from this
+    * graph), plus the readouts that say whether it's usable: reciprocity
+    * (share of edges that are mutual — low = hub-dominated space where
+    * cosine kNN is unstable) and mean edge similarity per cell.
+    *
+    * Scale shape: candidates come from the IVF cell equi-join (the
+    * ann_ivf discipline — never all-pairs), the per-source top-3 window
+    * runs on data-dependent candidate sets (the one place a window is the
+    * honest tool), the 3n-edge graph persists MEMORY_AND_DISK (read by
+    * the mutuality join AND the rollup), mutuality is a self equi-join on
+    * the reversed edge, and the report is a |cells|-bounded aggregate. */
+  val annKnnGraph: Q = Q.sql(
+    "ann_knn_graph",
+    s"""WITH $centCtesSql,
+       |$centRanksCtesSql,
+       |v AS (SELECT e.vec_id, e.emb, ar.clabel AS cell
+       |      FROM e JOIN ar ON e.vec_id = ar.vec_id AND ar.rn = 1),
+       |g AS (SELECT a.cell, a.vec_id AS src, b.vec_id AS dst,
+       |        round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+       |      FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |k AS (SELECT cell, src, dst, cos_sim FROM (
+       |        SELECT *, row_number() OVER (
+       |          PARTITION BY src ORDER BY cos_sim DESC, dst) AS rn FROM g)
+       |      WHERE rn <= 3),
+       |m AS (SELECT k.cell, k.cos_sim,
+       |        CASE WHEN k2.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
+       |      FROM k LEFT JOIN k k2 ON k2.src = k.dst AND k2.dst = k.src),
+       |nv AS (SELECT cell, count(*) AS n_vectors FROM v GROUP BY 1)
+       |SELECT m.cell, nv.n_vectors, count(*) AS n_edges,
+       |  CAST(sum(mutual) AS BIGINT) AS n_mutual,
+       |  round(1.0 * sum(mutual) / count(*), 4) AS reciprocity,
+       |  round(CAST(sum(CAST(cos_sim AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4)
+       |    AS avg_cos
+       |FROM m JOIN nv USING (cell)
+       |GROUP BY 1, 2 ORDER BY cell""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val assign = centroidRanks(e).filter(col("rn") === 1)
+      .select(col("vec_id"), col("clabel").as("cell"))
+    val v = e.join(assign, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val rankW = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))
+    val knn = v.select(col("cell"), col("vec_id").as("src"), col("embedding").as("se"))
+      .join(v.select(col("cell").as("cell_b"), col("vec_id").as("dst"),
+        col("embedding").as("de")),
+        col("cell") === col("cell_b") && col("src") =!= col("dst"))
+      .select(col("cell"), col("src"), col("dst"), cosR(col("se"), col("de")).as("cos_sim"))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= 3)
+      .select("cell", "src", "dst", "cos_sim")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mutual = knn
+      .join(knn.select(col("src").as("r_src"), col("dst").as("r_dst")),
+        col("r_src") === col("dst") && col("r_dst") === col("src"), "left")
+      .select(col("cell"), col("cos_sim"),
+        when(col("r_src").isNotNull, 1).otherwise(0).as("mutual"))
+    val nv = v.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    mutual.groupBy("cell")
+      .agg(count(lit(1)).as("n_edges"),
+        sum("mutual").cast("long").as("n_mutual"),
+        round(lit(1.0) * sum("mutual") / count(lit(1)), 4).as("reciprocity"),
+        round(sum(col("cos_sim").cast("decimal(18,4)")).cast("double")
+          / count(lit(1)), 4).as("avg_cos"))
+      .join(broadcast(nv), Seq("cell"))
+      .select(col("cell"), col("n_vectors"), col("n_edges"), col("n_mutual"),
+        col("reciprocity"), col("avg_cos"))
+      .orderBy("cell")
+  }
+
   val all: Seq[Q] = Seq(
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
     embNormalize, embQuantize, annPq, annPqSearch, annRecall,
     annIvfMultiprobe, annIvfPq, annIvfKmeans, annRecallKmeans,
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
-    embDimStats, embDrift)
+    embDimStats, embDrift, annKnnGraph)
 }

@@ -176,4 +176,29 @@ class TextDedupSpec extends AnyFunSuite {
     val members = edges.flatMap { case (a, b) => Set(a, b) }
     assert(members === Set(1L, 2L, 3L))
   }
+
+  test("dedup_threshold_curve: monotone in threshold, reconciles with the pair list") {
+    val rows = TextOps.dedupThresholdCurve.fn(spark, sfDir).collect()
+    assert(rows.map(_.getDouble(0)).toSeq === Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    // tightening the threshold can only shrink pairs and victims
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    val dropped = rows.map(_.getAs[Long]("n_docs_dropped"))
+    assert(pairs.toSeq === pairs.sortBy(-_).toSeq)
+    assert(dropped.toSeq === dropped.sortBy(-_).toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs_dropped") <= r.getAs[Long]("n_pairs") ||
+        r.getAs[Long]("n_pairs") === 0L)
+      assert(r.getAs[Double]("drop_share") >= 0.0 &&
+        r.getAs[Double]("drop_share") <= 1.0)
+    }
+    // reconcile one point against the pair list the detector op
+    // publishes (jacc >= 0.02, top-500) — valid only when untruncated
+    val dng = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
+      .collect()
+    if (dng.length < 500) {
+      val direct = dng.count(_.getAs[Double]("jacc") >= 0.5).toLong
+      assert(pairs(0) === direct)
+    }
+    assert(pairs(0) > 0, "near-dup corpus must produce pairs at 0.5")
+  }
 }

@@ -325,4 +325,27 @@ class VectorSpec extends AnyFunSuite {
       assert(std >= 0 && std <= (mx - mn), s"std out of range at dim ${r.get(0)}")
     }
   }
+
+  test("ann_knn_graph: degree cap, even mutual counts, totals conserve") {
+    val rows = graft.vector.Similarity.annKnnGraph.fn(spark, TestSession.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val corpus = Tables.embeddings(spark, TestSession.sfDir).count()
+    // every vector is assigned to exactly one cell; cells of size 1
+    // contribute no edges but still hold their vector
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum <= corpus)
+    rows.foreach { r =>
+      val nv = r.getAs[Long]("n_vectors")
+      val ne = r.getAs[Long]("n_edges")
+      val nm = r.getAs[Long]("n_mutual")
+      // k = 3 cap, and a cell of size s can emit at most s*min(3, s-1)
+      assert(ne <= nv * math.min(3L, nv - 1))
+      assert(nm <= ne)
+      // mutuality is symmetric within a cell: counted from both ends
+      assert(nm % 2 === 0, s"cell ${r.get(0)}: odd mutual count $nm")
+      assert(r.getAs[Double]("reciprocity") >= 0.0 &&
+        r.getAs[Double]("reciprocity") <= 1.0)
+      assert(r.getAs[Double]("avg_cos") <= 1.0)
+    }
+  }
 }
