@@ -197,10 +197,47 @@ object Similarity {
     * b ≤ 16 keeps both bands inside the 64-dim vector with room for more
     * bands. At sf0.01 (n=500 ⇒ b=4) this reproduces the previous
     * semantics bit-for-bit. */
-  val dedupEmbedding: Q = {
-    // CASE chain valid in BOTH dialects; 32·2^16 = 2M vectors headroom
-    val bitsCase = (4 to 15).map(b => s"WHEN n <= ${32L * (1L << b)} THEN $b")
+  /** Adaptive sign-LSH band width: bits grow with corpus size so the
+    * EXPECTED bucket size stays constant — the blocking discipline that
+    * keeps candidate pairs O(n·const) at any scale (fixed-cell blocking
+    * is O(n²/cells) the moment cells stop growing with the data). CASE
+    * chain valid in BOTH dialects; 32·2^16 = 2M vectors headroom. Shared
+    * by dedup_embedding and ann_knn_graph. */
+  private val adaptiveBitsSql: String =
+    (4 to 15).map(b => s"WHEN n <= ${32L * (1L << b)} THEN $b")
       .mkString("CASE ", " ", " ELSE 16 END")
+
+  /** (vec_id, band, bucket) sign-bit LSH banding of the corpus — the
+    * Spark twin of the `eb`/`bands` oracle CTEs, 2 bands of b adaptive
+    * bits each. */
+  private def signBands(e: DataFrame): DataFrame = {
+    val n1 = e.agg(count(lit(1)).as("n"))
+    e.crossJoin(broadcast(n1))
+      .withColumn("b", expr(adaptiveBitsSql))
+      .select(col("vec_id"), col("b"), col("embedding"),
+        explode(expr("array(1, 2)")).as("band"))
+      .withColumn("bucket", expr(
+        """aggregate(transform(sequence(1, b),
+          |    i -> IF(element_at(embedding, CAST((band - 1) * b + i AS INT)) > CAST(0 AS DOUBLE),
+          |            shiftleft(CAST(1 AS BIGINT), CAST(b - i AS INT)),
+          |            CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+      .select("vec_id", "band", "bucket")
+  }
+
+  /** Oracle CTE chain (n1, eb, bands) shared by the sign-LSH consumers. */
+  private def signBandsSql(src: String = "e"): String =
+    s"""n1 AS (SELECT count(*) AS n FROM $src),
+       |eb AS (SELECT vec_id, emb, ($adaptiveBitsSql) AS b FROM $src, n1),
+       |bands AS (SELECT vec_id, band,
+       |            list_sum(list_transform(range(1, b + 1),
+       |              i -> CASE WHEN emb[(band - 1) * b + i] > 0
+       |                   THEN (CAST(1 AS BIGINT) << CAST(b - i AS INT))
+       |                   ELSE CAST(0 AS BIGINT) END)) AS bucket
+       |          FROM eb, (SELECT unnest([1, 2]) AS band) bb)""".stripMargin
+
+  val dedupEmbedding: Q = {
+    val bitsCase = adaptiveBitsSql
     Q.sql(
       "dedup_embedding",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
@@ -223,18 +260,7 @@ object Similarity {
         |WHERE round(list_cosine_similarity(ea.emb, eb2.emb), 4) >= 0.35
         |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin) { (s, d) =>
       val e = emb(s, d)
-      val n1 = e.agg(count(lit(1)).as("n"))
-      val bands = e.crossJoin(broadcast(n1))
-        .withColumn("b", expr(bitsCase))
-        .select(col("vec_id"), col("b"), col("embedding"),
-          explode(expr("array(1, 2)")).as("band"))
-        .withColumn("bucket", expr(
-          """aggregate(transform(sequence(1, b),
-            |    i -> IF(element_at(embedding, CAST((band - 1) * b + i AS INT)) > CAST(0 AS DOUBLE),
-            |            shiftleft(CAST(1 AS BIGINT), CAST(b - i AS INT)),
-            |            CAST(0 AS BIGINT))),
-            |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
-        .select("vec_id", "band", "bucket")
+      val bands = signBands(e)
       val cand = bands.select(col("vec_id").as("id_a"), col("band"), col("bucket"))
         .join(bands.select(col("vec_id").as("id_b"), col("band"), col("bucket")),
           Seq("band", "bucket"))
@@ -1248,74 +1274,100 @@ object Similarity {
     }
   }
 
-  /** Cell-blocked k-NN graph (k = 3) with per-cell quality stats — the
+  /** LSH-blocked k-NN graph (k = 3) with a degree-profile report — the
     * construction step of graph-based curation (neighborhood-vote label
     * cleaning, graph dedup, diversity sampling all start from this
-    * graph), plus the readouts that say whether it's usable: reciprocity
-    * (share of edges that are mutual — low = hub-dominated space where
-    * cosine kNN is unstable) and mean edge similarity per cell.
+    * graph), plus the readouts that say whether it's usable: per approx
+    * degree (0-3), how many vectors, their edges, the mutual-edge count
+    * (low reciprocity = hub-dominated space where cosine kNN is
+    * unstable) and mean edge similarity. Degree 0 = vectors alone in
+    * both their buckets — the LSH recall price, PUBLISHED rather than
+    * hidden.
     *
-    * Scale shape: candidates come from the IVF cell equi-join (the
-    * ann_ivf discipline — never all-pairs), the per-source top-3 window
-    * runs on data-dependent candidate sets (the one place a window is the
-    * honest tool), the 3n-edge graph persists MEMORY_AND_DISK (read by
-    * the mutuality join AND the rollup), mutuality is a self equi-join on
-    * the reversed edge, and the report is a |cells|-bounded aggregate. */
+    * Scale shape: candidates come from the ADAPTIVE sign-bit LSH bands
+    * (the dedup_embedding discipline — bits grow with n so expected
+    * bucket size stays constant ⇒ candidate pairs O(n·const); a fixed
+    * cell quantizer is O(n²/cells) the moment cells stop growing, which
+    * the sf1 gate measured as a 40× blowup at 10× data before this
+    * design). The per-source top-3 window runs on the bounded candidate
+    * sets, the ≤3n-edge graph persists MEMORY_AND_DISK (read by the
+    * reversed-edge mutuality self-join AND the rollup), the report is a
+    * 4-row aggregate. */
   val annKnnGraph: Q = Q.sql(
     "ann_knn_graph",
-    s"""WITH $centCtesSql,
-       |$centRanksCtesSql,
-       |v AS (SELECT e.vec_id, e.emb, ar.clabel AS cell
-       |      FROM e JOIN ar ON e.vec_id = ar.vec_id AND ar.rn = 1),
-       |g AS (SELECT a.cell, a.vec_id AS src, b.vec_id AS dst,
-       |        round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
-       |      FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-       |k AS (SELECT cell, src, dst, cos_sim FROM (
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |${signBandsSql()},
+       |cand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bucket = y.bucket
+       |              AND x.vec_id <> y.vec_id),
+       |sc AS (SELECT cand.src, cand.dst,
+       |         round(list_cosine_similarity(ea.emb, eb2.emb), 4) AS cos_sim
+       |       FROM cand JOIN e ea ON ea.vec_id = cand.src
+       |                 JOIN e eb2 ON eb2.vec_id = cand.dst),
+       |k AS (SELECT src, dst, cos_sim FROM (
        |        SELECT *, row_number() OVER (
-       |          PARTITION BY src ORDER BY cos_sim DESC, dst) AS rn FROM g)
+       |          PARTITION BY src ORDER BY cos_sim DESC, dst) AS rn FROM sc)
        |      WHERE rn <= 3),
-       |m AS (SELECT k.cell, k.cos_sim,
+       |m AS (SELECT k.src, k.cos_sim,
        |        CASE WHEN k2.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
        |      FROM k LEFT JOIN k k2 ON k2.src = k.dst AND k2.dst = k.src),
-       |nv AS (SELECT cell, count(*) AS n_vectors FROM v GROUP BY 1)
-       |SELECT m.cell, nv.n_vectors, count(*) AS n_edges,
-       |  CAST(sum(mutual) AS BIGINT) AS n_mutual,
-       |  round(1.0 * sum(mutual) / count(*), 4) AS reciprocity,
-       |  round(CAST(sum(CAST(cos_sim AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4)
-       |    AS avg_cos
-       |FROM m JOIN nv USING (cell)
-       |GROUP BY 1, 2 ORDER BY cell""".stripMargin) { (s, d) =>
+       |deg AS (SELECT src, count(*) AS degree,
+       |          CAST(sum(mutual) AS BIGINT) AS n_mut,
+       |          sum(CAST(cos_sim AS DECIMAL(18,4))) AS sum_cos
+       |        FROM m GROUP BY 1),
+       |dd AS (SELECT CAST(degree AS INT) AS degree, count(*) AS n_vectors,
+       |         CAST(sum(degree) AS BIGINT) AS n_edges,
+       |         CAST(sum(n_mut) AS BIGINT) AS n_mutual,
+       |         round(CAST(sum(sum_cos) AS DOUBLE) / sum(degree), 4) AS avg_cos
+       |       FROM deg GROUP BY 1),
+       |d0 AS (SELECT CAST(0 AS INT) AS degree,
+       |         n1.n - (SELECT count(*) FROM deg) AS n_vectors,
+       |         CAST(0 AS BIGINT) AS n_edges, CAST(0 AS BIGINT) AS n_mutual,
+       |         CAST(NULL AS DOUBLE) AS avg_cos
+       |       FROM n1)
+       |SELECT * FROM d0 WHERE n_vectors > 0
+       |UNION ALL SELECT * FROM dd ORDER BY degree""".stripMargin) { (s, d) =>
     val e = emb(s, d)
-    val assign = centroidRanks(e).filter(col("rn") === 1)
-      .select(col("vec_id"), col("clabel").as("cell"))
-    val v = e.join(assign, Seq("vec_id"))
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val bands = signBands(e)
+    val cand = bands.select(col("vec_id").as("src"), col("band"), col("bucket"))
+      .join(bands.select(col("vec_id").as("dst"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
     val rankW = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))
-    val knn = v.select(col("cell"), col("vec_id").as("src"), col("embedding").as("se"))
-      .join(v.select(col("cell").as("cell_b"), col("vec_id").as("dst"),
-        col("embedding").as("de")),
-        col("cell") === col("cell_b") && col("src") =!= col("dst"))
-      .select(col("cell"), col("src"), col("dst"), cosR(col("se"), col("de")).as("cos_sim"))
+    val knn = cand
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("se")), Seq("src"))
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("de")), Seq("dst"))
+      .select(col("src"), col("dst"), cosR(col("se"), col("de")).as("cos_sim"))
       .withColumn("rn", row_number().over(rankW))
       .filter(col("rn") <= 3)
-      .select("cell", "src", "dst", "cos_sim")
+      .select("src", "dst", "cos_sim")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mutual = knn
       .join(knn.select(col("src").as("r_src"), col("dst").as("r_dst")),
         col("r_src") === col("dst") && col("r_dst") === col("src"), "left")
-      .select(col("cell"), col("cos_sim"),
+      .select(col("src"), col("cos_sim"),
         when(col("r_src").isNotNull, 1).otherwise(0).as("mutual"))
-    val nv = v.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
-    mutual.groupBy("cell")
-      .agg(count(lit(1)).as("n_edges"),
-        sum("mutual").cast("long").as("n_mutual"),
-        round(lit(1.0) * sum("mutual") / count(lit(1)), 4).as("reciprocity"),
-        round(sum(col("cos_sim").cast("decimal(18,4)")).cast("double")
-          / count(lit(1)), 4).as("avg_cos"))
-      .join(broadcast(nv), Seq("cell"))
-      .select(col("cell"), col("n_vectors"), col("n_edges"), col("n_mutual"),
-        col("reciprocity"), col("avg_cos"))
-      .orderBy("cell")
+    val deg = mutual.groupBy("src")
+      .agg(count(lit(1)).as("degree"),
+        sum("mutual").cast("long").as("n_mut"),
+        sum(col("cos_sim").cast("decimal(18,4)")).as("sum_cos"))
+    val dd = deg.groupBy(col("degree").cast("int").as("degree"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum("degree").cast("long").as("n_edges"),
+        sum("n_mut").cast("long").as("n_mutual"),
+        round(sum("sum_cos").cast("double") / sum("degree"), 4).as("avg_cos"))
+    val nDeg = deg.agg(count(lit(1)).as("n_with_edges"))
+    val d0 = e.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(nDeg))
+      .select(lit(0).cast("int").as("degree"),
+        (col("n") - col("n_with_edges")).as("n_vectors"),
+        lit(0L).as("n_edges"), lit(0L).as("n_mutual"),
+        lit(null).cast("double").as("avg_cos"))
+      .filter(col("n_vectors") > 0)
+    d0.unionByName(dd).orderBy("degree")
   }
 
   val all: Seq[Q] = Seq(

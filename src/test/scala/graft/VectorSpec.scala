@@ -326,26 +326,28 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
-  test("ann_knn_graph: degree cap, even mutual counts, totals conserve") {
+  test("ann_knn_graph: degree profile conserves vectors; mutuality symmetric") {
     val rows = graft.vector.Similarity.annKnnGraph.fn(spark, TestSession.sfDir)
       .collect()
     assert(rows.nonEmpty)
     val corpus = Tables.embeddings(spark, TestSession.sfDir).count()
-    // every vector is assigned to exactly one cell; cells of size 1
-    // contribute no edges but still hold their vector
-    assert(rows.map(_.getAs[Long]("n_vectors")).sum <= corpus)
+    // one row per realized degree (0..3), every vector in exactly one
+    assert(rows.map(_.getAs[Int]("degree")).toSeq ===
+      rows.map(_.getAs[Int]("degree")).sorted.toSeq)
+    assert(rows.map(_.getAs[Int]("degree")).forall(d => d >= 0 && d <= 3))
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum === corpus)
     rows.foreach { r =>
+      val d = r.getAs[Int]("degree")
       val nv = r.getAs[Long]("n_vectors")
-      val ne = r.getAs[Long]("n_edges")
-      val nm = r.getAs[Long]("n_mutual")
-      // k = 3 cap, and a cell of size s can emit at most s*min(3, s-1)
-      assert(ne <= nv * math.min(3L, nv - 1))
-      assert(nm <= ne)
-      // mutuality is symmetric within a cell: counted from both ends
-      assert(nm % 2 === 0, s"cell ${r.get(0)}: odd mutual count $nm")
-      assert(r.getAs[Double]("reciprocity") >= 0.0 &&
-        r.getAs[Double]("reciprocity") <= 1.0)
-      assert(r.getAs[Double]("avg_cos") <= 1.0)
+      assert(r.getAs[Long]("n_edges") === d.toLong * nv)
+      assert(r.getAs[Long]("n_mutual") <= r.getAs[Long]("n_edges"))
+      if (d == 0) assert(r.isNullAt(4) || r.getAs[Long]("n_mutual") == 0L)
+      else assert(r.getAs[Double]("avg_cos") <= 1.0)
     }
+    // a mutual edge is counted once from each end: the GLOBAL count is even
+    assert(rows.map(_.getAs[Long]("n_mutual")).sum % 2 === 0)
+    // the graph is non-degenerate on this corpus: someone has full degree
+    assert(rows.exists(r => r.getAs[Int]("degree") === 3 &&
+      r.getAs[Long]("n_vectors") > 0))
   }
 }
