@@ -12,6 +12,8 @@ object SparkEntry {
       graft.audit.AuditQueries.all ++
       graft.streaming.EventStream.all ++
       graft.text.TextOps.all ++
+      graft.text.TokenizerOps.all ++
+      graft.text.SpanDedup.all ++
       graft.text.CorpusOps.all ++
       graft.text.Retrieval.all ++
       graft.text.Privacy.all ++

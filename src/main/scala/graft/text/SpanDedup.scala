@@ -1,0 +1,111 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-substring audit — the character-span complement to
+  * the document-level dedup family. Word/shingle dedup (jaccard, minhash,
+  * simhash) scores WHOLE documents; training corpora additionally carry
+  * long verbatim spans (licenses, boilerplate headers, quoted passages)
+  * embedded inside otherwise-unique documents, and span-level exact dedup
+  * is the standard pass that finds them.
+  *
+  * Geometry: k=40-char windows sampled every stride=20 chars, so every
+  * duplicated region of ≥ 2k−stride chars is guaranteed to produce at
+  * least one exactly-aligned window pair. A span is "cross-doc
+  * duplicated" when the same 40-char string occurs in ≥ 2 distinct
+  * documents.
+  *
+  * Scale posture: spans are md5-folded to 16-hex keys BEFORE any shuffle
+  * — the exchange carries 16 bytes per span (≈ 0.8 bytes per corpus
+  * char), never the raw span text; cross-doc detection is min≠max over
+  * doc_id (partial-aggregated, no countDistinct); the verdict joins back
+  * as a hash equi-join on the same key partitioning (one exchange family,
+  * reused). Output is the bounded |lang × source| rollup, never per-span.
+  */
+object SpanDedup {
+
+  private val K = 40
+  private val Stride = 20
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  /** Per-(lang, source) duplicated-span report: how much of each slice's
+    * character mass sits in cross-document verbatim spans, and the worst
+    * single document's duplicated share. */
+  val spanDedup: Q = Q.sql(
+    "span_dedup",
+    s"""WITH sp0 AS (
+       |  SELECT doc_id, lang, source, text,
+       |    unnest(generate_series(1, CAST(n_chars AS INT) - ${K - 1}, $Stride)) AS i
+       |  FROM documents WHERE n_chars >= $K),
+       |sp AS (SELECT doc_id, lang, source,
+       |    substr(md5(substr(text, CAST(i AS INT), $K)), 1, 16) AS key
+       |  FROM sp0),
+       |k AS (SELECT key, min(doc_id) AS mn, max(doc_id) AS mx
+       |      FROM sp GROUP BY 1),
+       |pd AS (SELECT sp.doc_id, sp.lang, sp.source,
+       |    count(*) AS n_spans,
+       |    sum(CASE WHEN k.mn <> k.mx THEN 1 ELSE 0 END) AS n_dup
+       |  FROM sp JOIN k ON sp.key = k.key GROUP BY 1, 2, 3),
+       |r AS (SELECT lang, source,
+       |    count(*) AS docs_scanned,
+       |    CAST(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS docs_with_dup,
+       |    CAST(sum(n_spans) AS BIGINT) AS n_spans,
+       |    CAST(sum(n_dup) AS BIGINT) AS n_dup_spans,
+       |    round(max(1.0 * n_dup / n_spans), 4) AS max_doc_dup_share
+       |  FROM pd GROUP BY 1, 2),
+       |d AS (SELECT lang, source, count(*) AS n_docs
+       |      FROM documents GROUP BY 1, 2)
+       |SELECT d.lang, d.source, d.n_docs,
+       |  coalesce(docs_scanned, 0) AS docs_scanned,
+       |  coalesce(docs_with_dup, 0) AS docs_with_dup,
+       |  coalesce(n_spans, 0) AS n_spans,
+       |  coalesce(n_dup_spans, 0) AS n_dup_spans,
+       |  CASE WHEN coalesce(n_spans, 0) = 0 THEN NULL
+       |    ELSE round(1.0 * n_dup_spans / n_spans, 4) END AS dup_share,
+       |  max_doc_dup_share
+       |FROM d LEFT JOIN r ON d.lang = r.lang AND d.source = r.source
+       |ORDER BY d.lang, d.source""".stripMargin) { (s, d) =>
+    // hash-at-the-source: the transform emits the 16-hex md5 fold of each
+    // span, so raw 40-char spans never leave the scan projection
+    val sp = docs(s, d)
+      .filter(col("n_chars") >= K)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(expr(
+          s"""transform(sequence(1, cast(n_chars as int) - ${K - 1}, $Stride),
+             |  i -> substring(md5(substring(text, i, $K)), 1, 16))""".stripMargin))
+          .as("key"))
+    val k = sp.groupBy("key")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+    val perDoc = sp.join(k, "key")
+      .groupBy("doc_id", "lang", "source")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("mn") =!= col("mx"), 1).otherwise(0)).as("n_dup"))
+    val rollup = perDoc.groupBy("lang", "source")
+      .agg(count(lit(1)).as("docs_scanned"),
+        sum(when(col("n_dup") > 0, 1).otherwise(0)).as("docs_with_dup"),
+        sum("n_spans").as("n_spans"),
+        sum("n_dup").as("n_dup_spans"),
+        round(max(lit(1.0) * col("n_dup") / col("n_spans")), 4)
+          .as("max_doc_dup_share"))
+    val totals = docs(s, d).groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"))
+    totals.join(rollup, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_docs"),
+        coalesce(col("docs_scanned"), lit(0L)).as("docs_scanned"),
+        coalesce(col("docs_with_dup"), lit(0L)).as("docs_with_dup"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0, lit(null))
+          .otherwise(round(lit(1.0) * col("n_dup_spans") / col("n_spans"), 4))
+          .as("dup_share"),
+        col("max_doc_dup_share"))
+      .orderBy("lang", "source")
+  }
+
+  val all: Seq[Q] = Seq(spanDedup)
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{SpanDedup, TokenizerOps}
+
+/** Guards for the tokenizer-design and span-dedup analytics: each report
+  * must reconcile with an independent Scala recomputation on the sf0.001
+  * corpus (the specs are the oracle for invariants the DuckDB gate can't
+  * see, e.g. the guarantee that the rank is contiguous or that the span
+  * verdicts match a brute-force substring scan). */
+class TokenizerOpsSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("bpe_pair_stats: ranks contiguous, counts ranked, one lang brute-forced") {
+    val rows = TokenizerOps.bpePairStats.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val byRk = rs.sortBy(_.getInt(1))
+      assert(byRk.map(_.getInt(1)).toSeq === (1 to byRk.length),
+        s"$lang ranks contiguous")
+      assert(byRk.length <= 20, s"$lang capped at 20")
+      // counts non-increasing; ties broken by pair string ascending
+      byRk.sliding(2).foreach {
+        case Array(a, b) =>
+          val (ca, cb) = (a.getLong(3), b.getLong(3))
+          assert(ca > cb || (ca == cb && a.getString(2) < b.getString(2)),
+            s"$lang rank order at ${b.getInt(1)}")
+        case _ => ()
+      }
+    }
+    // brute-force recount for one (lang, pair) cell
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val lang = rows.head.getString(0)
+    val expected = docs.filter(_._1 == lang).map { case (_, text) =>
+      text.toLowerCase.split("[^a-z]+").filter(_.length >= 2)
+        .map(w => w.sliding(2).count(_ == rows.head.getString(2))).sum
+    }.sum
+    assert(rows.head.getLong(3) === expected.toLong,
+      s"$lang top pair '${rows.head.getString(2)}' brute-force count")
+  }
+
+  test("tok_fertility reconciles with a per-doc Scala recount") {
+    val rows = TokenizerOps.tokFertility.fn(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "source", "text", "n_chars").collect()
+    val tokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]".r
+    val expected = docs.groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, rs) =>
+        k -> (rs.length,
+          rs.map(_.getString(2).split(" ", -1).length.toLong).sum,
+          rs.map(r => tokenRe.findAllIn(r.getString(2)).length.toLong).sum,
+          rs.map(_.getLong(3)).sum)
+      }
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val (nd, nw, nt, nc) = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) === nd.toLong, "n_docs")
+      assert(r.getLong(3) === nw, "n_words")
+      assert(r.getLong(4) === nt, "n_tokens")
+      assert(r.getLong(5) === nc, "n_chars")
+      assert(math.abs(r.getDouble(6) - nt.toDouble / nw) < 1e-3, "tokens_per_word")
+    }
+    // fertility is a ratio ≥ 1: the regex split never merges two words
+    assert(rows.forall(_.getDouble(6) >= 1.0))
+  }
+
+  test("span_dedup matches a brute-force substring scan at sf0.001") {
+    val rows = SpanDedup.spanDedup.fn(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val k = 40; val stride = 20
+    val spans = docs.flatMap { case (id, lang, src, text) =>
+      (0 to text.length - k by stride).map(i =>
+        (id, lang, src, text.substring(i, i + k)))
+    }
+    val crossDup = spans.groupBy(_._4)
+      .filter { case (_, ss) => ss.map(_._1).distinct.length > 1 }
+      .keySet
+    val perGroup = spans.groupBy(s => (s._2, s._3)).map { case (g, ss) =>
+      val perDoc = ss.groupBy(_._1).values.toSeq.map { ds =>
+        (ds.length, ds.count(s => crossDup(s._4)))
+      }
+      g -> (perDoc.size, perDoc.count(_._2 > 0),
+        perDoc.map(_._1.toLong).sum, perDoc.map(_._2.toLong).sum)
+    }
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      perGroup.get(key) match {
+        case Some((scanned, withDup, nSpans, nDup)) =>
+          assert(r.getLong(3) === scanned.toLong, s"$key docs_scanned")
+          assert(r.getLong(4) === withDup.toLong, s"$key docs_with_dup")
+          assert(r.getLong(5) === nSpans, s"$key n_spans")
+          assert(r.getLong(6) === nDup, s"$key n_dup_spans")
+        case None => // group below k chars everywhere: zeros expected
+          assert(r.getLong(5) === 0L, s"$key spanless group")
+      }
+    }
+    // the corpus genuinely carries cross-doc spans (positive control)
+    assert(rows.map(_.getLong(6)).sum > 0, "some duplicated spans exist")
+  }
+}
