@@ -1370,10 +1370,112 @@ object Similarity {
     d0.unionByName(dd).orderBy("degree")
   }
 
+  /** Per-dimension whitening audit: standardize every coordinate by its
+    * corpus mean/std (the feature-scaling pass run before cosine/L2
+    * indexing when dimensions are mis-scaled) and report the whitened
+    * extremes per dimension — a dim whose max |z| is huge carries heavy
+    * outlier mass that will dominate L2 distances; n_clipped (|z| > 3) is
+    * the count a clip-at-3σ normalizer would touch.
+    *
+    * Scale shape: the exploded (vec, dim, v) projection is built ONCE and
+    * persisted MEMORY_AND_DISK across its two readers (moment pass +
+    * scoring pass — the tfidf/pmi posture); dim stats come from one
+    * partial-aggregating groupBy bounded at |dims|, ride back as a
+    * broadcast, and the z scoring is a per-row map feeding a second
+    * |dims|-bounded aggregate. Nothing shuffles at corpus size except the
+    * two mergeable-moment exchanges.
+    *
+    * Determinism: coordinates rounded once to 6 and summed as DECIMAL
+    * (exact, order-independent); mean/std divide the exact sums as
+    * doubles, so z = (v − mean)/std is the same IEEE value in both
+    * engines; min/max/count aggregates over identical values. */
+  val embWhiten: Q = Q.sql(
+    "emb_whiten",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |u AS (SELECT unnest(emb) AS x, generate_subscripts(emb, 1) AS dim FROM e),
+      |r AS (SELECT CAST(dim AS BIGINT) AS dim, round(x, 6) AS v FROM u),
+      |a AS (SELECT dim, count(*) AS n_vecs,
+      |        CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean,
+      |        CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS ex2
+      |      FROM r GROUP BY dim),
+      |st AS (SELECT dim, n_vecs, mean, sqrt(ex2 - mean * mean) AS std FROM a),
+      |z AS (SELECT r.dim,
+      |        CASE WHEN st.std = 0 THEN NULL ELSE (r.v - st.mean) / st.std END AS z
+      |      FROM r JOIN st ON r.dim = st.dim)
+      |SELECT z.dim, st.n_vecs, round(st.mean, 6) AS mean,
+      |  round(st.std, 6) AS std,
+      |  round(min(z.z), 4) AS min_z, round(max(z.z), 4) AS max_z,
+      |  CAST(sum(CASE WHEN abs(z.z) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+      |FROM z JOIN st ON z.dim = st.dim
+      |GROUP BY z.dim, st.n_vecs, st.mean, st.std
+      |ORDER BY z.dim""".stripMargin) { (s, d) =>
+    import org.apache.spark.storage.StorageLevel
+    // ≈ 16 B/coordinate: |corpus| × |dims| × (long, double) — disk-backed
+    val r = emb(s, d)
+      .select(posexplode(expr("transform(embedding, x -> cast(x as double))"))
+        .as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), round(col("x"), 6).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val st = r.groupBy("dim").agg(
+      count(lit(1)).as("n_vecs"),
+      (sum(col("v").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("mean"),
+      (sum((col("v") * col("v")).cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("ex2"))
+      .select(col("dim"), col("n_vecs"), col("mean"),
+        sqrt(col("ex2") - col("mean") * col("mean")).as("std"))
+    r.join(broadcast(st), Seq("dim"))
+      .withColumn("z", when(col("std") === 0, lit(null))
+        .otherwise((col("v") - col("mean")) / col("std")))
+      .groupBy("dim", "n_vecs", "mean", "std")
+      .agg(round(min("z"), 4).as("min_z"), round(max("z"), 4).as("max_z"),
+        sum(when(abs(col("z")) > 3, 1).otherwise(0)).as("n_clipped"))
+      .select(col("dim"), col("n_vecs"), round(col("mean"), 6).as("mean"),
+        round(col("std"), 6).as("std"), col("min_z"), col("max_z"),
+        col("n_clipped"))
+      .orderBy("dim")
+  }
+
+  /** Index-health audit for the adaptive sign-LSH blocking layer: per
+    * band, the bucket-occupancy distribution — vectors, buckets, mean/max
+    * bucket size, candidate pairs Σ s·(s−1)/2, and the balance factor
+    * max/mean. This measures the exact invariant the adaptive bit rule
+    * exists to hold (expected bucket ≈ 32 at any corpus size); a balance
+    * factor exploding at scale is the early warning that a hyperplane
+    * family stopped splitting the data (e.g. all-positive dims) BEFORE a
+    * dedup/knn run goes quadratic. Re-uses the production [[signBands]]
+    * banding verbatim, so the report audits the live index, not a copy.
+    *
+    * Shape: banding pass → partial-agg groupBy (band, bucket), bounded at
+    * |buckets| ≤ 2·2^16 rows → 2-row band rollup. */
+  val lshBucketStats: Q = Q.sql(
+    "lsh_bucket_stats",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |${signBandsSql("e")},
+       |g AS (SELECT band, bucket, count(*) AS sz FROM bands GROUP BY 1, 2)
+       |SELECT band, CAST(sum(sz) AS BIGINT) AS n_vecs,
+       |  count(*) AS n_buckets,
+       |  round(1.0 * sum(sz) / count(*), 4) AS mean_sz,
+       |  CAST(max(sz) AS BIGINT) AS max_sz,
+       |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs,
+       |  round(max(sz) / (1.0 * sum(sz) / count(*)), 4) AS balance
+       |FROM g GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    signBands(emb(s, d))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("sz"))
+      .groupBy("band")
+      .agg(sum("sz").as("n_vecs"), count(lit(1)).as("n_buckets"),
+        round(lit(1.0) * sum("sz") / count(lit(1)), 4).as("mean_sz"),
+        max("sz").as("max_sz"),
+        sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"),
+        round(max("sz") / (lit(1.0) * sum("sz") / count(lit(1))), 4)
+          .as("balance"))
+      .orderBy("band")
+  }
+
   val all: Seq[Q] = Seq(
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
     embNormalize, embQuantize, annPq, annPqSearch, annRecall,
     annIvfMultiprobe, annIvfPq, annIvfKmeans, annRecallKmeans,
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
-    embDimStats, embDrift, annKnnGraph)
+    embDimStats, embDrift, annKnnGraph, embWhiten, lshBucketStats)
 }

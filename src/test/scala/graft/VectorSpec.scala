@@ -350,4 +350,53 @@ class VectorSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Int]("degree") === 3 &&
       r.getAs[Long]("n_vectors") > 0))
   }
+
+  test("emb_whiten reconciles with emb_dim_stats and its own z bounds") {
+    val wh = graft.vector.Similarity.embWhiten.fn(spark, TestSession.sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ds = graft.vector.Similarity.embDimStats.fn(spark, TestSession.sfDir)
+      .collect()
+    assert(wh.size === ds.length)
+    ds.foreach { r =>
+      val dim = r.getLong(0)
+      val w = wh(dim)
+      // same moment pass: mean/std agree exactly with the dim-stats op
+      assert(w.getAs[Double]("mean") === r.getAs[Double]("mean"), s"dim $dim mean")
+      assert(w.getAs[Double]("std") === r.getAs[Double]("std"), s"dim $dim std")
+      val (mean, std) = (w.getAs[Double]("mean"), w.getAs[Double]("std"))
+      val (vmin, vmax) = (r.getAs[Double]("vmin"), r.getAs[Double]("vmax"))
+      // whitened extremes are the whitened raw extremes (std > 0 here);
+      // both sides were rounded independently (mean/std to 6, z to 4)
+      assert(math.abs(w.getAs[Double]("min_z") - (vmin - mean) / std) < 1e-2,
+        s"dim $dim min_z")
+      assert(math.abs(w.getAs[Double]("max_z") - (vmax - mean) / std) < 1e-2,
+        s"dim $dim max_z")
+      assert(w.getAs[Long]("n_clipped") >= 0 &&
+        w.getAs[Long]("n_clipped") < w.getAs[Long]("n_vecs"))
+    }
+  }
+
+  test("lsh_bucket_stats matches a Scala recount of the sign-LSH banding") {
+    val rows = graft.vector.Similarity.lshBucketStats.fn(spark, TestSession.sfDir)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2))
+    val vecs = Tables.embeddings(spark, TestSession.sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val n = vecs.length
+    val b = (4 to 15).find(bb => n <= 32L * (1L << bb)).getOrElse(16)
+    rows.foreach { r =>
+      val band = r.getInt(0)
+      val buckets = vecs.map { case (_, e) =>
+        (1 to b).map(i => if (e((band - 1) * b + i - 1) > 0f) 1L << (b - i) else 0L).sum
+      }
+      val sizes = buckets.groupBy(identity).values.map(_.length.toLong).toSeq
+      assert(r.getAs[Long]("n_vecs") === n.toLong, s"band $band n_vecs")
+      assert(r.getAs[Long]("n_buckets") === sizes.length.toLong, s"band $band buckets")
+      assert(r.getAs[Long]("max_sz") === sizes.max, s"band $band max")
+      assert(r.getAs[Long]("cand_pairs") === sizes.map(s => s * (s - 1) / 2).sum,
+        s"band $band pairs")
+      assert(math.abs(r.getAs[Double]("mean_sz") - n.toDouble / sizes.length) < 1e-3)
+    }
+  }
 }
