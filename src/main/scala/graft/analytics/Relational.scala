@@ -858,11 +858,55 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_suppkey"))
   }
 
+  /** Inter-order purchase cadence per market segment: consecutive-order
+    * day gaps per customer (lag window keyed on the high-cardinality
+    * custkey — never a low-cardinality partition over the fact table),
+    * pre-aggregated per customer, THEN joined to the customer dim on the
+    * same custkey exchange family, and rolled up to the ≤ 5-row segment
+    * report. Integer day sums keep every aggregate exact; the single
+    * ratio derives at the output edge. */
+  val qOrderGap: Q = Q.sql(
+    "q_order_gap",
+    """WITH g AS (
+      |  SELECT o_custkey,
+      |    date_diff('day',
+      |      lag(CAST(o_orderdate AS DATE)) OVER (
+      |        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |      CAST(o_orderdate AS DATE)) AS gap
+      |  FROM orders),
+      |cg AS (SELECT o_custkey, count(*) AS n_gaps,
+      |         CAST(sum(gap) AS BIGINT) AS sum_gap, max(gap) AS max_gap
+      |       FROM g WHERE gap IS NOT NULL GROUP BY 1)
+      |SELECT c_mktsegment AS segment, count(*) AS n_customers,
+      |  CAST(sum(n_gaps) AS BIGINT) AS n_gaps,
+      |  round(1.0 * sum(sum_gap) / sum(n_gaps), 2) AS avg_gap_days,
+      |  CAST(max(max_gap) AS BIGINT) AS max_gap_days
+      |FROM cg JOIN customer ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY segment""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val gaps = Tables.orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_orderdate"), col("o_orderkey"))
+      .withColumn("gap", datediff(col("od"), lag(col("od"), 1).over(w)))
+      .filter(col("gap").isNotNull)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sum_gap"),
+        max("gap").as("max_gap"))
+    gaps.join(Tables.customer(s, d),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum("n_gaps").as("n_gaps"),
+        round(lit(1.0) * sum("sum_gap") / sum("n_gaps"), 2).as("avg_gap_days"),
+        max("max_gap").cast("long").as("max_gap_days"))
+      .orderBy("segment")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
     qCustDistribution, qBigOrders, qBrandRevenue, qDormantCustomers,
     qPriceBands, qSkewSalted, qYearlyGrowth, qMarketShare, qTradeLanes,
     qPromoShare, qSmallQuantity, qDisjunctive, qCubeVolume, qTopSupplier,
-    qReturnedCustomers, qNationProfit, qSupplierWait)
+    qReturnedCustomers, qNationProfit, qSupplierWait, qOrderGap)
 }

@@ -2087,7 +2087,57 @@ object AuditQueries {
       .orderBy("operation")
   }
 
+  /** Tamper-evidence digest chain over the audit feed — the integrity
+    * check an auditor runs to prove a history slice was not rewritten:
+    * every record folds to an md5 over its identity + operation + capture
+    * time + payload; records chain per (entity, day) in audit_id order;
+    * day digests chain per entity in day order. Re-running the op over an
+    * untouched feed reproduces every chain digest bit-for-bit; any
+    * insertion, deletion, or edit flips the entity's digest (and only
+    * that entity's).
+    *
+    * Two-level fold is the scale design: the per-day concat is bounded by
+    * one entity-day's activity and the per-entity concat by |active
+    * days| — no chain ever concatenates a full unbounded history (the
+    * merkle-tree posture). Both groupBys key on entity (one exchange
+    * family); collect_list is sorted in-group by audit_id / day, so the
+    * fold order is total and engine-independent. */
+  val auditChainDigest: Q = Q.sql(
+    "audit_chain_digest",
+    auditCte +
+      """, rec AS (
+        |  SELECT entity_id, CAST(ts AS DATE) AS day, audit_id,
+        |    md5(concat_ws('|', audit_id, operation, event_type,
+        |      strftime(ts, '%Y-%m-%d %H:%M:%S'),
+        |      coalesce(field_k, -1))) AS rd
+        |  FROM audit),
+        |dd AS (SELECT entity_id, day, count(*) AS n_recs,
+        |         md5(string_agg(rd, '' ORDER BY audit_id)) AS day_digest
+        |       FROM rec GROUP BY 1, 2)
+        |SELECT entity_id, count(*) AS n_days,
+        |  CAST(sum(n_recs) AS BIGINT) AS n_records,
+        |  md5(string_agg(day_digest, '' ORDER BY day)) AS chain_digest
+        |FROM dd GROUP BY entity_id ORDER BY entity_id""".stripMargin) { (s, d) =>
+    val rec = log(s, d).select(
+      col("entity_id"), to_date(col("ts")).as("day"), col("audit_id"),
+      md5(concat_ws("|", col("audit_id"), col("operation"), col("event_type"),
+        date_format(col("ts"), TS),
+        coalesce(col("field_k"), lit(-1)))).as("rd"))
+    val dd = rec.groupBy("entity_id", "day")
+      .agg(count(lit(1)).as("n_recs"),
+        md5(expr(
+          "array_join(transform(array_sort(collect_list(struct(audit_id, rd))), x -> x.rd), '')"))
+          .as("day_digest"))
+    dd.groupBy("entity_id")
+      .agg(count(lit(1)).as("n_days"), sum("n_recs").as("n_records"),
+        md5(expr(
+          "array_join(transform(array_sort(collect_list(struct(day, day_digest))), x -> x.day_digest), '')"))
+          .as("chain_digest"))
+      .orderBy("entity_id")
+  }
+
   val all: Seq[Q] = Seq(
+    auditChainDigest,
     auditLog, auditDelta, auditDeltaOld, auditTypedDelta, auditViewsOnly,
     auditViewsTyped, auditSnapshot, auditCompare,
     auditCurrent, auditSparse, auditHistory, auditOpsRollup, auditFieldFreq,

@@ -399,4 +399,42 @@ class AuditLogSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.nonEmpty) // the conflict branch actually fires at sf0.001
   }
+
+  test("audit_chain_digest: Scala md5-chain replay matches; tampering flips exactly one chain") {
+    import java.security.MessageDigest
+    def md5(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.audit.AuditQueries.auditChainDigest.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // independent replay from the normalized feed
+    val feed = graft.audit.AuditQueries.log(spark, sf)
+      .select(col("entity_id"), col("audit_id"), col("operation"),
+        col("event_type"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"),
+        to_date(col("ts")).cast("string").as("day"), col("field_k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5),
+        if (r.isNullAt(6)) -1 else r.getInt(6)))
+    def chains(rows: Seq[(Long, Long, String, String, String, String, Int)]) =
+      rows.groupBy(_._1).map { case (ent, rs) =>
+        val dayDigests = rs.groupBy(_._6).toSeq.map { case (day, ds) =>
+          day -> md5(ds.sortBy(_._2)
+            .map(x => md5(s"${x._2}|${x._3}|${x._4}|${x._5}|${x._7}"))
+            .mkString(""))
+        }.sortBy(_._1)
+        ent -> (dayDigests.length.toLong, rs.length.toLong,
+          md5(dayDigests.map(_._2).mkString("")))
+      }
+    val want = chains(feed.toSeq)
+    assert(got === want, "chain digests replay bit-for-bit")
+    // tamper: flip one record's operation in the middle of the feed
+    val victim = feed(feed.length / 2)
+    val tampered = feed.toSeq.map(x =>
+      if (x._2 == victim._2) x.copy(_3 = if (x._3 == "U") "D" else "U") else x)
+    val after = chains(tampered)
+    assert(after(victim._1)._3 !== want(victim._1)._3, "victim chain flips")
+    assert((after - victim._1) === (want - victim._1), "all other chains hold")
+  }
 }

@@ -39,6 +39,38 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(metrics.exists(r => r.isNullAt(r.fieldIndex("prec"))))
   }
 
+  test("q_order_gap matches a brute-force cadence recount") {
+    val rows = Relational.qOrderGap.fn(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val seg = Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perCust = orders.groupBy(_._1).toSeq.collect {
+      case (ck, os) if os.length >= 2 =>
+        val sorted = os.sortBy(o => (o._2.toEpochDay, o._3))
+        val gaps = sorted.sliding(2).collect {
+          case Array(a, b) => b._2.toEpochDay - a._2.toEpochDay
+        }.toSeq
+        (seg(ck), gaps)
+    }.toSeq
+    val want = perCust.groupBy(_._1).map { case (sg, cs) =>
+      val allGaps = cs.flatMap(_._2)
+      sg -> (cs.length.toLong, allGaps.length.toLong, allGaps.max)
+    }
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (nc, ng, mx) = want(r.getString(0))
+      assert(r.getLong(1) === nc, s"${r.getString(0)} n_customers")
+      assert(r.getLong(2) === ng, s"${r.getString(0)} n_gaps")
+      assert(r.getLong(4) === mx, s"${r.getString(0)} max_gap_days")
+      val avg = perCust.filter(_._1 == r.getString(0)).flatMap(_._2)
+      assert(math.abs(r.getDouble(3) - avg.sum.toDouble / avg.length) < 5e-3)
+    }
+  }
+
   test("q_yearly_growth: growth_pct matches the revenue lag per nation") {
     val g = Relational.qYearlyGrowth.fn(spark, sf).collect()
     // first year per nation carries NULL growth; later years match the lag
