@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Multimodal column plumbing: media as opaque binary columns with typed
   * metadata, decoded/feature-extracted in partition-local batches.
@@ -255,6 +256,58 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** WebDataset-style shard manifest: assign every media object to an
+    * output shard of ~4 KiB target payload per (modality, source) lane,
+    * in deterministic doc_id order, and report the manifest (items,
+    * bytes, id range, fill) per shard. This is the metadata plane of
+    * "write the corpus as tar shards for sequential training reads" —
+    * the op that decides file boundaries before any byte moves. A shard
+    * is the shard of its first byte's offset (start_off // target), the
+    * close-when-over-target rule real shard writers use, so items never
+    * split across shards and a shard overshoots by at most one item.
+    *
+    * Scale shape: the running-offset tape window partitions by
+    * (media_type, source) — modality alone would be a 3-partition window
+    * over the corpus (the quantile scale-killer shape); source keeps lane
+    * cardinality growing with the corpus. The shard rollup groups on a
+    * SUPERSET of the window key, so the window's exchange satisfies it:
+    * the whole manifest costs one shuffle (the pack_efficiency pin).
+    * Output is |shards| ≈ corpus_bytes / 4 KiB rows, itself parallel. */
+  val multimodalShards: Q = Q.sql(
+    "multimodal_shards",
+    """WITH t AS (SELECT doc_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    source, CAST(n_chars AS BIGINT) AS byte_len
+      |  FROM documents),
+      |c AS (SELECT *, CAST(sum(byte_len) OVER (
+      |      PARTITION BY media_type, source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - byte_len
+      |    AS BIGINT) AS start_off
+      |  FROM t)
+      |SELECT media_type, source, start_off // 4096 AS shard_idx,
+      |  count(*) AS n_items, CAST(sum(byte_len) AS BIGINT) AS shard_bytes,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+      |  round(100.0 * sum(byte_len) / 4096, 2) AS fill_pct
+      |FROM c GROUP BY 1, 2, 3
+      |ORDER BY media_type, source, shard_idx""".stripMargin) { (s, d) =>
+    val lane = Window.partitionBy("media_type", "source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("source"), col("n_chars").cast("long").as("byte_len"))
+      .withColumn("start_off",
+        (sum("byte_len").over(lane) - col("byte_len")).cast("long"))
+      .groupBy(col("media_type"), col("source"),
+        expr("start_off div 4096").as("shard_idx"))
+      .agg(count(lit(1)).as("n_items"), sum("byte_len").as("shard_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        round(lit(100.0) * sum("byte_len") / 4096, 2).as("fill_pct"))
+      .orderBy("media_type", "source", "shard_idx")
+  }
+
   val all: Seq[Q] = Seq(multimodalIngest, multimodalFrames, multimodalResize,
-    multimodalDedup, multimodalQualityGate, multimodalAudioWindows)
+    multimodalDedup, multimodalQualityGate, multimodalAudioWindows,
+    multimodalShards)
 }

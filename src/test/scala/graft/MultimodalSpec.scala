@@ -58,4 +58,45 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("doc_id") % 3 === 1).count()
     assert(rows.length.toLong === nAudio)
   }
+
+  test("multimodal_shards: greedy shard assignment replayed; conservation holds") {
+    val rows = Multimodal.multimodalShards.fn(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mt = Array("image", "audio", "video")
+    // replay the start-offset sharding rule per (modality, source) lane
+    val want = docs.groupBy(d => (mt((d._1 % 3).toInt), d._2)).toSeq.flatMap {
+      case ((m, src), ds) =>
+        var off = 0L
+        ds.sortBy(_._1).map { d =>
+          val shard = off / 4096
+          off += d._3
+          (m, src, shard, d._1, d._3)
+        }
+    }
+    val wantShards = want.groupBy(x => (x._1, x._2, x._3)).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.map(_._5).sum, xs.map(_._4).min, xs.map(_._4).max)
+    }
+    assert(rows.length === wantShards.size)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1), r.getLong(2))
+      val (n, bytes, first, last) = wantShards(k)
+      assert(r.getLong(3) === n, s"$k n_items")
+      assert(r.getLong(4) === bytes, s"$k bytes")
+      assert(r.getLong(5) === first && r.getLong(6) === last, s"$k id range")
+    }
+    // conservation: every media object lands in exactly one shard
+    assert(rows.map(_.getLong(3)).sum === docs.length.toLong)
+    // a shard overshoots 4096 by at most its last item (never splits one)
+    rows.groupBy(r => (r.getString(0), r.getString(1))).foreach { case (_, rs) =>
+      val byShard = rs.sortBy(_.getLong(2))
+      // shard ids are the distinct start-offset buckets, strictly increasing
+      assert(byShard.map(_.getLong(2)).distinct.length === byShard.length)
+      byShard.dropRight(1).foreach { r =>
+        assert(r.getLong(4) >= 4096 - 557,
+          "a closed shard is within one max-item of target")
+      }
+    }
+  }
 }
