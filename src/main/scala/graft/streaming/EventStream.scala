@@ -452,6 +452,70 @@ object EventStream {
     s.read.parquet(s"$tmp/sink").dropDuplicates("doc_id").orderBy("doc_id")
   }
 
+  /** Live sliding-window change-rate alert — the streaming twin of the
+    * batch audit_sliding_rate dashboard: 1-hour windows sliding every
+    * 15 minutes, maintained as a STATEFUL streaming aggregation (overlap
+    * means each event updates 4 windows' state — genuinely different
+    * machinery from audit_stream's tumbling rollup), emitted append-mode
+    * into a parquet alert sink as the watermark finalizes each window.
+    * An alert fires when a window's change count exceeds 1.5× the mean
+    * finalized-window load; the comparison is pure integer cross-
+    * multiplication (2·n·W > 3·total), so no FP boundary can flip a flag.
+    *
+    * The emission frontier is part of the contract: append mode publishes
+    * exactly the windows whose END the final watermark (max event time −
+    * 30 min) has passed — tail windows stay in state, unFINALized, and
+    * the oracle reproduces that frontier arithmetically. State is bounded
+    * by the watermark horizon (≤ 6 live windows' partial counts per
+    * partition at any moment, at any stream length).
+    *
+    * Streaming constraint honored: no count(DISTINCT) in the stateful
+    * agg — entity cardinality belongs to the batch dashboard; the live
+    * alert needs only the mergeable count. */
+  val streamRateAlert: Q = Q.sql(
+    "stream_rate_alert",
+    """WITH m AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events),
+      |x AS (SELECT ts, unnest([0, 1, 2, 3]) AS k FROM events),
+      |w AS (SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * k)
+      |        AS win_start
+      |      FROM x),
+      |f AS (SELECT win_start, count(*) AS n_changes
+      |      FROM w, m
+      |      WHERE win_start + INTERVAL 60 MINUTE <= m.wm
+      |      GROUP BY 1),
+      |t AS (SELECT count(*) AS n_windows,
+      |        CAST(sum(n_changes) AS BIGINT) AS total FROM f)
+      |SELECT strftime(f.win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  f.n_changes, round(f.n_changes / 60.0, 4) AS rate_per_min,
+      |  CAST(2 * f.n_changes * t.n_windows > 3 * t.total AS INT) AS alert
+      |FROM f, t ORDER BY win_start""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rate-alert-").toString
+    drained(s) {
+      readFeed(s, d)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n_changes"))
+        .select(date_format(col("window.start"), TS).as("win_start"),
+          col("n_changes"))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(availableNow)
+        .start()
+    }
+    val f = s.read.schema("win_start STRING, n_changes BIGINT")
+      .parquet(s"$tmp/out")
+    val t = f.agg(count(lit(1)).as("n_windows"), sum("n_changes").as("total"))
+    f.crossJoin(broadcast(t))
+      .select(col("win_start"), col("n_changes"),
+        round(col("n_changes") / 60.0, 4).as("rate_per_min"),
+        (lit(2) * col("n_changes") * col("n_windows") >
+          lit(3) * col("total")).cast("int").as("alert"))
+      .orderBy("win_start")
+  }
+
   val all: Seq[Q] = Seq(auditStream, auditStreamJoin, auditSessionizeStream,
-    auditStreamDedup, corpusStreamQa, streamDedupIncremental)
+    auditStreamDedup, corpusStreamQa, streamDedupIncremental,
+    streamRateAlert)
 }

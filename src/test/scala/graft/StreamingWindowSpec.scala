@@ -128,4 +128,50 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
     assert(got.agg(sum("n")).head.getLong(0) === nClean)
   }
+
+  test("stream_rate_alert: emission frontier is window_end <= watermark, pinned on an exact boundary") {
+    import spark.implicits._
+    // adversarial feed: max ts at 03:00:00 exactly => watermark 02:30:00
+    // lands precisely ON the end of window [01:30, 02:30) — the <= rule
+    // must publish it; a strict < would drop it and this spec fails.
+    val base = "2024-01-01 "
+    val times = Seq(
+      "00:05:00", "00:20:00", "00:35:00", "00:50:00", "01:05:00",
+      "01:20:00", "01:35:00", "01:50:00", "02:05:00", "02:20:00",
+      "02:29:59", "03:00:00").map(t => ts(base + t))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ratealert-").toString
+    // the feed reader expects a single FILE named events.parquet (the
+    // driver's testdata layout): write then move the part file
+    times.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, i.toLong % 5, "purchase", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$tmp/stage")
+    val part = new java.io.File(s"$tmp/stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$tmp/events.parquet"))
+    val got = EventStream.streamRateAlert.fn(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // arithmetic replay of the oracle frontier: sliding windows whose end
+    // <= max(ts) - 30min, counts over the raw times
+    val maxTs = times.map(_.getTime).max
+    val wm = maxTs - 30 * 60 * 1000L
+    val winMs = 60 * 60 * 1000L
+    val slideMs = 15 * 60 * 1000L
+    val starts = times.flatMap { t =>
+      val bucket = t.getTime / slideMs * slideMs
+      (0 to 3).map(k => bucket - k * slideMs)
+    }.distinct.filter(_ + winMs <= wm)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val want = starts.map { st =>
+      fmt.format(new java.util.Date(st)) ->
+        times.count(t => t.getTime >= st && t.getTime < st + winMs).toLong
+    }.toMap
+    assert(got === want)
+    // the boundary window [01:30, 02:30) is genuinely in the output
+    assert(got.contains(base + "01:30:00"), "window ending exactly at the watermark publishes")
+    // tail windows past the frontier stayed in state
+    assert(!got.contains(base + "02:15:00"))
+  }
 }
