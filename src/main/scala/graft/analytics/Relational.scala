@@ -902,11 +902,63 @@ object Relational {
       .orderBy("segment")
   }
 
+  /** 7-day moving average of daily revenue per return flag — the RANGE
+    * frame (value-based, gap-aware: a day with no shipments genuinely
+    * thins the trailing window) where every other windowed op here uses
+    * ROWS. Scale shape: the fact table collapses to the ≤ |flags|×|days|
+    * daily aggregate FIRST (one partial-agg shuffle); the moving window
+    * runs on that bounded frame only. The frame key is an integer day
+    * number so both engines share one RANGE semantics; the windowed sum
+    * is DECIMAL (DuckDB computes moving sums via segment trees — a double
+    * sum would re-associate and drift). */
+  val qRevenueMa7: Q = Q.sql(
+    "q_revenue_ma7",
+    s"""WITH dr AS (
+       |  SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+       |    CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+       |      AS BIGINT) AS day_num,
+       |    ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount)", 2)} AS revenue
+       |  FROM lineitem GROUP BY 1, 2, 3),
+       |w2 AS (
+       |  SELECT flag, day, revenue,
+       |    CAST(sum(CAST(revenue AS DECIMAL(18,2))) OVER w * 100 AS BIGINT)
+       |      AS cents,
+       |    count(*) OVER w AS n
+       |  FROM dr
+       |  WINDOW w AS (PARTITION BY flag ORDER BY day_num
+       |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+       |SELECT flag, strftime(day, '%Y-%m-%d') AS day, revenue,
+       |  CAST((2 * cents + n) // (2 * n) AS DOUBLE) / 100 AS ma7,
+       |  n AS n_days_in_window
+       |FROM w2 ORDER BY flag, day""".stripMargin) { (s, d) =>
+    val dr = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        to_date(col("l_shipdate")).as("day"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .groupBy("flag", "day")
+      .agg(Det.dsumRound(col("rev"), 2).as("revenue"))
+      .withColumn("day_num",
+        datediff(col("day"), to_date(lit("1992-01-01"))).cast("long"))
+    val w = Window.partitionBy("flag").orderBy("day_num").rangeBetween(-6, 0)
+    // half-up mean in integer cents — (2c + n) div 2n is floor((c + n/2)/n)
+    // for positive sums, so neither engine ever rounds a double near a tie
+    dr.select(col("flag"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("revenue"),
+        (sum(col("revenue").cast("decimal(18,2)")).over(w) * 100)
+          .cast("long").as("cents"),
+        count(lit(1)).over(w).as("n"))
+      .select(col("flag"), col("day"), col("revenue"),
+        (expr("(2 * cents + n) div (2 * n)").cast("double") / 100).as("ma7"),
+        col("n").as("n_days_in_window"))
+      .orderBy("flag", "day")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
     qCustDistribution, qBigOrders, qBrandRevenue, qDormantCustomers,
     qPriceBands, qSkewSalted, qYearlyGrowth, qMarketShare, qTradeLanes,
     qPromoShare, qSmallQuantity, qDisjunctive, qCubeVolume, qTopSupplier,
-    qReturnedCustomers, qNationProfit, qSupplierWait, qOrderGap)
+    qReturnedCustomers, qNationProfit, qSupplierWait, qOrderGap,
+    qRevenueMa7)
 }

@@ -107,5 +107,66 @@ object SpanDedup {
       .orderBy("lang", "source")
   }
 
-  val all: Seq[Q] = Seq(spanDedup)
+  /** The boilerplate hit-list: the top-20 most-widespread duplicated
+    * 40-char spans — what a curation team actually reads to decide which
+    * license header / nav bar / disclaimer to strip corpus-wide before
+    * the next training run.
+    *
+    * Two-pass scale shape: pass 1 aggregates the md5-folded span keys
+    * (16 B on the wire — the [[spanDedup]] discipline) into per-key
+    * df / occurrence / first-doc facts and takes the global top-20 by
+    * (df, n_occ, key) — a distributed TakeOrdered, never a global sort;
+    * pass 2 recovers the actual span TEXT by re-scanning the corpus with
+    * the 20 winning keys broadcast — one extra scan instead of shipping
+    * every raw span through the shuffle (at 100 TB: a scan is cheap, a
+    * corpus-sized string shuffle is not). Ranking ties break on the key
+    * itself so both engines produce one total order. */
+  val dedupSpanTopk: Q = Q.sql(
+    "dedup_span_topk",
+    s"""WITH sp0 AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(1, CAST(n_chars AS INT) - ${K - 1}, $Stride)) AS i
+       |  FROM documents WHERE n_chars >= $K),
+       |sp AS (SELECT doc_id, substr(text, CAST(i AS INT), $K) AS span,
+       |         substr(md5(substr(text, CAST(i AS INT), $K)), 1, 16) AS key
+       |       FROM sp0),
+       |k AS (SELECT key, count(*) AS n_occ, count(DISTINCT doc_id) AS df,
+       |        min(doc_id) AS first_doc
+       |      FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |top AS (SELECT *, row_number() OVER (
+       |          ORDER BY df DESC, n_occ DESC, key) AS rank
+       |        FROM k QUALIFY rank <= 20),
+       |tx AS (SELECT key, min(span) AS span FROM sp
+       |       WHERE key IN (SELECT key FROM top) GROUP BY 1)
+       |SELECT top.rank, tx.span, top.df, top.n_occ, top.first_doc
+       |FROM top JOIN tx ON top.key = tx.key
+       |ORDER BY rank""".stripMargin) { (s, d) =>
+    val keyed = docs(s, d)
+      .filter(col("n_chars") >= K)
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(1, cast(n_chars as int) - ${K - 1}, $Stride),
+             |  i -> struct(substring(md5(substring(text, i, $K)), 1, 16) AS key,
+             |              substring(text, i, $K) AS span))""".stripMargin))
+          .as("s"))
+    val sp = keyed.select(col("doc_id"), col("s.key").as("key"))
+    val top = sp.groupBy("key")
+      .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("df"),
+        min("doc_id").as("first_doc"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("n_occ").desc, col("key"))
+      .limit(20)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("n_occ").desc, col("key"))))
+    val tx = keyed.select(col("s.key").as("key"), col("s.span").as("span"))
+      .join(broadcast(top.select("key")), Seq("key"), "left_semi")
+      .groupBy("key").agg(min("span").as("span"))
+    top.join(tx, Seq("key"))
+      .select(col("rank"), col("span"), col("df"), col("n_occ"),
+        col("first_doc"))
+      .orderBy("rank")
+  }
+
+  val all: Seq[Q] = Seq(spanDedup, dedupSpanTopk)
 }

@@ -406,6 +406,37 @@ object TextOps {
       .orderBy("component")
   }
 
+  /** The "what will dedup delete" histogram: near-dup cluster sizes over
+    * the SAME transitive closure dedup_components/dedup_keep_best key
+    * their decisions on — per cluster size: clusters, docs, docs the
+    * keep-one rule drops, and the smallest root as a drill-down example.
+    * This is the report reviewed before a destructive dedup run (a fat
+    * tail of giant clusters = boilerplate flood; all-size-2 = true pairs).
+    *
+    * Shape: the label engine's output collapses to (component, sz) —
+    * |components| rows — then to ≤ |distinct sizes| rows; both groupBys
+    * partial-aggregate, nothing rejoins the corpus. */
+  val dedupClusterStats: Q = Q.sql(
+    "dedup_cluster_stats",
+    s"""WITH RECURSIVE $componentsCtesSql,
+       |cs AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size, count(*) AS n_clusters,
+       |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+       |  CAST((sz - 1) * count(*) AS BIGINT) AS n_dropped,
+       |  min(component) AS example_root
+       |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin) { (s, d) =>
+    componentLabels(s, d)
+      .groupBy("component").agg(count(lit(1)).as("sz"))
+      .groupBy("sz")
+      .agg(count(lit(1)).as("n_clusters"),
+        (col("sz") * count(lit(1))).cast("long").as("n_docs"),
+        ((col("sz") - 1) * count(lit(1))).cast("long").as("n_dropped"),
+        min("component").as("example_root"))
+      .select(col("sz").cast("long").as("cluster_size"), col("n_clusters"),
+        col("n_docs"), col("n_dropped"), col("example_root"))
+      .orderBy("cluster_size")
+  }
+
   // ---------------------------------------------------------- minhash --
 
   /** (a, b) parameters of the 4-member linear hash family over mod-p —
@@ -1140,5 +1171,6 @@ object TextOps {
     dedupMinhash, dedupMinhashEst, dedupIncremental, dedupSimhash,
     dedupLshCurve, langId,
     langIdMetrics, textQuality, textEntropy, tokenCount, docFingerprint,
-    samplePerSource, tokenRegex, docLangOutliers, dedupThresholdCurve)
+    samplePerSource, tokenRegex, docLangOutliers, dedupThresholdCurve,
+    dedupClusterStats)
 }

@@ -251,4 +251,24 @@ class EvalOpsSpec extends AnyFunSuite {
     // both lags published for every op present
     assert(rows.groupBy(_.getString(0)).values.forall(_.length == 2))
   }
+
+  test("q_revenue_ma7: RANGE frame thins on calendar gaps and the mean replays") {
+    val rows = Relational.qRevenueMa7.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    // brute-force: trailing 7 calendar days over the per-day revenues
+    val byFlag = rows.groupBy(_._1)
+    byFlag.foreach { case (_, rs) =>
+      val days = rs.map(r => (java.time.LocalDate.parse(r._2).toEpochDay, r._3)).toMap
+      rs.foreach { case (flag, dStr, _, ma7, nWin) =>
+        val d = java.time.LocalDate.parse(dStr).toEpochDay
+        val window = (d - 6 to d).flatMap(days.get)
+        assert(nWin === window.length.toLong, s"$flag $dStr window width")
+        val cents = window.map(v => math.round(v * 100)).sum
+        val expect = ((2 * cents + nWin) / (2 * nWin)).toDouble / 100
+        assert(math.abs(ma7 - expect) < 1e-9, s"$flag $dStr ma7")
+      }
+    }
+    // the RANGE (not ROWS) semantics genuinely bites: some window spans < 7 days
+    assert(rows.exists(_._5 < 7) && rows.exists(_._5 == 7L))
+  }
 }

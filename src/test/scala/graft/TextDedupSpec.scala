@@ -201,4 +201,25 @@ class TextDedupSpec extends AnyFunSuite {
     }
     assert(pairs(0) > 0, "near-dup corpus must produce pairs at 0.5")
   }
+
+  test("dedup_cluster_stats is exactly the dedup_components size histogram") {
+    val comp = graft.text.TextOps.dedupComponents.fn(spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val stats = graft.text.TextOps.dedupClusterStats.fn(spark, TestSession.sfDir)
+      .collect()
+    val sizes = comp.groupBy(_._2).toSeq.map { case (c, ms) => (c, ms.length.toLong) }
+    val hist = sizes.groupBy(_._2).map { case (sz, cs) =>
+      sz -> (cs.length.toLong, cs.map(_._1).min)
+    }
+    assert(stats.length === hist.size)
+    stats.foreach { r =>
+      val (nClusters, exampleRoot) = hist(r.getLong(0))
+      assert(r.getLong(1) === nClusters, s"size ${r.getLong(0)} clusters")
+      assert(r.getLong(2) === r.getLong(0) * nClusters, "n_docs identity")
+      assert(r.getLong(3) === (r.getLong(0) - 1) * nClusters, "n_dropped identity")
+      assert(r.getLong(4) === exampleRoot, s"size ${r.getLong(0)} example")
+    }
+    // conservation: histogram covers every document exactly once
+    assert(stats.map(_.getLong(2)).sum === comp.length.toLong)
+  }
 }

@@ -102,4 +102,29 @@ class TokenizerOpsSpec extends AnyFunSuite {
     // the corpus genuinely carries cross-doc spans (positive control)
     assert(rows.map(_.getLong(6)).sum > 0, "some duplicated spans exist")
   }
+
+  test("dedup_span_topk: top-20 facts match the brute-force span index") {
+    val rows = SpanDedup.dedupSpanTopk.fn(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val k = 40; val stride = 20
+    val occ = docs.flatMap { case (id, text) =>
+      (0 to text.length - k by stride).map(i => (text.substring(i, i + k), id))
+    }
+    val facts = occ.groupBy(_._1).toSeq.map { case (span, os) =>
+      (span, os.length.toLong, os.map(_._2).distinct.length.toLong, os.map(_._2).min)
+    }.filter(_._3 >= 2)
+    def md5hex16(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val want = facts.sortBy(f => (-f._3, -f._2, md5hex16(f._1))).take(20)
+    assert(rows.length === math.min(20, facts.length))
+    rows.zip(want).foreach { case (r, (span, nOcc, df, firstDoc)) =>
+      assert(r.getString(1) === span, s"rank ${r.getInt(0)} span")
+      assert(r.getLong(2) === df, s"rank ${r.getInt(0)} df")
+      assert(r.getLong(3) === nOcc, s"rank ${r.getInt(0)} n_occ")
+      assert(r.getLong(4) === firstDoc, s"rank ${r.getInt(0)} first_doc")
+    }
+    assert(rows.map(_.getInt(0)).toSeq === (1 to rows.length))
+  }
 }
