@@ -1,6 +1,6 @@
 package graft.analytics
 
-import graft.{Q, Tables}
+import graft.{Det, Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -192,5 +192,73 @@ object EventAnalytics {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(eventRetention, eventFunnel, eventPaths)
+  /** Last-touch conversion attribution: each purchase is credited to the
+    * user's most recent preceding non-purchase event within a 7-day
+    * lookback — the marketing-attribution primitive funnels and paths
+    * don't give (a funnel fixes the sequence; attribution asks which
+    * channel ACTUALLY preceded the money). Purchases with no qualifying
+    * touch are credited to 'direct'. Report per channel: conversions,
+    * attributed revenue, revenue share.
+    *
+    * Scale: ONE user-keyed window over the feed (the audit_sessionize
+    * exchange family) with a (−∞, −1] frame; the two ignore-nulls
+    * last_value arms share the identical frame and CASE predicate, so
+    * they read the SAME source row and (ts, channel) can never split.
+    * The channel rollup is a partial-agg groupBy bounded at
+    * |event types|+1 rows; the share join is a 1-row broadcast. Revenue
+    * sums ride exact DECIMAL fixed-point (order-independent), so share
+    * is a quotient of two already-identical doubles on both engines. */
+  val eventAttribution: Q = Q.sql(
+    "event_attribution",
+    s"""WITH t AS (
+       |  SELECT event_type, ts, value,
+       |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+       |      IGNORE NULLS) OVER w AS touch_ts,
+       |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+       |      IGNORE NULLS) OVER w AS touch_ch
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |a AS (
+       |  SELECT CASE WHEN touch_ts IS NULL
+       |      OR ts > touch_ts + INTERVAL 7 DAY THEN 'direct'
+       |      ELSE touch_ch END AS channel,
+       |    value
+       |  FROM t WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT channel, count(*) AS conversions,
+       |    ${Det.dsumRoundSql("value", 2)} AS revenue
+       |  FROM a GROUP BY 1),
+       |tot AS (SELECT ${Det.dsumSql("value")} AS total FROM a)
+       |SELECT channel, conversions, revenue,
+       |  round(revenue / total, 4) AS rev_share
+       |FROM c CROSS JOIN tot ORDER BY channel""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nonPurchase = col("event_type") =!= "purchase"
+    val touched = ev(s, d)
+      .select(col("event_type"), col("ts"), col("value"),
+        last(when(nonPurchase, col("ts")), ignoreNulls = true).over(w)
+          .as("touch_ts"),
+        last(when(nonPurchase, col("event_type")), ignoreNulls = true).over(w)
+          .as("touch_ch"))
+    val attributed = touched
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("touch_ts").isNull ||
+          col("ts") > col("touch_ts") + expr("INTERVAL 7 DAYS"), "direct")
+          .otherwise(col("touch_ch")).as("channel"),
+        col("value"))
+    val channels = attributed.groupBy("channel")
+      .agg(count(lit(1)).as("conversions"),
+        Det.dsumRound(col("value"), 2).as("revenue"))
+    val total = attributed.agg(Det.dsum(col("value")).as("total"))
+    channels.crossJoin(broadcast(total))
+      .select(col("channel"), col("conversions"), col("revenue"),
+        round(col("revenue") / col("total"), 4).as("rev_share"))
+      .orderBy("channel")
+  }
+
+  val all: Seq[Q] = Seq(eventRetention, eventFunnel, eventPaths,
+    eventAttribution)
 }

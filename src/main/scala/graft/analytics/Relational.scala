@@ -953,6 +953,46 @@ object Relational {
       .orderBy("flag", "day")
   }
 
+  /** TPC-H Q12 flavor: shipping-priority split — per (linestatus,
+    * returnflag) cell, how many shipped lines belonged to critical
+    * (URGENT/HIGH) orders vs the rest, over a two-year ship window. The
+    * operational question is SLA triage: did critical orders actually
+    * move through the F(inished) pipeline, or are they stuck in O(pen)?
+    *
+    * Scale shape: the date range is pushed into the lineitem scan
+    * (PushedFilters) and only (orderkey, status, flag) survive pruning;
+    * orders arrives un-hinted (sf-scaling — AQE size-gates the build
+    * side) carrying just (orderkey, priority); the conditional counts
+    * ride ONE partial aggregate bounded at |status|×|flag| = 6 cells, so
+    * the post-join shuffle carries 6 rows per map partition at any SF. */
+  val qShipPriority: Q = Q.sql(
+    "q_ship_priority",
+    """SELECT l_linestatus, l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_lines,
+      |  round(1.0 * sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) / count(*), 4) AS high_share
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_linestatus", "l_returnflag")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_linestatus", "l_returnflag")
+      .agg(
+        sum(when(high, 1).otherwise(0)).as("high_lines"),
+        sum(when(high, 0).otherwise(1)).as("low_lines"),
+        round(lit(1.0) * sum(when(high, 1).otherwise(0)) / count(lit(1)), 4)
+          .as("high_share"))
+      .orderBy("l_linestatus", "l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
@@ -960,5 +1000,5 @@ object Relational {
     qPriceBands, qSkewSalted, qYearlyGrowth, qMarketShare, qTradeLanes,
     qPromoShare, qSmallQuantity, qDisjunctive, qCubeVolume, qTopSupplier,
     qReturnedCustomers, qNationProfit, qSupplierWait, qOrderGap,
-    qRevenueMa7)
+    qRevenueMa7, qShipPriority)
 }

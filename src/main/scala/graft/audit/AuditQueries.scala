@@ -2136,6 +2136,163 @@ object AuditQueries {
       .orderBy("entity_id")
   }
 
+  /** CDC MERGE plan + apply: split the feed at the id midpoint, treat the
+    * ≤mid state as the base table and the >mid slice as the incoming
+    * change batch, and emit the per-entity MERGE verdict a Delta-style
+    * `MERGE INTO` executor would produce — matched-update /
+    * matched-delete / unmatched-insert / insert_then_delete / unchanged —
+    * together with the merged final state. The `reconciled` column proves
+    * the algebra: last-non-null state composes associatively across the
+    * split (merged ≡ coalesce(post-half state, pre-half state) ≡ full
+    * replay), so a periodic MERGE apply and a from-scratch replay can
+    * never diverge — the invariant that makes incremental materialization
+    * of audit_current safe at 100 TB (replay the suffix, not the feed).
+    * audit_compact answers "what state"; this op answers "what would the
+    * writer DO" — the row-level action classification is what a MERGE
+    * sink needs to plan upserts vs deletes.
+    *
+    * Scale: midpoint is a 1-row broadcast; each half runs the standard
+    * entity-windowed top-1 over an id-PRUNED scan (the predicate reaches
+    * parquet); halves meet in a full-outer entity-keyed join — the same
+    * exchange family as the windows, so AQE aligns the partitioning. No
+    * full-feed recompute for the check: reconciliation is algebraic
+    * (coalesce of the two halves), not a third scan. */
+  val auditMergeUpsert: Q = Q.sql(
+    "audit_merge_upsert",
+    auditCte + s""", m AS (SELECT CAST(floor(max(audit_id) / 2) AS BIGINT) AS mid FROM audit),
+      |pre AS (
+      |  SELECT entity_id, audit_id, operation,
+      |    last_value(k IGNORE NULLS) OVER ($runningW) AS state_k,
+      |    last_value(val IGNORE NULLS) OVER ($runningW) AS state_val,
+      |    row_number() OVER (PARTITION BY entity_id ORDER BY audit_id DESC) AS rn
+      |  FROM audit CROSS JOIN m WHERE audit_id <= mid),
+      |post AS (
+      |  SELECT entity_id, audit_id, operation,
+      |    last_value(k IGNORE NULLS) OVER ($runningW) AS state_k,
+      |    last_value(val IGNORE NULLS) OVER ($runningW) AS state_val,
+      |    row_number() OVER (PARTITION BY entity_id ORDER BY audit_id DESC) AS rn
+      |  FROM audit CROSS JOIN m WHERE audit_id > mid),
+      |b AS (SELECT * FROM pre WHERE rn = 1),
+      |dl AS (SELECT * FROM post WHERE rn = 1),
+      |full_rep AS (
+      |  SELECT entity_id, audit_id,
+      |    last_value(k IGNORE NULLS) OVER ($runningW) AS state_k,
+      |    last_value(val IGNORE NULLS) OVER ($runningW) AS state_val,
+      |    row_number() OVER (PARTITION BY entity_id ORDER BY audit_id DESC) AS rn
+      |  FROM audit),
+      |f AS (SELECT * FROM full_rep WHERE rn = 1),
+      |mg AS (
+      |  SELECT coalesce(dl.entity_id, b.entity_id) AS entity_id,
+      |    CASE
+      |      WHEN dl.entity_id IS NULL THEN 'unchanged'
+      |      WHEN b.entity_id IS NULL AND dl.operation IN ('D', 'T')
+      |        THEN 'insert_then_delete'
+      |      WHEN b.entity_id IS NULL THEN 'insert'
+      |      WHEN dl.operation IN ('D', 'T') THEN 'delete'
+      |      ELSE 'update' END AS merge_action,
+      |    coalesce(dl.audit_id, b.audit_id) AS last_audit_id,
+      |    coalesce(dl.state_k, b.state_k) AS state_k,
+      |    coalesce(dl.state_val, b.state_val) AS state_val
+      |  FROM b FULL OUTER JOIN dl ON b.entity_id = dl.entity_id)
+      |SELECT mg.entity_id, mg.merge_action, mg.last_audit_id,
+      |  mg.state_k, mg.state_val,
+      |  (mg.last_audit_id = f.audit_id
+      |    AND mg.state_k IS NOT DISTINCT FROM f.state_k
+      |    AND mg.state_val IS NOT DISTINCT FROM f.state_val) AS reconciled
+      |FROM mg JOIN f ON mg.entity_id = f.entity_id
+      |ORDER BY mg.entity_id""".stripMargin) { (s, d) =>
+    val lg = sparse(log(s, d))
+      .select("audit_id", "entity_id", "operation", "k", "val")
+    val mid = lg.agg(floor(max("audit_id") / 2).cast("long").as("__mid"))
+    val wm = lg.crossJoin(broadcast(mid))
+    val descW = Window.partitionBy("entity_id").orderBy(col("audit_id").desc)
+    def lastState(half: DataFrame): DataFrame =
+      alg.snapshot(half, Seq("k", "val"))
+        .withColumn("rn", row_number().over(descW)).filter(col("rn") === 1)
+        .select(col("entity_id"), col("audit_id"), col("operation"),
+          col("state_k"), col("state_val"))
+    val base = lastState(wm.filter(col("audit_id") <= col("__mid")).drop("__mid"))
+      .withColumnRenamed("audit_id", "b_id")
+      .withColumnRenamed("operation", "b_op")
+      .withColumnRenamed("state_k", "b_k")
+      .withColumnRenamed("state_val", "b_val")
+    val delta = lastState(wm.filter(col("audit_id") > col("__mid")).drop("__mid"))
+      .withColumnRenamed("audit_id", "d_id")
+      .withColumnRenamed("operation", "d_op")
+      .withColumnRenamed("state_k", "d_k")
+      .withColumnRenamed("state_val", "d_val")
+    val full = lastState(lg)
+      .select(col("entity_id"), col("audit_id").as("f_id"),
+        col("state_k").as("f_k"), col("state_val").as("f_val"))
+    val merged = base.join(delta, Seq("entity_id"), "full_outer")
+      .select(col("entity_id"),
+        when(col("d_id").isNull, "unchanged")
+          .when(col("b_id").isNull && col("d_op").isin(AuditModel.terminalOps: _*),
+            "insert_then_delete")
+          .when(col("b_id").isNull, "insert")
+          .when(col("d_op").isin(AuditModel.terminalOps: _*), "delete")
+          .otherwise("update").as("merge_action"),
+        coalesce(col("d_id"), col("b_id")).as("last_audit_id"),
+        coalesce(col("d_k"), col("b_k")).as("state_k"),
+        coalesce(col("d_val"), col("b_val")).as("state_val"))
+    merged.join(full, Seq("entity_id"))
+      .select(col("entity_id"), col("merge_action"), col("last_audit_id"),
+        col("state_k"), col("state_val"),
+        (col("last_audit_id") === col("f_id") &&
+          col("state_k") <=> col("f_k") &&
+          col("state_val") <=> col("f_val")).as("reconciled"))
+      .orderBy("entity_id")
+  }
+
+  /** Entity lifecycle fingerprints: the top 20 leading operation
+    * sequences (first 5 ops per entity, 'I>U>U>D>…') with entity counts
+    * and share — the sequence-level complement of audit_op_transitions'
+    * pairwise matrix (a Markov matrix can score I→U and U→D as common
+    * yet never reveal that I>U>D *as a whole* dominates). Data-model
+    * forensics: entities born before the capture window started surface
+    * as U-leading paths; mass D-leading paths mean the feed is replaying
+    * deletes of unseen entities.
+    *
+    * Scale: ONE entity-keyed window (row_number caps each entity at its
+    * first 5 ops — state per entity is O(5)) + ONE entity groupBy on the
+    * capped rows (sort-struct-collect of ≤5 elements per group); the
+    * path rollup is a partial-agg groupBy bounded at |op|⁵ cells and the
+    * share divisor is a 1-row broadcast. The feed never carries more
+    * than 5 rows per entity past the first window. */
+  val auditLifecyclePaths: Q = Q.sql(
+    "audit_lifecycle_paths",
+    auditCte + """, capped AS (
+      |  SELECT entity_id, operation, audit_id,
+      |    row_number() OVER (PARTITION BY entity_id ORDER BY audit_id) AS rn
+      |  FROM audit),
+      |paths AS (
+      |  SELECT entity_id,
+      |    string_agg(operation, '>' ORDER BY audit_id) AS path
+      |  FROM capped WHERE rn <= 5 GROUP BY entity_id),
+      |c AS (SELECT path, count(*) AS n_entities FROM paths GROUP BY 1),
+      |t AS (SELECT count(*) AS total FROM paths)
+      |SELECT path, n_entities,
+      |  round(1.0 * n_entities / total, 4) AS entity_share
+      |FROM c CROSS JOIN t
+      |ORDER BY n_entities DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("entity_id").orderBy("audit_id")
+    val capped = log(s, d)
+      .select(col("entity_id"), col("operation"), col("audit_id"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+    val paths = capped.groupBy("entity_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("audit_id"), col("operation")))),
+          x => x.getField("operation")), ">").as("path"))
+    val counts = paths.groupBy("path").agg(count(lit(1)).as("n_entities"))
+    val total = paths.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("path"), col("n_entities"),
+        round(lit(1.0) * col("n_entities") / col("total"), 4).as("entity_share"))
+      .orderBy(col("n_entities").desc, col("path"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     auditChainDigest,
     auditLog, auditDelta, auditDeltaOld, auditTypedDelta, auditViewsOnly,
@@ -2152,5 +2309,5 @@ object AuditQueries {
     auditOpTransitions, auditEntityLifetime, auditOpPivot,
     auditRollingVolume, auditSlidingRate, auditValueOutliers,
     auditDowProfile, auditPayloadBytes, auditEwmaVolume,
-    auditVolumeAutocorr)
+    auditVolumeAutocorr, auditMergeUpsert, auditLifecyclePaths)
 }
