@@ -1231,10 +1231,153 @@ object CorpusOps {
     }
   }
 
+  // -------------------------------------------- stopword profile --
+
+  /** Per-source function-word fingerprint, self-calibrating: the
+    * "stopword" set is the corpus's OWN top-5 tokens (no language
+    * assumption — the head of any corpus's frequency curve plays the
+    * function-word role), and each source is scored by (a) what share
+    * of its tokens the set covers and (b) the total-variation distance
+    * of its per-stopword shares from the corpus profile. A source whose
+    * head-token profile diverges is template text, machine output, or a
+    * scraper grabbing navigation chrome — the classic source-level
+    * contamination smell that per-doc quality gates miss.
+    *
+    * Scale: (source, word) counts are ONE partial-agg groupBy bounded
+    * at |sources|×|vocab|; the top-5 head is a global top-k heap
+    * (TakeOrderedAndProject — never a full-vocab sort) broadcast back;
+    * the profile grid is |sources|×5 rows. Shares rounded once to 6,
+    * TVD summed over the DECIMAL grid (the audit_value_drift
+    * discipline). */
+  val stopwordProfile: Q = Q.sql(
+    "stopword_profile",
+    """WITH w AS (SELECT source, unnest(str_split(text, ' ')) AS word
+      |       FROM documents),
+      |sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      |       FROM w GROUP BY 1, 2),
+      |vocab AS (SELECT word, CAST(sum(c) AS BIGINT) AS cw FROM sw GROUP BY 1),
+      |top5 AS (SELECT word, cw FROM vocab ORDER BY cw DESC, word LIMIT 5),
+      |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens FROM sw GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_total FROM vocab),
+      |grid AS (SELECT st.source, st.n_tokens, t5.word, t5.cw,
+      |           coalesce(sw.c, 0) AS c
+      |         FROM st CROSS JOIN top5 t5
+      |         LEFT JOIN sw ON sw.source = st.source AND sw.word = t5.word),
+      |dev AS (SELECT source, n_tokens, c,
+      |    abs(CAST(round(1.0 * c / n_tokens, 6) AS DECIMAL(18,6))
+      |      - CAST(round(1.0 * cw / n_total, 6) AS DECIMAL(18,6))) AS d
+      |  FROM grid CROSS JOIN tot)
+      |SELECT source, n_tokens,
+      |  CAST(sum(c) AS BIGINT) AS stop_tokens,
+      |  round(1.0 * sum(c) / n_tokens, 4) AS stop_share,
+      |  round(CAST(sum(d) AS DOUBLE) / 2, 6) AS tvd,
+      |  CASE WHEN round(CAST(sum(d) AS DOUBLE) / 2, 6) > 0.02
+      |    THEN 1 ELSE 0 END AS skewed
+      |FROM dev GROUP BY source, n_tokens
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val dec = "decimal(18,6)"
+    val sw = docs(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val vocab = sw.groupBy("word").agg(sum("c").cast("long").as("cw"))
+    val top5 = vocab.orderBy(col("cw").desc, col("word")).limit(5)
+    val st = sw.groupBy("source").agg(sum("c").cast("long").as("n_tokens"))
+    val tot = vocab.agg(sum("cw").cast("long").as("n_total"))
+    val grid = st.crossJoin(broadcast(top5))
+      .join(sw, Seq("source", "word"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    grid.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("c"),
+        abs(round(lit(1.0) * col("c") / col("n_tokens"), 6).cast(dec)
+          - round(lit(1.0) * col("cw") / col("n_total"), 6).cast(dec)).as("d"))
+      .groupBy("source", "n_tokens")
+      .agg(sum("c").cast("long").as("stop_tokens"),
+        round(lit(1.0) * sum("c") / col("n_tokens"), 4).as("stop_share"),
+        round(sum("d").cast("double") / 2, 6).as("tvd"))
+      .withColumn("skewed", when(col("tvd") > 0.02, 1).otherwise(0))
+      .select("source", "n_tokens", "stop_tokens", "stop_share", "tvd", "skewed")
+      .orderBy("source")
+  }
+
+  // -------------------------------------- vocab coverage curve --
+
+  /** Tokenizer-vocabulary sizing curve: per language, the share of
+    * total token mass the top-k most frequent terms cover, at
+    * k ∈ {10, 50, 100, 500, 1000} — the measurement that decides how
+    * large a vocabulary (or how aggressive a BPE merge budget) a corpus
+    * needs: a 0.99 share at k=500 says a small vocab suffices; a flat
+    * curve says the tail matters and UNK rates will bite.
+    *
+    * Scale: (lang, term) counts partial-agg to |vocab|; ranks ride the
+    * zipf_fit TWO-PHASE top-k (per-(lang, bucket) pre-pass keeps ≤1000,
+    * the global per-lang rank sees only survivors — the full vocabulary
+    * never lands in one partition); coverages are conditional sums on
+    * the ≤1000-per-lang ranked set against per-lang totals from the
+    * full count table. Exact BIGINT/BIGINT ratios rounded once. */
+  val vocabCoverage: Q = Q.sql(
+    "vocab_coverage",
+    s"""WITH w AS (SELECT lang, unnest(str_split(text, ' ')) AS term
+       |       FROM documents),
+       |lc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+       |       FROM w GROUP BY 1, 2),
+       |r AS (SELECT lang, c,
+       |        row_number() OVER (PARTITION BY lang ORDER BY c DESC, term) AS rnk
+       |      FROM lc),
+       |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+       |        CAST(sum(c) AS BIGINT) AS n_tokens
+       |      FROM lc GROUP BY 1),
+       |cv AS (SELECT lang,
+       |    CAST(sum(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS BIGINT) AS c10,
+       |    CAST(sum(CASE WHEN rnk <= 50 THEN c ELSE 0 END) AS BIGINT) AS c50,
+       |    CAST(sum(CASE WHEN rnk <= 100 THEN c ELSE 0 END) AS BIGINT) AS c100,
+       |    CAST(sum(CASE WHEN rnk <= 500 THEN c ELSE 0 END) AS BIGINT) AS c500,
+       |    CAST(sum(CASE WHEN rnk <= 1000 THEN c ELSE 0 END) AS BIGINT) AS c1000
+       |  FROM r WHERE rnk <= 1000 GROUP BY 1)
+       |SELECT t.lang, n_types, n_tokens,
+       |  round(1.0 * c10 / n_tokens, 4) AS cov10,
+       |  round(1.0 * c50 / n_tokens, 4) AS cov50,
+       |  round(1.0 * c100 / n_tokens, 4) AS cov100,
+       |  round(1.0 * c500 / n_tokens, 4) AS cov500,
+       |  round(1.0 * c1000 / n_tokens, 4) AS cov1000
+       |FROM cv JOIN t ON cv.lang = t.lang
+       |ORDER BY t.lang""".stripMargin) { (s, d) =>
+    val lc = docs(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+    val t = lc.groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n_types"),
+        sum("c").cast("long").as("n_tokens"))
+    // two-phase rank — the zipf_fit machinery: bucket pre-pass, then the
+    // global per-lang rank over ≤ |buckets|×1000 survivors
+    val pre = lc
+      .withColumn("bucket", pmod(hash(col("term")), lit(ZipfBuckets)))
+      .withColumn("pre_rnk", row_number().over(
+        Window.partitionBy("lang", "bucket").orderBy(col("c").desc, col("term"))))
+      .filter(col("pre_rnk") <= ZipfTopK)
+      .drop("bucket", "pre_rnk")
+    val ranked = pre
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("term"))))
+      .filter(col("rnk") <= ZipfTopK)
+    def covc(k: Int) =
+      sum(when(col("rnk") <= k, col("c")).otherwise(0L)).cast("long")
+    val cv = ranked.groupBy("lang")
+      .agg(covc(10).as("c10"), covc(50).as("c50"), covc(100).as("c100"),
+        covc(500).as("c500"), covc(1000).as("c1000"))
+    cv.join(t, Seq("lang"))
+      .select(col("lang"), col("n_types"), col("n_tokens"),
+        round(lit(1.0) * col("c10") / col("n_tokens"), 4).as("cov10"),
+        round(lit(1.0) * col("c50") / col("n_tokens"), 4).as("cov50"),
+        round(lit(1.0) * col("c100") / col("n_tokens"), 4).as("cov100"),
+        round(lit(1.0) * col("c500") / col("n_tokens"), 4).as("cov500"),
+        round(lit(1.0) * col("c1000") / col("n_tokens"), 4).as("cov1000"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(
     docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
     tokenHistogram, packSequences, packEfficiency, corpusFunnel, corpusSplit,
     corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate, zipfFit,
     corpusReport, epochPlan, splitLeakage, ngramNovelty, sampleWeighted,
-    tokenLengthQuantiles)
+    tokenLengthQuantiles, stopwordProfile, vocabCoverage)
 }

@@ -1472,10 +1472,82 @@ object Similarity {
       .orderBy("band")
   }
 
+  /** Matryoshka-truncation audit: how much of each vector's energy the
+    * leading m coordinates carry, for m ∈ {8,16,32,64} — the
+    * measurement behind serving truncated (MRL-style) embeddings: a
+    * high mean share at m=16 means a 4× cheaper ANN index loses little
+    * recall; a low one means truncation is not on the table for this
+    * encoder. Per m: mean/min energy share and the fraction of vectors
+    * ≥ 0.9 ("servable" at that truncation).
+    *
+    * Scale: shares are per-row decimal array folds inside the scan —
+    * NO vec_id-keyed exchange anywhere (the k-means/PCA discipline);
+    * the only shuffle is the 4-row (m) partial aggregate. Coordinates
+    * are rounded once to 6 decimals then scaled to exact BIGINT
+    * micro-units, so every square and fold is exact integer arithmetic
+    * (order-independent; 64 squares stay < 2^53, exactly representable
+    * as the DOUBLE the share quotient divides); per-m aggregates ride
+    * exact DECIMAL sums of the already-rounded shares. */
+  val embMatryoshka: Q = Q.sql(
+    "emb_matryoshka",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |u AS (SELECT vec_id,
+      |        CAST(round(round(unnest(emb), 6) * 1000000, 0) AS BIGINT) AS uv,
+      |        generate_subscripts(emb, 1) AS dim FROM e),
+      |s AS (SELECT vec_id,
+      |    CAST(sum(uv * uv) AS DOUBLE) AS efull,
+      |    CAST(sum(uv * uv) FILTER (WHERE dim <= 8) AS DOUBLE) AS e8,
+      |    CAST(sum(uv * uv) FILTER (WHERE dim <= 16) AS DOUBLE) AS e16,
+      |    CAST(sum(uv * uv) FILTER (WHERE dim <= 32) AS DOUBLE) AS e32
+      |  FROM u GROUP BY vec_id),
+      |x AS (
+      |  SELECT 8 AS m, round(e8 / efull, 6) AS share FROM s
+      |  UNION ALL SELECT 16, round(e16 / efull, 6) FROM s
+      |  UNION ALL SELECT 32, round(e32 / efull, 6) FROM s
+      |  UNION ALL SELECT 64, round(efull / efull, 6) FROM s)
+      |SELECT m, count(*) AS n_vecs,
+      |  round(CAST(sum(CAST(share AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+      |    AS mean_share,
+      |  round(min(share), 6) AS min_share,
+      |  CAST(sum(CASE WHEN share >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_servable,
+      |  round(1.0 * sum(CASE WHEN share >= 0.9 THEN 1 ELSE 0 END) / count(*), 4)
+      |    AS servable_frac
+      |FROM x GROUP BY m ORDER BY m""".stripMargin) { (s, d) =>
+    // per-row energies: decimal folds over the rounded coordinate array —
+    // the corpus is never exchanged on vec_id
+    def energy(m: Int): Column = expr(
+      s"""cast(aggregate(slice(transform(embedding,
+         |  x -> cast(round(round(cast(x as double), 6) * 1000000, 0) as bigint)), 1, $m),
+         |  cast(0 as bigint),
+         |  (acc, x) -> acc + x * x) as double)""".stripMargin)
+    val shares = emb(s, d)
+      .select(energy(8).as("e8"), energy(16).as("e16"),
+        energy(32).as("e32"), energy(64).as("efull"))
+      .select(explode(array(
+        struct(lit(8).as("m"), round(col("e8") / col("efull"), 6).as("share")),
+        struct(lit(16).as("m"), round(col("e16") / col("efull"), 6).as("share")),
+        struct(lit(32).as("m"), round(col("e32") / col("efull"), 6).as("share")),
+        struct(lit(64).as("m"), round(col("efull") / col("efull"), 6).as("share"))))
+        .as("ms"))
+      .select(col("ms.m").as("m"), col("ms.share").as("share"))
+    shares.groupBy("m")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("share").cast("decimal(28,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_share"),
+        round(min("share"), 6).as("min_share"),
+        sum(when(col("share") >= 0.9, 1).otherwise(0)).cast("long")
+          .as("n_servable"),
+        round(lit(1.0) * sum(when(col("share") >= 0.9, 1).otherwise(0))
+          / count(lit(1)), 4).as("servable_frac"))
+      .orderBy("m")
+  }
+
   val all: Seq[Q] = Seq(
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
     embNormalize, embQuantize, annPq, annPqSearch, annRecall,
     annIvfMultiprobe, annIvfPq, annIvfKmeans, annRecallKmeans,
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
-    embDimStats, embDrift, annKnnGraph, embWhiten, lshBucketStats)
+    embDimStats, embDrift, annKnnGraph, embWhiten, lshBucketStats,
+    embMatryoshka)
 }
