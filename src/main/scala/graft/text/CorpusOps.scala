@@ -1374,10 +1374,58 @@ object CorpusOps {
       .orderBy("lang")
   }
 
+  // -------------------------------------------- curriculum order --
+
+  /** Curriculum-training order plan: each document gets a difficulty
+    * score (length-saturating term + repetition term — short, varied
+    * text first; long, repetitive text last), a phase (3 fixed
+    * difficulty bands), and a deterministic within-phase serving key
+    * (md5 content hash — the RNG-free shuffle every curriculum loader
+    * needs for reproducible epochs). A writer materializes the schedule
+    * by range-partitioning on (phase, order_key); this op IS that plan.
+    *
+    * Scale: pure per-row projection — no aggregate, no window, no join;
+    * fixed difficulty bands rather than score quantiles precisely so no
+    * global rank over the corpus is ever needed (the quantile version
+    * of this op is what token_length_quantiles' histogram trick would
+    * give; bands are the 100 TB default). Score arithmetic is exact
+    * int/int division rounded once — both engines bit-equal. */
+  val curriculumOrder: Q = Q.sql(
+    "curriculum_order",
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    len(str_split(text, ' ')) AS n_words,
+      |    len(list_distinct(str_split(text, ' '))) AS n_distinct,
+      |    substr(md5(text), 1, 8) AS order_key
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang, n_words, order_key,
+      |    round(0.7 * least(1.0 * n_words / 100, 1.0)
+      |      + 0.3 * (1 - round(1.0 * n_distinct / n_words, 6)), 4) AS difficulty
+      |  FROM f)
+      |SELECT doc_id, lang, n_words, difficulty,
+      |  CASE WHEN difficulty < 0.4 THEN 1
+      |       WHEN difficulty < 0.7 THEN 2 ELSE 3 END AS phase,
+      |  order_key
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val f = docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        expr("size(split(text, ' '))").as("n_words"),
+        expr("size(array_distinct(split(text, ' ')))").as("n_distinct"),
+        substring(md5(col("text")), 1, 8).as("order_key"))
+    f.withColumn("difficulty",
+        round(lit(0.7) * least(lit(1.0) * col("n_words") / 100, lit(1.0))
+          + lit(0.3) * (lit(1) - round(lit(1.0) * col("n_distinct") / col("n_words"), 6)), 4))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("difficulty"),
+        when(col("difficulty") < 0.4, 1)
+          .when(col("difficulty") < 0.7, 2).otherwise(3).as("phase"),
+        col("order_key"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
     tokenHistogram, packSequences, packEfficiency, corpusFunnel, corpusSplit,
     corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate, zipfFit,
     corpusReport, epochPlan, splitLeakage, ngramNovelty, sampleWeighted,
-    tokenLengthQuantiles, stopwordProfile, vocabCoverage)
+    tokenLengthQuantiles, stopwordProfile, vocabCoverage, curriculumOrder)
 }

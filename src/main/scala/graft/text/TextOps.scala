@@ -1165,11 +1165,73 @@ object TextOps {
       .orderBy("threshold")
   }
 
+  /** Fuzzy decontamination: the near-duplicate complement of
+    * CorpusOps.decontaminate's exact-shingle probe — corpus docs whose
+    * minhash band signature collides with a benchmark doc, scored by the
+    * banded similarity estimate (shared bands / 4). An eval answer
+    * paraphrased into the corpus shares few exact 4-grams but keeps a
+    * high Jaccard over 3-shingles, which is exactly what the minhash
+    * bands see; `contaminated` flags ≥2 shared bands (est ≥ 0.5).
+    *
+    * Scale: the benchmark side is tiny by construction, so its band rows
+    * BROADCAST and the probe is a map-side hash equi-join on (band, v) —
+    * the corpus is scanned once and never shuffles for the probe (the
+    * decontaminate posture, on the minhash plane). Band rows come from
+    * the same graft_minhash_sig machinery as dedup_minhash — one
+    * definition, the two planes cannot drift. */
+  val decontaminateFuzzy: Q = {
+    val duckBands = minhashParams.indices
+      .map(i => s"SELECT doc_id, ${i + 1} AS band, sig${i + 1} AS v FROM sig")
+      .mkString("\n  UNION ALL ")
+    Q.sql(
+      "decontaminate_fuzzy",
+      s"""WITH $duckSigCtes,
+         |bands AS ($duckBands),
+         |bb AS (SELECT doc_id AS bench_id, band, v FROM bands WHERE doc_id % 29 = 0),
+         |cb AS (SELECT doc_id, band, v FROM bands WHERE doc_id % 29 <> 0),
+         |hit AS (SELECT cb.doc_id, bb.bench_id, count(*) AS shared_bands
+         |        FROM cb JOIN bb ON cb.band = bb.band AND cb.v = bb.v
+         |        GROUP BY 1, 2),
+         |best AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+         |           CAST(max(shared_bands) AS BIGINT) AS max_shared
+         |         FROM hit GROUP BY 1),
+         |pick AS (SELECT h.doc_id, min(h.bench_id) AS best_bench_id
+         |         FROM hit h JOIN best b
+         |           ON h.doc_id = b.doc_id AND h.shared_bands = b.max_shared
+         |         GROUP BY 1)
+         |SELECT b.doc_id, p.best_bench_id, b.n_bench_hits, b.max_shared,
+         |  round(1.0 * b.max_shared / ${minhashParams.length}, 4) AS est_jaccard,
+         |  CASE WHEN b.max_shared >= 2 THEN 1 ELSE 0 END AS contaminated
+         |FROM best b JOIN pick p ON b.doc_id = p.doc_id
+         |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val bands = minhashBandsOf(docs(s, d).select("doc_id", "text"))
+        .withColumn("band", col("band") + 1)
+      val bench = bands.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("bench_id"), col("band"), col("v"))
+      val hits = bands.filter(col("doc_id") % 29 =!= 0)
+        .join(broadcast(bench), Seq("band", "v"))
+        .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared_bands"))
+      val best = hits.groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bench_hits"),
+          max("shared_bands").cast("long").as("max_shared"))
+      val pick = hits.join(best, Seq("doc_id"))
+        .filter(col("shared_bands") === col("max_shared"))
+        .groupBy("doc_id").agg(min("bench_id").as("best_bench_id"))
+      best.join(pick, Seq("doc_id"))
+        .select(col("doc_id"), col("best_bench_id"), col("n_bench_hits"),
+          col("max_shared"),
+          round(lit(1.0) * col("max_shared") / minhashParams.length, 4)
+            .as("est_jaccard"),
+          when(col("max_shared") >= 2, 1).otherwise(0).as("contaminated"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupBow, dedupNgramJaccard, dedupContainment,
     dedupComponents, dedupKeepBest,
     dedupMinhash, dedupMinhashEst, dedupIncremental, dedupSimhash,
-    dedupLshCurve, langId,
+    dedupLshCurve, decontaminateFuzzy, langId,
     langIdMetrics, textQuality, textEntropy, tokenCount, docFingerprint,
     samplePerSource, tokenRegex, docLangOutliers, dedupThresholdCurve,
     dedupClusterStats)

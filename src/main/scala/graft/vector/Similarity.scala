@@ -1472,6 +1472,63 @@ object Similarity {
       .orderBy("band")
   }
 
+  /** Filtered ANN — the metadata-predicate serve path: top-3 cosine per
+    * query among candidates that pass a label predicate (here: odd
+    * labels), probed through the same sign-bit IVF cell as ann_ivf. The
+    * filter is applied INSIDE the cell probe (pre-filter), not on the
+    * result list (post-filter would return < k whenever the filter is
+    * selective — the classic filtered-ANN failure). `n_candidates`
+    * publishes the per-query surviving-candidate count, the selectivity
+    * readout that tells a deployment when a cell probe is too thin under
+    * the filter and nprobe must grow.
+    *
+    * Scale: the label predicate is pushed into the candidate scan
+    * (parquet pushdown — at 100 TB a label-partitioned layout prunes
+    * files before the probe); the bounded query side broadcasts; ranking
+    * is per-query over one probed cell's survivors. */
+  val annFiltered: Q = Q.sql(
+    "ann_filtered",
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+      |    CAST(embedding[1] > 0 AS INT) * 8 + CAST(embedding[2] > 0 AS INT) * 4
+      |      + CAST(embedding[3] > 0 AS INT) * 2 + CAST(embedding[4] > 0 AS INT) AS cell
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, emb AS qe, cell FROM e WHERE vec_id < 10),
+      |s AS (SELECT query_id, e.vec_id AS neighbor_id, e.label,
+      |        round(list_cosine_similarity(qe, emb), 4) AS cos_sim
+      |      FROM q JOIN e ON q.cell = e.cell AND e.vec_id <> q.query_id
+      |      WHERE e.label % 2 = 1),
+      |r AS (SELECT *,
+      |        CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_candidates,
+      |        row_number() OVER (
+      |          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |      FROM s)
+      |SELECT query_id, neighbor_id, label, n_candidates, cos_sim, rank
+      |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val cell =
+      (when(element_at(col("embedding"), 1) > 0f, 8).otherwise(0)
+        + when(element_at(col("embedding"), 2) > 0f, 4).otherwise(0)
+        + when(element_at(col("embedding"), 3) > 0f, 2).otherwise(0)
+        + when(element_at(col("embedding"), 4) > 0f, 1).otherwise(0)).cast("int")
+    val e = emb(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"), cell.as("cell"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cell").as("qcell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    e.filter(col("label") % 2 === 1)
+      .join(broadcast(q),
+        col("qcell") === col("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        cosR(col("qe"), col("embedding")).as("cos_sim"))
+      .withColumn("n_candidates",
+        count(lit(1)).over(Window.partitionBy("query_id")).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** Matryoshka-truncation audit: how much of each vector's energy the
     * leading m coordinates carry, for m ∈ {8,16,32,64} — the
     * measurement behind serving truncated (MRL-style) embeddings: a
@@ -1549,5 +1606,5 @@ object Similarity {
     annIvfMultiprobe, annIvfPq, annIvfKmeans, annRecallKmeans,
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
     embDimStats, embDrift, annKnnGraph, embWhiten, lshBucketStats,
-    embMatryoshka)
+    embMatryoshka, annFiltered)
 }

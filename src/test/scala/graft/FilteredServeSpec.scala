@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{CorpusOps, TextOps}
+import graft.vector.Similarity
+
+/** Guards for the filtered-serve batch: fuzzy decontamination, the
+  * label-filtered ANN path, and the curriculum order plan. */
+class FilteredServeSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("decontaminate_fuzzy: flags only corpus docs; banded estimate consistent") {
+    val rows = TextOps.decontaminateFuzzy.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // bench docs never flag themselves
+      assert(r.getLong(0) % 29 !== 0L)
+      assert(r.getLong(1) % 29 === 0L, "best_bench_id must be a bench doc")
+      val shared = r.getAs[Long]("max_shared")
+      assert(shared >= 1 && shared <= 4)
+      assert(r.getAs[Long]("n_bench_hits") >= 1)
+      val expect = BigDecimal(shared.toDouble / 4)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("est_jaccard") - expect) < 1e-9)
+      assert((r.getAs[Int]("contaminated") == 1) === (shared >= 2))
+    }
+    // a corpus doc with text identical to a bench doc must collide on
+    // all 4 bands (same shingle set ⇒ same signature)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val benchTexts = docs.filter(_._1 % 29 == 0).map(_._2).toSet
+    val twins = docs.filter { case (id, t) => id % 29 != 0 && benchTexts(t) }
+      .map(_._1).toSet
+    if (twins.nonEmpty) {
+      val byId = rows.map(r => r.getLong(0) -> r.getAs[Long]("max_shared")).toMap
+      twins.foreach(id => assert(byId.get(id).contains(4L),
+        s"exact twin $id should share all 4 bands"))
+    }
+  }
+
+  test("ann_filtered: pre-filter semantics — odd labels only, in-cell, ranked") {
+    val rows = Similarity.annFiltered.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def cellOf(e: Seq[Float]): Int =
+      (if (e(0) > 0) 8 else 0) + (if (e(1) > 0) 4 else 0) +
+        (if (e(2) > 0) 2 else 0) + (if (e(3) > 0) 1 else 0)
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Float](1), r.getInt(2))).toMap
+    rows.foreach { r =>
+      val (qe, _) = embs(r.getAs[Long]("query_id"))
+      val (ne, label) = embs(r.getAs[Long]("neighbor_id"))
+      assert(label % 2 === 1, "post-filter leak: even label served")
+      assert(r.getAs[Int]("label") === label)
+      assert(cellOf(ne) === cellOf(qe), "neighbor outside the probed cell")
+      assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 3)
+      assert(r.getAs[Long]("n_candidates") >= r.getAs[Int]("rank"))
+    }
+    // per query: similarity non-increasing in rank
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Double]("cos_sim")).toSeq
+      assert(byRank.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true })
+    }
+  }
+
+  test("curriculum_order: one row per doc; bands consistent; score replays") {
+    val rows = CorpusOps.curriculumOrder.fn(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === nDocs)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      val d = r.getAs[Double]("difficulty")
+      val phase = r.getAs[Int]("phase")
+      assert(d >= 0.0 && d <= 1.0 + 1e-9)
+      assert(phase === (if (d < 0.4) 1 else if (d < 0.7) 2 else 3))
+      assert(r.getString(5).matches("[0-9a-f]{8}"), "order_key not a hash prefix")
+    }
+    // all three phases should be populated on real data; at minimum the
+    // plan must not collapse into a single band
+    assert(rows.map(_.getAs[Int]("phase")).distinct.length >= 2,
+      "curriculum collapsed to one phase")
+  }
+}
