@@ -9,6 +9,7 @@ object SparkEntry {
   private def registry: Seq[Q] =
     graft.analytics.Relational.all ++
       graft.analytics.EventAnalytics.all ++
+      graft.analytics.Layout.all ++
       graft.audit.AuditQueries.all ++
       graft.streaming.EventStream.all ++
       graft.text.TextOps.all ++

@@ -259,6 +259,92 @@ object EventAnalytics {
       .orderBy("channel")
   }
 
+  /** Session-level event-type association matrix: for each unordered
+    * type pair, the share of sessions containing BOTH and the lift
+    * n_both·N / (n_a·n_b) — association (do these behaviors travel
+    * together?) where event_paths gives sequence and event_funnel gives
+    * one fixed order. Lift < 1 on a pair a funnel assumes adjacent is
+    * the "nobody actually does both" verdict. Sessions are the
+    * audit_sessionize 30-minute-gap rule, so all three session views
+    * agree on the unit.
+    *
+    * Scale: ONE user-keyed session window (the sessionize exchange), a
+    * distinct (user, session, type) partial agg, and a self-join keyed
+    * on (user, session) — per-session fan-out bounded by |types|, so
+    * the pair join is linear in sessions; the pair rollup is ≤ |types|²
+    * rows, type totals broadcast. Lift = n_both·N / (n_a·n_b) — one
+    * division of exact < 2⁵³ integer products, identical IEEE result in
+    * both engines. */
+  val eventCooccurrence: Q = Q.sql(
+    "event_cooccurrence",
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+      |           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+      |             OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+      |         THEN 1
+      |         WHEN lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, event_type,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM marked),
+      |st AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+      |        FROM (SELECT DISTINCT user_id, session_id FROM st)),
+      |tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+      |       FROM st GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS n_both
+      |  FROM st a JOIN st b
+      |    ON a.user_id = b.user_id AND a.session_id = b.session_id
+      |   AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_both,
+      |  round(1.0 * n_both / n_sessions, 4) AS support,
+      |  round(1.0 * n_both * n_sessions / (ta.n_t * tb.n_t), 4) AS lift
+      |FROM pairs
+      |JOIN tc ta ON ta.event_type = type_a
+      |JOIN tc tb ON tb.event_type = type_b
+      |CROSS JOIN tot
+      |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val secs = floor(unix_micros(col("ts")) / 1000000L).cast("long")
+    val marked = ev(s, d)
+      .withColumn("new_session",
+        when(secs - lag(secs, 1).over(w) > 1800, 1)
+          .when(lag(col("event_id"), 1).over(w).isNull, 1)
+          .otherwise(0))
+    val st = marked
+      .withColumn("session_id", sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .select("user_id", "session_id", "event_type").distinct()
+    val tot = st.select("user_id", "session_id").distinct()
+      .agg(count(lit(1)).cast("long").as("n_sessions"))
+    val tc = st.groupBy("event_type").agg(count(lit(1)).cast("long").as("n_t"))
+    val pairs = st.select(col("user_id"), col("session_id"),
+        col("event_type").as("type_a"))
+      .join(st.select(col("user_id"), col("session_id"),
+        col("event_type").as("type_b")), Seq("user_id", "session_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).cast("long").as("n_both"))
+    pairs
+      .join(broadcast(tc.select(col("event_type").as("type_a"),
+        col("n_t").as("na"))), Seq("type_a"))
+      .join(broadcast(tc.select(col("event_type").as("type_b"),
+        col("n_t").as("nb"))), Seq("type_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        round(lit(1.0) * col("n_both") / col("n_sessions"), 4).as("support"),
+        round(lit(1.0) * col("n_both") * col("n_sessions")
+          / (col("na") * col("nb")), 4).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
   val all: Seq[Q] = Seq(eventRetention, eventFunnel, eventPaths,
-    eventAttribution)
+    eventAttribution, eventCooccurrence)
 }

@@ -993,6 +993,53 @@ object Relational {
       .orderBy("l_linestatus", "l_returnflag")
   }
 
+  /** Join-skew diagnostic — the probe that decides WHEN q_skew_salted's
+    * machinery is worth its extra exchange: per top-10 heaviest join key
+    * (here l_partkey, the fact side of the part join), the key's row
+    * count, its multiple of the average key load, and the recommended
+    * salt factor ceil(max/avg) a salted join would need to level the
+    * heaviest reduce partition. At 100 TB this report runs BEFORE the
+    * join, on the key histogram alone — deciding between plain shuffle,
+    * AQE skew handling, and explicit salting from data, not folklore.
+    *
+    * Scale: the histogram is ONE partial-agg groupBy bounded at |keys|;
+    * the summary is a 1-row aggregate of it; top-10 is a TakeOrdered
+    * heap (orderBy+limit — NEVER a row_number over the full key set in
+    * one partition); the rank window runs on the 10 surviving rows. */
+  val qSkewProbe: Q = Q.sql(
+    "q_skew_probe",
+    """WITH h AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS key_rows
+      |       FROM lineitem GROUP BY 1),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |        CAST(sum(key_rows) AS BIGINT) AS n_rows,
+      |        CAST(max(key_rows) AS BIGINT) AS max_rows FROM h),
+      |top AS (SELECT key, key_rows FROM h
+      |        ORDER BY key_rows DESC, key LIMIT 10)
+      |SELECT row_number() OVER (ORDER BY key_rows DESC, key) AS rnk,
+      |  key, key_rows, n_keys, n_rows,
+      |  round(1.0 * n_rows / n_keys, 2) AS avg_rows,
+      |  round(1.0 * key_rows * n_keys / n_rows, 2) AS skew_vs_avg,
+      |  CAST(ceil(1.0 * max_rows * n_keys / n_rows) AS BIGINT) AS rec_salt
+      |FROM top CROSS JOIN s ORDER BY rnk""".stripMargin) { (s, d) =>
+    val h = li(s, d).groupBy(col("l_partkey").as("key"))
+      .agg(count(lit(1)).cast("long").as("key_rows"))
+    val stats = h.agg(count(lit(1)).cast("long").as("n_keys"),
+      sum("key_rows").cast("long").as("n_rows"),
+      max("key_rows").cast("long").as("max_rows"))
+    val top = h.orderBy(col("key_rows").desc, col("key")).limit(10)
+    // the rank window sees only the 10 TakeOrdered survivors
+    val w = Window.orderBy(col("key_rows").desc, col("key"))
+    top.crossJoin(broadcast(stats))
+      .select(row_number().over(w).cast("long").as("rnk"),
+        col("key"), col("key_rows"), col("n_keys"), col("n_rows"),
+        round(lit(1.0) * col("n_rows") / col("n_keys"), 2).as("avg_rows"),
+        round(lit(1.0) * col("key_rows") * col("n_keys") / col("n_rows"), 2)
+          .as("skew_vs_avg"),
+        ceil(lit(1.0) * col("max_rows") * col("n_keys") / col("n_rows"))
+          .cast("long").as("rec_salt"))
+      .orderBy("rnk")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
@@ -1000,5 +1047,5 @@ object Relational {
     qPriceBands, qSkewSalted, qYearlyGrowth, qMarketShare, qTradeLanes,
     qPromoShare, qSmallQuantity, qDisjunctive, qCubeVolume, qTopSupplier,
     qReturnedCustomers, qNationProfit, qSupplierWait, qOrderGap,
-    qRevenueMa7, qShipPriority)
+    qRevenueMa7, qShipPriority, qSkewProbe)
 }
