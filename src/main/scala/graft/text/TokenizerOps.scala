@@ -106,5 +106,153 @@ object TokenizerOps {
       .orderBy("lang", "source")
   }
 
-  val all: Seq[Q] = Seq(bpePairStats, tokFertility)
+  /** Iterative BPE training — 3 REAL merge rounds, not just the round-1
+    * candidate table (bpe_pair_stats): each round counts adjacent symbol
+    * pairs over the occurrence-weighted word universe, merges the argmax
+    * pair everywhere (left-to-right non-overlapping — the BPE greedy
+    * rule, realized as a separator-delimited string replace with
+    * identical scan semantics in both engines), and reports the merged
+    * pair plus the corpus token count before/after — the actual
+    * compression trajectory a tokenizer trainer optimizes.
+    *
+    * Scale: the corpus collapses ONCE to the distinct-word table
+    * (|vocab|-bounded partial agg — at 100 TB still aggregate-scale, and
+    * the only corpus-sized pass); each round is a pair partial-agg
+    * bounded by |symbol pairs|, a 1-row argmax broadcast, and a per-row
+    * replace over the word table. Ties break lexicographically so the
+    * merge choice is a total order; all counts are exact integers. */
+  val bpeMergeIterate: Q = {
+    val sep = " "
+    Q.sql(
+      "bpe_merge_iterate",
+      s"""WITH w0 AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS wcount
+         |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+         |        FROM documents)
+         |  WHERE length(word) >= 2 GROUP BY 1),
+         |words0 AS MATERIALIZED (
+         |  SELECT '$sep' || list_aggregate(list_transform(range(1, length(word) + 1),
+         |      i -> word[i]), 'string_agg', '$sep') || '$sep' AS ws,
+         |    wcount
+         |  FROM w0),
+         |p1 AS (SELECT s1, s2, CAST(sum(wcount) AS BIGINT) AS cnt FROM (
+         |    SELECT s[i] AS s1, s[i+1] AS s2, wcount FROM (
+         |      SELECT s, wcount, unnest(range(1, len(s))) AS i
+         |      FROM (SELECT list_filter(str_split(ws, '$sep'), x -> x <> '') AS s,
+         |              wcount FROM words0)
+         |      WHERE len(s) >= 2))
+         |  GROUP BY 1, 2),
+         |m1 AS MATERIALIZED (SELECT s1, s2, cnt FROM p1
+         |      ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         |words1 AS MATERIALIZED (
+         |  SELECT replace(ws, '$sep' || m1.s1 || '$sep' || m1.s2 || '$sep',
+         |      '$sep' || m1.s1 || m1.s2 || '$sep') AS ws, wcount
+         |  FROM words0 CROSS JOIN m1),
+         |p2 AS (SELECT s1, s2, CAST(sum(wcount) AS BIGINT) AS cnt FROM (
+         |    SELECT s[i] AS s1, s[i+1] AS s2, wcount FROM (
+         |      SELECT s, wcount, unnest(range(1, len(s))) AS i
+         |      FROM (SELECT list_filter(str_split(ws, '$sep'), x -> x <> '') AS s,
+         |              wcount FROM words1)
+         |      WHERE len(s) >= 2))
+         |  GROUP BY 1, 2),
+         |m2 AS MATERIALIZED (SELECT s1, s2, cnt FROM p2
+         |      ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         |words2 AS MATERIALIZED (
+         |  SELECT replace(ws, '$sep' || m2.s1 || '$sep' || m2.s2 || '$sep',
+         |      '$sep' || m2.s1 || m2.s2 || '$sep') AS ws, wcount
+         |  FROM words1 CROSS JOIN m2),
+         |p3 AS (SELECT s1, s2, CAST(sum(wcount) AS BIGINT) AS cnt FROM (
+         |    SELECT s[i] AS s1, s[i+1] AS s2, wcount FROM (
+         |      SELECT s, wcount, unnest(range(1, len(s))) AS i
+         |      FROM (SELECT list_filter(str_split(ws, '$sep'), x -> x <> '') AS s,
+         |              wcount FROM words2)
+         |      WHERE len(s) >= 2))
+         |  GROUP BY 1, 2),
+         |m3 AS MATERIALIZED (SELECT s1, s2, cnt FROM p3
+         |      ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         |words3 AS MATERIALIZED (
+         |  SELECT replace(ws, '$sep' || m3.s1 || '$sep' || m3.s2 || '$sep',
+         |      '$sep' || m3.s1 || m3.s2 || '$sep') AS ws, wcount
+         |  FROM words2 CROSS JOIN m3),
+         |tk AS (
+         |  SELECT 0 AS r, CAST(sum(wcount * len(list_filter(str_split(ws, '$sep'),
+         |      x -> x <> ''))) AS BIGINT) AS toks FROM words0
+         |  UNION ALL SELECT 1, CAST(sum(wcount * len(list_filter(str_split(ws, '$sep'),
+         |      x -> x <> ''))) AS BIGINT) FROM words1
+         |  UNION ALL SELECT 2, CAST(sum(wcount * len(list_filter(str_split(ws, '$sep'),
+         |      x -> x <> ''))) AS BIGINT) FROM words2
+         |  UNION ALL SELECT 3, CAST(sum(wcount * len(list_filter(str_split(ws, '$sep'),
+         |      x -> x <> ''))) AS BIGINT) FROM words3),
+         |mm AS (
+         |  SELECT 1 AS round, s1 AS merge_left, s2 AS merge_right,
+         |    s1 || s2 AS merged, cnt AS pair_count FROM m1
+         |  UNION ALL SELECT 2, s1, s2, s1 || s2, cnt FROM m2
+         |  UNION ALL SELECT 3, s1, s2, s1 || s2, cnt FROM m3)
+         |SELECT mm.round, mm.merge_left, mm.merge_right, mm.merged,
+         |  mm.pair_count, tb.toks AS tokens_before, ta.toks AS tokens_after
+         |FROM mm
+         |JOIN tk tb ON tb.r = mm.round - 1
+         |JOIN tk ta ON ta.r = mm.round
+         |ORDER BY mm.round""".stripMargin) { (s, d) =>
+      // one corpus pass → occurrence-weighted distinct-word table
+      val w0 = docs(s, d)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).cast("long").as("wcount"))
+      val words0 = w0.select(
+        concat(lit(sep),
+          array_join(expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            sep),
+          lit(sep)).as("ws"),
+        col("wcount"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def pairCounts(words: DataFrame): DataFrame = words
+        .select(expr(s"filter(split(ws, '$sep'), x -> x <> '')").as("syms"),
+          col("wcount"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) as s1, element_at(syms, i + 1) as s2))"))
+          .as("p"), col("wcount"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum("wcount").cast("long").as("cnt"))
+      def argmax(pc: DataFrame): DataFrame =
+        pc.orderBy(col("cnt").desc, col("s1"), col("s2")).limit(1)
+      def applyMerge(words: DataFrame, m: DataFrame): DataFrame = words
+        .crossJoin(broadcast(m.select(col("s1").as("__a"), col("s2").as("__b"))))
+        .select(expr(
+          s"replace(ws, '$sep' || __a || '$sep' || __b || '$sep', '$sep' || __a || __b || '$sep')")
+          .as("ws"), col("wcount"))
+      def tokCount(words: DataFrame): DataFrame = words
+        .agg(sum(col("wcount") *
+          size(expr(s"filter(split(ws, '$sep'), x -> x <> '')")))
+          .cast("long").as("toks"))
+      val p1 = pairCounts(words0); val m1 = argmax(p1)
+      val words1 = applyMerge(words0, m1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p2 = pairCounts(words1); val m2 = argmax(p2)
+      val words2 = applyMerge(words1, m2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p3 = pairCounts(words2); val m3 = argmax(p3)
+      val words3 = applyMerge(words2, m3)
+      def mergeRow(r: Int, m: DataFrame): DataFrame = m.select(
+        lit(r).as("round"), col("s1").as("merge_left"), col("s2").as("merge_right"),
+        concat(col("s1"), col("s2")).as("merged"), col("cnt").as("pair_count"))
+      val tk = tokCount(words0).select(lit(0).as("r"), col("toks"))
+        .unionByName(tokCount(words1).select(lit(1).as("r"), col("toks")))
+        .unionByName(tokCount(words2).select(lit(2).as("r"), col("toks")))
+        .unionByName(tokCount(words3).select(lit(3).as("r"), col("toks")))
+      val mm = mergeRow(1, m1).unionByName(mergeRow(2, m2))
+        .unionByName(mergeRow(3, m3))
+      mm.join(broadcast(tk.select(col("r").as("__rb"), col("toks").as("tokens_before"))),
+          col("__rb") === col("round") - 1)
+        .join(broadcast(tk.select(col("r").as("__ra"), col("toks").as("tokens_after"))),
+          col("__ra") === col("round"))
+        .select("round", "merge_left", "merge_right", "merged", "pair_count",
+          "tokens_before", "tokens_after")
+        .orderBy("round")
+    }
+  }
+
+  val all: Seq[Q] = Seq(bpePairStats, tokFertility, bpeMergeIterate)
 }
