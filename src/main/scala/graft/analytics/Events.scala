@@ -345,6 +345,68 @@ object EventAnalytics {
       .orderBy("type_a", "type_b")
   }
 
+  /** Cohort lifetime-value curve: users cohorted by first-purchase day
+    * (the event_retention cohorts), revenue accumulated per cohort by
+    * week offset, normalized per cohort user — the monetary counterpart
+    * of the retention matrix (retention says users came back; LTV says
+    * what that was worth, and when the curve flattens, what a user is
+    * ultimately worth).
+    *
+    * Scale: the feed collapses to (cohort, week) revenue cells first
+    * (user-keyed cohort join on the retention exchange family, then a
+    * partial agg bounded at |days|×|weeks|); the cumulative window runs
+    * ONLY on that bounded aggregate, summing already-rounded weekly
+    * revenues as DECIMAL (order-independent); cohort sizes broadcast. */
+  val eventLtv: Q = Q.sql(
+    "event_ltv",
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, value
+       |  FROM events WHERE event_type = 'purchase'),
+       |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+       |c AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_users
+       |      FROM f GROUP BY 1),
+       |r AS (SELECT f.cohort_day,
+       |        CAST(date_diff('day', f.cohort_day, ev.day) AS INT) // 7
+       |          AS week_offset,
+       |        ev.value
+       |      FROM ev JOIN f ON ev.user_id = f.user_id),
+       |a AS (SELECT cohort_day, week_offset,
+       |        ${Det.dsumRoundSql("value", 2)} AS week_revenue
+       |      FROM r GROUP BY 1, 2),
+       |m AS (SELECT cohort_day, week_offset, week_revenue,
+       |        CAST(sum(CAST(week_revenue AS DECIMAL(28,6))) OVER (
+       |          PARTITION BY cohort_day ORDER BY week_offset) AS DOUBLE)
+       |          AS cum_revenue
+       |      FROM a)
+       |SELECT m.cohort_day, m.week_offset, c.cohort_users,
+       |  m.week_revenue, m.cum_revenue,
+       |  round(m.cum_revenue / c.cohort_users, 4) AS ltv_per_user
+       |FROM m JOIN c ON m.cohort_day = c.cohort_day
+       |ORDER BY m.cohort_day, m.week_offset""".stripMargin) { (s, d) =>
+    val ev0 = ev(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    val first = ev0.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val cohorts = first.groupBy("cohort_day")
+      .agg(count(lit(1)).cast("long").as("cohort_users"))
+    val weekly = ev0.join(first, Seq("user_id"))
+      .select(col("cohort_day"),
+        expr("cast(datediff(day, cohort_day) as int) div 7").cast("int")
+          .as("week_offset"),
+        col("value"))
+      .groupBy("cohort_day", "week_offset")
+      .agg(Det.dsumRound(col("value"), 2).as("week_revenue"))
+    val w = Window.partitionBy("cohort_day").orderBy("week_offset")
+    weekly
+      .withColumn("cum_revenue",
+        sum(col("week_revenue").cast("decimal(28,6)")).over(w).cast("double"))
+      .join(broadcast(cohorts), Seq("cohort_day"))
+      .select(col("cohort_day"), col("week_offset"), col("cohort_users"),
+        col("week_revenue"), col("cum_revenue"),
+        round(col("cum_revenue") / col("cohort_users"), 4).as("ltv_per_user"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
   val all: Seq[Q] = Seq(eventRetention, eventFunnel, eventPaths,
-    eventAttribution, eventCooccurrence)
+    eventAttribution, eventCooccurrence, eventLtv)
 }

@@ -1374,6 +1374,83 @@ object CorpusOps {
       .orderBy("lang")
   }
 
+  // ---------------------------------------- bigram LM perplexity --
+
+  /** Bigram-LM document scoring — the conditional upgrade of
+    * corpus_perplexity's unigram model: P(w₂|w₁) interpolated with the
+    * unigram floor (λ=0.8 bigram MLE + 0.2 unigram — the Jelinek-Mercer
+    * smoothing that keeps unseen-context probability finite), per-doc
+    * bits/bigram and perplexity. A unigram model scores word salad and
+    * fluent text alike if the word mix matches; the bigram conditional
+    * is what actually separates them — the stronger "looks like the
+    * corpus" quality signal.
+    *
+    * Scale: the per-(doc, gram) tf table persists MEMORY_AND_DISK (read
+    * by the model aggregation AND the scoring pass — the perplexity
+    * posture); the bigram model likewise (read by the context-count agg
+    * AND the probe); model joins shuffle on gram/term with partial aggs
+    * both sides (vocabulary scales — no broadcast); only the 1-row token
+    * total broadcasts. Probability is ONE shared expression over exact
+    * integer counts; surprisal rounded once, weighted by integer tf,
+    * summed as DECIMAL. */
+  val corpusBigramPpl: Q = {
+    val bitsF = "round(-log2(0.8 * cbg / cw1 + 0.2 * cu / n), 6)"
+    Q.sql(
+      "corpus_bigram_ppl",
+      s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+         |ug AS (SELECT unnest(ws) AS term FROM w),
+         |uc AS (SELECT term, CAST(count(*) AS BIGINT) AS cu FROM ug GROUP BY 1),
+         |nt AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uc),
+         |db AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |         i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w),
+         |dtf AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf
+         |        FROM db GROUP BY 1, 2),
+         |bc AS (SELECT gram, CAST(sum(tf) AS BIGINT) AS cbg FROM dtf GROUP BY 1),
+         |w1c AS (SELECT split_part(gram, ' ', 1) AS w1,
+         |          CAST(sum(cbg) AS BIGINT) AS cw1 FROM bc GROUP BY 1),
+         |sc AS (SELECT d.doc_id, d.tf, $bitsF AS bits
+         |       FROM dtf d
+         |       JOIN bc ON d.gram = bc.gram
+         |       JOIN w1c ON split_part(d.gram, ' ', 1) = w1c.w1
+         |       JOIN uc ON split_part(d.gram, ' ', 2) = uc.term
+         |       CROSS JOIN nt)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(CAST(round(tf * bits, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |    / sum(tf), 4) AS bits_per_bigram,
+         |  round(pow(2, round(CAST(sum(CAST(round(tf * bits, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |    / sum(tf), 4)), 2) AS ppl
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val w = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val uc = w.select(explode(col("ws")).as("term"))
+        .groupBy("term").agg(count(lit(1)).cast("long").as("cu"))
+      val nt = uc.agg(sum("cu").cast("long").as("n"))
+      val dtf = w.select(col("doc_id"), explode(expr("graft_shingles(ws, 2)")).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).cast("long").as("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bc = dtf.groupBy("gram").agg(sum("tf").cast("long").as("cbg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val w1c = bc.groupBy(expr("split_part(gram, ' ', 1)").as("w1"))
+        .agg(sum("cbg").cast("long").as("cw1"))
+      val scored = dtf
+        .join(bc, Seq("gram"))
+        .withColumn("w1", expr("split_part(gram, ' ', 1)"))
+        .withColumn("w2", expr("split_part(gram, ' ', 2)"))
+        .join(w1c, Seq("w1"))
+        .join(uc.withColumnRenamed("term", "w2"), Seq("w2"))
+        .crossJoin(broadcast(nt))
+        .withColumn("bits", expr(bitsF))
+      scored.groupBy("doc_id")
+        .agg(sum("tf").cast("long").as("n_bigrams"),
+          sum(expr("CAST(round(tf * bits, 6) AS DECIMAL(18,6))")).as("__sb"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("__sb").cast("double") / col("n_bigrams"), 4)
+            .as("bits_per_bigram"))
+        .withColumn("ppl", round(pow(lit(2), col("bits_per_bigram")), 2))
+        .orderBy("doc_id")
+    }
+  }
+
   // -------------------------------------------- curriculum order --
 
   /** Curriculum-training order plan: each document gets a difficulty
@@ -1427,5 +1504,6 @@ object CorpusOps {
     tokenHistogram, packSequences, packEfficiency, corpusFunnel, corpusSplit,
     corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate, zipfFit,
     corpusReport, epochPlan, splitLeakage, ngramNovelty, sampleWeighted,
-    tokenLengthQuantiles, stopwordProfile, vocabCoverage, curriculumOrder)
+    tokenLengthQuantiles, stopwordProfile, vocabCoverage, curriculumOrder,
+    corpusBigramPpl)
 }
