@@ -130,12 +130,16 @@ object Layout {
       val z = g.select(col("file_date"), col("file_part"),
         expr(s"($zSpark * $Files) div ${1L << (2 * GridBits)}").as("file_z"),
         col("m_date"), col("m_part"), col("m_both"))
-      val lf = z.select(lit("date_sorted").as("layout"),
-          col("file_date").as("file"), col("m_date"), col("m_part"), col("m_both"))
-        .unionByName(z.select(lit("part_sorted").as("layout"),
-          col("file_part").as("file"), col("m_date"), col("m_part"), col("m_both")))
-        .unionByName(z.select(lit("zorder").as("layout"),
-          col("file_z").as("file"), col("m_date"), col("m_part"), col("m_both")))
+      // explode, not union: a 3-branch union would re-run the scan and
+      // the key-frame crossJoin once per layout — the explode keeps the
+      // whole simulation to ONE corpus pass
+      val lf = z.select(explode(array(
+          struct(lit("date_sorted").as("layout"), col("file_date").as("file")),
+          struct(lit("part_sorted").as("layout"), col("file_part").as("file")),
+          struct(lit("zorder").as("layout"), col("file_z").as("file")))).as("lf"),
+          col("m_date"), col("m_part"), col("m_both"))
+        .select(col("lf.layout").as("layout"), col("lf.file").as("file"),
+          col("m_date"), col("m_part"), col("m_both"))
       val agg = lf.groupBy("layout", "file")
         .agg(max("m_date").as("h_date"), max("m_part").as("h_part"),
           max("m_both").as("h_both"))
@@ -144,12 +148,15 @@ object Layout {
           sum("h_date").cast("long").as("s_date"),
           sum("h_part").cast("long").as("s_part"),
           sum("h_both").cast("long").as("s_both"))
-      val out = rep.select(col("layout"), lit("date_week").as("predicate"),
-          col("n_files"), col("s_date").as("files_scanned"))
-        .unionByName(rep.select(col("layout"), lit("part_band").as("predicate"),
-          col("n_files"), col("s_part").as("files_scanned")))
-        .unionByName(rep.select(col("layout"), lit("date_and_part").as("predicate"),
-          col("n_files"), col("s_both").as("files_scanned")))
+      // same explode trick on the 3-row report side
+      val out = rep.select(col("layout"), col("n_files"),
+          explode(array(
+            struct(lit("date_week").as("predicate"), col("s_date").as("files_scanned")),
+            struct(lit("part_band").as("predicate"), col("s_part").as("files_scanned")),
+            struct(lit("date_and_part").as("predicate"), col("s_both").as("files_scanned"))))
+            .as("p"))
+        .select(col("layout"), col("p.predicate").as("predicate"),
+          col("n_files"), col("p.files_scanned").as("files_scanned"))
       out.select(col("layout"), col("predicate"), col("n_files"),
           col("files_scanned"),
           round(lit(1.0) * col("files_scanned") / col("n_files"), 4)

@@ -1211,13 +1211,18 @@ object TextOps {
       val hits = bands.filter(col("doc_id") % 29 =!= 0)
         .join(broadcast(bench), Seq("band", "v"))
         .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared_bands"))
+      // ONE aggregation carries both the hit count and the argmax pick
+      // (max over (shared, −bench_id) structs = max shared, min bench id
+      // on ties) — a best ⋈ pick self-join would recompute the corpus
+      // probe twice
       val best = hits.groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_bench_hits"),
-          max("shared_bands").cast("long").as("max_shared"))
-      val pick = hits.join(best, Seq("doc_id"))
-        .filter(col("shared_bands") === col("max_shared"))
-        .groupBy("doc_id").agg(min("bench_id").as("best_bench_id"))
-      best.join(pick, Seq("doc_id"))
+          max(struct(col("shared_bands").as("s"),
+            (-col("bench_id")).as("nb"))).as("__m"))
+        .select(col("doc_id"), col("n_bench_hits"),
+          col("__m.s").cast("long").as("max_shared"),
+          (-col("__m.nb")).as("best_bench_id"))
+      best
         .select(col("doc_id"), col("best_bench_id"), col("n_bench_hits"),
           col("max_shared"),
           round(lit(1.0) * col("max_shared") / minhashParams.length, 4)

@@ -536,4 +536,107 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows.exists(_.contains("bucket")),
       s"bucket pre-pass window missing: $windows")
   }
+
+  // --- round-7 pins --------------------------------------------------
+
+  test("emb_matryoshka: shares are per-row folds — no vec_id exchange, no hints") {
+    val df = SparkEntry.queries("emb_matryoshka")(spark, sfDir)
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.isEmpty, s"emb_matryoshka gained a hint: $hinted")
+    val p = finalPlan(df)
+    // the 4-row (m) aggregate exchange + the contractual output sort —
+    // a vec_id-keyed exchange would betray a per-vector groupBy/window
+    assert(shuffles(p) <= 2, s"emb_matryoshka gained an exchange:\n$p")
+  }
+
+  test("layout_prune_sim: key-range frame broadcasts; one bounded agg family") {
+    val p = finalPlan(SparkEntry.queries("layout_prune_sim")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"the 1-row key-range frame stopped broadcasting:\n$s")
+    // (layout, file) agg + layout rollup + contractual sort; the 1-row
+    // min/max agg contributes its own tiny pre-broadcast exchange
+    assert(shuffles(p) <= 4, s"layout_prune_sim gained an exchange:\n$s")
+  }
+
+  test("q_skew_probe: top-10 is a TakeOrdered heap, never a full-histogram rank") {
+    val df = SparkEntry.queries("q_skew_probe")(spark, sfDir)
+    val p = finalPlan(df)
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      s"top-10 no longer a bounded heap:\n$p")
+    // the one rank window must run AFTER the limit — on ≤ 10 rows
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    windows.foreach { w =>
+      val hasLimitBelow = w.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+      }.isDefined
+      assert(hasLimitBelow, s"rank window runs on the full histogram:\n$w")
+    }
+  }
+
+  test("decontaminate_fuzzy: corpus never shuffles for the probe — bench bands broadcast") {
+    val df = SparkEntry.queries("decontaminate_fuzzy")(spark, sfDir)
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.length == 1, s"fuzzy-decontaminate hints changed: $hinted")
+    assert(hinted.forall(_.child.toString.contains("bench_id")),
+      s"a non-bench side is hinted: $hinted")
+    val s = finalPlan(df).toString
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("vocab_coverage: two-phase rank — bucket pre-pass before the per-lang rank") {
+    val df = SparkEntry.queries("vocab_coverage")(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.references.map(_.name).mkString(",")).mkString("|")
+    }
+    assert(windows.exists(_.contains("bucket")),
+      s"bucket pre-pass window missing: $windows")
+  }
+
+  test("corpus_bigram_ppl: only the 1-row token total broadcasts; model joins un-hinted") {
+    val df = SparkEntry.queries("corpus_bigram_ppl")(spark, sfDir)
+    // bigram model and unigram table both scale with the vocabulary —
+    // they must reach the scoring joins un-hinted (AQE size-gates)
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.length == 1, s"bigram-ppl broadcast hints changed: $hinted")
+    assert(!finalPlan(df).toString.contains("CartesianProduct"))
+  }
+
+  test("event_attribution: both last-touch arms share one user window exchange") {
+    val p = finalPlan(SparkEntry.queries("event_attribution")(spark, sfDir))
+    // window exchange + channel rollup + 1-row total + output sort; a
+    // fifth exchange would mean the two ignore-nulls arms split frames
+    assert(shuffles(p) <= 4, s"event_attribution gained an exchange:\n$p")
+  }
+
+  test("audit_merge_upsert: reconciliation is algebraic — no third full-feed pass") {
+    val df = SparkEntry.queries("audit_merge_upsert")(spark, sfDir)
+    // the full-replay arm reads the same feed; the pin is on scan count:
+    // pre-half, post-half and full-replay each prune by audit_id on the
+    // SAME source — more than 3 feed scans means a lost reuse
+    val p = finalPlan(df)
+    var scans = 0
+    def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        scans += 1; f.children.foreach(walk)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case o => o.children.foreach(walk)
+    }
+    walk(p)
+    // 3 reconstruction arms + the 1-row midpoint aggregate
+    assert(scans <= 4, s"merge_upsert feed scanned ${scans}x:\n$p")
+  }
 }
