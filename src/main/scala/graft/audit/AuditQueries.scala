@@ -2136,6 +2136,88 @@ object AuditQueries {
       .orderBy("entity_id")
   }
 
+  /** Robust daily-volume anomaly twin: median/MAD control limits where
+    * audit_daily_anomaly uses a trailing mean — the robust-statistics
+    * answer to the window poisoning a mean-based monitor suffers (one
+    * burst day inflates the trailing mean and masks the NEXT anomaly;
+    * the median barely moves). Modified z = 0.6745·(n − med)/MAD with
+    * the Iglewicz-Hoaglin 3.5 cut; MAD = 0 degrades to "any deviation
+    * from the constant median flags".
+    *
+    * Scale: the feed collapses to the calendar-filled ≤ |ops|×|days|
+    * daily frame FIRST; both order statistics (median of counts, median
+    * of absolute deviations) are rank picks via row_number on that
+    * bounded frame — never on raw data — and the per-op medians join
+    * back as a broadcast. All medians are exact integers (lower median:
+    * rank (cnt+1)/2 under a (value, day) total order), so z is one
+    * shared double expression over exact ints, rounded once. */
+  val auditVolumeMad: Q = Q.sql(
+    "audit_volume_mad",
+    auditCte + """, d AS (
+      |  SELECT CAST(ts AS DATE) AS day, operation, count(*) AS n
+      |  FROM audit GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM audit),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+      |grid AS (
+      |  SELECT day, operation
+      |  FROM days CROSS JOIN (SELECT DISTINCT operation FROM audit)),
+      |filled AS (
+      |  SELECT grid.day, grid.operation, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+      |  FROM grid LEFT JOIN d ON grid.day = d.day AND grid.operation = d.operation),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY operation ORDER BY n, day) AS rn,
+      |    count(*) OVER (PARTITION BY operation) AS cnt
+      |  FROM filled),
+      |med AS (SELECT operation, n AS med FROM rk WHERE rn = (cnt + 1) // 2),
+      |dev AS (
+      |  SELECT f.day, f.operation, f.n, med.med, abs(f.n - med.med) AS ad
+      |  FROM filled f JOIN med ON f.operation = med.operation),
+      |rk2 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY operation ORDER BY ad, day) AS rn,
+      |    count(*) OVER (PARTITION BY operation) AS cnt
+      |  FROM dev),
+      |mad AS (SELECT operation, ad AS mad FROM rk2 WHERE rn = (cnt + 1) // 2)
+      |SELECT dev.day, dev.operation, dev.n, dev.med, mad.mad,
+      |  CASE WHEN mad.mad > 0
+      |    THEN round(0.6745 * (dev.n - dev.med) / mad.mad, 4) END AS robust_z,
+      |  CASE WHEN mad.mad > 0
+      |         AND abs(round(0.6745 * (dev.n - dev.med) / mad.mad, 4)) > 3.5 THEN 1
+      |       WHEN mad.mad = 0 AND dev.n <> dev.med THEN 1
+      |       ELSE 0 END AS anomaly
+      |FROM dev JOIN mad ON dev.operation = mad.operation
+      |ORDER BY dev.operation, dev.day""".stripMargin) { (s, d) =>
+    val counts = log(s, d)
+      .groupBy(col("ts").cast("date").as("day"), col("operation"))
+      .agg(count(lit(1)).as("n"))
+    val days = counts.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val filled = days.crossJoin(counts.select("operation").distinct())
+      .join(counts, Seq("day", "operation"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)).cast("long"))
+    def lowerMedian(df: DataFrame, value: String, out: String): DataFrame = {
+      val byOp = Window.partitionBy("operation")
+      df.withColumn("rn", row_number().over(byOp.orderBy(col(value), col("day"))))
+        .withColumn("cnt", count(lit(1)).over(byOp))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("operation"), col(value).as(out))
+    }
+    val med = lowerMedian(filled, "n", "med")
+    val dev = filled.join(broadcast(med), Seq("operation"))
+      .withColumn("ad", abs(col("n") - col("med")))
+    val mad = lowerMedian(dev, "ad", "mad")
+    val z = round(lit(0.6745) * (col("n") - col("med")) / col("mad"), 4)
+    dev.join(broadcast(mad), Seq("operation"))
+      .select(col("day"), col("operation"), col("n"), col("med"), col("mad"),
+        when(col("mad") > 0, z).as("robust_z"),
+        when(col("mad") > 0 && abs(z) > 3.5, 1)
+          .when(col("mad") === 0 && col("n") =!= col("med"), 1)
+          .otherwise(0).as("anomaly"))
+      .orderBy("operation", "day")
+  }
+
   /** CDC MERGE plan + apply: split the feed at the id midpoint, treat the
     * ≤mid state as the base table and the >mid slice as the incoming
     * change batch, and emit the per-entity MERGE verdict a Delta-style
@@ -2309,5 +2391,6 @@ object AuditQueries {
     auditOpTransitions, auditEntityLifetime, auditOpPivot,
     auditRollingVolume, auditSlidingRate, auditValueOutliers,
     auditDowProfile, auditPayloadBytes, auditEwmaVolume,
-    auditVolumeAutocorr, auditMergeUpsert, auditLifecyclePaths)
+    auditVolumeAutocorr, auditMergeUpsert, auditLifecyclePaths,
+    auditVolumeMad)
 }
