@@ -1472,6 +1472,89 @@ object Similarity {
       .orderBy("band")
   }
 
+  /** Neighbor-vote label audit — the curation step the kNN graph exists
+    * for: each vector's label is re-predicted by majority vote of its
+    * LSH-kNN top-3 neighbors (ties → smallest label), and the per-label
+    * report (vectors voted on, agreement count, accuracy, mislabel
+    * candidates) is exactly the "which class is polluted" table a
+    * labeled-embedding cleanup starts from. Low accuracy in one label =
+    * mislabels or an encoder that can't separate that class; the flagged
+    * rows are the human-review queue.
+    *
+    * Scale: candidates ride the SAME adaptive sign-bit LSH bands as
+    * dedup_embedding/ann_knn_graph (expected bucket ≈ 32 at any corpus
+    * size ⇒ pair work O(n·const)); the vote is a (src, neighbor-label)
+    * partial agg with a struct-max argmax (one aggregation, no rank
+    * join-back); the report is a ≤ |labels|-row rollup. */
+  val embLabelVote: Q = Q.sql(
+    "emb_label_vote",
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |${signBandsSql()},
+       |cand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bucket = y.bucket
+       |              AND x.vec_id <> y.vec_id),
+       |sc AS (SELECT cand.src, cand.dst,
+       |         round(list_cosine_similarity(ea.emb, eb2.emb), 4) AS cos_sim
+       |       FROM cand JOIN e ea ON ea.vec_id = cand.src
+       |                 JOIN e eb2 ON eb2.vec_id = cand.dst),
+       |k AS (SELECT src, dst FROM (
+       |        SELECT *, row_number() OVER (
+       |          PARTITION BY src ORDER BY cos_sim DESC, dst) AS rn FROM sc)
+       |      WHERE rn <= 3),
+       |lv AS (SELECT k.src, e.label AS nlabel, count(*) AS cnt
+       |       FROM k JOIN e ON e.vec_id = k.dst GROUP BY 1, 2),
+       |vote AS (SELECT src, nlabel AS vote FROM (
+       |        SELECT *, row_number() OVER (
+       |          PARTITION BY src ORDER BY cnt DESC, nlabel) AS rn FROM lv)
+       |      WHERE rn = 1),
+       |j AS (SELECT e.label, CASE WHEN vote.src IS NULL THEN 0 ELSE 1 END AS voted,
+       |        CASE WHEN vote.vote = e.label THEN 1 ELSE 0 END AS agree
+       |      FROM e LEFT JOIN vote ON vote.src = e.vec_id)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(voted) AS BIGINT) AS n_voted,
+       |  CAST(sum(agree) AS BIGINT) AS n_agree,
+       |  round(1.0 * sum(agree) / nullif(sum(voted), 0), 4) AS accuracy,
+       |  CAST(sum(voted) - sum(agree) AS BIGINT) AS n_flagged
+       |FROM j GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val bands = signBands(e)
+    val cand = bands.select(col("vec_id").as("src"), col("band"), col("bucket"))
+      .join(bands.select(col("vec_id").as("dst"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val sc = cand
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("ea")), Seq("src"))
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("eb")), Seq("dst"))
+      .select(col("src"), col("dst"), cosR(col("ea"), col("eb")).as("cos_sim"))
+    val k = sc.withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))))
+      .filter(col("rn") <= 3).select("src", "dst")
+    // argmax by (cnt, −label) struct-max: max count, smallest label on
+    // ties — one aggregation instead of a rank + join-back
+    val vote = k.join(e.select(col("vec_id").as("dst"), col("label").as("nlabel")),
+        Seq("dst"))
+      .groupBy("src", "nlabel").agg(count(lit(1)).as("cnt"))
+      .groupBy("src")
+      .agg(max(struct(col("cnt"), (-col("nlabel")).as("nl"))).as("__m"))
+      .select(col("src"), (-col("__m.nl")).cast("int").as("vote"))
+    e.select(col("vec_id"), col("label"))
+      .join(vote, col("src") === col("vec_id"), "left")
+      .select(col("label"),
+        when(col("src").isNull, 0).otherwise(1).as("voted"),
+        when(col("vote") === col("label"), 1).otherwise(0).as("agree"))
+      .groupBy("label")
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum("voted").cast("long").as("n_voted"),
+        sum("agree").cast("long").as("n_agree"),
+        round(lit(1.0) * sum("agree") / nullif(sum("voted"), lit(0)), 4)
+          .as("accuracy"),
+        (sum("voted") - sum("agree")).cast("long").as("n_flagged"))
+      .orderBy("label")
+  }
+
   /** Filtered ANN — the metadata-predicate serve path: top-3 cosine per
     * query among candidates that pass a label predicate (here: odd
     * labels), probed through the same sign-bit IVF cell as ann_ivf. The
@@ -1606,5 +1689,5 @@ object Similarity {
     annIvfMultiprobe, annIvfPq, annIvfKmeans, annRecallKmeans,
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
     embDimStats, embDrift, annKnnGraph, embWhiten, lshBucketStats,
-    embMatryoshka, annFiltered)
+    embMatryoshka, annFiltered, embLabelVote)
 }

@@ -69,6 +69,32 @@ class FilteredServeSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_label_vote: partitions the corpus; accuracy = agree/voted; votes come from real labels") {
+    val rows = Similarity.embLabelVote.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_voted") <= r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Long]("n_agree") <= r.getAs[Long]("n_voted"))
+      assert(r.getAs[Long]("n_flagged")
+        === r.getAs[Long]("n_voted") - r.getAs[Long]("n_agree"))
+      if (r.getAs[Long]("n_voted") > 0) {
+        val exp = BigDecimal(r.getAs[Long]("n_agree").toDouble
+          / r.getAs[Long]("n_voted"))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getAs[Double]("accuracy") - exp) < 1e-9)
+      }
+    }
+    // random labels ⇒ the audit must report ~chance accuracy, not a
+    // flattering number: global accuracy stays below 3× chance
+    val voted = rows.map(_.getAs[Long]("n_voted")).sum
+    val agree = rows.map(_.getAs[Long]("n_agree")).sum
+    assert(voted > 0)
+    assert(agree.toDouble / voted < 3.0 / rows.length,
+      s"accuracy ${agree.toDouble / voted} suspiciously high for random labels")
+  }
+
   test("curriculum_order: one row per doc; bands consistent; score replays") {
     val rows = CorpusOps.curriculumOrder.fn(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
