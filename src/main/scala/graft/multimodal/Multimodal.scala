@@ -307,7 +307,78 @@ object Multimodal {
       .orderBy("media_type", "source", "shard_idx")
   }
 
+  /** Context-budget cost table for interleaved multimodal training: per
+    * (media_type, lang), how many encoder tokens the media side costs
+    * (sampled frames × a 64-token patch grid — the multimodal_frames
+    * stride rule, so the budget prices exactly what the sampler emits)
+    * next to the caption's text tokens, the media:text ratio, and each
+    * cell's share of the whole corpus budget. This is the table that
+    * decides sequence-packing geometry for a vision-language run: a
+    * ratio ≫ 1 means media dominates the window and caption text is
+    * nearly free; the share column is the sampling-weight input.
+    *
+    * Scale: one per-row projection (frame count and sampled-frame count
+    * are integer arithmetic on metadata — no decode), ONE partial-agg
+    * groupBy bounded at |media_type|×|langs| cells, 1-row total
+    * broadcast. Exact integer sums; ratios rounded once. */
+  val multimodalTokenBudget: Q = Q.sql(
+    "multimodal_token_budget",
+    """WITH f AS (SELECT doc_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    CAST(length(text) // 256 + 1 AS INT) AS n_frames,
+      |    len(str_split(text, ' ')) AS n_words
+      |  FROM documents),
+      |s AS (SELECT doc_id, media_type, n_words,
+      |        CAST(1 + (n_frames - 1) // greatest(1, n_frames // 8) AS INT)
+      |          AS n_sampled
+      |      FROM f),
+      |j AS (SELECT d.lang, s.media_type,
+      |        CAST(s.n_sampled AS BIGINT) * 64 AS media_tokens,
+      |        CAST(s.n_words AS BIGINT) AS caption_tokens
+      |      FROM s JOIN documents d ON d.doc_id = s.doc_id),
+      |g AS (SELECT media_type, lang, count(*) AS n_docs,
+      |        CAST(sum(media_tokens) AS BIGINT) AS media_tokens,
+      |        CAST(sum(caption_tokens) AS BIGINT) AS caption_tokens
+      |      FROM j GROUP BY 1, 2),
+      |t AS (SELECT CAST(sum(media_tokens + caption_tokens) AS BIGINT) AS total
+      |      FROM g)
+      |SELECT media_type, lang, n_docs, media_tokens, caption_tokens,
+      |  media_tokens + caption_tokens AS cell_tokens,
+      |  round(1.0 * media_tokens / caption_tokens, 4) AS media_text_ratio,
+      |  round(1.0 * (media_tokens + caption_tokens) / total, 4) AS budget_share
+      |FROM g CROSS JOIN t
+      |ORDER BY media_type, lang""".stripMargin) { (s, d) =>
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        expr("cast(length(text) div 256 + 1 as int)").as("n_frames"),
+        expr("size(split(text, ' '))").as("n_words"))
+    // sampled-frame count under the multimodal_frames stride rule:
+    // |range(0, n-1, stride)| = 1 + (n-1) div stride
+    val g = f
+      .select(col("lang"), col("media_type"),
+        (expr("cast(1 + (n_frames - 1) div greatest(1, n_frames div 8) as int)")
+          .cast("long") * 64).as("media_tokens"),
+        col("n_words").cast("long").as("caption_tokens"))
+      .groupBy("media_type", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("media_tokens").cast("long").as("media_tokens"),
+        sum("caption_tokens").cast("long").as("caption_tokens"))
+    val t = g.agg(sum(col("media_tokens") + col("caption_tokens"))
+      .cast("long").as("total"))
+    g.crossJoin(broadcast(t))
+      .select(col("media_type"), col("lang"), col("n_docs"),
+        col("media_tokens"), col("caption_tokens"),
+        (col("media_tokens") + col("caption_tokens")).as("cell_tokens"),
+        round(lit(1.0) * col("media_tokens") / col("caption_tokens"), 4)
+          .as("media_text_ratio"),
+        round(lit(1.0) * (col("media_tokens") + col("caption_tokens"))
+          / col("total"), 4).as("budget_share"))
+      .orderBy("media_type", "lang")
+  }
+
   val all: Seq[Q] = Seq(multimodalIngest, multimodalFrames, multimodalResize,
     multimodalDedup, multimodalQualityGate, multimodalAudioWindows,
-    multimodalShards)
+    multimodalShards, multimodalTokenBudget)
 }

@@ -99,4 +99,27 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("multimodal_token_budget: covers the corpus; budget arithmetic replays; frames match the sampler") {
+    val rows = Multimodal.multimodalTokenBudget.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val corpus = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === corpus)
+    // media token total prices exactly what multimodal_frames emits:
+    // Σ sampled frames × 64
+    val sampledFrames = Multimodal.multimodalFrames.fn(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("media_tokens")).sum === sampledFrames * 64)
+    val total = rows.map(r =>
+      r.getAs[Long]("media_tokens") + r.getAs[Long]("caption_tokens")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cell_tokens")
+        === r.getAs[Long]("media_tokens") + r.getAs[Long]("caption_tokens"))
+      val expShare = BigDecimal(r.getAs[Long]("cell_tokens").toDouble / total)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("budget_share") - expShare) < 1e-9)
+      assert(r.getAs[Double]("media_text_ratio") > 0.0)
+    }
+    // shares partition the budget
+    assert(math.abs(rows.map(_.getAs[Double]("budget_share")).sum - 1.0) < 0.01)
+  }
 }
