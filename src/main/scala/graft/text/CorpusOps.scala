@@ -1413,13 +1413,17 @@ object CorpusOps {
          |       JOIN bc ON d.gram = bc.gram
          |       JOIN w1c ON split_part(d.gram, ' ', 1) = w1c.w1
          |       JOIN uc ON split_part(d.gram, ' ', 2) = uc.term
-         |       CROSS JOIN nt)
-         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-         |  round(CAST(sum(CAST(round(tf * bits, 6) AS DECIMAL(18,6))) AS DOUBLE)
-         |    / sum(tf), 4) AS bits_per_bigram,
-         |  round(pow(2, round(CAST(sum(CAST(round(tf * bits, 6) AS DECIMAL(18,6))) AS DOUBLE)
-         |    / sum(tf), 4)), 2) AS ppl
-         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+         |       CROSS JOIN nt),
+         |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |          CAST(sum(tf * CAST(round(bits * 1000000, 0) AS BIGINT)) AS BIGINT)
+         |            AS sum_micro
+         |        FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  CAST((2 * sum_micro + n_bigrams * 100) // (2 * n_bigrams * 100) AS DOUBLE)
+         |    / 10000 AS bits_per_bigram,
+         |  round(pow(2, CAST((2 * sum_micro + n_bigrams * 100) // (2 * n_bigrams * 100)
+         |    AS DOUBLE) / 10000), 2) AS ppl
+         |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.storage.StorageLevel
       val w = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("ws"))
       val uc = w.select(explode(col("ws")).as("term"))
@@ -1440,12 +1444,17 @@ object CorpusOps {
         .join(uc.withColumnRenamed("term", "w2"), Seq("w2"))
         .crossJoin(broadcast(nt))
         .withColumn("bits", expr(bitsF))
+      // half-up mean in integer micro-bits — bits is rounded at 6, so
+      // tf·round(bits·1e6) is an exact BIGINT and (2s + n·100) div (2n·100)
+      // is the half-up 4-decimal mean with no double near a tie (the
+      // q_revenue_ma7 discipline; a double round here flipped at sf1)
       scored.groupBy("doc_id")
         .agg(sum("tf").cast("long").as("n_bigrams"),
-          sum(expr("CAST(round(tf * bits, 6) AS DECIMAL(18,6))")).as("__sb"))
+          sum(col("tf") * expr("CAST(round(bits * 1000000, 0) AS BIGINT)"))
+            .cast("long").as("sum_micro"))
         .select(col("doc_id"), col("n_bigrams"),
-          round(col("__sb").cast("double") / col("n_bigrams"), 4)
-            .as("bits_per_bigram"))
+          (expr("(2 * sum_micro + n_bigrams * 100) div (2 * n_bigrams * 100)")
+            .cast("double") / 10000).as("bits_per_bigram"))
         .withColumn("ppl", round(pow(lit(2), col("bits_per_bigram")), 2))
         .orderBy("doc_id")
     }
@@ -1465,8 +1474,8 @@ object CorpusOps {
     * fixed difficulty bands rather than score quantiles precisely so no
     * global rank over the corpus is ever needed (the quantile version
     * of this op is what token_length_quantiles' histogram trick would
-    * give; bands are the 100 TB default). Score arithmetic is exact
-    * int/int division rounded once — both engines bit-equal. */
+    * give; bands are the 100 TB default). Score arithmetic is integer
+    * basis points end-to-end — both engines bit-equal at any scale. */
   val curriculumOrder: Q = Q.sql(
     "curriculum_order",
     """WITH f AS (
@@ -1476,25 +1485,32 @@ object CorpusOps {
       |    substr(md5(text), 1, 8) AS order_key
       |  FROM documents),
       |s AS (SELECT doc_id, lang, n_words, order_key,
-      |    round(0.7 * least(1.0 * n_words / 100, 1.0)
-      |      + 0.3 * (1 - round(1.0 * n_distinct / n_words, 6)), 4) AS difficulty
+      |    (7 * least(n_words * 100, 10000)
+      |      + 3 * (10000 - n_distinct * 10000 // n_words)) // 10 AS bp
       |  FROM f)
-      |SELECT doc_id, lang, n_words, difficulty,
-      |  CASE WHEN difficulty < 0.4 THEN 1
-      |       WHEN difficulty < 0.7 THEN 2 ELSE 3 END AS phase,
+      |SELECT doc_id, lang, n_words,
+      |  CAST(bp AS DOUBLE) / 10000 AS difficulty,
+      |  CASE WHEN bp < 4000 THEN 1
+      |       WHEN bp < 7000 THEN 2 ELSE 3 END AS phase,
       |  order_key
       |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // difficulty in integer basis points end-to-end — length term
+    // min(n_words·100, 10000), repetition term 10000 − floor(ttr·10000) —
+    // so no engine ever rounds a double near a band boundary (a scale-4
+    // double round here flipped at sf1); the published double is an
+    // exact int/10⁴ quotient, identical IEEE both sides
     val f = docs(s, d)
       .select(col("doc_id"), col("lang"),
         expr("size(split(text, ' '))").as("n_words"),
         expr("size(array_distinct(split(text, ' ')))").as("n_distinct"),
         substring(md5(col("text")), 1, 8).as("order_key"))
-    f.withColumn("difficulty",
-        round(lit(0.7) * least(lit(1.0) * col("n_words") / 100, lit(1.0))
-          + lit(0.3) * (lit(1) - round(lit(1.0) * col("n_distinct") / col("n_words"), 6)), 4))
-      .select(col("doc_id"), col("lang"), col("n_words"), col("difficulty"),
-        when(col("difficulty") < 0.4, 1)
-          .when(col("difficulty") < 0.7, 2).otherwise(3).as("phase"),
+    f.withColumn("bp",
+        expr("""(7 * least(n_words * 100, 10000)
+          | + 3 * (10000 - n_distinct * 10000 div n_words)) div 10""".stripMargin))
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        (col("bp").cast("double") / 10000).as("difficulty"),
+        when(col("bp") < 4000, 1)
+          .when(col("bp") < 7000, 2).otherwise(3).as("phase"),
         col("order_key"))
       .orderBy("doc_id")
   }
