@@ -518,7 +518,7 @@ object TextOps {
   }
 
   /** Oracle twin of [[minhashSigs]]'s CTE prefix (docs → sig). */
-  private def duckSigCtes: String = {
+  private[graft] def duckSigCtes: String = {
     val duckSigs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(s3, w -> ($a * ${duckWordHash("w")} + $b) % $P)) AS sig${i + 1}"
     }.mkString(",\n  ")
@@ -1232,11 +1232,114 @@ object TextOps {
     }
   }
 
+  /** Cross-plane dedup agreement — the audit that decides which
+    * near-dup detector to trust where: every candidate pair flagged by
+    * the TEXT plane (minhash band collision over 3-shingles) and/or the
+    * EMBEDDING plane (adaptive sign-LSH candidates at cosine ≥ 0.35),
+    * classified both / text_only / emb_only with pair counts, share,
+    * and mean cosine per class. text_only with LOW mean cosine = the
+    * template/boilerplate dups an embedding misses; emb_only = the
+    * paraphrase dups shingles miss; a small `both` core says the two
+    * planes are NOT redundant and a production dedup needs the union.
+    * Rides the driver's aligned doc_id ≡ vec_id key space.
+    *
+    * Scale: both candidate generators are the live blocked machineries
+    * (minhash bands; adaptive sign-LSH with constant expected bucket)
+    * — no new pair-generation shape; the planes meet in a full-outer
+    * equi-join on the pair key, the cosine lookup joins the embedding
+    * table twice by id, and the verdict rollup is a ≤ 3-row aggregate
+    * with half-up integer means (no double rounds near ties). */
+  val dedupPlaneAgreement: Q = {
+    import graft.vector.Similarity
+    val duckBands = minhashParams.indices
+      .map(i => s"SELECT doc_id, ${i + 1} AS band, sig${i + 1} AS v FROM sig")
+      .mkString("\n  UNION ALL ")
+    Q.sql(
+      "dedup_plane_agreement",
+      s"""WITH $duckSigCtes,
+         |tb AS ($duckBands),
+         |tp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |       FROM tb x JOIN tb y
+         |         ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |${Similarity.signBandsSql("e")},
+         |ec AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |       FROM bands x JOIN bands y
+         |         ON x.band = y.band AND x.bucket = y.bucket
+         |            AND x.vec_id < y.vec_id),
+         |ep AS (SELECT ec.a, ec.b
+         |       FROM ec JOIN e ea ON ea.vec_id = ec.a
+         |               JOIN e eb2 ON eb2.vec_id = ec.b
+         |       WHERE round(list_cosine_similarity(ea.emb, eb2.emb), 4) >= 0.35),
+         |u AS (SELECT coalesce(tp.a, ep.a) AS a, coalesce(tp.b, ep.b) AS b,
+         |        CASE WHEN tp.a IS NOT NULL AND ep.a IS NOT NULL THEN 'both'
+         |             WHEN tp.a IS NOT NULL THEN 'text_only'
+         |             ELSE 'emb_only' END AS verdict
+         |      FROM tp FULL OUTER JOIN ep ON tp.a = ep.a AND tp.b = ep.b),
+         |sc AS (SELECT u.verdict,
+         |         CAST(round((round(list_cosine_similarity(ea.emb, eb2.emb), 4) + 1)
+         |           * 10000, 0) AS BIGINT) AS cos4
+         |       FROM u JOIN e ea ON ea.vec_id = u.a
+         |              JOIN e eb2 ON eb2.vec_id = u.b),
+         |g AS (SELECT verdict, CAST(count(*) AS BIGINT) AS n_pairs,
+         |        CAST(sum(cos4) AS BIGINT) AS s4
+         |      FROM sc GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM g)
+         |SELECT verdict, n_pairs,
+         |  round(1.0 * n_pairs / total, 4) AS pair_share,
+         |  CAST((2 * s4 + n_pairs) // (2 * n_pairs) AS DOUBLE) / 10000 - 1
+         |    AS mean_cos
+         |FROM g CROSS JOIN t ORDER BY verdict""".stripMargin) { (s, d) =>
+      val tb = minhashBandsOf(docs(s, d).select("doc_id", "text"))
+      val tp = tb.select(col("doc_id").as("a"), col("band"), col("v"))
+        .join(tb.select(col("doc_id").as("b"), col("band"), col("v")),
+          Seq("band", "v"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val e = graft.Tables.embeddings(s, d)
+      val bands = Similarity.signBands(e)
+      val ec = bands.select(col("vec_id").as("a"), col("band"), col("bucket"))
+        .join(bands.select(col("vec_id").as("b"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val ea = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      val eb = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+      val cosPair = round(expr("graft_cosine(ea, eb)"), 4)
+      val ep = ec.join(ea, Seq("a")).join(eb, Seq("b"))
+        .filter(cosPair >= 0.35)
+        .select("a", "b")
+      val u = tp.withColumn("__t", lit(1))
+        .join(ep.withColumn("__e", lit(1)), Seq("a", "b"), "full_outer")
+        .select(col("a"), col("b"),
+          when(col("__t").isNotNull && col("__e").isNotNull, "both")
+            .when(col("__t").isNotNull, "text_only")
+            .otherwise("emb_only").as("verdict"))
+      val g = u.join(ea, Seq("a")).join(eb, Seq("b"))
+        .select(col("verdict"),
+          // +1 shift keeps the sum non-negative: Spark `div` truncates
+          // toward zero while DuckDB `//` floors, so a negative numerator
+          // would split the engines
+          expr("CAST(round((round(graft_cosine(ea, eb), 4) + 1) * 10000, 0) AS BIGINT)")
+            .as("cos4"))
+        .groupBy("verdict")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum("cos4").cast("long").as("s4"))
+      val t = g.agg(sum("n_pairs").cast("long").as("total"))
+      g.crossJoin(broadcast(t))
+        .select(col("verdict"), col("n_pairs"),
+          round(lit(1.0) * col("n_pairs") / col("total"), 4).as("pair_share"),
+          (expr("(2 * s4 + n_pairs) div (2 * n_pairs)").cast("double") / 10000
+            - 1).as("mean_cos"))
+        .orderBy("verdict")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupBow, dedupNgramJaccard, dedupContainment,
     dedupComponents, dedupKeepBest,
     dedupMinhash, dedupMinhashEst, dedupIncremental, dedupSimhash,
-    dedupLshCurve, decontaminateFuzzy, langId,
+    dedupLshCurve, decontaminateFuzzy, dedupPlaneAgreement, langId,
     langIdMetrics, textQuality, textEntropy, tokenCount, docFingerprint,
     samplePerSource, tokenRegex, docLangOutliers, dedupThresholdCurve,
     dedupClusterStats)

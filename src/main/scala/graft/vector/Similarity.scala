@@ -210,7 +210,7 @@ object Similarity {
   /** (vec_id, band, bucket) sign-bit LSH banding of the corpus — the
     * Spark twin of the `eb`/`bands` oracle CTEs, 2 bands of b adaptive
     * bits each. */
-  private def signBands(e: DataFrame): DataFrame = {
+  private[graft] def signBands(e: DataFrame): DataFrame = {
     val n1 = e.agg(count(lit(1)).as("n"))
     e.crossJoin(broadcast(n1))
       .withColumn("b", expr(adaptiveBitsSql))
@@ -226,7 +226,7 @@ object Similarity {
   }
 
   /** Oracle CTE chain (n1, eb, bands) shared by the sign-LSH consumers. */
-  private def signBandsSql(src: String = "e"): String =
+  private[graft] def signBandsSql(src: String = "e"): String =
     s"""n1 AS (SELECT count(*) AS n FROM $src),
        |eb AS (SELECT vec_id, emb, ($adaptiveBitsSql) AS b FROM $src, n1),
        |bands AS (SELECT vec_id, band,

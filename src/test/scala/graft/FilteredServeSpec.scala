@@ -69,6 +69,29 @@ class FilteredServeSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_plane_agreement: reconciles with both live detectors; classes discriminate") {
+    val rows = TextOps.dedupPlaneAgreement.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byV = rows.map(r => r.getString(0) -> r).toMap
+    assert(byV.keySet.subsetOf(Set("both", "text_only", "emb_only")))
+    def n(v: String): Long =
+      byV.get(v).map(_.getAs[Long]("n_pairs")).getOrElse(0L)
+    // the embedding arm must reconcile pair-for-pair with the live
+    // dedup_embedding operator (same bands, same threshold)
+    val direct = graft.vector.Similarity.dedupEmbedding.fn(spark, sf).count()
+    assert(n("both") + n("emb_only") === direct,
+      s"embedding arm ${n("both") + n("emb_only")} vs dedup_embedding $direct")
+    // shares partition the union
+    assert(math.abs(rows.map(_.getAs[Double]("pair_share")).sum - 1.0) < 0.01)
+    rows.foreach { r =>
+      val mc = r.getAs[Double]("mean_cos")
+      assert(mc >= -1.0 - 1e-9 && mc <= 1.0 + 1e-9)
+    }
+    // emb-flagged classes sit at/above the cosine threshold on average
+    byV.get("emb_only").foreach(r =>
+      assert(r.getAs[Double]("mean_cos") >= 0.35 - 1e-9))
+  }
+
   test("emb_label_vote: partitions the corpus; accuracy = agree/voted; votes come from real labels") {
     val rows = Similarity.embLabelVote.fn(spark, sf).collect()
     assert(rows.nonEmpty)
