@@ -1374,6 +1374,59 @@ object CorpusOps {
       .orderBy("lang")
   }
 
+  // -------------------------------------------- vocab overlap --
+
+  /** Cross-language vocabulary sharing matrix: per language pair, the
+    * shared type count with containment (share of the smaller vocab)
+    * and Jaccard — the measurement behind the shared-vocab decision (one
+    * multilingual tokenizer vs per-language): high containment means a
+    * shared subword inventory amortizes, near-zero means shared merges
+    * waste vocab slots on one side. Complements corpus_temperature
+    * (which sizes the MIX) with the script/lexicon geometry.
+    *
+    * Scale: the distinct (lang, term) table is ONE partial-agg pass; the
+    * pair join is a term equi-join of two vocab-scaling sides (both
+    * partial-agged, NO broadcast hint — AQE size-gates); the matrix
+    * rolls up to ≤ |langs|² rows and per-lang type counts broadcast.
+    * Ratios are exact BIGINT quotients rounded once. */
+  val vocabOverlap: Q = Q.sql(
+    "vocab_overlap",
+    """WITH lt AS (SELECT DISTINCT lang, unnest(str_split(text, ' ')) AS term
+      |       FROM documents),
+      |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types FROM lt GROUP BY 1),
+      |p AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+      |        CAST(count(*) AS BIGINT) AS shared
+      |      FROM lt a JOIN lt b ON a.term = b.term AND a.lang < b.lang
+      |      GROUP BY 1, 2)
+      |SELECT lang_a, lang_b, na.n_types AS types_a, nb.n_types AS types_b,
+      |  shared,
+      |  round(1.0 * shared / least(na.n_types, nb.n_types), 4) AS containment,
+      |  round(1.0 * shared / (na.n_types + nb.n_types - shared), 4) AS jaccard
+      |FROM p
+      |JOIN n na ON na.lang = p.lang_a
+      |JOIN n nb ON nb.lang = p.lang_b
+      |ORDER BY lang_a, lang_b""".stripMargin) { (s, d) =>
+    val lt = docs(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val n = lt.groupBy("lang").agg(count(lit(1)).cast("long").as("n_types"))
+    val p = lt.select(col("lang").as("lang_a"), col("term"))
+      .join(lt.select(col("lang").as("lang_b"), col("term")), Seq("term"))
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy("lang_a", "lang_b").agg(count(lit(1)).cast("long").as("shared"))
+    p.join(broadcast(n.select(col("lang").as("lang_a"), col("n_types").as("types_a"))),
+        Seq("lang_a"))
+      .join(broadcast(n.select(col("lang").as("lang_b"), col("n_types").as("types_b"))),
+        Seq("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("types_a"), col("types_b"),
+        col("shared"),
+        round(lit(1.0) * col("shared") / least(col("types_a"), col("types_b")), 4)
+          .as("containment"),
+        round(lit(1.0) * col("shared")
+          / (col("types_a") + col("types_b") - col("shared")), 4).as("jaccard"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   // ---------------------------------------- bigram LM perplexity --
 
   /** Bigram-LM document scoring — the conditional upgrade of
@@ -1521,5 +1574,5 @@ object CorpusOps {
     corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate, zipfFit,
     corpusReport, epochPlan, splitLeakage, ngramNovelty, sampleWeighted,
     tokenLengthQuantiles, stopwordProfile, vocabCoverage, curriculumOrder,
-    corpusBigramPpl)
+    corpusBigramPpl, vocabOverlap)
 }

@@ -56,6 +56,28 @@ class CoverageProfileSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("stop_tokens") > 0))
   }
 
+  test("vocab_overlap: symmetric-complete matrix; set identities hold; type counts recount") {
+    val rows = CorpusOps.vocabOverlap.fn(spark, sf).collect()
+    val langs = Tables.documents(spark, sf).select("lang").distinct().count()
+    // one row per unordered pair
+    assert(rows.length.toLong === langs * (langs - 1) / 2)
+    val types = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .distinct().groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getAs[Long]("types_a") === types(r.getString(0)))
+      assert(r.getAs[Long]("types_b") === types(r.getString(1)))
+      val shared = r.getAs[Long]("shared")
+      assert(shared <= math.min(r.getAs[Long]("types_a"), r.getAs[Long]("types_b")))
+      val cont = r.getAs[Double]("containment")
+      val jac = r.getAs[Double]("jaccard")
+      assert(cont >= 0.0 && cont <= 1.0)
+      assert(jac <= cont + 1e-9, "jaccard can never exceed containment")
+    }
+  }
+
   test("vocab_coverage: curve is monotone and saturates at the type count") {
     val rows = CorpusOps.vocabCoverage.fn(spark, sf).collect()
     assert(rows.nonEmpty)
