@@ -2151,9 +2151,12 @@ object AuditQueries {
     * back as a broadcast. All medians are exact integers (lower median:
     * rank (cnt+1)/2 under a (value, day) total order), so z is one
     * shared double expression over exact ints, rounded once. */
-  val auditVolumeMad: Q = Q.sql(
-    "audit_volume_mad",
-    auditCte + """, d AS (
+  /** Calendar-filled (day, operation, n) daily frame — zero-count days
+    * INCLUDED (a silent feed is the anomaly the volume monitors exist to
+    * catch). Shared by audit_volume_mad and audit_cusum; ≤ |ops|×|days|
+    * rows at any feed size. */
+  private val filledDailyCtes: String =
+    """, d AS (
       |  SELECT CAST(ts AS DATE) AS day, operation, count(*) AS n
       |  FROM audit GROUP BY 1, 2),
       |bounds AS (
@@ -2166,7 +2169,23 @@ object AuditQueries {
       |  FROM days CROSS JOIN (SELECT DISTINCT operation FROM audit)),
       |filled AS (
       |  SELECT grid.day, grid.operation, CAST(coalesce(d.n, 0) AS BIGINT) AS n
-      |  FROM grid LEFT JOIN d ON grid.day = d.day AND grid.operation = d.operation),
+      |  FROM grid LEFT JOIN d ON grid.day = d.day AND grid.operation = d.operation)""".stripMargin
+
+  /** Spark twin of [[filledDailyCtes]]. */
+  private def filledDaily(s: SparkSession, d: String): DataFrame = {
+    val counts = log(s, d)
+      .groupBy(col("ts").cast("date").as("day"), col("operation"))
+      .agg(count(lit(1)).as("n"))
+    val days = counts.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    days.crossJoin(counts.select("operation").distinct())
+      .join(counts, Seq("day", "operation"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)).cast("long"))
+  }
+
+  val auditVolumeMad: Q = Q.sql(
+    "audit_volume_mad",
+    auditCte + filledDailyCtes + """,
       |rk AS (
       |  SELECT *, row_number() OVER (PARTITION BY operation ORDER BY n, day) AS rn,
       |    count(*) OVER (PARTITION BY operation) AS cnt
@@ -2189,14 +2208,7 @@ object AuditQueries {
       |       ELSE 0 END AS anomaly
       |FROM dev JOIN mad ON dev.operation = mad.operation
       |ORDER BY dev.operation, dev.day""".stripMargin) { (s, d) =>
-    val counts = log(s, d)
-      .groupBy(col("ts").cast("date").as("day"), col("operation"))
-      .agg(count(lit(1)).as("n"))
-    val days = counts.agg(min("day").as("d0"), max("day").as("d1"))
-      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
-    val filled = days.crossJoin(counts.select("operation").distinct())
-      .join(counts, Seq("day", "operation"), "left")
-      .withColumn("n", coalesce(col("n"), lit(0L)).cast("long"))
+    val filled = filledDaily(s, d)
     def lowerMedian(df: DataFrame, value: String, out: String): DataFrame = {
       val byOp = Window.partitionBy("operation")
       df.withColumn("rn", row_number().over(byOp.orderBy(col(value), col("day"))))
@@ -2215,6 +2227,74 @@ object AuditQueries {
         when(col("mad") > 0 && abs(z) > 3.5, 1)
           .when(col("mad") === 0 && col("n") =!= col("med"), 1)
           .otherwise(0).as("anomaly"))
+      .orderBy("operation", "day")
+  }
+
+  /** Two-sided CUSUM change-point monitor on daily change volume per op
+    * class (Page 1954 — the sequential test that catches SMALL SUSTAINED
+    * level shifts EWMA/MAD z-scores react to late or never: each day's
+    * small excess accumulates until the sum crosses the decision
+    * interval). Baseline μ = first-7-days mean per op (the
+    * audit_value_drift convention); allowance k = μ/4, decision interval
+    * h = 2μ. The recursion Cₜ = max(0, Cₜ₋₁ + (xₜ − μ − k)) is not a
+    * windowed sum, but it has the closed form Cₜ = Sₜ − min(0, min_{j≤t}
+    * Sⱼ) over the drift-adjusted cumsum Sₜ — two running windows, no
+    * recursion. All arithmetic is EXACT 28-scaled integers (28 = lcm of
+    * the /7 mean and /4 allowance): y⁺ = 28n − 5·s7, y⁻ = 3·s7 − 28n,
+    * alarm ⇔ C·28 > 8·s7 — no float ever appears, so the published
+    * `cusum_*_x28` columns are integer-exact in both engines.
+    *
+    * Scale: the feed collapses to the calendar-filled ≤ |ops|×|days|
+    * daily frame FIRST ([[filledDailyCtes]]); both running windows and
+    * the baseline join run on that bounded frame — never on raw data —
+    * and the per-op baseline is a broadcast. */
+  val auditCusum: Q = Q.sql(
+    "audit_cusum",
+    auditCte + filledDailyCtes + """,
+      |b AS (
+      |  SELECT operation, CAST(sum(n) AS BIGINT) AS s7
+      |  FROM filled CROSS JOIN bounds WHERE day < d0 + 7 GROUP BY 1),
+      |y AS (
+      |  SELECT f.day, f.operation, f.n, b.s7,
+      |    28 * f.n - 5 * b.s7 AS y_up, 3 * b.s7 - 28 * f.n AS y_dn
+      |  FROM filled f JOIN b ON f.operation = b.operation),
+      |cs AS (
+      |  SELECT day, operation, n, s7,
+      |    sum(y_up) OVER w AS cs_up, sum(y_dn) OVER w AS cs_dn
+      |  FROM y
+      |  WINDOW w AS (PARTITION BY operation ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |c AS (
+      |  SELECT day, operation, n, s7,
+      |    cs_up - least(0, min(cs_up) OVER w) AS c_up,
+      |    cs_dn - least(0, min(cs_dn) OVER w) AS c_dn
+      |  FROM cs
+      |  WINDOW w AS (PARTITION BY operation ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT day, operation, n, s7 AS base7_total,
+      |  CAST(c_up AS BIGINT) AS cusum_up_x28, CAST(c_dn AS BIGINT) AS cusum_dn_x28,
+      |  CASE WHEN c_up > 8 * s7 THEN 1 ELSE 0 END AS alarm_up,
+      |  CASE WHEN c_dn > 8 * s7 THEN 1 ELSE 0 END AS alarm_dn
+      |FROM c ORDER BY operation, day""".stripMargin) { (s, d) =>
+    val filled = filledDaily(s, d)
+    val base = filled
+      .crossJoin(broadcast(filled.agg(min("day").as("d0"))))
+      .filter(datediff(col("day"), col("d0")) < 7)
+      .groupBy("operation").agg(sum("n").cast("long").as("s7"))
+    val w = Window.partitionBy("operation").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled.join(broadcast(base), Seq("operation"))
+      .withColumn("y_up", lit(28L) * col("n") - lit(5L) * col("s7"))
+      .withColumn("y_dn", lit(3L) * col("s7") - lit(28L) * col("n"))
+      .withColumn("cs_up", sum("y_up").over(w))
+      .withColumn("cs_dn", sum("y_dn").over(w))
+      .withColumn("c_up", col("cs_up") - least(lit(0L), min("cs_up").over(w)))
+      .withColumn("c_dn", col("cs_dn") - least(lit(0L), min("cs_dn").over(w)))
+      .select(col("day"), col("operation"), col("n"), col("s7").as("base7_total"),
+        col("c_up").cast("long").as("cusum_up_x28"),
+        col("c_dn").cast("long").as("cusum_dn_x28"),
+        when(col("c_up") > lit(8L) * col("s7"), 1).otherwise(0).as("alarm_up"),
+        when(col("c_dn") > lit(8L) * col("s7"), 1).otherwise(0).as("alarm_dn"))
       .orderBy("operation", "day")
   }
 
@@ -2392,5 +2472,5 @@ object AuditQueries {
     auditRollingVolume, auditSlidingRate, auditValueOutliers,
     auditDowProfile, auditPayloadBytes, auditEwmaVolume,
     auditVolumeAutocorr, auditMergeUpsert, auditLifecyclePaths,
-    auditVolumeMad)
+    auditVolumeMad, auditCusum)
 }

@@ -46,4 +46,27 @@ class RobustAnomalySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("audit_cusum: closed form equals the max(0, C+y) recursion; alarms follow h") {
+    val rows = AuditQueries.auditCusum.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (op, g) =>
+      val days = g.sortBy(_.getDate(0).toString)
+      val s7 = days.head.getAs[Long]("base7_total")
+      assert(days.forall(_.getAs[Long]("base7_total") == s7), s"$op baseline varies")
+      var cUp = 0L; var cDn = 0L
+      days.foreach { r =>
+        val n = r.getAs[Long]("n")
+        cUp = math.max(0L, cUp + (28 * n - 5 * s7))
+        cDn = math.max(0L, cDn + (3 * s7 - 28 * n))
+        assert(r.getAs[Long]("cusum_up_x28") === cUp, s"$op up ${r.getDate(0)}")
+        assert(r.getAs[Long]("cusum_dn_x28") === cDn, s"$op dn ${r.getDate(0)}")
+        assert((r.getAs[Int]("alarm_up") == 1) === (cUp > 8 * s7))
+        assert((r.getAs[Int]("alarm_dn") == 1) === (cDn > 8 * s7))
+      }
+    }
+    // positive control on this feed: the truncate class trends above its
+    // first-week baseline and must fire at least one upward alarm
+    assert(rows.exists(r => r.getString(1) == "T" && r.getAs[Int]("alarm_up") == 1))
+  }
 }
