@@ -407,6 +407,101 @@ object EventAnalytics {
       .orderBy("cohort_day", "week_offset")
   }
 
+  /** Markov steady-state of the in-session event-type chain: where user
+    * attention SETTLES, vs where traffic merely lands (event_paths shows
+    * the top raw sequences; the stationary distribution weights each
+    * state by long-run visit share, so a state that is every path's hub
+    * ranks above a state with many one-shot entries). Transition counts
+    * use event_paths' session convention (consecutive events per user,
+    * ≤ 30 min apart); π starts uniform and takes 3 power-iteration
+    * rounds π·P — enough to separate hub from periphery on a 5-state
+    * chain, and exactly replayable.
+    *
+    * Determinism: π lives in INTEGER micro-units; each round's
+    * contribution π·c/r is half-up integer division (2πc + r) div (2r)
+    * summed exactly, so both engines produce identical integers — no
+    * float enters the iteration. The published delta_e6 = stationary −
+    * traffic share (also half-up micro-units) is the "destination vs
+    * entry point" verdict.
+    *
+    * Scale: ONE user-keyed window over the feed (the event_paths
+    * exchange) collapses to the ≤ |types|² transition matrix; the three
+    * iteration rounds and all joins run on that bounded frame with π
+    * broadcast — the corpus is never touched again. */
+  val eventMarkov: Q = {
+    val gapUs = 1800000000L
+    def roundCte(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT tr.dst AS event_type,
+         |    CAST(sum((2 * p.pe6 * tr.c + r.r) // (2 * r.r)) AS BIGINT) AS pe6
+         |  FROM tr JOIN $prev p ON tr.src = p.event_type
+         |    JOIN r ON tr.src = r.src
+         |  GROUP BY 1)""".stripMargin
+    Q.sql(
+      "event_markov",
+      s"""WITH o AS (
+        |  SELECT event_type, ts, event_id,
+        |    lag(event_type) OVER w AS p1, lag(ts) OVER w AS t1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tr AS (
+        |  SELECT p1 AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS c
+        |  FROM o
+        |  WHERE p1 IS NOT NULL
+        |    AND epoch_ns(ts) // 1000 - epoch_ns(t1) // 1000 <= $gapUs
+        |  GROUP BY 1, 2),
+        |r AS (SELECT src, CAST(sum(c) AS BIGINT) AS r FROM tr GROUP BY 1),
+        |st AS (SELECT DISTINCT event_type FROM events),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+        |p0 AS (SELECT event_type, CAST(1000000 // k AS BIGINT) AS pe6
+        |       FROM st CROSS JOIN kk),
+        |${roundCte("p0", "i1")},
+        |${roundCte("i1", "i2")},
+        |${roundCte("i2", "i3")},
+        |ev AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM ev)
+        |SELECT ev.event_type, ev.n AS n_events,
+        |  CAST((2 * ev.n * 1000000 + total) // (2 * total) AS BIGINT) AS traffic_e6,
+        |  coalesce(i3.pe6, 0) AS stationary_e6,
+        |  coalesce(i3.pe6, 0)
+        |    - CAST((2 * ev.n * 1000000 + total) // (2 * total) AS BIGINT) AS delta_e6
+        |FROM ev CROSS JOIN tot LEFT JOIN i3 ON ev.event_type = i3.event_type
+        |ORDER BY ev.event_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val o = ev(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          lag(col("event_type"), 1).over(w).as("p1"),
+          lag(col("ts"), 1).over(w).as("t1"))
+      val tr = o
+        .filter(col("p1").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("t1")) <= gapUs)
+        .groupBy(col("p1").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val r = tr.groupBy("src").agg(sum("c").cast("long").as("r"))
+      val st = ev(s, d).select("event_type").distinct()
+      var pi = st
+        .crossJoin(broadcast(st.agg(count(lit(1)).cast("long").as("k"))))
+        .select(col("event_type"), expr("1000000 div k").cast("long").as("pe6"))
+      for (_ <- 1 to 3)
+        pi = tr
+          .join(broadcast(pi.withColumnRenamed("event_type", "src")), Seq("src"))
+          .join(broadcast(r), Seq("src"))
+          .groupBy(col("dst").as("event_type"))
+          .agg(sum(expr("(2 * pe6 * c + r) div (2 * r)")).cast("long").as("pe6"))
+      val evAgg = ev(s, d).groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"))
+      val traffic = expr("(2 * n * 1000000 + total) div (2 * total)").cast("long")
+      evAgg
+        .crossJoin(broadcast(evAgg.agg(sum("n").cast("long").as("total"))))
+        .join(pi, Seq("event_type"), "left")
+        .select(col("event_type"), col("n").as("n_events"),
+          traffic.as("traffic_e6"),
+          coalesce(col("pe6"), lit(0L)).as("stationary_e6"),
+          (coalesce(col("pe6"), lit(0L)) - traffic).as("delta_e6"))
+        .orderBy("event_type")
+    }
+  }
+
   val all: Seq[Q] = Seq(eventRetention, eventFunnel, eventPaths,
-    eventAttribution, eventCooccurrence, eventLtv)
+    eventAttribution, eventCooccurrence, eventLtv, eventMarkov)
 }

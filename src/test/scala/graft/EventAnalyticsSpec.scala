@@ -274,4 +274,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(counts(top.getString(0)) === top.getAs[Long]("n"))
     assert(counts.values.max === top.getAs[Long]("n"))
   }
+
+  test("event_markov: probability mass conserved; delta column consistent; " +
+    "stationary genuinely re-ranks vs traffic") {
+    val rows = EventAnalytics.eventMarkov.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val k = rows.length
+    // each of the 3 half-up-division rounds can move total mass by at most
+    // ±|types|²/2 micro-units; the uniform init floor-loses at most k−1
+    val mass = rows.map(_.getAs[Long]("stationary_e6")).sum
+    val tol = 3L * k * k / 2 + (k - 1)
+    assert(math.abs(mass - 1000000L) <= tol, s"mass $mass")
+    val traffic = rows.map(_.getAs[Long]("traffic_e6")).sum
+    assert(math.abs(traffic - 1000000L) <= k / 2 + 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("delta_e6")
+        === r.getAs[Long]("stationary_e6") - r.getAs[Long]("traffic_e6"))
+    }
+    // positive control: the chain is not a no-op — some state's long-run
+    // share moves by more than the rounding tolerance
+    assert(rows.exists(r => math.abs(r.getAs[Long]("delta_e6")) > tol))
+  }
 }
