@@ -1040,6 +1040,66 @@ object Relational {
       .orderBy("rnk")
   }
 
+  /** Open-order backlog time series (work-in-progress accounting): an
+    * order is OPEN from its order month until the month its LAST line
+    * ships; per month the report shows orders opened, orders fully
+    * shipped, and the end-of-month backlog. The interval-accounting
+    * shape none of the point-in-time aggregates give — a fulfillment
+    * capacity dashboard reads backlog growth, not order volume.
+    *
+    * Scale: the interval set collapses to per-order (open, close) months
+    * via one orderkey-partial-agg over lineitem joined to orders on the
+    * SAME orderkey exchange; open/close events aggregate to two bounded
+    * ≤ |months| frames, and the ±1 cumulative (the sweep-line trick —
+    * never an explode of order×months) runs on the dense month grid.
+    * The one unpartitioned window is over that bounded grid. */
+  val qOrdersBacklog: Q = Q.sql(
+    "q_orders_backlog",
+    """WITH o AS (
+      |  SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS m_open
+      |  FROM orders),
+      |f AS (
+      |  SELECT l_orderkey, CAST(date_trunc('month', max(l_shipdate)) AS DATE) AS m_close
+      |  FROM lineitem GROUP BY 1),
+      |per AS (
+      |  SELECT o.o_orderkey, o.m_open, coalesce(f.m_close, o.m_open) AS m_close
+      |  FROM o LEFT JOIN f ON o.o_orderkey = f.l_orderkey),
+      |b AS (SELECT min(m_open) AS m0, max(m_close) AS m1 FROM per),
+      |months AS (
+      |  SELECT CAST(unnest(generate_series(CAST(m0 AS TIMESTAMP),
+      |    CAST(m1 AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS m FROM b),
+      |op AS (SELECT m_open AS m, count(*) AS opened FROM per GROUP BY 1),
+      |cl AS (SELECT m_close AS m, count(*) AS closed FROM per GROUP BY 1),
+      |g AS (
+      |  SELECT months.m, CAST(coalesce(op.opened, 0) AS BIGINT) AS opened,
+      |    CAST(coalesce(cl.closed, 0) AS BIGINT) AS closed
+      |  FROM months LEFT JOIN op ON months.m = op.m
+      |    LEFT JOIN cl ON months.m = cl.m)
+      |SELECT strftime(m, '%Y-%m') AS month, opened, closed,
+      |  CAST(sum(opened - closed) OVER (ORDER BY m
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog_eom
+      |FROM g ORDER BY month""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), trunc(col("o_orderdate").cast("date"), "month").as("m_open"))
+    val f = li(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(trunc(max(col("l_shipdate")).cast("date"), "month").as("m_close"))
+    val per = o.join(f, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("m_open"), coalesce(col("m_close"), col("m_open")).as("m_close"))
+    val months = per.agg(min("m_open").as("m0"), max("m_close").as("m1"))
+      .select(explode(expr("sequence(m0, m1, interval 1 month)")).as("m"))
+    val op = per.groupBy(col("m_open").as("m")).agg(count(lit(1)).as("opened"))
+    val cl = per.groupBy(col("m_close").as("m")).agg(count(lit(1)).as("closed"))
+    val g = months.join(op, Seq("m"), "left").join(cl, Seq("m"), "left")
+      .select(col("m"), coalesce(col("opened"), lit(0L)).cast("long").as("opened"),
+        coalesce(col("closed"), lit(0L)).cast("long").as("closed"))
+    val w = Window.orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.select(date_format(col("m"), "yyyy-MM").as("month"), col("opened"), col("closed"),
+      sum(col("opened") - col("closed")).over(w).cast("long").as("backlog_eom"))
+      .orderBy("month")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
@@ -1047,5 +1107,5 @@ object Relational {
     qPriceBands, qSkewSalted, qYearlyGrowth, qMarketShare, qTradeLanes,
     qPromoShare, qSmallQuantity, qDisjunctive, qCubeVolume, qTopSupplier,
     qReturnedCustomers, qNationProfit, qSupplierWait, qOrderGap,
-    qRevenueMa7, qShipPriority, qSkewProbe)
+    qRevenueMa7, qShipPriority, qSkewProbe, qOrdersBacklog)
 }

@@ -271,4 +271,25 @@ class EvalOpsSpec extends AnyFunSuite {
     // the RANGE (not ROWS) semantics genuinely bites: some window spans < 7 days
     assert(rows.exists(_._5 < 7) && rows.exists(_._5 == 7L))
   }
+
+  test("q_orders_backlog: sweep-line conserves orders; backlog never negative, drains to 0") {
+    val rows = Relational.qOrdersBacklog.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("opened"),
+        r.getAs[Long]("closed"), r.getAs[Long]("backlog_eom")))
+    assert(rows.nonEmpty)
+    // dense month grid, ordered
+    assert(rows.map(_._1).sorted.toSeq === rows.map(_._1).toSeq)
+    var bl = 0L
+    rows.foreach { case (m, op, cl, eom) =>
+      bl += op - cl
+      assert(eom === bl, s"month $m")
+      assert(eom >= 0, s"negative backlog at $m")
+    }
+    assert(bl === 0L, "every order must eventually ship")
+    val nOrders = TestSession.spark.read
+      .parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_._2).sum === nOrders, "opened total = order count")
+    // positive control: backlog is a real queue on this data, not always 0
+    assert(rows.exists(_._4 > 0))
+  }
 }
