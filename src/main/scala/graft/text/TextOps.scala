@@ -37,17 +37,77 @@ object TextOps {
       .orderBy("fingerprint")
   }
 
+  /** Sorted bag-of-words fingerprint — single definition shared by
+    * dedup_bow and dedup_source_matrix (both dialects). */
+  private val duckBowFp =
+    "md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' '))"
+  private def bowFp: org.apache.spark.sql.Column =
+    md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+
   /** Word-order-insensitive duplicates: sorted bag-of-words fingerprint. */
   val dedupBow: Q = Q.sql(
     "dedup_bow",
-    """SELECT md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fingerprint,
+    s"""SELECT $duckBowFp AS fingerprint,
       |  count(*) AS n_docs, min(doc_id) AS min_doc_id
       |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin) { (s, d) =>
     docs(s, d)
-      .groupBy(md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
-        .as("fingerprint"))
+      .groupBy(bowFp.as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
       .orderBy("fingerprint")
+  }
+
+  /** Cross-source duplicate-flow matrix: which sources copy from which —
+    * the provenance readout dedup clusters flatten away (a scraper
+    * mirroring another feed, a vendor reselling a crawl, boilerplate
+    * syndication all surface as off-diagonal mass). Pairs are counted on
+    * the bag-of-words plane (this corpus has no byte-exact dups — the
+    * bow fingerprint is the [[dedupBow]] definition, shared verbatim);
+    * diagonal rows carry within-source dup pairs c·(c−1)/2, off-diagonal
+    * rows cₐ·c_b per shared fingerprint. Sparse: zero cells are omitted.
+    *
+    * Scale: one corpus scan partial-aggregates to the (fingerprint,
+    * source) frame (persisted MEMORY_AND_DISK — read by the cross join
+    * AND the diagonal pass); the self-join is an equi-join on the
+    * fingerprint whose per-key fan-out is bounded by |sources|; the
+    * matrix is ≤ |sources|² rows. No pair of raw documents is ever
+    * materialized. */
+  val dedupSourceMatrix: Q = Q.sql(
+    "dedup_source_matrix",
+    s"""WITH ds AS (
+      |  SELECT $duckBowFp AS fp, source, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |x AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    count(*) AS n_shared_fp, CAST(sum(a.c * b.c) AS BIGINT) AS n_pairs
+      |  FROM ds a JOIN ds b ON a.fp = b.fp AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |diag AS (
+      |  SELECT source AS src_a, source AS src_b,
+      |    count(*) AS n_shared_fp, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_pairs
+      |  FROM ds WHERE c >= 2 GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared_fp, n_pairs
+      |FROM (SELECT * FROM x UNION ALL SELECT * FROM diag)
+      |WHERE n_pairs > 0 ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    val ds = docs(s, d)
+      .groupBy(bowFp.as("fp"), col("source"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = ds.select(col("fp"), col("source").as("src_a"), col("c").as("ca"))
+    val b = ds.select(col("fp"), col("source").as("src_b"), col("c").as("cb"))
+    val x = a.join(b, Seq("fp"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_fp"),
+        sum(col("ca") * col("cb")).cast("long").as("n_pairs"))
+    val diag = ds.filter(col("c") >= 2)
+      .groupBy(col("source").as("src_a"))
+      .agg(count(lit(1)).as("n_shared_fp"),
+        sum(expr("c * (c - 1) div 2")).cast("long").as("n_pairs"))
+      .select(col("src_a"), col("src_a").as("src_b"),
+        col("n_shared_fp"), col("n_pairs"))
+    x.unionByName(diag)
+      .filter(col("n_pairs") > 0)
+      .orderBy("src_a", "src_b")
   }
 
   // ---------------------------------------------------------- jaccard --
@@ -1342,5 +1402,5 @@ object TextOps {
     dedupLshCurve, decontaminateFuzzy, dedupPlaneAgreement, langId,
     langIdMetrics, textQuality, textEntropy, tokenCount, docFingerprint,
     samplePerSource, tokenRegex, docLangOutliers, dedupThresholdCurve,
-    dedupClusterStats)
+    dedupClusterStats, dedupSourceMatrix)
 }

@@ -222,4 +222,20 @@ class TextDedupSpec extends AnyFunSuite {
     // conservation: histogram covers every document exactly once
     assert(stats.map(_.getLong(2)).sum === comp.length.toLong)
   }
+
+  test("dedup_source_matrix: pair mass reconciles with dedup_bow's groups") {
+    val sf = "/root/testdata/sf0.001"
+    val matrix = graft.text.TextOps.dedupSourceMatrix.fn(spark, sf).collect()
+    val bow = graft.text.TextOps.dedupBow.fn(spark, sf).collect()
+    // every bow group of n docs contributes n(n-1)/2 pairs, split across
+    // the matrix's diagonal + off-diagonal cells — totals must agree
+    val expPairs = bow.map(r => { val n = r.getAs[Long]("n_docs"); n * (n - 1) / 2 }).sum
+    assert(matrix.map(_.getAs[Long]("n_pairs")).sum === expPairs)
+    matrix.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") > 0)
+      assert(r.getString(0) <= r.getString(1), "upper-triangular + diagonal only")
+    }
+    // positive control: this corpus has real cross-source duplication
+    assert(matrix.exists(r => r.getString(0) != r.getString(1)))
+  }
 }
