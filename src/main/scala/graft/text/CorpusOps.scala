@@ -587,6 +587,109 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** CCNet's head/middle/tail corpus split (Wenzek et al., LREC 2020):
+    * per language, documents are scored under that LANGUAGE'S OWN
+    * unigram LM (corpus_perplexity scores under one global model — the
+    * per-lang conditioning is what makes the buckets comparable across
+    * languages) and cut at the within-lang perplexity terciles; head =
+    * most-fluent third, the slice CCNet feeds to training first. The
+    * report gives each (lang, bucket)'s doc/token mass and mean
+    * cross-entropy — the mix-planning input for a quality-tiered
+    * sampling schedule.
+    *
+    * Exactness: same integer half-up discipline as corpus_perplexity
+    * (surprisal rounded once to 6, × integer tf, DECIMAL sum, xent in
+    * integer e4 units); tercile cuts are ⌈n/3⌉ ranks read off the
+    * (lang, xent_e4) cumulative histogram in pure integer arithmetic
+    * ((n+2) div 3 — no float percentile), so both engines pick identical
+    * thresholds. Mean xent per bucket is half-up integer division.
+    *
+    * Scale: the (doc, lang, term) tf table persists MEMORY_AND_DISK
+    * (model agg + scoring pass); the model join shuffles on (lang,
+    * term) with partial aggs both sides (vocab scales — no broadcast);
+    * the tercile histogram is bounded at |langs|×|distinct xent_e4|
+    * (token_length_quantiles' domain-boundedness argument — xent_e4 is
+    * a 4-decimal grid), thresholds broadcast back, and the output is
+    * ≤ |langs|×3 rows. No window ever touches a per-doc row. */
+  val perplexityBuckets: Q = Q.sql(
+    "perplexity_buckets",
+    s"""WITH w AS (SELECT doc_id, lang, str_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, lang, len(ws) AS n, unnest(ws) AS term FROM w),
+      |tf AS (SELECT doc_id, lang, n, term, count(*) AS c FROM t GROUP BY 1, 2, 3, 4),
+      |gt AS (SELECT lang, term, CAST(sum(c) AS BIGINT) AS ct FROM tf GROUP BY 1, 2),
+      |lt AS (SELECT lang, CAST(sum(ct) AS BIGINT) AS nt FROM gt GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.lang, tf.n,
+      |    CAST(sum(c * CAST($surprisalFormula AS DECIMAL(18, 6))) * 1000000 AS BIGINT)
+      |      AS bits_micro
+      |  FROM tf JOIN gt ON tf.lang = gt.lang AND tf.term = gt.term
+      |    JOIN lt ON tf.lang = lt.lang
+      |  GROUP BY 1, 2, 3),
+      |x AS (SELECT doc_id, lang, n,
+      |        (2 * bits_micro + 100 * n) // (200 * n) AS xent_e4 FROM sc),
+      |h AS (SELECT lang, xent_e4, count(*) AS cnt FROM x GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang, xent_e4,
+      |    sum(cnt) OVER (PARTITION BY lang ORDER BY xent_e4) AS cum,
+      |    sum(cnt) OVER (PARTITION BY lang) AS nd
+      |  FROM h),
+      |th AS (
+      |  SELECT lang,
+      |    min(CASE WHEN cum >= (nd + 2) // 3 THEN xent_e4 END) AS t1,
+      |    min(CASE WHEN cum >= (2 * nd + 2) // 3 THEN xent_e4 END) AS t2
+      |  FROM cum GROUP BY 1),
+      |b AS (
+      |  SELECT x.lang,
+      |    CASE WHEN xent_e4 <= t1 THEN 'head'
+      |         WHEN xent_e4 <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+      |    n, xent_e4
+      |  FROM x JOIN th ON x.lang = th.lang),
+      |agg AS (
+      |  SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n) AS BIGINT) AS n_tokens, CAST(sum(xent_e4) AS BIGINT) AS sx
+      |  FROM b GROUP BY 1, 2)
+      |SELECT lang, bucket, n_docs, n_tokens,
+      |  CAST((2 * sx + n_docs) // (2 * n_docs) AS DOUBLE) / 10000 AS mean_xent,
+      |  round(1.0 * n_docs / sum(n_docs) OVER (PARTITION BY lang), 4) AS doc_share
+      |FROM agg ORDER BY lang, bucket""".stripMargin) { (s, d) =>
+    val tf = docs(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"), size(col("ws")).as("n"),
+        explode(col("ws")).as("term"))
+      .groupBy("doc_id", "lang", "n", "term").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gt = tf.groupBy("lang", "term").agg(sum("c").cast("long").as("ct"))
+    val lt = gt.groupBy("lang").agg(sum("ct").cast("long").as("nt"))
+    val x = tf.join(gt, Seq("lang", "term"))
+      .join(broadcast(lt), Seq("lang"))
+      .withColumn("contrib",
+        col("c") * expr(surprisalFormula).cast("decimal(18,6)"))
+      .groupBy("doc_id", "lang", "n")
+      .agg((sum("contrib") * 1000000).cast("long").as("bits_micro"))
+      .withColumn("xent_e4", expr("(2 * bits_micro + 100 * n) div (200 * n)"))
+    val byLang = Window.partitionBy("lang")
+    val cum = x.groupBy("lang", "xent_e4").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(byLang.orderBy("xent_e4")))
+      .withColumn("nd", sum("cnt").over(byLang))
+    val th = cum.groupBy("lang").agg(
+      min(when(col("cum") >= expr("(nd + 2) div 3"), col("xent_e4"))).as("t1"),
+      min(when(col("cum") >= expr("(2 * nd + 2) div 3"), col("xent_e4"))).as("t2"))
+    x.join(broadcast(th), Seq("lang"))
+      .withColumn("bucket",
+        when(col("xent_e4") <= col("t1"), "head")
+          .when(col("xent_e4") <= col("t2"), "middle").otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n").cast("long").as("n_tokens"),
+        sum("xent_e4").cast("long").as("sx"))
+      .select(col("lang"), col("bucket"), col("n_docs"), col("n_tokens"),
+        (expr("(2 * sx + n_docs) div (2 * n_docs)").cast("double") / 10000)
+          .as("mean_xent"),
+        round(lit(1.0) * col("n_docs") / sum("n_docs").over(byLang), 4)
+          .as("doc_share"))
+      .orderBy("lang", "bucket")
+  }
+
   // ------------------------------------------------- boilerplate n-grams --
 
   /** A bigram is boilerplate within its source when it appears in ≥ 10%
@@ -1574,5 +1677,5 @@ object CorpusOps {
     corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate, zipfFit,
     corpusReport, epochPlan, splitLeakage, ngramNovelty, sampleWeighted,
     tokenLengthQuantiles, stopwordProfile, vocabCoverage, curriculumOrder,
-    corpusBigramPpl, vocabOverlap)
+    corpusBigramPpl, vocabOverlap, perplexityBuckets)
 }

@@ -452,4 +452,27 @@ class CorpusOpsSpec extends AnyFunSuite {
         r.getAs[Int]("p99") <= r.getAs[Int]("max_words"))
     }
   }
+
+  test("perplexity_buckets: terciles conserve docs, stay near-balanced, " +
+    "and mean xent strictly orders head < middle < tail") {
+    val rows = CorpusOps.perplexityBuckets.fn(spark, sf).collect()
+    val langDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (lang, g) =>
+      assert(g.map(_.getString(1)).sorted.toSeq === Seq("head", "middle", "tail"))
+      val byB = g.map(r => r.getString(1) -> r).toMap
+      assert(g.map(_.getAs[Long]("n_docs")).sum === langDocs(lang), s"$lang conservation")
+      // tercile cuts on a 4-decimal grid: ties can move a few docs across
+      // a boundary but never unbalance a bucket grossly
+      val sizes = g.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= langDocs(lang) / 3, s"$lang balance")
+      assert(byB("head").getAs[Double]("mean_xent")
+        < byB("middle").getAs[Double]("mean_xent"), s"$lang head<middle")
+      assert(byB("middle").getAs[Double]("mean_xent")
+        < byB("tail").getAs[Double]("mean_xent"), s"$lang middle<tail")
+      val shares = g.map(_.getAs[Double]("doc_share")).sum
+      assert(math.abs(shares - 1.0) < 0.001, s"$lang shares")
+    }
+  }
 }
