@@ -145,6 +145,89 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Binary-quantized serve path: 1-bit-per-dimension sign signatures
+    * (Charikar STOC'02 hyperplane hashing degenerated to the coordinate
+    * planes) ranked by Hamming distance — the cheapest ANN tier of all:
+    * 64 dims collapse to 8 BYTES, distance is two XOR+popcounts, and a
+    * 100 TB embedding store's signature table fits where the float
+    * vectors never will. The exact-cosine leg rides along as the recall
+    * audit (the ann_recall convention): each served neighbor carries its
+    * true cosine and whether it sits in the exact top-5, so the
+    * 1-bit tier's quality is a published column, not a hope.
+    *
+    * Determinism: the signature is an integer fold over float sign bits
+    * (identical parquet floats ⇒ identical bits in both engines), split
+    * into two 32-bit halves so no 2^63 term can overflow DuckDB's
+    * checked BIGINT sum; Hamming ties rank by neighbor_id.
+    *
+    * Scale: signatures are one per-row fold (no shuffle); the query side
+    * is bounded (10 rows) and BROADCAST against one signature scan; the
+    * audit leg joins the ≤ |q|·5 served set as a broadcast against the
+    * exact-rank pass. Corpus-side data never shuffles. */
+  val annHamming: Q = {
+    def duckSig(lo: Int, hi: Int, shift: Int) =
+      s"CAST(list_sum(list_transform(range($lo, $hi), i -> CASE WHEN emb[i+1] > 0 THEN (1::BIGINT << (i - $shift)) ELSE 0::BIGINT END)) AS BIGINT)"
+    def sparkSig(lo: Int, hi: Int, shift: Int) =
+      s"aggregate(sequence($lo, ${hi - 1}), CAST(0 AS BIGINT), (acc, i) -> acc + IF(element_at(embedding, i + 1) > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i - $shift), CAST(0 AS BIGINT)))"
+    Q.sql(
+      "ann_hamming",
+      s"""WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
+        |sig AS (SELECT vec_id,
+        |    ${duckSig(0, 32, 0)} AS lo,
+        |    ${duckSig(32, 64, 32)} AS hi
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+        |      FROM sig WHERE vec_id < 10),
+        |h AS (SELECT query_id, s.vec_id AS neighbor_id,
+        |        CAST(bit_count(xor(s.lo, qlo)) + bit_count(xor(s.hi, qhi)) AS INT)
+        |          AS hamming
+        |      FROM sig s, q WHERE s.vec_id <> query_id),
+        |hr AS (SELECT *, row_number() OVER (
+        |         PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+        |       FROM h),
+        |served AS (SELECT * FROM hr WHERE rank <= 5),
+        |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |       FROM embeddings WHERE vec_id < 10),
+        |cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |cs AS (SELECT query_id, vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(qe, ce), 4) AS cos_sim
+        |       FROM qv, cv WHERE vec_id <> query_id),
+        |ex AS (SELECT *, row_number() OVER (
+        |         PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS xrank
+        |       FROM cs)
+        |SELECT s.query_id, s.neighbor_id, s.hamming, s.rank, ex.cos_sim,
+        |  CASE WHEN ex.xrank <= 5 THEN 1 ELSE 0 END AS in_exact_top5
+        |FROM served s JOIN ex
+        |  ON s.query_id = ex.query_id AND s.neighbor_id = ex.neighbor_id
+        |ORDER BY s.query_id, s.rank""".stripMargin) { (s, d) =>
+      val e = emb(s, d)
+      val sig = e.select(col("vec_id"),
+        expr(sparkSig(0, 32, 0)).as("lo"),
+        expr(sparkSig(32, 64, 32)).as("hi"))
+      val q = sig.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+      val wH = Window.partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+      val served = sig.select(col("vec_id").as("neighbor_id"), col("lo"), col("hi"))
+        .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)").cast("int").as("hamming"))
+        .withColumn("rank", row_number().over(wH))
+        .filter(col("rank") <= 5)
+      val qv = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val wX = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val ex = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+        .join(broadcast(qv), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), cosR(col("qe"), col("ce")).as("cos_sim"))
+        .withColumn("xrank", row_number().over(wX))
+      ex.join(broadcast(served), Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rank"),
+          col("cos_sim"),
+          when(col("xrank") <= 5, 1).otherwise(0).as("in_exact_top5"))
+        .orderBy("query_id", "rank")
+    }
+  }
+
   /** IVF-style ANN: sign-bit coarse quantizer over the first 4 dimensions
     * assigns each vector to 1 of 16 cells; search touches only the query's
     * cell. At scale, cells are the shuffle/partition key. */
@@ -1689,5 +1772,5 @@ object Similarity {
     annIvfMultiprobe, annIvfPq, annIvfKmeans, annRecallKmeans,
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
     embDimStats, embDrift, annKnnGraph, embWhiten, lshBucketStats,
-    embMatryoshka, annFiltered, embLabelVote)
+    embMatryoshka, annFiltered, embLabelVote, annHamming)
 }

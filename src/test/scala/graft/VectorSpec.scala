@@ -399,4 +399,30 @@ class VectorSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("mean_sz") - n.toDouble / sizes.length) < 1e-3)
     }
   }
+
+  test("ann_hamming: hamming replays from raw sign bits; audit column " +
+    "reconciles with ann_topk's exact top-5") {
+    val sf = "/root/testdata/sf0.001"
+    val served = graft.vector.Similarity.annHamming.fn(spark, sf).collect()
+    assert(served.length === 50) // 10 queries × top-5
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sig(v: Array[Float]): Array[Boolean] = v.map(_ > 0f)
+    served.foreach { r =>
+      val q = sig(vecs(r.getLong(0))); val c = sig(vecs(r.getLong(1)))
+      val ham = q.zip(c).count { case (a, b) => a != b }
+      assert(r.getAs[Int]("hamming") === ham,
+        s"q=${r.getLong(0)} n=${r.getLong(1)}")
+    }
+    val exactTop = graft.vector.Similarity.annTopk.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    served.foreach { r =>
+      assert((r.getAs[Int]("in_exact_top5") == 1)
+        === exactTop((r.getLong(0), r.getLong(1))))
+    }
+    // honest-quality control: the 1-bit tier finds SOME true neighbors
+    // but is not magically exact on near-orthogonal vectors
+    val overlap = served.map(_.getAs[Int]("in_exact_top5")).sum
+    assert(overlap > 0 && overlap < 50)
+  }
 }
