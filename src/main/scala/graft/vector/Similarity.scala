@@ -695,6 +695,109 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** The IVF tuning curve: recall@3 and scanned-candidate share for
+    * nprobe ∈ {1, 2, 4} in ONE report — the measurement that prices the
+    * knob before a cluster run commits to it (recall rises with nprobe,
+    * so does the scan bill; the elbow is a data property, not a
+    * default). Composed from the LIVE index machinery (centroid ranks =
+    * the multiprobe list, ground truth = the brute-force serve path) so
+    * the curve cannot drift from what the index actually returns — the
+    * ann_recall discipline, parameterized.
+    *
+    * Scale: the (vector, centroid) rank table is computed once (per-row
+    * fold over the broadcast centroid array — no corpus exchange) and
+    * persisted MEMORY_AND_DISK (assignment + probe lists both read it);
+    * each (query, candidate) pair is scored ONCE — a neighbor's single
+    * assigned cell meets at most one of the query's probe cells, so the
+    * nprobe fan-out (×3) multiplies only bounded probe-hit pairs, never
+    * corpus rows; ground truth is the ≤ |q|·3 brute-force set broadcast
+    * against the probe hits; output is 3 rows. */
+  val annNprobeCurve: Q = Q.sql(
+    "ann_nprobe_curve",
+    s"""WITH $centCtesSql,
+      |$centRanksCtesSql,
+      |assign AS (SELECT vec_id, clabel AS cell FROM ar WHERE rn = 1),
+      |qprobe AS (SELECT vec_id, clabel AS cell, CAST(rn AS INT) AS probe_rank
+      |           FROM ar WHERE rn <= 4 AND vec_id < 10),
+      |q AS (SELECT e.vec_id AS query_id, e.emb AS qe, p.cell, p.probe_rank
+      |      FROM e JOIN qprobe p ON e.vec_id = p.vec_id),
+      |cands AS (SELECT e.vec_id AS neighbor_id, e.emb AS ce, a.cell
+      |          FROM e JOIN assign a ON e.vec_id = a.vec_id),
+      |pairs AS (SELECT query_id, neighbor_id, probe_rank,
+      |            round(list_cosine_similarity(qe, ce), 4) AS cs
+      |          FROM q JOIN cands ON q.cell = cands.cell
+      |            AND cands.neighbor_id <> q.query_id),
+      |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+      |px AS (SELECT nprobe, query_id, neighbor_id, cs
+      |       FROM pairs CROSS JOIN np WHERE probe_rank <= nprobe),
+      |shares AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS sum_cand
+      |           FROM px GROUP BY 1),
+      |rk AS (SELECT *, row_number() OVER (
+      |         PARTITION BY nprobe, query_id ORDER BY cs DESC, neighbor_id) AS rk
+      |       FROM px),
+      |iv3 AS (SELECT nprobe, query_id, neighbor_id FROM rk WHERE rk <= 3),
+      |qv AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+      |bf AS (SELECT query_id, e.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(qe, emb), 4) AS cs
+      |       FROM qv JOIN e ON e.vec_id <> qv.query_id),
+      |bf3 AS (SELECT query_id, neighbor_id FROM (
+      |          SELECT *, row_number() OVER (
+      |            PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+      |          FROM bf) WHERE rk <= 3),
+      |hits AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
+      |         FROM iv3 JOIN bf3 ON iv3.query_id = bf3.query_id
+      |           AND iv3.neighbor_id = bf3.neighbor_id
+      |         GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+      |nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nqq FROM bf3)
+      |SELECT shares.nprobe, nqq AS n_queries, coalesce(n_hits, 0) AS n_hits,
+      |  round(coalesce(n_hits, 0) / (3.0 * nqq), 4) AS mean_recall_at_3,
+      |  round(sum_cand / (1.0 * nqq * (n - 1)), 4) AS mean_cand_share
+      |FROM shares LEFT JOIN hits ON shares.nprobe = hits.nprobe
+      |  CROSS JOIN tot CROSS JOIN nq
+      |ORDER BY shares.nprobe""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val ranks = centroidRanks(e).filter(col("rn") <= 4)
+      .select(col("vec_id"), col("clabel"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assign = ranks.filter(col("rn") === 1)
+      .select(col("vec_id"), col("clabel").as("cell"))
+    val qprobe = ranks.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("clabel").as("qcell"),
+        col("rn").cast("int").as("probe_rank"))
+    val q = e.join(qprobe, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("qcell"), col("probe_rank"))
+    val px = e.join(assign, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("cell"))
+      .join(broadcast(q),
+        col("qcell") === col("cell") && col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("probe_rank"),
+        cosR(col("qe"), col("ce")).as("cs"))
+      .withColumn("nprobe", explode(array(lit(1), lit(2), lit(4))))
+      .filter(col("probe_rank") <= col("nprobe"))
+    val shares = px.groupBy("nprobe").agg(count(lit(1)).cast("long").as("sum_cand"))
+    val wr = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    val iv3 = px.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= 3).select("nprobe", "query_id", "neighbor_id")
+    val bf3 = annTopk.fn(s, d).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = iv3.join(broadcast(bf3), Seq("query_id", "neighbor_id"))
+      .groupBy("nprobe").agg(count(lit(1)).cast("long").as("n_hits"))
+    val tot = e.agg(count(lit(1)).cast("long").as("n"))
+    val nq = bf3.agg(countDistinct("query_id").cast("long").as("nqq"))
+    shares.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(nq))
+      .select(col("nprobe"), col("nqq").as("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / (lit(3.0) * col("nqq")), 4)
+          .as("mean_recall_at_3"),
+        round(col("sum_cand") / (lit(1.0) * col("nqq") * (col("n") - 1)), 4)
+          .as("mean_cand_share"))
+      .orderBy("nprobe")
+  }
+
   /** IVF+PQ — the production ANN composition (coarse quantizer to prune
     * the corpus, product quantizer to compress what remains): the query
     * probes its 2 nearest cells (ann_ivf_multiprobe's restriction) and
@@ -1772,5 +1875,5 @@ object Similarity {
     annIvfMultiprobe, annIvfPq, annIvfKmeans, annRecallKmeans,
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
     embDimStats, embDrift, annKnnGraph, embWhiten, lshBucketStats,
-    embMatryoshka, annFiltered, embLabelVote, annHamming)
+    embMatryoshka, annFiltered, embLabelVote, annHamming, annNprobeCurve)
 }

@@ -425,4 +425,30 @@ class VectorSpec extends AnyFunSuite {
     val overlap = served.map(_.getAs[Int]("in_exact_top5")).sum
     assert(overlap > 0 && overlap < 50)
   }
+
+  test("ann_nprobe_curve: recall and scan share monotone in nprobe; " +
+    "nprobe=2 leg reconciles with the live multiprobe serve path") {
+    val sf = "/root/testdata/sf0.001"
+    val curve = graft.vector.Similarity.annNprobeCurve.fn(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(curve.map(_.getInt(0)).toSeq === Seq(1, 2, 4))
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("mean_recall_at_3") <= b.getAs[Double]("mean_recall_at_3"))
+      assert(a.getAs[Double]("mean_cand_share") < b.getAs[Double]("mean_cand_share"))
+    }
+    curve.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= 3 * r.getAs[Long]("n_queries"))
+      val sh = r.getAs[Double]("mean_cand_share")
+      assert(sh > 0 && sh <= 1)
+    }
+    // cross-op consistency: the curve's nprobe=2 hit count must equal the
+    // overlap of ann_ivf_multiprobe's served top-3 with the exact top-3
+    val mp = graft.vector.Similarity.annIvfMultiprobe.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf3 = graft.vector.Similarity.annTopk.fn(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val np2 = curve.find(_.getInt(0) == 2).get.getAs[Long]("n_hits")
+    assert(np2 === (mp & bf3).size.toLong)
+  }
 }
