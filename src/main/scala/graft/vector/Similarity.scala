@@ -1239,6 +1239,53 @@ object Similarity {
     * toward, and the L2-cell/cosine-neighbor mismatch dominates the
     * tiny query sample. Both published behaviors, both now visible from
     * the engine's own audit ops. */
+  /** Label purity of the trained k-means cells (k = 64, 2 Lloyd rounds,
+    * id seeding — the ann_ivf_kmeans configuration): per cell, the
+    * majority label's share of members. The external-validation readout
+    * for an UNSUPERVISED index against labels it never saw — high purity
+    * means cluster-then-label curation (label one exemplar per cell,
+    * propagate) is cheap; purity at the label-prior level means the
+    * embedding space doesn't separate the classes and ann_filtered-style
+    * label pre-filters will do all the work. Complements
+    * ann_kmeans_convergence: that op says the trainer CONVERGED, this op
+    * says the result MEANS something.
+    *
+    * Scale: assignment is the kmeansRanks per-row fold (no corpus
+    * exchange); the (cell, label) matrix is one partial-agg groupBy
+    * bounded at k×|labels|; majority pick and shares are a window + agg
+    * on that bounded frame; output ≤ k rows. */
+  val embClusterPurity: Q = Q.sql(
+    "emb_cluster_purity",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |${kmeansTrainSql(64, "id")},
+      |ar AS (SELECT e.vec_id, s.cid, row_number() OVER (
+      |         PARTITION BY e.vec_id ORDER BY ${kmeansDistSql("e.emb", "s.cv")}, s.cid) AS rn
+      |       FROM e, c2 s),
+      |assign AS (SELECT vec_id, cid AS cell FROM ar WHERE rn = 1),
+      |m AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS c
+      |      FROM assign JOIN embeddings USING (vec_id) GROUP BY 1, 2),
+      |rk AS (SELECT *, row_number() OVER (
+      |         PARTITION BY cell ORDER BY c DESC, label) AS lrk,
+      |         CAST(sum(c) OVER (PARTITION BY cell) AS BIGINT) AS n_vecs
+      |       FROM m)
+      |SELECT CAST(cell AS BIGINT) AS cell, n_vecs, label AS top_label,
+      |  c AS top_n, round(1.0 * c / n_vecs, 4) AS purity
+      |FROM rk WHERE lrk = 1 ORDER BY cell""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val assign = kmeansRanks(e, 64, 2).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val m = assign.join(e.select("vec_id", "label"), Seq("vec_id"))
+      .groupBy("cell", "label").agg(count(lit(1)).cast("long").as("c"))
+    val byCell = Window.partitionBy("cell")
+    m.withColumn("lrk", row_number().over(byCell.orderBy(col("c").desc, col("label"))))
+      .withColumn("n_vecs", sum("c").over(byCell).cast("long"))
+      .filter(col("lrk") === 1)
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        col("label").as("top_label"), col("c").as("top_n"),
+        round(lit(1.0) * col("c") / col("n_vecs"), 4).as("purity"))
+      .orderBy("cell")
+  }
+
   val annKmeansConvergence: Q = {
     def armSql(sfx: String, name: String, round: Int): String = {
       val (prev, cur) =
@@ -1875,5 +1922,6 @@ object Similarity {
     annIvfMultiprobe, annIvfPq, annIvfKmeans, annRecallKmeans,
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
     embDimStats, embDrift, annKnnGraph, embWhiten, lshBucketStats,
-    embMatryoshka, annFiltered, embLabelVote, annHamming, annNprobeCurve)
+    embMatryoshka, annFiltered, embLabelVote, annHamming, annNprobeCurve,
+    embClusterPurity)
 }

@@ -451,4 +451,25 @@ class VectorSpec extends AnyFunSuite {
     val np2 = curve.find(_.getInt(0) == 2).get.getAs[Long]("n_hits")
     assert(np2 === (mp & bf3).size.toLong)
   }
+
+  test("emb_cluster_purity: members conserved, purity well-formed and above label prior") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.vector.Similarity.embClusterPurity.fn(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    val embDf = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = embDf.count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === n, "every vector in exactly one cell")
+    rows.foreach { r =>
+      val topN = r.getAs[Long]("top_n"); val nv = r.getAs[Long]("n_vecs")
+      assert(topN >= 1 && topN <= nv)
+      val p = r.getAs[Double]("purity")
+      assert(p > 0 && p <= 1)
+      assert(math.abs(p - topN.toDouble / nv) < 1e-3)
+    }
+    // positive control: clustering beats the majority-label prior — the
+    // cells carry real label signal, not a relabeled random partition
+    val prior = embDf.groupBy("label").count().collect().map(_.getLong(1)).max.toDouble / n
+    val weighted = rows.map(_.getAs[Long]("top_n")).sum.toDouble / n
+    assert(weighted > prior + 0.05, s"weighted purity $weighted vs prior $prior")
+  }
 }
