@@ -1334,6 +1334,80 @@ object CorpusOps {
     }
   }
 
+  /** Heaps'-law fit V(n) = K·n^β over the LIVE vocab_growth curve — the
+    * vocabulary-at-scale forecaster (Heaps 1978): β near 1 means the
+    * vocabulary keeps exploding (OOV pressure, bigger BPE budget), β
+    * near 0.5 is classic natural-language saturation. The op composes
+    * vocab_growth's published deciles (the ann_recall discipline — the
+    * fit can never drift from the curve users see) into a log-log OLS
+    * with the zipf_fit determinism recipe (log2 rounded once to 6,
+    * products re-rounded, DECIMAL sums, one shared formula string for
+    * both engines), and publishes the actionable number: the predicted
+    * log2 vocabulary at 10× the current token count — what a 100 TB
+    * ingest will do to the tokenizer.
+    *
+    * Scale: everything after vocab_growth's aggregates runs on a
+    * 10-row frame; the only unbounded work is vocab_growth itself.
+    *
+    * On THIS driver corpus the vocabulary is closed (~31 types, all
+    * seen in decile 0), so the fit honestly reports β = 0 with a flat
+    * prediction — the saturation verdict, spec-pinned; on an open
+    * natural corpus β lands near 0.4-0.6. */
+  val heapsFit: Q = {
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val num = s"(${d("nt")} * ${d("sxy")} - ${d("sx")} * ${d("sy")})"
+    val den = s"(${d("nt")} * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
+    val denY = s"(${d("nt")} * ${d("syy")} - ${d("sy")} * ${d("sy")})"
+    val slopeRaw = s"($num / nullif($den, 0))"
+    val interceptRaw = s"((${d("sy")} - $slopeRaw * ${d("sx")}) / ${d("nt")})"
+    val lg10N = s"${d("round(log2(10.0 * n_total), 6)")}"
+    val finalSel =
+      s"""SELECT CAST(nt AS BIGINT) AS n_points, n_total,
+         |  round($slopeRaw, 4) AS beta,
+         |  round($interceptRaw, 4) AS intercept,
+         |  round($num * $num / nullif($den * $denY, 0), 4) AS r2,
+         |  round($interceptRaw + $slopeRaw * $lg10N, 4) AS pred_log2_vocab_10x""".stripMargin
+    Q.sql(
+      "heaps_fit",
+      s"""WITH vg AS (${vocabGrowth.oracle.get}),
+        |ct AS (SELECT decile, cum_types,
+        |         sum(n_tokens) OVER (ORDER BY decile
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |       FROM vg),
+        |pt AS (SELECT CAST(round(log2(cum_tok), 6) AS DECIMAL(18, 6)) AS x,
+        |         CAST(round(log2(cum_types), 6) AS DECIMAL(18, 6)) AS y
+        |       FROM ct),
+        |a AS (SELECT count(*) AS nt, sum(x) AS sx, sum(y) AS sy,
+        |        sum(CAST(round(x * y, 6) AS DECIMAL(18, 6))) AS sxy,
+        |        sum(CAST(round(x * x, 6) AS DECIMAL(18, 6))) AS sxx,
+        |        sum(CAST(round(y * y, 6) AS DECIMAL(18, 6))) AS syy
+        |      FROM pt),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM vg)
+        |$finalSel
+        |FROM a CROSS JOIN tot""".stripMargin) { (s, d) =>
+      val vg = vocabGrowth.fn(s, d)
+      val cumW = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pt = vg
+        .withColumn("cum_tok", sum("n_tokens").over(cumW))
+        .select(
+          expr("CAST(round(log2(cum_tok), 6) AS DECIMAL(18, 6))").as("x"),
+          expr("CAST(round(log2(cum_types), 6) AS DECIMAL(18, 6))").as("y"))
+      val a = pt.agg(
+        count(lit(1)).as("nt"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("CAST(round(x * y, 6) AS DECIMAL(18, 6))")).as("sxy"),
+        sum(expr("CAST(round(x * x, 6) AS DECIMAL(18, 6))")).as("sxx"),
+        sum(expr("CAST(round(y * y, 6) AS DECIMAL(18, 6))")).as("syy"))
+      val tot = vg.agg(sum("n_tokens").cast("long").as("n_total"))
+      a.crossJoin(broadcast(tot)).selectExpr(
+        "CAST(nt AS BIGINT) AS n_points", "n_total",
+        s"round($slopeRaw, 4) AS beta",
+        s"round($interceptRaw, 4) AS intercept",
+        s"round($num * $num / nullif($den * $denY, 0), 4) AS r2",
+        s"round($interceptRaw + $slopeRaw * $lg10N, 4) AS pred_log2_vocab_10x")
+    }
+  }
+
   // -------------------------------------------- stopword profile --
 
   /** Per-source function-word fingerprint, self-calibrating: the
@@ -1677,5 +1751,5 @@ object CorpusOps {
     corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate, zipfFit,
     corpusReport, epochPlan, splitLeakage, ngramNovelty, sampleWeighted,
     tokenLengthQuantiles, stopwordProfile, vocabCoverage, curriculumOrder,
-    corpusBigramPpl, vocabOverlap, perplexityBuckets)
+    corpusBigramPpl, vocabOverlap, perplexityBuckets, heapsFit)
 }

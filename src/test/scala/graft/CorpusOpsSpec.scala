@@ -475,4 +475,34 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(math.abs(shares - 1.0) < 0.001, s"$lang shares")
     }
   }
+
+  test("heaps_fit: OLS replays from vocab_growth's published curve; " +
+    "closed vocabulary yields the saturation verdict") {
+    val fit = CorpusOps.heapsFit.fn(spark, sf).collect()
+    assert(fit.length === 1)
+    val r = fit.head
+    val vg = CorpusOps.vocabGrowth.fn(spark, sf).collect()
+    assert(r.getAs[Long]("n_points") === vg.length.toLong)
+    assert(r.getAs[Long]("n_total") === vg.map(_.getAs[Long]("n_tokens")).sum)
+    // driver-side OLS replay on the same rounded-log grid
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cum = 0L
+    val pts = vg.sortBy(_.getAs[Long]("decile")).map { row =>
+      cum += row.getAs[Long]("n_tokens")
+      (r6(math.log(cum.toDouble) / math.log(2)),
+        r6(math.log(row.getAs[Long]("cum_types").toDouble) / math.log(2)))
+    }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => r6(p._1 * p._2)).sum
+    val sxx = pts.map(p => r6(p._1 * p._1)).sum
+    val den = n * sxx - sx * sx
+    val beta = (n * sxy - sx * sy) / den
+    assert(math.abs(r.getAs[Double]("beta") - beta) < 1e-3)
+    // this corpus's vocabulary closes in decile 0: saturation verdict
+    assert(math.abs(r.getAs[Double]("beta")) < 0.05)
+    assert(math.abs(r.getAs[Double]("pred_log2_vocab_10x")
+      - (r.getAs[Double]("intercept") + r.getAs[Double]("beta")
+        * r6(math.log(10.0 * r.getAs[Long]("n_total")) / math.log(2)))) < 2e-3)
+  }
 }
