@@ -1100,6 +1100,71 @@ object Relational {
       .orderBy("month")
   }
 
+  /** Supplier market concentration per nation: Herfindahl-Hirschman index
+    * over revenue shares, top-supplier share, and the effective supplier
+    * count 1/HHI — the supply-risk readout (a nation at HHI 0.3 loses a
+    * third of its capacity when one supplier exits; the raw supplier
+    * count hides that). q_skew_probe measures concentration of JOIN KEYS
+    * for the shuffle planner; this measures concentration of MONEY for
+    * the business reader — same math, different plane.
+    *
+    * Determinism: per-supplier revenue is the exact-DECIMAL 2-decimal
+    * sum; shares rounded once to 6; HHI = Σ share² with products
+    * re-rounded to 6 and summed as DECIMAL (order-free), rounded once
+    * to 4; eff_suppliers derives from the published HHI.
+    *
+    * Scale: one fact scan partial-aggregates to the ≤ |suppliers| frame
+    * (supplier/nation dims broadcast — bounded per the size-gate
+    * policy); nation totals are a ≤ |nations| aggregate broadcast back;
+    * output 25 rows. */
+  val qSupplierHhi: Q = Q.sql(
+    "q_supplier_hhi",
+    s"""WITH sr AS (
+      |  SELECT n_name AS nation, s_suppkey,
+      |    ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount)", 2)} AS rev
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |nt AS (
+      |  SELECT nation, ${Det.dsumRoundSql("rev", 2)} AS nation_rev,
+      |    CAST(count(*) AS BIGINT) AS n_suppliers
+      |  FROM sr GROUP BY 1),
+      |sh AS (
+      |  SELECT sr.nation, round(rev / nation_rev, 6) AS share
+      |  FROM sr JOIN nt ON sr.nation = nt.nation),
+      |agg AS (
+      |  SELECT nation,
+      |    round(CAST(sum(CAST(round(share * share, 6) AS DECIMAL(18, 6)))
+      |      AS DOUBLE), 4) AS hhi,
+      |    round(max(share), 4) AS top_share
+      |  FROM sh GROUP BY 1)
+      |SELECT agg.nation, n_suppliers, nation_rev AS revenue, hhi, top_share,
+      |  round(1.0 / hhi, 2) AS eff_suppliers
+      |FROM agg JOIN nt ON agg.nation = nt.nation
+      |ORDER BY agg.nation""".stripMargin) { (s, d) =>
+    val sr = li(s, d)
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("s_suppkey"))
+      .agg(Det.dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+        .as("rev"))
+    val nt = sr.groupBy("nation")
+      .agg(Det.dsumRound(col("rev"), 2).as("nation_rev"),
+        count(lit(1)).cast("long").as("n_suppliers"))
+    val agg = sr.join(broadcast(nt), Seq("nation"))
+      .withColumn("share", round(col("rev") / col("nation_rev"), 6))
+      .groupBy("nation")
+      .agg(round(sum(expr("CAST(round(share * share, 6) AS DECIMAL(18, 6))"))
+          .cast("double"), 4).as("hhi"),
+        round(max("share"), 4).as("top_share"))
+    agg.join(broadcast(nt), Seq("nation"))
+      .select(col("nation"), col("n_suppliers"), col("nation_rev").as("revenue"),
+        col("hhi"), col("top_share"),
+        round(lit(1.0) / col("hhi"), 2).as("eff_suppliers"))
+      .orderBy("nation")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
@@ -1107,5 +1172,5 @@ object Relational {
     qPriceBands, qSkewSalted, qYearlyGrowth, qMarketShare, qTradeLanes,
     qPromoShare, qSmallQuantity, qDisjunctive, qCubeVolume, qTopSupplier,
     qReturnedCustomers, qNationProfit, qSupplierWait, qOrderGap,
-    qRevenueMa7, qShipPriority, qSkewProbe, qOrdersBacklog)
+    qRevenueMa7, qShipPriority, qSkewProbe, qOrdersBacklog, qSupplierHhi)
 }

@@ -292,4 +292,26 @@ class EvalOpsSpec extends AnyFunSuite {
     // positive control: backlog is a real queue on this data, not always 0
     assert(rows.exists(_._4 > 0))
   }
+
+  test("q_supplier_hhi: index bounded by its own algebra; effective count consistent") {
+    val rows = Relational.qSupplierHhi.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_suppliers")
+      val hhi = r.getAs[Double]("hhi")
+      val top = r.getAs[Double]("top_share")
+      // Σs² sits between the uniform floor 1/n and the monopoly cap 1,
+      // and between top² (one term alone) and top (top·Σs)
+      assert(hhi >= 1.0 / n - 1e-3 && hhi <= 1.0 + 1e-9, s"${r.getString(0)} hhi $hhi")
+      assert(hhi >= top * top - 1e-3 && hhi <= top + 1e-3)
+      val eff = r.getAs[Double]("eff_suppliers")
+      assert(math.abs(eff - 1.0 / hhi) < 0.01)
+      assert(eff <= n + 1e-6, "effective count never exceeds the real count")
+    }
+    // positive control: wherever a nation has >1 supplier, the index must
+    // actually move off the monopoly value
+    rows.filter(_.getAs[Long]("n_suppliers") > 1).foreach { r =>
+      assert(r.getAs[Double]("hhi") < 1.0 - 1e-6, s"${r.getString(0)}")
+    }
+  }
 }
