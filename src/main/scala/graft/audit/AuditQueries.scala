@@ -2298,6 +2298,91 @@ object AuditQueries {
       .orderBy("operation", "day")
   }
 
+  /** Actor-behavior profile over the capture metadata: per `changed_by`
+    * principal, volume share, entity breadth, dominant operation, and the
+    * total-variation distance of the actor's operation mix from the
+    * global mix, with a skew flag — the insider-threat / runaway-service
+    * smell (a credential that suddenly issues mostly DELETEs, a batch job
+    * touching every entity once). audit_who_changed answers "who touched
+    * THIS entity"; this op profiles each ACTOR's behavior corpus-wide —
+    * the other direction of the same metadata.
+    *
+    * Scale: the feed partial-aggregates to the ≤ |actors|×|ops| mix grid
+    * and a (actor, entity)-distinct breadth count (one exchange each);
+    * every metric then lives on bounded frames with the global mix
+    * broadcast. TVD over rounded-6 DECIMAL shares (the audit_value_drift
+    * discipline — exact, order-free). Threshold 0.03 sits inside this
+    * feed's observed spread (0.006-0.033). */
+  val auditActorProfile: Q = Q.sql(
+    "audit_actor_profile",
+    auditCte + """, m AS (
+      |  SELECT changed_by, operation, CAST(count(*) AS BIGINT) AS c
+      |  FROM audit GROUP BY 1, 2),
+      |t AS (SELECT changed_by, CAST(sum(c) AS BIGINT) AS n FROM m GROUP BY 1),
+      |g AS (SELECT operation, CAST(sum(c) AS BIGINT) AS gc FROM m GROUP BY 1),
+      |gt AS (SELECT CAST(sum(gc) AS BIGINT) AS gn FROM g),
+      |ent AS (
+      |  SELECT changed_by, CAST(count(*) AS BIGINT) AS n_entities
+      |  FROM (SELECT DISTINCT changed_by, entity_id FROM audit) GROUP BY 1),
+      |grid AS (
+      |  SELECT t.changed_by, g.operation, t.n, g.gc, coalesce(m.c, 0) AS c
+      |  FROM t CROSS JOIN g
+      |  LEFT JOIN m ON m.changed_by = t.changed_by AND m.operation = g.operation),
+      |dev AS (
+      |  SELECT changed_by, operation, c, n, gc, gn,
+      |    abs(CAST(round(1.0 * c / n, 6) AS DECIMAL(18, 6))
+      |      - CAST(round(1.0 * gc / gn, 6) AS DECIMAL(18, 6))) AS d,
+      |    row_number() OVER (PARTITION BY changed_by
+      |      ORDER BY c DESC, operation) AS ork
+      |  FROM grid CROSS JOIN gt),
+      |prof AS (
+      |  SELECT changed_by, max(n) AS n_changes,
+      |    round(CAST(sum(d) AS DOUBLE) / 2, 6) AS tvd,
+      |    min(CASE WHEN ork = 1 THEN operation END) AS dominant_op,
+      |    round(1.0 * max(CASE WHEN ork = 1 THEN c END) / max(n), 4) AS dom_share
+      |  FROM dev GROUP BY 1)
+      |SELECT prof.changed_by, n_changes,
+      |  round(1.0 * n_changes / gn, 4) AS vol_share,
+      |  ent.n_entities, dominant_op, dom_share, tvd,
+      |  CASE WHEN tvd > 0.03 THEN 1 ELSE 0 END AS flagged
+      |FROM prof JOIN ent ON prof.changed_by = ent.changed_by CROSS JOIN gt
+      |ORDER BY prof.changed_by""".stripMargin) { (s, d) =>
+    val dec = "decimal(18,6)"
+    val m = log(s, d).groupBy("changed_by", "operation")
+      .agg(count(lit(1)).cast("long").as("c"))
+    val t = m.groupBy("changed_by").agg(sum("c").cast("long").as("n"))
+    val g = m.groupBy("operation").agg(sum("c").cast("long").as("gc"))
+    val gt = g.agg(sum("gc").cast("long").as("gn"))
+    val ent = log(s, d).select("changed_by", "entity_id").distinct()
+      .groupBy("changed_by").agg(count(lit(1)).cast("long").as("n_entities"))
+    val ork = Window.partitionBy("changed_by")
+      .orderBy(col("c").desc, col("operation"))
+    // full |actors|×|ops| grid: an op class an actor NEVER issues still
+    // contributes its global share to the TVD (a missing cell is exactly
+    // the anomaly the distance must see — spec-caught at sf0.001)
+    val dev = t.crossJoin(broadcast(g))
+      .join(m, Seq("changed_by", "operation"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(gt))
+      .withColumn("d", abs(
+        round(lit(1.0) * col("c") / col("n"), 6).cast(dec)
+          - round(lit(1.0) * col("gc") / col("gn"), 6).cast(dec)))
+      .withColumn("ork", row_number().over(ork))
+    val prof = dev.groupBy("changed_by")
+      .agg(max("n").as("n_changes"),
+        round(sum("d").cast("double") / 2, 6).as("tvd"),
+        min(when(col("ork") === 1, col("operation"))).as("dominant_op"),
+        round(lit(1.0) * max(when(col("ork") === 1, col("c"))) / max("n"), 4)
+          .as("dom_share"))
+    prof.join(broadcast(ent), Seq("changed_by"))
+      .crossJoin(broadcast(gt))
+      .select(col("changed_by"), col("n_changes"),
+        round(lit(1.0) * col("n_changes") / col("gn"), 4).as("vol_share"),
+        col("n_entities"), col("dominant_op"), col("dom_share"), col("tvd"),
+        when(col("tvd") > 0.03, 1).otherwise(0).as("flagged"))
+      .orderBy("changed_by")
+  }
+
   /** CDC MERGE plan + apply: split the feed at the id midpoint, treat the
     * ≤mid state as the base table and the >mid slice as the incoming
     * change batch, and emit the per-entity MERGE verdict a Delta-style
@@ -2472,5 +2557,5 @@ object AuditQueries {
     auditRollingVolume, auditSlidingRate, auditValueOutliers,
     auditDowProfile, auditPayloadBytes, auditEwmaVolume,
     auditVolumeAutocorr, auditMergeUpsert, auditLifecyclePaths,
-    auditVolumeMad, auditCusum)
+    auditVolumeMad, auditCusum, auditActorProfile)
 }

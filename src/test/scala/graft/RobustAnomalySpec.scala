@@ -69,4 +69,36 @@ class RobustAnomalySpec extends AnyFunSuite {
     // first-week baseline and must fire at least one upward alarm
     assert(rows.exists(r => r.getString(1) == "T" && r.getAs[Int]("alarm_up") == 1))
   }
+
+  test("audit_actor_profile: TVD and dominant op replay from a driver-side recount") {
+    val rows = AuditQueries.auditActorProfile.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("vol_share")).sum - 1.0) < 0.01)
+    val feed = AuditQueries.log(spark, sf)
+      .select("changed_by", "operation", "entity_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val global = feed.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val gn = feed.length.toLong
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    rows.foreach { r =>
+      val actor = r.getString(0)
+      val mine = feed.filter(_._1 == actor)
+      assert(r.getAs[Long]("n_changes") === mine.length.toLong)
+      assert(r.getAs[Long]("n_entities") === mine.map(_._3).distinct.length.toLong)
+      assert(r.getAs[Long]("n_entities") <= r.getAs[Long]("n_changes"))
+      val mix = mine.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val tvd = global.keys.map { op =>
+        (r6(mix.getOrElse(op, 0L).toDouble / mine.length)
+          - r6(global(op).toDouble / gn)).abs
+      }.sum / 2
+      // full-grid TVD: ops the actor never issued contribute their global
+      // share (the recount's getOrElse(0) mirrors the op's dense grid)
+      assert(math.abs(r.getAs[Double]("tvd") - tvd.toDouble) < 1e-6, actor)
+      val dom = mix.toSeq.sortBy { case (op, c) => (-c, op) }.head
+      assert(r.getString(r.fieldIndex("dominant_op")) === dom._1)
+      assert((r.getAs[Int]("flagged") == 1) === (r.getAs[Double]("tvd") > 0.03))
+    }
+    // positive control: one actor on this feed genuinely skews
+    assert(rows.exists(_.getAs[Int]("flagged") == 1))
+  }
 }
