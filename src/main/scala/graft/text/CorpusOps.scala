@@ -611,47 +611,9 @@ object CorpusOps {
     * (token_length_quantiles' domain-boundedness argument — xent_e4 is
     * a 4-decimal grid), thresholds broadcast back, and the output is
     * ≤ |langs|×3 rows. No window ever touches a per-doc row. */
-  val perplexityBuckets: Q = Q.sql(
-    "perplexity_buckets",
-    s"""WITH w AS (SELECT doc_id, lang, str_split(text, ' ') AS ws FROM documents),
-      |t AS (SELECT doc_id, lang, len(ws) AS n, unnest(ws) AS term FROM w),
-      |tf AS (SELECT doc_id, lang, n, term, count(*) AS c FROM t GROUP BY 1, 2, 3, 4),
-      |gt AS (SELECT lang, term, CAST(sum(c) AS BIGINT) AS ct FROM tf GROUP BY 1, 2),
-      |lt AS (SELECT lang, CAST(sum(ct) AS BIGINT) AS nt FROM gt GROUP BY 1),
-      |sc AS (
-      |  SELECT tf.doc_id, tf.lang, tf.n,
-      |    CAST(sum(c * CAST($surprisalFormula AS DECIMAL(18, 6))) * 1000000 AS BIGINT)
-      |      AS bits_micro
-      |  FROM tf JOIN gt ON tf.lang = gt.lang AND tf.term = gt.term
-      |    JOIN lt ON tf.lang = lt.lang
-      |  GROUP BY 1, 2, 3),
-      |x AS (SELECT doc_id, lang, n,
-      |        (2 * bits_micro + 100 * n) // (200 * n) AS xent_e4 FROM sc),
-      |h AS (SELECT lang, xent_e4, count(*) AS cnt FROM x GROUP BY 1, 2),
-      |cum AS (
-      |  SELECT lang, xent_e4,
-      |    sum(cnt) OVER (PARTITION BY lang ORDER BY xent_e4) AS cum,
-      |    sum(cnt) OVER (PARTITION BY lang) AS nd
-      |  FROM h),
-      |th AS (
-      |  SELECT lang,
-      |    min(CASE WHEN cum >= (nd + 2) // 3 THEN xent_e4 END) AS t1,
-      |    min(CASE WHEN cum >= (2 * nd + 2) // 3 THEN xent_e4 END) AS t2
-      |  FROM cum GROUP BY 1),
-      |b AS (
-      |  SELECT x.lang,
-      |    CASE WHEN xent_e4 <= t1 THEN 'head'
-      |         WHEN xent_e4 <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
-      |    n, xent_e4
-      |  FROM x JOIN th ON x.lang = th.lang),
-      |agg AS (
-      |  SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
-      |    CAST(sum(n) AS BIGINT) AS n_tokens, CAST(sum(xent_e4) AS BIGINT) AS sx
-      |  FROM b GROUP BY 1, 2)
-      |SELECT lang, bucket, n_docs, n_tokens,
-      |  CAST((2 * sx + n_docs) // (2 * n_docs) AS DOUBLE) / 10000 AS mean_xent,
-      |  round(1.0 * n_docs / sum(n_docs) OVER (PARTITION BY lang), 4) AS doc_share
-      |FROM agg ORDER BY lang, bucket""".stripMargin) { (s, d) =>
+  /** Spark twin of [[pplDocBucketSql]]: per-doc (doc_id, lang, n,
+    * xent_e4, bucket) under the per-language unigram LM. */
+  private def pplDocBuckets(s: SparkSession, d: String): DataFrame = {
     val tf = docs(s, d)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("lang"), size(col("ws")).as("n"),
@@ -678,6 +640,57 @@ object CorpusOps {
       .withColumn("bucket",
         when(col("xent_e4") <= col("t1"), "head")
           .when(col("xent_e4") <= col("t2"), "middle").otherwise("tail"))
+      .select("doc_id", "lang", "bucket", "n", "xent_e4")
+  }
+
+  /** Standalone per-doc (doc_id, lang, n, xent_e4, bucket) query under
+    * the per-language unigram LM — shared by perplexity_buckets and
+    * quality_plane_agreement (both dialects). */
+  private val pplDocBucketSql: String =
+    s"""WITH w AS (SELECT doc_id, lang, str_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, lang, len(ws) AS n, unnest(ws) AS term FROM w),
+      |tf AS (SELECT doc_id, lang, n, term, count(*) AS c FROM t GROUP BY 1, 2, 3, 4),
+      |gt AS (SELECT lang, term, CAST(sum(c) AS BIGINT) AS ct FROM tf GROUP BY 1, 2),
+      |lt AS (SELECT lang, CAST(sum(ct) AS BIGINT) AS nt FROM gt GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.lang, tf.n,
+      |    CAST(sum(c * CAST($surprisalFormula AS DECIMAL(18, 6))) * 1000000 AS BIGINT)
+      |      AS bits_micro
+      |  FROM tf JOIN gt ON tf.lang = gt.lang AND tf.term = gt.term
+      |    JOIN lt ON tf.lang = lt.lang
+      |  GROUP BY 1, 2, 3),
+      |x AS (SELECT doc_id, lang, n,
+      |        (2 * bits_micro + 100 * n) // (200 * n) AS xent_e4 FROM sc),
+      |h AS (SELECT lang, xent_e4, count(*) AS cnt FROM x GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang, xent_e4,
+      |    sum(cnt) OVER (PARTITION BY lang ORDER BY xent_e4) AS cum,
+      |    sum(cnt) OVER (PARTITION BY lang) AS nd
+      |  FROM h),
+      |th AS (
+      |  SELECT lang,
+      |    min(CASE WHEN cum >= (nd + 2) // 3 THEN xent_e4 END) AS t1,
+      |    min(CASE WHEN cum >= (2 * nd + 2) // 3 THEN xent_e4 END) AS t2
+      |  FROM cum GROUP BY 1)
+      |SELECT x.doc_id, x.lang,
+      |  CASE WHEN xent_e4 <= t1 THEN 'head'
+      |       WHEN xent_e4 <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+      |  n, xent_e4
+      |FROM x JOIN th ON x.lang = th.lang""".stripMargin
+
+  val perplexityBuckets: Q = Q.sql(
+    "perplexity_buckets",
+    s"""WITH b AS ($pplDocBucketSql),
+      |agg AS (
+      |  SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n) AS BIGINT) AS n_tokens, CAST(sum(xent_e4) AS BIGINT) AS sx
+      |  FROM b GROUP BY 1, 2)
+      |SELECT lang, bucket, n_docs, n_tokens,
+      |  CAST((2 * sx + n_docs) // (2 * n_docs) AS DOUBLE) / 10000 AS mean_xent,
+      |  round(1.0 * n_docs / sum(n_docs) OVER (PARTITION BY lang), 4) AS doc_share
+      |FROM agg ORDER BY lang, bucket""".stripMargin) { (s, d) =>
+    val byLang = Window.partitionBy("lang")
+    pplDocBuckets(s, d)
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum("n").cast("long").as("n_tokens"),
@@ -688,6 +701,56 @@ object CorpusOps {
         round(lit(1.0) * col("n_docs") / sum("n_docs").over(byLang), 4)
           .as("doc_share"))
       .orderBy("lang", "bucket")
+  }
+
+  /** Cross-plane quality audit: does the HEURISTIC gate (quality_filter's
+    * rule battery) agree with the LM plane (perplexity_buckets'
+    * head/middle/tail terciles)? Each (verdict, bucket) cell carries its
+    * doc count, its share within the verdict group, and the lift over
+    * the bucket's base rate — lift > 1 on (passed, head) means the two
+    * independent quality signals reinforce; lift ≈ 1 everywhere means
+    * one of them is noise (the dedup_plane_agreement question asked of
+    * the quality stack). Both planes are the LIVE operators' own
+    * machinery, so the audit cannot drift from what the gates do.
+    *
+    * Scale: the two per-doc planes meet in ONE doc_id equi-join (both
+    * sides one corpus pass); everything after is a ≤ 2×3 grid with
+    * 1-row/|cells| broadcasts. */
+  val qualityPlaneAgreement: Q = Q.sql(
+    "quality_plane_agreement",
+    s"""WITH pb AS ($pplDocBucketSql),
+      |qf AS (${qualityFilter.oracle.get}),
+      |j AS (SELECT qf.passed, pb.bucket
+      |      FROM qf JOIN pb ON qf.doc_id = pb.doc_id),
+      |cell AS (SELECT passed, bucket, CAST(count(*) AS BIGINT) AS n_docs
+      |         FROM j GROUP BY 1, 2),
+      |gr AS (SELECT passed, CAST(sum(n_docs) AS BIGINT) AS n_group
+      |       FROM cell GROUP BY 1),
+      |gb AS (SELECT bucket, CAST(sum(n_docs) AS BIGINT) AS n_bucket
+      |       FROM cell GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM cell)
+      |SELECT cell.passed, cell.bucket, n_docs,
+      |  round(1.0 * n_docs / n_group, 4) AS share_within_verdict,
+      |  round((1.0 * n_docs / n_group) / (1.0 * n_bucket / n), 4) AS lift
+      |FROM cell JOIN gr ON cell.passed = gr.passed
+      |  JOIN gb ON cell.bucket = gb.bucket CROSS JOIN tot
+      |ORDER BY cell.passed, cell.bucket""".stripMargin) { (s, d) =>
+    val j = qualityFilter.fn(s, d).select("doc_id", "passed")
+      .join(pplDocBuckets(s, d).select("doc_id", "bucket"), Seq("doc_id"))
+    val cell = j.groupBy("passed", "bucket")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val gr = cell.groupBy("passed").agg(sum("n_docs").cast("long").as("n_group"))
+    val gb = cell.groupBy("bucket").agg(sum("n_docs").cast("long").as("n_bucket"))
+    val tot = cell.agg(sum("n_docs").cast("long").as("n"))
+    cell.join(broadcast(gr), Seq("passed"))
+      .join(broadcast(gb), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .select(col("passed"), col("bucket"), col("n_docs"),
+        round(lit(1.0) * col("n_docs") / col("n_group"), 4)
+          .as("share_within_verdict"),
+        round((lit(1.0) * col("n_docs") / col("n_group"))
+          / (lit(1.0) * col("n_bucket") / col("n")), 4).as("lift"))
+      .orderBy("passed", "bucket")
   }
 
   // ------------------------------------------------- boilerplate n-grams --
@@ -1751,5 +1814,6 @@ object CorpusOps {
     corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate, zipfFit,
     corpusReport, epochPlan, splitLeakage, ngramNovelty, sampleWeighted,
     tokenLengthQuantiles, stopwordProfile, vocabCoverage, curriculumOrder,
-    corpusBigramPpl, vocabOverlap, perplexityBuckets, heapsFit)
+    corpusBigramPpl, vocabOverlap, perplexityBuckets, heapsFit,
+    qualityPlaneAgreement)
 }

@@ -505,4 +505,28 @@ class CorpusOpsSpec extends AnyFunSuite {
       - (r.getAs[Double]("intercept") + r.getAs[Double]("beta")
         * r6(math.log(10.0 * r.getAs[Long]("n_total")) / math.log(2)))) < 2e-3)
   }
+
+  test("quality_plane_agreement: grid conserves the gate's verdicts; lift algebra holds") {
+    val grid = CorpusOps.qualityPlaneAgreement.fn(spark, sf).collect()
+    assert(grid.nonEmpty)
+    val gate = CorpusOps.qualityFilter.fn(spark, sf).collect()
+      .groupBy(_.getAs[Int]("passed")).view.mapValues(_.length.toLong).toMap
+    val byVerdict = grid.groupBy(_.getAs[Int]("passed"))
+    byVerdict.foreach { case (p, g) =>
+      assert(g.map(_.getAs[Long]("n_docs")).sum === gate(p), s"verdict $p conservation")
+      assert(math.abs(g.map(_.getAs[Double]("share_within_verdict")).sum - 1.0) < 0.002)
+    }
+    val n = grid.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val bucketTotals = grid.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    grid.foreach { r =>
+      val base = bucketTotals(r.getString(1)) / n
+      val exp = r.getAs[Double]("share_within_verdict") / base
+      assert(math.abs(r.getAs[Double]("lift") - exp) < 0.02, s"lift ${r.getString(1)}")
+    }
+    // honest verdict pinned: on this synthetic corpus the heuristic rules
+    // and the LM terciles are near-independent — lift stays close to 1
+    // (real fluency signal would push (passed, head) well above it)
+    grid.foreach(r => assert(math.abs(r.getAs[Double]("lift") - 1.0) < 0.3))
+  }
 }
