@@ -502,6 +502,86 @@ object EventAnalytics {
     }
   }
 
+  /** Activity-concentration report: Gini coefficient + Lorenz cut points
+    * (top-1%, top-10%, bottom-50% shares) of events per user — the
+    * power-user/inequality readout behind capacity planning and abuse
+    * review (a Gini jump means a few accounts now drive the load; the
+    * retention/funnel averages can't see that). All order statistics are
+    * EXACT: the per-user counts collapse to a (count, n_users) histogram
+    * (token_length_quantiles' domain-boundedness — counts are small
+    * integers at any scale), positions come from cumulative sums over
+    * that bounded frame, and the grouped-Gini identity
+    * Σᵢ i·cᵢ = Σ_groups c·(nu·cu_prev + nu(nu+1)/2) keeps everything in
+    * BIGINT; percentile cut shares split the boundary group exactly.
+    * Every published value is one rounded quotient of exact integers.
+    *
+    * Scale: one user-keyed partial agg (the retention exchange family)
+    * → bounded histogram; every window here runs on the histogram. */
+  val eventGini: Q = {
+    // shared final-math strings: explicit DOUBLE casts at every leaf so
+    // both engines build the identical IEEE expression tree (a bare 1.0
+    // literal is DECIMAL in Spark SQL and would keep the whole quotient
+    // in decimal space on one side only)
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    val giniF = s"round(2e0 * ${dd("gnum")} / (${dd("n")} * ${dd("tot")})" +
+      s" - (${dd("n")} + 1e0) / ${dd("n")}, 4)"
+    def shareF(x: String) = s"round(${dd(x)} / ${dd("tot")}, 4)"
+    Q.sql(
+      "event_gini",
+      s"""WITH uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      |          FROM events GROUP BY 1),
+      |h AS (SELECT c, CAST(count(*) AS BIGINT) AS nu FROM uc GROUP BY 1),
+      |a AS (
+      |  SELECT c, nu,
+      |    sum(nu) OVER (ORDER BY c) AS cu,
+      |    sum(nu * c) OVER (ORDER BY c) AS ce
+      |  FROM h),
+      |t AS (SELECT CAST(max(cu) AS BIGINT) AS n, CAST(max(ce) AS BIGINT) AS tot,
+      |        CAST(sum(c * (nu * (cu - nu) + nu * (nu + 1) // 2)) AS BIGINT) AS gnum
+      |      FROM a),
+      |cuts AS (
+      |  -- each CASE fires on exactly ONE histogram row (the boundary
+      |  -- group straddling the cut); the partial term splits that group
+      |  SELECT
+      |    sum(CASE WHEN cu - nu < n // 2 AND cu >= n // 2
+      |          THEN ce - (cu - n // 2) * c END) AS bot50_ev,
+      |    sum(CASE WHEN n - cu < (n + 9) // 10 AND n - cu + nu >= (n + 9) // 10
+      |          THEN tot - ce + ((n + 9) // 10 - (n - cu)) * c END) AS top10_ev,
+      |    sum(CASE WHEN n - cu < (n + 99) // 100 AND n - cu + nu >= (n + 99) // 100
+      |          THEN tot - ce + ((n + 99) // 100 - (n - cu)) * c END) AS top1_ev
+      |  FROM a CROSS JOIN t)
+      |SELECT n AS n_users, tot AS n_events,
+      |  $giniF AS gini,
+      |  ${shareF("top1_ev")} AS top1_share,
+      |  ${shareF("top10_ev")} AS top10_share,
+      |  ${shareF("bot50_ev")} AS bottom50_share
+      |FROM t CROSS JOIN cuts""".stripMargin) { (s, d) =>
+    val h = ev(s, d).groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy("c").agg(count(lit(1)).cast("long").as("nu"))
+    val byC = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val a = h
+      .withColumn("cu", sum("nu").over(byC))
+      .withColumn("ce", sum(col("nu") * col("c")).over(byC))
+    val t = a.agg(max("cu").cast("long").as("n"), max("ce").cast("long").as("tot"),
+      sum(expr("c * (nu * (cu - nu) + nu * (nu + 1) div 2)")).cast("long").as("gnum"))
+    val cuts = a.crossJoin(broadcast(t)).agg(
+      sum(expr("CASE WHEN cu - nu < n div 2 AND cu >= n div 2 " +
+        "THEN ce - (cu - n div 2) * c END")).as("bot50_ev"),
+      sum(expr("CASE WHEN n - cu < (n + 9) div 10 AND n - cu + nu >= (n + 9) div 10 " +
+        "THEN tot - ce + ((n + 9) div 10 - (n - cu)) * c END")).as("top10_ev"),
+      sum(expr("CASE WHEN n - cu < (n + 99) div 100 AND n - cu + nu >= (n + 99) div 100 " +
+        "THEN tot - ce + ((n + 99) div 100 - (n - cu)) * c END")).as("top1_ev"))
+    t.crossJoin(broadcast(cuts)).selectExpr(
+      "n AS n_users", "tot AS n_events",
+      s"$giniF AS gini",
+      s"${shareF("top1_ev")} AS top1_share",
+      s"${shareF("top10_ev")} AS top10_share",
+      s"${shareF("bot50_ev")} AS bottom50_share")
+    }
+  }
+
   val all: Seq[Q] = Seq(eventRetention, eventFunnel, eventPaths,
-    eventAttribution, eventCooccurrence, eventLtv, eventMarkov)
+    eventAttribution, eventCooccurrence, eventLtv, eventMarkov, eventGini)
 }

@@ -295,4 +295,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // share moves by more than the rounding tolerance
     assert(rows.exists(r => math.abs(r.getAs[Long]("delta_e6")) > tol))
   }
+
+  test("event_gini: coefficient and Lorenz cuts replay from raw per-user counts") {
+    val r = EventAnalytics.eventGini.fn(spark, sf).collect().head
+    val counts = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("user_id").count().collect().map(_.getLong(1)).sorted
+    val n = counts.length.toLong
+    val tot = counts.sum
+    assert(r.getAs[Long]("n_users") === n)
+    assert(r.getAs[Long]("n_events") === tot)
+    // classic sorted-index Gini on individual users
+    val gnum = counts.zipWithIndex.map { case (c, i) => (i + 1L) * c }.sum
+    val gini = 2.0 * gnum / (n.toDouble * tot) - (n + 1.0) / n
+    assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-3)
+    def topShare(k: Long) = counts.reverse.take(k.toInt).sum.toDouble / tot
+    assert(math.abs(r.getAs[Double]("top1_share") - topShare((n + 99) / 100)) < 1e-3)
+    assert(math.abs(r.getAs[Double]("top10_share") - topShare((n + 9) / 10)) < 1e-3)
+    assert(math.abs(r.getAs[Double]("bottom50_share")
+      - counts.take((n / 2).toInt).sum.toDouble / tot) < 1e-3)
+    // sanity of the Lorenz order
+    assert(r.getAs[Double]("top10_share") >= 0.1 - 1e-6)
+    assert(r.getAs[Double]("bottom50_share") <= 0.5 + 1e-6)
+  }
 }
