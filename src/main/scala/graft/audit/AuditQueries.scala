@@ -2298,6 +2298,80 @@ object AuditQueries {
       .orderBy("operation", "day")
   }
 
+  /** Day-of-week seasonal adjustment of the daily volume series: each
+    * (op, day) count is divided by its op's day-of-week factor (that
+    * dow's mean volume over the op's overall mean — classical ratio-to-
+    * moving-average deseasonalization), giving the series the volume
+    * monitors SHOULD watch: audit_dow_profile proves weekly seasonality
+    * exists, and an unadjusted threshold monitor either alarms every
+    * quiet Sunday or sleeps through a weekday drop. adj_dev_share is the
+    * deseasonalized deviation from the op's mean — residual signal after
+    * the weekly pattern is removed.
+    *
+    * Determinism: the factor is ONE double division of two exact BIGINT
+    * cross-products (S_dow·c_all)/(c_dow·S_all) rounded once; adjusted
+    * divides the exact count by that published factor and rounds once —
+    * no chained unrounded floats. A dow with zero volume publishes NULL
+    * (no fictional 0/0).
+    *
+    * Scale: runs entirely on the calendar-filled ≤ |ops|×|days| frame
+    * ([[filledDailyCtes]]); factors are a ≤ |ops|×7 aggregate broadcast
+    * back. */
+  val auditSeasonalAdjust: Q = Q.sql(
+    "audit_seasonal_adjust",
+    auditCte + filledDailyCtes + """,
+      |fd AS (
+      |  SELECT day, operation, n,
+      |    (date_diff('day', DATE '1970-01-01', day) + 3) % 7 AS dow
+      |  FROM filled),
+      |f AS (
+      |  SELECT operation, dow, CAST(sum(n) AS BIGINT) AS s_dow,
+      |    CAST(count(*) AS BIGINT) AS c_dow
+      |  FROM fd GROUP BY 1, 2),
+      |o AS (
+      |  SELECT operation, CAST(sum(s_dow) AS BIGINT) AS s_all,
+      |    CAST(sum(c_dow) AS BIGINT) AS c_all
+      |  FROM f GROUP BY 1),
+      |x AS (
+      |  SELECT fd.day, fd.operation, fd.n, fd.dow,
+      |    CASE WHEN s_dow > 0
+      |      THEN round(CAST(s_dow * c_all AS DOUBLE)
+      |             / CAST(c_dow * s_all AS DOUBLE), 4) END AS factor,
+      |    s_all, c_all
+      |  FROM fd JOIN f ON fd.operation = f.operation AND fd.dow = f.dow
+      |    JOIN o ON fd.operation = o.operation)
+      |SELECT day, operation, n, CAST(dow AS BIGINT) AS dow, factor,
+      |  CASE WHEN factor > 0 THEN round(CAST(n AS DOUBLE) / factor, 2) END
+      |    AS adjusted,
+      |  CASE WHEN factor > 0 THEN
+      |    round(round(CAST(n AS DOUBLE) / factor, 2)
+      |      / (CAST(s_all AS DOUBLE) / CAST(c_all AS DOUBLE)) - 1e0, 4) END
+      |    AS adj_dev_share
+      |FROM x ORDER BY operation, day""".stripMargin) { (s, d) =>
+    val fd = filledDaily(s, d)
+      .withColumn("dow",
+        (datediff(col("day"), to_date(lit("1970-01-01"))) + 3) % 7)
+    val f = fd.groupBy("operation", "dow")
+      .agg(sum("n").cast("long").as("s_dow"), count(lit(1)).cast("long").as("c_dow"))
+    val o = f.groupBy("operation")
+      .agg(sum("s_dow").cast("long").as("s_all"), sum("c_dow").cast("long").as("c_all"))
+    fd.join(broadcast(f), Seq("operation", "dow"))
+      .join(broadcast(o), Seq("operation"))
+      .withColumn("factor",
+        when(col("s_dow") > 0,
+          round(expr("CAST(s_dow * c_all AS DOUBLE)")
+            / expr("CAST(c_dow * s_all AS DOUBLE)"), 4)))
+      .select(col("day"), col("operation"), col("n"),
+        col("dow").cast("long").as("dow"), col("factor"),
+        when(col("factor") > 0,
+          round(expr("CAST(n AS DOUBLE)") / col("factor"), 2)).as("adjusted"),
+        when(col("factor") > 0,
+          round(round(expr("CAST(n AS DOUBLE)") / col("factor"), 2)
+            / expr("CAST(s_all AS DOUBLE) / CAST(c_all AS DOUBLE)") - lit(1.0), 4))
+          .as("adj_dev_share"))
+      .orderBy("operation", "day")
+  }
+
   /** Actor-behavior profile over the capture metadata: per `changed_by`
     * principal, volume share, entity breadth, dominant operation, and the
     * total-variation distance of the actor's operation mix from the
@@ -2557,5 +2631,5 @@ object AuditQueries {
     auditRollingVolume, auditSlidingRate, auditValueOutliers,
     auditDowProfile, auditPayloadBytes, auditEwmaVolume,
     auditVolumeAutocorr, auditMergeUpsert, auditLifecyclePaths,
-    auditVolumeMad, auditCusum, auditActorProfile)
+    auditVolumeMad, auditCusum, auditActorProfile, auditSeasonalAdjust)
 }

@@ -101,4 +101,39 @@ class RobustAnomalySpec extends AnyFunSuite {
     // positive control: one actor on this feed genuinely skews
     assert(rows.exists(_.getAs[Int]("flagged") == 1))
   }
+
+  test("audit_seasonal_adjust: factors mean to ~1 per op and adjustment replays") {
+    val rows = AuditQueries.auditSeasonalAdjust.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (op, g) =>
+      // ratio-to-mean conservation: Σ n/factor over covered days equals
+      // the op mean × covered-day count (dows with zero volume are
+      // excluded — they publish NULL, no fictional division)
+      val covered = g.filter(r => !r.isNullAt(r.fieldIndex("factor")))
+      assert(covered.forall(_.getAs[Double]("factor") > 0))
+      val mean = g.map(_.getAs[Long]("n")).sum.toDouble / g.length
+      val adjSum = covered.map(_.getAs[Double]("adjusted")).sum
+      assert(math.abs(adjSum / (mean * covered.length) - 1.0) < 0.01,
+        s"$op conservation")
+      g.foreach { r =>
+        if (!r.isNullAt(r.fieldIndex("factor"))) {
+          val exp = BigDecimal(r.getAs[Long]("n") / r.getAs[Double]("factor"))
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(math.abs(r.getAs[Double]("adjusted") - exp) < 1e-9, s"$op ${r.getDate(0)}")
+          val dev = r.getAs[Double]("adjusted") / mean - 1.0
+          assert(math.abs(r.getAs[Double]("adj_dev_share") - dev) < 1e-3)
+        }
+      }
+      // the adjustment genuinely flattens the weekly pattern: adjusted
+      // dow means are closer to the overall mean than raw dow means
+      val byDow = covered.groupBy(_.getAs[Long]("dow"))
+      if (byDow.nonEmpty) {
+        val rawSpread = byDow.values.map(d =>
+          math.abs(d.map(_.getAs[Long]("n")).sum.toDouble / d.length - mean)).max
+        val adjSpread = byDow.values.map(d =>
+          math.abs(d.map(_.getAs[Double]("adjusted")).sum / d.length - mean)).max
+        assert(adjSpread <= rawSpread + 1e-6, s"$op spread")
+      }
+    }
+  }
 }
