@@ -378,7 +378,74 @@ object Multimodal {
       .orderBy("media_type", "lang")
   }
 
+  /** Interleaved vision-language sequence manifest (the MMC4/OBELICS
+    * shape): each document contributes its sampled-frame media tokens
+    * (multimodal_token_budget's accounting) followed by its caption
+    * tokens, and documents pack contiguously into 2048-token training
+    * sequences. The manifest gives every doc its sequence span and the
+    * offset where text begins (`caption_off`) — what a VL dataloader
+    * needs to place image-patch embeddings and attention boundaries.
+    *
+    * Scale: packing is SHARD-LOCAL — documents pack within fixed
+    * 256-doc shards (doc_id div 256, the corpus_split determinism), so
+    * the cumulative window partitions on (media_type, shard) with a
+    * BOUNDED partition size at any corpus scale. A global ORDER BY
+    * doc_id stream would funnel 100 TB through one window partition —
+    * the audit_value_quantiles lesson; per-shard packing is also what a
+    * distributed packer actually does (pack_sequences' per-source
+    * stream, made scale-proof). Cost: ≤ one under-filled tail sequence
+    * per (media_type, shard). */
+  val multimodalInterleave: Q = Q.sql(
+    "multimodal_interleave",
+    """WITH f AS (SELECT doc_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    CAST(doc_id // 256 AS BIGINT) AS shard,
+      |    CAST(length(text) // 256 + 1 AS INT) AS n_frames,
+      |    len(str_split(text, ' ')) AS n_words
+      |  FROM documents),
+      |t AS (SELECT doc_id, media_type, shard,
+      |        CAST(1 + (n_frames - 1) // greatest(1, n_frames // 8) AS BIGINT) * 64
+      |          AS media_tokens,
+      |        CAST(n_words AS BIGINT) AS caption_tokens
+      |      FROM f),
+      |c AS (SELECT *, media_tokens + caption_tokens AS n_tok,
+      |        CAST(sum(media_tokens + caption_tokens) OVER (
+      |          PARTITION BY media_type, shard ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          - (media_tokens + caption_tokens) AS BIGINT) AS start_off
+      |      FROM t)
+      |SELECT doc_id, media_type, shard, media_tokens, caption_tokens,
+      |  start_off, start_off + media_tokens AS caption_off,
+      |  start_off // 2048 AS seq_first,
+      |  (start_off + n_tok - 1) // 2048 AS seq_last,
+      |  CAST(start_off // 2048 <> (start_off + n_tok - 1) // 2048 AS INT)
+      |    AS straddles
+      |FROM c ORDER BY media_type, shard, doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        expr("cast(doc_id div 256 as bigint)").as("shard"),
+        (expr("cast(1 + (cast(length(text) div 256 + 1 as int) - 1) div " +
+          "greatest(1, cast(length(text) div 256 + 1 as int) div 8) as bigint)")
+          * 64).as("media_tokens"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("caption_tokens"))
+    val w = Window.partitionBy("media_type", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("n_tok", col("media_tokens") + col("caption_tokens"))
+      .withColumn("start_off",
+        (sum("n_tok").over(w) - col("n_tok")).cast("long"))
+      .select(col("doc_id"), col("media_type"), col("shard"),
+        col("media_tokens"), col("caption_tokens"), col("start_off"),
+        (col("start_off") + col("media_tokens")).as("caption_off"),
+        expr("start_off div 2048").as("seq_first"),
+        expr("(start_off + n_tok - 1) div 2048").as("seq_last"),
+        expr("cast(start_off div 2048 <> (start_off + n_tok - 1) div 2048 as int)")
+          .as("straddles"))
+      .orderBy("media_type", "shard", "doc_id")
+  }
+
   val all: Seq[Q] = Seq(multimodalIngest, multimodalFrames, multimodalResize,
     multimodalDedup, multimodalQualityGate, multimodalAudioWindows,
-    multimodalShards, multimodalTokenBudget)
+    multimodalShards, multimodalTokenBudget, multimodalInterleave)
 }

@@ -122,4 +122,32 @@ class MultimodalSpec extends AnyFunSuite {
     // shares partition the budget
     assert(math.abs(rows.map(_.getAs[Double]("budget_share")).sum - 1.0) < 0.01)
   }
+
+  test("multimodal_interleave: shard-local streams are contiguous; spans and " +
+    "straddle flags replay") {
+    val rows = Multimodal.multimodalInterleave.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getString(1), r.getAs[Long]("shard"))).foreach {
+      case ((mt, shard), g) =>
+        var off = 0L
+        g.sortBy(_.getLong(0)).foreach { r =>
+          val media = r.getAs[Long]("media_tokens")
+          val cap = r.getAs[Long]("caption_tokens")
+          assert(r.getAs[Long]("start_off") === off, s"$mt/$shard doc ${r.getLong(0)}")
+          assert(r.getAs[Long]("caption_off") === off + media)
+          val last = off + media + cap - 1
+          assert(r.getAs[Long]("seq_first") === off / 2048)
+          assert(r.getAs[Long]("seq_last") === last / 2048)
+          assert((r.getAs[Int]("straddles") == 1) === (off / 2048 != last / 2048))
+          off = last + 1
+        }
+    }
+    // media tokens are frame-quantized; captions never empty
+    rows.foreach { r =>
+      assert(r.getAs[Long]("media_tokens") % 64 === 0L)
+      assert(r.getAs[Long]("caption_tokens") > 0)
+    }
+    // positive control: the packing genuinely crosses sequence boundaries
+    assert(rows.exists(_.getAs[Int]("straddles") == 1))
+  }
 }
