@@ -798,6 +798,68 @@ object Similarity {
       .orderBy("nprobe")
   }
 
+  /** PQ budget audit: per-subspace quantization distortion against the
+    * subspace's own variance — the "is 1 byte per 16 dims enough"
+    * sizing question, answered before a 100 TB code table is built.
+    * `distortion_share` = quantization SSE over centered SSE: near 0
+    * means the codebook explains the subspace, near 1 means the codes
+    * are noise and serve ranking (ann_pq_search) degrades to chance. A
+    * skewed per-subspace profile argues for per-subspace codebook sizes
+    * (OPQ-style rebalancing). Composes the LIVE pqAmin assignment, so
+    * the audit prices exactly the codes ann_pq ships.
+    *
+    * Determinism: per-vector distances rounded once to 6 and summed as
+    * DECIMAL (order-free); subspace SSE from decimal-exact Σv/Σv²
+    * moments via one shared double formula. Scale: the argmin is the
+    * per-row codebook fold (no corpus exchange); both aggregates are
+    * mergeable partial-agg groupBys bounded at 4/|dims| rows. */
+  val annPqDistortion: Q = {
+    val meanF = "round(sum_dist / n, 6)"
+    val sseF = "round(sv2 - sv * sv / cnt, 2)"
+    val shareF = "round(sum_dist / (sv2 - sv * sv / cnt), 4)"
+    Q.sql(
+      "ann_pq_distortion",
+      s"""WITH $centCtesSql,
+        |$pqAminCtesSql,
+        |qd AS (SELECT m, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(dist, 6) AS DECIMAL(28, 6))) AS DOUBLE)
+        |           AS sum_dist
+        |       FROM amin GROUP BY 1),
+        |u2 AS (SELECT CAST((dim - 1) // 16 + 1 AS INT) AS m,
+        |         CAST(sum(CAST(round(v * v, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS sv2,
+        |         CAST(sum(CAST(v AS DECIMAL(28, 9))) AS DOUBLE) AS sv,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |       FROM (SELECT unnest(emb) AS v, generate_subscripts(emb, 1) AS dim
+        |             FROM e)
+        |       GROUP BY 1)
+        |SELECT qd.m, n AS n_vecs,
+        |  $meanF AS mean_err,
+        |  $sseF AS subspace_sse,
+        |  $shareF AS distortion_share
+        |FROM qd JOIN u2 ON qd.m = u2.m ORDER BY qd.m""".stripMargin) { (s, d) =>
+      val e = emb(s, d)
+      val qd = pqAmin(e).groupBy("m")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(round(col("dist"), 6).cast("decimal(28,6)")).cast("double")
+            .as("sum_dist"))
+      val u2 = e
+        .select(posexplode(col("embedding")).as(Seq("pos", "vf")))
+        .select((expr("pos div 16") + 1).cast("int").as("m"),
+          col("vf").cast("double").as("v"))
+        .groupBy("m")
+        .agg(sum(expr("CAST(round(v * v, 9) AS DECIMAL(28, 9))")).cast("double")
+            .as("sv2"),
+          Det.dsum9(col("v")).as("sv"),
+          count(lit(1)).cast("long").as("cnt"))
+      qd.join(broadcast(u2), Seq("m"))
+        .selectExpr("m", "n AS n_vecs",
+          s"$meanF AS mean_err",
+          s"$sseF AS subspace_sse",
+          s"$shareF AS distortion_share")
+        .orderBy("m")
+    }
+  }
+
   /** IVF+PQ — the production ANN composition (coarse quantizer to prune
     * the corpus, product quantizer to compress what remains): the query
     * probes its 2 nearest cells (ann_ivf_multiprobe's restriction) and
@@ -1923,5 +1985,5 @@ object Similarity {
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
     embDimStats, embDrift, annKnnGraph, embWhiten, lshBucketStats,
     embMatryoshka, annFiltered, embLabelVote, annHamming, annNprobeCurve,
-    embClusterPurity)
+    embClusterPurity, annPqDistortion)
 }

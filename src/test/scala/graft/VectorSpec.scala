@@ -472,4 +472,26 @@ class VectorSpec extends AnyFunSuite {
     val weighted = rows.map(_.getAs[Long]("top_n")).sum.toDouble / n
     assert(weighted > prior + 0.05, s"weighted purity $weighted vs prior $prior")
   }
+
+  test("ann_pq_distortion: totals reconcile with ann_pq's per-vector recon errors") {
+    val sf = "/root/testdata/sf0.001"
+    val dist = graft.vector.Similarity.annPqDistortion.fn(spark, sf).collect()
+    assert(dist.map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 3, 4))
+    val pq = graft.vector.Similarity.annPq.fn(spark, sf).collect()
+    val totalRecon = pq.map(_.getAs[Double]("recon_err")).sum
+    val totalFromSubspaces = dist
+      .map(r => r.getAs[Double]("mean_err") * r.getAs[Long]("n_vecs")).sum
+    assert(math.abs(totalRecon - totalFromSubspaces) < 0.01 * totalRecon)
+    dist.foreach { r =>
+      val share = r.getAs[Double]("distortion_share")
+      assert(share > 0 && share < 1, s"m=${r.getInt(0)} share $share")
+      // share is exactly quantization SSE over centered SSE
+      val exp = r.getAs[Double]("mean_err") * r.getAs[Long]("n_vecs") /
+        r.getAs[Double]("subspace_sse")
+      assert(math.abs(share - exp) < 0.01)
+      // honest reading pinned: a 10-word codebook on near-random vectors
+      // leaves most subspace variance unexplained
+      assert(share > 0.5)
+    }
+  }
 }
