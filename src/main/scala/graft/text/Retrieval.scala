@@ -654,6 +654,131 @@ object Retrieval {
       .orderBy("chunk_digest")
   }
 
+  /** BM25 knob-sensitivity report: the k1/b grid (saturation and
+    * length-normalization strength, including the b = 0.1 near-off and
+    * b = 1.0 full-normalization corners) re-ranked against the default
+    * (1.2, 0.75) serve path — per config, the mean top-10 Jaccard and
+    * the share of queries whose TOP hit survives. The pre-deploy answer
+    * to "can we tune ranking without re-indexing churn": overlap ≈ 1
+    * means the knob is free; a b-row collapsing the overlap means doc
+    * length, not term mix, is driving this corpus's ranking. Candidate
+    * sets are knob-independent (any-term match), so Jaccard compares
+    * equal-size lists and isolates pure rank movement.
+    *
+    * Determinism: one parameterized contribution string (k1v/bv as
+    * columns) evaluated token-identically by both engines, rounded once
+    * and DECIMAL-summed (the bm25_search discipline); per-query Jaccard
+    * rounded once then DECIMAL-summed into the mean.
+    *
+    * Scale: reuses the ONE persisted tf table; the config grid
+    * multiplies only probe-hit rows (≤ |configs|·|query-term matches|);
+    * every window partitions on (config, query). */
+  val bm25ParamSensitivity: Q = {
+    val cfgRows = Seq((1, "1.2", "0.75"), (2, "0.6", "0.75"),
+      (3, "2.0", "0.75"), (4, "1.2", "0.1"), (5, "1.2", "1.0"))
+    val paramContrib =
+      "round(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * (k1v + 1) " +
+        "/ (tf + k1v * (1 - bv + bv * dl * n_docs / sum_dl)), 6)"
+    val duckQueryValues = bm25Queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    val duckCfgValues = cfgRows
+      .map { case (id, k1v, bv) => s"($id, $k1v, $bv)" }.mkString(", ")
+    Q.sql(
+      "bm25_param_sensitivity",
+      s"""WITH qt(query_id, term) AS (VALUES $duckQueryValues),
+        |cfg(cfg_id, k1v, bv) AS (VALUES $duckCfgValues),
+        |w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+        |st AS (SELECT count(*) AS n_docs, sum(len(ws)) AS sum_dl FROM w),
+        |dft AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+        |c AS (SELECT cfg.cfg_id, qt.query_id, tf.doc_id,
+        |        CAST($paramContrib AS DECIMAL(18, 6)) AS c
+        |      FROM qt JOIN tf ON qt.term = tf.term
+        |           JOIN dft ON dft.term = qt.term CROSS JOIN st CROSS JOIN cfg),
+        |sc AS (SELECT cfg_id, query_id, doc_id,
+        |         round(CAST(sum(c) AS DOUBLE), 4) AS score
+        |       FROM c GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY cfg_id, query_id
+        |        ORDER BY score DESC, doc_id) AS rnk FROM sc),
+        |top AS (SELECT cfg_id, query_id, doc_id, rnk FROM r WHERE rnk <= $TopK),
+        |base AS (SELECT query_id, doc_id, rnk FROM top WHERE cfg_id = 1),
+        |inter AS (SELECT t.cfg_id, t.query_id, CAST(count(*) AS BIGINT) AS ix
+        |          FROM top t JOIN base b
+        |            ON t.query_id = b.query_id AND t.doc_id = b.doc_id
+        |          GROUP BY 1, 2),
+        |sizes AS (SELECT cfg_id, query_id, CAST(count(*) AS BIGINT) AS sz,
+        |            min(CASE WHEN rnk = 1 THEN doc_id END) AS top1
+        |          FROM top GROUP BY 1, 2),
+        |bsz AS (SELECT query_id, CAST(count(*) AS BIGINT) AS bs,
+        |          min(CASE WHEN rnk = 1 THEN doc_id END) AS btop1
+        |        FROM base GROUP BY 1),
+        |j AS (SELECT s.cfg_id, s.query_id,
+        |        CAST(round(1.0 * coalesce(ix, 0) / (sz + bs - coalesce(ix, 0)), 6)
+        |          AS DECIMAL(18, 6)) AS jacc,
+        |        CASE WHEN s.top1 = b.btop1 THEN 1 ELSE 0 END AS t1
+        |      FROM sizes s JOIN bsz b ON s.query_id = b.query_id
+        |        LEFT JOIN inter i ON i.cfg_id = s.cfg_id AND i.query_id = s.query_id)
+        |SELECT cfg.cfg_id, CAST(cfg.k1v AS DOUBLE) AS k1, CAST(cfg.bv AS DOUBLE) AS b,
+        |  CAST(count(*) AS BIGINT) AS n_queries,
+        |  round(CAST(sum(jacc) AS DOUBLE) / count(*), 4) AS mean_top10_jaccard,
+        |  round(1.0 * sum(t1) / count(*), 4) AS top1_match_share
+        |FROM j JOIN cfg ON j.cfg_id = cfg.cfg_id
+        |GROUP BY 1, 2, 3 ORDER BY cfg.cfg_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val (tf, _) = bm25Machine(s, d)
+      val qt = bm25Queries
+        .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+        .toDF("query_id", "term")
+      val qTerms = bm25Queries.flatMap(_._2).distinct.toDF("term")
+      val cfg = cfgRows.map { case (id, k1v, bv) => (id, k1v.toDouble, bv.toDouble) }
+        .toDF("cfg_id", "k1v", "bv")
+      val stats = docs(s, d)
+        .select(size(split(col("text"), " ")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val dft = tf.join(broadcast(qTerms), Seq("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val top = tf.join(broadcast(qt), Seq("term"))
+        .join(broadcast(dft), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .crossJoin(broadcast(cfg))
+        .withColumn("c", expr(paramContrib).cast("decimal(18,6)"))
+        .groupBy("cfg_id", "query_id", "doc_id").agg(sum("c").as("dsum"))
+        .withColumn("score", round(col("dsum").cast("double"), 4))
+        .withColumn("rnk", row_number().over(Window
+          .partitionBy("cfg_id", "query_id")
+          .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rnk") <= TopK)
+        .select("cfg_id", "query_id", "doc_id", "rnk")
+      val base = top.filter(col("cfg_id") === 1)
+        .select(col("query_id"), col("doc_id"),
+          col("rnk").as("brnk"))
+      val inter = top.join(broadcast(base), Seq("query_id", "doc_id"))
+        .groupBy("cfg_id", "query_id").agg(count(lit(1)).cast("long").as("ix"))
+      val sizes = top.groupBy("cfg_id", "query_id")
+        .agg(count(lit(1)).cast("long").as("sz"),
+          min(when(col("rnk") === 1, col("doc_id"))).as("top1"))
+      val bsz = base.groupBy("query_id")
+        .agg(count(lit(1)).cast("long").as("bs"),
+          min(when(col("brnk") === 1, col("doc_id"))).as("btop1"))
+      val j = sizes.join(broadcast(bsz), Seq("query_id"))
+        .join(inter, Seq("cfg_id", "query_id"), "left")
+        .select(col("cfg_id"),
+          expr("CAST(round(1.0 * coalesce(ix, 0) / (sz + bs - coalesce(ix, 0)), 6) AS DECIMAL(18, 6))")
+            .as("jacc"),
+          when(col("top1") === col("btop1"), 1).otherwise(0).as("t1"))
+      j.join(broadcast(cfg), Seq("cfg_id"))
+        .groupBy(col("cfg_id"), col("k1v").as("k1"), col("bv").as("b"))
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          round(sum("jacc").cast("double") / count(lit(1)), 4)
+            .as("mean_top10_jaccard"),
+          round(lit(1.0) * sum("t1") / count(lit(1)), 4).as("top1_match_share"))
+        .orderBy("cfg_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(docChunk, bm25Search, bm25Eval, tfidfKeywords, chunkOverlap,
-    ngramStats, pmiBigrams, hybridRrf, chunkDedup)
+    ngramStats, pmiBigrams, hybridRrf, chunkDedup, bm25ParamSensitivity)
 }

@@ -360,4 +360,27 @@ class RetrievalSpec extends AnyFunSuite {
     val expect = byDigest.filter(_._2.map(_._1).distinct.length >= 2).keySet
     assert(rows.map(_.getString(0)).toSet === expect)
   }
+
+  test("bm25_param_sensitivity: default config is the identity row; " +
+    "knobs genuinely move the ranking") {
+    val rows = graft.text.Retrieval.bm25ParamSensitivity
+      .fn(spark, "/root/testdata/sf0.001").collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length === 5)
+    val default = rows.head
+    assert(default.getAs[Double]("k1") === 1.2 && default.getAs[Double]("b") === 0.75)
+    // config 1 compared against itself must be a perfect match
+    assert(default.getAs[Double]("mean_top10_jaccard") === 1.0)
+    assert(default.getAs[Double]("top1_match_share") === 1.0)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("mean_top10_jaccard")
+      assert(j > 0 && j <= 1.0)
+      assert(r.getAs[Long]("n_queries") === 3L)
+      val t1 = r.getAs[Double]("top1_match_share")
+      assert(t1 >= 0 && t1 <= 1.0)
+    }
+    // positive control: at least one non-default corner genuinely
+    // re-ranks (otherwise the report is measuring nothing)
+    assert(rows.tail.exists(_.getAs[Double]("mean_top10_jaccard") < 0.9))
+  }
 }
