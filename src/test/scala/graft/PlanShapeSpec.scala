@@ -639,4 +639,58 @@ class PlanShapeSpec extends AnyFunSuite {
     // 3 reconstruction arms + the 1-row midpoint aggregate
     assert(scans <= 4, s"merge_upsert feed scanned ${scans}x:\n$p")
   }
+
+  // --- round-9 additions ---------------------------------------------
+
+  test("multimodal_interleave: the packing window is shard-local, never a global stream") {
+    val p = finalPlan(SparkEntry.queries("multimodal_interleave")(spark, sfDir))
+    val windows = p.toString.linesIterator.filter(_.contains("Window")).mkString("\n")
+    // the cumulative window MUST partition on the shard key — an
+    // unpartitioned ORDER BY doc_id stream is the 100 TB single-partition
+    // funnel this op exists to avoid
+    assert(windows.contains("shard"), s"packing window lost its shard partitioning:\n$p")
+  }
+
+  test("ann_hamming: corpus never shuffles — query sides broadcast into both legs") {
+    val p = finalPlan(SparkEntry.queries("ann_hamming")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"a corpus-side join fell out of broadcast:\n$s")
+    // exchanges: two |q|×k rank windows + final served-set join + output
+    // sort — none may carry a corpus-scale side
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("audit_cusum: running windows sit on the bounded daily frame") {
+    val p = finalPlan(SparkEntry.queries("audit_cusum")(spark, sfDir))
+    // daily partial-agg + day-grid join + baseline broadcast + the
+    // op-partitioned windows + output sort, all post-aggregate; more
+    // exchanges means a window slid under the aggregate onto raw rows
+    assert(shuffles(p) <= 5, s"audit_cusum gained an exchange:\n$p")
+  }
+
+  test("dedup_source_matrix: candidate self-join is an equi-join, no cartesian") {
+    val p = finalPlan(SparkEntry.queries("dedup_source_matrix")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s"cartesian in source matrix:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"BNLJ in source matrix:\n$s")
+    // the (fp, source) frame is built once and persisted for both readers
+    assert(s.contains("InMemoryTableScan"), s"fingerprint frame not persisted:\n$s")
+  }
+
+  test("ann_nprobe_curve: rank table persisted once; ground truth broadcasts") {
+    val p = finalPlan(SparkEntry.queries("ann_nprobe_curve")(spark, sfDir))
+    val s = p.toString
+    assert(s.contains("InMemoryTableScan"), s"centroid ranks not persisted:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("event_markov: iteration joins ride broadcasts — the feed is exchanged " +
+    "only for the one user window") {
+    val p = finalPlan(SparkEntry.queries("event_markov")(spark, sfDir))
+    val s = p.toString
+    // transition matrix agg + its row-total agg + three bounded iteration
+    // rounds + final frame joins; every π/r side must broadcast
+    assert(!s.contains("SortMergeJoin"), s"iteration join fell to SMJ:\n$s")
+  }
 }
