@@ -582,6 +582,48 @@ object EventAnalytics {
     }
   }
 
+  /** DAU / WAU / stickiness time series — the canonical engagement
+    * dashboard (stickiness = DAU/WAU: how much of the weekly audience
+    * shows up daily; retention matrices answer "do they come back",
+    * this answers "how habitually"). The trailing-7-day distinct count
+    * is made exact WITHOUT per-day distinct-over-window state: each
+    * (user, active day) pair explodes into the ≤ 7 future days it
+    * covers, and WAU(d) = distinct (user) among covers of d — a
+    * partial-aggregable distinct on a bounded ×7 fan-out, never a
+    * sliding distinct window. Days before a full week of history are
+    * published with their short-window WAU (no NULL fiction — the spec
+    * pins the ramp).
+    *
+    * Scale: (user, day) distinct is one user-keyed partial agg; the
+    * cover explode multiplies that bounded frame by ≤ 7; both rollups
+    * are ≤ |days| frames joined on the day grid. */
+  val eventDauWau: Q = Q.sql(
+    "event_dau_wau",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+      |cov AS (SELECT DISTINCT user_id, day + CAST(off AS INTEGER) AS day
+      |        FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS off)),
+      |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM cov GROUP BY 1)
+      |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+      |  round(1.0 * dau.dau / wau.wau, 4) AS stickiness
+      |FROM dau JOIN wau ON dau.day = wau.day
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val ud = ev(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).cast("long").as("dau"))
+    val cov = ud
+      .withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select(col("user_id"), expr("date_add(day, off)").as("day"))
+      .distinct()
+    val wau = cov.groupBy("day").agg(count(lit(1)).cast("long").as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        round(lit(1.0) * col("dau") / col("wau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(eventRetention, eventFunnel, eventPaths,
-    eventAttribution, eventCooccurrence, eventLtv, eventMarkov, eventGini)
+    eventAttribution, eventCooccurrence, eventLtv, eventMarkov, eventGini,
+    eventDauWau)
 }

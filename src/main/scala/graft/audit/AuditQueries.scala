@@ -2298,6 +2298,77 @@ object AuditQueries {
       .orderBy("operation", "day")
   }
 
+  /** Entity growth accounting per ISO-ish week: new entities (first
+    * change that week), churned entities (last change that week), and
+    * the net active base carried forward — the subscriber-ledger view
+    * of the audit population (audit_entity_lifetime gives the per-entity
+    * row; this is its time-series rollup, and the sweep-line trick makes
+    * the "active" column exact without an entity×weeks explode). A week
+    * is days-since-epoch div 7 (engine-neutral integer arithmetic, the
+    * audit_dow_profile discipline), labeled by its Monday.
+    *
+    * Scale: first/last per entity is ONE entity-keyed partial aggregate
+    * (the shared exchange family); new/churn collapse to two ≤ |weeks|
+    * frames; active_eow = cum(new) − cum(churned) runs on the dense
+    * bounded week grid. */
+  val auditEntityChurn: Q = Q.sql(
+    "audit_entity_churn",
+    auditCte + """, fl AS (
+      |  SELECT entity_id,
+      |    (date_diff('day', DATE '1970-01-01', CAST(min(ts) AS DATE)) + 3) // 7
+      |      AS first_wk,
+      |    (date_diff('day', DATE '1970-01-01', CAST(max(ts) AS DATE)) + 3) // 7
+      |      AS last_wk
+      |  FROM audit GROUP BY 1),
+      |b AS (SELECT min(first_wk) AS w0, max(last_wk) AS w1 FROM fl),
+      |wks AS (
+      |  SELECT CAST(unnest(generate_series(w0, w1)) AS BIGINT) AS wk FROM b),
+      |nw AS (SELECT first_wk AS wk, CAST(count(*) AS BIGINT) AS new_entities
+      |       FROM fl GROUP BY 1),
+      |cw AS (SELECT last_wk AS wk, CAST(count(*) AS BIGINT) AS churned_entities
+      |       FROM fl GROUP BY 1),
+      |g AS (
+      |  SELECT wks.wk, coalesce(nw.new_entities, 0) AS new_entities,
+      |    coalesce(cw.churned_entities, 0) AS churned_entities
+      |  FROM wks LEFT JOIN nw ON wks.wk = nw.wk
+      |    LEFT JOIN cw ON wks.wk = cw.wk)
+      |SELECT strftime(DATE '1970-01-01' + CAST(wk * 7 - 3 AS INT), '%Y-%m-%d')
+      |    AS week_start,
+      |  new_entities, churned_entities,
+      |  CAST(sum(new_entities) OVER w AS BIGINT) AS cum_seen,
+      |  CAST(sum(new_entities) OVER w - sum(churned_entities) OVER w AS BIGINT)
+      |    AS active_eow
+      |FROM g
+      |WINDOW w AS (ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY week_start""".stripMargin) { (s, d) =>
+    val fl = log(s, d).groupBy("entity_id")
+      .agg(expr("(datediff(CAST(min(ts) AS DATE), DATE '1970-01-01') + 3) div 7")
+          .as("first_wk"),
+        expr("(datediff(CAST(max(ts) AS DATE), DATE '1970-01-01') + 3) div 7")
+          .as("last_wk"))
+    val wks = fl.agg(min("first_wk").as("w0"), max("last_wk").as("w1"))
+      .select(explode(sequence(col("w0"), col("w1"))).as("wk"))
+    val nw = fl.groupBy(col("first_wk").as("wk"))
+      .agg(count(lit(1)).cast("long").as("new_entities"))
+    val cw = fl.groupBy(col("last_wk").as("wk"))
+      .agg(count(lit(1)).cast("long").as("churned_entities"))
+    val w = Window.orderBy("wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wks.join(nw, Seq("wk"), "left").join(cw, Seq("wk"), "left")
+      .select(col("wk"),
+        coalesce(col("new_entities"), lit(0L)).as("new_entities"),
+        coalesce(col("churned_entities"), lit(0L)).as("churned_entities"))
+      .withColumn("cum_seen", sum("new_entities").over(w).cast("long"))
+      .withColumn("active_eow",
+        (sum("new_entities").over(w) - sum("churned_entities").over(w)).cast("long"))
+      .select(
+        date_format(expr("date_add(DATE '1970-01-01', CAST(wk * 7 - 3 AS INT))"),
+          "yyyy-MM-dd").as("week_start"),
+        col("new_entities"), col("churned_entities"), col("cum_seen"),
+        col("active_eow"))
+      .orderBy("week_start")
+  }
+
   /** Day-of-week seasonal adjustment of the daily volume series: each
     * (op, day) count is divided by its op's day-of-week factor (that
     * dow's mean volume over the op's overall mean — classical ratio-to-
@@ -2631,5 +2702,6 @@ object AuditQueries {
     auditRollingVolume, auditSlidingRate, auditValueOutliers,
     auditDowProfile, auditPayloadBytes, auditEwmaVolume,
     auditVolumeAutocorr, auditMergeUpsert, auditLifecyclePaths,
-    auditVolumeMad, auditCusum, auditActorProfile, auditSeasonalAdjust)
+    auditVolumeMad, auditCusum, auditActorProfile, auditSeasonalAdjust,
+    auditEntityChurn)
 }

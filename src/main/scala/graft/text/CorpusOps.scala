@@ -629,6 +629,12 @@ object CorpusOps {
       .groupBy("doc_id", "lang", "n")
       .agg((sum("contrib") * 1000000).cast("long").as("bits_micro"))
       .withColumn("xent_e4", expr("(2 * bits_micro + 100 * n) div (200 * n)"))
+      // persisted: the tercile histogram AND the bucket join both read
+      // this frame (and quality_plane_agreement reads it a third time
+      // through the join) — without it the whole (lang, term) LM scoring
+      // join re-runs per consumer. Text-free, 4 columns/doc;
+      // MEMORY_AND_DISK so 100 TB eviction spills instead of re-scoring.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val byLang = Window.partitionBy("lang")
     val cum = x.groupBy("lang", "xent_e4").agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum("cnt").over(byLang.orderBy("xent_e4")))

@@ -317,4 +317,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("top10_share") >= 0.1 - 1e-6)
     assert(r.getAs[Double]("bottom50_share") <= 0.5 + 1e-6)
   }
+
+  test("event_dau_wau: WAU replays as a trailing-7-day distinct recount") {
+    val rows = EventAnalytics.eventDauWau.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ud = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val byDay = ud.groupBy(_._2)
+    rows.foreach { r =>
+      val day = java.time.LocalDate.parse(r.getString(0))
+      assert(r.getAs[Long]("dau") === byDay(day).length.toLong)
+      val expWau = ud.count { case (_, d) =>
+        !d.isAfter(day) && d.isAfter(day.minusDays(7))
+      }
+      // expWau counts (user, day) pairs in-window; dedupe users
+      val expWauUsers = ud.filter { case (_, d) =>
+        !d.isAfter(day) && d.isAfter(day.minusDays(7))
+      }.map(_._1).distinct.length
+      assert(r.getAs[Long]("wau") === expWauUsers.toLong, s"$day")
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"))
+      assert(math.abs(r.getAs[Double]("stickiness")
+        - r.getAs[Long]("dau").toDouble / r.getAs[Long]("wau")) < 1e-3)
+    }
+    // (no wau > dau control: at sf0.001 every user is active every day,
+    // so wau == dau is the CORRECT output there — the exact per-day
+    // recount above is the real verification)
+  }
 }

@@ -136,4 +136,35 @@ class RobustAnomalySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("audit_entity_churn: ledger identities hold and reconcile with the raw feed") {
+    val rows = AuditQueries.auditEntityChurn.fn(spark, sf).collect()
+      .sortBy(_.getString(0))
+    assert(rows.nonEmpty)
+    val feed = AuditQueries.log(spark, sf)
+      .select("entity_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toLocalDateTime.toLocalDate))
+    val perEntity = feed.groupBy(_._1).view
+      .mapValues(ds => (ds.map(_._2).min, ds.map(_._2).max)).toMap
+    def wk(d: java.time.LocalDate) = (d.toEpochDay + 3) / 7
+    val newByWk = perEntity.values.groupBy(v => wk(v._1)).view.mapValues(_.size).toMap
+    val goneByWk = perEntity.values.groupBy(v => wk(v._2)).view.mapValues(_.size).toMap
+    var cumNew = 0L; var cumGone = 0L
+    rows.foreach { r =>
+      val monday = java.time.LocalDate.parse(r.getString(0))
+      assert(monday.getDayOfWeek === java.time.DayOfWeek.MONDAY)
+      val w = wk(monday)
+      assert(r.getAs[Long]("new_entities") === newByWk.getOrElse(w, 0).toLong)
+      assert(r.getAs[Long]("churned_entities") === goneByWk.getOrElse(w, 0).toLong)
+      cumNew += r.getAs[Long]("new_entities")
+      cumGone += r.getAs[Long]("churned_entities")
+      assert(r.getAs[Long]("cum_seen") === cumNew)
+      assert(r.getAs[Long]("active_eow") === cumNew - cumGone)
+      assert(r.getAs[Long]("active_eow") >= 0)
+    }
+    assert(cumNew === perEntity.size.toLong, "every entity appears exactly once as new")
+    assert(cumGone === perEntity.size.toLong, "every entity churns exactly once")
+    // the ledger drains: by the horizon every entity's history has ended
+    assert(rows.last.getAs[Long]("active_eow") === 0L)
+  }
 }
