@@ -1348,6 +1348,72 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Metric-learning triplet audit: per label, how often an anchor's
+    * nearest SAME-label vector sits farther than its nearest impostor
+    * (d(a,pos) > d(a,neg) — the ordering a triplet/contrastive loss
+    * trains for), plus the mean signed margin. The local-geometry
+    * verdict emb_cluster_purity's global centroids can't give: on this
+    * corpus the centroids separate labels 3× over chance while the
+    * violation rate stays HIGH — with 10 labels, 90% of candidates are
+    * impostors and the min over 9× more draws wins, so local kNN labels
+    * are unreliable even though the space has class structure
+    * (spec-pinned; exactly why emb_label_vote reports chance accuracy).
+    * Anchors are the 30 smallest vec_ids (the ann_topk query
+    * convention).
+    *
+    * Determinism: distances rounded once to 6; both argmins are
+    * min(struct(dist, vid)) folds with the (dist, id) tie rule; the gap
+    * subtracts two already-rounded doubles.
+    *
+    * Scale: ONE corpus scan against the broadcast 30-row anchor set;
+    * the per-anchor two-leg argmin is a mergeable conditional-min
+    * aggregate (no window over pair rows); rollup ≤ |labels| rows. */
+  val embTripletAudit: Q = Q.sql(
+    "emb_triplet_audit",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      |           FROM embeddings),
+      |a AS (SELECT vec_id AS aid, label AS alabel, emb AS ae
+      |      FROM e WHERE vec_id < 30),
+      |p AS (SELECT aid, alabel, e.vec_id AS vid, e.label = alabel AS same,
+      |        round(list_sum(list_transform(range(1, 65),
+      |          i -> (ae[i] - emb[i]) * (ae[i] - emb[i]))), 6) AS d
+      |      FROM a JOIN e ON e.vec_id <> aid),
+      |legs AS (
+      |  SELECT aid, alabel,
+      |    min(CASE WHEN same THEN d END) AS d_pos,
+      |    min(CASE WHEN NOT same THEN d END) AS d_neg
+      |  FROM p GROUP BY 1, 2)
+      |SELECT alabel AS label, CAST(count(*) AS BIGINT) AS n_anchors,
+      |  CAST(sum(CASE WHEN d_pos > d_neg THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS violations,
+      |  round(1.0 * sum(CASE WHEN d_pos > d_neg THEN 1 ELSE 0 END) / count(*), 4)
+      |    AS violation_rate,
+      |  round(CAST(sum(CAST(round(d_neg - d_pos, 6) AS DECIMAL(18, 6)))
+      |    AS DOUBLE) / count(*), 6) AS mean_margin
+      |FROM legs GROUP BY 1 ORDER BY label""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val a = e.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("aid"), col("label").as("alabel"), col("emb").as("ae"))
+    val legs = e.join(broadcast(a), col("vec_id") =!= col("aid"))
+      .select(col("aid"), col("alabel"),
+        (col("label") === col("alabel")).as("same"),
+        round(expr("graft_l2sq(ae, emb)"), 6).as("d"))
+      .groupBy("aid", "alabel")
+      .agg(min(when(col("same"), col("d"))).as("d_pos"),
+        min(when(!col("same"), col("d"))).as("d_neg"))
+    legs.groupBy(col("alabel").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_anchors"),
+        sum(when(col("d_pos") > col("d_neg"), 1).otherwise(0)).cast("long")
+          .as("violations"),
+        round(lit(1.0) * sum(when(col("d_pos") > col("d_neg"), 1).otherwise(0))
+          / count(lit(1)), 4).as("violation_rate"),
+        round(sum(round(col("d_neg") - col("d_pos"), 6).cast("decimal(18,6)"))
+          .cast("double") / count(lit(1)), 6).as("mean_margin"))
+      .orderBy("label")
+  }
+
   val annKmeansConvergence: Q = {
     def armSql(sfx: String, name: String, round: Int): String = {
       val (prev, cur) =
@@ -1985,5 +2051,5 @@ object Similarity {
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
     embDimStats, embDrift, annKnnGraph, embWhiten, lshBucketStats,
     embMatryoshka, annFiltered, embLabelVote, annHamming, annNprobeCurve,
-    embClusterPurity, annPqDistortion)
+    embClusterPurity, annPqDistortion, embTripletAudit)
 }

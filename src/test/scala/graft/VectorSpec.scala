@@ -494,4 +494,38 @@ class VectorSpec extends AnyFunSuite {
       assert(share > 0.5)
     }
   }
+
+  test("emb_triplet_audit: legs replay from raw distances; the order-statistics " +
+    "verdict is pinned") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.vector.Similarity.embTripletAudit.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def l2(a: Array[Double], b: Array[Double]) =
+      BigDecimal(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val anchors = vecs.filter(_._1 < 30)
+    val exp = anchors.map { case (aid, al, ae) =>
+      val ds = vecs.filter(_._1 != aid)
+        .map { case (_, l, v) => (l == al, l2(ae, v)) }
+      (al, ds.filter(_._1).map(_._2).min, ds.filterNot(_._1).map(_._2).min)
+    }
+    val byLabel = exp.groupBy(_._1)
+    rows.foreach { r =>
+      val g = byLabel(r.getInt(0))
+      assert(r.getAs[Long]("n_anchors") === g.length.toLong)
+      val expViol = g.count { case (_, p, n) => p > n }
+      assert(r.getAs[Long]("violations") === expViol.toLong, s"label ${r.getInt(0)}")
+      val expMargin = g.map { case (_, p, n) => BigDecimal(n - p)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) }.sum / g.length
+      assert(math.abs(r.getAs[Double]("mean_margin") - expMargin.toDouble) < 1e-4)
+    }
+    // pinned honest verdict: with 10 labels the impostor min wins almost
+    // always (9× more draws) even though centroids separate — local kNN
+    // labels are unreliable here, which is WHY emb_label_vote is at chance
+    val totalViol = rows.map(_.getAs[Long]("violations")).sum.toDouble
+    val totalAnchors = rows.map(_.getAs[Long]("n_anchors")).sum.toDouble
+    assert(totalViol / totalAnchors > 0.8)
+  }
 }
