@@ -1165,6 +1165,63 @@ object Relational {
       .orderBy("nation")
   }
 
+  /** Brand league table with rank migration: per (year, brand), revenue
+    * rank within the year plus the rank shift vs the previous year and a
+    * mover flag (|shift| ≥ 5 places) — the risers-and-fallers readout
+    * (q_yearly_growth gives the growth NUMBER per nation; rank migration
+    * is how merchandising actually reads a 25-brand market: position,
+    * not percent). Rank shift only publishes across ADJACENT years — a
+    * brand absent a year restarts with NULL shift, no fictional
+    * comparison across a gap.
+    *
+    * Scale: one fact scan partial-aggregates to the ≤ |brands|×|years|
+    * frame (part joined UN-HINTED per the size-gate policy — it scales
+    * with SF); both windows (within-year rank, per-brand lag) run on
+    * that bounded aggregate; ranking is on the already-rounded exact
+    * DECIMAL revenue with brand tiebreak. */
+  val qBrandRankShift: Q = Q.sql(
+    "q_brand_rank_shift",
+    s"""WITH br AS (
+      |  SELECT CAST(year(l_shipdate) AS INT) AS yr, p_brand AS brand,
+      |    ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount)", 2)} AS revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT yr, brand, revenue,
+      |    CAST(row_number() OVER (PARTITION BY yr
+      |      ORDER BY revenue DESC, brand) AS INT) AS rnk
+      |  FROM br),
+      |sh AS (
+      |  SELECT yr, brand, revenue, rnk,
+      |    lag(rnk) OVER w AS prev_rnk, lag(yr) OVER w AS prev_yr
+      |  FROM rk WINDOW w AS (PARTITION BY brand ORDER BY yr))
+      |SELECT yr, brand, revenue, rnk,
+      |  CASE WHEN prev_yr = yr - 1 THEN prev_rnk END AS prev_rnk,
+      |  CASE WHEN prev_yr = yr - 1 THEN prev_rnk - rnk END AS rank_delta,
+      |  CASE WHEN prev_yr = yr - 1 AND abs(prev_rnk - rnk) >= 5
+      |    THEN 1 ELSE 0 END AS mover
+      |FROM sh ORDER BY yr, rnk""".stripMargin) { (s, d) =>
+    val br = li(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("int").as("yr"),
+        col("p_brand").as("brand"))
+      .agg(Det.dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+        .as("revenue"))
+    val rk = br.withColumn("rnk",
+      row_number().over(Window.partitionBy("yr")
+        .orderBy(col("revenue").desc, col("brand"))).cast("int"))
+    val byBrand = Window.partitionBy("brand").orderBy("yr")
+    rk.withColumn("prev_rnk", lag("rnk", 1).over(byBrand))
+      .withColumn("prev_yr", lag("yr", 1).over(byBrand))
+      .select(col("yr"), col("brand"), col("revenue"), col("rnk"),
+        when(col("prev_yr") === col("yr") - 1, col("prev_rnk")).as("prev_rnk"),
+        when(col("prev_yr") === col("yr") - 1, col("prev_rnk") - col("rnk"))
+          .as("rank_delta"),
+        when(col("prev_yr") === col("yr") - 1
+          && abs(col("prev_rnk") - col("rnk")) >= 5, 1).otherwise(0).as("mover"))
+      .orderBy("yr", "rnk")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
@@ -1172,5 +1229,6 @@ object Relational {
     qPriceBands, qSkewSalted, qYearlyGrowth, qMarketShare, qTradeLanes,
     qPromoShare, qSmallQuantity, qDisjunctive, qCubeVolume, qTopSupplier,
     qReturnedCustomers, qNationProfit, qSupplierWait, qOrderGap,
-    qRevenueMa7, qShipPriority, qSkewProbe, qOrdersBacklog, qSupplierHhi)
+    qRevenueMa7, qShipPriority, qSkewProbe, qOrdersBacklog, qSupplierHhi,
+    qBrandRankShift)
 }

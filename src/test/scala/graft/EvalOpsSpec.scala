@@ -314,4 +314,36 @@ class EvalOpsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("hhi") < 1.0 - 1e-6, s"${r.getString(0)}")
     }
   }
+
+  test("q_brand_rank_shift: ranks are a permutation per year; deltas replay; " +
+    "no cross-gap comparison") {
+    val rows = Relational.qBrandRankShift.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byYear = rows.groupBy(_.getInt(0))
+    byYear.foreach { case (yr, g) =>
+      assert(g.map(_.getAs[Int]("rnk")).sorted.toSeq === (1 to g.length).toSeq, s"$yr")
+      // rank order follows revenue desc (brand tiebreak)
+      val sorted = g.sortBy(_.getAs[Int]("rnk"))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Double]("revenue") >= b.getAs[Double]("revenue"), s"$yr")
+      }
+    }
+    val rankOf = rows.map(r => (r.getInt(0), r.getString(1)) -> r.getAs[Int]("rnk")).toMap
+    rows.foreach { r =>
+      val prev = rankOf.get((r.getInt(0) - 1, r.getString(1)))
+      if (r.isNullAt(r.fieldIndex("prev_rnk"))) {
+        assert(prev.isEmpty || !byYear.contains(r.getInt(0) - 1)
+          || !rankOf.contains((r.getInt(0) - 1, r.getString(1))))
+        assert(r.isNullAt(r.fieldIndex("rank_delta")))
+        assert(r.getAs[Int]("mover") === 0)
+      } else {
+        assert(prev.contains(r.getAs[Int]("prev_rnk")))
+        assert(r.getAs[Int]("rank_delta")
+          === r.getAs[Int]("prev_rnk") - r.getAs[Int]("rnk"))
+        assert((r.getAs[Int]("mover") == 1) === (math.abs(r.getAs[Int]("rank_delta")) >= 5))
+      }
+    }
+    // positive control: the market genuinely reshuffles year to year
+    assert(rows.exists(_.getAs[Int]("mover") == 1))
+  }
 }
