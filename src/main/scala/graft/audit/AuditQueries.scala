@@ -2298,6 +2298,162 @@ object AuditQueries {
       .orderBy("operation", "day")
   }
 
+  /** Exact session-shape quantiles (p50/p90/p99/max of events-per-session
+    * and session duration) — the distributional readout behind
+    * audit_sessionize (which emits the sessions) and audit_session_window
+    * (which bounds them): state-store sizing and timeout tuning read
+    * p99 duration, not the mean. Exactness WITHOUT a global sort: both
+    * metrics live on small-integer domains (events per session; whole
+    * seconds under a 30-min-gap rule), so sessions collapse to a
+    * (metric, value) histogram and quantiles are cumulative-rank picks —
+    * the token_length_quantiles discipline on the session plane.
+    *
+    * Scale: sessionization is the ONE entity-partitioned window (shared
+    * exchange family); per-session aggregates are a partial-agg groupBy;
+    * the histogram/windows are bounded by the value domains. */
+  val auditSessionQuantiles: Q = {
+    def qSel(p: String, alias: String) =
+      s"CAST(min(CASE WHEN cum >= CAST(ceil($p * nd) AS BIGINT) THEN v END) AS BIGINT) AS $alias"
+    Q.sql(
+      "audit_session_quantiles",
+      auditCte + s""", marked AS (
+        |  SELECT entity_id, audit_id, ts,
+        |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |             OVER (PARTITION BY entity_id ORDER BY audit_id) > 1800
+        |         THEN 1
+        |         WHEN lag(audit_id) OVER (PARTITION BY entity_id ORDER BY audit_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM audit),
+        |sess AS (
+        |  SELECT entity_id, audit_id, ts,
+        |    sum(new_session) OVER (PARTITION BY entity_id ORDER BY audit_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_n
+        |  FROM marked),
+        |per AS (
+        |  SELECT entity_id, sess_n, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(floor(epoch(max(ts))) AS BIGINT)
+        |      - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+        |  FROM sess GROUP BY 1, 2),
+        |m AS (
+        |  SELECT 'n_events' AS metric, n_events AS v FROM per
+        |  UNION ALL
+        |  SELECT 'duration_s' AS metric, duration_s AS v FROM per),
+        |h AS (SELECT metric, v, CAST(count(*) AS BIGINT) AS cnt FROM m GROUP BY 1, 2),
+        |t AS (
+        |  SELECT metric, v, cnt,
+        |    sum(cnt) OVER (PARTITION BY metric ORDER BY v) AS cum,
+        |    sum(cnt) OVER (PARTITION BY metric) AS nd
+        |  FROM h)
+        |SELECT metric, CAST(max(nd) AS BIGINT) AS n_sessions,
+        |  ${qSel("0.5", "p50")}, ${qSel("0.9", "p90")}, ${qSel("0.99", "p99")},
+        |  CAST(max(v) AS BIGINT) AS max_v
+        |FROM t GROUP BY metric ORDER BY metric""".stripMargin) { (s, d) =>
+      val byEnt = Window.partitionBy("entity_id").orderBy("audit_id")
+      val secs = unix_timestamp(col("ts"))
+      val marked = log(s, d)
+        .select(col("entity_id"), col("audit_id"), col("ts"))
+        .withColumn("new_session",
+          when(lag(col("audit_id"), 1).over(byEnt).isNull, 1)
+            .when(secs - lag(secs, 1).over(byEnt) > 1800, 1)
+            .otherwise(0))
+      val per = marked
+        .withColumn("sess_n", sum("new_session").over(
+          byEnt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("entity_id", "sess_n")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("duration_s"))
+      val m = per.select(lit("n_events").as("metric"), col("n_events").as("v"))
+        .unionByName(per.select(lit("duration_s").as("metric"),
+          col("duration_s").as("v")))
+      val byMetric = Window.partitionBy("metric")
+      val t = m.groupBy("metric", "v").agg(count(lit(1)).cast("long").as("cnt"))
+        .withColumn("cum", sum("cnt").over(byMetric.orderBy("v")))
+        .withColumn("nd", sum("cnt").over(byMetric))
+      def q(p: Double, alias: String) =
+        min(when(col("cum") >= ceil(lit(p) * col("nd")).cast("long"), col("v")))
+          .cast("long").as(alias)
+      t.groupBy("metric")
+        .agg(max("nd").cast("long").as("n_sessions"),
+          q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99"),
+          max("v").cast("long").as("max_v"))
+        .orderBy("metric")
+    }
+  }
+
+  /** Benford's-law first-digit audit of the purchase values — the
+    * classic fabricated-numbers screen (Benford 1938; invented amounts
+    * cluster in mid digits, organic multi-scale amounts decay as
+    * log10(1+1/d)): per digit 1-9, observed share vs the Benford
+    * expectation with a binomial z-score and |z| > 3 flag. On THIS feed
+    * the values are organically log-spread and CONFORM (spec-pinned) —
+    * the baseline a fraud monitor alarms against. Sub-1 values carry no
+    * leading digit and are excluded from the denominator (published in
+    * n_subunit, no silent drop).
+    *
+    * Determinism: the 9 Benford constants are Scala-computed literals
+    * emitted into BOTH dialects (no cross-engine log10); digit counts
+    * are exact; z is one shared double expression over already-rounded
+    * values. Scale: one feed scan → 9-row digit histogram; everything
+    * after is on that frame. */
+  val auditValueBenford: Q = {
+    val benford: Seq[(Int, String)] = (1 to 9).map { dd =>
+      dd -> BigDecimal(math.log10(1.0 + 1.0 / dd))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+    }
+    val duckBenford = benford.map { case (dd, p) => s"($dd, $p)" }.mkString(", ")
+    val zF = "round((obs_share - benford_share) * sqrt(1.0 * n_total) " +
+      "/ sqrt(benford_share * (1 - benford_share)), 4)"
+    Q.sql(
+      "audit_value_benford",
+      auditCte + s""", pv AS (
+        |  SELECT val FROM audit WHERE val IS NOT NULL),
+        |tot AS (
+        |  SELECT CAST(count(CASE WHEN val >= 1 THEN 1 END) AS BIGINT) AS n_total,
+        |    CAST(count(CASE WHEN val < 1 THEN 1 END) AS BIGINT) AS n_subunit
+        |  FROM pv),
+        |dg AS (
+        |  SELECT CAST(left(CAST(CAST(floor(val) AS BIGINT) AS VARCHAR), 1) AS INT)
+        |      AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM pv WHERE val >= 1 GROUP BY 1),
+        |bf(digit, benford_share) AS (VALUES $duckBenford),
+        |g AS (
+        |  SELECT bf.digit, coalesce(dg.n, 0) AS n,
+        |    CAST(bf.benford_share AS DOUBLE) AS benford_share, n_total, n_subunit
+        |  FROM bf LEFT JOIN dg ON bf.digit = dg.digit CROSS JOIN tot),
+        |x AS (
+        |  SELECT digit, n, n_total, n_subunit, benford_share,
+        |    round(1.0 * n / n_total, 6) AS obs_share
+        |  FROM g)
+        |SELECT digit, n, n_total, n_subunit, obs_share, benford_share,
+        |  $zF AS z,
+        |  CASE WHEN abs($zF) > 3 THEN 1 ELSE 0 END AS flagged
+        |FROM x ORDER BY digit""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val pv = log(s, d)
+        .withColumn("val", when(col("event_type") === "purchase", col("value")))
+        .filter(col("val").isNotNull)
+      val tot = pv.agg(
+        count(when(col("val") >= 1, 1)).cast("long").as("n_total"),
+        count(when(col("val") < 1, 1)).cast("long").as("n_subunit"))
+      val dg = pv.filter(col("val") >= 1)
+        .groupBy(expr("CAST(substring(CAST(CAST(floor(val) AS BIGINT) AS STRING), 1, 1) AS INT)")
+          .as("digit"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val bf = benford.map { case (dd, p) => (dd, p.toDouble) }
+        .toDF("digit", "benford_share")
+      bf.join(dg, Seq("digit"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("obs_share", round(lit(1.0) * col("n") / col("n_total"), 6))
+        .selectExpr("digit", "n", "n_total", "n_subunit", "obs_share",
+          "benford_share", s"$zF AS z",
+          s"CASE WHEN abs($zF) > 3 THEN 1 ELSE 0 END AS flagged")
+        .orderBy("digit")
+    }
+  }
+
   /** Entity growth accounting per ISO-ish week: new entities (first
     * change that week), churned entities (last change that week), and
     * the net active base carried forward — the subscriber-ledger view
@@ -2703,5 +2859,5 @@ object AuditQueries {
     auditDowProfile, auditPayloadBytes, auditEwmaVolume,
     auditVolumeAutocorr, auditMergeUpsert, auditLifecyclePaths,
     auditVolumeMad, auditCusum, auditActorProfile, auditSeasonalAdjust,
-    auditEntityChurn)
+    auditEntityChurn, auditValueBenford, auditSessionQuantiles)
 }

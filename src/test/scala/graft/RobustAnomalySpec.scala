@@ -167,4 +167,45 @@ class RobustAnomalySpec extends AnyFunSuite {
     // the ledger drains: by the horizon every entity's history has ended
     assert(rows.last.getAs[Long]("active_eow") === 0L)
   }
+
+  test("audit_value_benford: shares and z replay; this organic feed conforms") {
+    val rows = AuditQueries.auditValueBenford.fn(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq === (1 to 9).toSeq)
+    val nTotal = rows.head.getAs[Long]("n_total")
+    assert(rows.map(_.getAs[Long]("n")).sum === nTotal, "digit histogram partitions")
+    // Benford reference mass sums to 1 (log10 telescoping)
+    assert(math.abs(rows.map(_.getAs[Double]("benford_share")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      val obs = r.getAs[Double]("obs_share")
+      assert(math.abs(obs - r.getAs[Long]("n").toDouble / nTotal) < 1e-5)
+      val bs = r.getAs[Double]("benford_share")
+      val z = (obs - bs) * math.sqrt(nTotal.toDouble) / math.sqrt(bs * (1 - bs))
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-3)
+      assert((r.getAs[Int]("flagged") == 1) === (math.abs(r.getAs[Double]("z")) > 3))
+    }
+    // pinned honest verdict: the synthetic purchase amounts are
+    // log-spread enough to CONFORM — the clean baseline a fraud monitor
+    // alarms against
+    assert(rows.forall(_.getAs[Int]("flagged") == 0))
+  }
+
+  test("audit_session_quantiles: reconciles with audit_sessionize's sessions") {
+    val rows = AuditQueries.auditSessionQuantiles.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sessions = AuditQueries.auditSessionize.fn(spark, sf).collect()
+    assert(rows("n_events").getAs[Long]("n_sessions") === sessions.length.toLong)
+    assert(rows("duration_s").getAs[Long]("n_sessions") === sessions.length.toLong)
+    // exact quantile replay on the events-per-session metric
+    val counts = sessions.map(_.getAs[Long]("n_events")).sorted
+    def q(p: Double) = counts(math.ceil(p * counts.length).toInt - 1)
+    assert(rows("n_events").getAs[Long]("p50") === q(0.5))
+    assert(rows("n_events").getAs[Long]("p90") === q(0.9))
+    assert(rows("n_events").getAs[Long]("p99") === q(0.99))
+    assert(rows("n_events").getAs[Long]("max_v") === counts.max)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("p50") <= r.getAs[Long]("p90"))
+      assert(r.getAs[Long]("p90") <= r.getAs[Long]("p99"))
+      assert(r.getAs[Long]("p99") <= r.getAs[Long]("max_v"))
+    }
+  }
 }
