@@ -83,9 +83,10 @@ object EventAnalytics {
     * only ever SHRINKS (150 → 39 → 16 → 5 at sf0.01). The final report is
     * four single-row aggregates unioned, with conversion ratios from a
     * window over those 4 rows. */
-  val eventFunnel: Q = Q.sql(
-    "event_funnel",
-    """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+  /** The 24h-windowed ordered funnel stages (s1..s4) — single oracle-side
+    * definition shared by event_funnel and event_stage_latency. */
+  private val funnelStageCtesSql: String =
+    """s1 AS (SELECT user_id, min(ts) AS t FROM events
       |            WHERE event_type = 'signup' GROUP BY 1),
       |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
       |       JOIN s1 ON e.user_id = s1.user_id
@@ -98,18 +99,11 @@ object EventAnalytics {
       |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
       |       JOIN s3 ON e.user_id = s3.user_id
       |       WHERE e.event_type = 'purchase' AND e.ts > s3.t
-      |         AND e.ts <= s3.t + INTERVAL 24 HOUR GROUP BY 1),
-      |u AS (
-      |  SELECT 1 AS step, 'signup' AS stage, count(*) AS n_users FROM s1
-      |  UNION ALL SELECT 2, 'view', count(*) FROM s2
-      |  UNION ALL SELECT 3, 'click', count(*) FROM s3
-      |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
-      |SELECT step, stage, n_users,
-      |  round(CAST(n_users AS DOUBLE)
-      |    / lag(n_users) OVER (ORDER BY step), 4) AS conv_prev,
-      |  round(CAST(n_users AS DOUBLE)
-      |    / first_value(n_users) OVER (ORDER BY step), 4) AS conv_total
-      |FROM u ORDER BY step""".stripMargin) { (s, d) =>
+      |         AND e.ts <= s3.t + INTERVAL 24 HOUR GROUP BY 1)""".stripMargin
+
+  /** Spark twin of [[funnelStageCtesSql]]: the per-stage first-conversion
+    * frames, in funnel order. */
+  private def funnelStages(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
     val e = ev(s, d).select("user_id", "event_type", "ts")
     val win = expr("INTERVAL 24 HOURS")
     def stage(prev: DataFrame, etype: String): DataFrame =
@@ -122,6 +116,25 @@ object EventAnalytics {
     val s2 = stage(s1, "view")
     val s3 = stage(s2, "click")
     val s4 = stage(s3, "purchase")
+    Seq("signup" -> s1, "view" -> s2, "click" -> s3, "purchase" -> s4)
+  }
+
+  val eventFunnel: Q = Q.sql(
+    "event_funnel",
+    s"""WITH $funnelStageCtesSql,
+      |u AS (
+      |  SELECT 1 AS step, 'signup' AS stage, count(*) AS n_users FROM s1
+      |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+      |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+      |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+      |SELECT step, stage, n_users,
+      |  round(CAST(n_users AS DOUBLE)
+      |    / lag(n_users) OVER (ORDER BY step), 4) AS conv_prev,
+      |  round(CAST(n_users AS DOUBLE)
+      |    / first_value(n_users) OVER (ORDER BY step), 4) AS conv_total
+      |FROM u ORDER BY step""".stripMargin) { (s, d) =>
+    val Seq(("signup", s1), ("view", s2), ("click", s3), ("purchase", s4)) =
+      funnelStages(s, d)
     def cnt(df: DataFrame, step: Int, name: String): DataFrame =
       df.agg(count(lit(1)).as("n_users"))
         .select(lit(step).as("step"), lit(name).as("stage"), col("n_users"))
@@ -623,7 +636,80 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Funnel transition-latency quantiles: per adjacent stage pair of the
+    * LIVE event_funnel machinery, the p50/p90/max minutes a converting
+    * user takes — the time dimension the funnel's conversion COUNTS
+    * hide (a stage can convert 90% of users but stall them for hours;
+    * SLA and nudge timing read this table, not conv_prev). Composed
+    * from the shared stage frames, so a converted user here is exactly
+    * a converted user there.
+    *
+    * Exactness: the 24 h stage window bounds latency to ≤ 1440 whole
+    * minutes, so quantiles are cumulative-rank picks on the (transition,
+    * minute) histogram — token_length_quantiles' domain-boundedness,
+    * handed here by the funnel's own window rule.
+    *
+    * Scale: stage frames are user-keyed aggregates on one exchange
+    * family; the per-transition join is user-to-user; histogram ≤
+    * 3×1441 cells. */
+  val eventStageLatency: Q = {
+    def qSel(p: String, alias: String) =
+      s"CAST(min(CASE WHEN cum >= CAST(ceil($p * nd) AS BIGINT) THEN v END) AS BIGINT) AS $alias"
+    Q.sql(
+      "event_stage_latency",
+      s"""WITH $funnelStageCtesSql,
+        |pairs AS (
+        |  SELECT 2 AS step, 'signup>view' AS transition,
+        |    (CAST(floor(epoch(s2.t)) AS BIGINT)
+        |      - CAST(floor(epoch(s1.t)) AS BIGINT)) // 60 AS v
+        |  FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+        |  UNION ALL
+        |  SELECT 3, 'view>click',
+        |    (CAST(floor(epoch(s3.t)) AS BIGINT)
+        |      - CAST(floor(epoch(s2.t)) AS BIGINT)) // 60
+        |  FROM s3 JOIN s2 ON s3.user_id = s2.user_id
+        |  UNION ALL
+        |  SELECT 4, 'click>purchase',
+        |    (CAST(floor(epoch(s4.t)) AS BIGINT)
+        |      - CAST(floor(epoch(s3.t)) AS BIGINT)) // 60
+        |  FROM s4 JOIN s3 ON s4.user_id = s3.user_id),
+        |h AS (SELECT step, transition, v, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM pairs GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT step, transition, v, cnt,
+        |    sum(cnt) OVER (PARTITION BY step ORDER BY v) AS cum,
+        |    sum(cnt) OVER (PARTITION BY step) AS nd
+        |  FROM h)
+        |SELECT step, transition, CAST(max(nd) AS BIGINT) AS n_converted,
+        |  ${qSel("0.5", "p50_min")}, ${qSel("0.9", "p90_min")},
+        |  CAST(max(v) AS BIGINT) AS max_min
+        |FROM t GROUP BY step, transition ORDER BY step""".stripMargin) { (s, d) =>
+      val stages = funnelStages(s, d)
+      def leg(step: Int, name: String, to: DataFrame, from: DataFrame): DataFrame =
+        to.select(col("user_id"), col("t").as("t_to"))
+          .join(from.select(col("user_id"), col("t").as("t_from")), Seq("user_id"))
+          .select(lit(step).as("step"), lit(name).as("transition"),
+            expr("(unix_timestamp(t_to) - unix_timestamp(t_from)) div 60").as("v"))
+      val pairs = leg(2, "signup>view", stages(1)._2, stages(0)._2)
+        .unionByName(leg(3, "view>click", stages(2)._2, stages(1)._2))
+        .unionByName(leg(4, "click>purchase", stages(3)._2, stages(2)._2))
+      val byStep = Window.partitionBy("step")
+      val t = pairs.groupBy("step", "transition", "v")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .withColumn("cum", sum("cnt").over(byStep.orderBy("v")))
+        .withColumn("nd", sum("cnt").over(byStep))
+      def q(p: Double, alias: String) =
+        min(when(col("cum") >= ceil(lit(p) * col("nd")).cast("long"), col("v")))
+          .cast("long").as(alias)
+      t.groupBy("step", "transition")
+        .agg(max("nd").cast("long").as("n_converted"),
+          q(0.5, "p50_min"), q(0.9, "p90_min"),
+          max("v").cast("long").as("max_min"))
+        .orderBy("step")
+    }
+  }
+
   val all: Seq[Q] = Seq(eventRetention, eventFunnel, eventPaths,
     eventAttribution, eventCooccurrence, eventLtv, eventMarkov, eventGini,
-    eventDauWau)
+    eventDauWau, eventStageLatency)
 }

@@ -345,4 +345,21 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // so wau == dau is the CORRECT output there — the exact per-day
     // recount above is the real verification)
   }
+
+  test("event_stage_latency: converted counts match the funnel; latencies respect " +
+    "the 24h stage window") {
+    val lat = EventAnalytics.eventStageLatency.fn(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    val funnel = EventAnalytics.eventFunnel.fn(spark, sf).collect()
+      .map(r => r.getAs[Int]("step") -> r.getAs[Long]("n_users")).toMap
+    assert(lat.nonEmpty)
+    lat.foreach { r =>
+      // the latency table's population IS the funnel's converted set
+      assert(r.getAs[Long]("n_converted") === funnel(r.getInt(0)), s"step ${r.getInt(0)}")
+      val (p50, p90, mx) = (r.getAs[Long]("p50_min"),
+        r.getAs[Long]("p90_min"), r.getAs[Long]("max_min"))
+      assert(p50 >= 0 && p50 <= p90 && p90 <= mx)
+      assert(mx <= 1440, "stage window bounds latency to 24h of minutes")
+    }
+  }
 }
