@@ -476,6 +476,62 @@ object TextOps {
     * Shape: the label engine's output collapses to (component, sz) —
     * |components| rows — then to ≤ |distinct sizes| rows; both groupBys
     * partial-aggregate, nothing rejoins the corpus. */
+  /** Token-inflation bill of near-duplication, per source: the share of
+    * a source's token mass sitting in NON-ROOT members of dedup
+    * components — tokens a training run pays for again without new
+    * information (the compute-waste number that justifies running dedup
+    * at all, and the per-source breakdown says WHERE the waste enters
+    * the pipeline). Composed from the live component labels (root =
+    * min-doc label), so "duplicate" here is exactly what
+    * dedup_components would drop.
+    *
+    * Scale: component labels join the doc token counts doc-to-doc (one
+    * equi-join of two corpus-scaling sides, un-hinted); the rollup is a
+    * partial-agg groupBy bounded at |sources|, 1-row total broadcast. */
+  val dedupTokenInflation: Q = Q.sql(
+    "dedup_token_inflation",
+    s"""WITH RECURSIVE $componentsCtesSql,
+       |tok AS (SELECT doc_id, source, len(str_split(text, ' ')) AS n_tok
+       |        FROM documents),
+       |jti AS (SELECT tok.source, tok.n_tok,
+       |        CASE WHEN comp.doc_id <> comp.component THEN 1 ELSE 0 END AS is_dup
+       |      FROM tok JOIN comp ON tok.doc_id = comp.doc_id),
+       |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+       |        CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |        CAST(sum(CASE WHEN is_dup = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+       |          AS dup_tokens
+       |      FROM jti GROUP BY 1),
+       |t AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS corpus_tokens,
+       |        CAST(sum(dup_tokens) AS BIGINT) AS corpus_dup FROM g)
+       |SELECT source, n_docs, n_dup_docs, total_tokens, dup_tokens,
+       |  round(1.0 * dup_tokens / total_tokens, 4) AS inflation,
+       |  round(1.0 * corpus_dup / corpus_tokens, 4) AS corpus_inflation
+       |FROM g CROSS JOIN t ORDER BY source""".stripMargin) { (s, d) =>
+    val tok = docs(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tok"))
+    val j = tok.join(componentLabels(s, d), Seq("doc_id"))
+      .withColumn("is_dup",
+        when(col("doc_id") =!= col("component"), 1).otherwise(0))
+    val g = j.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("is_dup").cast("long").as("n_dup_docs"),
+        sum("n_tok").cast("long").as("total_tokens"),
+        sum(when(col("is_dup") === 1, col("n_tok")).otherwise(0)).cast("long")
+          .as("dup_tokens"))
+    val t = g.agg(sum("total_tokens").cast("long").as("corpus_tokens"),
+      sum("dup_tokens").cast("long").as("corpus_dup"))
+    g.crossJoin(broadcast(t))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("total_tokens"), col("dup_tokens"),
+        round(lit(1.0) * col("dup_tokens") / col("total_tokens"), 4)
+          .as("inflation"),
+        round(lit(1.0) * col("corpus_dup") / col("corpus_tokens"), 4)
+          .as("corpus_inflation"))
+      .orderBy("source")
+  }
+
   val dedupClusterStats: Q = Q.sql(
     "dedup_cluster_stats",
     s"""WITH RECURSIVE $componentsCtesSql,
@@ -1402,5 +1458,5 @@ object TextOps {
     dedupLshCurve, decontaminateFuzzy, dedupPlaneAgreement, langId,
     langIdMetrics, textQuality, textEntropy, tokenCount, docFingerprint,
     samplePerSource, tokenRegex, docLangOutliers, dedupThresholdCurve,
-    dedupClusterStats, dedupSourceMatrix)
+    dedupClusterStats, dedupSourceMatrix, dedupTokenInflation)
 }

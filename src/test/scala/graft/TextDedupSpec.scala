@@ -238,4 +238,24 @@ class TextDedupSpec extends AnyFunSuite {
     // positive control: this corpus has real cross-source duplication
     assert(matrix.exists(r => r.getString(0) != r.getString(1)))
   }
+
+  test("dedup_token_inflation: dup accounting reconciles with the component labels") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.text.TextOps.dedupTokenInflation.fn(spark, sf).collect()
+    val comp = graft.text.TextOps.dedupComponents.fn(spark, sf).collect()
+    val expDups = comp.count(r => r.getLong(0) != r.getAs[Long]("component"))
+    assert(rows.map(_.getAs[Long]("n_dup_docs")).sum === expDups.toLong)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === comp.length.toLong)
+    val corpusTok = rows.map(_.getAs[Long]("total_tokens")).sum
+    val corpusDup = rows.map(_.getAs[Long]("dup_tokens")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_tokens") <= r.getAs[Long]("total_tokens"))
+      assert(math.abs(r.getAs[Double]("inflation")
+        - r.getAs[Long]("dup_tokens").toDouble / r.getAs[Long]("total_tokens")) < 1e-3)
+      assert(math.abs(r.getAs[Double]("corpus_inflation")
+        - corpusDup.toDouble / corpusTok) < 1e-3)
+    }
+    // positive control: the dup bill is real money on this corpus
+    assert(corpusDup > 0)
+  }
 }
