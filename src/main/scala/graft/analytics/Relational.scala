@@ -1222,6 +1222,70 @@ object Relational {
       .orderBy("yr", "rnk")
   }
 
+  /** Customer spend-band migration matrix: per adjacent year pair, how
+    * many customers moved between the low/mid/high yearly-spend bands —
+    * including churn (band → none) and (re)activation (none → band) —
+    * the lifecycle flow a single-year segmentation can't see (two equal
+    * snapshots can hide a full churn-and-replace). Bands are FIXED
+    * revenue cutoffs (300k/650k, straddling this corpus's quartiles):
+    * scale-free, engine-exact, and stable across years — an empirical
+    * per-year tercile would re-define the segments every year and read
+    * as migration when only the boundary moved.
+    *
+    * Scale: (customer, year) revenue is one orderkey-side partial agg;
+    * the adjacent-year alignment is a full-outer equi-join of that frame
+    * with itself on (customer, year+1) — same exchange family; the
+    * matrix is ≤ |years|×4×4 rows. No window touches a per-customer
+    * row. */
+  val qCustomerMigration: Q = Q.sql(
+    "q_customer_migration",
+    s"""WITH cy AS (
+      |  SELECT o_custkey AS cust, CAST(year(o_orderdate) AS INT) AS yr,
+      |    ${Det.dsumRoundSql("o_totalprice", 2)} AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |seg AS (
+      |  SELECT cust, yr,
+      |    CASE WHEN rev < 300000 THEN 'low'
+      |         WHEN rev < 650000 THEN 'mid' ELSE 'high' END AS band
+      |  FROM cy),
+      |b AS (SELECT min(yr) AS y0, max(yr) AS y1 FROM seg),
+      |m AS (
+      |  SELECT coalesce(a.yr, nx.yr - 1) AS yr,
+      |    coalesce(a.band, 'none') AS band_from,
+      |    coalesce(nx.band, 'none') AS band_to,
+      |    CAST(count(*) AS BIGINT) AS n_customers
+      |  FROM seg a
+      |  FULL OUTER JOIN (SELECT cust, yr, band FROM seg) nx
+      |    ON a.cust = nx.cust AND nx.yr = a.yr + 1
+      |  CROSS JOIN b
+      |  WHERE coalesce(a.yr, nx.yr - 1) >= y0
+      |    AND coalesce(a.yr, nx.yr - 1) < y1
+      |  GROUP BY 1, 2, 3)
+      |SELECT yr, band_from, band_to, n_customers
+      |FROM m ORDER BY yr, band_from, band_to""".stripMargin) { (s, d) =>
+    val seg = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("cust"),
+        year(col("o_orderdate")).cast("int").as("yr"))
+      .agg(Det.dsumRound(col("o_totalprice"), 2).as("rev"))
+      .withColumn("band",
+        when(col("rev") < 300000, "low")
+          .when(col("rev") < 650000, "mid").otherwise("high"))
+      .select("cust", "yr", "band")
+    val b = seg.agg(min("yr").as("y0"), max("yr").as("y1"))
+    val nx = seg.select(col("cust").as("ncust"), col("yr").as("nyr"),
+      col("band").as("nband"))
+    seg.join(nx, col("cust") === col("ncust") && col("nyr") === col("yr") + 1,
+        "full_outer")
+      .crossJoin(broadcast(b))
+      .withColumn("eff_yr", coalesce(col("yr"), col("nyr") - 1))
+      .filter(col("eff_yr") >= col("y0") && col("eff_yr") < col("y1"))
+      .groupBy(col("eff_yr").as("yr"),
+        coalesce(col("band"), lit("none")).as("band_from"),
+        coalesce(col("nband"), lit("none")).as("band_to"))
+      .agg(count(lit(1)).cast("long").as("n_customers"))
+      .orderBy("yr", "band_from", "band_to")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
@@ -1230,5 +1294,5 @@ object Relational {
     qPromoShare, qSmallQuantity, qDisjunctive, qCubeVolume, qTopSupplier,
     qReturnedCustomers, qNationProfit, qSupplierWait, qOrderGap,
     qRevenueMa7, qShipPriority, qSkewProbe, qOrdersBacklog, qSupplierHhi,
-    qBrandRankShift)
+    qBrandRankShift, qCustomerMigration)
 }

@@ -346,4 +346,27 @@ class EvalOpsSpec extends AnyFunSuite {
     // positive control: the market genuinely reshuffles year to year
     assert(rows.exists(_.getAs[Int]("mover") == 1))
   }
+
+  test("q_customer_migration: flows conserve the active populations on both ends") {
+    val rows = Relational.qCustomerMigration.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cy = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr")).count()
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val activeByYear = cy.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val years = rows.map(_.getInt(0)).distinct.sorted
+    assert(years.last === activeByYear.keys.max - 1, "matrix stops before the last year")
+    years.foreach { y =>
+      val g = rows.filter(_.getInt(0) == y)
+      val fromMass = g.filter(_.getString(1) != "none").map(_.getAs[Long]("n_customers")).sum
+      assert(fromMass === activeByYear(y), s"$y outflow")
+      val toMass = g.filter(_.getString(2) != "none").map(_.getAs[Long]("n_customers")).sum
+      assert(toMass === activeByYear(y + 1), s"$y inflow")
+      // no none->none cell: customers inactive on both ends are not a flow
+      assert(!g.exists(r => r.getString(1) == "none" && r.getString(2) == "none"))
+    }
+    // positive control: churn and reactivation both genuinely occur
+    assert(rows.exists(r => r.getString(1) != "none" && r.getString(2) == "none"))
+    assert(rows.exists(r => r.getString(1) == "none" && r.getString(2) != "none"))
+  }
 }
