@@ -1286,6 +1286,48 @@ object Relational {
       .orderBy("yr", "band_from", "band_to")
   }
 
+  /** Promotion-effectiveness table: per discount level, line volume, mean
+    * quantity, revenue — and the mean-quantity LIFT over the
+    * zero-discount baseline, the first-order "do discounts move volume"
+    * answer (q6_forecast prices a discount change; this measures the
+    * demand response the pricing decision assumes). Discount is a small
+    * discrete grid in this schema, so the table is exact, not banded.
+    *
+    * Determinism: quantity/revenue ride exact DECIMAL sums; mean qty is
+    * a rounded quotient of the exact sum by the integer count; lift
+    * divides two already-published means. Scale: ONE fact scan →
+    * ≤ |discount levels| partial agg; the baseline row is a 1-row
+    * broadcast back onto that bounded frame. */
+  val qDiscountImpact: Q = Q.sql(
+    "q_discount_impact",
+    s"""WITH g AS (
+      |  SELECT round(l_discount, 2) AS discount,
+      |    CAST(count(*) AS BIGINT) AS n_lines,
+      |    ${Det.dsumSql("l_quantity")} AS sum_qty,
+      |    ${Det.dsumRoundSql("l_extendedprice * (1 - l_discount)", 2)} AS revenue
+      |  FROM lineitem GROUP BY 1),
+      |x AS (SELECT discount, n_lines, revenue,
+      |        round(sum_qty / n_lines, 4) AS avg_qty
+      |      FROM g),
+      |base AS (SELECT avg_qty AS base_qty FROM x WHERE discount = 0.0)
+      |SELECT discount, n_lines, avg_qty, revenue,
+      |  round(avg_qty / base_qty, 4) AS qty_lift
+      |FROM x CROSS JOIN base ORDER BY discount""".stripMargin) { (s, d) =>
+    val g = li(s, d)
+      .groupBy(round(col("l_discount"), 2).as("discount"))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .as("revenue"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("n_lines"), 4))
+    val base = g.filter(col("discount") === 0.0)
+      .select(col("avg_qty").as("base_qty"))
+    g.crossJoin(broadcast(base))
+      .select(col("discount"), col("n_lines"), col("avg_qty"), col("revenue"),
+        round(col("avg_qty") / col("base_qty"), 4).as("qty_lift"))
+      .orderBy("discount")
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
@@ -1294,5 +1336,5 @@ object Relational {
     qPromoShare, qSmallQuantity, qDisjunctive, qCubeVolume, qTopSupplier,
     qReturnedCustomers, qNationProfit, qSupplierWait, qOrderGap,
     qRevenueMa7, qShipPriority, qSkewProbe, qOrdersBacklog, qSupplierHhi,
-    qBrandRankShift, qCustomerMigration)
+    qBrandRankShift, qCustomerMigration, qDiscountImpact)
 }

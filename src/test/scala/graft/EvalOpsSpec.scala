@@ -369,4 +369,23 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getString(1) != "none" && r.getString(2) == "none"))
     assert(rows.exists(r => r.getString(1) == "none" && r.getString(2) != "none"))
   }
+
+  test("q_discount_impact: means and lifts replay from a direct recount") {
+    val rows = Relational.qDiscountImpact.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(round(col("l_discount"), 2).as("d"), col("l_quantity"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val base = rows.find(_.getDouble(0) == 0.0).get.getAs[Double]("avg_qty")
+    rows.foreach { r =>
+      val g = li.filter(_._1 == r.getDouble(0))
+      assert(r.getAs[Long]("n_lines") === g.length.toLong)
+      val mean = BigDecimal(g.map(x => BigDecimal(x._2)).sum / g.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("avg_qty") - mean) < 1e-3)
+      assert(math.abs(r.getAs[Double]("qty_lift") - r.getAs[Double]("avg_qty") / base) < 1e-3)
+    }
+    // totals partition the fact table
+    assert(rows.map(_.getAs[Long]("n_lines")).sum === li.length.toLong)
+  }
 }
