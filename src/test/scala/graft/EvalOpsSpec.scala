@@ -380,7 +380,7 @@ class EvalOpsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val g = li.filter(_._1 == r.getDouble(0))
       assert(r.getAs[Long]("n_lines") === g.length.toLong)
-      val mean = BigDecimal(g.map(x => BigDecimal(x._2)).sum / g.length)
+      val mean = (g.map(x => BigDecimal(x._2)).sum / g.length)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(math.abs(r.getAs[Double]("avg_qty") - mean) < 1e-3)
       assert(math.abs(r.getAs[Double]("qty_lift") - r.getAs[Double]("avg_qty") / base) < 1e-3)
