@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions.call_function
 
 import graft.audit.{ArrayBucket, ArrayFloorSearch}
 import graft.text.{MinHashSig, WordShingles}
-import graft.vector.{CosineSimilarity, L2Squared}
+import graft.vector.{CosineSimilarity, L2Squared, VecSumDec}
 
 /** Engine extension surface.
   *
@@ -62,7 +62,10 @@ object GraftFunctions {
       ((exprs: Seq[Expression]) => L2Squared(exprs(0), exprs(1))): Builder),
     (FunctionIdentifier("graft_array_bucket"),
       new ExpressionInfo(classOf[ArrayBucket].getName, "graft_array_bucket"),
-      ((exprs: Seq[Expression]) => ArrayBucket(exprs(0), exprs(1))): Builder))
+      ((exprs: Seq[Expression]) => ArrayBucket(exprs(0), exprs(1))): Builder),
+    (FunctionIdentifier("graft_vec_sum"),
+      new ExpressionInfo(classOf[VecSumDec].getName, "graft_vec_sum"),
+      ((exprs: Seq[Expression]) => VecSumDec(exprs(0))): Builder))
 
   /** Idempotent runtime registration for externally-built sessions. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -54,29 +54,24 @@ object Pca {
                  (acc, t) -> cast(acc + t as decimal(28,12)))"""))
       .withColumn("s", round(col("sdec"), 6).cast("double"))
 
-  /** One power-iteration round: centered corpus × current direction →
-    * un-normalized next direction y (|dims| rows). One corpus scan, one
-    * |dims|-bounded shuffle. */
-  private def powerRound(cent: DataFrame, pArr: DataFrame): DataFrame =
+  /** One fused power-iteration round: centered corpus × current direction
+    * → normalized next direction, as ONE vector-level aggregation
+    * (graft_vec_sum of the per-row c·s term vectors — exact decimal, so
+    * order-free and bit-identical to the former posexplode +
+    * groupBy(dim) + collect_list shape) followed by in-row array math on
+    * the 1-row result: y = round(Σ, 6) per dim, q = Σy² in exact decimal,
+    * p = round(y/√q, 6) in DOUBLE. One exchange per round instead of two,
+    * and no per-(vector, dim) row ever exists. */
+  private def nextDirection(cent: DataFrame, pArr: DataFrame): DataFrame =
     withProjection(cent, pArr)
-      .select(col("s"), posexplode(col("c")).as(Seq("pos", "cv")))
-      .select((col("pos") + 1).cast("long").as("dim"),
-        (col("cv") * col("s")).cast("decimal(28,12)").as("t"))
-      .groupBy("dim")
-      .agg(round(sum(col("t")), 6).cast("double").as("y"))
-
-  /** y → unit-ish direction rounded to scale 6, as a 1-row array frame
-    * (the broadcast side of the next round). ONE aggregation computes the
-    * sorted y-array AND ‖y‖² together, then normalizes inside a transform
-    * lambda — no separate norm frame, no crossJoin broadcast hop (each
-    * eliminated hop was a whole scheduled job in the iterate chain, and at
-    * 2 000 vectors the chain's job count IS the operator's cost). Same
-    * arithmetic as the two-frame version: round(y / sqrt(q), 6) in DOUBLE. */
-  private def normalized(y: DataFrame): DataFrame =
-    y.agg(
-      expr("transform(array_sort(collect_list(struct(dim, y))), t -> t.y)")
-        .as("y_arr"),
-      sum((col("y") * col("y")).cast("decimal(28,12)")).cast("double").as("q"))
+      .agg(expr("graft_vec_sum(transform(c, cv -> cast(cv * s as decimal(28,12))))")
+        .as("ys"))
+      .select(expr("transform(ys, v -> cast(round(v, 6) as double))").as("y_arr"))
+      .select(col("y_arr"),
+        expr("""cast(aggregate(
+                 transform(y_arr, y -> cast(y * y as decimal(28,12))),
+                 cast(0 as decimal(38,12)),
+                 (acc, t) -> cast(acc + t as decimal(38,12))) as double)""").as("q"))
       .select(expr("transform(y_arr, v -> round(v / sqrt(q), 6))").as("p_arr"))
 
   /** Power-iterate `rounds` times over a persisted centered corpus and
@@ -85,7 +80,14 @@ object Pca {
   private def topComponent(cent: DataFrame, seed: DataFrame,
       rounds: Int): (DataFrame, DataFrame, DataFrame) = {
     var pArr = seed
-    for (_ <- 1 to rounds) pArr = normalized(powerRound(cent, pArr))
+    // each round's direction is a 1-row frame consumed by several later
+    // stages (next round, Rayleigh pass, deflation, ortho audit, final
+    // join) — persist it so each consumer reads the cached row instead of
+    // re-executing the whole earlier iterate chain (measured 6.8 → ~2 s
+    // on emb_pca2 at sf0.1: the chain re-execution WAS the operator cost)
+    for (_ <- 1 to rounds)
+      pArr = nextDirection(cent, pArr)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     // the published loadings ARE the final direction array — explode it
     // back to (dim, loading) rows instead of re-deriving y/√q (zero extra
     // passes; values identical by construction)
@@ -158,14 +160,18 @@ object Pca {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e0 = emb(s, d).select(col("vec_id"),
       expr("transform(embedding, x -> round(cast(x as double), 6))").as("v"))
-    val mu = e0.select(posexplode(col("v")).as(Seq("pos", "x")))
-      .select((col("pos") + 1).cast("long").as("dim"), col("x"))
-      .groupBy("dim")
-      .agg(round(sum(col("x").cast("decimal(18,6)")).cast("double")
-        / count(lit(1)), 6).as("m"))
-    val muArr = mu
-      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), t -> t.m)")
+    // per-dim means as ONE vector-level aggregate (exact decimal sums —
+    // bit-identical to the former posexplode + groupBy(dim) shape); the
+    // (dim, m) frame for the published output is exploded from the 1-row
+    // array, not re-aggregated
+    val muArr = e0.agg(
+      expr("graft_vec_sum(transform(v, x -> cast(x as decimal(18,6))))").as("sv"),
+      count(lit(1)).as("nv"))
+      .select(expr("transform(sv, x -> round(cast(x as double) / nv, 6))")
         .as("mu_arr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mu = muArr.select(posexplode(col("mu_arr")).as(Seq("pos", "m")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("m"))
     // centered, text-free corpus: |dims| doubles per row, read by the
     // variance pass + every power round — spill-safe persist
     val cent = e0.crossJoin(broadcast(muArr))

@@ -53,13 +53,18 @@ object Similarity {
       |             PARTITION BY vec_id, m ORDER BY dist, clabel) AS rn FROM ad)
       |         WHERE rn = 1)""".stripMargin
 
-  /** Spark twin of `cent`: decimal-exact per-label centroids. */
+  /** Spark twin of `cent`: decimal-exact per-label centroids. One
+    * vector-level partial aggregate (graft_vec_sum) — no per-dim row is
+    * ever exploded or shuffled; per-dim values are bit-identical to the
+    * former posexplode + groupBy(label, dim) shape (exact decimal sums,
+    * same double division). */
   private def labelCentroids(e: DataFrame): DataFrame = e
-    .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-    .groupBy(col("label").as("clabel"), col("pos"))
-    .agg((Det.dsum9(col("v").cast("double")) / count(lit(1))).as("c"))
-    .groupBy("clabel")
-    .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+    .groupBy(col("label").as("clabel"))
+    .agg(
+      expr("graft_vec_sum(transform(embedding, x -> cast(cast(x as double) as decimal(28,9))))")
+        .as("sv"),
+      count(lit(1)).as("n"))
+    .select(col("clabel"), expr("transform(sv, x -> cast(x as double) / n)").as("cv"))
 
   /** Full-vector centroid-distance ranks CTEs (ad, ar) on top of
     * [[centCtesSql]] — rn = 1 is the IVF cell assignment; rn ≤ p is the
@@ -368,12 +373,18 @@ object Similarity {
       |        generate_subscripts(embedding, 1) AS dim
       |      FROM embeddings)
       |GROUP BY label, dim ORDER BY label, dim""".stripMargin) { (s, d) =>
+    // vector-level mergeable sum, exploded to (label, dim) rows only AFTER
+    // the aggregate — the exchange carries |labels| buffers, not
+    // |labels|×|dims| rows; values bit-identical to the per-dim shape
     Tables.embeddings(s, d)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label")
+      .agg(
+        expr("graft_vec_sum(transform(embedding, x -> cast(cast(x as double) as decimal(28,9))))")
+          .as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("label"), posexplode(col("sv")).as(Seq("pos", "sd")), col("n"))
       .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
-        col("v").cast("double").as("v"))
-      .groupBy("label", "dim")
-      .agg(round(Det.dsum9(col("v")) / count(lit(1)), 6).as("c"), count(lit(1)).as("n"))
+        round(col("sd").cast("double") / col("n"), 6).as("c"), col("n"))
       .orderBy("label", "dim")
   }
 
@@ -1036,12 +1047,15 @@ object Similarity {
       // twice per round for the same values
       val assign = embD.crossJoin(broadcast(centsArr(cent)))
         .select(col("vec_id"), col("emb_d"), expr(argminCid).as("cid"))
+      // vector-level mergeable sum: ONE exchange of k buffers per round
+      // (vs posexplode's k×|dims| rows through two exchanges), per-dim
+      // values bit-identical (exact decimal sums, same double division)
       cent = assign
-        .select(col("cid"), posexplode(col("emb_d")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos")
-        .agg((Det.dsum9(col("v")) / count(lit(1))).as("c"))
         .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+        .agg(
+          expr("graft_vec_sum(transform(emb_d, x -> cast(x as decimal(28,9))))").as("sv"),
+          count(lit(1)).as("n"))
+        .select(col("cid"), expr("transform(sv, x -> cast(x as double) / n)").as("cv"))
       out += cent
     }
     out.toSeq
