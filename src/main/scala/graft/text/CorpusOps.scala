@@ -1814,6 +1814,81 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------- rule ablation --
+
+  /** Per-rule ablation of the quality gate: for each rule in the battery,
+    * how many documents it flags at all (`n_flagged`), how many it alone
+    * rejects (`n_sole_reject` — docs that would pass the conjunction were
+    * this one rule dropped), the token mass those sole-rejects hold
+    * (`words_recoverable`), and the corpus pass rate with and without the
+    * rule. This is the "killer rule" audit run before tightening or
+    * loosening any gate threshold: a rule with large `n_flagged` but tiny
+    * `n_sole_reject` is redundant with the rest of the battery, while a
+    * rule carrying most of its flags alone is the one actually shaping
+    * the corpus. Reads the SAME flag battery as quality_filter
+    * ([[ruleFlags]] — single source), so the ablation can never drift
+    * from the gate it prices.
+    *
+    * Scale: one pure per-row map (the flag battery — no shuffle) into ONE
+    * global partial aggregate producing every per-rule counter as a
+    * column; the |rules|-row unpivot happens on that 1-row frame. No
+    * per-doc row survives the aggregate. */
+  val qualityAblation: Q = {
+    val nf = ruleFlags.map(_._1).mkString(" + ")
+    val aggsSql = ruleFlags.map { case (n, _) =>
+      s"""CAST(sum($n) AS BIGINT) AS f_$n,
+         |    CAST(sum(CASE WHEN $n = 1 AND n_failed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s_$n,
+         |    CAST(sum(CASE WHEN $n = 1 AND n_failed = 1 THEN n_words ELSE 0 END) AS BIGINT) AS w_$n""".stripMargin
+    }.mkString(",\n    ")
+    val unionSql = ruleFlags.map { case (n, _) =>
+      s"SELECT '$n' AS rule, f_$n AS n_flagged, s_$n AS n_sole_reject, w_$n AS words_recoverable, n_docs, n_passed FROM a"
+    }.mkString("\n  UNION ALL ")
+    Q.sql(
+      "quality_ablation",
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    $duckQualityFeatures
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_words,
+        |    $duckFlagExprs
+        |  FROM f),
+        |x AS (SELECT *, $nf AS n_failed FROM r),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN n_failed = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+        |    $aggsSql
+        |  FROM x),
+        |u AS ($unionSql)
+        |SELECT rule, n_flagged, n_sole_reject, words_recoverable, n_docs, n_passed,
+        |  round(1.0 * n_passed / n_docs, 4) AS pass_rate,
+        |  round(1.0 * (n_passed + n_sole_reject) / n_docs, 4) AS pass_rate_without
+        |FROM u ORDER BY rule""".stripMargin) { (s, d) =>
+      val x = withQualityFlags(docs(s, d))
+        .withColumn("n_failed", ruleFlags.map(f => col(f._1)).reduce(_ + _))
+      val aggCols = Seq(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("n_failed") === 0, 1).otherwise(0)).cast("long").as("n_passed")) ++
+        ruleFlags.flatMap { case (n, _) => Seq(
+          sum(col(n)).cast("long").as(s"f_$n"),
+          sum(when(col(n) === 1 && col("n_failed") === 1, 1).otherwise(0))
+            .cast("long").as(s"s_$n"),
+          sum(when(col(n) === 1 && col("n_failed") === 1, col("n_words")).otherwise(0))
+            .cast("long").as(s"w_$n"))
+        }
+      val stackArgs = ruleFlags
+        .map { case (n, _) => s"'$n', f_$n, s_$n, w_$n" }.mkString(", ")
+      x.agg(aggCols.head, aggCols.tail: _*)
+        .select(
+          expr(s"stack(${ruleFlags.size}, $stackArgs) AS (rule, n_flagged, n_sole_reject, words_recoverable)"),
+          col("n_docs"), col("n_passed"))
+        .select(col("rule"), col("n_flagged"), col("n_sole_reject"),
+          col("words_recoverable"), col("n_docs"), col("n_passed"),
+          round(lit(1.0) * col("n_passed") / col("n_docs"), 4).as("pass_rate"),
+          round(lit(1.0) * (col("n_passed") + col("n_sole_reject")) / col("n_docs"), 4)
+            .as("pass_rate_without"))
+        .orderBy("rule")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
     tokenHistogram, packSequences, packEfficiency, corpusFunnel, corpusSplit,
@@ -1821,5 +1896,5 @@ object CorpusOps {
     corpusReport, epochPlan, splitLeakage, ngramNovelty, sampleWeighted,
     tokenLengthQuantiles, stopwordProfile, vocabCoverage, curriculumOrder,
     corpusBigramPpl, vocabOverlap, perplexityBuckets, heapsFit,
-    qualityPlaneAgreement)
+    qualityPlaneAgreement, qualityAblation)
 }

@@ -529,4 +529,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     // (real fluency signal would push (passed, head) well above it)
     grid.foreach(r => assert(math.abs(r.getAs[Double]("lift") - 1.0) < 0.3))
   }
+
+  test("quality_ablation: reconciles with quality_filter and bounds hold") {
+    val qf = SparkEntry.queries("quality_filter")(spark, sf)
+      .select("doc_id", "n_words", "r_too_short", "r_repetitive", "r_word_len",
+        "r_no_stopword", "n_failed", "passed").collect()
+    val ab = SparkEntry.queries("quality_ablation")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ab.size === 4)
+    val nDocs = qf.length.toLong
+    val nPassed = qf.count(_.getAs[Int]("passed") == 1).toLong
+    for ((rule, r) <- ab) {
+      val flagged = qf.count(_.getAs[Int](rule) == 1).toLong
+      val sole = qf.count(x => x.getAs[Int](rule) == 1 && x.getAs[Int]("n_failed") == 1).toLong
+      val words = qf.filter(x => x.getAs[Int](rule) == 1 && x.getAs[Int]("n_failed") == 1)
+        .map(_.getAs[Int]("n_words").toLong).sum
+      assert(r.getAs[Long]("n_flagged") === flagged, rule)
+      assert(r.getAs[Long]("n_sole_reject") === sole, rule)
+      assert(r.getAs[Long]("words_recoverable") === words, rule)
+      assert(r.getAs[Long]("n_docs") === nDocs && r.getAs[Long]("n_passed") === nPassed)
+      // dropping a rule can only ADD passers, exactly by its sole rejects
+      assert(r.getAs[Double]("pass_rate_without") >= r.getAs[Double]("pass_rate"))
+      assert(sole <= flagged)
+    }
+    // sole-reject sets are disjoint by construction (n_failed = 1 ties each
+    // doc to exactly one rule) — their union can't exceed the reject pool
+    assert(ab.values.map(_.getAs[Long]("n_sole_reject")).sum <= nDocs - nPassed)
+  }
 }
