@@ -709,7 +709,97 @@ object EventAnalytics {
     }
   }
 
+  /** Daily peak concurrent sessions — the capacity-planning number
+    * (licence seats, connection pools, autoscaler head-room) none of the
+    * volume reports give: volume says how MUCH happened, concurrency says
+    * how much happened AT ONCE. Sessions are the standard 30-min-gap
+    * sessionization (the event_paths/audit_sessionize frame); a session
+    * is active from its first through its last event inclusive, with
+    * starts applied before ends at the same instant.
+    *
+    * Shape: classic sweep-line, decomposed to stay partition-parallel at
+    * any feed size — endpoints aggregate per timestamp (±1 deltas), the
+    * within-day running sum rides a window PARTITIONED BY day (never one
+    * global ordering over the feed), and the cross-day carry-in is a
+    * prefix sum over the bounded |days| day-ledger only. Per day: open
+    * sessions at midnight (carry_in), starts, ends, the peak, and the
+    * midnight-close count (end_of_day = next day's carry_in — the
+    * conservation line the spec pins). Exact integers throughout. */
+  val eventConcurrency: Q = Q.sql(
+    "event_concurrency",
+    """WITH m AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_ns(ts) // 1000 - epoch_ns(lag(ts) OVER w) // 1000 > 1800000000
+      |      THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sid AS (SELECT user_id, ts,
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+      |  FROM m),
+      |sess AS (SELECT user_id, sess, min(ts) AS st, max(ts) AS en
+      |         FROM sid GROUP BY 1, 2),
+      |pt AS (SELECT ts, CAST(sum(pos) AS BIGINT) AS pos, CAST(sum(neg) AS BIGINT) AS neg
+      |       FROM (SELECT st AS ts, 1 AS pos, 0 AS neg FROM sess
+      |             UNION ALL SELECT en, 0, 1 FROM sess)
+      |       GROUP BY ts),
+      |d AS (SELECT CAST(ts AS DATE) AS day, ts, pos, neg, pos - neg AS net FROM pt),
+      |c AS (SELECT day, ts, pos, net,
+      |        sum(net) OVER (PARTITION BY day ORDER BY ts) - net AS cbd
+      |      FROM d),
+      |dl AS (SELECT day, CAST(sum(net) AS BIGINT) AS day_net,
+      |         CAST(sum(pos) AS BIGINT) AS n_started,
+      |         CAST(sum(neg) AS BIGINT) AS n_ended
+      |       FROM d GROUP BY day),
+      |dc AS (SELECT day, day_net, n_started, n_ended,
+      |         CAST(coalesce(sum(day_net) OVER (ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |           AS carry_in
+      |       FROM dl),
+      |pk AS (SELECT c.day, CAST(max(dc.carry_in + c.cbd + c.pos) AS BIGINT) AS peak
+      |       FROM c JOIN dc ON c.day = dc.day GROUP BY c.day)
+      |SELECT dc.day, dc.carry_in, dc.n_started, dc.n_ended,
+      |  pk.peak AS peak_concurrency,
+      |  dc.carry_in + dc.day_net AS end_of_day
+      |FROM dc JOIN pk ON dc.day = pk.day ORDER BY dc.day""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800000000L
+    val sess = ev(s, d)
+      .withColumn("ns",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs,
+          1).otherwise(0))
+      .withColumn("sess", sum("ns").over(w))
+      .groupBy("user_id", "sess").agg(min("ts").as("st"), max("ts").as("en"))
+    val pt = sess.select(col("st").as("ts"), lit(1).as("pos"), lit(0).as("neg"))
+      .unionAll(sess.select(col("en").as("ts"), lit(0).as("pos"), lit(1).as("neg")))
+      .groupBy("ts")
+      .agg(sum("pos").cast("long").as("pos"), sum("neg").cast("long").as("neg"))
+    val dd = pt.select(to_date(col("ts")).as("day"), col("ts"), col("pos"),
+      col("neg"), (col("pos") - col("neg")).as("net"))
+    val dayW = Window.partitionBy("day").orderBy("ts")
+    val c = dd.select(col("day"), col("ts"), col("pos"), col("net"),
+      (sum("net").over(dayW) - col("net")).as("cbd"))
+    val dl = dd.groupBy("day").agg(
+      sum("net").cast("long").as("day_net"),
+      sum("pos").cast("long").as("n_started"),
+      sum("neg").cast("long").as("n_ended"))
+    // bounded |days| ledger: the only globally-ordered window in the op
+    val ledgerW = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dc = dl.select(col("day"), col("day_net"), col("n_started"), col("n_ended"),
+      coalesce(sum("day_net").over(ledgerW), lit(0L)).cast("long").as("carry_in"))
+    val pk = c.join(broadcast(dc.select("day", "carry_in")), Seq("day"))
+      .groupBy("day")
+      .agg(max(col("carry_in") + col("cbd") + col("pos")).cast("long").as("peak"))
+    dc.join(pk, Seq("day"))
+      .select(col("day"), col("carry_in"), col("n_started"), col("n_ended"),
+        col("peak").as("peak_concurrency"),
+        (col("carry_in") + col("day_net")).as("end_of_day"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(eventRetention, eventFunnel, eventPaths,
     eventAttribution, eventCooccurrence, eventLtv, eventMarkov, eventGini,
-    eventDauWau, eventStageLatency)
+    eventDauWau, eventStageLatency, eventConcurrency)
 }

@@ -362,4 +362,59 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(mx <= 1440, "stage window bounds latency to 24h of minutes")
     }
   }
+
+  test("event_concurrency: ledger conserves and peaks match a brute-force sweep") {
+    val rows = EventAnalytics.eventConcurrency.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // ledger conservation: each day opens with exactly what the previous
+    // output day closed with (no endpoints exist between them)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("carry_in") === a.getAs[Long]("end_of_day"))
+      case _ =>
+    }
+    assert(rows.head.getAs[Long]("carry_in") === 0L)
+    assert(rows.last.getAs[Long]("end_of_day") === 0L, "every session ends")
+    assert(rows.map(_.getAs[Long]("n_started")).sum
+      === rows.map(_.getAs[Long]("n_ended")).sum)
+    rows.foreach { r =>
+      val peak = r.getAs[Long]("peak_concurrency")
+      assert(peak >= r.getAs[Long]("carry_in"))
+      assert(peak <= r.getAs[Long]("carry_in") + r.getAs[Long]("n_started"))
+    }
+    // brute-force replica: rebuild sessions driver-side from the raw feed,
+    // sweep all endpoints in one ordered pass, take per-day maxima
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        (r.getTimestamp(1).getNanos / 1000) % 1000, r.getLong(2)))
+    val sessions = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3)).map(_._2)
+      val out = scala.collection.mutable.Buffer.empty[(Long, Long)]
+      var st = sorted.head; var en = sorted.head
+      for (t <- sorted.tail) {
+        if (t - en > 1800000000L) { out += ((st, en)); st = t }
+        en = t
+      }
+      out += ((st, en)); out
+    }.toSeq
+    val deltas = (sessions.map(s => (s._1, 1)) ++ sessions.map(s => (s._2, -1)))
+      .groupBy(_._1).map { case (t, ds) =>
+        (t, ds.count(_._2 > 0), ds.count(_._2 < 0)) }.toSeq.sortBy(_._1)
+    var cur = 0L
+    val dayPeak = scala.collection.mutable.Map.empty[String, Long]
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    for ((t, pos, neg) <- deltas) {
+      val atPeak = cur + pos
+      cur = cur + pos - neg
+      val day = fmt.format(new java.util.Date(t / 1000))
+      dayPeak(day) = math.max(dayPeak.getOrElse(day, 0L), atPeak)
+    }
+    rows.foreach { r =>
+      val day = r.getDate(0).toString
+      assert(dayPeak(day) === r.getAs[Long]("peak_concurrency"), s"peak on $day")
+    }
+    assert(dayPeak.size === rows.length)
+  }
 }
