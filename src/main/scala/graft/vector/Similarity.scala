@@ -2058,6 +2058,55 @@ object Similarity {
       .orderBy("m")
   }
 
+  /** IVF cell-balance audit — the index-health twin of lsh_bucket_stats
+    * for the TRAINED coarse quantizer: per-cell population, share, and
+    * scan-cost ordering, plus the imbalance factor (max cell / mean cell)
+    * that IS the serve-time straggler bound — with nprobe cells scanned
+    * per query, a 5× overfull cell makes the worst probe 5× the average,
+    * and at cluster scale the cell is the partition. Run after training
+    * (ann_ivf_trained / ann_ivf_kmeans) and before committing a cell
+    * count: a skewed histogram here means re-train with more rounds or
+    * finer cells, not more replicas.
+    *
+    * Shape: the assignment reuses the LIVE centroid-rank machinery
+    * (broadcast centroid array, per-row argmin fold — zero corpus
+    * shuffle); everything after is a ≤|cells| frame: one partial-agg
+    * groupBy, one bounded window for the cumulative scan curve, one 1-row
+    * broadcast of the totals. */
+  val annIvfBalance: Q = Q.sql(
+    "ann_ivf_balance",
+    s"""WITH $centCtesSql,
+      |$centRanksCtesSql,
+      |a AS (SELECT clabel AS cell, CAST(count(*) AS BIGINT) AS n_vecs
+      |      FROM ar WHERE rn = 1 GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS tot,
+      |        CAST(count(*) AS BIGINT) AS n_cells,
+      |        CAST(max(n_vecs) AS BIGINT) AS mx
+      |      FROM a)
+      |SELECT a.cell, a.n_vecs,
+      |  round(1.0 * a.n_vecs / t.tot, 4) AS share,
+      |  CAST(row_number() OVER (ORDER BY a.n_vecs DESC, a.cell) AS BIGINT) AS scan_rank,
+      |  round(1.0 * sum(a.n_vecs) OVER (ORDER BY a.n_vecs DESC, a.cell) / t.tot, 4)
+      |    AS cum_share,
+      |  t.n_cells, round(1.0 * t.mx * t.n_cells / t.tot, 4) AS imbalance
+      |FROM a CROSS JOIN t ORDER BY a.cell""".stripMargin) { (s, d) =>
+    val a = centroidRanks(emb(s, d)).filter(col("rn") === 1)
+      .groupBy(col("clabel").as("cell"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+    val t = a.agg(sum("n_vecs").cast("long").as("tot"),
+      count(lit(1)).cast("long").as("n_cells"),
+      max("n_vecs").cast("long").as("mx"))
+    val scanW = Window.orderBy(col("n_vecs").desc, col("cell"))
+    a.crossJoin(broadcast(t))
+      .select(col("cell"), col("n_vecs"),
+        round(lit(1.0) * col("n_vecs") / col("tot"), 4).as("share"),
+        row_number().over(scanW).cast("long").as("scan_rank"),
+        round(lit(1.0) * sum("n_vecs").over(scanW) / col("tot"), 4).as("cum_share"),
+        col("n_cells"),
+        round(lit(1.0) * col("mx") * col("n_cells") / col("tot"), 4).as("imbalance"))
+      .orderBy("cell")
+  }
+
   val all: Seq[Q] = Seq(
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
     embNormalize, embQuantize, annPq, annPqSearch, annRecall,
@@ -2065,5 +2114,5 @@ object Similarity {
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
     embDimStats, embDrift, annKnnGraph, embWhiten, lshBucketStats,
     embMatryoshka, annFiltered, embLabelVote, annHamming, annNprobeCurve,
-    embClusterPurity, annPqDistortion, embTripletAudit)
+    embClusterPurity, annPqDistortion, embTripletAudit, annIvfBalance)
 }

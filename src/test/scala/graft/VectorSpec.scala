@@ -528,4 +528,29 @@ class VectorSpec extends AnyFunSuite {
     val totalAnchors = rows.map(_.getAs[Long]("n_anchors")).sum.toDouble
     assert(totalViol / totalAnchors > 0.8)
   }
+
+  test("ann_ivf_balance: cells cover the corpus; ranks and imbalance are consistent") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = vector.Similarity.all.find(_.name == "ann_ivf_balance").get
+      .fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val corpus = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === corpus,
+      "every vector lands in exactly one cell")
+    val nCells = rows.head.getAs[Long]("n_cells")
+    assert(rows.length.toLong === nCells)
+    // scan_rank is a permutation ordered by size desc; cum_share ends at 1
+    val byRank = rows.sortBy(_.getAs[Long]("scan_rank"))
+    assert(byRank.map(_.getAs[Long]("scan_rank")).toSeq === (1L to nCells).toSeq)
+    assert(byRank.sliding(2).forall {
+      case Array(a, b) => a.getAs[Long]("n_vecs") >= b.getAs[Long]("n_vecs")
+      case _ => true
+    })
+    assert(math.abs(byRank.last.getAs[Double]("cum_share") - 1.0) < 1e-9)
+    // imbalance = max/mean, identical on every row, and ≥ 1 by definition
+    val imb = rows.map(_.getAs[Double]("imbalance")).distinct
+    assert(imb.length === 1 && imb.head >= 1.0)
+    val maxN = rows.map(_.getAs[Long]("n_vecs")).max.toDouble
+    assert(math.abs(imb.head - maxN * nCells / corpus) < 1e-3)
+  }
 }
