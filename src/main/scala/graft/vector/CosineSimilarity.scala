@@ -6,13 +6,16 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression: cosine similarity of two float vectors.
+/** Native Catalyst expression: cosine similarity of two float or double
+  * vectors (both sides the same element type).
   *
   * Stays inside whole-stage codegen (doGenCode emits a tight primitive
   * loop over the unsafe array data — no boxing, no UDF serialization),
   * which is what makes brute-force scoring viable as the small-side
   * baseline of the ANN operators at scale. Accumulates in double so the
-  * result matches an oracle computing over DOUBLE[] exactly.
+  * result matches an oracle computing over DOUBLE[] exactly; the double
+  * overload serves derived vectors (centroids, means) that never were
+  * floats.
   *
   * Returns NULL for zero-norm inputs.
   */
@@ -23,13 +26,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  private lazy val isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case _ =>
         TypeCheckResult.TypeCheckFailure(
-          s"$prettyName expects (array<float>, array<float>), got " +
+          s"$prettyName expects two arrays of the same float/double type, got " +
             s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
     }
 
@@ -40,8 +50,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (isFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -56,12 +66,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
+      def get(arr: String, idx: String) =
+        if (isFloat) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
       s"""
          |int $n = java.lang.Math.min($xa.numElements(), $ya.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double xi = (double) $xa.getFloat($i);
-         |  double yi = (double) $ya.getFloat($i);
+         |  double xi = ${get(xa, i)};
+         |  double yi = ${get(ya, i)};
          |  $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
          |}
          |if ($nx == 0.0 || $ny == 0.0) {

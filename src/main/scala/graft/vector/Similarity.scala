@@ -2107,6 +2107,43 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Inter-class centroid geometry — the class-confusability matrix:
+    * cosine between every ordered pair of label centroids, each class's
+    * neighbors ranked. High off-diagonal cosine = the two classes share a
+    * direction (a classifier or a labeled-retrieval index will confuse
+    * exactly those pairs); the nearest-class column is the first thing to
+    * read after emb_cluster_purity says clusters and labels disagree.
+    * Complements emb_triplet_audit (local ordering violations) with the
+    * global class-level picture.
+    *
+    * Shape: the corpus collapses to |labels| centroids in ONE vector-level
+    * partial aggregate (graft_vec_sum — no per-dim rows); the pair matrix,
+    * ranks and output are all ≤|labels|² rows with a broadcast self-join.
+    * No per-vector work after the centroid pass at any scale. */
+  val embLabelSim: Q = Q.sql(
+    "emb_label_sim",
+    s"""WITH $centCtesSql,
+      |p AS (SELECT a.clabel AS label_a, b.clabel AS label_b,
+      |        round(list_cosine_similarity(a.cv, b.cv), 4) AS cos_sim
+      |      FROM cent a JOIN cent b ON a.clabel <> b.clabel),
+      |r AS (SELECT label_a, label_b, cos_sim,
+      |        CAST(row_number() OVER (PARTITION BY label_a
+      |          ORDER BY cos_sim DESC, label_b) AS BIGINT) AS rank
+      |      FROM p)
+      |SELECT label_a, label_b, cos_sim, rank,
+      |  CASE WHEN rank = 1 THEN 1 ELSE 0 END AS is_nearest
+      |FROM r ORDER BY label_a, rank""".stripMargin) { (s, d) =>
+    val cent = labelCentroids(emb(s, d))
+    val a = cent.select(col("clabel").as("label_a"), col("cv").as("cva"))
+    val b = cent.select(col("clabel").as("label_b"), col("cv").as("cvb"))
+    val w = Window.partitionBy("label_a").orderBy(col("cos_sim").desc, col("label_b"))
+    a.join(broadcast(b), col("label_a") =!= col("label_b"))
+      .select(col("label_a"), col("label_b"), cosR(col("cva"), col("cvb")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("is_nearest", when(col("rank") === 1, 1).otherwise(0))
+      .orderBy("label_a", "rank")
+  }
+
   val all: Seq[Q] = Seq(
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
     embNormalize, embQuantize, annPq, annPqSearch, annRecall,
@@ -2114,5 +2151,6 @@ object Similarity {
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
     embDimStats, embDrift, annKnnGraph, embWhiten, lshBucketStats,
     embMatryoshka, annFiltered, embLabelVote, annHamming, annNprobeCurve,
-    embClusterPurity, annPqDistortion, embTripletAudit, annIvfBalance)
+    embClusterPurity, annPqDistortion, embTripletAudit, annIvfBalance,
+    embLabelSim)
 }

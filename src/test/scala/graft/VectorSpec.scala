@@ -553,4 +553,37 @@ class VectorSpec extends AnyFunSuite {
     val maxN = rows.map(_.getAs[Long]("n_vecs")).max.toDouble
     assert(math.abs(imb.head - maxN * nCells / corpus) < 1e-3)
   }
+
+  test("graft_cosine double overload agrees with the float path on float-exact input") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq((Seq(1.5f, -2.0f, 0.25f), Seq(0.5f, 1.0f, -4.0f))).toDF("a", "b")
+      .select(
+        call_function("graft_cosine", col("a"), col("b")).as("f"),
+        call_function("graft_cosine",
+          expr("transform(a, x -> cast(x as double))"),
+          expr("transform(b, x -> cast(x as double))")).as("d"))
+    val r = df.head()
+    assert(r.getDouble(0) === r.getDouble(1))
+  }
+
+  test("emb_label_sim: symmetric matrix, valid ranks, one nearest per class") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = vector.Similarity.all.find(_.name == "emb_label_sim").get
+      .fn(spark, sf).collect()
+    val labels = rows.map(_.getInt(0)).distinct
+    assert(rows.length === labels.length * (labels.length - 1))
+    val m = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Double]("cos_sim")).toMap
+    m.foreach { case ((a, b), c) => assert(m((b, a)) === c, s"symmetry $a,$b") }
+    rows.groupBy(_.getInt(0)).foreach { case (a, grp) =>
+      val byRank = grp.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq === (1L to grp.length).toSeq)
+      // ranks order by cosine descending
+      assert(byRank.sliding(2).forall {
+        case Array(x, y) => x.getAs[Double]("cos_sim") >= y.getAs[Double]("cos_sim")
+        case _ => true
+      })
+      assert(grp.count(_.getAs[Int]("is_nearest") == 1) === 1, s"label $a")
+    }
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("cos_sim")) <= 1.0))
+  }
 }
