@@ -182,6 +182,71 @@ object CorpusOps {
     }
   }
 
+  /** Benchmark-leakage provenance: decontaminate says WHICH corpus docs
+    * share 4-gram shingles with the benchmark; this rolls the hits up to
+    * the acquisition unit you can actually act on — the SOURCE. Per
+    * source: total docs, contaminated docs, contamination rate, distinct
+    * benchmark docs leaked into it, and total hit shingles. A source with
+    * a high rate is re-crawled/blocklisted wholesale; per-doc scrubbing
+    * (decontaminate's output) only makes sense for low-rate sources.
+    * Sources with zero hits are published as zero rows — absence of
+    * evidence is part of the report.
+    *
+    * Scale: identical posture to decontaminate — the benchmark shingle
+    * set broadcasts, the corpus never shuffles for the probe; per-doc
+    * distinct-hit counts partial-aggregate on doc_id, the rollup is
+    * bounded at |sources| rows, and the totals side is one
+    * partial-aggregating groupBy of the raw table. */
+  val contaminationSources: Q = Q.sql(
+    "contamination_sources",
+    s"""WITH w AS (SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents),
+      |ex AS (SELECT doc_id, source, unnest(list_distinct($duckG4)) AS shingle FROM w),
+      |b AS (SELECT doc_id AS bench_id, shingle FROM ex WHERE doc_id % 29 = 0),
+      |h AS (SELECT c.doc_id, c.source, c.shingle, b.bench_id
+      |      FROM ex c JOIN b USING (shingle) WHERE c.doc_id % 29 <> 0),
+      |pd AS (SELECT doc_id, source, count(DISTINCT shingle) AS hs FROM h GROUP BY 1, 2),
+      |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated,
+      |         CAST(sum(hs) AS BIGINT) AS n_hit_shingles
+      |       FROM pd GROUP BY 1),
+      |pb AS (SELECT source, CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+      |       FROM h GROUP BY 1),
+      |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |      FROM documents WHERE doc_id % 29 <> 0 GROUP BY 1)
+      |SELECT t.source, t.n_docs,
+      |  coalesce(ps.n_contaminated, 0) AS n_contaminated,
+      |  round(1.0 * coalesce(ps.n_contaminated, 0) / t.n_docs, 4) AS contam_rate,
+      |  coalesce(pb.n_bench_docs, 0) AS n_bench_docs,
+      |  coalesce(ps.n_hit_shingles, 0) AS n_hit_shingles
+      |FROM t LEFT JOIN ps ON t.source = ps.source
+      |       LEFT JOIN pb ON t.source = pb.source
+      |ORDER BY t.source""".stripMargin) { (s, d) =>
+    val ex = docs(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(expr(gram4Expr("ws")))).as("shingle"))
+    val bench = ex.filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val h = ex.filter(col("doc_id") % 29 =!= 0)
+      .join(broadcast(bench), Seq("shingle"))
+    val ps = h.groupBy("doc_id", "source")
+      .agg(count_distinct(col("shingle")).as("hs"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_contaminated"),
+        sum("hs").cast("long").as("n_hit_shingles"))
+    val pb = h.groupBy("source")
+      .agg(count_distinct(col("bench_id")).cast("long").as("n_bench_docs"))
+    val t = docs(s, d).filter(col("doc_id") % 29 =!= 0)
+      .groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
+    t.join(ps, Seq("source"), "left").join(pb, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(lit(1.0) * coalesce(col("n_contaminated"), lit(0L)) / col("n_docs"), 4)
+          .as("contam_rate"),
+        coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------- data mixing --
 
   /** Deterministic stratified sample toward a target mix: each
@@ -1896,5 +1961,5 @@ object CorpusOps {
     corpusReport, epochPlan, splitLeakage, ngramNovelty, sampleWeighted,
     tokenLengthQuantiles, stopwordProfile, vocabCoverage, curriculumOrder,
     corpusBigramPpl, vocabOverlap, perplexityBuckets, heapsFit,
-    qualityPlaneAgreement, qualityAblation)
+    qualityPlaneAgreement, qualityAblation, contaminationSources)
 }

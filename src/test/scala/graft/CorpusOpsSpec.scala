@@ -556,4 +556,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     // doc to exactly one rule) — their union can't exceed the reject pool
     assert(ab.values.map(_.getAs[Long]("n_sole_reject")).sum <= nDocs - nPassed)
   }
+
+  test("contamination_sources: rolls decontaminate up by source exactly") {
+    val dec = SparkEntry.queries("decontaminate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_hit_shingles")).toMap
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("contamination_sources")(spark, sf).collect()
+    // every source appears, zero-hit ones included
+    assert(rows.map(_.getString(0)).toSet === srcOf.values.toSet)
+    val bySource = dec.toSeq.groupBy { case (id, _) => srcOf(id) }
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val expDocs = bySource.get(src).map(_.size.toLong).getOrElse(0L)
+      val expShingles = bySource.get(src).map(_.map(_._2).sum).getOrElse(0L)
+      assert(r.getAs[Long]("n_contaminated") === expDocs, src)
+      assert(r.getAs[Long]("n_hit_shingles") === expShingles, src)
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_docs"))
+      val rate = r.getAs[Double]("contam_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
 }
