@@ -2841,7 +2841,92 @@ object AuditQueries {
       .limit(20)
   }
 
+  /** What happened while an operation's auditing was dark — the
+    * compliance question behind the reference's trigger enable/disable
+    * switch (`createAuditTrigger`'s enabled flag,
+    * /root/reference/audit/audit.go:955-1049; `setAuditing`'s per-table
+    * opt-out, audit.go:398-429): a disabled trigger leaves unaudited
+    * windows, and the first forensic ask is what the REST of the system
+    * did during them. Complements audit_enabled_ranges (which publishes
+    * the islands): each gap between an operation's enabled islands
+    * becomes a blind-spot window carrying its dark-hour count, the other
+    * operation classes' change volume inside it, and how many of those
+    * classes were active — a dark window with heavy concurrent DELETE
+    * traffic is the one to escalate.
+    *
+    * Scale: the feed collapses to the (operation, hour) grid FIRST (one
+    * partial-aggregating groupBy, the enabled_ranges exchange); islands,
+    * gaps and the gap×hour interval join all run on bounded frames (gaps
+    * ≤ |islands|, broadcast to the hour grid — the Bands range-join
+    * posture, never against raw feed rows). */
+  val auditBlindSpots: Q = Q.sql(
+    "audit_blind_spots",
+    auditCte + """, hrs AS (
+      |  SELECT operation, date_trunc('hour', ts) AS h, count(*) AS n
+      |  FROM audit GROUP BY 1, 2),
+      |isl AS (
+      |  SELECT operation, h, n,
+      |    CAST(floor(epoch(h)) AS BIGINT) // 3600
+      |      - row_number() OVER (PARTITION BY operation ORDER BY h) AS grp
+      |  FROM hrs),
+      |islands AS (
+      |  SELECT operation, min(h) AS efrom, max(h) AS eto
+      |  FROM isl GROUP BY operation, grp),
+      |gaps AS (
+      |  SELECT operation,
+      |    eto + INTERVAL 1 HOUR AS gap_from,
+      |    lead(efrom) OVER (PARTITION BY operation ORDER BY efrom)
+      |      - INTERVAL 1 HOUR AS gap_to
+      |  FROM islands
+      |  QUALIFY lead(efrom) OVER (PARTITION BY operation ORDER BY efrom) IS NOT NULL),
+      |dark AS (
+      |  SELECT g.operation, g.gap_from, g.gap_to,
+      |    (CAST(floor(epoch(g.gap_to)) AS BIGINT)
+      |      - CAST(floor(epoch(g.gap_from)) AS BIGINT)) // 3600 + 1 AS n_hours_dark,
+      |    CAST(coalesce(sum(x.n), 0) AS BIGINT) AS other_changes,
+      |    CAST(count(DISTINCT x.operation) AS BIGINT) AS n_other_ops
+      |  FROM gaps g LEFT JOIN hrs x
+      |    ON x.h >= g.gap_from AND x.h <= g.gap_to AND x.operation <> g.operation
+      |  GROUP BY 1, 2, 3)
+      |SELECT operation, strftime(gap_from, '%Y-%m-%d %H:%M:%S') AS gap_from,
+      |  strftime(gap_to, '%Y-%m-%d %H:%M:%S') AS gap_to,
+      |  n_hours_dark, other_changes, n_other_ops
+      |FROM dark ORDER BY operation, gap_from""".stripMargin) { (s, d) =>
+    val hrs = log(s, d)
+      .groupBy(col("operation"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val isl = hrs.withColumn("grp",
+      expr("unix_timestamp(h) div 3600")
+        - row_number().over(Window.partitionBy("operation").orderBy("h")))
+    val islands = isl.groupBy("operation", "grp")
+      .agg(min("h").as("efrom"), max("h").as("eto"))
+    val w = Window.partitionBy("operation").orderBy("efrom")
+    val gaps = islands
+      .withColumn("next_from", lead(col("efrom"), 1).over(w))
+      .filter(col("next_from").isNotNull)
+      .select(col("operation"),
+        (col("eto") + expr("INTERVAL 1 HOUR")).as("gap_from"),
+        (col("next_from") - expr("INTERVAL 1 HOUR")).as("gap_to"))
+    val dark = broadcast(gaps).as("g")
+      .join(hrs.as("x"),
+        col("x.h") >= col("g.gap_from") && col("x.h") <= col("g.gap_to") &&
+          col("x.operation") =!= col("g.operation"),
+        "left")
+      .groupBy(col("g.operation").as("operation"), col("g.gap_from").as("gf"),
+        col("g.gap_to").as("gt"))
+      .agg(coalesce(sum("x.n"), lit(0L)).cast("long").as("other_changes"),
+        countDistinct(col("x.operation")).cast("long").as("n_other_ops"))
+    dark.select(col("operation"),
+      date_format(col("gf"), TS).as("gap_from"),
+      date_format(col("gt"), TS).as("gap_to"),
+      (expr("unix_timestamp(gt) div 3600") - expr("unix_timestamp(gf) div 3600") + 1)
+        .as("n_hours_dark"),
+      col("other_changes"), col("n_other_ops"))
+      .orderBy("operation", "gap_from")
+  }
+
   val all: Seq[Q] = Seq(
+    auditBlindSpots,
     auditChainDigest,
     auditLog, auditDelta, auditDeltaOld, auditTypedDelta, auditViewsOnly,
     auditViewsTyped, auditSnapshot, auditCompare,

@@ -437,4 +437,36 @@ class AuditLogSpec extends AnyFunSuite {
     assert(after(victim._1)._3 !== want(victim._1)._3, "victim chain flips")
     assert((after - victim._1) === (want - victim._1), "all other chains hold")
   }
+
+  test("audit_blind_spots: gaps interleave enabled islands and count only foreign activity") {
+    val sf = "/root/testdata/sf0.001"
+    val islands = SparkEntry.queries("audit_enabled_ranges")(spark, sf).collect()
+    val gaps = SparkEntry.queries("audit_blind_spots")(spark, sf).collect()
+    // one gap between each consecutive island pair, per operation
+    val islByOp = islands.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val gapsByOp = gaps.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    islByOp.foreach { case (op, n) =>
+      assert(gapsByOp.getOrElse(op, 0) === n - 1, s"op $op")
+    }
+    // rebuild the hourly grid; verify windows are dark for their own op
+    // and other_changes replays exactly
+    val hrs = graft.audit.AuditQueries.log(spark, sf)
+      .groupBy(col("operation"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    gaps.foreach { g =>
+      val op = g.getString(0)
+      val from = fmt.parse(g.getString(1)).getTime
+      val to = fmt.parse(g.getString(2)).getTime
+      assert(to >= from)
+      assert(g.getAs[Long]("n_hours_dark") === (to - from) / 3600000L + 1)
+      val own = hrs.filter(x => x._1 == op && x._2 >= from && x._2 <= to)
+      assert(own.isEmpty, s"own-op activity inside a blind spot of $op")
+      val other = hrs.filter(x => x._1 != op && x._2 >= from && x._2 <= to)
+      assert(g.getAs[Long]("other_changes") === other.map(_._3).sum)
+      assert(g.getAs[Long]("n_other_ops") === other.map(_._1).distinct.length.toLong)
+    }
+  }
 }
