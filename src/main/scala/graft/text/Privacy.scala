@@ -106,5 +106,50 @@ object Privacy {
       .orderBy("k_size")
   }
 
-  val all: Seq[Q] = Seq(piiScrub, piiKanon)
+  /** l-diversity audit — the metric k-anonymity misses (Machanavajjhala
+    * et al., ICDE 2006): a class can hold k = 50 records and still leak if
+    * all 50 share one sensitive value (the homogeneity attack). Quasi-
+    * identifier here is the coarse (nation, segment) pair; the SENSITIVE
+    * attribute is the balance band (what pii_scrub releases and an
+    * attacker wants). Per class: size k, distinct sensitive values l, the
+    * most common value's share (1.0 = fully homogeneous = k-anonymity
+    * satisfied yet everyone's balance disclosed), and the l < 3 release
+    * flag. Read next to pii_kanon: that op says classes are big enough,
+    * this one says they are VARIED enough.
+    *
+    * Scale: two partial-aggregating groupBys — (QI, sensitive) counts
+    * first (bounded at |nations|×|segments|×|bands|), then the class
+    * rollup; no window over raw rows, output ≤ |nations|×|segments|. */
+  val piiLdiversity: Q = Q.sql(
+    "pii_ldiversity",
+    s"""WITH sv AS (
+       |  SELECT c_nationkey, c_mktsegment, ${bandSql("c_acctbal")} AS band,
+       |    count(*) AS n
+       |  FROM customer GROUP BY 1, 2, 3),
+       |cls AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(sum(n) AS BIGINT) AS k,
+       |    CAST(count(*) AS BIGINT) AS l_distinct,
+       |    CAST(max(n) AS BIGINT) AS top_n
+       |  FROM sv GROUP BY 1, 2)
+       |SELECT CAST(c_nationkey AS INT) AS nation_id, c_mktsegment AS mktsegment,
+       |  k, l_distinct, round(1.0 * top_n / k, 4) AS top_share,
+       |  (l_distinct < 3) AS below_l3
+       |FROM cls ORDER BY nation_id, mktsegment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        band(col("c_acctbal")).as("band"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum("n").cast("long").as("k"),
+        count(lit(1)).cast("long").as("l_distinct"),
+        max("n").cast("long").as("top_n"))
+      .select(col("c_nationkey").cast("int").as("nation_id"),
+        col("c_mktsegment").as("mktsegment"), col("k"), col("l_distinct"),
+        round(lit(1.0) * col("top_n") / col("k"), 4).as("top_share"),
+        (col("l_distinct") < 3).as("below_l3"))
+      .orderBy("nation_id", "mktsegment")
+  }
+
+  val all: Seq[Q] = Seq(piiScrub, piiKanon, piiLdiversity)
 }

@@ -63,4 +63,28 @@ class PrivacySpec extends AnyFunSuite {
       .orderBy("k_size").collect()
     assert(rebuilt.toSeq === kanon.toSeq)
   }
+
+  test("l-diversity: classes partition the table; l and top_share replay from raw rows") {
+    val rows = Privacy.piiLdiversity.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("int"), col("c_mktsegment"),
+        (floor(col("c_acctbal") / 1000) * 1000).cast("long"))
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+    assert(rows.map(_.getAs[Long]("k")).sum === raw.length.toLong)
+    val byClass = raw.groupBy(_._1)
+    rows.foreach { r =>
+      val key = (r.getInt(0), r.getString(1))
+      val vals = byClass(key).map(_._2)
+      assert(r.getAs[Long]("k") === vals.length.toLong)
+      assert(r.getAs[Long]("l_distinct") === vals.distinct.length.toLong)
+      val topN = vals.groupBy(identity).values.map(_.size).max
+      assert(math.abs(r.getAs[Double]("top_share") - topN.toDouble / vals.length) < 1e-3)
+      assert(r.getAs[Boolean]("below_l3") === (vals.distinct.length < 3))
+      // l can never exceed k; a homogeneous class has top_share 1
+      assert(r.getAs[Long]("l_distinct") <= r.getAs[Long]("k"))
+      if (r.getAs[Long]("l_distinct") == 1L)
+        assert(r.getAs[Double]("top_share") === 1.0)
+    }
+  }
 }
