@@ -693,4 +693,59 @@ class PlanShapeSpec extends AnyFunSuite {
     // rounds + final frame joins; every π/r side must broadcast
     assert(!s.contains("SortMergeJoin"), s"iteration join fell to SMJ:\n$s")
   }
+
+  test("quality_ablation: one global aggregate, no joins, no per-doc residue") {
+    val p = finalPlan(SparkEntry.queries("quality_ablation")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("Join"), s"ablation grew a join:\n$s")
+    // flag battery is a pure map; the only exchanges are the single
+    // global aggregate + the |rules|-row output sort
+    assert(shuffles(p) <= 2, s"ablation gained an exchange:\n$s")
+  }
+
+  test("contamination_sources: benchmark probe broadcasts; corpus never shuffles for it") {
+    val p = finalPlan(SparkEntry.queries("contamination_sources")(spark, sfDir))
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), s"probe join lost its broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("ann_ivf_balance: assignment is a broadcast fold — no corpus-wide join") {
+    val p = finalPlan(SparkEntry.queries("ann_ivf_balance")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"balance audit shuffled the corpus into a join:\n$s")
+  }
+
+  test("event_concurrency: running sums ride day-partitioned windows — the only " +
+    "single-partition work is the bounded day ledger") {
+    val p = finalPlan(SparkEntry.queries("event_concurrency")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("SortMergeJoin"), s"bounded ledger joins fell to SMJ:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("audit_blind_spots: gap windows broadcast against the hour grid") {
+    val p = finalPlan(SparkEntry.queries("audit_blind_spots")(spark, sfDir))
+    val s = p.toString
+    // the interval join is non-equi, so its legitimate shape is a
+    // broadcast nested loop with the BOUNDED gap side as build
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("pii_ldiversity: two partial aggregates and a bounded sort, nothing else") {
+    val p = finalPlan(SparkEntry.queries("pii_ldiversity")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("Join"), s)
+    assert(shuffles(p) <= 3, s"l-diversity gained an exchange:\n$s")
+  }
+
+  test("emb_label_sim: centroid matrix joins stay broadcast after one vec-sum agg") {
+    val p = finalPlan(SparkEntry.queries("emb_label_sim")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"), s)
+    assert(s.contains("graft_vec_sum") || s.contains("vecsumdec"),
+      s"centroids no longer ride the vector-sum aggregate:\n$s")
+  }
 }
