@@ -515,7 +515,67 @@ object EventStream {
       .orderBy("win_start")
   }
 
+  /** Lambda-architecture stitch: history BELOW a cutoff served by one
+    * batch pass over the resting table, the tail AT/ABOVE it by the live
+    * watermarked stream (hourly windows, drained under AvailableNow), the
+    * two legs unioned into one continuous hourly series. This is the
+    * backfill+incremental shape every 100 TB deployment actually runs —
+    * reprocess deep history in batch, keep the edge streaming — and its
+    * classic failure is the seam (an hour double-counted or dropped at
+    * the cutoff). The DuckDB oracle is ONE batch rollup over the whole
+    * feed with the leg derived from the cutoff predicate, so the gate
+    * hash-verifies seam exactness end-to-end: any boundary drift between
+    * the legs breaks the compare.
+    *
+    * Scale: the batch leg is one partial-aggregating groupBy; the stream
+    * leg's state is bounded by the watermark horizon (never stream
+    * length). The leg runs in UPDATE mode — append mode would hold the
+    * final hour windows in state forever (their end never falls behind
+    * the terminal watermark), silently dropping the tail of the stitch.
+    * Each micro-batch's updated windows land in parquet stamped with the
+    * batch id and read-back takes the last writer per hour — the
+    * streaming-upsert pattern (what a Delta/Iceberg MERGE sink does
+    * natively), which also absorbs foreachBatch's at-least-once retries. */
+  val auditStreamBackfill: Q = Q.sql(
+    "audit_stream_backfill",
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+       |  CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+       |    THEN 'batch' ELSE 'stream' END AS leg,
+       |  count(*) AS n, ${Det.dsumRoundSql("value", 2)} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY h, leg""".stripMargin) { (s, d) =>
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-backfill-").toString
+    val sink = s"$tmp/sink"
+    drained(s) {
+      readFeed(s, d).filter(col("ts") >= cutoff)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), Det.dsumRound(col("value"), 2).as("total_value"))
+        .select(date_format(col("window.start"), TS).as("h"),
+          col("n"), col("total_value"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+            b.toDF().withColumn("bid", lit(bid))
+              .write.mode("append").parquet(sink)
+        }
+        .trigger(availableNow).start()
+    }
+    val lastWriter = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy(col("bid").desc)
+    val streamLeg = s.read.parquet(sink)
+      .withColumn("rn", row_number().over(lastWriter)).filter(col("rn") === 1)
+      .select(col("h"), lit("stream").as("leg"), col("n"), col("total_value"))
+    val batchLeg = graft.Tables.events(s, d).filter(col("ts") < cutoff)
+      .groupBy(date_trunc("hour", col("ts")).as("hh"))
+      .agg(count(lit(1)).as("n"), Det.dsumRound(col("value"), 2).as("total_value"))
+      .select(date_format(col("hh"), TS).as("h"), lit("batch").as("leg"),
+        col("n"), col("total_value"))
+    batchLeg.unionByName(streamLeg).orderBy("h", "leg")
+  }
+
   val all: Seq[Q] = Seq(auditStream, auditStreamJoin, auditSessionizeStream,
     auditStreamDedup, corpusStreamQa, streamDedupIncremental,
-    streamRateAlert)
+    streamRateAlert, auditStreamBackfill)
 }

@@ -174,4 +174,27 @@ class StreamingWindowSpec extends AnyFunSuite {
     // tail windows past the frontier stayed in state
     assert(!got.contains(base + "02:15:00"))
   }
+
+  test("audit_stream_backfill: legs partition cleanly at the seam and conserve the feed") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("audit_stream_backfill")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cutoff = "2024-01-16 00:00:00"
+    val (batch, stream) = rows.partition(_.getString(1) == "batch")
+    assert(batch.nonEmpty && stream.nonEmpty)
+    // seam exactness: every batch hour strictly below the cutoff, every
+    // stream hour at/above it — no hour appears on both legs
+    assert(batch.forall(_.getString(0) < cutoff))
+    assert(stream.forall(_.getString(0) >= cutoff))
+    assert(batch.map(_.getString(0)).toSet.intersect(
+      stream.map(_.getString(0)).toSet).isEmpty)
+    // conservation: the stitched series carries the whole feed exactly once
+    val feedN = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === feedN)
+    // continuity: stitched hours = the batch-only rollup's hours
+    val full = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("h")).count()
+      .collect().map(_.getTimestamp(0).toString.substring(0, 19)).toSet
+    assert(rows.map(_.getString(0)).toSet === full)
+  }
 }
