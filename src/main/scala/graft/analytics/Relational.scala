@@ -1328,6 +1328,126 @@ object Relational {
       .orderBy("discount")
   }
 
+  /** TPC-H Q2 flavor (argmin join): cheapest supplier per part over a
+    * bounded attribute slice. The part×supplier price table comes from one
+    * partial-agg pass over lineitem (min is order-independent — no Det
+    * needed); the per-part argmin is a window PARTITIONED BY partkey, so
+    * parallelism grows with |parts| at any scale. Supplier/nation are
+    * deployment-bounded → broadcast; part is SF-scaling → un-hinted. */
+  val qMinPriceSupplier: Q = Q.sql(
+    "q_min_price_supplier",
+    """WITH pp AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(l_extendedprice * (1 - l_discount) / l_quantity) AS unit_price
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT l_partkey, l_suppkey, unit_price,
+      |        row_number() OVER (PARTITION BY l_partkey
+      |                           ORDER BY unit_price, l_suppkey) AS rn
+      |      FROM pp)
+      |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+      |  round(r.unit_price, 4) AS min_unit_price
+      |FROM r
+      |JOIN part p ON p.p_partkey = r.l_partkey
+      |JOIN supplier s ON s.s_suppkey = r.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE r.rn = 1 AND p.p_size = 15 AND p.p_type = 'PROMO'
+      |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    // the attribute slice commutes with the per-part argmin, so apply it
+    // BEFORE the fact aggregate: the shuffle carries only the slice's
+    // (part, supplier) pairs instead of every pair in the fact table
+    val slice = Tables.part(s, d)
+      .filter(col("p_size") === 15 && col("p_type") === "PROMO")
+      .select(col("p_partkey"), col("p_name"))
+    val prices = li(s, d)
+      .join(slice, col("p_partkey") === col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") * (lit(1) - col("l_discount")) / col("l_quantity"))
+        .as("unit_price"),
+        first(col("p_name")).as("p_name"))
+    val w = Window.partitionBy("l_partkey").orderBy(col("unit_price"), col("l_suppkey"))
+    val best = prices.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("p_partkey", col("l_partkey"))
+    best
+      .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_name"), round(col("unit_price"), 4).as("min_unit_price"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q16 flavor: distinct-supplier counts per part attribute group,
+    * with a complaints-style exclusion. The part↔supplier relation is the
+    * distinct (partkey, suppkey) projection of lineitem — a partial-agg
+    * dedup, then a two-phase distinct count per bounded attribute group.
+    * The excluded-supplier set (negative balance) is deployment-bounded →
+    * broadcast LEFT ANTI. */
+  val qPartSupplierStats: Q = Q.sql(
+    "q_part_supplier_stats",
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |ok AS (SELECT ps.l_partkey, ps.l_suppkey FROM ps
+      |       WHERE ps.l_suppkey NOT IN
+      |         (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+      |SELECT p.p_brand, p.p_type, p.p_size,
+      |  CAST(count(DISTINCT ok.l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM ok JOIN part p ON p.p_partkey = ok.l_partkey
+      |WHERE p.p_brand <> 'Brand#9' AND p.p_type <> 'PROMO'
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+    val pairs = li(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+    val excluded = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val ok = pairs.join(broadcast(excluded),
+      col("l_suppkey") === col("s_suppkey"), "left_anti")
+    ok.join(Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#9" && col("p_type") =!= "PROMO"),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 flavor (nested semi-join chain): suppliers who moved
+    * meaningful volume of a themed part slice in 1996. Qualification is a
+    * (suppkey, partkey) HAVING aggregate over the date-pruned fact scan
+    * (filter reaches the parquet scan), rolled up per supplier; supplier/
+    * nation resolve via broadcast at the bounded top. */
+  val qPromoEligible: Q = Q.sql(
+    "q_promo_eligible",
+    s"""WITH q AS (
+      |  SELECT l.l_suppkey, l.l_partkey, ${Det.dsumSql("l.l_quantity")} AS qty
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |  WHERE p.p_name LIKE 'red%'
+      |    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY 1, 2 HAVING ${Det.dsumSql("l.l_quantity")} > 50),
+      |e AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts,
+      |        round(sum(qty), 2) AS total_qty
+      |      FROM q GROUP BY 1)
+      |SELECT s.s_name, n.n_name, e.n_parts, CAST(e.total_qty AS DOUBLE) AS total_qty
+      |FROM e JOIN supplier s ON s.s_suppkey = e.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |ORDER BY s.s_name""".stripMargin) { (s, d) =>
+    val themed = Tables.part(s, d).filter(col("p_name").like("red%"))
+      .select(col("p_partkey"))
+    val qual = li(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      .join(themed, col("p_partkey") === col("l_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(Det.dsum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > 50)
+    val perSupp = qual.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("qty")), 2).cast("double").as("total_qty"))
+    perSupp
+      .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_name"), col("n_name"), col("n_parts"), col("total_qty"))
+      .orderBy(col("s_name"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
@@ -1336,5 +1456,6 @@ object Relational {
     qPromoShare, qSmallQuantity, qDisjunctive, qCubeVolume, qTopSupplier,
     qReturnedCustomers, qNationProfit, qSupplierWait, qOrderGap,
     qRevenueMa7, qShipPriority, qSkewProbe, qOrdersBacklog, qSupplierHhi,
-    qBrandRankShift, qCustomerMigration, qDiscountImpact)
+    qBrandRankShift, qCustomerMigration, qDiscountImpact,
+    qMinPriceSupplier, qPartSupplierStats, qPromoEligible)
 }

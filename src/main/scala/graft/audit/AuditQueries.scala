@@ -2925,7 +2925,79 @@ object AuditQueries {
       .orderBy("operation", "gap_from")
   }
 
+  /** Out-of-order ingestion audit. The driver feed is perfectly ordered,
+    * so a deterministic lagging-shard model supplies the disorder (the
+    * audit_stream_dedup trick): every 97th audit id lands 500 positions
+    * late in the ingest sequence. An arrival is an inversion when its
+    * event time precedes the running max event time of everything already
+    * ingested FOR THAT ENTITY — the per-entity window keeps the running
+    * max key-partitioned, so parallelism grows with |entities| (never a
+    * global single-partition ordering). Backstep magnitudes are compared
+    * in exact integer microseconds. */
+  val auditOutOfOrder: Q = Q.sql(
+    "audit_out_of_order",
+    auditCte + """, lagged AS (
+      |  SELECT entity_id, audit_id, ts,
+      |    audit_id + CASE WHEN audit_id % 97 = 0 THEN 500 ELSE 0 END AS ingest_seq
+      |  FROM audit),
+      |w AS (SELECT entity_id, audit_id, ts,
+      |        max(ts) OVER (PARTITION BY entity_id ORDER BY ingest_seq, audit_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |      FROM lagged)
+      |SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  CAST(count(*) AS BIGINT) AS n_changes,
+      |  CAST(count(*) FILTER (WHERE ts < prev_max) AS BIGINT) AS n_inversions,
+      |  CAST(count(DISTINCT CASE WHEN ts < prev_max THEN entity_id END) AS BIGINT)
+      |    AS n_entities_affected,
+      |  coalesce(max(CASE WHEN ts < prev_max
+      |    THEN (epoch_us(prev_max) - epoch_us(ts)) // 1000000 END), 0) AS max_backstep_s
+      |FROM w GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+    val lagged = log(s, d).select(col("entity_id"), col("audit_id"), col("ts"))
+      .withColumn("ingest_seq",
+        col("audit_id") + when(col("audit_id") % 97 === 0, 500).otherwise(0))
+    val w = Window.partitionBy("entity_id").orderBy("ingest_seq", "audit_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inv = lagged.withColumn("prev_max", max(col("ts")).over(w))
+      .withColumn("is_inv", col("ts") < col("prev_max"))
+    inv.groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_changes"),
+        count(when(col("is_inv"), 1)).as("n_inversions"),
+        countDistinct(when(col("is_inv"), col("entity_id"))).as("n_entities_affected"),
+        coalesce(max(when(col("is_inv"),
+          expr("(unix_micros(prev_max) - unix_micros(ts)) div 1000000"))),
+          lit(0L)).as("max_backstep_s"))
+      .orderBy("day")
+  }
+
+  /** Capture-role handoff matrix: within each entity's change history
+    * (audit-id order), count consecutive-change transitions between
+    * DIFFERENT capturing db roles (audit.go:783 session_user). changed_by
+    * is constant per entity by construction, so the varying db_user is the
+    * actor axis. `lag` rides the standard per-entity window; the matrix is
+    * bounded at |roles|² rows. */
+  val auditHandoff: Q = Q.sql(
+    "audit_handoff",
+    auditCte + """, t AS (
+      |  SELECT entity_id, db_user,
+      |    lag(db_user) OVER (PARTITION BY entity_id ORDER BY audit_id) AS prev_user
+      |  FROM audit)
+      |SELECT prev_user AS from_role, db_user AS to_role,
+      |  CAST(count(*) AS BIGINT) AS n_handoffs,
+      |  CAST(count(DISTINCT entity_id) AS BIGINT) AS n_entities
+      |FROM t WHERE prev_user IS NOT NULL AND prev_user <> db_user
+      |GROUP BY 1, 2 ORDER BY n_handoffs DESC, from_role, to_role""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("entity_id").orderBy("audit_id")
+    val t = log(s, d).select(col("entity_id"), col("audit_id"), col("db_user"))
+      .withColumn("prev_user", lag(col("db_user"), 1).over(w))
+    t.filter(col("prev_user").isNotNull && col("prev_user") =!= col("db_user"))
+      .groupBy(col("prev_user").as("from_role"), col("db_user").as("to_role"))
+      .agg(count(lit(1)).as("n_handoffs"),
+        countDistinct(col("entity_id")).as("n_entities"))
+      .orderBy(col("n_handoffs").desc, col("from_role"), col("to_role"))
+  }
+
   val all: Seq[Q] = Seq(
+    auditOutOfOrder, auditHandoff,
     auditBlindSpots,
     auditChainDigest,
     auditLog, auditDelta, auditDeltaOld, auditTypedDelta, auditViewsOnly,

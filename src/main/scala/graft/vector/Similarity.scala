@@ -2144,7 +2144,107 @@ object Similarity {
       .orderBy("label_a", "rank")
   }
 
+  /** Per-class margin audit: each vector's cosine to its OWN label
+    * centroid minus its best cosine to any OTHER centroid — negative
+    * margin flags mislabel candidates. The centroid table is bounded at
+    * |labels| rows → broadcast; the per-vector scoring is one map-side
+    * pass (conditional-max per vec_id, partial-agg), so the shuffle
+    * carries |vectors| scored rows, never |vectors|×|labels|. Per-row
+    * cosines are bit-identical across engines (same fold order); the
+    * label-level mean goes through an exact decimal sum. */
+  val embClassMargin: Q = Q.sql(
+    "emb_class_margin",
+    s"""WITH $centCtesSql,
+      |md AS (SELECT e.vec_id, e.label,
+      |         CASE WHEN c.clabel = e.label THEN 1 ELSE 0 END AS own,
+      |         list_cosine_similarity(e.emb, c.cv) AS cs
+      |       FROM e, cent c),
+      |m AS (SELECT vec_id, label,
+      |        max(CASE WHEN own = 1 THEN cs END) AS own_cos,
+      |        max(CASE WHEN own = 0 THEN cs END) AS best_other
+      |      FROM md GROUP BY 1, 2)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (WHERE own_cos < best_other) AS BIGINT) AS n_negative,
+      |  round(CAST(sum(CAST(own_cos - best_other AS DECIMAL(28,9))) AS DOUBLE)
+      |    / count(*), 4) AS mean_margin,
+      |  round(min(own_cos - best_other), 4) AS min_margin
+      |FROM m GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    val cent = labelCentroids(emb(s, d))
+    val scored = emb(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("embd"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"),
+        (col("clabel") === col("label")).as("own"),
+        GraftFunctions.graftCosine(col("embd"), col("cv")).as("cs"))
+    val m = scored.groupBy("vec_id", "label")
+      .agg(max(when(col("own"), col("cs"))).as("own_cos"),
+        max(when(!col("own"), col("cs"))).as("best_other"))
+      .withColumn("margin", col("own_cos") - col("best_other"))
+    m.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("margin") < 0, 1)).as("n_negative"),
+        round(sum(col("margin").cast("decimal(28,9)")).cast("double") / count(lit(1)), 4)
+          .as("mean_margin"),
+        round(min(col("margin")), 4).as("min_margin"))
+      .orderBy("label")
+  }
+
+  /** Isotropy / cone-effect audit per label: how far the class sits from
+    * an isotropic cloud. anisotropy = ‖mean vector‖ / mean ‖vector‖ (→ 1
+    * when all vectors point one way, → 0 for a centered cloud); the mean
+    * pairwise dot product comes CLOSED-FORM from (‖Σv‖² − Σ‖v‖²)/(n(n−1))
+    * — one partial-agg pass over the corpus, no pair join at any scale.
+    * All sums ride exact decimals (graft_vec_sum for Σv); the one sqrt /
+    * divide per label happens once, in double, identically on both
+    * engines. */
+  val embIsotropy: Q = Q.sql(
+    "emb_isotropy",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      |           FROM embeddings),
+      |r AS (SELECT label, emb,
+      |        list_sum(list_transform(emb, x -> x * x)) AS normsq
+      |      FROM e),
+      |u AS (SELECT label, unnest(emb) AS v, generate_subscripts(emb, 1) AS dim
+      |      FROM e),
+      |sd AS (SELECT label, dim, CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE) AS sv
+      |       FROM u GROUP BY 1, 2),
+      |sl AS (SELECT label, list_sum(list_transform(list(sv ORDER BY dim),
+      |                x -> x * x)) AS sumsq
+      |       FROM sd GROUP BY label),
+      |g AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(CAST(sqrt(normsq) AS DECIMAL(28,9))) AS DOUBLE) AS sum_norm,
+      |        CAST(sum(CAST(normsq AS DECIMAL(28,9))) AS DOUBLE) AS sum_normsq
+      |      FROM r GROUP BY label)
+      |SELECT g.label, g.n,
+      |  round(g.sum_norm / g.n, 6) AS mean_norm,
+      |  round(sqrt(sl.sumsq) / g.n, 6) AS norm_of_mean,
+      |  round(sqrt(sl.sumsq) / g.sum_norm, 4) AS anisotropy,
+      |  round((sl.sumsq - g.sum_normsq) / (g.n * (g.n - 1)), 6) AS mean_pairwise_dot
+      |FROM g JOIN sl ON sl.label = g.label
+      |ORDER BY g.label""".stripMargin) { (s, d) =>
+    val e = emb(s, d).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("embd"))
+      .withColumn("normsq",
+        expr("aggregate(embd, cast(0 as double), (acc, x) -> acc + x * x)"))
+    val g = e.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(sqrt(col("normsq")).cast("decimal(28,9)")).cast("double").as("sum_norm"),
+        sum(col("normsq").cast("decimal(28,9)")).cast("double").as("sum_normsq"),
+        expr("graft_vec_sum(transform(embd, x -> cast(x as decimal(28,9))))").as("svd"))
+      .withColumn("sumsq",
+        expr("aggregate(transform(svd, x -> cast(x as double)), cast(0 as double), (acc, x) -> acc + x * x)"))
+    g.select(col("label"), col("n"),
+      round(col("sum_norm") / col("n"), 6).as("mean_norm"),
+      round(sqrt(col("sumsq")) / col("n"), 6).as("norm_of_mean"),
+      round(sqrt(col("sumsq")) / col("sum_norm"), 4).as("anisotropy"),
+      round((col("sumsq") - col("sum_normsq")) / (col("n") * (col("n") - lit(1))), 6)
+        .as("mean_pairwise_dot"))
+      .orderBy("label")
+  }
+
   val all: Seq[Q] = Seq(
+    embClassMargin, embIsotropy,
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
     embNormalize, embQuantize, annPq, annPqSearch, annRecall,
     annIvfMultiprobe, annIvfPq, annIvfKmeans, annRecallKmeans,

@@ -741,6 +741,71 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 3, s"l-diversity gained an exchange:\n$s")
   }
 
+  test("q_min_price_supplier: argmin window partitioned by part; dims broadcast") {
+    val p = finalPlan(SparkEntry.queries("q_min_price_supplier")(spark, sfDir))
+    val s = p.toString
+    // supplier/nation (and the tiny part slice under AQE) must broadcast;
+    // a sort-merge join here would shuffle the fact table per dim join
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+    // slice-join stays map-side + (part,supp) agg + per-part argmin window
+    // + output sort — the window must NOT be a global ordering
+    assert(shuffles(p) <= 4, s"argmin plan gained an exchange:\n$s")
+  }
+
+  test("q_part_supplier_stats: complaints exclusion is a broadcast anti join") {
+    val p = finalPlan(SparkEntry.queries("q_part_supplier_stats")(spark, sfDir))
+    val s = p.toString
+    // at tiny SF the excluded set can be EMPTY, in which case AQE
+    // legitimately deletes the anti join (PropagateEmptyRelation); the pin
+    // is that when the join exists it must be broadcast, never sort-merge
+    assert(!s.contains("SortMergeJoin"), s)
+    if (s.contains("LeftAnti"))
+      assert(s.contains("BroadcastHashJoin"),
+        s"excluded-supplier set no longer broadcast-anti:\n$s")
+    assert(shuffles(p) <= 5, s"distinct-count pipeline gained an exchange:\n$s")
+  }
+
+  test("q_promo_eligible: date+name filters prune the scan; rollup joins broadcast") {
+    val p = finalPlan(SparkEntry.queries("q_promo_eligible")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      s.contains("GreaterThanOrEqual(l_shipdate"),
+      s"ship-date predicate no longer reaches the parquet scan:\n$s")
+    assert(shuffles(p) <= 4, s)
+  }
+
+  test("audit_out_of_order: running max rides ONE entity exchange") {
+    val p = finalPlan(SparkEntry.queries("audit_out_of_order")(spark, sfDir))
+    // entity window exchange + the exact-distinct's two agg phases + the
+    // contractual output sort — the honest floor for an exact
+    // entities-affected count; the pin guards the window staying
+    // key-partitioned (a global ordering would add range exchanges)
+    assert(shuffles(p) <= 4, s"out-of-order audit gained an exchange:\n$p")
+  }
+
+  test("audit_handoff: lag + matrix agg — one entity exchange, bounded output") {
+    val p = finalPlan(SparkEntry.queries("audit_handoff")(spark, sfDir))
+    assert(shuffles(p) <= 3, s"handoff matrix gained an exchange:\n$p")
+  }
+
+  test("emb_class_margin: centroids broadcast; scoring aggregates map-side") {
+    val p = finalPlan(SparkEntry.queries("emb_class_margin")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"margin scoring shuffled the corpus into a join:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("emb_isotropy: closed-form — one corpus agg, no pair join at any scale") {
+    val p = finalPlan(SparkEntry.queries("emb_isotropy")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("Join"), s"isotropy grew a pair join:\n$s")
+    // one groupBy(label) exchange + the contractual output sort
+    assert(shuffles(p) <= 2, s"isotropy gained an exchange:\n$s")
+  }
+
   test("emb_label_sim: centroid matrix joins stay broadcast after one vec-sum agg") {
     val p = finalPlan(SparkEntry.queries("emb_label_sim")(spark, sfDir))
     val s = p.toString
