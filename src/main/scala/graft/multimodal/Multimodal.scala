@@ -445,7 +445,119 @@ object Multimodal {
       .orderBy("media_type", "shard", "doc_id")
   }
 
+  /** A/V sync audit: align every sampled video frame (24 fps timeline,
+    * exact integer ms) to the LATEST audio analysis window at or before
+    * it (16 kHz / 25 ms / 10 ms hop — the multimodal_audio_windows model)
+    * and report per-container drift. The alignment is the engine's native
+    * AS-OF JOIN (AsOfJoinExec, keyed by container), the same operator the
+    * audit plane uses — per-key sorted merge, no window×frame pair
+    * explosion at any scale. Short containers with no complete audio
+    * window exercise the left-outer (unsynced) path. */
+  val multimodalAvSync: Q = Q.sql(
+    "multimodal_av_sync",
+    """WITH v AS (SELECT doc_id, length(text) AS blen FROM documents
+      |           WHERE CAST(doc_id % 3 + 1 AS INT) = 3),
+      |fs AS (SELECT doc_id, CAST(blen // 256 + 1 AS INT) AS n_frames,
+      |         CAST(greatest(1, (blen // 256 + 1) // 8) AS INT) AS stride
+      |       FROM v),
+      |fr AS (SELECT doc_id,
+      |         CAST(unnest(range(0, n_frames, stride)) AS BIGINT) * 1000 // 24
+      |           AS frame_ts
+      |       FROM fs),
+      |w0 AS (SELECT doc_id,
+      |         CASE WHEN blen >= 400 THEN (blen - 400) // 160 + 1 ELSE 0 END
+      |           AS n_windows
+      |       FROM v),
+      |wn AS (SELECT doc_id AS w_doc,
+      |         CAST(unnest(range(0, n_windows)) AS BIGINT) * 10 AS win_ts
+      |       FROM w0 WHERE n_windows > 0),
+      |j AS (SELECT f.doc_id, f.frame_ts, w.win_ts
+      |      FROM fr f ASOF LEFT JOIN wn w
+      |        ON f.doc_id = w.w_doc AND f.frame_ts >= w.win_ts)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames_sampled,
+      |  CAST(count(win_ts) AS BIGINT) AS n_synced,
+      |  max(frame_ts - win_ts) AS max_drift_ms,
+      |  round(CAST(sum(frame_ts - win_ts) AS DOUBLE) / count(win_ts), 4)
+      |    AS mean_drift_ms
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val video = features(s, d).filter(col("media_type") === "video")
+      .select(col("doc_id"), col("byte_len"), col("n_frames"))
+    val frames = video
+      .select(col("doc_id"),
+        expr("explode(sequence(0, n_frames - 1, greatest(1, n_frames div 8)))")
+          .as("frame_idx"))
+      .select(col("doc_id"),
+        expr("(cast(frame_idx as bigint) * 1000) div 24").as("frame_ts"))
+    val windows = video
+      .select(col("doc_id").as("w_doc"),
+        expr("""CASE WHEN byte_len >= 400
+                THEN (byte_len - 400) div 160 + 1 ELSE 0 END""").as("n_windows"))
+      .filter(col("n_windows") > 0)
+      .select(col("w_doc"),
+        expr("explode(sequence(0, n_windows - 1))").as("win_idx"))
+      .select(col("w_doc"), (col("win_idx").cast("long") * 10).as("win_ts"))
+    graft.plans.AsOf.join(frames, windows,
+        key = ("doc_id", "w_doc"), time = ("frame_ts", "win_ts"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames_sampled"),
+        count(col("win_ts")).as("n_synced"),
+        max(col("frame_ts") - col("win_ts")).as("max_drift_ms"),
+        round(sum(col("frame_ts") - col("win_ts")).cast("double") /
+          count(col("win_ts")), 4).as("mean_drift_ms"))
+      .orderBy("doc_id")
+  }
+
+  /** Storage-level chunk dedup (CDC-style, fixed 256-byte chunking): the
+    * pre-decode dedup a 100 TB media lake runs on raw payload bytes —
+    * chunk, content-hash, and bill per media type how many bytes a
+    * content-addressed store would actually keep. The explosion happens
+    * executor-side after pruning; both aggregates are hash-partitioned
+    * partial aggs (chunk-hash cardinality ~ corpus bytes / 256, uniformly
+    * spread by the hash — never skewed). */
+  val multimodalChunkDedup: Q = Q.sql(
+    "multimodal_chunk_dedup",
+    """WITH c AS (SELECT doc_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    CAST(unnest(range(0, CAST(ceil(length(text) / 256.0) AS INT))) AS INT)
+      |      AS ci,
+      |    text
+      |  FROM documents),
+      |ch AS (SELECT media_type, md5(substr(text, ci * 256 + 1, 256)) AS h,
+      |         length(substr(text, ci * 256 + 1, 256)) AS clen
+      |       FROM c),
+      |g AS (SELECT media_type, h, CAST(count(*) AS BIGINT) AS cnt,
+      |        max(clen) AS clen
+      |      FROM ch GROUP BY 1, 2)
+      |SELECT media_type, CAST(sum(cnt) AS BIGINT) AS total_chunks,
+      |  CAST(count(*) AS BIGINT) AS uniq_chunks,
+      |  CAST(sum(cnt * clen) AS BIGINT) AS total_bytes,
+      |  CAST(sum(clen) AS BIGINT) AS uniq_bytes,
+      |  round(CAST(sum(clen) AS DOUBLE) / sum(cnt * clen), 4) AS dedup_ratio
+      |FROM g GROUP BY 1 ORDER BY media_type""".stripMargin) { (s, d) =>
+    val chunks = Tables.documents(s, d)
+      .select(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("text"),
+        expr("explode(sequence(0, cast(ceil(length(text) / 256.0) as int) - 1))")
+          .as("ci"))
+      .select(col("media_type"),
+        md5(expr("cast(substring(text, ci * 256 + 1, 256) as binary)")).as("h"),
+        expr("length(substring(text, ci * 256 + 1, 256))").as("clen"))
+    chunks.groupBy("media_type", "h")
+      .agg(count(lit(1)).as("cnt"), max(col("clen")).as("clen"))
+      .groupBy("media_type")
+      .agg(sum(col("cnt")).cast("long").as("total_chunks"),
+        count(lit(1)).as("uniq_chunks"),
+        sum(col("cnt") * col("clen")).cast("long").as("total_bytes"),
+        sum(col("clen")).cast("long").as("uniq_bytes"),
+        round(sum(col("clen")).cast("double") / sum(col("cnt") * col("clen")), 4)
+          .as("dedup_ratio"))
+      .orderBy("media_type")
+  }
+
   val all: Seq[Q] = Seq(multimodalIngest, multimodalFrames, multimodalResize,
     multimodalDedup, multimodalQualityGate, multimodalAudioWindows,
-    multimodalShards, multimodalTokenBudget, multimodalInterleave)
+    multimodalShards, multimodalTokenBudget, multimodalInterleave,
+    multimodalAvSync, multimodalChunkDedup)
 }

@@ -1451,7 +1451,42 @@ object TextOps {
     }
   }
 
+  /** Lognormal fit of the per-source document-length distribution
+    * (method of moments on ln length): real corpora are approximately
+    * lognormal in length, and the (μ, σ) pair is what a sampling /
+    * packing planner consumes — exp(μ) estimates the median, and σ says
+    * how heavy the long tail a seq-len budget must absorb is. One
+    * partial-agg pass; the ln terms ride exact decimals (the text_entropy
+    * discipline) so partitioning never moves the moments. */
+  val textLengthLognormal: Q = Q.sql(
+    "text_length_lognormal",
+    """WITH x AS (SELECT source, ln(CAST(length(text) AS DOUBLE)) AS lx
+      |           FROM documents),
+      |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(CAST(lx AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+      |        CAST(sum(CAST(lx * lx AS DECIMAL(28,6))) AS DOUBLE) AS s2
+      |      FROM x GROUP BY source)
+      |SELECT source, n,
+      |  round(s1 / n, 4) AS mu,
+      |  round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)), 4) AS sigma,
+      |  round(exp(s1 / n), 2) AS median_est
+      |FROM g ORDER BY source""".stripMargin) { (s, d) =>
+    val x = docs(s, d)
+      .select(col("source"), log(length(col("text")).cast("double")).as("lx"))
+    x.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("lx").cast("decimal(28,6)")).cast("double").as("s1"),
+        sum((col("lx") * col("lx")).cast("decimal(28,6)")).cast("double").as("s2"))
+      .select(col("source"), col("n"),
+        round(col("s1") / col("n"), 4).as("mu"),
+        round(sqrt(greatest(col("s2") / col("n") -
+          (col("s1") / col("n")) * (col("s1") / col("n")), lit(0.0))), 4).as("sigma"),
+        round(exp(col("s1") / col("n")), 2).as("median_est"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
+    textLengthLognormal,
     dedupExact, dedupBow, dedupNgramJaccard, dedupContainment,
     dedupComponents, dedupKeepBest,
     dedupMinhash, dedupMinhashEst, dedupIncremental, dedupSimhash,

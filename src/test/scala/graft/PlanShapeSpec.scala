@@ -806,6 +806,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 2, s"isotropy gained an exchange:\n$s")
   }
 
+  test("multimodal_av_sync: frame→window alignment is the native as-of join") {
+    val p = finalPlan(SparkEntry.queries("multimodal_av_sync")(spark, sfDir))
+    val s = p.toString
+    assert(s.contains("AsOfJoin"), s"A/V alignment fell off AsOfJoinExec:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("multimodal_chunk_dedup: two hash aggregates, no join, no pair blowup") {
+    val p = finalPlan(SparkEntry.queries("multimodal_chunk_dedup")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("Join"), s)
+    // chunk-hash agg + media_type rollup + contractual output sort
+    assert(shuffles(p) <= 3, s"chunk dedup gained an exchange:\n$s")
+  }
+
+  test("text_length_lognormal: one partial-agg pass per source") {
+    val p = finalPlan(SparkEntry.queries("text_length_lognormal")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("Join"), s)
+    assert(shuffles(p) <= 2, s"lognormal fit gained an exchange:\n$s")
+  }
+
   test("emb_label_sim: centroid matrix joins stay broadcast after one vec-sum agg") {
     val p = finalPlan(SparkEntry.queries("emb_label_sim")(spark, sfDir))
     val s = p.toString
