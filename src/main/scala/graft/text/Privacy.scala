@@ -151,5 +151,93 @@ object Privacy {
       .orderBy("nation_id", "mktsegment")
   }
 
-  val all: Seq[Q] = Seq(piiScrub, piiKanon, piiLdiversity)
+  /** t-closeness audit — the metric l-diversity misses (Li, Li &
+    * Venkatasubramanian, ICDE 2007): a class can be diverse yet still
+    * leak if its sensitive-value DISTRIBUTION deviates from the corpus
+    * (skewness attack: "this class skews rich" is a disclosure even with
+    * many distinct bands). For the ordered balance-band attribute the
+    * distance is the Earth Mover's Distance = Σ|cumulative(p − q)| over
+    * the ordered domain, normalized by (m−1).
+    *
+    * Exactness: p and q are rationals, so the EMD is computed ENTIRELY in
+    * integers — per-band numerator n·N − g·k over common denominator k·N,
+    * cumulated and |·|-summed as DECIMAL(38,0) (headroom for count
+    * products at 100 TB), with ONE double division at the output edge.
+    * No floating-point accumulation anywhere, so partitioning can never
+    * move the metric.
+    *
+    * Scale: everything after the two partial-agg groupBys lives on the
+    * bounded |classes|×|bands| grid (broadcast sides), and the cumsum
+    * window partitions per class — bounded partitions at any scale. */
+  val piiTcloseness: Q = Q.sql(
+    "pii_tcloseness",
+    s"""WITH sv AS (
+       |  SELECT c_nationkey, c_mktsegment, ${bandSql("c_acctbal")} AS band,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM customer GROUP BY 1, 2, 3),
+       |cls AS (SELECT c_nationkey, c_mktsegment, CAST(sum(n) AS BIGINT) AS k
+       |        FROM sv GROUP BY 1, 2),
+       |gl AS (SELECT band, CAST(sum(n) AS BIGINT) AS gn FROM sv GROUP BY band),
+       |tot AS (SELECT CAST(sum(gn) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS m
+       |        FROM gl),
+       |grid AS (
+       |  SELECT c.c_nationkey, c.c_mktsegment, c.k, g.band, g.gn,
+       |    coalesce(s.n, 0) AS n0
+       |  FROM cls c CROSS JOIN gl g
+       |  LEFT JOIN sv s ON s.c_nationkey = c.c_nationkey
+       |    AND s.c_mktsegment = c.c_mktsegment AND s.band = g.band),
+       |x AS (
+       |  SELECT grid.*, tot.nn, tot.m,
+       |    CAST(n0 AS DECIMAL(38,0)) * nn - CAST(gn AS DECIMAL(38,0)) * k AS cdiff
+       |  FROM grid CROSS JOIN tot),
+       |cum AS (
+       |  SELECT c_nationkey, c_mktsegment, k, nn, m,
+       |    sum(cdiff) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+       |  FROM x)
+       |SELECT CAST(c_nationkey AS INT) AS nation_id, c_mktsegment AS mktsegment, k,
+       |  round(CAST(sum(abs(cm)) AS DOUBLE)
+       |    / (CAST(k AS DOUBLE) * nn * (m - 1)), 4) AS t_closeness,
+       |  (CAST(sum(abs(cm)) AS DOUBLE)
+       |    / (CAST(k AS DOUBLE) * nn * (m - 1)) > 0.2) AS above_t02
+       |FROM cum GROUP BY 1, 2, 3, nn, m
+       |ORDER BY nation_id, mktsegment""".stripMargin) { (s, d) =>
+    val sv = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        band(col("c_acctbal")).as("band"))
+      .agg(count(lit(1)).as("n"))
+    val cls = sv.groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum("n").cast("long").as("k"))
+    val gl = sv.groupBy("band").agg(sum("n").cast("long").as("gn"))
+    val tot = gl.agg(sum("gn").cast("long").as("nn"),
+      count(lit(1)).cast("long").as("m"))
+    val grid = cls.crossJoin(broadcast(gl))
+      .join(sv.withColumnRenamed("c_nationkey", "s_nat")
+          .withColumnRenamed("c_mktsegment", "s_seg")
+          .withColumnRenamed("band", "s_band"),
+        col("s_nat") === col("c_nationkey") && col("s_seg") === col("c_mktsegment")
+          && col("s_band") === col("band"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("k"), col("band"),
+        col("gn"), coalesce(col("n"), lit(0L)).as("n0"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cdiff",
+        col("n0").cast("decimal(38,0)") * col("nn")
+          - col("gn").cast("decimal(38,0)") * col("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey", "c_mktsegment").orderBy("band")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val t = grid.withColumn("cm", sum(col("cdiff")).over(w))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("k"), col("nn"),
+        col("m"))
+      .agg(sum(abs(col("cm"))).as("sa"))
+      .withColumn("tc", col("sa").cast("double")
+        / (col("k").cast("double") * col("nn") * (col("m") - 1)))
+    t.select(col("c_nationkey").cast("int").as("nation_id"),
+        col("c_mktsegment").as("mktsegment"), col("k"),
+        round(col("tc"), 4).as("t_closeness"),
+        (col("tc") > 0.2).as("above_t02"))
+      .orderBy("nation_id", "mktsegment")
+  }
+
+  val all: Seq[Q] = Seq(piiScrub, piiKanon, piiLdiversity, piiTcloseness)
 }

@@ -91,9 +91,14 @@ object Retrieval {
     * arithmetic. Rounded to 6 decimals HERE (once), then summed as
     * DECIMAL: exact, order-independent addition — a shuffle reordering
     * partial sums cannot move a score across a rounding boundary. */
-  private val contribFormula: String =
-    s"round(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * ($K1 + 1) " +
-      s"/ (tf + $K1 * (1 - $B + $B * dl * n_docs / sum_dl)), 6)"
+  private val contribRaw: String =
+    s"ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * ($K1 + 1) " +
+      s"/ (tf + $K1 * (1 - $B + $B * dl * n_docs / sum_dl))"
+  private val contribFormula: String = s"round($contribRaw, 6)"
+  /** Same contribution scaled by a per-term query weight `qw` (expanded
+    * queries), rounded once AFTER the scaling — one formula string for
+    * both engines, like [[contribFormula]]. */
+  private val contribWeighted: String = s"round(($contribRaw) * qw, 6)"
 
   /** Lexical top-k retrieval: BM25 over an inverted index — the keyword
     * twin of ann_topk, and together with it the two serve paths a corpus
@@ -779,6 +784,121 @@ object Retrieval {
     }
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM1-lite) on the
+    * LIVE BM25 machinery: take each query's top-3 BM25 docs as the
+    * pseudo-relevant set, mine the 2 highest tf·idf terms from them (the
+    * original query terms excluded), re-score with the expanded query
+    * (original terms weight 1.0, expansion terms 0.5), and report the new
+    * top-k with an entered_topk flag for docs the expansion surfaced.
+    *
+    * Scale posture is the bm25_search posture end to end: the corpus tf
+    * table is built once (persisted) and every probe side stays bounded —
+    * feedback docs (3/query), candidate terms (terms of 3 docs), expanded
+    * terms (≤ |query terms|+2/query) and df tables all broadcast; the
+    * corpus never shuffles for the probe. Weights and contributions round
+    * once to 6 decimals (shared formula strings), sums ride DECIMAL. */
+  val queryExpansionPrf: Q = {
+    val duckQueryValues = bm25Queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    Q.sql(
+      "query_expansion_prf",
+      s"""WITH qt(query_id, term) AS (VALUES $duckQueryValues),
+         |w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+         |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+         |st AS (SELECT count(*) AS n_docs, sum(len(ws)) AS sum_dl FROM w),
+         |dft AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+         |c AS (SELECT qt.query_id, tf.doc_id,
+         |        CAST($contribFormula AS DECIMAL(18, 6)) AS c
+         |      FROM qt JOIN tf ON qt.term = tf.term
+         |           JOIN dft ON dft.term = qt.term CROSS JOIN st),
+         |sc AS (SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS score
+         |       FROM c GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, doc_id) AS rnk
+         |      FROM sc),
+         |rtop AS (SELECT query_id, doc_id FROM r WHERE rnk <= $TopK),
+         |fb AS (SELECT query_id, doc_id FROM r WHERE rnk <= 3),
+         |fbw AS (SELECT f.query_id, tf.term, CAST(sum(tf.tf) AS BIGINT) AS fbw
+         |        FROM fb f JOIN tf ON tf.doc_id = f.doc_id GROUP BY 1, 2),
+         |cd AS (SELECT term, count(*) AS df FROM tf
+         |       WHERE term IN (SELECT DISTINCT term FROM fbw) GROUP BY 1),
+         |ex AS (SELECT query_id, term, 0.5 AS qw FROM (
+         |         SELECT fbw.query_id, fbw.term,
+         |           row_number() OVER (PARTITION BY fbw.query_id
+         |             ORDER BY round(fbw.fbw * ln(1.0 * st.n_docs / cd.df), 6) DESC,
+         |                      fbw.term) AS rn
+         |         FROM fbw JOIN cd ON cd.term = fbw.term CROSS JOIN st
+         |         LEFT JOIN qt q ON q.query_id = fbw.query_id AND q.term = fbw.term
+         |         WHERE q.term IS NULL)
+         |       WHERE rn <= 2),
+         |exq AS (SELECT query_id, term, 1.0 AS qw FROM qt
+         |        UNION ALL SELECT query_id, term, qw FROM ex),
+         |dft2 AS (SELECT term, count(*) AS df FROM tf
+         |         WHERE term IN (SELECT DISTINCT term FROM exq) GROUP BY 1),
+         |c2 AS (SELECT e.query_id, tf.doc_id,
+         |         CAST($contribWeighted AS DECIMAL(18, 6)) AS c
+         |       FROM exq e JOIN tf ON tf.term = e.term
+         |            JOIN dft2 ON dft2.term = e.term CROSS JOIN st),
+         |sc2 AS (SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS score
+         |        FROM c2 GROUP BY 1, 2),
+         |r2 AS (SELECT query_id, doc_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, doc_id) AS rnk
+         |       FROM sc2)
+         |SELECT r2.query_id, CAST(r2.rnk AS BIGINT) AS rnk, r2.doc_id, r2.score,
+         |  (o.doc_id IS NULL) AS entered_topk
+         |FROM r2 LEFT JOIN rtop o
+         |  ON o.query_id = r2.query_id AND o.doc_id = r2.doc_id
+         |WHERE r2.rnk <= $TopK ORDER BY r2.query_id, r2.rnk""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val (tf, topk) = bm25Machine(s, d)
+      val qt = bm25Queries
+        .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+        .toDF("query_id", "term")
+      val stats = docs(s, d)
+        .select(size(split(col("text"), " ")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val fb = topk.filter(col("rnk") <= 3).select(col("query_id"), col("doc_id"))
+      val fbw = tf.join(broadcast(fb), Seq("doc_id"))
+        .groupBy("query_id", "term").agg(sum("tf").cast("long").as("fbw"))
+      val cd = tf.join(broadcast(fbw.select("term").distinct()), Seq("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val exW = Window.partitionBy("query_id")
+        .orderBy(round(col("fbw") * log(lit(1.0) * col("n_docs") / col("df")), 6).desc,
+          col("term"))
+      val ex = fbw.join(qt, Seq("query_id", "term"), "left_anti")
+        .join(broadcast(cd), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("rn", row_number().over(exW))
+        .filter(col("rn") <= 2)
+        .select(col("query_id"), col("term"), lit(0.5).as("qw"))
+      val exq = qt.withColumn("qw", lit(1.0)).unionByName(ex)
+      val dft2 = tf.join(broadcast(exq.select("term").distinct()), Seq("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val c2 = tf.join(broadcast(exq), Seq("term"))
+        .join(broadcast(dft2), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("c", expr(contribWeighted).cast("decimal(18,6)"))
+      val r2 = c2.groupBy("query_id", "doc_id").agg(sum("c").as("dsum"))
+        .withColumn("score", round(col("dsum").cast("double"), 4))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+        .filter(col("rnk") <= TopK)
+      val orig = topk.select(col("query_id").as("oq"), col("doc_id").as("od"))
+      r2.join(broadcast(orig),
+          col("oq") === col("query_id") && col("od") === col("doc_id"), "left")
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("score"),
+          col("od").isNull.as("entered_topk"))
+        .orderBy("query_id", "rnk")
+    }
+  }
+
   val all: Seq[Q] = Seq(docChunk, bm25Search, bm25Eval, tfidfKeywords, chunkOverlap,
-    ngramStats, pmiBigrams, hybridRrf, chunkDedup, bm25ParamSensitivity)
+    ngramStats, pmiBigrams, hybridRrf, chunkDedup, bm25ParamSensitivity,
+    queryExpansionPrf)
 }

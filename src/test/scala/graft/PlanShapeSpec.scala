@@ -828,6 +828,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 2, s"lognormal fit gained an exchange:\n$s")
   }
 
+  test("pii_tcloseness: EMD lives on the bounded class×band grid — no corpus re-shuffle") {
+    val p = finalPlan(SparkEntry.queries("pii_tcloseness")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("SortMergeJoin"), s"grid join fell to sort-merge:\n$s")
+  }
+
+  test("query_expansion_prf: every probe side broadcasts — the corpus never shuffles for the query") {
+    val p = finalPlan(SparkEntry.queries("query_expansion_prf")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("SortMergeJoin"), s"a probe join shuffled the corpus:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("InMemoryTableScan") || s.contains("TableCacheQueryStage"),
+      s"shared tf table no longer persisted (corpus re-scanned per pass):\n$s")
+  }
+
   test("emb_label_sim: centroid matrix joins stay broadcast after one vec-sum agg") {
     val p = finalPlan(SparkEntry.queries("emb_label_sim")(spark, sfDir))
     val s = p.toString
