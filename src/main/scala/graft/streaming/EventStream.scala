@@ -575,7 +575,51 @@ object EventStream {
     batchLeg.unionByName(streamLeg).orderBy("h", "leg")
   }
 
+  /** Streaming as-of enrichment — the in-flight twin of audit_asof_state:
+    * every error-class change is enriched, AS IT ARRIVES, with its
+    * entity's latest purchase at or before the event time, through the
+    * SAME AsOfJoinExec custom operator the batch op plans (foreachBatch
+    * applies the as-of join of each micro-batch against the static
+    * purchase history — per-row independence makes micro-batching
+    * invisible to the result). Enrichment lands append-only and is read
+    * back; the ORACLE IS audit_asof_state's, so a crash-replayed
+    * streaming enrichment must match the batch reconstruction
+    * byte-for-byte. Stateless in-flight (no watermark, no state store):
+    * the static side is the only history the operator ever holds. */
+  val streamAsofEnrich: Q = Q(
+    "stream_asof_enrich",
+    { (s: SparkSession, d: String) =>
+      graft.GraftFunctions.ensureRegistered(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-asof-stream-").toString
+      val sink = s"$tmp/sink"
+      val purchases = graft.audit.AuditQueries.log(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("entity_id").as("r_entity"), col("ts").as("r_ts"),
+          col("value").as("r_value"))
+      drained(s) {
+        readFeed(s, d).filter(col("event_type") === "error")
+          .select(col("event_id").as("audit_id"), col("user_id").as("entity_id"),
+            col("ts"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              graft.plans.AsOf.join(b.toDF(), purchases,
+                  key = ("entity_id", "r_entity"), time = ("ts", "r_ts"))
+                .write.mode("append").parquet(sink)
+          }
+          .trigger(availableNow).start()
+      }
+      s.read.parquet(sink)
+        .select(col("audit_id"), col("entity_id"),
+          date_format(col("ts"), TS).as("err_at"),
+          col("r_value").as("last_purchase_value"),
+          date_format(col("r_ts"), TS).as("last_purchase_at"))
+        .orderBy("audit_id")
+    },
+    graft.audit.AuditQueries.auditAsofState.oracle)
+
   val all: Seq[Q] = Seq(auditStream, auditStreamJoin, auditSessionizeStream,
     auditStreamDedup, corpusStreamQa, streamDedupIncremental,
-    streamRateAlert, auditStreamBackfill)
+    streamRateAlert, auditStreamBackfill, streamAsofEnrich)
 }
