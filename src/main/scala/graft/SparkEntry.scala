@@ -10,6 +10,7 @@ object SparkEntry {
     graft.analytics.Relational.all ++
       graft.analytics.EventAnalytics.all ++
       graft.analytics.Layout.all ++
+      graft.analytics.DataQuality.all ++
       graft.audit.AuditQueries.all ++
       graft.streaming.EventStream.all ++
       graft.text.TextOps.all ++

@@ -1,0 +1,170 @@
+package graft.analytics
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality gate over the star schema — the Deequ-style
+  * check suite a pipeline runs before admitting a batch: column profiles
+  * and named constraints with violation counts. The reference trusts the
+  * database's own integrity machinery (PK/FK/NOT NULL enforced at write,
+  * audit.go's triggers fire on admitted rows only); a lake deployment has
+  * no such writer-side guarantees, so the checks become queries.
+  *
+  * Scale design: the PROFILE is ONE pass over the fact scan — every
+  * metric of every profiled column computed in a single aggregate (one
+  * shuffle of one row), then unpivoted executor-side; the CONSTRAINT
+  * suite is a union of partial aggregates plus one broadcast anti join
+  * for referential integrity (dimension side bounded). Nothing scans the
+  * fact table more than once per check family.
+  */
+object DataQuality {
+
+  /** Column profile of the fact table in ONE scan: per profiled column,
+    * row count, null count, exact distinct, and min/max (numerics only —
+    * cross-engine string formatting of doubles is undefined territory;
+    * categorical columns profile cardinality and lexicographic extremes,
+    * which both engines order identically for ASCII). */
+  val dqProfile: Q = Q.sql(
+    "dq_profile",
+    """WITH a AS (
+      |  SELECT count(*) AS n,
+      |    count(*) - count(l_quantity) AS null_qty,
+      |    count(DISTINCT l_quantity) AS d_qty,
+      |    min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |    count(*) - count(l_extendedprice) AS null_price,
+      |    count(DISTINCT l_extendedprice) AS d_price,
+      |    min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+      |    count(*) - count(l_discount) AS null_disc,
+      |    count(DISTINCT l_discount) AS d_disc,
+      |    min(l_discount) AS min_disc, max(l_discount) AS max_disc,
+      |    count(*) - count(l_returnflag) AS null_rf,
+      |    count(DISTINCT l_returnflag) AS d_rf,
+      |    count(*) - count(l_linestatus) AS null_ls,
+      |    count(DISTINCT l_linestatus) AS d_ls
+      |  FROM lineitem)
+      |SELECT * FROM (
+      |  SELECT 'l_quantity' AS col_name, CAST(n AS BIGINT) AS n_rows,
+      |    CAST(null_qty AS BIGINT) AS n_null, CAST(d_qty AS BIGINT) AS n_distinct,
+      |    min_qty AS min_v, max_qty AS max_v FROM a
+      |  UNION ALL SELECT 'l_extendedprice', n, null_price, d_price,
+      |    min_price, max_price FROM a
+      |  UNION ALL SELECT 'l_discount', n, null_disc, d_disc,
+      |    min_disc, max_disc FROM a
+      |  UNION ALL SELECT 'l_returnflag', n, null_rf, d_rf, NULL, NULL FROM a
+      |  UNION ALL SELECT 'l_linestatus', n, null_ls, d_ls, NULL, NULL FROM a)
+      |ORDER BY col_name""".stripMargin) { (s, d) =>
+    val a = Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - count(col("l_quantity"))).as("null_qty"),
+      countDistinct(col("l_quantity")).as("d_qty"),
+      min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
+      (count(lit(1)) - count(col("l_extendedprice"))).as("null_price"),
+      countDistinct(col("l_extendedprice")).as("d_price"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      (count(lit(1)) - count(col("l_discount"))).as("null_disc"),
+      countDistinct(col("l_discount")).as("d_disc"),
+      min(col("l_discount")).as("min_disc"), max(col("l_discount")).as("max_disc"),
+      (count(lit(1)) - count(col("l_returnflag"))).as("null_rf"),
+      countDistinct(col("l_returnflag")).as("d_rf"),
+      (count(lit(1)) - count(col("l_linestatus"))).as("null_ls"),
+      countDistinct(col("l_linestatus")).as("d_ls"))
+    // unpivot the 1-row metric frame to one row per column — executor-side
+    // explode of literal structs, no second scan
+    a.select(expr(
+      """explode(array(
+        |  struct('l_quantity' as col_name, n as n_rows, null_qty as n_null,
+        |         d_qty as n_distinct, min_qty as min_v, max_qty as max_v),
+        |  struct('l_extendedprice' as col_name, n as n_rows, null_price as n_null,
+        |         d_price as n_distinct, min_price as min_v, max_price as max_v),
+        |  struct('l_discount' as col_name, n as n_rows, null_disc as n_null,
+        |         d_disc as n_distinct, min_disc as min_v, max_disc as max_v),
+        |  struct('l_returnflag' as col_name, n as n_rows, null_rf as n_null,
+        |         d_rf as n_distinct, cast(null as double) as min_v,
+        |         cast(null as double) as max_v),
+        |  struct('l_linestatus' as col_name, n as n_rows, null_ls as n_null,
+        |         d_ls as n_distinct, cast(null as double) as min_v,
+        |         cast(null as double) as max_v)
+        |)) as r""".stripMargin))
+      .select(col("r.col_name"), col("r.n_rows"), col("r.n_null"),
+        col("r.n_distinct"), col("r.min_v"), col("r.max_v"))
+      .orderBy("col_name")
+  }
+
+  /** Named constraint suite with violation counts — the admit/reject
+    * gate: PK uniqueness, referential integrity (broadcast anti join on
+    * the bounded dimension), domain ranges, cross-field arithmetic
+    * consistency, and an accepted-values check. Each check is a partial
+    * aggregate; the union is |constraints| rows. */
+  val dqConstraints: Q = Q.sql(
+    "dq_constraints",
+    """SELECT * FROM (
+      |  SELECT 'orders_pk_unique' AS constraint_name, 'orders' AS table_name,
+      |    CAST(count(*) AS BIGINT) AS n_checked,
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_fk_customer', 'orders', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT)
+      |  FROM orders LEFT JOIN customer ON c_custkey = o_custkey
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_orders', 'lineitem', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+      |  FROM lineitem LEFT JOIN orders ON o_orderkey = l_orderkey
+      |  UNION ALL
+      |  SELECT 'discount_in_unit_range', 'lineitem', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'quantity_positive', 'lineitem', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'returnflag_accepted_values', 'lineitem', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R'))
+      |      AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'nation_fd_one_name_per_key', 'nation',
+      |    CAST(count(*) AS BIGINT),
+      |    CAST(count(*) FILTER (WHERE names > 1) AS BIGINT)
+      |  FROM (SELECT n_nationkey, count(DISTINCT n_name) AS names
+      |        FROM nation GROUP BY 1))
+      |ORDER BY constraint_name""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    def row(name: String, table: String, checked: org.apache.spark.sql.Column,
+        violations: org.apache.spark.sql.Column)(df: org.apache.spark.sql.DataFrame) =
+      df.agg(checked.cast("long").as("n_checked"),
+          violations.cast("long").as("n_violations"))
+        .select(lit(name).as("constraint_name"), lit(table).as("table_name"),
+          col("n_checked"), col("n_violations"))
+    val pk = row("orders_pk_unique", "orders", count(lit(1)),
+      count(lit(1)) - countDistinct(col("o_orderkey")))(orders)
+    // referential checks: LEFT JOIN + null-count rather than anti join so
+    // n_checked and n_violations come from ONE pass; the dimension side
+    // stays un-hinted (customer scales with SF — AQE picks the strategy)
+    val fkOc = row("orders_fk_customer", "orders", count(lit(1)),
+      count(when(col("c_custkey").isNull, 1)))(
+      orders.join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"),
+        "left"))
+    val fkLo = row("lineitem_fk_orders", "lineitem", count(lit(1)),
+      count(when(col("o_orderkey").isNull, 1)))(
+      li.join(orders, col("o_orderkey") === col("l_orderkey"), "left"))
+    val disc = row("discount_in_unit_range", "lineitem", count(lit(1)),
+      count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)))(li)
+    val qty = row("quantity_positive", "lineitem", count(lit(1)),
+      count(when(col("l_quantity") <= 0, 1)))(li)
+    val rf = row("returnflag_accepted_values", "lineitem", count(lit(1)),
+      count(when(!col("l_returnflag").isin("A", "N", "R"), 1)))(li)
+    val fd = row("nation_fd_one_name_per_key", "nation", count(lit(1)),
+      count(when(col("names") > 1, 1)))(
+      Tables.nation(s, d).groupBy("n_nationkey")
+        .agg(countDistinct(col("n_name")).as("names")))
+    pk.unionByName(fkOc).unionByName(fkLo).unionByName(disc)
+      .unionByName(qty).unionByName(rf).unionByName(fd)
+      .orderBy("constraint_name")
+  }
+
+  val all: Seq[Q] = Seq(dqProfile, dqConstraints)
+}

@@ -1448,6 +1448,141 @@ object Relational {
       .orderBy(col("s_name"))
   }
 
+  /** Exact customer revenue deciles WITHOUT a global sort — the segment
+    * table every lifecycle/marketing query starts from. The textbook
+    * `ntile(10) OVER (ORDER BY revenue)` funnels every customer through
+    * ONE window partition; here global ranks come from the
+    * audit_value_quantiles machinery instead: sketch-learned equi-depth
+    * buckets (B = shuffle-partitions knob) + native binary search +
+    * bucket-local row_number + broadcast offsets — bit-identical ranks,
+    * B-way parallelism. Decile = (rank·10) div n, exact at any n. */
+  val qCustomerDeciles: Q = Q.sql(
+    "q_customer_deciles",
+    s"""WITH r AS (SELECT o_custkey,
+      |    ${Det.dsumRoundSql("o_totalprice", 2)} AS revenue
+      |  FROM orders GROUP BY 1),
+      |o AS (SELECT o_custkey, revenue,
+      |        row_number() OVER (ORDER BY revenue, o_custkey) - 1 AS rn,
+      |        count(*) OVER () AS n
+      |      FROM r),
+      |d AS (SELECT (rn * 10) // n AS dec0, revenue FROM o),
+      |g AS (SELECT dec0, CAST(count(*) AS BIGINT) AS n_cust,
+      |        min(revenue) AS min_rev, max(revenue) AS max_rev,
+      |        CAST(sum(CAST(revenue AS DECIMAL(28,2))) AS DOUBLE) AS total_rev
+      |      FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(CAST(revenue AS DECIMAL(28,2))) AS DOUBLE) AS grand
+      |      FROM d)
+      |SELECT CAST(dec0 + 1 AS INT) AS decile, n_cust, min_rev, max_rev,
+      |  total_rev, round(total_rev / grand, 4) AS rev_share
+      |FROM g CROSS JOIN t ORDER BY decile""".stripMargin) { (s, d) =>
+    graft.GraftFunctions.ensureRegistered(s)
+    val B = math.max(s.conf.get("spark.sql.shuffle.partitions").toInt, 2)
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(Det.dsumRound(col("o_totalprice"), 2).as("revenue"))
+    val fracs = array((1 until B).map(i => lit(i.toDouble / B)): _*)
+    val bounds = rev.agg(
+      percentile_approx(col("revenue"), fracs, lit(10000)).as("bnds"))
+    val bucketed = rev.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        graft.GraftFunctions.graftArrayBucket(col("bnds"), col("revenue")))
+      .drop("bnds")
+    val off = bucketed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(
+        sum("bn").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("bn").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("bucket", "off", "n")
+    val wLocal = Window.partitionBy("bucket").orderBy("revenue", "o_custkey")
+    val ranked = bucketed.join(broadcast(off), Seq("bucket"))
+      .withColumn("rn", col("off") + row_number().over(wLocal) - 1)
+      .withColumn("dec0", expr("(rn * 10) div n"))
+    val g = ranked.groupBy("dec0")
+      .agg(count(lit(1)).as("n_cust"),
+        min("revenue").as("min_rev"), max("revenue").as("max_rev"),
+        sum(col("revenue").cast("decimal(28,2)")).cast("double").as("total_rev"))
+    val t = ranked.agg(
+      sum(col("revenue").cast("decimal(28,2)")).cast("double").as("grand"))
+    g.crossJoin(broadcast(t))
+      .select((col("dec0") + 1).cast("int").as("decile"), col("n_cust"),
+        col("min_rev"), col("max_rev"), col("total_rev"),
+        round(col("total_rev") / col("grand"), 4).as("rev_share"))
+      .orderBy("decile")
+  }
+
+  /** PageRank over the part co-purchase graph — the graph-analytics plane
+    * (complements dedup_components' connected components and
+    * emb_pca_power's power method): nodes are parts, edges weighted by
+    * co-occurrence inside an order. Per-order line counts are bounded, so
+    * the pair explosion is a constant factor of the fact scan, never
+    * quadratic in the catalog; each of the 3 power iterations is one
+    * edge⨝rank equi-join (shuffled on the edge key) + a partial agg —
+    * the textbook distributed PR step. Neighbor sums ride DECIMAL(38,18)
+    * so executor count can never move a rank; per-row arithmetic is
+    * bit-identical on both engines. */
+  val qPartPagerank: Q = {
+    val D = "0.85"
+    val duckIter = (k: Int) => s"""c$k AS (
+      |  SELECT e.dst, sum(CAST(p.pr * e.w / p.outdeg AS DECIMAL(38,18))) AS m
+      |  FROM e JOIN pr${k - 1} p ON p.node = e.src GROUP BY 1),
+      |pr$k AS (
+      |  SELECT n.node, n.outdeg,
+      |    (1 - CAST($D AS DOUBLE)) / nn.n
+      |      + CAST($D AS DOUBLE) * CAST(coalesce(c.m, 0) AS DOUBLE) AS pr
+      |  FROM pr${k - 1} n CROSS JOIN nn LEFT JOIN c$k c ON c.dst = n.node)""".stripMargin
+    Q.sql(
+      "q_part_pagerank",
+      s"""WITH pairs AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM pairs),
+        |deg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS outdeg
+        |        FROM e GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        |pr0 AS (SELECT node, outdeg, CAST(1 AS DOUBLE) / nn.n AS pr
+        |        FROM deg CROSS JOIN nn),
+        |${duckIter(1)},
+        |${duckIter(2)},
+        |${duckIter(3)}
+        |SELECT node AS p_partkey, outdeg, round(pr, 10) AS pagerank
+        |FROM pr3 ORDER BY round(pr, 10) DESC, p_partkey LIMIT 20""".stripMargin) {
+      (s, d) =>
+      val a = li(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
+      val b = li(s, d).select(col("l_orderkey").as("ok2"), col("l_partkey").as("dst"))
+      // read by the degree pass and every iteration (4 scans) — persisted;
+      // bounded at |orders|·L² pairs (L ≤ 7 lines/order), MEMORY_AND_DISK
+      // so eviction at scale degrades to disk reads, not recomputes
+      val e = a.join(b, col("ok") === col("ok2") && col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = e.groupBy(col("src").as("node")).agg(sum("w").cast("long").as("outdeg"))
+      val nn = deg.agg(count(lit(1)).cast("long").as("n"))
+      val d85 = lit(0.85)
+      var pr = deg.crossJoin(broadcast(nn))
+        .select(col("node"), col("outdeg"), (lit(1.0) / col("n")).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = e.join(pr.select(col("node").as("src"), col("pr"), col("outdeg")
+            .as("od")), Seq("src"))
+          .groupBy(col("dst"))
+          .agg(sum((col("pr") * col("w") / col("od")).cast("decimal(38,18)")).as("m"))
+        pr = pr.select(col("node"), col("outdeg"))
+          .join(contrib, col("dst") === col("node"), "left")
+          .crossJoin(broadcast(nn))
+          .select(col("node"), col("outdeg"),
+            ((lit(1) - d85) / col("n")
+              + d85 * coalesce(col("m"), lit(0)).cast("double")).as("pr"))
+      }
+      pr.select(col("node").as("p_partkey"), col("outdeg"),
+          round(col("pr"), 10).as("pagerank"))
+        .orderBy(col("pagerank").desc, col("p_partkey"))
+        .limit(20)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q1Pricing, q3Shipping, q5RegionVolume, q6Forecast, qTopCustomers,
     qPartShare, qRunningTotals, qOrderPriority, qFunnel, qRollupNation,
@@ -1457,5 +1592,6 @@ object Relational {
     qReturnedCustomers, qNationProfit, qSupplierWait, qOrderGap,
     qRevenueMa7, qShipPriority, qSkewProbe, qOrdersBacklog, qSupplierHhi,
     qBrandRankShift, qCustomerMigration, qDiscountImpact,
-    qMinPriceSupplier, qPartSupplierStats, qPromoEligible)
+    qMinPriceSupplier, qPartSupplierStats, qPromoEligible, qCustomerDeciles,
+    qPartPagerank)
 }

@@ -3003,20 +3003,20 @@ object AuditQueries {
     * skipping, projection pruned at the decoder — normalized, and rolled
     * up. The oracle recomputes from the parquet feed, so ANY fidelity
     * loss in write → chunk → skip → decode → normalize breaks the hash.
-    * The `event_id > 5000` filter is part of the contract: it exercises
+    * The `event_id > 500` filter is part of the contract: it exercises
     * the pushdown path inside the oracled query (stats can only skip
     * chunks, never change results — pushFilters keeps all residual). */
   val auditFeedV2: Q = Q.sql(
     "audit_feed_v2",
     s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        |  CAST(count(*) AS BIGINT) AS n, ${Det.dsumRoundSql("value", 2)} AS total_value
-       |FROM events WHERE event_id > 5000
+       |FROM events WHERE event_id > 500
        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (s, d) =>
     val tmp = java.nio.file.Files.createTempDirectory("graft-gfc-").toString
     graft.sources.GraftFeedFormat.write(Tables.events(s, d), tmp)
     val fd = graft.sources.FeedSources.normalize(
       s.read.format("graft.sources.GraftFeedSource").load(tmp))
-    fd.filter(col("event_id") > lit(5000L))
+    fd.filter(col("event_id") > lit(500L))
       .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), Det.dsumRound(col("value"), 2).as("total_value"))

@@ -844,6 +844,51 @@ class PlanShapeSpec extends AnyFunSuite {
       s"shared tf table no longer persisted (corpus re-scanned per pass):\n$s")
   }
 
+  test("q_customer_deciles: decile ranks are bucket-partitioned, never a global-sort ntile") {
+    // same property as the audit_value_quantiles pin: the per-row
+    // row_number window must partition by the learned bucket (B-way
+    // parallel), not run one global ordering over every customer
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = finalPlan(SparkEntry.queries("q_customer_deciles")(spark, sfDir))
+    val windows = scala.collection.mutable.Buffer.empty[WindowExec]
+    def walk(x: SparkPlan): Unit = x match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case w: WindowExec => windows += w; w.children.foreach(walk)
+      case o => o.children.foreach(walk)
+    }
+    walk(p)
+    val rankWindows = windows.filter(_.windowExpression.mkString.contains("row_number"))
+    assert(rankWindows.nonEmpty, s"rank window not found in plan:\n$p")
+    rankWindows.foreach { w =>
+      assert(w.partitionSpec.map(_.toString).exists(_.contains("bucket")),
+        s"decile rank window lost its bucket partitioning: ${w.partitionSpec}\n$p")
+    }
+  }
+
+  test("q_part_pagerank: iterations reuse the persisted edge table, no cartesian") {
+    val p = finalPlan(SparkEntry.queries("q_part_pagerank")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("InMemoryTableScan") || s.contains("TableCacheQueryStage"),
+      s"edge table no longer persisted (pair join replays per iteration):\n$s")
+  }
+
+  test("dq_profile: every metric of every column in ONE fact scan") {
+    val p = finalPlan(SparkEntry.queries("dq_profile")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("Join"), s)
+    val scans = s.split("\n").count(_.contains("Scan parquet"))
+    assert(scans <= 1, s"profile re-scans the fact table ($scans scans):\n$s")
+  }
+
+  test("dq_constraints: no cartesian, no fact re-shuffle beyond the named checks") {
+    val p = finalPlan(SparkEntry.queries("dq_constraints")(spark, sfDir))
+    assert(!p.toString.contains("CartesianProduct"), p.toString)
+  }
+
   test("emb_label_sim: centroid matrix joins stay broadcast after one vec-sum agg") {
     val p = finalPlan(SparkEntry.queries("emb_label_sim")(spark, sfDir))
     val s = p.toString
