@@ -166,5 +166,65 @@ object DataQuality {
       .orderBy("constraint_name")
   }
 
-  val all: Seq[Q] = Seq(dqProfile, dqConstraints)
+  /** Pairwise Pearson correlations of the fact measures in ONE scan —
+    * the statistics plane of the profile (native `corr` aggregates in
+    * either engine accumulate doubles in partition order, so their last
+    * ulp moves with the partitioning; here every Σx, Σx², Σxy rides an
+    * exact DECIMAL — the monetary inputs are 2-decimal, so scale-8
+    * products are exact — and r is derived from the six exact sums with
+    * one double expression per pair). All 4 variables × 6 pairs come out
+    * of a single aggregate row, unpivoted executor-side. */
+  val qMeasureCorrelations: Q = {
+    val vars = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount", "tax" -> "l_tax")
+    val pairs = for {
+      ((a, _), i) <- vars.zipWithIndex
+      (b, _) <- vars.drop(i + 1)
+    } yield (a, b)
+    def dsum(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,8))) AS DOUBLE)"
+    val sumsSql = (
+      vars.map { case (k, c) => s"${dsum(c)} AS s_$k" } ++
+      vars.map { case (k, c) => s"${dsum(s"$c * $c")} AS s_${k}_$k" } ++
+      pairs.map { case (a, b) =>
+        val (_, ca) = vars.find(_._1 == a).get; val (_, cb) = vars.find(_._1 == b).get
+        s"${dsum(s"$ca * $cb")} AS s_${a}_$b"
+      }).mkString(",\n    ")
+    def rExpr(a: String, b: String) =
+      s"round((n * s_${a}_$b - s_$a * s_$b) / sqrt((n * s_${a}_$a - s_$a * s_$a)" +
+        s" * (n * s_${b}_$b - s_$b * s_$b)), 4)"
+    val rowsSql = pairs.map { case (a, b) =>
+      s"SELECT '${a}_x_$b' AS pair, n AS n_rows, ${rExpr(a, b)} AS r FROM a"
+    }.mkString("\n  UNION ALL ")
+    Q.sql(
+      "q_measure_correlations",
+      s"""WITH a AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    $sumsSql
+        |  FROM lineitem)
+        |SELECT pair, CAST(n_rows AS BIGINT) AS n_rows, r FROM (
+        |  $rowsSql)
+        |ORDER BY pair""".stripMargin) { (s, d) =>
+      val varsC = vars.map { case (k, c) => (k, col(c)) }
+      val aggs =
+        varsC.map { case (k, c) =>
+          sum(c.cast("decimal(38,8)")).cast("double").as(s"s_$k") } ++
+        varsC.map { case (k, c) =>
+          sum((c * c).cast("decimal(38,8)")).cast("double").as(s"s_${k}_$k") } ++
+        pairs.map { case (a, b) =>
+          val ca = varsC.find(_._1 == a).get._2; val cb = varsC.find(_._1 == b).get._2
+          sum((ca * cb).cast("decimal(38,8)")).cast("double").as(s"s_${a}_$b")
+        }
+      val a = Tables.lineitem(s, d)
+        .agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+      val structs = pairs.map { case (x, y) =>
+        s"struct('${x}_x_$y' as pair, n as n_rows, ${rExpr(x, y)} as r)"
+      }.mkString(", ")
+      a.select(expr(s"explode(array($structs)) as p"))
+        .select(col("p.pair"),
+          col("p.n_rows").cast("long").as("n_rows"), col("p.r"))
+        .orderBy("pair")
+    }
+  }
+
+  val all: Seq[Q] = Seq(dqProfile, dqConstraints, qMeasureCorrelations)
 }

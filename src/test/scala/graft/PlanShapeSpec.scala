@@ -884,6 +884,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans <= 1, s"profile re-scans the fact table ($scans scans):\n$s")
   }
 
+  test("q_measure_correlations: one fact scan feeds every pair's sums") {
+    val p = finalPlan(SparkEntry.queries("q_measure_correlations")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("Join"), s)
+    val scans = s.split("\n").count(_.contains("Scan parquet"))
+    assert(scans <= 1, s"correlation matrix re-scans the fact table:\n$s")
+  }
+
   test("dq_constraints: no cartesian, no fact re-shuffle beyond the named checks") {
     val p = finalPlan(SparkEntry.queries("dq_constraints")(spark, sfDir))
     assert(!p.toString.contains("CartesianProduct"), p.toString)
