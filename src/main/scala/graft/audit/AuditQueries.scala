@@ -3023,8 +3023,49 @@ object AuditQueries {
       .orderBy("day", "event_type")
   }
 
+  /** Right-to-be-forgotten cost manifest: entities whose FINAL operation
+    * is terminal (D/T — erased in the source, audit.go:1362) still have
+    * history resting in the audit log; an erasure pass must rewrite every
+    * day partition that carries their rows. Per day: total rows, rows to
+    * erase, erased entities, and the rewrite share — the number that
+    * decides whether erasure is a surgical rewrite or a full-table pass
+    * at 100 TB. One entity-partitioned window derives the final op; the
+    * day rollup is a partial agg (day partitions ARE the sink layout, so
+    * this table maps 1:1 onto files to rewrite). */
+  val auditGdprErasure: Q = Q.sql(
+    "audit_gdpr_erasure",
+    auditCte + s""", lo AS (
+      |  SELECT entity_id, audit_id, ts,
+      |    last_value(operation) OVER (PARTITION BY entity_id ORDER BY audit_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_op
+      |  FROM audit)
+      |SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(*) FILTER (WHERE last_op IN ('D', 'T')) AS BIGINT)
+      |    AS n_rows_to_erase,
+      |  CAST(count(DISTINCT CASE WHEN last_op IN ('D', 'T') THEN entity_id END)
+      |    AS BIGINT) AS n_entities_erased,
+      |  round(1.0 * count(*) FILTER (WHERE last_op IN ('D', 'T')) / count(*), 4)
+      |    AS rewrite_share
+      |FROM lo GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("entity_id").orderBy("audit_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lo = log(s, d).select(col("entity_id"), col("audit_id"), col("ts"),
+        col("operation"))
+      .withColumn("last_op", last(col("operation")).over(w))
+      .withColumn("erased", col("last_op").isin(AuditModel.terminalOps: _*))
+    lo.groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("erased"), 1)).as("n_rows_to_erase"),
+        countDistinct(when(col("erased"), col("entity_id")))
+          .as("n_entities_erased"),
+        round(lit(1.0) * count(when(col("erased"), 1)) / count(lit(1)), 4)
+          .as("rewrite_share"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(
-    auditOutOfOrder, auditHandoff, auditFeedV2,
+    auditOutOfOrder, auditHandoff, auditFeedV2, auditGdprErasure,
     auditBlindSpots,
     auditChainDigest,
     auditLog, auditDelta, auditDeltaOld, auditTypedDelta, auditViewsOnly,

@@ -556,8 +556,77 @@ object Multimodal {
       .orderBy("media_type")
   }
 
+  /** ViT patch budgeting on top of the resize geometry: after the fit-to-
+    * 224 scale, how many 14×14 patches does each image cost the vision
+    * encoder, and what patch budget does each media type bill per epoch?
+    * Integer geometry end-to-end (the resize op's exact scale_ppm), one
+    * partial-agg rollup; p50/p90 are cumulative-rank picks on the bounded
+    * patch-count histogram (≤ 16×16 grid values — token_length_quantiles
+    * discipline, no per-row rank window). */
+  val multimodalPatchGrid: Q = Q.sql(
+    "multimodal_patch_grid",
+    """WITH m AS (SELECT doc_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    CAST(64 + n_chars % 512 AS INT) AS width,
+      |    CAST(64 + doc_id % 512 AS INT) AS height
+      |  FROM documents
+      |  WHERE CAST(doc_id % 3 + 1 AS INT) <> 2),
+      |s AS (SELECT doc_id, media_type, width, height,
+      |        least(1000000, least(224000000 // width, 224000000 // height))
+      |          AS scale_ppm
+      |      FROM m),
+      |g AS (SELECT media_type,
+      |        ((width * scale_ppm // 1000000) + 13) // 14 AS pw,
+      |        ((height * scale_ppm // 1000000) + 13) // 14 AS ph
+      |      FROM s),
+      |pc AS (SELECT media_type, pw * ph AS n_patches FROM g),
+      |h AS (SELECT media_type, n_patches, CAST(count(*) AS BIGINT) AS c
+      |      FROM pc GROUP BY 1, 2),
+      |t AS (SELECT media_type, CAST(sum(c) AS BIGINT) AS n_imgs,
+      |        CAST(sum(n_patches * c) AS BIGINT) AS total_patches
+      |      FROM h GROUP BY 1),
+      |r AS (SELECT media_type, n_patches, c,
+      |        sum(c) OVER (PARTITION BY media_type ORDER BY n_patches
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM h)
+      |SELECT t.media_type, t.n_imgs, t.total_patches,
+      |  min(CASE WHEN r.cum * 2 >= t.n_imgs THEN r.n_patches END) AS p50_patches,
+      |  min(CASE WHEN r.cum * 10 >= t.n_imgs * 9 THEN r.n_patches END) AS p90_patches
+      |FROM t JOIN r ON r.media_type = t.media_type
+      |GROUP BY 1, 2, 3 ORDER BY t.media_type""".stripMargin) { (s, d) =>
+    val m = Tables.documents(s, d)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        (lit(64) + col("n_chars") % 512).cast("int").as("width"),
+        (lit(64) + col("doc_id") % 512).cast("int").as("height"))
+      .filter(col("media_type") =!= "audio")
+      .withColumn("scale_ppm",
+        least(lit(1000000L),
+          least(expr("224000000L div width"), expr("224000000L div height"))))
+      .withColumn("pw", expr("((width * scale_ppm div 1000000) + 13) div 14"))
+      .withColumn("ph", expr("((height * scale_ppm div 1000000) + 13) div 14"))
+      .select(col("media_type"), (col("pw") * col("ph")).as("n_patches"))
+    val h = m.groupBy("media_type", "n_patches").agg(count(lit(1)).as("c"))
+    val t = h.groupBy("media_type")
+      .agg(sum("c").cast("long").as("n_imgs"),
+        sum(col("n_patches") * col("c")).cast("long").as("total_patches"))
+    val w = Window.partitionBy("media_type").orderBy("n_patches")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val r = h.withColumn("cum", sum("c").over(w))
+    t.join(r.select(col("media_type").as("rm"), col("n_patches"), col("cum")),
+        col("rm") === col("media_type"))
+      .groupBy(col("media_type"), col("n_imgs"), col("total_patches"))
+      .agg(
+        min(when(col("cum") * 2 >= col("n_imgs"), col("n_patches")))
+          .as("p50_patches"),
+        min(when(col("cum") * 10 >= col("n_imgs") * 9, col("n_patches")))
+          .as("p90_patches"))
+      .orderBy("media_type")
+  }
+
   val all: Seq[Q] = Seq(multimodalIngest, multimodalFrames, multimodalResize,
     multimodalDedup, multimodalQualityGate, multimodalAudioWindows,
     multimodalShards, multimodalTokenBudget, multimodalInterleave,
-    multimodalAvSync, multimodalChunkDedup)
+    multimodalAvSync, multimodalChunkDedup, multimodalPatchGrid)
 }

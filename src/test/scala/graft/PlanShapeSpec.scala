@@ -892,6 +892,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans <= 1, s"correlation matrix re-scans the fact table:\n$s")
   }
 
+  test("audit_gdpr_erasure: final-op window rides one entity exchange") {
+    val p = finalPlan(SparkEntry.queries("audit_gdpr_erasure")(spark, sfDir))
+    // entity window + exact-distinct two-phase + output sort
+    assert(shuffles(p) <= 4, s"erasure manifest gained an exchange:\n$p")
+  }
+
+  test("multimodal_patch_grid: quantiles on the bounded histogram, no rank window over rows") {
+    val p = finalPlan(SparkEntry.queries("multimodal_patch_grid")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("row_number"), s"patch quantiles fell to a per-row rank window:\n$s")
+  }
+
   test("dq_constraints: no cartesian, no fact re-shuffle beyond the named checks") {
     val p = finalPlan(SparkEntry.queries("dq_constraints")(spark, sfDir))
     assert(!p.toString.contains("CartesianProduct"), p.toString)
