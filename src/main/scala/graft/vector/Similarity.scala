@@ -2243,8 +2243,91 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** IVF serving-shard plan: assign index cells to 8 serving shards by
+    * serpentine (boustrophedon) round-robin over the population-ranked
+    * cell list — the deterministic LPT-style heuristic that keeps the
+    * heaviest cells apart without any sequential bin state. Per shard:
+    * cells, vectors, load share, and skew vs the perfect 1/8 — what an
+    * index deployer reads before pinning cells to executors. The rank
+    * window runs over ≤|cells| rows (bounded by the quantizer, not the
+    * corpus). */
+  val annShardPlan: Q = Q.sql(
+    "ann_shard_plan",
+    s"""WITH $centCtesSql,
+      |$centRanksCtesSql,
+      |a AS (SELECT clabel AS cell, CAST(count(*) AS BIGINT) AS n_vecs
+      |      FROM ar WHERE rn = 1 GROUP BY 1),
+      |r AS (SELECT cell, n_vecs,
+      |        row_number() OVER (ORDER BY n_vecs DESC, cell) - 1 AS rk
+      |      FROM a),
+      |sh AS (SELECT cell, n_vecs,
+      |         CAST(CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+      |              ELSE 7 - rk % 8 END AS INT) AS shard
+      |       FROM r),
+      |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS tot FROM a)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_cells,
+      |  CAST(sum(n_vecs) AS BIGINT) AS n_vecs,
+      |  round(CAST(sum(n_vecs) AS DOUBLE) / t.tot, 4) AS load_share,
+      |  round(CAST(sum(n_vecs) AS DOUBLE) * 8 / t.tot, 4) AS skew
+      |FROM sh CROSS JOIN t GROUP BY shard, t.tot
+      |ORDER BY shard""".stripMargin) { (s, d) =>
+    val a = centroidRanks(emb(s, d)).filter(col("rn") === 1)
+      .groupBy(col("clabel").as("cell"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+    val r = a.withColumn("rk",
+      row_number().over(Window.orderBy(col("n_vecs").desc, col("cell"))) - 1)
+    val sh = r.withColumn("shard",
+      when(expr("(rk div 8) % 2") === 0, col("rk") % 8)
+        .otherwise(lit(7) - col("rk") % 8).cast("int"))
+    val t = a.agg(sum("n_vecs").cast("long").as("tot"))
+    sh.crossJoin(broadcast(t))
+      .groupBy(col("shard"), col("tot"))
+      .agg(count(lit(1)).as("n_cells"), sum("n_vecs").cast("long").as("n_vecs"))
+      .select(col("shard"), col("n_cells"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("tot"), 4).as("load_share"),
+        round(col("n_vecs").cast("double") * 8 / col("tot"), 4).as("skew"))
+      .orderBy("shard")
+  }
+
+  /** Cross-modal pairing audit — the doc⨝embedding join plane (every
+    * other operator works one modality at a time): per (label, lang),
+    * paired-sample counts, source diversity, mean text length and mean
+    * vector norm — the first table to read when a contrastive text/embed
+    * training set needs its modality balance checked. The id-equi join of
+    * two SF-scaling tables shuffles on the shared key (co-partitioned at
+    * scale — bucketing both tables on the id makes it exchange-free);
+    * means ride exact decimals. */
+  val crossmodalMix: Q = Q.sql(
+    "crossmodal_mix",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      |           FROM embeddings),
+      |j AS (SELECT e.label, d.lang, d.source, d.n_chars,
+      |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+      |      FROM e JOIN documents d ON d.doc_id = e.vec_id)
+      |SELECT label, lang, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  round(CAST(sum(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE) / count(*), 2)
+      |    AS mean_chars,
+      |  round(CAST(sum(CAST(nrm AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6)
+      |    AS mean_norm
+      |FROM j GROUP BY 1, 2 ORDER BY label, lang""".stripMargin) { (s, d) =>
+    val e = emb(s, d).select(col("vec_id"), col("label"),
+      expr("""sqrt(aggregate(transform(embedding, x -> cast(x as double)),
+              cast(0 as double), (acc, x) -> acc + x * x))""").as("nrm"))
+    val j = e.join(graft.Tables.documents(s, d),
+      col("doc_id") === col("vec_id"))
+    j.groupBy("label", "lang")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("source")).as("n_sources"),
+        round(sum(col("n_chars").cast("decimal(28,0)")).cast("double")
+          / count(lit(1)), 2).as("mean_chars"),
+        round(sum(col("nrm").cast("decimal(28,9)")).cast("double")
+          / count(lit(1)), 6).as("mean_norm"))
+      .orderBy("label", "lang")
+  }
+
   val all: Seq[Q] = Seq(
-    embClassMargin, embIsotropy,
+    embClassMargin, embIsotropy, annShardPlan, crossmodalMix,
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
     embNormalize, embQuantize, annPq, annPqSearch, annRecall,
     annIvfMultiprobe, annIvfPq, annIvfKmeans, annRecallKmeans,
