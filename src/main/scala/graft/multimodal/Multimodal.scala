@@ -518,8 +518,8 @@ object Multimodal {
     "multimodal_chunk_dedup",
     """WITH c AS (SELECT doc_id,
       |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
-      |    CAST(unnest(range(0, CAST(ceil(length(text) / 256.0) AS INT))) AS INT)
-      |      AS ci,
+      |    CAST(unnest(range(0, greatest(CAST(ceil(length(text) / 256.0) AS INT), 1)))
+      |      AS INT) AS ci,
       |    text
       |  FROM documents),
       |ch AS (SELECT media_type, md5(substr(text, ci * 256 + 1, 256)) AS h,
@@ -539,7 +539,11 @@ object Multimodal {
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
         col("text"),
-        expr("explode(sequence(0, cast(ceil(length(text) / 256.0) as int) - 1))")
+        // greatest(...,1) guards the empty-doc edge: Spark evaluates
+        // sequence(0,-1) as the DESCENDING list [0,-1] (two spurious
+        // chunks) where DuckDB's range(0,0) is empty — clamp so an
+        // empty text yields exactly one empty chunk in both engines
+        expr("explode(sequence(0, greatest(cast(ceil(length(text) / 256.0) as int), 1) - 1))")
           .as("ci"))
       .select(col("media_type"),
         md5(expr("cast(substring(text, ci * 256 + 1, 256) as binary)")).as("h"),

@@ -87,6 +87,12 @@ object GraftFeedFormat {
               bo.writeLong(id); bo.writeLong(r.getLong(1)); bo.writeLong(r.getLong(2))
               bo.writeDouble(r.getDouble(4))
               val et = r.getString(3).getBytes(StandardCharsets.UTF_8)
+              // the 2-byte length field caps event_type at 65535 UTF-8
+              // bytes; an unchecked writeShort would silently truncate a
+              // longer value to a negative short and corrupt the stream
+              // at read time (NegativeArraySizeException or misparse)
+              require(et.length <= 0xFFFF,
+                s"event_type exceeds gfc 2-byte length limit: ${et.length} bytes")
               bo.writeShort(et.length); bo.write(et)
               val pr = r.getString(5).getBytes(StandardCharsets.UTF_8)
               bo.writeInt(pr.length); bo.write(pr)
@@ -251,7 +257,9 @@ class GraftFeedReader(meta: GraftFeedFormat.ChunkMeta, required: StructType)
       if (pTs >= 0) vals(pTs) = ts
       if (pUser >= 0) vals(pUser) = uid
       if (pVal >= 0) vals(pVal) = v
-      val etLen = in.readShort()
+      // unsigned decode pairs with the write-side 0xFFFF cap: lengths in
+      // [32768, 65535] round-trip instead of reading back negative
+      val etLen = in.readUnsignedShort()
       if (pEt >= 0) {
         val b = new Array[Byte](etLen); in.readFully(b)
         vals(pEt) = UTF8String.fromBytes(b)

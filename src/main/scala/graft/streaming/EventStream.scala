@@ -91,7 +91,7 @@ object EventStream {
        |  count(*) AS n, ${Det.dsumRoundSql("value", 2)} AS total_value
        |FROM events GROUP BY 1, 2
        |ORDER BY win_start, operation""".stripMargin) { (s, d) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft-audit-stream-").toString
+    val tmp = graft.Scratch.dir("graft-audit-stream-")
     captureToAuditSink(s, d, s"$tmp/sink", s"$tmp/ckpt")
     graft.sources.FeedSources.exactlyOnceView(s, s"$tmp/sink")
       .groupBy(window(col("ts"), "10 minutes"), col("operation"))
@@ -130,7 +130,7 @@ object EventStream {
       |  AND epoch_ns(p.ts) // 1000
       |    BETWEEN epoch_ns(e.ts) // 1000 - 3600000000 AND epoch_ns(e.ts) // 1000
       |ORDER BY error_id, purchase_id""".stripMargin) { (s, d) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-join-").toString
+    val tmp = graft.Scratch.dir("graft-stream-join-")
     val errs = readFeed(s, d).filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("user_id").as("e_entity"),
         col("ts").as("e_ts"))
@@ -246,7 +246,7 @@ object EventStream {
     * a live pipeline), so this emits every *closed* session. */
   val auditSessionizeStream: Q = Q.rowsOnly("audit_sessionize_stream") { (s, d) =>
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-sessions-").toString
+    val tmp = graft.Scratch.dir("graft-sessions-")
     val feed = readFeed(s, d)
       .select(col("user_id").as("entity_id"), col("ts"), col("value"))
       .as[FeedEvent]
@@ -283,7 +283,7 @@ object EventStream {
     s"""SELECT ${graft.audit.AuditModel.operationSql} AS operation,
        |  count(*) AS n, ${Det.dsumRoundSql("value", 2)} AS total_value
        |FROM events GROUP BY 1 ORDER BY operation""".stripMargin) { (s, d) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup-").toString
+    val tmp = graft.Scratch.dir("graft-stream-dedup-")
     val base = graft.Tables.events(s, d)
     base.write.parquet(s"$tmp/feed")
     base.filter(col("event_id") % 10 === 0).write.mode("append").parquet(s"$tmp/feed")
@@ -362,7 +362,7 @@ object EventStream {
        |  CAST(sum(n_words) AS BIGINT) AS total_words,
        |  round(1.0 * sum(passed) / count(*), 4) AS pass_share
        |FROM sc GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft-corpus-stream-").toString
+    val tmp = graft.Scratch.dir("graft-corpus-stream-")
     // one batch footer peek for the file-stream schema (file sources
     // require it explicitly), then the capture replay
     val docSchema = graft.Tables.documents(s, d).schema
@@ -417,7 +417,7 @@ object EventStream {
     "stream_dedup_incremental",
     graft.text.TextOps.dedupIncremental.oracle.get) { (s, d) =>
     graft.GraftFunctions.ensureRegistered(s)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-sdi-").toString
+    val tmp = graft.Scratch.dir("graft-sdi-")
     val exBands = graft.text.TextOps.minhashBandsOf(
         graft.Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
       .select(col("doc_id").as("ex_id"), col("band"), col("v"))
@@ -489,7 +489,7 @@ object EventStream {
       |  f.n_changes, round(f.n_changes / 60.0, 4) AS rate_per_min,
       |  CAST(2 * f.n_changes * t.n_windows > 3 * t.total AS INT) AS alert
       |FROM f, t ORDER BY win_start""".stripMargin) { (s, d) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft-rate-alert-").toString
+    val tmp = graft.Scratch.dir("graft-rate-alert-")
     drained(s) {
       readFeed(s, d)
         .withWatermark("ts", "30 minutes")
@@ -544,7 +544,7 @@ object EventStream {
        |  count(*) AS n, ${Det.dsumRoundSql("value", 2)} AS total_value
        |FROM events GROUP BY 1, 2 ORDER BY h, leg""".stripMargin) { (s, d) =>
     val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-backfill-").toString
+    val tmp = graft.Scratch.dir("graft-backfill-")
     val sink = s"$tmp/sink"
     drained(s) {
       readFeed(s, d).filter(col("ts") >= cutoff)
@@ -590,7 +590,7 @@ object EventStream {
     "stream_asof_enrich",
     { (s: SparkSession, d: String) =>
       graft.GraftFunctions.ensureRegistered(s)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-asof-stream-").toString
+      val tmp = graft.Scratch.dir("graft-asof-stream-")
       val sink = s"$tmp/sink"
       val purchases = graft.audit.AuditQueries.log(s, d)
         .filter(col("event_type") === "purchase")
@@ -603,14 +603,25 @@ object EventStream {
           .writeStream.outputMode("append")
           .option("checkpointLocation", s"$tmp/ckpt")
           .foreachBatch {
-            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
               graft.plans.AsOf.join(b.toDF(), purchases,
                   key = ("entity_id", "r_entity"), time = ("ts", "r_ts"))
+                .withColumn("bid", lit(bid))
                 .write.mode("append").parquet(sink)
           }
           .trigger(availableNow).start()
       }
+      // foreachBatch + parquet append is at-least-once: a retried
+      // micro-batch after a partial write duplicates sink rows. Read-back
+      // keeps the LAST writer per audit_id (max batch id, then row_number
+      // to collapse same-batch partial-write duplicates) — the same
+      // streaming-upsert discipline as audit_stream_backfill, which is
+      // what makes the "crash-replayed matches batch byte-for-byte"
+      // contract actually hold under retries.
+      val lastWriter = org.apache.spark.sql.expressions.Window
+        .partitionBy("audit_id").orderBy(col("bid").desc)
       s.read.parquet(sink)
+        .withColumn("rn", row_number().over(lastWriter)).filter(col("rn") === 1)
         .select(col("audit_id"), col("entity_id"),
           date_format(col("ts"), TS).as("err_at"),
           col("r_value").as("last_purchase_value"),

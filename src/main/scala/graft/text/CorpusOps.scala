@@ -1495,12 +1495,20 @@ object CorpusOps {
     val slopeRaw = s"($num / nullif($den, 0))"
     val interceptRaw = s"((${d("sy")} - $slopeRaw * ${d("sx")}) / ${d("nt")})"
     val lg10N = s"${d("round(log2(10.0 * n_total), 6)")}"
+    // `+ 0` normalizes IEEE signed zero: on a closed vocabulary the OLS
+    // slope is a true 0 and DuckDB's round() preserves -0.0 where Spark
+    // emits +0.0 — one bit, hash-divergent. Both dialects consume these
+    // same strings so the normalization cannot drift.
+    val betaF = s"(round($slopeRaw, 4) + 0)"
+    val interceptF = s"(round($interceptRaw, 4) + 0)"
+    val r2F = s"(round($num * $num / nullif($den * $denY, 0), 4) + 0)"
+    val predF = s"(round($interceptRaw + $slopeRaw * $lg10N, 4) + 0)"
     val finalSel =
       s"""SELECT CAST(nt AS BIGINT) AS n_points, n_total,
-         |  round($slopeRaw, 4) AS beta,
-         |  round($interceptRaw, 4) AS intercept,
-         |  round($num * $num / nullif($den * $denY, 0), 4) AS r2,
-         |  round($interceptRaw + $slopeRaw * $lg10N, 4) AS pred_log2_vocab_10x""".stripMargin
+         |  $betaF AS beta,
+         |  $interceptF AS intercept,
+         |  $r2F AS r2,
+         |  $predF AS pred_log2_vocab_10x""".stripMargin
     Q.sql(
       "heaps_fit",
       s"""WITH vg AS (${vocabGrowth.oracle.get}),
@@ -1535,10 +1543,10 @@ object CorpusOps {
       val tot = vg.agg(sum("n_tokens").cast("long").as("n_total"))
       a.crossJoin(broadcast(tot)).selectExpr(
         "CAST(nt AS BIGINT) AS n_points", "n_total",
-        s"round($slopeRaw, 4) AS beta",
-        s"round($interceptRaw, 4) AS intercept",
-        s"round($num * $num / nullif($den * $denY, 0), 4) AS r2",
-        s"round($interceptRaw + $slopeRaw * $lg10N, 4) AS pred_log2_vocab_10x")
+        s"$betaF AS beta",
+        s"$interceptF AS intercept",
+        s"$r2F AS r2",
+        s"$predF AS pred_log2_vocab_10x")
     }
   }
 

@@ -469,4 +469,22 @@ class AuditLogSpec extends AnyFunSuite {
       assert(g.getAs[Long]("n_other_ops") === other.map(_._1).distinct.length.toLong)
     }
   }
+
+  test("change_reason models the session GUC: NULL iff unset, vocab bounded") {
+    // reference docs/deployment.md:17 — audit_star.change_reason is a
+    // session parameter; sessions that never SET it capture NULL
+    val got = graft.audit.AuditQueries.log(spark, TestSession.sfDir)
+      .select("audit_id", "entity_id", "change_reason").collect()
+    val vocab = Set("backfill", "migration", "manual_fix", "ticket_sync")
+    got.foreach { r =>
+      val id = r.getLong(0); val uid = r.getLong(1)
+      if (id % 3 == 0) {
+        assert(vocab.contains(r.getString(2)))
+        // reason is keyed by the acting principal, stable per session
+        assert(r.getString(2) ===
+          Seq("backfill", "migration", "manual_fix", "ticket_sync")((uid % 4).toInt))
+      } else assert(r.isNullAt(2))
+    }
+    assert(got.exists(_.getLong(0) % 3 == 0))
+  }
 }

@@ -82,6 +82,33 @@ class FeedSourcesSpec extends AnyFunSuite {
     assert(FeedSources.readPartitioned(spark, path).count() === n1 * 2)
   }
 
+  test("partition health reads footer metadata, never data pages") {
+    val path = s"$tmp/health"
+    val slice = feed.filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+    FeedSources.appendPartitioned(slice.repartition(to_date(col("ts"))), path)
+    val h1 = FeedSources.partitionHealth(spark, path)
+    // footer row totals must equal the true per-day row counts
+    val expected = slice.groupBy(to_date(col("ts")).as("day"))
+      .count().collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val got = h1.collect().map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    assert(got === expected)
+    // one writer task per day → exactly one file per partition, no flags
+    assert(h1.collect().forall(_.getLong(1) === 1L))
+    // metadata-only: the health plan must contain NO parquet file scan of
+    // the sink — row counts come from executor-side footer reads over the
+    // parallelized file LIST, so no column page is ever decoded
+    val plan = h1.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"), plan)
+    assert(!plan.contains(path), plan)
+    // a replayed append fragments the partitions it touches and the
+    // min/max per-file split proves per-FILE footer granularity
+    FeedSources.appendPartitioned(slice.limit(10).repartition(1), path)
+    val h2 = FeedSources.partitionHealth(spark, path)
+    val fragged = h2.filter(col("n_files") > 1)
+    assert(fragged.count() > 0)
+    assert(fragged.collect().forall(r => r.getLong(3) < r.getLong(4)))
+  }
+
   test("append-only: a second append adds, never rewrites") {
     val path = s"$tmp/audit2"
     val slice = feed.limit(100)
