@@ -18,7 +18,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // operator-internal caches must not leak
+      // operator-internal caches must not leak into the next op — but
+      // most ops persist nothing, so only pay the unpersist walk when
+      // something is actually cached
+      if (!spark.sharedState.cacheManager.isEmpty) spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

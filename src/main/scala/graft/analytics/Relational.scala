@@ -1523,40 +1523,56 @@ object Relational {
     * bit-identical on both engines. */
   val qPartPagerank: Q = {
     val D = "0.85"
-    val duckIter = (k: Int) => s"""c$k AS (
+    // MATERIALIZED is load-bearing on the oracle side: DuckDB inlines
+    // plain CTEs, so pr3's tree would re-expand the pairs pipeline once
+    // per reference (exponential in iterations — observed spilling >70 GB
+    // at sf1); pinning each round is the same O(k) discipline the Spark
+    // side gets from per-round persist
+    val duckIter = (k: Int) => s"""c$k AS MATERIALIZED (
       |  SELECT e.dst, sum(CAST(p.pr * e.w / p.outdeg AS DECIMAL(38,18))) AS m
       |  FROM e JOIN pr${k - 1} p ON p.node = e.src GROUP BY 1),
-      |pr$k AS (
+      |pr$k AS MATERIALIZED (
       |  SELECT n.node, n.outdeg,
       |    (1 - CAST($D AS DOUBLE)) / nn.n
       |      + CAST($D AS DOUBLE) * CAST(coalesce(c.m, 0) AS DOUBLE) AS pr
       |  FROM pr${k - 1} n CROSS JOIN nn LEFT JOIN c$k c ON c.dst = n.node)""".stripMargin
     Q.sql(
       "q_part_pagerank",
-      s"""WITH pairs AS (
-        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
-        |    CAST(count(*) AS BIGINT) AS w
-        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-        |    AND a.l_partkey <> b.l_partkey
+      s"""WITH og AS (
+        |  SELECT l_orderkey, list(l_partkey) AS parts
+        |  FROM lineitem GROUP BY 1),
+        |s1 AS (SELECT unnest(parts) AS src, parts FROM og),
+        |p0 AS (SELECT src, unnest(parts) AS dst FROM s1),
+        |pairs AS MATERIALIZED (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        |  FROM p0 WHERE src <> dst
         |  GROUP BY 1, 2),
         |e AS (SELECT src, dst, w FROM pairs),
-        |deg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS outdeg
-        |        FROM e GROUP BY 1),
+        |deg AS MATERIALIZED (
+        |  SELECT src AS node, CAST(sum(w) AS BIGINT) AS outdeg
+        |  FROM e GROUP BY 1),
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
-        |pr0 AS (SELECT node, outdeg, CAST(1 AS DOUBLE) / nn.n AS pr
-        |        FROM deg CROSS JOIN nn),
+        |pr0 AS MATERIALIZED (
+        |  SELECT node, outdeg, CAST(1 AS DOUBLE) / nn.n AS pr
+        |  FROM deg CROSS JOIN nn),
         |${duckIter(1)},
         |${duckIter(2)},
         |${duckIter(3)}
         |SELECT node AS p_partkey, outdeg, round(pr, 10) AS pagerank
         |FROM pr3 ORDER BY round(pr, 10) DESC, p_partkey LIMIT 20""".stripMargin) {
       (s, d) =>
-      val a = li(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
-      val b = li(s, d).select(col("l_orderkey").as("ok2"), col("l_partkey").as("dst"))
-      // read by the degree pass and every iteration (4 scans) — persisted;
-      // bounded at |orders|·L² pairs (L ≤ 7 lines/order), MEMORY_AND_DISK
-      // so eviction at scale degrades to disk reads, not recomputes
-      val e = a.join(b, col("ok") === col("ok2") && col("src") =!= col("dst"))
+      // co-purchase edges from ONE fact scan: group the order's parts into
+      // a ≤7-element array (L lines/order is schema-bounded) and expand the
+      // L² position pairs in-place — the self-join formulation shuffles
+      // lineitem twice and joins; this shuffles it once, and the pair blowup
+      // happens AFTER the exchange, on grouped rows. Read by the degree pass
+      // and every iteration — persisted MEMORY_AND_DISK so eviction at scale
+      // degrades to disk reads, not recomputes.
+      val e = li(s, d).groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_partkey")).as("parts"))
+        .select(explode(col("parts")).as("src"), col("parts"))
+        .select(col("src"), explode(col("parts")).as("dst"))
+        .filter(col("src") =!= col("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = e.groupBy(col("src").as("node")).agg(sum("w").cast("long").as("outdeg"))

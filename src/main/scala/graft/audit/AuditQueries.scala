@@ -1154,8 +1154,11 @@ object AuditQueries {
       .agg(count(lit(1)).as("n_changes"),
         countDistinct("changed_by").as("n_actors"),
         countDistinct("entity_id").as("n_entities"))
-    val tot = g.agg(sum("n_changes").cast("long").as("total"))
-    g.crossJoin(broadcast(tot))
+    // total via an unpartitioned window over the ≤15-row AGGREGATE — a
+    // separate totals branch would re-scan the feed (the
+    // corpus_temperature single-scan discipline)
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("total", sum("n_changes").over(w))
       .select(col("reason"), col("operation"), col("n_changes"),
         col("n_actors"), col("n_entities"),
         round(col("n_changes").cast("double") / col("total"), 6).as("share"))
@@ -1215,6 +1218,79 @@ object AuditQueries {
         (col("n_files") > 1).as("needs_compact"),
         (col("n_rows") > 1000000L).as("oversized"))
       .orderBy("day")
+  }
+
+  /** The compaction JOB PLAN over audit_partition_health's findings: the
+    * fragmented day partitions (the replayed-append shape) are bin-packed
+    * into 4 parallel compaction jobs by serpentine LPT over their rewrite
+    * row counts — the ann_shard_plan discipline applied to the storage
+    * plane, so the slowest job bounds the maintenance window and the skew
+    * column says how tight that bound is. Per job: partitions, files
+    * in/out (one file per day after compaction), rows to rewrite, load
+    * share. Footer metadata supplies every weight (see
+    * FeedSources.partitionHealth) — the planner never reads a data page,
+    * which is what makes it runnable BEFORE the maintenance window at
+    * 100 TB.
+    *
+    * Scale: candidates are ≤ |days| rows; the ranking window and the
+    * 4-job rollup run on that bounded frame. */
+  val auditCompactionPlan: Q = Q.sql(
+    "audit_compaction_plan",
+    """WITH base AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |rep AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events WHERE event_id % 97 = 0 GROUP BY 1),
+      |cand AS (SELECT b.day, b.n + r.n AS n_rows, 2 AS n_files
+      |         FROM base b JOIN rep r ON b.day = r.day),
+      |rk AS (SELECT day, n_rows, n_files,
+      |         row_number() OVER (ORDER BY n_rows DESC, day) - 1 AS rk
+      |       FROM cand),
+      |j AS (SELECT day, n_rows, n_files,
+      |        CAST(CASE WHEN (rk // 4) % 2 = 0 THEN rk % 4
+      |             ELSE 3 - rk % 4 END AS INT) AS job
+      |      FROM rk),
+      |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot FROM cand)
+      |SELECT job, CAST(count(*) AS BIGINT) AS n_partitions,
+      |  CAST(sum(n_files) AS BIGINT) AS files_in,
+      |  CAST(count(*) AS BIGINT) AS files_out,
+      |  CAST(sum(n_rows) AS BIGINT) AS rewrite_rows,
+      |  round(CAST(sum(n_rows) AS DOUBLE) / t.tot, 4) AS load_share,
+      |  round(CAST(sum(n_rows) AS DOUBLE) * 4 / t.tot, 4) AS skew
+      |FROM j CROSS JOIN t GROUP BY job, t.tot
+      |ORDER BY job""".stripMargin) { (s, d) =>
+    val sink = graft.Scratch.cachedExport("sink-health", d) { dir =>
+      val base = log(s, d)
+      graft.sources.FeedSources.appendPartitioned(
+        base.repartition(to_date(col("ts"))), dir)
+      graft.sources.FeedSources.appendPartitioned(
+        base.filter(col("audit_id") % 97 === 0).repartition(1), dir)
+    }
+    val cand = graft.sources.FeedSources.partitionHealth(s, sink)
+      .filter(col("n_files") > 1)
+      .select(col("day"), col("n_rows"), col("n_files"))
+    val rk = cand.withColumn("rk",
+      row_number().over(Window.orderBy(col("n_rows").desc, col("day"))) - 1)
+    val j = rk.withColumn("job",
+      when(expr("(rk div 4) % 2") === 0, col("rk") % 4)
+        .otherwise(lit(3) - col("rk") % 4).cast("int"))
+    // totals via an unpartitioned window over the ≤4-row job rollup (a
+    // separate totals branch would re-list and re-read footers)
+    val allW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    j.groupBy(col("job"))
+      .agg(count(lit(1)).as("n_partitions"),
+        sum("n_files").cast("long").as("files_in"),
+        count(lit(1)).as("files_out"),
+        sum("n_rows").cast("long").as("rewrite_rows"))
+      .withColumn("tot", sum("rewrite_rows").over(allW))
+      .select(col("job"), col("n_partitions"), col("files_in"),
+        col("files_out"), col("rewrite_rows"),
+        round(col("rewrite_rows").cast("double") / col("tot"), 4).as("load_share"),
+        round(col("rewrite_rows").cast("double") * 4 / col("tot"), 4).as("skew"))
+      .orderBy("job")
   }
 
   /** Reference audit.audit_history true semantics (audit.go:608-625):
@@ -3174,7 +3250,7 @@ object AuditQueries {
     auditValueQuantiles, auditValueQuantilesApprox, auditApproxEntities,
     auditAsofState,
     auditAsofTolerance, auditWhoChanged, auditClientSessions,
-    auditChangeReasons, auditPartitionHealth,
+    auditChangeReasons, auditPartitionHealth, auditCompactionPlan,
     auditEnabledRanges, auditPkValidity, auditTruncateReset, auditWideSnapshot,
     auditCompact, auditRetention, auditSessionWindow, auditDailyAnomaly,
     auditScd2, auditOrphans, auditFreshness, auditRollback,

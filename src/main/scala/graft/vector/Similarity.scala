@@ -649,6 +649,69 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Position-aware twin of ann_recall: nDCG@3 of the IVF list against
+    * the brute-force ranking. Recall counts WHICH true neighbors the
+    * index returned; nDCG scores WHERE it put them — an index that
+    * returns all three but inverts their order serves a worse first
+    * result, and recall can't see that. Graded relevance = 4 − true rank
+    * (3/2/1, 0 for non-neighbors); the log2 position discounts are
+    * quantized to 3 decimals (1.000 / 0.631 / 0.500) so both engines fold
+    * exact decimals instead of racing libm log2 ulps, and the DCG rides
+    * the Det fixed-point sum. IDCG for the 3/2/1 ideal = 4.762.
+    *
+    * Scale: composes the two existing rank tables (query side broadcast,
+    * corpus never re-shuffled); the join and fold run on ≤ |queries|×3
+    * rows. */
+  val annNdcg: Q = Q.sql(
+    "ann_ndcg",
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    CAST(emb[1] > 0 AS INT) * 8 + CAST(emb[2] > 0 AS INT) * 4
+      |      + CAST(emb[3] > 0 AS INT) * 2 + CAST(emb[4] > 0 AS INT) AS cell
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, emb AS qe, cell AS qcell
+      |      FROM e WHERE vec_id < 10),
+      |bf AS (SELECT query_id, vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(qe, emb), 4) AS cs
+      |       FROM q JOIN e ON e.vec_id <> q.query_id),
+      |bf3 AS (SELECT query_id, neighbor_id, rk FROM (
+      |          SELECT *, row_number() OVER (
+      |            PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+      |          FROM bf) WHERE rk <= 3),
+      |iv AS (SELECT query_id, e.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(qe, emb), 4) AS cs
+      |       FROM q JOIN e ON q.qcell = e.cell AND e.vec_id <> q.query_id),
+      |iv3 AS (SELECT query_id, neighbor_id, rk FROM (
+      |          SELECT *, row_number() OVER (
+      |            PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+      |          FROM iv) WHERE rk <= 3),
+      |g AS (SELECT i.query_id,
+      |        coalesce(4 - b.rk, 0)
+      |          * (CASE i.rk WHEN 1 THEN 1.000 WHEN 2 THEN 0.631
+      |             ELSE 0.500 END) AS gain
+      |      FROM iv3 i LEFT JOIN bf3 b
+      |        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id)
+      |SELECT query_id, ${Det.dsumRoundSql("gain", 4)} AS dcg,
+      |  round(${Det.dsumRoundSql("gain", 4)} / 4.762, 4) AS ndcg_at_3
+      |FROM g GROUP BY query_id ORDER BY query_id""".stripMargin) { (s, d) =>
+    val bf3 = annTopk.fn(s, d).filter(col("rank") <= 3)
+      .select(col("query_id").as("bf_query"), col("neighbor_id").as("bf_neighbor"),
+        col("rank").as("bf_rank"))
+    val iv3 = annIvf.fn(s, d).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val g = iv3.join(bf3,
+        col("query_id") === col("bf_query") && col("neighbor_id") === col("bf_neighbor"),
+        "left")
+      .select(col("query_id"),
+        (coalesce(lit(4) - col("bf_rank"), lit(0))
+          * when(col("rank") === 1, lit(1.000))
+            .when(col("rank") === 2, lit(0.631)).otherwise(lit(0.500))).as("gain"))
+    g.groupBy("query_id")
+      .agg(Det.dsumRound(col("gain"), 4).as("dcg"),
+        round(Det.dsumRound(col("gain"), 4) / 4.762, 4).as("ndcg_at_3"))
+      .orderBy("query_id")
+  }
+
   /** Multi-probe trained IVF (nprobe = 2): each query searches its TWO
     * nearest cells — the standard recall knob when the true neighbor sits
     * across a cell boundary. Database vectors keep their rn = 1
@@ -2329,7 +2392,7 @@ object Similarity {
   val all: Seq[Q] = Seq(
     embClassMargin, embIsotropy, annShardPlan, crossmodalMix,
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
-    embNormalize, embQuantize, annPq, annPqSearch, annRecall,
+    embNormalize, embQuantize, annPq, annPqSearch, annRecall, annNdcg,
     annIvfMultiprobe, annIvfPq, annIvfKmeans, annRecallKmeans,
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
     embDimStats, embDrift, annKnnGraph, embWhiten, lshBucketStats,

@@ -121,4 +121,23 @@ class FeedSourcesSpec extends AnyFunSuite {
     // exactly-once view
     assert(FeedSources.exactlyOnceView(spark, path).count() === n1)
   }
+
+  test("compaction plan covers every fragmented partition exactly once") {
+    val sf = TestSession.sfDir
+    val health = graft.audit.AuditQueries.auditPartitionHealth.fn(spark, sf).collect()
+    val plan = graft.audit.AuditQueries.auditCompactionPlan.fn(spark, sf).collect()
+    val fragged = health.filter(_.getAs[Boolean]("needs_compact"))
+    // every fragmented day lands in exactly one job; rewrite totals match
+    assert(plan.map(_.getAs[Long]("n_partitions")).sum === fragged.length.toLong)
+    assert(plan.map(_.getAs[Long]("rewrite_rows")).sum ===
+      fragged.map(_.getAs[Long]("n_rows")).sum)
+    // compaction halves the file count: 2 files in, 1 out, per partition
+    plan.foreach { r =>
+      assert(r.getAs[Long]("files_in") === 2 * r.getAs[Long]("n_partitions"))
+      assert(r.getAs[Long]("files_out") === r.getAs[Long]("n_partitions"))
+    }
+    // serpentine LPT keeps jobs balanced: no job more than 2x fair share
+    plan.foreach(r => assert(r.getAs[Double]("skew") < 2.0,
+      s"job ${r.getInt(0)} skew ${r.getAs[Double]("skew")}"))
+  }
 }

@@ -874,6 +874,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), s)
     assert(s.contains("InMemoryTableScan") || s.contains("TableCacheQueryStage"),
       s"edge table no longer persisted (pair join replays per iteration):\n$s")
+    // each round's rank frame is pinned and materialized, so the FINAL
+    // plan consumes round 3 straight from cache: zero LIVE parquet scans
+    // (lineage inside InMemoryRelation text doesn't count — walk actual
+    // executed nodes, stopping at cache reads), never the k-fold
+    // re-execution of prior rounds' joins the pin exists to kill
+    def liveScans(n: SparkPlan): Int = n match {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => 0
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => liveScans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => 1
+      case o => o.children.map(liveScans).sum
+    }
+    assert(liveScans(p) === 0,
+      s"final iteration re-executes prior rounds' fact scans:\n$s")
   }
 
   test("dq_profile: every metric of every column in ONE fact scan") {

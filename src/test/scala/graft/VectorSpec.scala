@@ -586,4 +586,27 @@ class VectorSpec extends AnyFunSuite {
     }
     rows.foreach(r => assert(math.abs(r.getAs[Double]("cos_sim")) <= 1.0))
   }
+
+  test("ann_ndcg: bounded, consistent with ann_recall, perfect order -> 1.0") {
+    val sf = "/root/testdata/sf0.001"
+    val ndcg = graft.vector.Similarity.annNdcg.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("dcg"), r.getAs[Double]("ndcg_at_3")))
+      .toMap
+    val recall = graft.vector.Similarity.annRecall.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("recall_at_3")).toMap
+    assert(ndcg.keySet === recall.keySet)
+    ndcg.foreach { case (q, (dcg, n)) =>
+      assert(n >= 0.0 && n <= 1.0, s"query $q ndcg $n out of range")
+      // dcg/IDCG identity with the published 3-decimal discounts
+      assert(math.abs(n - dcg / 4.762) < 5e-4, s"query $q dcg $dcg vs ndcg $n")
+      // position-awareness never EXCEEDS set-recall's ceiling: missing a
+      // true neighbor caps ndcg strictly below perfect
+      if (recall(q) < 1.0) assert(n < 1.0, s"query $q recall ${recall(q)} but ndcg 1")
+    }
+    // the two audits must agree on which queries the index served perfectly
+    // ordered: ndcg 1 requires recall 1
+    ndcg.filter(_._2._2 >= 0.9999).keys.foreach { q =>
+      assert(recall(q) === 1.0, s"query $q ndcg 1 but recall ${recall(q)}")
+    }
+  }
 }
