@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions.call_function
 
 import graft.audit.{ArrayBucket, ArrayFloorSearch}
 import graft.text.{MinHashSig, WordShingles}
-import graft.vector.{CosineSimilarity, L2Squared, VecSumDec}
+import graft.vector.{CosineSimilarity, Deflate6, Dot612, L2Squared, ScaleVec612, VecSumDec}
 
 /** Engine extension surface.
   *
@@ -65,7 +65,16 @@ object GraftFunctions {
       ((exprs: Seq[Expression]) => ArrayBucket(exprs(0), exprs(1))): Builder),
     (FunctionIdentifier("graft_vec_sum"),
       new ExpressionInfo(classOf[VecSumDec].getName, "graft_vec_sum"),
-      ((exprs: Seq[Expression]) => VecSumDec(exprs(0))): Builder))
+      ((exprs: Seq[Expression]) => VecSumDec(exprs(0))): Builder),
+    (FunctionIdentifier("graft_dot612"),
+      new ExpressionInfo(classOf[Dot612].getName, "graft_dot612"),
+      ((exprs: Seq[Expression]) => Dot612(exprs(0), exprs(1))): Builder),
+    (FunctionIdentifier("graft_scalevec612"),
+      new ExpressionInfo(classOf[ScaleVec612].getName, "graft_scalevec612"),
+      ((exprs: Seq[Expression]) => ScaleVec612(exprs(0), exprs(1))): Builder),
+    (FunctionIdentifier("graft_deflate6"),
+      new ExpressionInfo(classOf[Deflate6].getName, "graft_deflate6"),
+      ((exprs: Seq[Expression]) => Deflate6(exprs(0), exprs(1), exprs(2))): Builder))
 
   /** Idempotent runtime registration for externally-built sessions. */
   def ensureRegistered(spark: SparkSession): Unit = {

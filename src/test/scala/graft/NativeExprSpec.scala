@@ -80,4 +80,74 @@ class NativeExprSpec extends AnyFunSuite {
     assert(plan.contains("graft_l2sq"), plan)
     assert(df.head().getLong(0) === 1L && df.head().getDouble(1) === 8.0)
   }
+
+  test("dot612 equals the exact-decimal product fold, incl. negatives and ties") {
+    registered()
+    // values exact at scale 6; includes a HALF_UP tie case: 0.5 * 0.000001
+    // = 5e-7, whose scale-6 round is 0.000001 only under half-up
+    val a = Seq(0.5, -1.25, 3.141593, 0.000001, -0.000001, 123.456789)
+    val b = Seq(0.000001, 2.0, -1.0, 0.5, 0.5, -0.000123)
+    val df = Seq(1).toDF("i")
+      .withColumn("a", typedLit(a)).withColumn("b", typedLit(b))
+      .withColumn("fast", expr("graft_dot612(a, b)"))
+      .withColumn("slow", expr(
+        """aggregate(zip_with(a, b,
+          |  (x, y) -> cast(x as decimal(18,6)) * cast(y as decimal(18,6))),
+          |  cast(0 as decimal(28,12)),
+          |  (acc, t) -> cast(acc + t as decimal(28,12)))""".stripMargin))
+    val r = df.select("fast", "slow").head()
+    assert(r.getDecimal(0).compareTo(r.getDecimal(1)) === 0,
+      s"fast=${r.getDecimal(0)} slow=${r.getDecimal(1)}")
+    // and round-to-6 of the tie behaves HALF_UP identically on both
+    val t = df.selectExpr("round(fast, 6)", "round(slow, 6)").head()
+    assert(t.getDecimal(0).compareTo(t.getDecimal(1)) === 0)
+  }
+
+  test("scalevec612 + vec_sum equals the transform/cast feed") {
+    registered()
+    val df = Tables.embeddings(spark, sfDir).limit(200)
+      .select(expr("transform(embedding, x -> round(cast(x as double), 6))").as("v"),
+        expr("round(cast(embedding[0] as double), 6)").as("s"))
+    val fast = df.agg(expr("graft_vec_sum(graft_scalevec612(v, s))")).head()
+      .getSeq[java.math.BigDecimal](0)
+    val slow = df.agg(expr(
+        "graft_vec_sum(transform(v, x -> cast(x as decimal(18,6)) * cast(s as decimal(18,6))))"))
+      .head().getSeq[java.math.BigDecimal](0)
+    assert(fast.size === slow.size)
+    fast.zip(slow).foreach { case (f, sl) =>
+      assert(f.compareTo(sl) === 0, s"$f vs $sl") }
+  }
+
+  test("deflate6 equals the decimal zip_with deflation, HALF_UP at scale 6") {
+    registered()
+    val c = Seq(1.5, -2.25, 0.000003, 7.999999)
+    val pv = Seq(0.5, 0.5, 0.5, -0.125)
+    val s = 0.000001 // s*p = 5e-7 and -1.25e-7: exercises both tie and truncate
+    val df = Seq(1).toDF("i")
+      .withColumn("c", typedLit(c)).withColumn("p", typedLit(pv))
+      .withColumn("s", lit(s))
+      .withColumn("fast", expr("graft_deflate6(c, p, s)"))
+      .withColumn("slow", expr(
+        """zip_with(c, p, (a, b) -> cast(round(
+          |  cast(a as decimal(18,6)) - cast(s as decimal(18,6)) * cast(b as decimal(18,6)),
+          |  6) as double))""".stripMargin))
+    val r = df.select("fast", "slow").head()
+    assert(r.getSeq[Double](0) === r.getSeq[Double](1))
+  }
+
+  test("fixed-point trio survives codegen and interpreted eval agrees") {
+    registered()
+    val df = Tables.embeddings(spark, sfDir).limit(50)
+      .select(expr("transform(embedding, x -> round(cast(x as double), 6))").as("v"))
+      .withColumn("d", expr("graft_dot612(v, v)"))
+    df.collect() // codegen path executes without fallback errors
+    // interpreted path: direct eval outside codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val lit6 = Literal.create(new GenericArrayData(Array(0.5, -1.25)),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    val d = graft.vector.Dot612(lit6, lit6).eval(null)
+      .asInstanceOf[org.apache.spark.sql.types.Decimal]
+    assert(d.toBigDecimal === BigDecimal("1.812500000000"))
+  }
 }
