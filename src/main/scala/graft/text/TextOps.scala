@@ -660,18 +660,42 @@ object TextOps {
          |  coalesce(nm, 0) AS n_band_matches
          |FROM sig LEFT JOIN m ON sig.doc_id = m.doc_id
          |ORDER BY 1""".stripMargin) { (s, d) =>
+      // Signature-collapsed formulation, value-identical to the oracle's
+      // per-doc pair join: docs with the SAME 4-band signature are
+      // indistinguishable to the counter (they match exactly the same
+      // neighbor set), so the pair enumeration runs on DISTINCT
+      // signatures weighted by multiplicity and each doc's count is
+      // Σ mult(other matching groups) + (own mult − 1). An exact-dup
+      // cluster of N docs costs ONE group row instead of N² join rows —
+      // dup clusters grow with the corpus, so at 100 TB this is the
+      // difference between linear and quadratic band-bucket work. The
+      // oracle keeps the naive doc-level join: two independent
+      // formulations must hash-agree.
+      val sigCols = minhashParams.indices.map(i => col(s"sig${i + 1}"))
       val sigs = minhashSigs(s, d)
-      val bands = sigs.select(col("doc_id"),
-        posexplode(array(minhashParams.indices.map(i => col(s"sig${i + 1}")): _*))
-          .as(Seq("band", "v")))
-      val m = bands.select(col("doc_id").as("doc_a"), col("band"), col("v"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("v").as("v_b")),
-          col("band") === col("band_b") && col("v") === col("v_b") && col("doc_a") =!= col("doc_b"))
-        .groupBy(col("doc_a"))
-        .agg(countDistinct("doc_b").as("nm"))
-      sigs.join(m, sigs("doc_id") === m("doc_a"), "left")
+      val groups = sigs.groupBy(sigCols: _*)
+        .agg(count(lit(1)).as("mult"))
+        .withColumn("gid", md5(concat_ws("|",
+          minhashParams.indices.map(i => col(s"sig${i + 1}").cast("string")): _*)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val gBands = groups.select(col("gid"),
+        posexplode(array(sigCols: _*)).as(Seq("band", "v")))
+      val gPairs = gBands.select(col("gid").as("ga"), col("band"), col("v"))
+        .join(gBands.select(col("gid").as("gb"), col("band").as("band_b"),
+            col("v").as("v_b")),
+          col("band") === col("band_b") && col("v") === col("v_b") &&
+            col("ga") =!= col("gb"))
+        .select("ga", "gb").dropDuplicates("ga", "gb")
+      val ext = gPairs
+        .join(groups.select(col("gid").as("gb"), col("mult").as("mult_b")), Seq("gb"))
+        .groupBy(col("ga")).agg(sum("mult_b").as("ext"))
+      val gNm = groups
+        .join(ext, col("gid") === col("ga"), "left")
+        .select(sigCols :+
+          (coalesce(col("ext"), lit(0L)) + col("mult") - 1).cast("long").as("nm"): _*)
+      sigs.join(gNm, minhashParams.indices.map(i => s"sig${i + 1}"))
         .select(col("doc_id"), col("sig1"), col("sig2"), col("sig3"), col("sig4"),
-          coalesce(col("nm"), lit(0L)).as("n_band_matches"))
+          col("nm").as("n_band_matches"))
         .orderBy("doc_id")
     }
   }
