@@ -37,6 +37,50 @@ object TextOps {
       .orderBy("fingerprint")
   }
 
+  /** Prefix-duplicate groups: documents sharing their first 96 chars —
+    * the truncated-crawl / pagination-duplicate detector. A crawler that
+    * re-fetches a page and gets cut off (or an extractor that appends
+    * navigation tails) produces documents whose HEADS are identical while
+    * full-text hashing sees distinct content and shingle methods dilute
+    * the overlap across the whole doc; head-keyed dedup is the standard
+    * complement (CCNet-style URL+prefix keys). Per group (>1 member):
+    * member count, how many distinct FULL texts it spans (n_full_variants
+    * = 1 means dedup_exact already catches it; > 1 is the incremental
+    * yield of this detector), source spread, the kept doc (min id) and
+    * the chars an erasure of the rest reclaims.
+    *
+    * Scale: one hash groupBy (map-side partial agg) — the dedup_exact
+    * shape with a substring key; no joins, no windows. */
+  val dedupPrefix: Q = Q.sql(
+    "dedup_prefix",
+    """WITH g AS (
+      |  SELECT md5(substr(text, 1, 96)) AS prefix_hash,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_full_variants,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |    min(doc_id) AS keeper_doc,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |    CAST(min_by(n_chars, doc_id) AS BIGINT) AS keeper_chars
+      |  FROM documents GROUP BY 1)
+      |SELECT prefix_hash, n_docs, n_full_variants, n_sources, keeper_doc,
+      |  CAST(total_chars - keeper_chars AS BIGINT) AS reclaimable_chars
+      |FROM g WHERE n_docs > 1 ORDER BY prefix_hash""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .groupBy(md5(expr("substring(text, 1, 96)")).as("prefix_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_full_variants"),
+        countDistinct("source").as("n_sources"),
+        min("doc_id").as("keeper_doc"),
+        sum("n_chars").cast("long").as("total_chars"),
+        expr("min_by(n_chars, doc_id)").cast("long").as("keeper_chars"))
+      .filter(col("n_docs") > 1)
+      .select(col("prefix_hash"), col("n_docs"), col("n_full_variants"),
+        col("n_sources"), col("keeper_doc"),
+        (col("total_chars") - col("keeper_chars")).cast("long")
+          .as("reclaimable_chars"))
+      .orderBy("prefix_hash")
+  }
+
   /** Sorted bag-of-words fingerprint — single definition shared by
     * dedup_bow and dedup_source_matrix (both dialects). */
   private val duckBowFp =
@@ -1511,7 +1555,7 @@ object TextOps {
 
   val all: Seq[Q] = Seq(
     textLengthLognormal,
-    dedupExact, dedupBow, dedupNgramJaccard, dedupContainment,
+    dedupExact, dedupPrefix, dedupBow, dedupNgramJaccard, dedupContainment,
     dedupComponents, dedupKeepBest,
     dedupMinhash, dedupMinhashEst, dedupIncremental, dedupSimhash,
     dedupLshCurve, decontaminateFuzzy, dedupPlaneAgreement, langId,
