@@ -72,8 +72,15 @@ object Retrieval {
 
   // ------------------------------------------------------------- bm25 --
 
-  private[graft] val K1 = "1.2"
-  private[graft] val B = "0.75"
+  // scientific notation is load-bearing: a bare `1.2` literal parses as
+  // DECIMAL in Spark SQL (the saturation denominator then computes in
+  // decimal with mid-expression scale-6 rounding) but promotes to DOUBLE
+  // in DuckDB's mixed arithmetic — a ~2e-6 per-term divergence that
+  // surfaced as a scale-4 score tie at sf0.001. `1.2E0` is a DOUBLE
+  // literal in BOTH dialects, so the whole rational part runs identical
+  // IEEE arithmetic.
+  private[graft] val K1 = "1.2e0"
+  private[graft] val B = "0.75e0"
   private[graft] val TopK = 10
 
   /** The fixed query workload (id → terms). Terms are drawn from the
@@ -87,12 +94,18 @@ object Retrieval {
 
   /** One BM25 term contribution (Robertson/Spärck Jones idf, k1/b
     * saturation) — ONE formula string evaluated by both engines
-    * token-for-token, so the two sides perform bit-identical IEEE
-    * arithmetic. Rounded to 6 decimals HERE (once), then summed as
-    * DECIMAL: exact, order-independent addition — a shuffle reordering
-    * partial sums cannot move a score across a rounding boundary. */
+    * token-for-token. The TRANSCENDENTAL factor is rounded to 6 by
+    * itself: `ln` is the one sub-expression whose libm implementations
+    * may differ by an ulp between engines, and quarantining it behind
+    * its own rounding means everything downstream is rational IEEE
+    * arithmetic on identical operands — bit-identical by the standard,
+    * no compounded tie exposure at the final rounding (an sf0.001 score
+    * flipped exactly this way before the split). Rounded once more at
+    * the end, then summed as DECIMAL: exact, order-independent addition
+    * — a shuffle reordering partial sums cannot move a score across a
+    * rounding boundary. */
   private val contribRaw: String =
-    s"ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * ($K1 + 1) " +
+    s"round(ln((n_docs - df + 0.5) / (df + 0.5) + 1), 6) * tf * ($K1 + 1) " +
       s"/ (tf + $K1 * (1 - $B + $B * dl * n_docs / sum_dl))"
   private val contribFormula: String = s"round($contribRaw, 6)"
   /** Same contribution scaled by a per-term query weight `qw` (expanded
@@ -126,7 +139,7 @@ object Retrieval {
          |        CAST($contribFormula AS DECIMAL(18, 6)) AS c
          |      FROM qt JOIN tf ON qt.term = tf.term
          |           JOIN dft ON dft.term = qt.term CROSS JOIN st),
-         |sc AS (SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS score
+         |sc AS (SELECT query_id, doc_id, CAST(round(sum(c), 4) AS DOUBLE) AS score
          |       FROM c GROUP BY 1, 2),
          |r AS (SELECT query_id, doc_id, score,
          |        row_number() OVER (PARTITION BY query_id
@@ -172,7 +185,7 @@ object Retrieval {
       .crossJoin(broadcast(stats))
       .withColumn("c", expr(contribFormula).cast("decimal(18,6)"))
     val topk = contrib.groupBy("query_id", "doc_id").agg(sum("c").as("dsum"))
-      .withColumn("score", round(col("dsum").cast("double"), 4))
+      .withColumn("score", round(col("dsum"), 4).cast("double"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rnk") <= TopK)
@@ -212,7 +225,7 @@ object Retrieval {
          |        CAST($contribFormula AS DECIMAL(18, 6)) AS c
          |      FROM qt JOIN tf ON qt.term = tf.term
          |           JOIN dft ON dft.term = qt.term CROSS JOIN st),
-         |sc AS (SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS score
+         |sc AS (SELECT query_id, doc_id, CAST(round(sum(c), 4) AS DOUBLE) AS score
          |       FROM c GROUP BY 1, 2),
          |r AS (SELECT query_id, doc_id,
          |        row_number() OVER (PARTITION BY query_id
@@ -560,7 +573,7 @@ object Retrieval {
          |        CAST($contribFormula AS DECIMAL(18, 6)) AS c
          |      FROM qt JOIN tf ON qt.term = tf.term
          |           JOIN dft ON dft.term = qt.term CROSS JOIN st),
-         |bsc AS (SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS score
+         |bsc AS (SELECT query_id, doc_id, CAST(round(sum(c), 4) AS DOUBLE) AS score
          |        FROM c GROUP BY 1, 2),
          |sk AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
          |         CAST(rnk AS BIGINT) AS sparse_rnk
@@ -704,7 +717,7 @@ object Retrieval {
         |      FROM qt JOIN tf ON qt.term = tf.term
         |           JOIN dft ON dft.term = qt.term CROSS JOIN st CROSS JOIN cfg),
         |sc AS (SELECT cfg_id, query_id, doc_id,
-        |         round(CAST(sum(c) AS DOUBLE), 4) AS score
+        |         CAST(round(sum(c), 4) AS DOUBLE) AS score
         |       FROM c GROUP BY 1, 2, 3),
         |r AS (SELECT *, row_number() OVER (PARTITION BY cfg_id, query_id
         |        ORDER BY score DESC, doc_id) AS rnk FROM sc),
@@ -751,7 +764,7 @@ object Retrieval {
         .crossJoin(broadcast(cfg))
         .withColumn("c", expr(paramContrib).cast("decimal(18,6)"))
         .groupBy("cfg_id", "query_id", "doc_id").agg(sum("c").as("dsum"))
-        .withColumn("score", round(col("dsum").cast("double"), 4))
+        .withColumn("score", round(col("dsum"), 4).cast("double"))
         .withColumn("rnk", row_number().over(Window
           .partitionBy("cfg_id", "query_id")
           .orderBy(col("score").desc, col("doc_id"))))
@@ -814,7 +827,7 @@ object Retrieval {
          |        CAST($contribFormula AS DECIMAL(18, 6)) AS c
          |      FROM qt JOIN tf ON qt.term = tf.term
          |           JOIN dft ON dft.term = qt.term CROSS JOIN st),
-         |sc AS (SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS score
+         |sc AS (SELECT query_id, doc_id, CAST(round(sum(c), 4) AS DOUBLE) AS score
          |       FROM c GROUP BY 1, 2),
          |r AS (SELECT query_id, doc_id, score,
          |        row_number() OVER (PARTITION BY query_id
@@ -843,7 +856,7 @@ object Retrieval {
          |         CAST($contribWeighted AS DECIMAL(18, 6)) AS c
          |       FROM exq e JOIN tf ON tf.term = e.term
          |            JOIN dft2 ON dft2.term = e.term CROSS JOIN st),
-         |sc2 AS (SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS score
+         |sc2 AS (SELECT query_id, doc_id, CAST(round(sum(c), 4) AS DOUBLE) AS score
          |        FROM c2 GROUP BY 1, 2),
          |r2 AS (SELECT query_id, doc_id, score,
          |         row_number() OVER (PARTITION BY query_id
@@ -884,7 +897,7 @@ object Retrieval {
         .crossJoin(broadcast(stats))
         .withColumn("c", expr(contribWeighted).cast("decimal(18,6)"))
       val r2 = c2.groupBy("query_id", "doc_id").agg(sum("c").as("dsum"))
-        .withColumn("score", round(col("dsum").cast("double"), 4))
+        .withColumn("score", round(col("dsum"), 4).cast("double"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id")))
           .cast("long"))
