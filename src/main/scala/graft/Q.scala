@@ -9,15 +9,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * oracle exactly; results must be deterministically ordered; double
   * aggregates are rounded on both sides; timestamps are emitted as
   * formatted strings or DATEs (never raw TIMESTAMP, for tz safety).
+  *
+  * Ops without an oracle (streaming replays, sketch ops whose error
+  * bounds are probabilistic) carry `spec` — the name of the ScalaTest
+  * suite that verifies their semantics — so the correctness artifact is
+  * self-describing: a `no_oracle` entry points at its verification
+  * instead of reading as an unchecked row count.
   */
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    spec: Option[String] = None)
 
 object Q {
   def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, Some(oracle))
-  def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): Q =
-    Q(name, fn, None)
+  def rowsOnly(name: String, spec: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None, Some(spec))
 }

@@ -35,4 +35,10 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** For each rows-only (no-oracle) key in queries, the ScalaTest suite
+    * that verifies its semantics — dumped by Verify as spec_refs.json so
+    * correctness artifacts carry the verification pointer. */
+  def specRefs: Map[String, String] =
+    registry.flatMap(q => q.spec.map(sp => q.name -> sp)).toMap
 }

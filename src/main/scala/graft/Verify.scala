@@ -38,6 +38,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // rows-only ops: name → verifying ScalaTest suite, so a no-oracle
+    // correctness entry carries its verification pointer (check.py merges
+    // this into the report as `spec`)
+    val specs = SparkEntry.specRefs
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/spec_refs.json"), specs)
     spark.stop()
   }
 }

@@ -942,7 +942,7 @@ object AuditQueries {
     * quantiles ride along for human diffing. SketchSpec enforces
     * within_bound for every operation. */
   val auditValueQuantilesApprox: Q =
-    Q.rowsOnly("audit_value_quantiles_approx") { (s, d) =>
+    Q.rowsOnly("audit_value_quantiles_approx", "SketchSpec") { (s, d) =>
       val feed = log(s, d).filter(col("value").isNotNull)
         .select("operation", "value")
       val approx = feed.groupBy("operation")
@@ -979,7 +979,7 @@ object AuditQueries {
     * cardinality (HLL++, mergeable partial aggregates; no exact-distinct
     * shuffle). Rows-only: sketch estimates are engine-specific; the spec
     * bounds the error against the exact count. */
-  val auditApproxEntities: Q = Q.rowsOnly("audit_approx_entities") { (s, d) =>
+  val auditApproxEntities: Q = Q.rowsOnly("audit_approx_entities", "SketchSpec") { (s, d) =>
     // rows-only by design (HLL++ sketch values are engine-specific), but
     // the output carries its own semantic audit: exact distinct alongside
     // the sketch and `within_bound` = relative error ≤ 10% (5× the
@@ -1181,6 +1181,25 @@ object AuditQueries {
     *
     * Scale: see FeedSources.partitionHealth — metadata listing +
     * executor-side footer reads; no data pages are decoded. */
+  /** The deterministically fragmented day-partitioned sink shared by
+    * audit_partition_health and audit_compaction_plan: one base file per
+    * day (one writer task per day via `repartition(to_date(ts))`),
+    * then a replayed micro-batch (every 97th change, one file) — the
+    * at-least-once crash-replay shape. The one-base-file-per-day
+    * invariant the oracles' file-count arithmetic encodes is ASSERTED
+    * between the appends (metadata-only walk): a configured
+    * maxRecordsPerFile or future AQE rebalance splitting a day fails
+    * loudly here instead of silently breaking the cross-engine hash. */
+  private def healthSink(s: SparkSession, d: String): String =
+    graft.Scratch.cachedExport("sink-health", d) { dir =>
+      val base = log(s, d)
+      graft.sources.FeedSources.appendPartitioned(
+        base.repartition(to_date(col("ts"))), dir)
+      graft.sources.FeedSources.assertMaxFilesPerPartition(s, dir, 1)
+      graft.sources.FeedSources.appendPartitioned(
+        base.filter(col("audit_id") % 97 === 0).repartition(1), dir)
+    }
+
   val auditPartitionHealth: Q = Q.sql(
     "audit_partition_health",
     """WITH base AS (
@@ -1202,17 +1221,7 @@ object AuditQueries {
       |  (b.n + coalesce(r.n, 0) > 1000000) AS oversized
       |FROM base b LEFT JOIN rep r ON b.day = r.day
       |ORDER BY b.day""".stripMargin) { (s, d) =>
-    val sink = graft.Scratch.cachedExport("sink-health", d) { dir =>
-      val base = log(s, d)
-      // one writer task per day → one base file per partition dir
-      graft.sources.FeedSources.appendPartitioned(
-        base.repartition(to_date(col("ts"))), dir)
-      // the replayed micro-batch: a second, smaller file in every
-      // partition it touches — the fragmentation this op exists to flag
-      graft.sources.FeedSources.appendPartitioned(
-        base.filter(col("audit_id") % 97 === 0).repartition(1), dir)
-    }
-    graft.sources.FeedSources.partitionHealth(s, sink)
+    graft.sources.FeedSources.partitionHealth(s, healthSink(s, d))
       .select(col("day"), col("n_files"), col("n_rows"),
         col("min_file_rows"), col("max_file_rows"),
         (col("n_files") > 1).as("needs_compact"),
@@ -1262,14 +1271,7 @@ object AuditQueries {
       |  round(CAST(sum(n_rows) AS DOUBLE) * 4 / t.tot, 4) AS skew
       |FROM j CROSS JOIN t GROUP BY job, t.tot
       |ORDER BY job""".stripMargin) { (s, d) =>
-    val sink = graft.Scratch.cachedExport("sink-health", d) { dir =>
-      val base = log(s, d)
-      graft.sources.FeedSources.appendPartitioned(
-        base.repartition(to_date(col("ts"))), dir)
-      graft.sources.FeedSources.appendPartitioned(
-        base.filter(col("audit_id") % 97 === 0).repartition(1), dir)
-    }
-    val cand = graft.sources.FeedSources.partitionHealth(s, sink)
+    val cand = graft.sources.FeedSources.partitionHealth(s, healthSink(s, d))
       .filter(col("n_files") > 1)
       .select(col("day"), col("n_rows"), col("n_files"))
     val rk = cand.withColumn("rk",

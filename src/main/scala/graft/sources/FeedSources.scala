@@ -119,6 +119,37 @@ object FeedSources {
       idCol: String = "event_id"): DataFrame =
     readPartitioned(spark, path).dropDuplicates("day", idCol)
 
+  /** Fail-loud check that every `day=` partition of `path` currently
+    * holds at most `maxFiles` parquet files — a pure filesystem-metadata
+    * walk (no footer, no data). Oracles that encode expected file counts
+    * arithmetically (audit_partition_health's 1-base-file-per-day shape)
+    * depend on the writer having emitted exactly one file per partition;
+    * a configured `spark.sql.files.maxRecordsPerFile` or a future AQE
+    * rebalance on the exchange would silently split a day and break the
+    * cross-engine hash gate — this assertion turns that silent drift into
+    * an immediate error at build time. */
+  def assertMaxFilesPerPartition(spark: SparkSession, path: String,
+      maxFiles: Int): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val over = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+      .map { dirSt =>
+        val n = fs.listStatus(dirSt.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        (dirSt.getPath.getName, n)
+      }
+      .filter(_._2 > maxFiles)
+    if (over.nonEmpty)
+      throw new IllegalStateException(
+        s"audit sink '$path' layout invariant violated: expected <= " +
+          s"$maxFiles parquet file(s) per day partition, found " +
+          over.map { case (d, n) => s"$d:$n" }.mkString(", ") +
+          " (a maxRecordsPerFile/AQE setting split a writer task's " +
+          "output; the partition-health oracle's file-count arithmetic " +
+          "would silently diverge)")
+  }
+
   /** Per-day-partition layout health of an audit sink, computed from
     * METADATA only — the reference's trigger manages audit partitions as
     * it writes (docs/index.md: "the trigger also handles creating new
@@ -147,10 +178,17 @@ object FeedSources {
           .map(f => (day, f.getPath.toString, f.getLen))
       }
     import spark.implicits._
+    // the session's Hadoop configuration must travel to the executors —
+    // a default `new Configuration()` there would drop spark.hadoop.*
+    // settings (object-store credentials, custom filesystems) and footer
+    // reads would fail or mis-resolve on any non-local sink path
+    val hadoopConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val fileRows = spark.createDataset(files)
       .repartition(math.max(1, math.min(files.size, 32)))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = hadoopConf.value.value
         it.map { case (day, file, bytes) =>
           val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

@@ -244,7 +244,7 @@ object EventStream {
     * parquet sink, then reads the sink back. Sessions still open when the
     * feed ends stay in state (they would close on the next micro-batch in
     * a live pipeline), so this emits every *closed* session. */
-  val auditSessionizeStream: Q = Q.rowsOnly("audit_sessionize_stream") { (s, d) =>
+  val auditSessionizeStream: Q = Q.rowsOnly("audit_sessionize_stream", "StreamingSessionSpec") { (s, d) =>
     import s.implicits._
     val tmp = graft.Scratch.dir("graft-sessions-")
     val feed = readFeed(s, d)

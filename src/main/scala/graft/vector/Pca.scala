@@ -66,8 +66,24 @@ object Pca {
     withProjection(cent, pArr)
       .agg(expr("graft_vec_sum(graft_scalevec612(c, s))").as("ys"))
       .select(expr("transform(ys, v -> cast(round(v, 6) as double))").as("y_arr"))
+      // q = Σy² in a DECIMAL fold, NOT graft_dot612: y is the
+      // matrix-vector product — its magnitude grows ~linearly with corpus
+      // rows, and the long kernel's scale-12 accumulator overflows
+      // multiplyExact once |y| > ~3.0e3. The decimal fold matches the
+      // oracle's DECIMAL(18,6)² headroom (|y| < 1e12) and runs on a 1-row
+      // frame of |dims| elements, so the interpreted-HOF cost is nil. The
+      // long kernels stay reserved for per-row scale-6 vectors whose
+      // magnitude bound the data actually guarantees (c, p, s).
+      // (the merge lambda re-casts to the accumulator type because
+      // Spark's decimal-add rule bumps precision and would return
+      // DECIMAL(38,11); the cast is exact — |y| < 1e12 keeps every
+      // partial sum far inside DECIMAL(38,12))
       .select(col("y_arr"),
-        expr("cast(graft_dot612(y_arr, y_arr) as double)").as("q"))
+        expr("""cast(aggregate(zip_with(y_arr, y_arr,
+               |  (a, b) -> cast(a as decimal(18,6)) * cast(b as decimal(18,6))),
+               |  cast(0 as decimal(38,12)),
+               |  (acc, x) -> cast(acc + x as decimal(38,12))) as double)"""
+          .stripMargin).as("q"))
       .select(expr("transform(y_arr, v -> round(v / sqrt(q), 6))").as("p_arr"))
 
   /** Power-iterate `rounds` times over a persisted centered corpus and

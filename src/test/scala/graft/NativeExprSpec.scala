@@ -103,6 +103,28 @@ class NativeExprSpec extends AnyFunSuite {
     assert(t.getDecimal(0).compareTo(t.getDecimal(1)) === 0)
   }
 
+  test("dot612 overflows loudly on corpus-magnitude inputs; the Pca q fold does not") {
+    registered()
+    // |v| = 4000 > ~3034: a single scale-12 term exceeds Long.MaxValue.
+    // The kernel's contract is per-row scale-6 vectors of bounded
+    // magnitude — corpus-scale matrix-vector sums (Pca's y) must use the
+    // DECIMAL fold instead (the ADVICE r8 overflow finding).
+    val big = Seq.fill(4)(4000.0)
+    val df = Seq(1).toDF("i").withColumn("y_arr", typedLit(big))
+    val thrown = intercept[Exception] {
+      df.selectExpr("cast(graft_dot612(y_arr, y_arr) as double)").head()
+    }
+    assert(thrown.getMessage != null)
+    // the fold Pca.nextDirection actually uses: exact and in-range
+    val q = df.selectExpr(
+      """cast(aggregate(zip_with(y_arr, y_arr,
+        |  (a, b) -> cast(a as decimal(18,6)) * cast(b as decimal(18,6))),
+        |  cast(0 as decimal(38,12)),
+        |  (acc, x) -> cast(acc + x as decimal(38,12))) as double)"""
+        .stripMargin).head().getDouble(0)
+    assert(q === 4 * 4000.0 * 4000.0)
+  }
+
   test("scalevec612 + vec_sum equals the transform/cast feed") {
     registered()
     val df = Tables.embeddings(spark, sfDir).limit(200)

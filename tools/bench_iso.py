@@ -11,10 +11,17 @@ times, cold (first rep) and warm (min of later reps). Judges and round
 comparisons should prefer these numbers for the top tier.
 
 Usage: python3 tools/bench_iso.py [BENCH_json] [top_n] [reps]
-  defaults: the newest BENCH_r*.json in repo root, top 10, 3 reps.
+  defaults: the newest-by-mtime BENCH_r*.json in repo root, top 10, 3 reps.
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), SPARK_DRIVER_MEM (default 16g).
+     SPARK_GRAFT_CPUS (default 32), SPARK_DRIVER_MEM (default 16g),
+     GRAFT_ISO_EXTRA (comma-separated query names to force-include).
 Requires a prior `sbt compile` (BenchOne runs from target/classes).
+
+Beyond the top-N, any query whose gauntlet warm moved >2x in either
+direction between the two newest archived bench_detail_r*.json files
+(and is >= 1 s on at least one side — the sub-second A/A noise band
+reaches ~6x, see BASELINE.json) is auto-included, so round-over-round
+movers get an isolation verdict without anyone having to notice them.
 """
 import glob
 import json
@@ -55,9 +62,31 @@ def top_queries(bench_path, n):
     return [k for k, _ in qs]
 
 
+def movers(threshold=2.0, floor=1.0):
+    """Queries whose gauntlet warm moved >threshold× (either direction)
+    between the two newest-by-mtime archived bench_detail_r*.json files,
+    with at least one side >= floor seconds."""
+    details = sorted(glob.glob(os.path.join(REPO, "bench_detail_r*.json")),
+                     key=os.path.getmtime)
+    if len(details) < 2:
+        return []
+    prev, curr = (json.load(open(p)).get("queries_warm", {})
+                  for p in details[-2:])
+    out = []
+    for q, w in curr.items():
+        p = prev.get(q)
+        if p is None or (w < floor and p < floor) or min(w, p) <= 0:
+            continue
+        if w / p > threshold or p / w > threshold:
+            out.append(q)
+            print(f"[bench_iso] mover {q}: prev={p:.2f} curr={w:.2f}",
+                  file=sys.stderr)
+    return out
+
+
 def main():
-    bench = sys.argv[1] if len(sys.argv) > 1 else sorted(
-        glob.glob(os.path.join(REPO, "BENCH_r*.json")))[-1]
+    bench = sys.argv[1] if len(sys.argv) > 1 else max(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")), key=os.path.getmtime)
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,15 +95,25 @@ def main():
                SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
                SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "16g"))
     names = top_queries(bench, top_n)
+    extra = [q for q in movers() if q not in names]
+    extra += [q for q in os.environ.get("GRAFT_ISO_EXTRA", "").split(",")
+              if q and q not in names and q not in extra]
+    names += extra
     print(f"[bench_iso] source={os.path.basename(bench)} sf={sf_dir} "
           f"reps={reps} queries={names}", file=sys.stderr)
     out = {"source": os.path.basename(bench), "sf": sf_dir, "reps": reps,
-           "queries": {}}
+           "movers_included": extra, "queries": {}}
     for name in names:
-        p = subprocess.run(
-            [os.path.join(REPO, "tools/run_graft.sh"), "graft.BenchOne",
-             name, str(reps)],
-            env=env, capture_output=True, text=True)
+        try:
+            p = subprocess.run(
+                [os.path.join(REPO, "tools/run_graft.sh"), "graft.BenchOne",
+                 name, str(reps)],
+                env=env, capture_output=True, text=True,
+                timeout=int(os.environ.get("GRAFT_ISO_TIMEOUT", "1200")))
+        except subprocess.TimeoutExpired:
+            out["queries"][name] = {"error": "timeout"}
+            print(f"[bench_iso] {name} TIMEOUT", file=sys.stderr)
+            continue
         line = next((l for l in p.stdout.splitlines()
                      if l.startswith('{"query"')), None)
         if p.returncode != 0 or line is None:

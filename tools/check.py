@@ -169,8 +169,15 @@ def main():
                 print(f"  first diff at row {i}:\n    spark : {a}\n    oracle: {b}")
                 break
     # rows-only ops (dumped, but no oracle SQL): the driver records a
-    # weaker rows>0 check with err="no_oracle" — mirror that
+    # weaker rows>0 check with err="no_oracle" — mirror that, and attach
+    # the verifying ScalaTest suite from spec_refs.json (written by
+    # graft.Verify) so the entry is self-describing instead of reading
+    # as an unchecked row count
     import os
+    try:
+        spec_refs = json.load(open(f"{outdir}/spec_refs.json"))
+    except (FileNotFoundError, json.JSONDecodeError):
+        spec_refs = {}
     for name in sorted(os.listdir(outdir)):
         if name in oracles or not os.path.isdir(f"{outdir}/{name}"):
             continue
@@ -183,9 +190,12 @@ def main():
         report[name] = {
             "rows_match": None, "schema_match": None, "hash_match": None,
             "spark_rows": None if srows is None else len(srows),
-            "oracle_rows": None, "err": "no_oracle"}
+            "oracle_rows": None, "err": "no_oracle",
+            "spec": spec_refs.get(name)}
+        spec = spec_refs.get(name)
         print(f"{'ROWS' if ok else 'FAIL'} {name} "
-              f"({0 if srows is None else len(srows)} rows, no oracle)")
+              f"({0 if srows is None else len(srows)} rows, no oracle"
+              f"{'; verified by ' + spec if spec else ''})")
         if not ok:
             n_fail += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
