@@ -360,8 +360,15 @@ object TextOps {
        |             FROM bowf),
        |bow_edges AS (SELECT root AS a, doc_id AS b FROM bow_star
        |              WHERE doc_id <> root),
+       |pref AS (SELECT doc_id, md5(substr(text, 1, 96)) AS fp FROM documents),
+       |pre_star AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS root
+       |             FROM pref),
+       |pre_edges AS (SELECT root AS a, doc_id AS b FROM pre_star
+       |              WHERE doc_id <> root),
        |jac_edges AS (SELECT doc_a AS a, doc_b AS b FROM j WHERE jacc >= 0.5),
-       |edges AS (SELECT a, b FROM bow_edges UNION ALL SELECT a, b FROM jac_edges),
+       |edges AS (SELECT a, b FROM bow_edges
+       |          UNION ALL SELECT a, b FROM pre_edges
+       |          UNION ALL SELECT a, b FROM jac_edges),
        |sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
        |walk(doc_id, label) AS (
        |  SELECT doc_id, doc_id FROM documents
@@ -381,9 +388,17 @@ object TextOps {
     // doc id — k edges per duplicate group instead of k² (a boilerplate page
     // duplicated 1M× would otherwise emit 5·10¹¹ pairs), identical closure
     val bowEdges = TextOps.bowStarEdges(bow)
+    // prefix-equality edges (the dedup_prefix detector's groups, CCNet's
+    // URL+prefix key family): truncated-crawl / pagination duplicates
+    // whose FULL texts differ join the closure too, so keep-best /
+    // cluster-stats / token-inflation account for them. Same star shape —
+    // k-1 edges per k-member prefix group, one hash groupBy, no join.
+    val preEdges = TextOps.bowStarEdges(
+      docs(s, d).select(col("doc_id"),
+        md5(expr("substring(text, 1, 96)")).as("fp")))
     val jacEdges = jaccardPairs(s, d).filter(col("jacc") >= 0.5)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val edges = bowEdges.union(jacEdges)
+    val edges = bowEdges.union(preEdges).union(jacEdges)
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     var lab = sym.select(col("a").as("doc_id")).distinct()
@@ -419,10 +434,12 @@ object TextOps {
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("component"))
   }
 
-  /** Near-duplicate clusters: connected components over the union of two
-    * similarity relations — bag-of-words-fingerprint equality and high
-    * Jaccard (≥ 0.5 on the df-capped shingle sets). The transitive closure
-    * is what a real dedup pipeline keys its keep-one decision on: A≈B by
+  /** Near-duplicate clusters: connected components over the union of
+    * THREE similarity relations — bag-of-words-fingerprint equality,
+    * 96-char-prefix equality (the [[dedupPrefix]] truncated-crawl
+    * detector's groups, CCNet's URL+prefix key family), and high Jaccard
+    * (≥ 0.5 on the df-capped shingle sets). The transitive closure is
+    * what a real dedup pipeline keys its keep-one decision on: A≈B by
     * word-set and B≈C by shingle overlap must land A, B, C in ONE group
     * even though A and C share no direct edge.
     *

@@ -202,6 +202,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs(0) > 0, "near-dup corpus must produce pairs at 0.5")
   }
 
+  test("prefix-duplicate groups land wholly inside one component (closure gained the edge class)") {
+    val comp = graft.text.TextOps.dedupComponents.fn(spark, TestSession.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prefixGroups = graft.text.TextOps.dedupPrefix.fn(spark, TestSession.sfDir)
+      .collect()
+    assert(prefixGroups.nonEmpty, "corpus must contain prefix-dup groups")
+    // recompute group membership directly and assert each group maps to
+    // exactly one component label
+    val byPrefix = Tables.documents(spark, TestSession.sfDir)
+      .select(col("doc_id"), md5(expr("substring(text, 1, 96)")).as("ph"))
+      .as[(Long, String)].collect().groupBy(_._2).filter(_._2.length > 1)
+    assert(byPrefix.nonEmpty)
+    byPrefix.foreach { case (ph, members) =>
+      val labels = members.map(m => comp(m._1)).toSet
+      assert(labels.size === 1,
+        s"prefix group $ph spans components $labels")
+    }
+    // positive control: at least one prefix group is NOT an exact-dup
+    // group (n_full_variants > 1) — the closure genuinely gained edges
+    assert(prefixGroups.exists(_.getAs[Long]("n_full_variants") > 1L),
+      "every prefix group was already an exact-dup group — edge class vacuous")
+  }
+
   test("dedup_cluster_stats is exactly the dedup_components size histogram") {
     val comp = graft.text.TextOps.dedupComponents.fn(spark, TestSession.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
