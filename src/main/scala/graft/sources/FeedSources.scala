@@ -86,15 +86,22 @@ object FeedSources {
     * is the only write it admits; an overwrite (or any other destructive
     * mode) is refused before a single byte moves. */
   def writeGuarded(log: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Append): Unit =
+    writeGuardedBy(log.withColumn("day", to_date(col("ts"))), path,
+      Seq("day"), mode)
+
+  /** [[writeGuarded]] generalized to any partition layout — the same
+    * append-only enforcement for sinks that are not day-keyed (the
+    * corpus_export split/lang release layout). */
+  def writeGuardedBy(df: DataFrame, path: String, partCols: Seq[String],
       mode: SaveMode = SaveMode.Append): Unit = {
-    if (mode != SaveMode.Append && sinkExists(log.sparkSession, path))
+    if (mode != SaveMode.Append && sinkExists(df.sparkSession, path))
       throw new UnsupportedOperationException(
         s"audit sink '$path' is append-only; SaveMode.$mode would destroy " +
           "captured history (the reference raises on UPDATE/DELETE/TRUNCATE " +
           "of audit tables, audit.go:627)")
-    log.withColumn("day", to_date(col("ts")))
-      .write.mode(mode)
-      .partitionBy("day")
+    df.write.mode(mode)
+      .partitionBy(partCols: _*)
       .parquet(path)
   }
 

@@ -488,9 +488,14 @@ object CorpusOps {
     * zero. Shape: the stage flags are per-row maps or broadcast/window
     * lookups the earlier operators already proved; the funnel is one
     * partial-aggregating groupBy over them. */
-  val corpusFunnel: Q = Q.sql(
-    "corpus_funnel",
-    s"""WITH f AS (
+  /** Oracle CTE chain of the release-pipeline stage flags — shared
+    * VERBATIM by corpus_funnel (the report) and corpus_export (the
+    * materializer), so the two cannot drift: in-scope docs `f` with
+    * quality features + exact-dup fingerprint, per-doc flags `q`
+    * (ok_quality, ok_unique), benchmark shingles `b`, contaminated ids
+    * `hit`. */
+  private val funnelCtesSql: String =
+    s"""f AS (
       |  SELECT doc_id, lang, source,
       |    $duckQualityFeatures,
       |    md5(text) AS fp,
@@ -506,15 +511,13 @@ object CorpusOps {
       |        SELECT doc_id, unnest(list_distinct($duckG4)) AS shingle
       |        FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents
       |              WHERE doc_id % 29 = 0))),
-      |hit AS (SELECT DISTINCT ex.doc_id FROM ex JOIN b USING (shingle))
-      |SELECT lang, source, count(*) AS n_total,
-      |  CAST(sum(ok_quality) AS BIGINT) AS n_quality,
-      |  CAST(sum(CASE WHEN ok_quality = 1 AND ok_unique = 1 THEN 1 ELSE 0 END)
-      |    AS BIGINT) AS n_unique,
-      |  CAST(sum(CASE WHEN ok_quality = 1 AND ok_unique = 1
-      |    AND hit.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
-      |FROM q LEFT JOIN hit ON q.doc_id = hit.doc_id
-      |GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
+      |hit AS (SELECT DISTINCT ex.doc_id FROM ex JOIN b USING (shingle))""".stripMargin
+
+  /** Spark twin of [[funnelCtesSql]]: in-scope corpus with quality flags,
+    * ok_quality / ok_unique stage flags, and a left-joined `hit_id`
+    * (non-null = shares a 4-gram with the held-out benchmark). The single
+    * flag engine under corpus_funnel AND corpus_export. */
+  private def funnelFlagged(s: SparkSession, d: String): DataFrame = {
     val base = withQualityFlags(docs(s, d).filter(col("doc_id") % 29 =!= 0))
       .withColumn("fp", md5(col("text")))
     val flagged = base
@@ -531,6 +534,20 @@ object CorpusOps {
     val hit = grams(base).join(broadcast(benchShingles), Seq("shingle"))
       .select(col("doc_id").as("hit_id")).distinct()
     flagged.join(hit, col("doc_id") === col("hit_id"), "left")
+  }
+
+  val corpusFunnel: Q = Q.sql(
+    "corpus_funnel",
+    s"""WITH $funnelCtesSql
+      |SELECT lang, source, count(*) AS n_total,
+      |  CAST(sum(ok_quality) AS BIGINT) AS n_quality,
+      |  CAST(sum(CASE WHEN ok_quality = 1 AND ok_unique = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_unique,
+      |  CAST(sum(CASE WHEN ok_quality = 1 AND ok_unique = 1
+      |    AND hit.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+      |FROM q LEFT JOIN hit ON q.doc_id = hit.doc_id
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
+    funnelFlagged(s, d)
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_total"),
         sum("ok_quality").as("n_quality"),
@@ -553,11 +570,15 @@ object CorpusOps {
     *
     * Per-row map + one partial-aggregating groupBy; the share window runs
     * over the tiny aggregated stratum table. */
+  /** id-hash split bucket + 90/5/5 assignment — single definition shared
+    * by corpus_split (the skew report) and corpus_export (the
+    * materializer), in both dialects. */
+  private val duckBucket = s"${TextOps.duckWordHash("CAST(doc_id AS VARCHAR)")} % 100"
+  private val sparkBucket = s"${TextOps.sparkWordHash("cast(doc_id as string)")} % 100"
+  private def splitCase(b: String) =
+    s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' ELSE 'test' END"
+
   val corpusSplit: Q = {
-    val duckBucket = s"${TextOps.duckWordHash("CAST(doc_id AS VARCHAR)")} % 100"
-    val sparkBucket = s"${TextOps.sparkWordHash("cast(doc_id as string)")} % 100"
-    def splitCase(b: String) =
-      s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' ELSE 'test' END"
     Q.sql(
       "corpus_split",
       s"""WITH b AS (
@@ -582,6 +603,94 @@ object CorpusOps {
           round(col("n_docs") * lit(1.0) / sum("n_docs").over(w), 4))
         .orderBy("lang", "source", "split")
     }
+  }
+
+  /** The materializer the release stack was missing: corpus_funnel only
+    * REPORTS survival counts — this op actually WRITES the curated corpus
+    * (quality gate → exact-dedup keep → decontamination, the funnel's
+    * exact stages via [[funnelFlagged]], plus the corpus_split 90/5/5
+    * id-hash assignment) through the append-only guarded writer, then
+    * reads the release BACK and reconciles it against the stage
+    * arithmetic: per (lang, source) stratum the report carries
+    * n_total = drop_quality + drop_dup + drop_contam + n_written and the
+    * written per-split counts, where n_written/n_train/n_val/n_test come
+    * from the MATERIALIZED files — any loss between plan → writer →
+    * partition layout → read-back breaks the cross-engine hash (the
+    * audit_partition_health discipline applied to the corpus plane).
+    *
+    * Layout: partitioned split/lang — the two keys a training loader
+    * prunes on (train-only reads skip val/test dirs wholesale; per-lang
+    * mixing reads only its dirs). Append-only via writeGuardedBy — a
+    * release, once cut, is immutable history like the audit sink.
+    *
+    * Scale: the flag engine is corpus_funnel's (per-row maps + one
+    * broadcast probe + one fp window); the write adds one pass over the
+    * kept rows and the read-back aggregates file rows partial-agg to
+    * ≤ |langs|×|sources| rows. Nothing new shuffles the corpus. */
+  val corpusExport: Q = Q.sql(
+    "corpus_export",
+    s"""WITH $funnelCtesSql,
+      |ks AS (SELECT doc_id, lang, source, ${splitCase(duckBucket)} AS split,
+      |         ok_quality, ok_unique FROM q),
+      |k AS (SELECT ks.lang, ks.source, ks.split
+      |      FROM ks LEFT JOIN hit ON ks.doc_id = hit.doc_id
+      |      WHERE ks.ok_quality = 1 AND ks.ok_unique = 1 AND hit.doc_id IS NULL),
+      |g AS (SELECT lang, source, count(*) AS n_total,
+      |        CAST(sum(ok_quality) AS BIGINT) AS n_quality,
+      |        CAST(sum(CASE WHEN ok_quality = 1 AND ok_unique = 1
+      |          THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |        CAST(sum(CASE WHEN ok_quality = 1 AND ok_unique = 1
+      |          AND hit.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+      |      FROM q LEFT JOIN hit ON q.doc_id = hit.doc_id
+      |      GROUP BY lang, source),
+      |w AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_written,
+      |        CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      |        CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+      |        CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+      |      FROM k GROUP BY lang, source)
+      |SELECT g.lang, g.source, g.n_total,
+      |  g.n_total - g.n_quality AS drop_quality,
+      |  g.n_quality - g.n_unique AS drop_dup,
+      |  g.n_unique - g.n_clean AS drop_contam,
+      |  coalesce(w.n_written, 0) AS n_written,
+      |  coalesce(w.n_train, 0) AS n_train,
+      |  coalesce(w.n_val, 0) AS n_val,
+      |  coalesce(w.n_test, 0) AS n_test
+      |FROM g LEFT JOIN w ON g.lang = w.lang AND g.source = w.source
+      |ORDER BY g.lang, g.source""".stripMargin) { (s, d) =>
+    val flagged = funnelFlagged(s, d)
+    val dir = graft.Scratch.cachedExport("corpus-release", d) { out =>
+      val kept = flagged
+        .filter(col("ok_quality") === 1 && col("ok_unique") === 1 &&
+          col("hit_id").isNull)
+        .withColumn("split", expr(splitCase(sparkBucket)))
+        .select("doc_id", "source", "n_chars", "text", "split", "lang")
+      graft.sources.FeedSources.writeGuardedBy(kept, out, Seq("split", "lang"))
+    }
+    val w = s.read.parquet(dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).cast("long").as("n_written"),
+        sum(when(col("split") === "train", 1).otherwise(0)).cast("long").as("n_train"),
+        sum(when(col("split") === "val", 1).otherwise(0)).cast("long").as("n_val"),
+        sum(when(col("split") === "test", 1).otherwise(0)).cast("long").as("n_test"))
+    val g = flagged
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_total"),
+        sum("ok_quality").cast("long").as("n_quality"),
+        sum(when(col("ok_quality") === 1 && col("ok_unique") === 1, 1).otherwise(0))
+          .cast("long").as("n_unique"),
+        sum(when(col("ok_quality") === 1 && col("ok_unique") === 1
+          && col("hit_id").isNull, 1).otherwise(0)).cast("long").as("n_clean"))
+    g.join(w, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_total"),
+        (col("n_total") - col("n_quality")).as("drop_quality"),
+        (col("n_quality") - col("n_unique")).as("drop_dup"),
+        (col("n_unique") - col("n_clean")).as("drop_contam"),
+        coalesce(col("n_written"), lit(0L)).as("n_written"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_val"), lit(0L)).as("n_val"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"))
+      .orderBy("lang", "source")
   }
 
   // --------------------------------------------------- unigram LM score --
@@ -1969,5 +2078,6 @@ object CorpusOps {
     corpusReport, epochPlan, splitLeakage, ngramNovelty, sampleWeighted,
     tokenLengthQuantiles, stopwordProfile, vocabCoverage, curriculumOrder,
     corpusBigramPpl, vocabOverlap, perplexityBuckets, heapsFit,
-    qualityPlaneAgreement, qualityAblation, contaminationSources)
+    qualityPlaneAgreement, qualityAblation, contaminationSources,
+    corpusExport)
 }

@@ -557,6 +557,52 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ab.values.map(_.getAs[Long]("n_sole_reject")).sum <= nDocs - nPassed)
   }
 
+  test("corpus_export: reconciles bit-for-bit with corpus_funnel and the written release") {
+    val exp = SparkEntry.queries("corpus_export")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val funnel = SparkEntry.queries("corpus_funnel")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(exp.keySet === funnel.keySet, "stratum sets differ")
+    exp.foreach { case (k, e) =>
+      val f = funnel(k)
+      // the materializer's stage arithmetic IS the funnel's counts
+      assert(e.getAs[Long]("n_total") === f.getAs[Long]("n_total"), k)
+      assert(e.getAs[Long]("drop_quality") ===
+        f.getAs[Long]("n_total") - f.getAs[Long]("n_quality"), k)
+      assert(e.getAs[Long]("drop_dup") ===
+        f.getAs[Long]("n_quality") - f.getAs[Long]("n_unique"), k)
+      assert(e.getAs[Long]("drop_contam") ===
+        f.getAs[Long]("n_unique") - f.getAs[Long]("n_clean"), k)
+      // what landed on disk = the funnel's survivors, split-partitioned
+      assert(e.getAs[Long]("n_written") === f.getAs[Long]("n_clean"), k)
+      assert(e.getAs[Long]("n_train") + e.getAs[Long]("n_val")
+        + e.getAs[Long]("n_test") === e.getAs[Long]("n_written"), k)
+      // conservation: rows in = kept + dropped-by-stage
+      assert(e.getAs[Long]("n_total") === e.getAs[Long]("drop_quality")
+        + e.getAs[Long]("drop_dup") + e.getAs[Long]("drop_contam")
+        + e.getAs[Long]("n_written"), k)
+    }
+    // non-vacuous: something was written and the gates actually drop
+    // (this corpus has no byte-exact dups — dedup_source_matrix's note —
+    // so drop_dup may legitimately be 0; quality + contamination must not)
+    assert(exp.values.map(_.getAs[Long]("n_written")).sum > 0)
+    assert(exp.values.map(_.getAs[Long]("drop_quality")).sum > 0)
+    assert(exp.values.map(_.getAs[Long]("drop_contam")).sum > 0)
+  }
+
+  test("corpus_export: the release sink is append-only (overwrite refused, files intact)") {
+    // force the export, then try to destroy it through the guarded writer
+    SparkEntry.queries("corpus_export")(spark, sf).collect()
+    val dir = graft.Scratch.cachedExport("corpus-release", sf)(_ => fail("must be memoized"))
+    val before = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).count()
+    assertThrows[UnsupportedOperationException] {
+      graft.sources.FeedSources.writeGuardedBy(
+        Tables.documents(spark, sf).limit(1), dir, Seq("lang"),
+        org.apache.spark.sql.SaveMode.Overwrite)
+    }
+    assert(java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).count() === before)
+  }
+
   test("contamination_sources: rolls decontaminate up by source exactly") {
     val dec = SparkEntry.queries("decontaminate")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("n_hit_shingles")).toMap
