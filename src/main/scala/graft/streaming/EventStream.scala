@@ -418,9 +418,13 @@ object EventStream {
     graft.text.TextOps.dedupIncremental.oracle.get) { (s, d) =>
     graft.GraftFunctions.ensureRegistered(s)
     val tmp = graft.Scratch.dir("graft-sdi-")
-    val exBands = graft.text.TextOps.minhashBandsOf(
-        graft.Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
-      .select(col("doc_id").as("ex_id"), col("band"), col("v"))
+    // the maintained dedup state is the COLLAPSED signature-group index
+    // (one row per distinct signature with multiplicity + min id, see
+    // TextOps.incrementalVerdicts) — bounded by distinct texts, not
+    // corpus rows, and probed per micro-batch without ever shuffling
+    val exGroups = graft.text.TextOps.sigGroups(
+        graft.text.TextOps.minhashSigVecsOf(
+          graft.Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docSchema = graft.Tables.documents(s, d).schema
     drained(s) {
@@ -431,19 +435,8 @@ object EventStream {
         .writeStream
         .option("checkpointLocation", s"$tmp/ckpt")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val incB = graft.text.TextOps.minhashBandsOf(batch.toDF())
-            .select(col("doc_id").as("inc_id"), col("band"), col("v"))
-          val verdicts = exBands.join(broadcast(incB), Seq("band", "v"))
-            .groupBy("inc_id")
-            .agg(countDistinct("ex_id").as("n_near_dups"),
-              min("ex_id").as("first_match"))
-          batch.toDF().select(col("doc_id"))
-            .join(verdicts, col("doc_id") === col("inc_id"), "left")
-            .select(col("doc_id"),
-              coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
-              col("first_match"),
-              when(col("n_near_dups") >= 1, "near_dup").otherwise("admit")
-                .as("verdict"))
+          graft.text.TextOps.incrementalVerdicts(exGroups,
+              graft.text.TextOps.minhashSigVecsOf(batch.toDF()))
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$tmp/sink")
         }
         .trigger(availableNow)

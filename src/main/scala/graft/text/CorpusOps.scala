@@ -659,15 +659,21 @@ object CorpusOps {
       |FROM g LEFT JOIN w ON g.lang = w.lang AND g.source = w.source
       |ORDER BY g.lang, g.source""".stripMargin) { (s, d) =>
     val flagged = funnelFlagged(s, d)
+    def kept0 = flagged
+      .filter(col("ok_quality") === 1 && col("ok_unique") === 1 &&
+        col("hit_id").isNull)
+      .withColumn("split", expr(splitCase(sparkBucket)))
+      .select("doc_id", "source", "n_chars", "text", "split", "lang")
     val dir = graft.Scratch.cachedExport("corpus-release", d) { out =>
-      val kept = flagged
-        .filter(col("ok_quality") === 1 && col("ok_unique") === 1 &&
-          col("hit_id").isNull)
-        .withColumn("split", expr(splitCase(sparkBucket)))
-        .select("doc_id", "source", "n_chars", "text", "split", "lang")
-      graft.sources.FeedSources.writeGuardedBy(kept, out, Seq("split", "lang"))
+      graft.sources.FeedSources.writeGuardedBy(kept0, out, Seq("split", "lang"))
     }
-    val w = s.read.parquet(dir)
+    // Read back with the writer's schema pinned: a release where zero
+    // documents survive the funnel (fully-contaminated synthetic corpora
+    // do this) writes an empty layout, and schema inference over zero
+    // footers would crash — the reconciliation report must instead show
+    // n_written = 0 per stratum, which is the alarm the operator exists
+    // to raise.
+    val w = s.read.schema(kept0.schema).parquet(dir)
       .groupBy("lang", "source")
       .agg(count(lit(1)).cast("long").as("n_written"),
         sum(when(col("split") === "train", 1).otherwise(0)).cast("long").as("n_train"),

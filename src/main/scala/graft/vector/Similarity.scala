@@ -298,8 +298,12 @@ object Similarity {
   /** (vec_id, band, bucket) sign-bit LSH banding of the corpus — the
     * Spark twin of the `eb`/`bands` oracle CTEs, 2 bands of b adaptive
     * bits each. */
-  private[graft] def signBands(e: DataFrame): DataFrame = {
-    val n1 = e.agg(count(lit(1)).as("n"))
+  private[graft] def signBands(e: DataFrame,
+      countFrom: Option[DataFrame] = None): DataFrame = {
+    // the adaptive bit width must follow the FULL corpus count even when
+    // banding only group representatives (ann_knn_graph's duplicate
+    // collapse) — the oracle always derives b from count(*) over e
+    val n1 = countFrom.getOrElse(e).agg(count(lit(1)).as("n"))
     e.crossJoin(broadcast(n1))
       .withColumn("b", expr(adaptiveBitsSql))
       .select(col("vec_id"), col("b"), col("embedding"),
@@ -1768,17 +1772,52 @@ object Similarity {
        |SELECT * FROM d0 WHERE n_vectors > 0
        |UNION ALL SELECT * FROM dd ORDER BY degree""".stripMargin) { (s, d) =>
     val e = emb(s, d)
-    val bands = signBands(e)
-    val cand = bands.select(col("vec_id").as("src"), col("band"), col("bucket"))
-      .join(bands.select(col("vec_id").as("dst"), col("band"), col("bucket")),
+    // Duplicate-collapsed candidate generation (the dedup_minhash trick
+    // on the vector plane): identical embeddings share every band bucket
+    // AND every cosine, so candidate enumeration runs over one
+    // representative per distinct vector — an exact-dup cluster of M
+    // (the class a replicated crawl is full of) costs one banding row
+    // instead of M² candidate pairs. Per-doc top-3 is then exact over a
+    // BOUNDED pool: within a candidate group all cosines are equal and
+    // ties break by ascending id, so only a group's 3 smallest ids (4
+    // for the own group — self is filtered) can ever reach a top-3.
+    // Edges stay doc-level (3n rows, linear) so mutuality and the degree
+    // histogram are computed exactly as the naive oracle does.
+    val byVec = Window.partitionBy("embedding")
+    val rkW = Window.partitionBy("embedding").orderBy("vec_id")
+    val eAll = e.select(col("vec_id"), col("embedding"))
+      .withColumn("gid", min("vec_id").over(byVec))
+      .withColumn("rk", row_number().over(rkW))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = eAll.filter(col("rk") === 1).select(col("gid"), col("embedding"))
+    val bands = signBands(
+      reps.select(col("gid").as("vec_id"), col("embedding")),
+      countFrom = Some(e))
+    val gcand = bands.select(col("vec_id").as("gsrc"), col("band"), col("bucket"))
+      .join(bands.select(col("vec_id").as("gdst"), col("band"), col("bucket")),
         Seq("band", "bucket"))
-      .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
+      .filter(col("gsrc") =!= col("gdst"))
+      .select("gsrc", "gdst").distinct()
+    val gcos = gcand
+      .join(reps.select(col("gid").as("gsrc"), col("embedding").as("se")), Seq("gsrc"))
+      .join(reps.select(col("gid").as("gdst"), col("embedding").as("de")), Seq("gdst"))
+      .select(col("gsrc"), col("gdst"), cosR(col("se"), col("de")).as("cos_sim"))
+    // own-group pool entries carry cosR(v, v) — not a 1.0 literal — so a
+    // degenerate vector (NaN cosine) ranks exactly as it does in the
+    // naive per-pair formulation
+    val own = eAll.filter(col("rk") <= 4)
+      .select(col("gid"), col("vec_id").as("cand_id"),
+        cosR(col("embedding"), col("embedding")).as("cos_sim"))
+    val pool = own.unionByName(gcos
+      .join(eAll.filter(col("rk") <= 3)
+          .select(col("gid").as("gdst"), col("vec_id").as("cand_id")),
+        Seq("gdst"))
+      .select(col("gsrc").as("gid"), col("cand_id"), col("cos_sim")))
     val rankW = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))
-    val knn = cand
-      .join(e.select(col("vec_id").as("src"), col("embedding").as("se")), Seq("src"))
-      .join(e.select(col("vec_id").as("dst"), col("embedding").as("de")), Seq("dst"))
-      .select(col("src"), col("dst"), cosR(col("se"), col("de")).as("cos_sim"))
+    val knn = eAll.select(col("vec_id").as("src"), col("gid"))
+      .join(pool, Seq("gid"))
+      .filter(col("cand_id") =!= col("src"))
+      .select(col("src"), col("cand_id").as("dst"), col("cos_sim"))
       .withColumn("rn", row_number().over(rankW))
       .filter(col("rn") <= 3)
       .select("src", "dst", "cos_sim")

@@ -590,6 +590,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(exp.values.map(_.getAs[Long]("drop_contam")).sum > 0)
   }
 
+  test("corpus_export: a fully-contaminated corpus yields an all-zero report, not a crash") {
+    // every doc shares its 4-grams with a benchmark-slice (id % 29 == 0)
+    // twin, so decontamination drops EVERYTHING: the written release is an
+    // empty layout (zero parquet footers) and the read-back must ride the
+    // writer's pinned schema — the sf10 replicated-crawl shape, where
+    // schema inference over zero files used to throw UNABLE_TO_INFER_SCHEMA
+    val tmp = java.nio.file.Files.createTempDirectory("graft-export-empty-").toString
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    spark.range(0, 30)
+      .select(col("id").as("doc_id"), lit(txt).as("text"),
+        lit("en").as("lang"), lit("crawl").as("source"),
+        lit(txt.length.toLong).as("n_chars"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("corpus_export")(spark, tmp).collect()
+    assert(rows.nonEmpty, "report must still carry the strata")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_written") === 0L)
+      assert(r.getAs[Long]("n_train") === 0L)
+      assert(r.getAs[Long]("n_val") === 0L)
+      assert(r.getAs[Long]("n_test") === 0L)
+      // conservation still holds with zero survivors
+      assert(r.getAs[Long]("n_total") === r.getAs[Long]("drop_quality")
+        + r.getAs[Long]("drop_dup") + r.getAs[Long]("drop_contam"))
+    }
+  }
+
   test("corpus_export: the release sink is append-only (overwrite refused, files intact)") {
     // force the export, then try to destroy it through the guarded writer
     SparkEntry.queries("corpus_export")(spark, sf).collect()

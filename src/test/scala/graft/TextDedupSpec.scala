@@ -225,6 +225,52 @@ class TextDedupSpec extends AnyFunSuite {
       "every prefix group was already an exact-dup group — edge class vacuous")
   }
 
+  test("dedup_minhash_est: signature-collapsed output equals the naive pair join exactly") {
+    // the naive doc-level formulation the oracle runs, replicated in
+    // Spark — the collapse must be invisible (same rows, same values)
+    val got = TextOps.dedupMinhashEst.fn(spark, TestSession.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val docs = Tables.documents(spark, TestSession.sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr("graft_shingles(ws, 3)").as("s3"))
+      .withColumn("__sigs", expr("graft_minhash_sig(s3)"))
+      .select(col("doc_id"), array_distinct(col("s3")).as("s3d"),
+        element_at(col("__sigs"), 1).as("sig1"), element_at(col("__sigs"), 2).as("sig2"),
+        element_at(col("__sigs"), 3).as("sig3"), element_at(col("__sigs"), 4).as("sig4"))
+    val bands = docs.select(col("doc_id"), posexplode(
+      array(col("sig1"), col("sig2"), col("sig3"), col("sig4"))).as(Seq("band", "v")))
+    val pairs = bands.select(col("doc_id").as("doc_a"), col("band"), col("v"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("v")), Seq("band", "v"))
+      .filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b").distinct()
+    def side(t: String) = docs.select(col("doc_id").as(s"doc_$t"),
+      col("s3d").as(s"s3d_$t"), col("sig1").as(s"sig1_$t"), col("sig2").as(s"sig2_$t"),
+      col("sig3").as(s"sig3_$t"), col("sig4").as(s"sig4_$t"))
+    val nm = (1 to 4).map(i => when(col(s"sig${i}_a") === col(s"sig${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val naive = pairs.join(side("a"), Seq("doc_a")).join(side("b"), Seq("doc_b"))
+      .withColumn("n_sig_match", nm)
+      .withColumn("common", size(array_intersect(col("s3d_a"), col("s3d_b"))))
+      .withColumn("za", size(col("s3d_a"))).withColumn("zb", size(col("s3d_b")))
+      .select(col("doc_a"), col("doc_b"), col("n_sig_match"),
+        round(col("n_sig_match") / 4.0, 4).as("est_jacc"),
+        round(lit(1.0) * col("common") / (col("za") + col("zb") - col("common")), 4)
+          .as("exact_jacc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === naive.keySet, "pair sets differ")
+    got.foreach { case (p, (n, e, x, err)) =>
+      val (nn, ne, nx) = naive(p)
+      assert(n === nn && e === ne && x === nx, s"pair $p: got ($n,$e,$x) naive ($nn,$ne,$nx)")
+      assert(err === math.rint(math.abs(e - x) * 10000) / 10000 ||
+        math.abs(err - math.abs(e - x)) < 1e-9, s"abs_err mismatch at $p")
+    }
+    // the collapse must actually collapse: this corpus has duplicated
+    // texts, so distinct shingle-set groups < docs with candidates
+    assert(got.nonEmpty)
+  }
+
   test("dedup_cluster_stats is exactly the dedup_components size histogram") {
     val comp = graft.text.TextOps.dedupComponents.fn(spark, TestSession.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

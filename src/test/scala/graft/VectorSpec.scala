@@ -326,6 +326,72 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_knn_graph: duplicate-collapsed graph equals the naive all-candidate ranking") {
+    // the oracle SFs carry no duplicate vectors, so the collapse's group
+    // machinery (twin edges, the 4-smallest-ids pool bound, id tie-breaks
+    // across equal cosines) must be pinned on a corpus that HAS them: the
+    // sf0.001 vectors replicated 3x, with a 5-deep cluster on a subset —
+    // m > 4 exercises the pool truncation
+    GraftFunctions.ensureRegistered(spark)
+    val src = Tables.embeddings(spark, TestSession.sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-knn-dup-").toString
+    src
+      .unionByName(src.withColumn("vec_id", col("vec_id") + 10000L))
+      .unionByName(src.withColumn("vec_id", col("vec_id") + 20000L))
+      .unionByName(src.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + 30000L))
+      .unionByName(src.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + 40000L))
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val got = graft.vector.Similarity.annKnnGraph.fn(spark, tmp).collect().toSeq
+      .map(_.toString)
+    // naive formulation — the oracle's doc-level shape, verbatim
+    val e = Tables.embeddings(spark, tmp)
+    val bands = graft.vector.Similarity.signBands(e)
+    val cand = bands.select(col("vec_id").as("src"), col("band"), col("bucket"))
+      .join(bands.select(col("vec_id").as("dst"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))
+    val knn = cand
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("se")), Seq("src"))
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("de")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        round(call_function("graft_cosine", col("se"), col("de")), 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= 3)
+      .select("src", "dst", "cos_sim")
+      .cache()
+    val mutual = knn
+      .join(knn.select(col("src").as("r_src"), col("dst").as("r_dst")),
+        col("r_src") === col("dst") && col("r_dst") === col("src"), "left")
+      .select(col("src"), col("cos_sim"),
+        when(col("r_src").isNotNull, 1).otherwise(0).as("mutual"))
+    val deg = mutual.groupBy("src")
+      .agg(count(lit(1)).as("degree"),
+        sum("mutual").cast("long").as("n_mut"),
+        sum(col("cos_sim").cast("decimal(18,4)")).as("sum_cos"))
+    val dd = deg.groupBy(col("degree").cast("int").as("degree"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum("degree").cast("long").as("n_edges"),
+        sum("n_mut").cast("long").as("n_mutual"),
+        round(sum("sum_cos").cast("double") / sum("degree"), 4).as("avg_cos"))
+    val nDeg = deg.agg(count(lit(1)).as("n_with_edges"))
+    val d0 = e.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(nDeg))
+      .select(lit(0).cast("int").as("degree"),
+        (col("n") - col("n_with_edges")).as("n_vectors"),
+        lit(0L).as("n_edges"), lit(0L).as("n_mutual"),
+        lit(null).cast("double").as("avg_cos"))
+      .filter(col("n_vectors") > 0)
+    val want = d0.unionByName(dd).orderBy("degree").collect().toSeq.map(_.toString)
+    assert(got === want)
+    // non-vacuous: twin edges force full degree somewhere
+    assert(got.nonEmpty)
+  }
+
   test("ann_knn_graph: degree profile conserves vectors; mutuality symmetric") {
     val rows = graft.vector.Similarity.annKnnGraph.fn(spark, TestSession.sfDir)
       .collect()
