@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Per-op DuckDB oracle check with a hard timeout, merged into one
+CORRECTNESS_sfN.json-style artifact — the scale-gate companion of
+bench_subset.py.
+
+check.py runs all requested oracles in one process; at sf10 a single
+heavy oracle (recursive closure, 400M-pair pagerank) could stall the
+whole gate. This wrapper runs check.py once per op in its own process
+(cwd = a scratch dir so DuckDB's .tmp spill never lands in the repo),
+kills it at the timeout, and records {"err": "oracle_timeout"} for that
+op instead of blocking the rest.
+
+Usage: python3 tools/check_subset.py <sfDir> <verifyOutDir> <outJson> <op> [op...]
+Env: GRAFT_CHECK_TIMEOUT secs (default 1800).
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir, vout, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    ops = sys.argv[4:]
+    timeout = int(os.environ.get("GRAFT_CHECK_TIMEOUT", "1800"))
+    report = {}
+    for op in ops:
+        scratch = tempfile.mkdtemp(prefix="graft-check-")
+        part = os.path.join(scratch, "part.json")
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools/check.py"),
+                 sf_dir, vout, "--json", part, op],
+                cwd=scratch, capture_output=True, text=True, timeout=timeout)
+            if os.path.exists(part):
+                report.update(json.load(open(part)))
+                ent = report.get(op, {})
+                tag = "PASS" if ent.get("hash_match") else (
+                    "ROWS" if ent.get("err") == "no_oracle" else "FAIL")
+                print(f"[check_subset] {tag} {op}", file=sys.stderr)
+            else:
+                report[op] = {"rows_match": None, "schema_match": None,
+                              "hash_match": None, "spark_rows": None,
+                              "oracle_rows": None,
+                              "err": f"check_crash: {(p.stderr or '')[-300:]}"}
+                print(f"[check_subset] CRASH {op}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            report[op] = {"rows_match": None, "schema_match": None,
+                          "hash_match": None, "spark_rows": None,
+                          "oracle_rows": None, "err": "oracle_timeout"}
+            print(f"[check_subset] TIMEOUT {op} (>{timeout}s)", file=sys.stderr)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+        with open(out_path, "w") as f:    # checkpoint after every op
+            json.dump(report, f, indent=2, sort_keys=True)
+    n_pass = sum(1 for e in report.values() if e.get("hash_match"))
+    print(f"[check_subset] {n_pass}/{len(report)} hash-pass -> {out_path}",
+          file=sys.stderr)
+    print(out_path)
+
+
+if __name__ == "__main__":
+    main()
