@@ -2077,6 +2077,104 @@ object CorpusOps {
     }
   }
 
+  // ------------------------------------------- importance weighting --
+
+  /** Hashed-feature bucket count (DSIR's n-gram feature space): the
+    * shared md5-prefix word hash folded into a fixed-size table, so the
+    * model side of the scorer is bounded regardless of corpus size. */
+  private val DsirB = 1024
+
+  /** Per-bucket importance log-ratio λ_b = log2(p_target(b) / p_raw(b))
+    * with add-1 smoothing over the $DsirB buckets — the only float op in
+    * the DSIR pipeline, quarantined behind one round(…, 6) exactly like
+    * [[surprisalFormula]]; `1e0` (not `1.0`) forces DOUBLE in both
+    * dialects (the bm25 decimal-literal lesson). Inputs ct/cr/tt/tr are
+    * exact BIGINTs < 2^53, so the quotient's operands are bit-identical
+    * across engines. */
+  private val dsirLamFormula =
+    s"round(log2(((ct + 1e0) * (tr + $DsirB)) / ((cr + 1e0) * (tt + $DsirB))), 6)"
+
+  /** Data Selection via Importance Resampling (DSIR — Xie et al. 2023,
+    * arXiv:2302.03169), the standard recipe for "give me more data that
+    * looks like this target domain": score every document by the
+    * log-likelihood ratio of its hashed-unigram bag under a target-slice
+    * bucket LM vs the raw-corpus bucket LM (here target = the `en`
+    * slice), and mark for selection the docs whose PER-TOKEN score beats
+    * the corpus-average per-token score. The deterministic variant of
+    * DSIR's Gumbel resampling: the threshold is the corpus mean, checked
+    * by exact integer cross-multiplication (dsir_micro·Σtokens >
+    * n_tokens·Σmicro) — no float division, no order statistic, and the
+    * negative-score floor/trunc divergence between engines never arises
+    * because nothing divides.
+    *
+    * Scale shape: ONE corpus scan partial-aggregates to the
+    * (doc, bucket, count) frame (persisted MEMORY_AND_DISK — read by the
+    * raw-count agg, the target-count agg, and the scoring join); both
+    * bucket LMs and the λ table are ≤ $DsirB rows (broadcast); the score
+    * join is tf ⋈ broadcast(λ) with per-doc partial aggregation, and the
+    * selection threshold is a 1-row broadcast. The corpus never shuffles
+    * on anything but its own doc/bucket keys, and the model side stays
+    * O($DsirB) at 100 TB. Determinism: λ rounded once to 6 decimals then
+    * DECIMAL(18,6); per-doc score = Σ c·λ summed as DECIMAL (exact,
+    * order-independent), scaled to integer micro-bits. */
+  val corpusDsir: Q = Q.sql(
+    "corpus_dsir",
+    s"""WITH t AS (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS term
+      |           FROM documents),
+      |f AS (SELECT doc_id, lang, ${TextOps.duckWordHash("term")} % $DsirB AS b,
+      |        count(*) AS c
+      |      FROM t WHERE length(term) > 0 GROUP BY 1, 2, 3),
+      |r AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM f GROUP BY 1),
+      |tg AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct FROM f
+      |       WHERE lang = 'en' GROUP BY 1),
+      |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM r) AS tr,
+      |               (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tg) AS tt),
+      |j AS (SELECT r.b, r.cr, coalesce(tg.ct, 0) AS ct, tot.tr, tot.tt
+      |      FROM r LEFT JOIN tg ON r.b = tg.b CROSS JOIN tot),
+      |lam AS (SELECT b, CAST($dsirLamFormula AS DECIMAL(18, 6)) AS lam FROM j),
+      |d AS (SELECT f.doc_id, f.lang, CAST(sum(f.c) AS BIGINT) AS n_tokens,
+      |        CAST(sum(f.c * lam.lam) * 1000000 AS BIGINT) AS dsir_micro
+      |      FROM f JOIN lam ON f.b = lam.b GROUP BY 1, 2),
+      |dt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+      |              CAST(sum(dsir_micro) AS BIGINT) AS tot_micro FROM d)
+      |SELECT doc_id, lang, n_tokens, dsir_micro,
+      |  CAST(dsir_micro AS DOUBLE) / 1000000 AS dsir_bits,
+      |  CAST(CASE WHEN CAST(dsir_micro AS HUGEINT) * tot_tokens
+      |            > CAST(n_tokens AS HUGEINT) * tot_micro
+      |       THEN 1 ELSE 0 END AS BIGINT) AS selected
+      |FROM d CROSS JOIN dt ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val f = docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .select(col("doc_id"), col("lang"),
+        (expr(TextOps.sparkWordHash("term")) % DsirB).as("b"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r = f.groupBy("b").agg(sum("c").cast("long").as("cr"))
+    val tg = f.filter(col("lang") === "en")
+      .groupBy("b").agg(sum("c").cast("long").as("ct"))
+    val tot = r.agg(sum("cr").cast("long").as("tr"))
+      .crossJoin(tg.agg(coalesce(sum("ct"), lit(0L)).cast("long").as("tt")))
+    val lam = r.join(tg, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"), expr(dsirLamFormula).cast("decimal(18,6)").as("lam"))
+    val d2 = f.join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        (sum(col("c") * col("lam")) * 1000000).cast("long").as("dsir_micro"))
+    val dt = d2.agg(sum("n_tokens").cast("long").as("tot_tokens"),
+      sum("dsir_micro").cast("long").as("tot_micro"))
+    d2.crossJoin(broadcast(dt))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("dsir_micro"),
+        (col("dsir_micro").cast("double") / 1000000).as("dsir_bits"),
+        when(col("dsir_micro").cast("decimal(38,0)") * col("tot_tokens")
+          > col("n_tokens").cast("decimal(38,0)") * col("tot_micro"), 1L)
+          .otherwise(0L).as("selected"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
     tokenHistogram, packSequences, packEfficiency, corpusFunnel, corpusSplit,
@@ -2085,5 +2183,5 @@ object CorpusOps {
     tokenLengthQuantiles, stopwordProfile, vocabCoverage, curriculumOrder,
     corpusBigramPpl, vocabOverlap, perplexityBuckets, heapsFit,
     qualityPlaneAgreement, qualityAblation, contaminationSources,
-    corpusExport)
+    corpusExport, corpusDsir)
 }

@@ -649,4 +649,34 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(rate >= 0.0 && rate <= 1.0)
     }
   }
+  test("corpus_dsir: token conservation, exact mean threshold, target slice preferred") {
+    val rows = SparkEntry.queries("corpus_dsir")(spark, sf).collect()
+    // one row per document (every doc has at least one non-empty token)
+    assert(rows.length === Tables.documents(spark, sf).count())
+    // n_tokens conservation vs an independent whitespace count
+    val tok = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === tok)
+    // dsir_bits is exactly micro/1e6 and selected is the exact
+    // cross-multiplied corpus-mean-per-token threshold
+    val totT = BigInt(rows.map(_.getAs[Long]("n_tokens")).sum)
+    val totM = rows.map(r => BigInt(r.getAs[Long]("dsir_micro"))).sum
+    rows.foreach { r =>
+      val micro = BigInt(r.getAs[Long]("dsir_micro"))
+      val nt = BigInt(r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Double]("dsir_bits") ===
+        r.getAs[Long]("dsir_micro").toDouble / 1000000)
+      assert((r.getAs[Long]("selected") === 1L) === (micro * totT > nt * totM))
+    }
+    // importance weighting prefers the target (en) slice: its selected
+    // share must beat the rest (0.61 vs 0.44 at sf0.001 - wide margin)
+    val (en, rest) = rows.partition(_.getAs[String]("lang") == "en")
+    def share(xs: Array[org.apache.spark.sql.Row]) =
+      xs.count(_.getAs[Long]("selected") == 1L).toDouble / xs.length
+    assert(share(en) > share(rest))
+    // both verdicts occur (the threshold is interior, not vacuous)
+    assert(rows.exists(_.getAs[Long]("selected") == 1L))
+    assert(rows.exists(_.getAs[Long]("selected") == 0L))
+  }
 }
