@@ -2175,6 +2175,109 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Per-term surprisal under a DOMAIN's own unigram distribution — the
+    * [[surprisalFormula]] shape over that domain's count/total columns. */
+  private val ownSurprisalFormula =
+    "round(-log2((1e0 * c) / nd), 6)"
+
+  /** One DoReMi-style domain-reweighting step (Xie et al. 2023,
+    * arXiv:2305.10429): for each domain (lang), measure the excess
+    * per-token cross-entropy of the SHARED corpus unigram LM over the
+    * domain's OWN unigram LM — exactly KL(domain ‖ corpus) per token,
+    * the "this domain is underserved by the current mixture" signal —
+    * and take one exponentiated-gradient step on the mixture weights:
+    * w_d ∝ token_share_d · exp(excess_d), normalized. corpus_mix and
+    * corpus_temperature EXECUTE given weights; this op is the step that
+    * DECIDES them.
+    *
+    * Scale shape: one corpus scan partial-aggregates to the
+    * (lang, term, c) frame (persisted MEMORY_AND_DISK — read by the
+    * corpus-LM agg, the domain-total agg, and the scoring join); the
+    * corpus LM is vocab-bounded and joined ON TERM with partial agg on
+    * both sides (never broadcast — vocabulary grows with the corpus);
+    * domain totals and the weight update are ≤ |langs| rows. Output is
+    * |langs| rows however large the corpus.
+    *
+    * Determinism: both surprisals are rounded once to 6 then
+    * DECIMAL-summed exactly (the [[corpusPerplexity]] discipline); the
+    * per-token quotients, exp boost, and weight normalization divide
+    * exact integers / exact decimals as IEEE doubles and round once —
+    * identical bit patterns in both engines. */
+  val corpusDoremi: Q = Q.sql(
+    "corpus_doremi",
+    s"""WITH t AS (SELECT lang, unnest(str_split(text, ' ')) AS term
+      |           FROM documents),
+      |tf AS (SELECT lang, term, count(*) AS c FROM t GROUP BY 1, 2),
+      |gt AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM gt),
+      |dn AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nd FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.lang,
+      |         tf.c * CAST($surprisalFormula AS DECIMAL(18, 6)) AS shared_contrib,
+      |         tf.c * CAST($ownSurprisalFormula AS DECIMAL(18, 6)) AS own_contrib
+      |       FROM tf JOIN gt ON tf.term = gt.term
+      |         JOIN dn ON tf.lang = dn.lang CROSS JOIN tot),
+      |agg AS (SELECT lang,
+      |          CAST(sum(shared_contrib) * 1000000 AS BIGINT) AS shared_micro,
+      |          CAST(sum(own_contrib) * 1000000 AS BIGINT) AS own_micro
+      |        FROM sc GROUP BY 1),
+      |x AS (SELECT agg.lang, dn.nd,
+      |        CAST((SELECT nt FROM tot) AS BIGINT) AS nt,
+      |        round(CAST(shared_micro AS DOUBLE) / (1000000e0 * nd), 6) AS xent_shared,
+      |        round(CAST(own_micro AS DOUBLE) / (1000000e0 * nd), 6) AS xent_own,
+      |        round(CAST(shared_micro - own_micro AS DOUBLE) / (1000000e0 * nd), 6)
+      |          AS excess_bits
+      |      FROM agg JOIN dn ON agg.lang = dn.lang),
+      |u AS (SELECT lang, nd, xent_shared, xent_own, excess_bits,
+      |        CAST(round((1e0 * nd) / nt, 6) AS DECIMAL(18, 6)) AS ref_weight,
+      |        CAST(round(exp(excess_bits), 6) AS DECIMAL(18, 6)) AS boost
+      |      FROM x),
+      |n AS (SELECT sum(ref_weight * boost) AS z FROM u)
+      |SELECT lang, nd AS n_tokens,
+      |  CAST(ref_weight AS DOUBLE) AS ref_weight,
+      |  xent_shared, xent_own, excess_bits,
+      |  CAST(boost AS DOUBLE) AS boost,
+      |  round(CAST(ref_weight * boost AS DOUBLE) / CAST(z AS DOUBLE), 6)
+      |    AS new_weight
+      |FROM u CROSS JOIN n ORDER BY lang""".stripMargin) { (s, d) =>
+    val tf = docs(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gt = tf.groupBy("term").agg(sum("c").cast("long").as("ct"))
+    val tot = gt.agg(sum("ct").cast("long").as("nt"))
+    val dn = tf.groupBy("lang").agg(sum("c").cast("long").as("nd"))
+    val agg = tf.join(gt, Seq("term"))
+      .join(broadcast(dn), Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"),
+        (col("c") * expr(surprisalFormula).cast("decimal(18,6)")).as("shared_contrib"),
+        (col("c") * expr(ownSurprisalFormula).cast("decimal(18,6)")).as("own_contrib"))
+      .groupBy("lang")
+      .agg((sum("shared_contrib") * 1000000).cast("long").as("shared_micro"),
+        (sum("own_contrib") * 1000000).cast("long").as("own_micro"))
+    val x = agg.join(broadcast(dn), Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("nd"),
+        round(col("shared_micro").cast("double") / (lit(1000000e0) * col("nd")), 6)
+          .as("xent_shared"),
+        round(col("own_micro").cast("double") / (lit(1000000e0) * col("nd")), 6)
+          .as("xent_own"),
+        round((col("shared_micro") - col("own_micro")).cast("double")
+          / (lit(1000000e0) * col("nd")), 6).as("excess_bits"),
+        round(lit(1e0) * col("nd") / col("nt"), 6).cast("decimal(18,6)")
+          .as("ref_weight"))
+      .withColumn("boost", round(exp(col("excess_bits")), 6).cast("decimal(18,6)"))
+    val z = x.agg(sum(col("ref_weight") * col("boost")).as("z"))
+    x.crossJoin(broadcast(z))
+      .select(col("lang"), col("nd").as("n_tokens"),
+        col("ref_weight").cast("double").as("ref_weight"),
+        col("xent_shared"), col("xent_own"), col("excess_bits"),
+        col("boost").cast("double").as("boost"),
+        round((col("ref_weight") * col("boost")).cast("double")
+          / col("z").cast("double"), 6).as("new_weight"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(
     docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
     tokenHistogram, packSequences, packEfficiency, corpusFunnel, corpusSplit,
@@ -2183,5 +2286,5 @@ object CorpusOps {
     tokenLengthQuantiles, stopwordProfile, vocabCoverage, curriculumOrder,
     corpusBigramPpl, vocabOverlap, perplexityBuckets, heapsFit,
     qualityPlaneAgreement, qualityAblation, contaminationSources,
-    corpusExport, corpusDsir)
+    corpusExport, corpusDsir, corpusDoremi)
 }

@@ -679,4 +679,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("selected") == 1L))
     assert(rows.exists(_.getAs[Long]("selected") == 0L))
   }
+  test("corpus_doremi: excess is a nonnegative KL, weights renormalize, boost follows excess") {
+    val rows = SparkEntry.queries("corpus_doremi")(spark, sf).collect()
+    // one row per lang, token totals conserved vs an independent count
+    val langs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(rows.length === langs)
+    val tok = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).as("n")).agg(sum("n")).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === tok)
+    rows.foreach { r =>
+      // excess = xent under shared LM minus own LM = KL(domain || corpus) >= 0
+      assert(r.getAs[Double]("excess_bits") >= -1e-6, r.getString(0))
+      assert(r.getAs[Double]("xent_shared") >= r.getAs[Double]("xent_own") - 1e-6)
+      // one exponentiated-gradient step: boost = exp(excess) to 6 decimals
+      assert(math.abs(r.getAs[Double]("boost") -
+        math.exp(r.getAs[Double]("excess_bits"))) < 1e-5)
+    }
+    // both weight vectors are distributions
+    assert(math.abs(rows.map(_.getAs[Double]("ref_weight")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("new_weight")).sum - 1.0) < 1e-4)
+    // the most underserved domain gains the most relative mass
+    val rel = rows.map(r => r.getString(0) ->
+      (r.getAs[Double]("new_weight") / r.getAs[Double]("ref_weight"))).toMap
+    val exc = rows.map(r => r.getString(0) -> r.getAs[Double]("excess_bits")).toMap
+    assert(rel.maxBy(_._2)._1 === exc.maxBy(_._2)._1)
+  }
 }
