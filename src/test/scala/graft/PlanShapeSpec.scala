@@ -930,4 +930,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("graft_vec_sum") || s.contains("vecsumdec"),
       s"centroids no longer ride the vector-sum aggregate:\n$s")
   }
+  test("corpus_dsir: model side rides broadcast, the corpus frame is never hinted") {
+    val df = SparkEntry.queries("corpus_dsir")(spark, sfDir)
+    val hints = hintedColumns(df)
+    // the <=1024-row lambda table and the two 1-row totals ARE hinted...
+    assert(hints.contains("lam"), s"lambda table lost its broadcast hint: $hints")
+    assert(hints.contains("tot_tokens"), s"threshold totals lost broadcast: $hints")
+    // ...and the corpus-scale (doc, bucket, count) frame is NOT - a
+    // forced hint there is a 100 TB driver OOM
+    assert(!hints.contains("doc_id"), s"corpus frame broadcast-hinted: $hints")
+    val p = finalPlan(df).toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"dsir scoring join fell out of broadcast:\n$p")
+  }
+
+  test("corpus_doremi: the vocab-scale term join stays un-hinted, domain frames broadcast") {
+    val df = SparkEntry.queries("corpus_doremi")(spark, sfDir)
+    val hints = hintedColumns(df)
+    assert(hints.contains("nd"), s"domain-totals frame lost broadcast: $hints")
+    // the corpus unigram LM (term, ct) scales with the vocabulary - it
+    // must stay un-hinted so AQE can shuffle-hash it at 100 TB
+    assert(!hints.contains("ct"), s"vocab-scale LM broadcast-hinted: $hints")
+    assert(!finalPlan(df).toString.contains("CartesianProduct"))
+  }
 }
