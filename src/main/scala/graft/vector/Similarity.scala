@@ -1429,6 +1429,100 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by k-means cell — cluster the embedding space (the
+    * trained ann_ivf_kmeans configuration: k=64, 2 Lloyd rounds, id
+    * seeding), then within each cell prune every vector that has a
+    * cell-mate with cosine ≥ 0.35 closer to the centroid (ties by id) —
+    * keeping the most-outlier exemplar of each semantic clique, the
+    * paper's keep rule. Complements dedup_embedding: that op finds
+    * near-identical PAIRS via sign-LSH; this op removes semantic
+    * redundancy cluster-wide and reports the per-cell prune pressure a
+    * curation run would apply.
+    *
+    * Scale: training + assignment reuse the live broadcast-centroid
+    * argmin fold (zero corpus exchange); the pair stage is
+    * duplicate-collapsed (the ann_knn_graph discipline) — identical
+    * embeddings share cell, centroid-cosine, and every pairwise cosine,
+    * so the within-cell join runs over one representative per distinct
+    * vector and a replicated crawl's M-twin clique costs 1 row, with the
+    * group verdict expanded by multiplicity: a twin is always beaten by
+    * its own representative (cos 1, equal ccos, smaller id), so
+    * pruned(group) = beaten ? mult : mult − 1. Residual within-cell
+    * distinct×distinct cost is the published SemDeDup price, bounded by
+    * distinct content per cell (k scales with corpus at deploy). The
+    * oracle keeps the naive per-vector formulation — two independent
+    * shapes must hash-agree. Output ≤ k rows. */
+  val dedupSemantic: Q = Q.sql(
+    "dedup_semantic",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |${kmeansTrainSql(64, "id")},
+      |ar AS (SELECT e.vec_id, s.cid, row_number() OVER (
+      |         PARTITION BY e.vec_id ORDER BY ${kmeansDistSql("e.emb", "s.cv")}, s.cid) AS rn
+      |       FROM e, c2 s),
+      |assign AS MATERIALIZED (SELECT vec_id, cid AS cell FROM ar WHERE rn = 1),
+      |cc AS MATERIALIZED (SELECT a.vec_id, a.cell,
+      |        round(list_cosine_similarity(e.emb, c2.cv), 4) AS ccos
+      |      FROM assign a JOIN e ON e.vec_id = a.vec_id JOIN c2 ON c2.cid = a.cell),
+      |pr AS (SELECT u.vec_id, u.cell,
+      |         max(CASE WHEN round(list_cosine_similarity(eu.emb, ev.emb), 4) >= 0.35
+      |              AND (v.ccos < u.ccos OR (v.ccos = u.ccos AND v.vec_id < u.vec_id))
+      |             THEN 1 ELSE 0 END) AS pruned
+      |       FROM cc u JOIN e eu ON eu.vec_id = u.vec_id
+      |         LEFT JOIN cc v ON u.cell = v.cell AND u.vec_id <> v.vec_id
+      |         LEFT JOIN e ev ON ev.vec_id = v.vec_id
+      |       GROUP BY 1, 2),
+      |ng AS (SELECT cc.cell, CAST(count(DISTINCT e.emb) AS BIGINT) AS n_groups
+      |       FROM cc JOIN e ON e.vec_id = cc.vec_id GROUP BY 1)
+      |SELECT CAST(pr.cell AS BIGINT) AS cell,
+      |  CAST(count(*) AS BIGINT) AS n_vecs, ng.n_groups,
+      |  CAST(sum(pr.pruned) AS BIGINT) AS n_pruned,
+      |  CAST(count(*) - sum(pr.pruned) AS BIGINT) AS n_kept,
+      |  round(1.0 * sum(pr.pruned) / count(*), 4) AS prune_rate
+      |FROM pr JOIN ng ON ng.cell = pr.cell
+      |GROUP BY pr.cell, ng.n_groups ORDER BY cell""".stripMargin) { (s, d) =>
+    val embD = toEmbD(emb(s, d))
+    val cent = kmeansRounds(embD, 64, 2, "id").last
+    // per-vector cell + centroid cosine off the broadcast argmin fold —
+    // the corpus is never exchanged for assignment
+    val cc = embD.crossJoin(broadcast(centsArr(cent)))
+      .select(col("vec_id"), col("emb_d"), expr(argminCid).as("cell"))
+      .join(broadcast(cent.select(col("cid").as("cell"), col("cv"))), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("emb_d"),
+        cosR(col("emb_d"), col("cv")).as("ccos"))
+    val byVec = Window.partitionBy("emb_d")
+    val g = cc
+      .withColumn("gid", min("vec_id").over(byVec))
+      .withColumn("mult", count(lit(1)).over(byVec))
+      .withColumn("rk", row_number().over(byVec.orderBy("vec_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = g.filter(col("rk") === 1)
+      .select(col("gid"), col("cell"), col("ccos"), col("emb_d"), col("mult"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r1 = reps.select(col("gid").as("gid_u"), col("cell"),
+      col("ccos").as("ccos_u"), col("emb_d").as("eu"))
+    val r2 = reps.select(col("gid").as("gid_v"), col("cell"),
+      col("ccos").as("ccos_v"), col("emb_d").as("ev"))
+    val beaten = r1.join(r2, Seq("cell"))
+      .filter(col("gid_u") =!= col("gid_v") &&
+        cosR(col("eu"), col("ev")) >= 0.35 &&
+        (col("ccos_v") < col("ccos_u") ||
+          (col("ccos_v") === col("ccos_u") && col("gid_v") < col("gid_u"))))
+      .select(col("gid_u").as("gid")).distinct()
+      .withColumn("beaten", lit(1))
+    reps.join(beaten, Seq("gid"), "left")
+      .withColumn("pruned",
+        when(col("beaten").isNotNull, col("mult")).otherwise(col("mult") - 1))
+      .groupBy("cell")
+      .agg(sum("mult").cast("long").as("n_vecs"),
+        count(lit(1)).cast("long").as("n_groups"),
+        sum("pruned").cast("long").as("n_pruned"))
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"), col("n_groups"),
+        col("n_pruned"), (col("n_vecs") - col("n_pruned")).as("n_kept"),
+        round(lit(1.0) * col("n_pruned") / col("n_vecs"), 4).as("prune_rate"))
+      .orderBy("cell")
+  }
+
   /** Metric-learning triplet audit: per label, how often an anchor's
     * nearest SAME-label vector sits farther than its nearest impostor
     * (d(a,pos) > d(a,neg) — the ordering a triplet/contrastive loss
@@ -2437,5 +2531,5 @@ object Similarity {
     embDimStats, embDrift, annKnnGraph, embWhiten, lshBucketStats,
     embMatryoshka, annFiltered, embLabelVote, annHamming, annNprobeCurve,
     embClusterPurity, annPqDistortion, embTripletAudit, annIvfBalance,
-    embLabelSim)
+    embLabelSim, dedupSemantic)
 }

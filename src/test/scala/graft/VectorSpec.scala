@@ -675,4 +675,39 @@ class VectorSpec extends AnyFunSuite {
       assert(recall(q) === 1.0, s"query $q ndcg 1 but recall ${recall(q)}")
     }
   }
+  test("dedup_semantic: conservation, and tripling every vector leaves kept counts invariant") {
+    val sf = "/root/testdata/sf0.001"
+    val base = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
+    val nVecs = graft.Tables.embeddings(spark, sf).count()
+    assert(base.map(_.getAs[Long]("n_vecs")).sum === nVecs)
+    base.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_pruned") === r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Long]("n_groups") <= r.getAs[Long]("n_vecs"))
+    }
+    // the threshold is interior at sf0.001: something prunes, something survives
+    assert(base.map(_.getAs[Long]("n_pruned")).sum > 0)
+    assert(base.map(_.getAs[Long]("n_kept")).sum > 0)
+    // Twin algebra: replicate every vector 3x (fresh ids). Seeds (the 64
+    // smallest ids) and the multiplicity-weighted centroid means are
+    // unchanged, so cells and centroid cosines are identical - every twin
+    // must be pruned by its own representative and per-cell KEPT counts
+    // must match the original exactly: kept(3x) = kept(1x),
+    // pruned(3x) = 3*n(1x) - kept(1x).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semdedup-3x-").toString
+    val e = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding", "label")
+    val off = 100000L
+    e.union(e.withColumn("vec_id", col("vec_id") + off))
+      .union(e.withColumn("vec_id", col("vec_id") + 2 * off))
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val tripled = SparkEntry.queries("dedup_semantic")(spark, tmp).collect()
+    val keptBase = base.map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_kept")).toMap
+    val nBase = base.map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_vecs")).toMap
+    assert(tripled.length === base.length)
+    tripled.foreach { r =>
+      val cell = r.getAs[Long]("cell")
+      assert(r.getAs[Long]("n_vecs") === 3 * nBase(cell), s"cell $cell")
+      assert(r.getAs[Long]("n_kept") === keptBase(cell), s"cell $cell")
+      assert(r.getAs[Long]("n_groups") <= nBase(cell), s"cell $cell")
+    }
+  }
 }
