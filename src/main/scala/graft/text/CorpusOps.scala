@@ -2278,6 +2278,148 @@ object CorpusOps {
       .orderBy("lang")
   }
 
+  /** Hashed-feature bucket count for the NB quality classifier — small
+    * enough that the 2·B-weight model broadcasts, large enough that the
+    * synthetic vocabulary doesn't alias every word into the same cell. */
+  private val NbB = 512
+
+  /** Per-bucket NB log-likelihood-ratio weight and class prior — the
+    * shared formula strings (the [[dsirLamFormula]] discipline: log2
+    * quarantined behind one round(…, 6), everything downstream exact). */
+  private val nbWeightFormula =
+    s"round(log2(((c1 + 1e0) * (t0 + $NbB)) / ((c0 + 1e0) * (t1 + $NbB))), 6)"
+  private val nbPriorFormula = "round(log2((n1 + 1e0) / (n0 + 1e0)), 6)"
+
+  /** Model-based quality filter: a multinomial Naive Bayes classifier
+    * over hashed unigrams PLUS quantized side-features, distilled from
+    * the [[qualityFilter]] rule battery — the CCNet/fastText recipe
+    * (Wenzek et al. 2020, arXiv:1911.00359: train a cheap linear model
+    * on labeled text, score everything) re-expressed as pure
+    * aggregation. Labels = the rule battery's verdict; training slice =
+    * doc_id % 5 ≠ 0; EVERY doc is scored and carries `held_out` so the
+    * 20% slice measures real generalization (a doc the rules fail but
+    * the model passes is exactly the borderline text a hard threshold
+    * mis-handles). Side-features are the fastText trick: length, TTR,
+    * mean-word-length and stopword-count buckets enter the bag as
+    * presence tokens in RESERVED NEGATIVE buckets (integer quantization
+    * only — exact in both engines), so the model can actually see the
+    * signals the rules threshold on instead of guessing them from
+    * hashed-unigram residue.
+    *
+    * Scale shape (the [[corpusDsir]] posture): ONE corpus scan computes
+    * the rule flags and explodes tokens → persisted (doc, label, bucket,
+    * count) frame; the model is ≤ 2·($NbB + 60) bucket counts + 2 priors
+    * — O(B) rows broadcast however large the corpus — and scoring is a
+    * map-side join on the bucket. Nothing but the token histogram ever
+    * shuffles, and it partial-aggregates on (doc, b).
+    *
+    * Determinism: per-bucket weights and the prior are log2 rationals
+    * rounded once to 6 decimals and cast DECIMAL(18,6); per-doc margins
+    * are exact integer-weighted DECIMAL sums published in micro-bits
+    * (BIGINT) — no float accumulation anywhere, so the sign (= the
+    * verdict) is bit-stable in both engines. */
+  val qualityNb: Q = Q.sql(
+    "quality_nb",
+    s"""WITH lab AS (
+      |  SELECT doc_id, text, n_words, n_distinct, word_chars, n_stop,
+      |    CAST(CASE WHEN $passAllSql THEN 1 ELSE 0 END AS BIGINT) AS heur_pass
+      |  FROM (SELECT doc_id, text, $duckQualityFeatures FROM documents)),
+      |t AS (SELECT doc_id, heur_pass, unnest(str_split(text, ' ')) AS term
+      |      FROM lab),
+      |tf AS (SELECT doc_id, heur_pass,
+      |        ${TextOps.duckWordHash("term")} % $NbB AS b, count(*) AS c
+      |      FROM t WHERE length(term) > 0 GROUP BY 1, 2, 3),
+      |ps AS (SELECT doc_id, heur_pass,
+      |         -(1 + least(n_words // 25, 3)) AS b, CAST(1 AS BIGINT) AS c
+      |       FROM lab
+      |       UNION ALL SELECT doc_id, heur_pass,
+      |         -(5 + (10 * n_distinct) // n_words), 1 FROM lab
+      |       UNION ALL SELECT doc_id, heur_pass,
+      |         -(16 + (2 * word_chars) // n_words), 1 FROM lab
+      |       UNION ALL SELECT doc_id, heur_pass,
+      |         -(40 + least(n_stop, 3)), 1 FROM lab),
+      |f AS (SELECT * FROM tf UNION ALL SELECT * FROM ps),
+      |cb AS (SELECT b,
+      |        CAST(sum(CASE WHEN doc_id % 5 <> 0 AND heur_pass = 1
+      |                 THEN c ELSE 0 END) AS BIGINT) AS c1,
+      |        CAST(sum(CASE WHEN doc_id % 5 <> 0 AND heur_pass = 0
+      |                 THEN c ELSE 0 END) AS BIGINT) AS c0
+      |       FROM f GROUP BY 1),
+      |tot AS (SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM cb) AS t1,
+      |               (SELECT CAST(sum(c0) AS BIGINT) FROM cb) AS t0,
+      |               (SELECT count(*) FROM lab
+      |                WHERE doc_id % 5 <> 0 AND heur_pass = 1) AS n1,
+      |               (SELECT count(*) FROM lab
+      |                WHERE doc_id % 5 <> 0 AND heur_pass = 0) AS n0),
+      |w AS (SELECT b, CAST($nbWeightFormula AS DECIMAL(18, 6)) AS w
+      |      FROM cb CROSS JOIN tot),
+      |pri AS (SELECT CAST(CAST($nbPriorFormula AS DECIMAL(18, 6)) * 1000000
+      |          AS BIGINT) AS pw_micro FROM tot),
+      |d AS (SELECT doc_id, heur_pass,
+      |        CAST(sum(CASE WHEN b >= 0 THEN c ELSE 0 END) AS BIGINT)
+      |          AS n_tokens,
+      |        CAST(sum(c * w.w) * 1000000 AS BIGINT) AS s_micro
+      |      FROM f JOIN w USING (b) GROUP BY 1, 2)
+      |SELECT doc_id, heur_pass,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS held_out,
+      |  n_tokens, s_micro + pw_micro AS margin_micro,
+      |  CAST(CASE WHEN s_micro + pw_micro > 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS nb_pass
+      |FROM d CROSS JOIN pri ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val lab = withQualityFlags(docs(s, d))
+      .withColumn("heur_pass", when(expr(passAllSql), 1L).otherwise(0L))
+      .select(col("doc_id"), col("text"), col("heur_pass"),
+        col("n_words"), col("n_distinct"), col("word_chars"), col("n_stop"))
+    val tf = lab
+      .select(col("doc_id"), col("heur_pass"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .select(col("doc_id"), col("heur_pass"),
+        (expr(TextOps.sparkWordHash("term")) % NbB).as("b"))
+      .groupBy("doc_id", "heur_pass", "b").agg(count(lit(1)).as("c"))
+    // quantized side-features as presence tokens in reserved negative
+    // buckets (pure integer arithmetic — the exprs are the oracle's own)
+    val ps = Seq(
+      "-(1 + least(n_words div 25, 3))",
+      "-(5 + (10 * n_distinct) div n_words)",
+      "-(16 + (2 * word_chars) div n_words)",
+      "-(40 + least(n_stop, 3))")
+      .map(e => lab.select(col("doc_id"), col("heur_pass"),
+        expr(e).cast("long").as("b"), lit(1L).as("c")))
+      .reduce(_ unionByName _)
+    val f = tf.unionByName(ps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val train = col("doc_id") % 5 =!= 0
+    val cb = f.groupBy("b").agg(
+      sum(when(train && col("heur_pass") === 1, col("c")).otherwise(0L))
+        .cast("long").as("c1"),
+      sum(when(train && col("heur_pass") === 0, col("c")).otherwise(0L))
+        .cast("long").as("c0"))
+    val tot = cb.agg(sum("c1").cast("long").as("t1"),
+        sum("c0").cast("long").as("t0"))
+      .crossJoin(lab.filter(train).agg(
+        sum(when(col("heur_pass") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("heur_pass") === 0, 1L).otherwise(0L)).as("n0")))
+    val w = cb.crossJoin(broadcast(tot))
+      .select(col("b"), expr(nbWeightFormula).cast("decimal(18,6)").as("w"))
+    val pri = tot.select(
+      (expr(nbPriorFormula).cast("decimal(18,6)") * 1000000)
+        .cast("long").as("pw_micro"))
+    f.join(broadcast(w), Seq("b"))
+      .groupBy("doc_id", "heur_pass")
+      .agg(sum(when(col("b") >= 0, col("c")).otherwise(0L))
+        .cast("long").as("n_tokens"),
+        (sum(col("c") * col("w")) * 1000000).cast("long").as("s_micro"))
+      .crossJoin(broadcast(pri))
+      .select(col("doc_id"), col("heur_pass"),
+        when(col("doc_id") % 5 === 0, 1L).otherwise(0L).as("held_out"),
+        col("n_tokens"),
+        (col("s_micro") + col("pw_micro")).as("margin_micro"),
+        when(col("s_micro") + col("pw_micro") > 0, 1L).otherwise(0L)
+          .as("nb_pass"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
     tokenHistogram, packSequences, packEfficiency, corpusFunnel, corpusSplit,
@@ -2286,5 +2428,5 @@ object CorpusOps {
     tokenLengthQuantiles, stopwordProfile, vocabCoverage, curriculumOrder,
     corpusBigramPpl, vocabOverlap, perplexityBuckets, heapsFit,
     qualityPlaneAgreement, qualityAblation, contaminationSources,
-    corpusExport, corpusDsir, corpusDoremi)
+    corpusExport, corpusDsir, corpusDoremi, qualityNb)
 }

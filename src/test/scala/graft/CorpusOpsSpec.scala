@@ -704,4 +704,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     val exc = rows.map(r => r.getString(0) -> r.getAs[Double]("excess_bits")).toMap
     assert(rel.maxBy(_._2)._1 === exc.maxBy(_._2)._1)
   }
+  test("quality_nb: labels match the rule battery, verdict is the margin sign, distillation generalizes") {
+    val rows = SparkEntry.queries("quality_nb")(spark, sf).collect()
+    // one row per document (side-feature tokens keep even empty docs)
+    assert(rows.length === Tables.documents(spark, sf).count())
+    // heur_pass IS quality_filter's verdict (shared flag engine)
+    val passed = CorpusOps.qualityFilter.fn(spark, sf)
+      .select("doc_id", "passed").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("passed").toLong).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("heur_pass") === passed(id), s"doc $id label drift")
+      assert(r.getAs[Long]("held_out") === (if (id % 5 == 0) 1L else 0L))
+      assert((r.getAs[Long]("nb_pass") == 1L) ===
+        (r.getAs[Long]("margin_micro") > 0L))
+    }
+    // n_tokens counts only real tokens (side features live in b < 0)
+    val tok = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === tok)
+    // the distilled model actually learned the battery: held-out
+    // agreement well above chance (0.92 at sf0.001 — wide margin)
+    val held = rows.filter(_.getAs[Long]("held_out") == 1L)
+    val acc = held.count(r =>
+      r.getAs[Long]("heur_pass") == r.getAs[Long]("nb_pass")).toDouble / held.length
+    assert(acc >= 0.8, s"held-out accuracy $acc")
+    // and it is a real classifier, not a constant
+    assert(rows.exists(_.getAs[Long]("nb_pass") == 1L))
+    assert(rows.exists(_.getAs[Long]("nb_pass") == 0L))
+  }
 }

@@ -953,4 +953,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!hints.contains("ct"), s"vocab-scale LM broadcast-hinted: $hints")
     assert(!finalPlan(df).toString.contains("CartesianProduct"))
   }
+
+  test("quality_nb: the O(B) model broadcasts, the corpus bag is never hinted") {
+    val df = SparkEntry.queries("quality_nb")(spark, sfDir)
+    val hints = hintedColumns(df)
+    // the <=2(B+60)-row weight table and the 1-row prior ARE hinted...
+    assert(hints.contains("w"), s"NB weight table lost its broadcast hint: $hints")
+    assert(hints.contains("pw_micro"), s"prior lost broadcast: $hints")
+    // ...and the corpus-scale (doc, label, bucket, count) frame is NOT
+    assert(!hints.contains("doc_id"), s"corpus bag broadcast-hinted: $hints")
+    val p = finalPlan(df).toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"NB scoring join fell out of broadcast:\n$p")
+  }
 }
