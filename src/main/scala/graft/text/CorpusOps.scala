@@ -247,6 +247,110 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** Bloom hash family for [[decontaminateBloom]] — k = 3 affine hashes
+    * over the md5-derived shingle hash, universal-hashing style:
+    * h_j(s) = ((a_j·H(s) + b_j) mod P) mod m. The primes keep a_j·H
+    * < 2^57 (no BIGINT overflow) and P > 2^32 (the H universe). */
+  private val BloomP = 4294967311L
+  private val bloomAB = Seq((1299709L, 17L), (15485863L, 8191L), (32452843L, 524287L))
+
+  /** Bloom-prefiltered decontamination with EXACT false-positive
+    * accounting — the 100 TB deployment question for [[decontaminate]]:
+    * at some corpus size even the benchmark's distinct-shingle set is too
+    * big to ship to every executor, but an m-bit filter isn't. This op
+    * prices that trade BEFORE deployment by running the modeled filter
+    * (m = 8·n bits, k = 3 — sized from the measured benchmark, not
+    * hard-coded, so the model stays calibrated at every SF) against
+    * ground truth on the same probe stream: per contaminated-or-flagged
+    * doc, how many distinct shingles probed, how many the bloom admits,
+    * how many are REAL benchmark hits, and the false-positive residue a
+    * downstream exact re-check would have to absorb.
+    *
+    * Scale shape: the three position sets are ≤ min(n, m) rows each and
+    * BROADCAST (they are the bloom — bounded by the benchmark, not the
+    * corpus); the corpus probe stream is scanned once, never shuffled
+    * for the membership tests (three broadcast left joins on the hash
+    * positions + one on the exact set), and partial-aggregates on
+    * doc_id. A bloom hit with no true hit is exactly the row class the
+    * filter would needlessly route to the expensive exact path.
+    *
+    * Determinism: everything is integer arithmetic on md5 nibbles — no
+    * floats anywhere until the published fp_share, divided once and
+    * rounded once. No false negatives BY CONSTRUCTION (the position sets
+    * derive from the same benchmark), which the spec pins. */
+  val decontaminateBloom: Q = {
+    def posCte(j: Int, ab: (Long, Long)) =
+      s"p$j AS (SELECT DISTINCT ((${ab._1} * h + ${ab._2}) % $BloomP) % m AS p FROM bh CROSS JOIN mm)"
+    def probeKey(j: Int, ab: (Long, Long)) =
+      s"((${ab._1} * c.h + ${ab._2}) % $BloomP) % mm.m"
+    Q.sql(
+      "decontaminate_bloom",
+      s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |ex AS (SELECT doc_id, unnest(list_distinct($duckG4)) AS shingle FROM w),
+        |bs AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 29 = 0),
+        |bh AS (SELECT shingle, ${TextOps.duckWordHash("shingle")} AS h FROM bs),
+        |mm AS (SELECT 8 * count(*) AS m FROM bs),
+        |${bloomAB.zipWithIndex.map { case (ab, i) => posCte(i + 1, ab) }.mkString(",\n")},
+        |c AS (SELECT doc_id, shingle, ${TextOps.duckWordHash("shingle")} AS h
+        |      FROM ex WHERE doc_id % 29 <> 0),
+        |fl AS (SELECT c.doc_id,
+        |        CASE WHEN p1.p IS NOT NULL AND p2.p IS NOT NULL
+        |              AND p3.p IS NOT NULL THEN 1 ELSE 0 END AS bloom_hit,
+        |        CASE WHEN bs2.shingle IS NOT NULL THEN 1 ELSE 0 END AS true_hit
+        |      FROM c CROSS JOIN mm
+        |        LEFT JOIN p1 ON ${probeKey(1, bloomAB(0))} = p1.p
+        |        LEFT JOIN p2 ON ${probeKey(2, bloomAB(1))} = p2.p
+        |        LEFT JOIN p3 ON ${probeKey(3, bloomAB(2))} = p3.p
+        |        LEFT JOIN bs bs2 ON c.shingle = bs2.shingle)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits,
+        |  CAST(sum(true_hit) AS BIGINT) AS n_true_hits,
+        |  CAST(sum(bloom_hit) - sum(true_hit) AS BIGINT) AS n_false_pos,
+        |  round(1.0 * (sum(bloom_hit) - sum(true_hit)) / count(*), 4)
+        |    AS fp_share
+        |FROM fl GROUP BY 1 HAVING sum(bloom_hit) > 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ex = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(array_distinct(expr(gram4Expr("ws")))).as("shingle"))
+      val bs = ex.filter(col("doc_id") % 29 === 0).select("shingle").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bh = bs.select(col("shingle"),
+        expr(TextOps.sparkWordHash("shingle")).as("h"))
+      val mm = bs.agg((count(lit(1)) * 8).as("m"))
+      val pos = bloomAB.zipWithIndex.map { case ((a, b), i) =>
+        bh.crossJoin(broadcast(mm))
+          .select((((lit(a) * col("h") + lit(b)) % BloomP) % col("m")).as(s"p${i + 1}"))
+          .distinct()
+      }
+      val probe = ex.filter(col("doc_id") % 29 =!= 0)
+        .select(col("doc_id"), col("shingle"),
+          expr(TextOps.sparkWordHash("shingle")).as("h"))
+        .crossJoin(broadcast(mm))
+      val keyed = bloomAB.zipWithIndex.foldLeft(probe) { case (df, ((a, b), i)) =>
+        df.join(broadcast(pos(i)),
+          (((lit(a) * col("h") + lit(b)) % BloomP) % col("m")) === col(s"p${i + 1}"),
+          "left")
+      }
+      keyed
+        .join(broadcast(bs.select(col("shingle").as("b_shingle"))),
+          col("shingle") === col("b_shingle"), "left")
+        .select(col("doc_id"),
+          when(col("p1").isNotNull && col("p2").isNotNull && col("p3").isNotNull, 1)
+            .otherwise(0).as("bloom_hit"),
+          when(col("b_shingle").isNotNull, 1).otherwise(0).as("true_hit"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum("bloom_hit").cast("long").as("n_bloom_hits"),
+          sum("true_hit").cast("long").as("n_true_hits"),
+          (sum("bloom_hit") - sum("true_hit")).cast("long").as("n_false_pos"),
+          round(lit(1.0) * (sum("bloom_hit") - sum("true_hit")) / count(lit(1)), 4)
+            .as("fp_share"))
+        .filter(col("n_bloom_hits") > 0)
+        .orderBy("doc_id")
+    }
+  }
+
   // ------------------------------------------------------- data mixing --
 
   /** Deterministic stratified sample toward a target mix: each
@@ -2428,5 +2532,5 @@ object CorpusOps {
     tokenLengthQuantiles, stopwordProfile, vocabCoverage, curriculumOrder,
     corpusBigramPpl, vocabOverlap, perplexityBuckets, heapsFit,
     qualityPlaneAgreement, qualityAblation, contaminationSources,
-    corpusExport, corpusDsir, corpusDoremi, qualityNb)
+    corpusExport, corpusDsir, corpusDoremi, qualityNb, decontaminateBloom)
 }

@@ -734,4 +734,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("nb_pass") == 1L))
     assert(rows.exists(_.getAs[Long]("nb_pass") == 0L))
   }
+  test("decontaminate_bloom: no false negatives, real pruning, counts reconcile with the exact op") {
+    val rows = SparkEntry.queries("decontaminate_bloom")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ns, nb, nt, nf) = (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_bloom_hits"),
+        r.getAs[Long]("n_true_hits"), r.getAs[Long]("n_false_pos"))
+      // a bloom NEVER loses a member: every true hit is admitted
+      assert(nb >= nt, s"doc ${r.getLong(0)}: bloom dropped a true hit")
+      assert(nf === nb - nt && nb <= ns && nb > 0)
+      assert(r.getAs[Double]("fp_share") ===
+        BigDecimal(1.0 * nf / ns).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the filter PRUNES: admitted probes are a small minority of probes
+    val probes = rows.map(_.getAs[Long]("n_shingles")).sum
+    val admitted = rows.map(_.getAs[Long]("n_bloom_hits")).sum
+    assert(admitted.toDouble / probes < 0.5, s"bloom admits $admitted/$probes")
+    // true-hit counts agree with the exact decontaminate op, doc by doc
+    val exact = CorpusOps.decontaminate.fn(spark, sf)
+      .select("doc_id", "n_hit_shingles").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = rows.filter(_.getAs[Long]("n_true_hits") > 0)
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_true_hits")).toMap
+    assert(got === exact, "bloom ground-truth drifted from decontaminate")
+  }
 }
