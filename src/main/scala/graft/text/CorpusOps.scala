@@ -351,6 +351,110 @@ object CorpusOps {
     }
   }
 
+  /** PSI log-ratio per cell — integer rational inside one log2, rounded
+    * once ([[dsirLamFormula]] discipline); `nbins` is the Laplace mass. */
+  private val psiLgFormula =
+    "round(log2(((c_s + 1e0) * (n_r + nbins)) / ((c_r + 1e0) * (n_s + nbins))), 6)"
+
+  /** Population Stability Index between each SOURCE and the rest of the
+    * corpus, per quantized quality feature — the drift gate a recurring
+    * release runs before mixing a re-crawled source back in (PSI < 0.1
+    * stable, < 0.25 moderate, else shifted — the standard scorecard
+    * bands). Features are the integer quantizations [[qualityNb]] uses
+    * as side-features (length decades capped at 12, mean-word-length
+    * half-chars), so "this source drifted" points at the same axes the
+    * quality rules threshold on.
+    *
+    * Scale shape: ONE corpus scan partial-aggregates to (feature,
+    * source, bin) counts; every downstream frame is bounded by
+    * |sources| × |bins| regardless of corpus size, so the whole PSI
+    * computation after the first groupBy is effectively free and every
+    * join side is broadcast.
+    *
+    * Determinism: the log-ratio is an integer rational quarantined
+    * behind one round(…, 6); the share difference is two single IEEE
+    * divisions of exact integers (correctly rounded, engine-identical);
+    * each cell term is rounded once to 12 and DECIMAL-summed, and the
+    * verdict bands compare the ROUNDED psi so the label can never
+    * straddle an ulp. */
+  val corpusPsi: Q = Q.sql(
+    "corpus_psi",
+    s"""WITH f AS (SELECT doc_id, source,
+      |    len(str_split(text, ' ')) AS n_words,
+      |    length(replace(text, ' ', '')) AS word_chars
+      |  FROM documents),
+      |b AS (SELECT source, 'n_words' AS feature,
+      |        least(n_words // 10, 12) AS bin FROM f
+      |      UNION ALL SELECT source, 'word_len',
+      |        (2 * word_chars) // n_words FROM f),
+      |cs AS (SELECT feature, source, bin, CAST(count(*) AS BIGINT) AS c
+      |       FROM b GROUP BY 1, 2, 3),
+      |gc AS (SELECT feature, bin, CAST(sum(c) AS BIGINT) AS cg
+      |       FROM cs GROUP BY 1, 2),
+      |nb AS (SELECT feature, CAST(count(*) AS BIGINT) AS nbins
+      |       FROM gc GROUP BY 1),
+      |ns AS (SELECT feature, source, CAST(sum(c) AS BIGINT) AS n_s
+      |       FROM cs GROUP BY 1, 2),
+      |na AS (SELECT feature, CAST(sum(c) AS BIGINT) AS n_all
+      |       FROM cs GROUP BY 1),
+      |grid AS (SELECT gc.feature, gc.bin, gc.cg, ns.source, ns.n_s,
+      |           na.n_all - ns.n_s AS n_r, nb.nbins
+      |         FROM gc JOIN ns ON gc.feature = ns.feature
+      |           JOIN na ON gc.feature = na.feature
+      |           JOIN nb ON gc.feature = nb.feature),
+      |cells AS (SELECT feature, source, n_s, n_r, nbins,
+      |            coalesce(cs.c, 0) AS c_s, cg - coalesce(cs.c, 0) AS c_r
+      |          FROM grid LEFT JOIN cs USING (feature, source, bin)),
+      |terms AS (SELECT feature, source, n_s, nbins,
+      |            CAST(round(((c_s + 1e0) / (n_s + nbins)
+      |                   - (c_r + 1e0) / (n_r + nbins))
+      |                 * $psiLgFormula, 12) AS DECIMAL(28, 12)) AS term
+      |          FROM cells),
+      |agg AS (SELECT feature, source, n_s AS n_docs, nbins AS n_bins,
+      |          round(CAST(sum(term) AS DOUBLE), 6) AS psi
+      |        FROM terms GROUP BY 1, 2, 3, 4)
+      |SELECT source, feature, n_docs, n_bins, psi,
+      |  CASE WHEN psi < 0.1 THEN 'stable'
+      |       WHEN psi < 0.25 THEN 'moderate' ELSE 'shifted' END AS verdict
+      |FROM agg ORDER BY source, feature""".stripMargin) { (s, d) =>
+    val f = docs(s, d).select(col("source"),
+      expr("size(split(text, ' '))").as("n_words"),
+      expr("length(replace(text, ' ', ''))").as("word_chars"))
+    val b = f.select(col("source"), lit("n_words").as("feature"),
+        expr("least(n_words div 10, 12)").cast("long").as("bin"))
+      .unionByName(f.select(col("source"), lit("word_len").as("feature"),
+        expr("(2 * word_chars) div n_words").cast("long").as("bin")))
+    val cs = b.groupBy("feature", "source", "bin")
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gc = cs.groupBy("feature", "bin").agg(sum("c").cast("long").as("cg"))
+    val nb = gc.groupBy("feature").agg(count(lit(1)).cast("long").as("nbins"))
+    val ns = cs.groupBy("feature", "source").agg(sum("c").cast("long").as("n_s"))
+    val na = cs.groupBy("feature").agg(sum("c").cast("long").as("n_all"))
+    val grid = gc.join(broadcast(ns), Seq("feature"))
+      .join(broadcast(na), Seq("feature"))
+      .join(broadcast(nb), Seq("feature"))
+      .select(col("feature"), col("bin"), col("cg"), col("source"),
+        col("n_s"), (col("n_all") - col("n_s")).as("n_r"), col("nbins"))
+    val cells = grid.join(broadcast(cs), Seq("feature", "source", "bin"), "left")
+      .select(col("feature"), col("source"), col("n_s"), col("n_r"), col("nbins"),
+        coalesce(col("c"), lit(0L)).as("c_s"),
+        (col("cg") - coalesce(col("c"), lit(0L))).as("c_r"))
+    cells
+      .select(col("feature"), col("source"), col("n_s"), col("nbins"),
+        round(((col("c_s") + lit(1e0)) / (col("n_s") + col("nbins"))
+          - (col("c_r") + lit(1e0)) / (col("n_r") + col("nbins")))
+          * expr(psiLgFormula), 12).cast("decimal(28,12)").as("term"))
+      .groupBy("feature", "source", "n_s", "nbins")
+      .agg(round(sum("term").cast("double"), 6).as("psi"))
+      .select(col("source"), col("feature"), col("n_s").as("n_docs"),
+        col("nbins").as("n_bins"), col("psi"),
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "moderate")
+          .otherwise("shifted").as("verdict"))
+      .orderBy("source", "feature")
+  }
+
   // ------------------------------------------------------- data mixing --
 
   /** Deterministic stratified sample toward a target mix: each
@@ -2532,5 +2636,6 @@ object CorpusOps {
     tokenLengthQuantiles, stopwordProfile, vocabCoverage, curriculumOrder,
     corpusBigramPpl, vocabOverlap, perplexityBuckets, heapsFit,
     qualityPlaneAgreement, qualityAblation, contaminationSources,
-    corpusExport, corpusDsir, corpusDoremi, qualityNb, decontaminateBloom)
+    corpusExport, corpusDsir, corpusDoremi, qualityNb, decontaminateBloom,
+    corpusPsi)
 }

@@ -758,4 +758,26 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getAs[Long]("n_true_hits")).toMap
     assert(got === exact, "bloom ground-truth drifted from decontaminate")
   }
+  test("corpus_psi: nonnegative by the information inequality, full grid, banded verdicts") {
+    val rows = SparkEntry.queries("corpus_psi")(spark, sf).collect()
+    val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
+    // full grid: every (source, feature) cell reports
+    assert(rows.length === nSrc * 2)
+    assert(rows.map(_.getAs[String]("feature")).distinct.sorted ===
+      Array("n_words", "word_len"))
+    rows.foreach { r =>
+      // (p-q)·log(p/q) >= 0 cell-wise, so PSI >= 0 (rounding slack only)
+      val psi = r.getAs[Double]("psi")
+      assert(psi >= -1e-6, s"${r.getString(0)}/${r.getString(1)}: psi $psi")
+      val want = if (psi < 0.1) "stable" else if (psi < 0.25) "moderate" else "shifted"
+      assert(r.getAs[String]("verdict") === want)
+    }
+    // doc mass conserved per feature
+    val perFeature = rows.groupBy(_.getAs[String]("feature"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("n_docs")).sum }
+    val nDocs = Tables.documents(spark, sf).count()
+    perFeature.foreach(s => assert(s === nDocs))
+    // the index discriminates on this corpus: more than one band occurs
+    assert(rows.map(_.getAs[String]("verdict")).distinct.length >= 2)
+  }
 }
