@@ -2522,7 +2522,170 @@ object Similarity {
       .orderBy("label", "lang")
   }
 
+  /** Beam search over the k-NN graph — the serving primitive of
+    * NSW/HNSW-style indexes (Malkov & Yashunin, arXiv:1603.09320: keep
+    * an ef-sized frontier of the best vectors seen, expand their
+    * neighbors, re-rank, repeat). The graph is the LSH-banded top-8
+    * structure over the DEDUPLICATED vector set (one node per distinct
+    * embedding, min-id representative — a production index stores each
+    * vector once, and the collapse is what keeps the bucket join linear
+    * under replicated crawls). Entry = the 32 nodes with the smallest
+    * md5 id-hash (a deterministic pseudo-random sample — the multi-entry
+    * stand-in for NSW's long-range links, chosen by TakeOrdered, not an
+    * order-statistics window); beam ef = 16; 6 expansion rounds. Each
+    * query reports the best vector found, the brute-force top-1 ground
+    * truth over the same index, the cosine REGRET between them, and a
+    * converged flag — publishing graph search's real failure mode
+    * (local maxima) as a measured column.
+    *
+    * Scale shape: queries are bounded (10 rows) and the ≤160-row
+    * frontier rides BROADCAST through every round — a round is one
+    * broadcast join against the ≤8m-edge table plus one against the
+    * node embeddings, so search cost is |q|·ef·8 cosines per round
+    * however large the corpus. Graph build is the adaptive-bit banding
+    * over distinct vectors (expected candidate pairs O(m·const)); edges
+    * and nodes persist across rounds. The oracle MATERIALIZEs every
+    * round's frontier (plain CTEs would re-expand the whole walk
+    * exponentially — the q_part_pagerank lesson).
+    *
+    * Determinism: cosines round to 4 before every comparison with ties
+    * by ascending id; the frontier union dedups on exact (query, node,
+    * cos) rows — both engines walk the identical frontier sequence. */
+  val annGraphSearch: Q = {
+    def hopSql(j: Int): String =
+      s"""u$j AS (SELECT query_id, vec_id, cos FROM s${j - 1}
+         |  UNION
+         |  SELECT s.query_id, k.dst,
+         |    round(list_cosine_similarity(q.qe, ne.emb), 4)
+         |  FROM s${j - 1} s JOIN k ON k.src = s.vec_id
+         |    JOIN e ne ON ne.vec_id = k.dst
+         |    JOIN q ON q.query_id = s.query_id),
+         |s$j AS MATERIALIZED (SELECT query_id, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id) AS rn FROM u$j) WHERE rn <= 16)""".stripMargin
+    val idHash = graft.text.TextOps.duckWordHash("CAST(vec_id AS VARCHAR)")
+    Q.sql(
+      "ann_graph_search",
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |            FROM embeddings),
+        |q AS MATERIALIZED (SELECT vec_id AS query_id, emb AS qe
+        |     FROM e0 WHERE vec_id < 10),
+        |e AS MATERIALIZED (SELECT min(vec_id) AS vec_id, emb
+        |     FROM e0 WHERE vec_id >= 10 GROUP BY emb),
+        |${signBandsSql("e")},
+        |cand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.bucket = y.bucket
+        |              AND x.vec_id <> y.vec_id),
+        |sc AS (SELECT cand.src, cand.dst,
+        |         round(list_cosine_similarity(ea.emb, eb2.emb), 4) AS cos_sim
+        |       FROM cand JOIN e ea ON ea.vec_id = cand.src
+        |                 JOIN e eb2 ON eb2.vec_id = cand.dst),
+        |k AS MATERIALIZED (SELECT src, dst FROM (
+        |       SELECT *, row_number() OVER (
+        |         PARTITION BY src ORDER BY cos_sim DESC, dst) AS rn FROM sc)
+        |     WHERE rn <= 8),
+        |ent AS (SELECT vec_id, emb FROM e ORDER BY $idHash, vec_id LIMIT 32),
+        |s0 AS MATERIALIZED (SELECT query_id, vec_id, cos FROM (
+        |       SELECT q.query_id, ent.vec_id,
+        |         round(list_cosine_similarity(q.qe, ent.emb), 4) AS cos,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY round(list_cosine_similarity(q.qe, ent.emb), 4) DESC,
+        |                    ent.vec_id) AS rn
+        |       FROM q CROSS JOIN ent) WHERE rn <= 16),
+        |${(1 to 6).map(hopSql).mkString(",\n")},
+        |found AS (SELECT query_id, vec_id AS found_id, cos AS found_cos FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, vec_id) AS rn FROM s6) WHERE rn = 1),
+        |bf AS (SELECT query_id, vec_id AS bf_id, cos_sim AS bf_cos FROM (
+        |        SELECT q.query_id, e.vec_id,
+        |          round(list_cosine_similarity(q.qe, e.emb), 4) AS cos_sim,
+        |          row_number() OVER (PARTITION BY q.query_id
+        |            ORDER BY round(list_cosine_similarity(q.qe, e.emb), 4) DESC,
+        |                     e.vec_id) AS rn
+        |        FROM q CROSS JOIN e) WHERE rn = 1)
+        |SELECT f.query_id, f.found_id, f.found_cos, bf.bf_id, bf.bf_cos,
+        |  round(bf.bf_cos - f.found_cos, 4) AS regret,
+        |  CAST(CASE WHEN f.found_cos >= bf.bf_cos THEN 1 ELSE 0 END AS BIGINT)
+        |    AS converged
+        |FROM found f JOIN bf USING (query_id) ORDER BY query_id""".stripMargin) { (s, d) =>
+      val e0 = emb(s, d)
+      val q = e0.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val reps = e0.filter(col("vec_id") >= 10)
+        .groupBy("embedding").agg(min("vec_id").as("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = signBands(reps)
+      val cand = bands.select(col("vec_id").as("src"), col("band"), col("bucket"))
+        .join(bands.select(col("vec_id").as("dst"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val rankW = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))
+      val k = cand
+        .join(reps.select(col("vec_id").as("src"), col("embedding").as("se")), Seq("src"))
+        .join(reps.select(col("vec_id").as("dst"), col("embedding").as("de")), Seq("dst"))
+        .select(col("src"), col("dst"), cosR(col("se"), col("de")).as("cos_sim"))
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= 8)
+        .select("src", "dst")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ent = reps
+        .orderBy(expr(graft.text.TextOps.sparkWordHash("cast(vec_id as string)")),
+          col("vec_id"))
+        .limit(32)
+      val beamW = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      val s0 = q.crossJoin(broadcast(ent))
+        .select(col("query_id"), col("vec_id"),
+          cosR(col("qe"), col("embedding")).as("cos"))
+        .withColumn("rn", row_number().over(beamW))
+        .filter(col("rn") <= 16)
+        .select("query_id", "vec_id", "cos")
+      // each round's ≤160-row frontier is localCheckpoint'ed (eager):
+      // the frontier appears TWICE per round (broadcast expand + union),
+      // so a persist alone leaves the LOGICAL plan tripling per round and
+      // Catalyst re-analysis goes exponential across 6 rounds (measured:
+      // round 6 alone 34 s). The checkpoint truncates lineage to a leaf —
+      // the MLlib iterative idiom, safe here because the frame is bounded
+      // by |q|·ef rows (documented SURVEY §3 iterative-pin exception;
+      // rounded cosines + id ties keep the contents order-free, so the
+      // pin cannot change the hash)
+      val s6 = (1 to 6).foldLeft(s0.localCheckpoint(true)) { case (st, _) =>
+        val expand = broadcast(st.select(col("query_id"), col("vec_id").as("src")))
+          .join(k, Seq("src"))
+          .join(reps.select(col("vec_id").as("dst"), col("embedding").as("ne")),
+            Seq("dst"))
+          .join(broadcast(q), Seq("query_id"))
+          .select(col("query_id"), col("dst").as("vec_id"),
+            cosR(col("qe"), col("ne")).as("cos"))
+        st.unionByName(expand).distinct()
+          .withColumn("rn", row_number().over(beamW))
+          .filter(col("rn") <= 16)
+          .select("query_id", "vec_id", "cos")
+          .localCheckpoint(true)
+      }
+      val found = s6.withColumn("rn", row_number().over(beamW))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id").as("found_id"), col("cos").as("found_cos"))
+      val bfW = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+      val bf = reps.crossJoin(broadcast(q))
+        .select(col("query_id"), col("vec_id"),
+          cosR(col("qe"), col("embedding")).as("cos_sim"))
+        .withColumn("rn", row_number().over(bfW))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id").as("bf_id"), col("cos_sim").as("bf_cos"))
+      found.join(bf, Seq("query_id"))
+        .select(col("query_id"), col("found_id"), col("found_cos"),
+          col("bf_id"), col("bf_cos"),
+          round(col("bf_cos") - col("found_cos"), 4).as("regret"),
+          when(col("found_cos") >= col("bf_cos"), 1L).otherwise(0L).as("converged"))
+        .orderBy("query_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(
+    annGraphSearch,
     embClassMargin, embIsotropy, annShardPlan, crossmodalMix,
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
     embNormalize, embQuantize, annPq, annPqSearch, annRecall, annNdcg,

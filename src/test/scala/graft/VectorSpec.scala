@@ -710,4 +710,44 @@ class VectorSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_groups") <= nBase(cell), s"cell $cell")
     }
   }
+
+  test("ann_graph_search: regret law, exact ground truth, beam mostly converges") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("ann_graph_search")(spark, sf).collect()
+    // every query (vec_id < 10) reports exactly once
+    assert(rows.map(_.getAs[Long]("query_id")).sorted === (0L until 10L).toArray)
+    // brute-force ground truth recomputed independently over the same
+    // deduplicated index (min-id representative per distinct embedding)
+    val e = graft.Tables.embeddings(spark, sf)
+    GraftFunctions.ensureRegistered(spark)
+    val reps = e.filter(col("vec_id") >= 10)
+      .groupBy("embedding").agg(min("vec_id").as("vec_id"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val bf = reps.crossJoin(q)
+      .select(col("qid"), col("vec_id"),
+        round(call_function("graft_cosine", col("qe"), col("embedding")), 4).as("c"))
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .map { case (qid, rs) =>
+        qid -> rs.minBy(r => (-r.getAs[Double]("c"), r.getAs[Long]("vec_id")))
+      }
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("query_id")
+      val want = bf(qid)
+      assert(r.getAs[Long]("bf_id") === want.getAs[Long]("vec_id"), s"q$qid bf id")
+      assert(r.getAs[Double]("bf_cos") === want.getAs[Double]("c"), s"q$qid bf cos")
+      // the beam can never beat brute force; regret is the rounded gap
+      val (fc, bc) = (r.getAs[Double]("found_cos"), r.getAs[Double]("bf_cos"))
+      assert(fc <= bc + 1e-9, s"q$qid found beats brute force")
+      assert(r.getAs[Double]("regret") ===
+        BigDecimal(bc - fc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert((r.getAs[Long]("converged") == 1L) === (fc >= bc))
+      // found ids come from the index side, never from the query slice
+      assert(r.getAs[Long]("found_id") >= 10)
+    }
+    // the multi-entry beam actually navigates: most queries converge to
+    // the true top-1 (7/10 at sf0.001) and no regret exceeds 0.06
+    assert(rows.count(_.getAs[Long]("converged") == 1L) >= 5)
+    assert(rows.map(_.getAs[Double]("regret")).max <= 0.06)
+  }
 }
