@@ -1469,6 +1469,69 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Segment-level code-switch detector: split each document's word list
+    * in half, classify each half with the [[langId]] rule, and roll up
+    * the (label, head-prediction, tail-prediction) grid — a document
+    * whose halves disagree is MIXED-LANGUAGE text, the class a
+    * whole-document classifier silently mislabels and a monolingual
+    * training mix shouldn't contain ([[docLangOutliers]] finds docs the
+    * classifier gets wrong; this finds docs no single label fits).
+    * Single-word docs put the empty tail through the same rule (all-zero
+    * votes → 'en'), identically in both engines.
+    *
+    * Scale shape: pure per-row map (two list slices + six filtered
+    * counts) into a groupBy bounded at |langs|³ rows — no join, one
+    * partial-aggregated shuffle of ≤27 rows however large the corpus. */
+  val docMixedLang: Q = {
+    def duckVotes(seg: String, p: String) =
+      s"""len(list_filter($seg, w -> w = 'the')) AS ${p}_the,
+         |len(list_filter($seg, w -> w = 'data')) AS ${p}_data,
+         |len(list_filter($seg, w -> w = 'spark')) AS ${p}_spark""".stripMargin
+    def duckPred(p: String) =
+      s"""CASE WHEN ${p}_the >= ${p}_data AND ${p}_the >= ${p}_spark THEN 'en'
+         |     WHEN ${p}_data >= ${p}_spark THEN 'es' ELSE 'zh' END""".stripMargin
+    def sparkVotes(df: DataFrame, seg: String, p: String) = df
+      .withColumn(s"${p}_the", expr(s"size(filter($seg, w -> w = 'the'))"))
+      .withColumn(s"${p}_data", expr(s"size(filter($seg, w -> w = 'data'))"))
+      .withColumn(s"${p}_spark", expr(s"size(filter($seg, w -> w = 'spark'))"))
+    def sparkPred(p: String) =
+      when(col(s"${p}_the") >= col(s"${p}_data")
+        && col(s"${p}_the") >= col(s"${p}_spark"), "en")
+        .when(col(s"${p}_data") >= col(s"${p}_spark"), "es")
+        .otherwise("zh")
+    Q.sql(
+      "doc_mixed_lang",
+      s"""WITH s AS (SELECT lang, str_split(text, ' ') AS ws FROM documents),
+        |h AS (SELECT lang, ws[1:len(ws) // 2] AS hw,
+        |        ws[len(ws) // 2 + 1:] AS tw FROM s),
+        |f AS (SELECT lang,
+        |        ${duckVotes("hw", "h")},
+        |        ${duckVotes("tw", "t")}
+        |      FROM h),
+        |p AS (SELECT lang,
+        |        ${duckPred("h")} AS pred_head,
+        |        ${duckPred("t")} AS pred_tail
+        |      FROM f)
+        |SELECT lang, pred_head, pred_tail, count(*) AS n_docs,
+        |  CAST(CASE WHEN pred_head <> pred_tail THEN 1 ELSE 0 END AS BIGINT)
+        |    AS mixed
+        |FROM p GROUP BY 1, 2, 3
+        |ORDER BY lang, pred_head, pred_tail""".stripMargin) { (s, d) =>
+      val base = docs(s, d)
+        .select(col("lang"), split(col("text"), " ").as("ws"))
+        .withColumn("hw", expr("slice(ws, 1, size(ws) div 2)"))
+        .withColumn("tw", expr("slice(ws, size(ws) div 2 + 1, size(ws) - size(ws) div 2)"))
+      sparkVotes(sparkVotes(base, "hw", "h"), "tw", "t")
+        .select(col("lang"), sparkPred("h").as("pred_head"),
+          sparkPred("t").as("pred_tail"))
+        .groupBy("lang", "pred_head", "pred_tail")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("lang"), col("pred_head"), col("pred_tail"), col("n_docs"),
+          when(col("pred_head") =!= col("pred_tail"), 1L).otherwise(0L).as("mixed"))
+        .orderBy("lang", "pred_head", "pred_tail")
+    }
+  }
+
   /** Dedup yield curve: for each candidate jaccard threshold, how many
     * near-dup pairs fire and how much of the corpus the min-id-keep rule
     * would drop — the sizing report a curation run reads BEFORE picking
@@ -1733,5 +1796,5 @@ object TextOps {
     dedupLshCurve, decontaminateFuzzy, dedupPlaneAgreement, langId,
     langIdMetrics, textQuality, textEntropy, tokenCount, docFingerprint,
     samplePerSource, tokenRegex, docLangOutliers, dedupThresholdCurve,
-    dedupClusterStats, dedupSourceMatrix, dedupTokenInflation)
+    dedupClusterStats, dedupSourceMatrix, dedupTokenInflation, docMixedLang)
 }

@@ -388,4 +388,33 @@ class EvalOpsSpec extends AnyFunSuite {
     // totals partition the fact table
     assert(rows.map(_.getAs[Long]("n_lines")).sum === li.length.toLong)
   }
+
+  test("doc_mixed_lang: doc mass conserved, mixed flag is the disagreement, synthetic switch detected") {
+    val rows = SparkEntry.queries("doc_mixed_lang")(spark, sf).collect()
+    // every document lands in exactly one (lang, head, tail) cell
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val mixed = r.getAs[String]("pred_head") != r.getAs[String]("pred_tail")
+      assert(r.getAs[Long]("mixed") === (if (mixed) 1L else 0L))
+    }
+    assert(rows.exists(_.getAs[Long]("mixed") == 1L))
+    assert(rows.exists(_.getAs[Long]("mixed") == 0L))
+    // constructed code-switch: a doc whose halves are unambiguous en/es
+    // text must land in the (en, es) cell; its pure twins on the diagonal
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mixed-lang-").toString
+    import spark.implicits._
+    Seq(
+      (0L, "the the the the", "en", "s", 15L),
+      (1L, "the the data data", "en", "s", 17L),
+      (2L, "data data data data", "es", "s", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val syn = SparkEntry.queries("doc_mixed_lang")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("mixed"))).toMap
+    assert(syn(("en", "en", "en")) === ((1L, 0L)))
+    assert(syn(("en", "en", "es")) === ((1L, 1L)))
+    assert(syn(("es", "es", "es")) === ((1L, 0L)))
+  }
 }
