@@ -239,5 +239,71 @@ object Privacy {
       .orderBy("nation_id", "mktsegment")
   }
 
-  val all: Seq[Q] = Seq(piiScrub, piiKanon, piiLdiversity, piiTcloseness)
+  /** ε-differentially-private histogram release with utility pricing —
+    * the fourth member of the privacy quad: k-anonymity/l-diversity/
+    * t-closeness MEASURE re-identification risk of a released table;
+    * this op releases the aggregate itself under a formal budget (ε=0.5
+    * Laplace counts over the quasi-identifier grid, sensitivity 1,
+    * parallel composition across disjoint classes) and publishes the
+    * exact utility cost of doing so (noise, absolute and relative
+    * error per class) so the release gate can weigh privacy against
+    * accuracy BEFORE shipping. Noise is the inverse-CDF Laplace draw on
+    * a SEEDED md5-derived uniform per class — deterministic by design:
+    * this is the audit/pricing twin (both engines must agree bit-for-
+    * bit), and a deployment swaps the hash for a secret-keyed PRF to
+    * get the cryptographic draw with the identical plan.
+    *
+    * Scale: one partial-aggregating groupBy to the |classes| grid; the
+    * noise is a per-row projection on that bounded grid. The one ln()
+    * is quarantined behind round(…, 6); u can never hit 0.5 exactly
+    * ((h+1)/2³²+1 with integer h), so the draw is total. */
+  val piiDpHistogram: Q = {
+    val eps = "0.5"
+    val duckH = graft.text.TextOps.duckWordHash(
+      "CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment")
+    val sparkH = graft.text.TextOps.sparkWordHash(
+      "concat(cast(c_nationkey as string), '|', c_mktsegment)")
+    // shared formula tail (dialect-identical): uniform → Laplace(1/ε).
+    // Only ln() is rounded (the one libm call); every downstream value is
+    // a product/sum/quotient of identical doubles and is published RAW —
+    // re-rounding a ±2·(6-decimal) product at a coarser scale lands on
+    // exact .5 ties that Spark (shortest-decimal HALF_UP) and DuckDB
+    // (scaled-binary half-away) break differently, observed at sf0.001.
+    val uExpr = "(h + 1e0) / 4294967297"
+    val noiseExpr =
+      s"(-1e0 / $eps) * (CASE WHEN u >= 0.5e0 THEN 1e0 ELSE -1e0 END)" +
+        " * round(ln(1e0 - 2e0 * abs(u - 0.5e0)), 6)"
+    Q.sql(
+      "pii_dp_histogram",
+      s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
+         |    CAST(count(*) AS BIGINT) AS n_true
+         |  FROM customer GROUP BY 1, 2),
+         |h AS (SELECT *, $duckH AS h FROM g),
+         |u AS (SELECT *, $uExpr AS u FROM h),
+         |z AS (SELECT *, $noiseExpr AS noise FROM u)
+         |SELECT CAST(c_nationkey AS INT) AS nation_id,
+         |  c_mktsegment AS mktsegment, n_true, noise,
+         |  n_true + noise AS n_noisy,
+         |  abs(noise) AS abs_err,
+         |  abs(noise) / n_true AS rel_err,
+         |  CAST($eps AS DOUBLE) AS epsilon
+         |FROM z ORDER BY nation_id, mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_true"))
+        .withColumn("h", expr(sparkH))
+        .withColumn("u", expr(uExpr))
+        .withColumn("noise", expr(noiseExpr))
+        .select(col("c_nationkey").cast("int").as("nation_id"),
+          col("c_mktsegment").as("mktsegment"), col("n_true"), col("noise"),
+          (col("n_true") + col("noise")).as("n_noisy"),
+          abs(col("noise")).as("abs_err"),
+          (abs(col("noise")) / col("n_true")).as("rel_err"),
+          lit(0.5).as("epsilon"))
+        .orderBy("nation_id", "mktsegment")
+    }
+  }
+
+  val all: Seq[Q] = Seq(piiScrub, piiKanon, piiLdiversity, piiTcloseness,
+    piiDpHistogram)
 }

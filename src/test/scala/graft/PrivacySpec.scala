@@ -87,4 +87,36 @@ class PrivacySpec extends AnyFunSuite {
         assert(r.getAs[Double]("top_share") === 1.0)
     }
   }
+
+  test("pii_dp_histogram: true counts reconcile, noise is the seeded Laplace draw, utility columns derive") {
+    val rows = SparkEntry.queries("pii_dp_histogram")(spark, sfDir).collect()
+    // the released grid is exactly the quasi-identifier histogram
+    val truth = Tables.customer(spark, sfDir)
+      .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Number]("c_nationkey").intValue,
+        r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(rows.length === truth.size)
+    rows.foreach { r =>
+      val key = (r.getAs[Int]("nation_id"), r.getAs[String]("mktsegment"))
+      assert(r.getAs[Long]("n_true") === truth(key), s"$key true count")
+      val noise = r.getAs[Double]("noise")
+      // derived columns are exact functions of the published noise
+      assert(r.getAs[Double]("n_noisy") === r.getAs[Long]("n_true") + noise)
+      assert(r.getAs[Double]("abs_err") === math.abs(noise))
+      assert(r.getAs[Double]("rel_err") ===
+        math.abs(noise) / r.getAs[Long]("n_true"))
+      assert(r.getAs[Double]("epsilon") === 0.5)
+    }
+    // the draw is a real two-sided Laplace: both signs occur, and the
+    // mean |noise| sits in a loose band around the scale b = 1/eps = 2
+    val noises = rows.map(_.getAs[Double]("noise"))
+    assert(noises.exists(_ > 0) && noises.exists(_ < 0))
+    val meanAbs = noises.map(math.abs).sum / noises.length
+    assert(meanAbs > 0.8 && meanAbs < 5.0, s"mean |noise| $meanAbs")
+    // deterministic: a second run draws the identical noise vector
+    val again = SparkEntry.queries("pii_dp_histogram")(spark, sfDir).collect()
+      .map(_.getAs[Double]("noise"))
+    assert(again === noises)
+  }
 }
