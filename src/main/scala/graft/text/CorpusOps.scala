@@ -455,6 +455,68 @@ object CorpusOps {
       .orderBy("source", "feature")
   }
 
+  /** Generative outlier detector over the quantized quality-feature
+    * grid — the complement of [[qualityNb]] (discriminative: "does this
+    * look like text the rules fail?") and [[corpusPsi]] (population
+    * drift): per document, the SURPRISE of its joint feature cell,
+    * rarity = −log2(cell share). A document alone in its (length, TTR,
+    * word-length, stopword) cell is unlike anything else in the corpus —
+    * the slice a curation run eyeballs for parser breakage, format
+    * anomalies, and adversarial content that per-rule thresholds miss
+    * because every individual feature is in range. Published: every doc
+    * with rarity ≥ 8 bits (cell share ≤ 1/256 — share-based, so the
+    * threshold means the same thing at every corpus size).
+    *
+    * Scale shape: one scan quantizes features (pure integer map), one
+    * partial-aggregating groupBy to the bounded cell grid, and the
+    * probe joins the ≤|cells| grid back BROADCAST — the corpus never
+    * shuffles. The one log2 is an integer rational rounded once; the
+    * ≥9-bit filter compares the rounded value. */
+  val docRarity: Q = {
+    val duckBuckets =
+      """least(n_words // 10, 12) AS b_len,
+        |    (10 * n_distinct) // n_words AS b_ttr,
+        |    (2 * word_chars) // n_words AS b_wlen,
+        |    least(n_stop, 3) AS b_stop""".stripMargin
+    Q.sql(
+      "doc_rarity",
+      s"""WITH f AS (SELECT doc_id, $duckQualityFeatures FROM documents),
+        |b AS (SELECT doc_id, $duckBuckets FROM f),
+        |cells AS (SELECT b_len, b_ttr, b_wlen, b_stop,
+        |    CAST(count(*) AS BIGINT) AS cell_n
+        |  FROM b GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+        |r AS (SELECT b.doc_id, b.b_len, b.b_ttr, b.b_wlen, b.b_stop,
+        |    cells.cell_n,
+        |    round(-log2((1e0 * cells.cell_n) / tot.n), 6) AS rarity_bits
+        |  FROM b JOIN cells USING (b_len, b_ttr, b_wlen, b_stop)
+        |    CROSS JOIN tot)
+        |SELECT doc_id,
+        |  CAST(b_len AS BIGINT) AS b_len, CAST(b_ttr AS BIGINT) AS b_ttr,
+        |  CAST(b_wlen AS BIGINT) AS b_wlen, CAST(b_stop AS BIGINT) AS b_stop,
+        |  cell_n, rarity_bits
+        |FROM r WHERE rarity_bits >= 8e0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val b = withQualityFlags(docs(s, d))
+        .select(col("doc_id"),
+          expr("least(n_words div 10, 12)").cast("long").as("b_len"),
+          expr("(10 * n_distinct) div n_words").cast("long").as("b_ttr"),
+          expr("(2 * word_chars) div n_words").cast("long").as("b_wlen"),
+          expr("least(n_stop, 3)").cast("long").as("b_stop"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cells = b.groupBy("b_len", "b_ttr", "b_wlen", "b_stop")
+        .agg(count(lit(1)).as("cell_n"))
+      val tot = b.agg(count(lit(1)).as("n"))
+      b.join(broadcast(cells), Seq("b_len", "b_ttr", "b_wlen", "b_stop"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("b_len"), col("b_ttr"), col("b_wlen"),
+          col("b_stop"), col("cell_n"),
+          round(-log2((lit(1e0) * col("cell_n")) / col("n")), 6)
+            .as("rarity_bits"))
+        .filter(col("rarity_bits") >= 8e0)
+        .orderBy("doc_id")
+    }
+  }
+
   // ------------------------------------------------------- data mixing --
 
   /** Deterministic stratified sample toward a target mix: each
@@ -2637,5 +2699,5 @@ object CorpusOps {
     corpusBigramPpl, vocabOverlap, perplexityBuckets, heapsFit,
     qualityPlaneAgreement, qualityAblation, contaminationSources,
     corpusExport, corpusDsir, corpusDoremi, qualityNb, decontaminateBloom,
-    corpusPsi)
+    corpusPsi, docRarity)
 }

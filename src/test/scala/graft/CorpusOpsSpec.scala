@@ -780,4 +780,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     // the index discriminates on this corpus: more than one band occurs
     assert(rows.map(_.getAs[String]("verdict")).distinct.length >= 2)
   }
+  test("doc_rarity: rarity replays from cell shares, threshold honest, outliers are rare by construction") {
+    val rows = SparkEntry.queries("doc_rarity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      val cellN = r.getAs[Long]("cell_n")
+      // rarity is exactly the rounded -log2 of the cell share
+      val want = BigDecimal(-math.log(cellN.toDouble / n) / math.log(2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("rarity_bits") - want) < 2e-6,
+        s"doc ${r.getLong(0)}")
+      assert(r.getAs[Double]("rarity_bits") >= 8.0)
+      // >= 8 bits means the cell holds at most n/256 documents
+      assert(cellN <= n / 256 + 1, s"doc ${r.getLong(0)}: cell_n $cellN")
+    }
+    // published docs are a minority of the corpus (it is an OUTLIER list)
+    assert(rows.length < n / 4)
+    // cell mass reconciles: every doc sharing a published cell is published
+    val byCell = rows.groupBy(r => (r.getAs[Long]("b_len"), r.getAs[Long]("b_ttr"),
+      r.getAs[Long]("b_wlen"), r.getAs[Long]("b_stop")))
+    byCell.foreach { case (cell, rs) =>
+      assert(rs.length === rs.head.getAs[Long]("cell_n"), s"cell $cell")
+    }
+  }
 }
