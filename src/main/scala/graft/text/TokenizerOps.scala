@@ -254,5 +254,117 @@ object TokenizerOps {
     }
   }
 
-  val all: Seq[Q] = Seq(bpePairStats, tokFertility, bpeMergeIterate)
+  /** WordPiece-style greedy inference (Wu et al. 2016, arXiv:1609.08144
+    * — longest-match-first subword segmentation): build a piece
+    * vocabulary from the corpus (all single chars implicitly + the
+    * top-64 substrings of length 2–4 by occurrence-weighted frequency,
+    * ties by piece string), then segment every distinct word by
+    * repeatedly taking the LONGEST vocab piece at the cursor, falling
+    * back to the single character. [[bpeMergeIterate]] is the TRAINING
+    * side of subword tokenization; this is the INFERENCE side — the
+    * per-word segmentation and piece count that corpus token budgets
+    * are actually paid in.
+    *
+    * Scale shape: one scan partial-aggregates to the distinct-word
+    * frequency table (persisted — read by the substring pass, the
+    * segmentation walk, and the output); candidate pieces
+    * partial-aggregate on the piece; the vocabulary is 64 rows
+    * (broadcast as a 1-row map) and the 8-step greedy walk is a pure
+    * per-row projection over distinct WORDS (not tokens) — the corpus
+    * is never rescanned and nothing all-pairs.
+    *
+    * Determinism: there are NO floats anywhere — frequencies, cursor
+    * arithmetic, and string matching only — so both engines produce
+    * byte-identical segmentations by construction. The only subtlety is
+    * guarded: a length-l lookup requires l chars remaining, or a short
+    * tail substring would false-match a shorter vocab piece. */
+  val tokWordpiece: Q = {
+    def duckStep(k: Int): String =
+      s"""s$k AS (SELECT s.word, s.freq, s.len,
+         |  CASE WHEN s.pos > s.len THEN s.pos
+         |       WHEN v4.piece IS NOT NULL THEN s.pos + 4
+         |       WHEN v3.piece IS NOT NULL THEN s.pos + 3
+         |       WHEN v2.piece IS NOT NULL THEN s.pos + 2
+         |       ELSE s.pos + 1 END AS pos,
+         |  CASE WHEN s.pos > s.len THEN s.n ELSE s.n + 1 END AS n,
+         |  CASE WHEN s.pos > s.len THEN s.seg
+         |       WHEN v4.piece IS NOT NULL THEN s.seg || '|' || v4.piece
+         |       WHEN v3.piece IS NOT NULL THEN s.seg || '|' || v3.piece
+         |       WHEN v2.piece IS NOT NULL THEN s.seg || '|' || v2.piece
+         |       ELSE s.seg || '|' || substr(s.word, s.pos, 1) END AS seg
+         |FROM s${k - 1} s
+         |LEFT JOIN voc v4 ON v4.plen = 4 AND s.pos + 3 <= s.len
+         |  AND v4.piece = substr(s.word, s.pos, 4)
+         |LEFT JOIN voc v3 ON v3.plen = 3 AND s.pos + 2 <= s.len
+         |  AND v3.piece = substr(s.word, s.pos, 3)
+         |LEFT JOIN voc v2 ON v2.plen = 2 AND s.pos + 1 <= s.len
+         |  AND v2.piece = substr(s.word, s.pos, 2))""".stripMargin
+    val sparkStep =
+      """CASE WHEN st.pos > len THEN st
+        |     WHEN st.pos + 3 <= len
+        |          AND element_at(vmap, substring(word, st.pos, 4)) IS NOT NULL
+        |       THEN named_struct('pos', st.pos + 4, 'n', st.n + 1,
+        |              'seg', concat(st.seg, '|', substring(word, st.pos, 4)))
+        |     WHEN st.pos + 2 <= len
+        |          AND element_at(vmap, substring(word, st.pos, 3)) IS NOT NULL
+        |       THEN named_struct('pos', st.pos + 3, 'n', st.n + 1,
+        |              'seg', concat(st.seg, '|', substring(word, st.pos, 3)))
+        |     WHEN st.pos + 1 <= len
+        |          AND element_at(vmap, substring(word, st.pos, 2)) IS NOT NULL
+        |       THEN named_struct('pos', st.pos + 2, 'n', st.n + 1,
+        |              'seg', concat(st.seg, '|', substring(word, st.pos, 2)))
+        |     ELSE named_struct('pos', st.pos + 1, 'n', st.n + 1,
+        |            'seg', concat(st.seg, '|', substring(word, st.pos, 1)))
+        |END""".stripMargin
+    Q.sql(
+      "tok_wordpiece",
+      s"""WITH t AS (SELECT unnest(str_split(text, ' ')) AS word FROM documents),
+        |wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |    length(word) AS len
+        |  FROM t WHERE length(word) > 0 GROUP BY 1),
+        |sub AS (SELECT unnest(flatten(list_transform([2, 3, 4],
+        |    l -> list_transform(range(1, len - l + 2),
+        |      i -> substr(word, CAST(i AS INT), CAST(l AS INT)))))) AS piece,
+        |    freq
+        |  FROM wf),
+        |cnts AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+        |         FROM sub GROUP BY 1),
+        |voc AS MATERIALIZED (SELECT piece, length(piece) AS plen
+        |  FROM cnts ORDER BY cnt DESC, piece LIMIT 64),
+        |s0 AS (SELECT word, freq, len, 1 AS pos, 0 AS n, '' AS seg FROM wf),
+        |${(1 to 8).map(duckStep).mkString(",\n")}
+        |SELECT word, freq, CAST(len AS BIGINT) AS n_chars,
+        |  CAST(n AS BIGINT) AS n_pieces, substr(seg, 2) AS pieces
+        |FROM s8 ORDER BY word""".stripMargin) { (s, d) =>
+      val wf = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("len", length(col("word")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cnts = wf
+        .select(col("freq"), explode(expr(
+          """flatten(transform(sequence(2, 4),
+            |  l -> IF(len >= l,
+            |         transform(sequence(1, len - l + 1),
+            |           i -> substring(word, i, l)),
+            |         array())))""".stripMargin)).as("piece"))
+        .groupBy("piece").agg(sum("freq").cast("long").as("cnt"))
+      val voc = cnts.orderBy(col("cnt").desc, col("piece")).limit(64)
+      val vmap = voc.agg(
+        map_from_entries(collect_list(struct(col("piece"), length(col("piece")))))
+          .as("vmap"))
+      val s8 = (1 to 8).foldLeft(
+        wf.crossJoin(broadcast(vmap))
+          .withColumn("st", expr("named_struct('pos', 1, 'n', 0, 'seg', '')"))) {
+        case (st, _) => st.withColumn("st", expr(sparkStep))
+      }
+      s8.select(col("word"), col("freq"), col("len").cast("long").as("n_chars"),
+          expr("st.n").cast("long").as("n_pieces"),
+          expr("substring(st.seg, 2)").as("pieces"))
+        .orderBy("word")
+    }
+  }
+
+  val all: Seq[Q] = Seq(bpePairStats, tokFertility, bpeMergeIterate, tokWordpiece)
 }

@@ -127,4 +127,42 @@ class TokenizerOpsSpec extends AnyFunSuite {
     }
     assert(rows.map(_.getInt(0)).toSeq === (1 to rows.length))
   }
+
+  test("tok_wordpiece: segmentations reconstruct, greedy law replayed against an independent vocab") {
+    val rows = SparkEntry.queries("tok_wordpiece")(spark, sfDir).collect()
+    // one row per distinct word; frequencies total the token count
+    val toks = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("w"))
+      .filter("length(w) > 0")
+      .collect().map(_.getString(0))
+    assert(rows.length === toks.distinct.length)
+    assert(rows.map(_.getAs[Long]("freq")).sum === toks.length.toLong)
+    // independent vocab rebuild: top-64 substrings (len 2-4) by weighted count
+    val freq = toks.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val cnt = collection.mutable.Map.empty[String, Long]
+    freq.foreach { case (w, f) =>
+      for (l <- 2 to 4; i <- 0 to w.length - l)
+        cnt.updateWith(w.substring(i, i + l))(c => Some(c.getOrElse(0L) + f))
+    }
+    val voc = cnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(64).map(_._1).toSet
+    rows.foreach { r =>
+      val (w, pieces) = (r.getAs[String]("word"), r.getAs[String]("pieces").split('|'))
+      // reconstruction law: pieces concatenate back to the word
+      assert(pieces.mkString === w, s"$w reconstruction")
+      assert(r.getAs[Long]("n_pieces") === pieces.length.toLong)
+      assert(r.getAs[Long]("n_chars") === w.length.toLong)
+      // greedy longest-match replay against the independent vocabulary
+      var pos = 0; val out = collection.mutable.Buffer.empty[String]
+      while (pos < w.length) {
+        val l = (4 to 2 by -1).find(l => pos + l <= w.length
+          && voc(w.substring(pos, pos + l))).getOrElse(1)
+        out += w.substring(pos, pos + l); pos += l
+      }
+      assert(out.toSeq === pieces.toSeq, s"$w greedy walk")
+    }
+    // the vocabulary is actually used: some multi-char piece appears
+    assert(rows.exists(_.getAs[String]("pieces").split('|').exists(_.length > 1)))
+  }
 }
