@@ -2217,6 +2217,97 @@ object CorpusOps {
     }
   }
 
+  /** Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995; Chen
+    * & Goodman 1999's standard formulation): absolute discount D = 0.75
+    * on the bigram MLE, with the stolen mass routed to the CONTINUATION
+    * probability — p_cont(w) ∝ how many distinct left neighbors w has,
+    * not how often w occurs (the "San Francisco" correction: 'Francisco'
+    * is frequent but predictable, so it makes a poor novel-context
+    * guess). [[corpusBigramPpl]] scores with fixed 0.8/0.2 unigram
+    * interpolation — the CCNet-style quality signal; this is the
+    * higher-fidelity LM the two should be compared on before
+    * perplexity-filtering a corpus (a doc ranked differently by the two
+    * models is exactly the smoothing-sensitive tail).
+    *
+    * Scale shape: identical to [[corpusBigramPpl]] — the (doc, gram, tf)
+    * frame persists and feeds every model join; the model tables
+    * (bigram counts, left-context totals + continuation-type counts per
+    * w1, left-neighbor-type counts per w2, one scalar) are vocab²-
+    * bounded partial aggregates joined ON THE GRAM (never broadcast —
+    * vocabulary grows with the corpus). Per-doc means use the exact
+    * integer micro-bits half-up division (the q_revenue_ma7 discipline).
+    *
+    * Determinism: counts are exact integers; D subtraction (x−0.75) is
+    * exact in binary; the probability is one fixed-parenthesization
+    * double expression quarantined behind round(−log2(…), 6). */
+  val corpusKnPpl: Q = {
+    val bitsF = "round(-log2(greatest(cbg - 0.75e0, 0e0) / cw1" +
+      " + (0.75e0 * k1 / cw1) * (nl * 1e0 / bb)), 6)"
+    Q.sql(
+      "corpus_kn_ppl",
+      s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+         |db AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |         i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w),
+         |dtf AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf
+         |        FROM db GROUP BY 1, 2),
+         |bc AS (SELECT gram, CAST(sum(tf) AS BIGINT) AS cbg FROM dtf GROUP BY 1),
+         |w1c AS (SELECT split_part(gram, ' ', 1) AS w1,
+         |          CAST(sum(cbg) AS BIGINT) AS cw1,
+         |          CAST(count(*) AS BIGINT) AS k1
+         |        FROM bc GROUP BY 1),
+         |nlc AS (SELECT split_part(gram, ' ', 2) AS w2,
+         |          CAST(count(*) AS BIGINT) AS nl
+         |        FROM bc GROUP BY 1),
+         |bt AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM bc),
+         |sc AS (SELECT d.doc_id, d.tf, $bitsF AS bits
+         |       FROM dtf d
+         |       JOIN bc ON d.gram = bc.gram
+         |       JOIN w1c ON split_part(d.gram, ' ', 1) = w1c.w1
+         |       JOIN nlc ON split_part(d.gram, ' ', 2) = nlc.w2
+         |       CROSS JOIN bt),
+         |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |          CAST(sum(tf * CAST(round(bits * 1000000, 0) AS BIGINT)) AS BIGINT)
+         |            AS sum_micro
+         |        FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  CAST((2 * sum_micro + n_bigrams * 100) // (2 * n_bigrams * 100) AS DOUBLE)
+         |    / 10000 AS bits_per_bigram,
+         |  round(pow(2, CAST((2 * sum_micro + n_bigrams * 100) // (2 * n_bigrams * 100)
+         |    AS DOUBLE) / 10000), 2) AS ppl
+         |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val w = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val dtf = w.select(col("doc_id"), explode(expr("graft_shingles(ws, 2)")).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).cast("long").as("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bc = dtf.groupBy("gram").agg(sum("tf").cast("long").as("cbg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val w1c = bc.groupBy(expr("split_part(gram, ' ', 1)").as("w1"))
+        .agg(sum("cbg").cast("long").as("cw1"),
+          count(lit(1)).cast("long").as("k1"))
+      val nlc = bc.groupBy(expr("split_part(gram, ' ', 2)").as("w2"))
+        .agg(count(lit(1)).cast("long").as("nl"))
+      val bt = bc.agg(count(lit(1)).cast("long").as("bb"))
+      val scored = dtf
+        .join(bc, Seq("gram"))
+        .withColumn("w1", expr("split_part(gram, ' ', 1)"))
+        .withColumn("w2", expr("split_part(gram, ' ', 2)"))
+        .join(w1c, Seq("w1"))
+        .join(nlc, Seq("w2"))
+        .crossJoin(broadcast(bt))
+        .withColumn("bits", expr(bitsF))
+      scored.groupBy("doc_id")
+        .agg(sum("tf").cast("long").as("n_bigrams"),
+          sum(col("tf") * expr("CAST(round(bits * 1000000, 0) AS BIGINT)"))
+            .cast("long").as("sum_micro"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (expr("(2 * sum_micro + n_bigrams * 100) div (2 * n_bigrams * 100)")
+            .cast("double") / 10000).as("bits_per_bigram"))
+        .withColumn("ppl", round(pow(lit(2), col("bits_per_bigram")), 2))
+        .orderBy("doc_id")
+    }
+  }
+
   // -------------------------------------------- curriculum order --
 
   /** Curriculum-training order plan: each document gets a difficulty
@@ -2699,5 +2790,5 @@ object CorpusOps {
     corpusBigramPpl, vocabOverlap, perplexityBuckets, heapsFit,
     qualityPlaneAgreement, qualityAblation, contaminationSources,
     corpusExport, corpusDsir, corpusDoremi, qualityNb, decontaminateBloom,
-    corpusPsi, docRarity)
+    corpusPsi, docRarity, corpusKnPpl)
 }

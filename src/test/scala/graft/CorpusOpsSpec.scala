@@ -804,4 +804,45 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(rs.length === rs.head.getAs[Long]("cell_n"), s"cell $cell")
     }
   }
+  test("corpus_kn_ppl: KN distribution sums to one, per-doc bits replay from raw counts") {
+    val rows = SparkEntry.queries("corpus_kn_ppl")(spark, sf).collect()
+    // raw bigram model rebuilt independently
+    val docsTxt = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val bigrams = docsTxt.flatMap { case (id, ws) =>
+      ws.sliding(2).filter(_.length == 2).map(p => (id, (p(0), p(1))))
+    }
+    val bc = bigrams.groupBy(_._2).map { case (g, xs) => g -> xs.length.toLong }
+    val c1 = bc.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val k1 = bc.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val nl = bc.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val bTypes = bc.size.toLong
+    val d = 0.75
+    def pkn(g: (String, String)): Double =
+      math.max(bc.getOrElse(g, 0L) - d, 0) / c1(g._1) +
+        (d * k1(g._1) / c1(g._1)) * (nl.getOrElse(g._2, 0L).toDouble / bTypes)
+    // Kneser-Ney is a proper distribution: sum over ALL continuations = 1
+    val vocab = (bc.keySet.map(_._1) ++ bc.keySet.map(_._2)).toSeq
+    for (w1 <- c1.keys.take(3))
+      assert(math.abs(vocab.map(w2 => pkn((w1, w2))).sum - 1.0) < 1e-9, s"mass($w1)")
+    // per-doc bits replay through the same micro-bits half-up mean
+    val byDoc = bigrams.groupBy(_._1)
+    rows.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val gs = byDoc(id).map(_._2)
+      assert(r.getAs[Long]("n_bigrams") === gs.length.toLong)
+      val sumMicro = gs.map { g =>
+        val bits = BigDecimal(-math.log(pkn(g)) / math.log(2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        (bits * 1000000).toLong
+      }.sum
+      val n = gs.length.toLong
+      val want = ((2 * sumMicro + n * 100) / (2 * n * 100)).toDouble / 10000
+      assert(math.abs(r.getAs[Double]("bits_per_bigram") - want) < 2e-4,
+        s"doc $id bits")
+      assert(r.getAs[Double]("ppl") ===
+        BigDecimal(math.pow(2, r.getAs[Double]("bits_per_bigram")))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
 }
