@@ -2684,8 +2684,101 @@ object Similarity {
     }
   }
 
+  /** Variance-balanced dimension allocation for PQ subspaces — the
+    * practical core of OPQ (Ge et al., CVPR 2013: rotate so each
+    * subquantizer carries equal variance; the rotation-free variant
+    * used in production is a dimension PERMUTATION by balanced
+    * assignment). Natural contiguous 16-dim blocks inherit whatever
+    * variance the encoder put there — one hot block starves the other
+    * three subquantizers' codebooks. This op prices the fix BEFORE
+    * retraining: per-dim variances (the [[embDimStats]] decimal
+    * discipline), serpentine-LPT reallocation over the 4 subspaces (the
+    * [[annShardPlan]] pattern on the variance-ranked dims), and the
+    * per-subspace variance shares + max/min imbalance under BOTH
+    * layouts. An imb_nat ≫ imb_bal row is the go signal for permuted
+    * PQ; ≈ equal says contiguous blocks are already fine.
+    *
+    * Scale shape: ONE posexplode pass partial-aggregates to |dims|
+    * rows; everything after (ranking, serpentine assignment, 4-row
+    * rollup) is dim-bounded. Per-subspace variance sums are DECIMAL
+    * over once-rounded per-dim variances — order-free in both engines;
+    * the two imbalance ratios divide the 4-row extremes once. */
+  val annPqDimAlloc: Q = Q.sql(
+    "ann_pq_dim_alloc",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |u AS (SELECT unnest(emb) AS x, generate_subscripts(emb, 1) AS dim FROM e),
+      |r0 AS (SELECT CAST(dim AS BIGINT) AS dim, round(x, 6) AS v FROM u),
+      |a AS (SELECT dim, count(*) AS n,
+      |        CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean,
+      |        CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS ex2
+      |      FROM r0 GROUP BY dim),
+      |vd AS (SELECT dim, CAST(round(ex2 - mean * mean, 12) AS DECIMAL(28,12)) AS var
+      |       FROM a),
+      |rk AS (SELECT dim, var,
+      |         row_number() OVER (ORDER BY var DESC, dim) - 1 AS rk
+      |       FROM vd),
+      |asn AS (SELECT dim, var,
+      |          CAST((dim - 1) // 16 + 1 AS BIGINT) AS m_nat,
+      |          CAST(CASE WHEN (rk // 4) % 2 = 0 THEN rk % 4
+      |               ELSE 3 - rk % 4 END + 1 AS BIGINT) AS m_bal
+      |        FROM rk),
+      |t AS (SELECT CAST(sum(var) AS DOUBLE) AS tot FROM asn),
+      |gn AS (SELECT m_nat AS m, count(*) AS n_dims,
+      |         CAST(sum(var) AS DOUBLE) AS var_nat
+      |       FROM asn GROUP BY 1),
+      |gb AS (SELECT m_bal AS m, CAST(sum(var) AS DOUBLE) AS var_bal
+      |       FROM asn GROUP BY 1),
+      |g AS (SELECT gn.m, gn.n_dims, gn.var_nat, gb.var_bal
+      |      FROM gn JOIN gb ON gn.m = gb.m),
+      |imb AS (SELECT round(max(var_nat) / min(var_nat), 4) AS imb_nat,
+      |          round(max(var_bal) / min(var_bal), 4) AS imb_bal
+      |        FROM g)
+      |SELECT g.m, g.n_dims,
+      |  round(g.var_nat, 6) AS var_nat,
+      |  round(g.var_nat / t.tot, 4) AS share_nat,
+      |  round(g.var_bal, 6) AS var_bal,
+      |  round(g.var_bal / t.tot, 4) AS share_bal,
+      |  imb.imb_nat, imb.imb_bal
+      |FROM g CROSS JOIN t CROSS JOIN imb ORDER BY g.m""".stripMargin) { (s, d) =>
+    val vd = emb(s, d)
+      .select(posexplode(expr("transform(embedding, x -> cast(x as double))"))
+        .as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), round(col("x"), 6).as("v"))
+      .groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        (sum(col("v").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("mean"),
+        (sum((col("v") * col("v")).cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("ex2"))
+      .select(col("dim"),
+        round(col("ex2") - col("mean") * col("mean"), 12)
+          .cast("decimal(28,12)").as("var"))
+    val rk = vd.withColumn("rk",
+      row_number().over(Window.orderBy(col("var").desc, col("dim"))) - 1)
+    val asn = rk.select(col("dim"), col("var"),
+      (expr("(dim - 1) div 16").cast("long") + 1).as("m_nat"),
+      (when(expr("(rk div 4) % 2") === 0, col("rk") % 4)
+        .otherwise(lit(3) - col("rk") % 4) + 1).cast("long").as("m_bal"))
+    val t = asn.agg(sum("var").cast("double").as("tot"))
+    val gn = asn.groupBy(col("m_nat").as("m"))
+      .agg(count(lit(1)).as("n_dims"), sum("var").cast("double").as("var_nat"))
+    val gb = asn.groupBy(col("m_bal").as("m"))
+      .agg(sum("var").cast("double").as("var_bal"))
+    val g = gn.join(gb, Seq("m"))
+    val imb = g.agg(
+      round(max("var_nat") / min("var_nat"), 4).as("imb_nat"),
+      round(max("var_bal") / min("var_bal"), 4).as("imb_bal"))
+    g.crossJoin(broadcast(t)).crossJoin(broadcast(imb))
+      .select(col("m"), col("n_dims"),
+        round(col("var_nat"), 6).as("var_nat"),
+        round(col("var_nat") / col("tot"), 4).as("share_nat"),
+        round(col("var_bal"), 6).as("var_bal"),
+        round(col("var_bal") / col("tot"), 4).as("share_bal"),
+        col("imb_nat"), col("imb_bal"))
+      .orderBy("m")
+  }
+
   val all: Seq[Q] = Seq(
-    annGraphSearch,
+    annGraphSearch, annPqDimAlloc,
     embClassMargin, embIsotropy, annShardPlan, crossmodalMix,
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
     embNormalize, embQuantize, annPq, annPqSearch, annRecall, annNdcg,

@@ -750,4 +750,28 @@ class VectorSpec extends AnyFunSuite {
     assert(rows.count(_.getAs[Long]("converged") == 1L) >= 5)
     assert(rows.map(_.getAs[Double]("regret")).max <= 0.06)
   }
+
+  test("ann_pq_dim_alloc: dims partition, variance mass conserved, balancing never hurts") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("ann_pq_dim_alloc")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("m")).sorted === Array(1L, 2L, 3L, 4L))
+    // both layouts hand each subquantizer exactly 16 of the 64 dims
+    assert(rows.map(_.getAs[Long]("n_dims")).toSet === Set(16L))
+    // total variance mass is layout-invariant (it is a permutation)
+    val totNat = rows.map(_.getAs[Double]("var_nat")).sum
+    val totBal = rows.map(_.getAs[Double]("var_bal")).sum
+    assert(math.abs(totNat - totBal) < 1e-4, s"$totNat vs $totBal")
+    assert(math.abs(rows.map(_.getAs[Double]("share_nat")).sum - 1.0) < 5e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("share_bal")).sum - 1.0) < 5e-4)
+    // serpentine-LPT on variance-ranked dims never balances WORSE than
+    // whatever the encoder's contiguous layout happened to be
+    val (imbN, imbB) = (rows.head.getAs[Double]("imb_nat"),
+      rows.head.getAs[Double]("imb_bal"))
+    assert(imbB <= imbN + 1e-9, s"balanced $imbB vs natural $imbN")
+    assert(imbN >= 1.0 && imbB >= 1.0)
+    // the published ratios replay from the published subspace sums
+    val replayed = rows.map(_.getAs[Double]("var_nat")).max /
+      rows.map(_.getAs[Double]("var_nat")).min
+    assert(math.abs(imbN - replayed) < 1e-4, s"imb_nat $imbN vs $replayed")
+  }
 }
