@@ -911,7 +911,92 @@ object Retrieval {
     }
   }
 
+  /** Fixed phrase workload for [[bm25Phrase]] — (query_id, phrase,
+    * word count); mixed 2- and 3-word phrases so both n-gram paths are
+    * exercised. */
+  private[graft] val phraseQueries: Seq[(Int, String, Int)] = Seq(
+    (1, "order fast", 2), (2, "stream column", 2), (3, "big order scan", 3))
+
+  /** Phrase retrieval: exact adjacent-word match ranked by BM25 with the
+    * PHRASE as the indexing unit — the positional-index query class
+    * [[bm25Search]]'s bag-of-words scoring cannot express ("stream
+    * column" ≠ docs containing both words somewhere). Phrase term
+    * frequency = occurrence count of the exact n-gram; document
+    * frequency = docs containing it; both feed the same quarantined
+    * [[contribFormula]] so phrase and term scores live on one scale and
+    * a hybrid ranker can mix them.
+    *
+    * Scale shape: the corpus is scanned ONCE per n-gram length actually
+    * present in the workload (here 2 and 3) through the native shingler,
+    * filtered by a BROADCAST phrase list before any aggregation — the
+    * shuffle carries only matching (doc, phrase) rows, which is the
+    * phrase's postings list, not the corpus. df and corpus stats are
+    * ≤|queries|-row broadcasts; ranking windows on per-query postings. */
+  val bm25Phrase: Q = {
+    val duckPhraseValues = phraseQueries
+      .map { case (qid, p, l) => s"($qid, '$p', $l)" }.mkString(", ")
+    Q.sql(
+      "bm25_phrase",
+      s"""WITH pq(query_id, phrase, plen) AS (VALUES $duckPhraseValues),
+         |w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+         |st AS (SELECT count(*) AS n_docs, sum(len(ws)) AS sum_dl FROM w),
+         |g2 AS (SELECT doc_id, len(ws) AS dl,
+         |         unnest(list_transform(range(1, len(ws)),
+         |           i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w),
+         |g3 AS (SELECT doc_id, len(ws) AS dl,
+         |         unnest(list_transform(range(1, len(ws) - 1),
+         |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+         |       FROM w),
+         |hits AS (SELECT pq.query_id, g.doc_id, g.dl, count(*) AS tf
+         |         FROM pq JOIN g2 g ON pq.plen = 2 AND g.gram = pq.phrase
+         |         GROUP BY 1, 2, 3
+         |         UNION ALL
+         |         SELECT pq.query_id, g.doc_id, g.dl, count(*) AS tf
+         |         FROM pq JOIN g3 g ON pq.plen = 3 AND g.gram = pq.phrase
+         |         GROUP BY 1, 2, 3),
+         |dfp AS (SELECT query_id, CAST(count(*) AS BIGINT) AS df
+         |        FROM hits GROUP BY 1),
+         |c AS (SELECT h.query_id, h.doc_id, h.tf,
+         |        CAST($contribFormula AS DECIMAL(18, 6)) AS c
+         |      FROM hits h JOIN dfp ON h.query_id = dfp.query_id CROSS JOIN st),
+         |r AS (SELECT query_id, doc_id, CAST(tf AS BIGINT) AS phrase_tf,
+         |        CAST(round(c, 4) AS DOUBLE) AS score,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY round(c, 4) DESC, doc_id) AS rnk
+         |      FROM c)
+         |SELECT query_id, rnk, doc_id, phrase_tf, score FROM r
+         |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.GraftFunctions.ensureRegistered(s)
+      val pq = phraseQueries.toDF("query_id", "phrase", "plen")
+      val w = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val st = w.agg(count(lit(1)).as("n_docs"), sum(size(col("ws"))).as("sum_dl"))
+      def grams(l: Int) = w.select(col("doc_id"), size(col("ws")).as("dl"),
+        explode(expr(s"graft_shingles(ws, $l)")).as("gram"))
+      val hits = Seq(2, 3).map { l =>
+        grams(l)
+          .join(broadcast(pq.filter(col("plen") === l)),
+            col("gram") === col("phrase"))
+          .groupBy("query_id", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfp = hits.groupBy("query_id").agg(count(lit(1)).cast("long").as("df"))
+      val rankW = Window.partitionBy("query_id")
+        .orderBy(round(col("c"), 4).desc, col("doc_id"))
+      hits.join(broadcast(dfp), Seq("query_id"))
+        .crossJoin(broadcast(st))
+        .withColumn("c", expr(contribFormula).cast("decimal(18,6)"))
+        .withColumn("rnk", row_number().over(rankW))
+        .filter(col("rnk") <= TopK)
+        .select(col("query_id"), col("rnk"), col("doc_id"),
+          col("tf").cast("long").as("phrase_tf"),
+          round(col("c"), 4).cast("double").as("score"))
+        .orderBy("query_id", "rnk")
+    }
+  }
+
   val all: Seq[Q] = Seq(docChunk, bm25Search, bm25Eval, tfidfKeywords, chunkOverlap,
     ngramStats, pmiBigrams, hybridRrf, chunkDedup, bm25ParamSensitivity,
-    queryExpansionPrf)
+    queryExpansionPrf, bm25Phrase)
 }

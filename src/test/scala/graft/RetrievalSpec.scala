@@ -383,4 +383,36 @@ class RetrievalSpec extends AnyFunSuite {
     // re-ranks (otherwise the report is measuring nothing)
     assert(rows.tail.exists(_.getAs[Double]("mean_top10_jaccard") < 0.9))
   }
+
+  test("bm25_phrase: every hit contains the exact adjacent phrase, tf replays, ranks monotone") {
+    val rows = SparkEntry.queries("bm25_phrase")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val phrases = Map(1 -> "order fast", 2 -> "stream column", 3 -> "big order scan")
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    rows.foreach { r =>
+      val (qid, did) = (r.getAs[Int]("query_id"), r.getAs[Long]("doc_id"))
+      val p = phrases(qid).split(" ").toSeq
+      // exact adjacency replay: phrase_tf = sliding-window occurrences
+      val occ = texts(did).sliding(p.length).count(_ == p)
+      assert(occ > 0, s"q$qid doc $did: phrase not adjacent in text")
+      assert(r.getAs[Long]("phrase_tf") === occ.toLong, s"q$qid doc $did tf")
+    }
+    // per query: ranks contiguous from 1, scores non-increasing in rank
+    rows.groupBy(_.getAs[Int]("query_id")).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq === (1 to rs.length))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"q$qid order")
+    }
+    // bag-of-words is NOT enough: some doc has all words of a 2-word
+    // phrase but never adjacent, and must be absent from that result
+    val hit = rows.filter(_.getAs[Int]("query_id") == 1)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val bagOnly = texts.collect { case (id, ws)
+      if ws.contains("order") && ws.contains("fast")
+        && !ws.sliding(2).contains(Seq("order", "fast")) => id }
+    assert(bagOnly.nonEmpty, "corpus lacks a bag-only counterexample")
+    assert(bagOnly.forall(!hit.contains(_)), "a bag-only doc leaked into phrase hits")
+  }
 }
