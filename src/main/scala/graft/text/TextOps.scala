@@ -614,6 +614,75 @@ object TextOps {
       .orderBy("cluster_size")
   }
 
+  /** Soft dedup: down-WEIGHT duplicates instead of removing them — the
+    * data-constrained-scaling alternative (Muennighoff et al. 2023,
+    * arXiv:2305.16264: repeated tokens still help, just less), priced
+    * against hard keep-one removal on the SAME closure. Each doc in a
+    * k-member cluster carries weight 1/k (the cluster's content counts
+    * once, spread over its copies), so per cluster-size class this
+    * publishes: raw tokens, tokens surviving keep-one removal (the
+    * min-id representative [[dedupKeepBest]] keeps), and the soft
+    * effective tokens — the three numbers a mixture planner compares
+    * before choosing remove vs reweight for each duplication regime
+    * (exact twins → remove; loose clusters → reweight).
+    *
+    * Scale shape: the [[componentLabels]] closure (star edges, pointer
+    * jumping) + one token-count scan joined on doc_id; everything after
+    * is bounded by |distinct cluster sizes|. Weights are rounded once
+    * to 6 and multiplied by exact integer token sums — effective tokens
+    * publish as exact micro-token BIGINTs, order-free. */
+  val dedupSoftWeight: Q = Q.sql(
+    "dedup_soft_weight",
+    s"""WITH RECURSIVE $componentsCtesSql,
+       |tok AS (SELECT doc_id, len(str_split(text, ' ')) AS n_tok
+       |        FROM documents),
+       |jt AS (SELECT comp.component, comp.doc_id, tok.n_tok
+       |       FROM tok JOIN comp ON tok.doc_id = comp.doc_id),
+       |cl AS (SELECT component, CAST(count(*) AS BIGINT) AS sz,
+       |         CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+       |         CAST(sum(CASE WHEN doc_id = component THEN n_tok ELSE 0 END)
+       |           AS BIGINT) AS tok_keep
+       |       FROM jt GROUP BY 1),
+       |sm AS (SELECT component, sz, tok_sum, tok_keep,
+       |         CAST(tok_sum * CAST(round(1.0 / sz, 6) AS DECIMAL(18, 6))
+       |           * 1000000 AS BIGINT) AS soft_micro
+       |       FROM cl)
+       |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tok_sum) AS BIGINT) AS tokens_raw,
+       |  CAST(sum(tok_keep) AS BIGINT) AS tokens_keep,
+       |  CAST(sum(soft_micro) AS BIGINT) AS tokens_soft_micro,
+       |  round(CAST(sum(soft_micro) AS DOUBLE)
+       |    / (1000000e0 * sum(tok_sum)), 4) AS soft_share,
+       |  round(CAST(sum(tok_keep) AS DOUBLE) / sum(tok_sum), 4) AS keep_share
+       |FROM sm GROUP BY sz ORDER BY cluster_size""".stripMargin) { (s, d) =>
+    val tok = docs(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+    val cl = tok.join(componentLabels(s, d), Seq("doc_id"))
+      .groupBy("component")
+      .agg(count(lit(1)).cast("long").as("sz"),
+        sum("n_tok").cast("long").as("tok_sum"),
+        sum(when(col("doc_id") === col("component"), col("n_tok")).otherwise(0))
+          .cast("long").as("tok_keep"))
+    val sm = cl.withColumn("soft_micro",
+      (col("tok_sum") * round(lit(1.0) / col("sz"), 6).cast("decimal(18,6)")
+        * 1000000).cast("long"))
+    sm.groupBy("sz")
+      .agg(count(lit(1)).cast("long").as("n_clusters"),
+        (col("sz") * count(lit(1))).cast("long").as("n_docs"),
+        sum("tok_sum").cast("long").as("tokens_raw"),
+        sum("tok_keep").cast("long").as("tokens_keep"),
+        sum("soft_micro").cast("long").as("tokens_soft_micro"))
+      .select(col("sz").cast("long").as("cluster_size"), col("n_clusters"),
+        col("n_docs"), col("tokens_raw"), col("tokens_keep"),
+        col("tokens_soft_micro"),
+        round(col("tokens_soft_micro").cast("double")
+          / (lit(1000000e0) * col("tokens_raw")), 4).as("soft_share"),
+        round(col("tokens_keep").cast("double") / col("tokens_raw"), 4)
+          .as("keep_share"))
+      .orderBy("cluster_size")
+  }
+
   // ---------------------------------------------------------- minhash --
 
   /** (a, b) parameters of the 4-member linear hash family over mod-p —
@@ -1796,5 +1865,6 @@ object TextOps {
     dedupLshCurve, decontaminateFuzzy, dedupPlaneAgreement, langId,
     langIdMetrics, textQuality, textEntropy, tokenCount, docFingerprint,
     samplePerSource, tokenRegex, docLangOutliers, dedupThresholdCurve,
-    dedupClusterStats, dedupSourceMatrix, dedupTokenInflation, docMixedLang)
+    dedupClusterStats, dedupSourceMatrix, dedupTokenInflation, docMixedLang,
+    dedupSoftWeight)
 }

@@ -327,4 +327,37 @@ class TextDedupSpec extends AnyFunSuite {
     // positive control: the dup bill is real money on this corpus
     assert(corpusDup > 0)
   }
+
+  test("dedup_soft_weight: mass conserved, weights are 1/k, reconciles with cluster_stats") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("dedup_soft_weight")(spark, sf).collect()
+    // doc and token mass partition the corpus
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count())
+    val tok = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).as("n")).agg(sum("n")).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("tokens_raw")).sum === tok)
+    rows.foreach { r =>
+      val sz = r.getAs[Long]("cluster_size")
+      // soft weighting IS 1/k: share·k ≈ 1 (rounding slack only)
+      assert(math.abs(r.getAs[Double]("soft_share") * sz - 1.0) < 2e-3,
+        s"size $sz soft share")
+      assert(r.getAs[Long]("tokens_keep") <= r.getAs[Long]("tokens_raw"))
+      assert(r.getAs[Long]("tokens_keep") > 0, s"size $sz kept nothing")
+      // micro-token arithmetic: soft tokens never exceed raw tokens
+      assert(r.getAs[Long]("tokens_soft_micro") <=
+        r.getAs[Long]("tokens_raw") * 1000000L)
+      if (sz == 1L) {
+        assert(r.getAs[Double]("soft_share") === 1.0)
+        assert(r.getAs[Double]("keep_share") === 1.0)
+      }
+    }
+    // same closure as the cluster report: per-size cluster counts match
+    val stats = SparkEntry.queries("dedup_cluster_stats")(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_clusters") ===
+        stats(r.getAs[Long]("cluster_size")), s"size ${r.getLong(0)} drift")
+    }
+  }
 }
