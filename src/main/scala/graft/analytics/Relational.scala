@@ -1521,6 +1521,66 @@ object Relational {
     * the textbook distributed PR step. Neighbor sums ride DECIMAL(38,18)
     * so executor count can never move a rank; per-row arithmetic is
     * bit-identical on both engines. */
+  /** Pareto skyline over parts (min retail price, max size) — the
+    * dominance query class (Börzsönyi et al., ICDE 2001) the relational
+    * block lacked: a part is on the frontier iff nothing is
+    * simultaneously cheaper-or-equal AND bigger-or-equal with one
+    * strict. Ties on BOTH axes keep both points (neither dominates).
+    *
+    * Scale shape — NO corpus-scale sort or window: (1) per-price-bucket
+    * max sizes (one partial-agg to a ≤|price range / 100|-row frame),
+    * (2) running max over the BOUNDED bucket frame (the one
+    * single-partition window, on dozens of rows — the day-grid
+    * dispensation), broadcast back as a pre-prune: any part whose size
+    * is ≤ the max size of a strictly cheaper bucket is dominated by
+    * that bucket's witness (strictly lower price, ≥ size) and drops
+    * before any exact work; dominance is transitive, so the survivor
+    * set still contains every global frontier point and the exact pass
+    * over survivors yields exactly the global skyline. (3) The exact
+    * pass is the distinct-price cummax formulation on the pruned
+    * candidates — bounded by the frontier's neighborhood, not the
+    * corpus. The oracle runs the same distinct-price formulation
+    * directly (DuckDB sorts locally; the pre-prune is Spark's
+    * distribution concern, not a semantic one) — two independent
+    * constructions that must hash-agree. */
+  val qPartSkyline: Q = Q.sql(
+    "q_part_skyline",
+    """WITH s AS (SELECT p_partkey, p_brand, p_retailprice, p_size FROM part),
+      |g AS (SELECT p_retailprice AS pr, max(p_size) AS gmax FROM s GROUP BY 1),
+      |c AS (SELECT pr, gmax, max(gmax) OVER (ORDER BY pr
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      |      FROM g),
+      |sk AS (SELECT pr, gmax FROM c WHERE prev IS NULL OR gmax > prev)
+      |SELECT s.p_partkey, s.p_brand, s.p_retailprice,
+      |  CAST(s.p_size AS BIGINT) AS p_size
+      |FROM s JOIN sk ON s.p_retailprice = sk.pr AND s.p_size = sk.gmax
+      |ORDER BY s.p_retailprice, s.p_partkey""".stripMargin) { (s, d) =>
+    val base = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("p_size"))
+    // stage 1+2: bucket pre-prune (bounded bucket frame, bounded window)
+    val bucketed = base.withColumn("bkt", floor(col("p_retailprice") / 100))
+    val bw = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prev = bucketed.groupBy("bkt").agg(max("p_size").as("bmax"))
+      .withColumn("prev", max("bmax").over(bw))
+      .select("bkt", "prev")
+    val cand = bucketed.join(broadcast(prev), Seq("bkt"))
+      .filter(col("prev").isNull || col("p_size") > col("prev"))
+    // stage 3: exact distinct-price skyline on the pruned candidates
+    val g = cand.groupBy(col("p_retailprice").as("pr"))
+      .agg(max("p_size").as("gmax"))
+    val pw = Window.orderBy("pr")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sk = g.withColumn("prev2", max("gmax").over(pw))
+      .filter(col("prev2").isNull || col("gmax") > col("prev2"))
+      .select(col("pr"), col("gmax"))
+    cand.join(broadcast(sk),
+        col("p_retailprice") === col("pr") && col("p_size") === col("gmax"))
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        col("p_size").cast("long").as("p_size"))
+      .orderBy("p_retailprice", "p_partkey")
+  }
+
   val qPartPagerank: Q = {
     val D = "0.85"
     // MATERIALIZED is load-bearing on the oracle side: DuckDB inlines
@@ -1620,5 +1680,5 @@ object Relational {
     qRevenueMa7, qShipPriority, qSkewProbe, qOrdersBacklog, qSupplierHhi,
     qBrandRankShift, qCustomerMigration, qDiscountImpact,
     qMinPriceSupplier, qPartSupplierStats, qPromoEligible, qCustomerDeciles,
-    qPartPagerank)
+    qPartPagerank, qPartSkyline)
 }

@@ -417,4 +417,27 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(syn(("en", "en", "es")) === ((1L, 1L)))
     assert(syn(("es", "es", "es")) === ((1L, 0L)))
   }
+
+  test("q_part_skyline: exactly the non-dominated set under brute-force dominance") {
+    val rows = SparkEntry.queries("q_part_skyline")(spark, sf).collect()
+    val got = rows.map(_.getAs[Long]("p_partkey")).toSet
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getAs[Int](2)))
+    def dominated(a: (Long, Double, Int)) = parts.exists { b =>
+      b._2 <= a._2 && b._3 >= a._3 && (b._2 < a._2 || b._3 > a._3)
+    }
+    // soundness: every published row is Pareto-optimal
+    parts.filter(p => got(p._1)).foreach(p =>
+      assert(!dominated(p), s"part ${p._1} is dominated"))
+    // completeness: every non-published part is dominated by someone
+    parts.filterNot(p => got(p._1)).foreach(p =>
+      assert(dominated(p), s"part ${p._1} missing from skyline"))
+    assert(rows.nonEmpty && rows.length < parts.length)
+    // the frontier is strictly decreasing in size as price rises
+    val sorted = rows.sortBy(_.getAs[Double]("p_retailprice"))
+    val sizes = sorted.map(_.getAs[Long]("p_size"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => b > a },
+      "frontier sizes not strictly increasing with price")
+  }
 }
