@@ -2777,8 +2777,106 @@ object Similarity {
       .orderBy("m")
   }
 
+  /** Two-level residual vector quantization (RVQ — the additive-codebook
+    * family behind Soundstream/RQ-VAE and faiss' ResidualQuantizer):
+    * level 1 codes each vector against the label-centroid codebook
+    * ([[annIvf]]'s quantizer), level 2 trains a FRESH deterministic
+    * k-means codebook (k = 8, 2 Lloyd rounds, id seeding — the
+    * [[annIvfKmeans]] machinery verbatim) ON THE RESIDUALS and codes
+    * those. Published per level-1 cell: vectors, level-1 SSE, the SSE
+    * left after the residual stage, and the reduction share — the
+    * measurement that says whether a second additive stage is worth its
+    * bytes BEFORE committing to an RVQ index layout (PQ splits
+    * dimensions; RVQ stacks full-width stages; [[annPqDistortion]] and
+    * this op price the two against the same corpus).
+    *
+    * Scale shape: both assignments are per-row folds over broadcast
+    * codebook arrays (zero corpus exchange — the centsArr discipline);
+    * residuals round once to 6 so the level-2 training's DECIMAL(28,9)
+    * casts stay exact; Lloyd rounds exchange only k mergeable vector
+    * buffers. Per-cell SSE sums are DECIMAL over once-rounded per-vector
+    * distances — order-free. The oracle replays level-2 training
+    * bit-for-bit through the shared kmeansTrainSql CTEs with `e` bound
+    * to the residual table. */
+  val embRvq: Q = {
+    val argminStruct =
+      """aggregate(cents,
+        |  named_struct('d', cast('Infinity' as double), 'cid', -1),
+        |  (acc, x) -> IF(graft_l2sq(emb_d, x.cv) < acc.d,
+        |    named_struct('d', graft_l2sq(emb_d, x.cv), 'cid', x.cid),
+        |    acc))""".stripMargin
+    Q.sql(
+      "emb_rvq",
+      s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |            FROM embeddings),
+        |u0 AS (SELECT label, unnest(emb) AS v, generate_subscripts(emb, 1) AS dim
+        |       FROM e0),
+        |cd0 AS (SELECT label, dim,
+        |          CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+        |        FROM u0 GROUP BY label, dim),
+        |cent1 AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv
+        |          FROM cd0 GROUP BY label),
+        |a1r AS (SELECT vec_id, clabel AS code1, dist FROM (
+        |          SELECT e0.vec_id, cent1.clabel,
+        |            ${kmeansDistSql("e0.emb", "cent1.cv")} AS dist,
+        |            row_number() OVER (PARTITION BY e0.vec_id
+        |              ORDER BY ${kmeansDistSql("e0.emb", "cent1.cv")}, cent1.clabel) AS rn
+        |          FROM e0, cent1) WHERE rn = 1),
+        |e AS MATERIALIZED (SELECT e0.vec_id,
+        |       list_transform(range(1, len(e0.emb) + 1),
+        |         i -> round(e0.emb[i] - cent1.cv[i], 6)) AS emb
+        |     FROM e0 JOIN a1r ON e0.vec_id = a1r.vec_id
+        |       JOIN cent1 ON cent1.clabel = a1r.code1),
+        |${kmeansTrainSql(8, "id")},
+        |a2r AS (SELECT vec_id, dist FROM (
+        |          SELECT e.vec_id, ${kmeansDistSql("e.emb", "c2.cv")} AS dist,
+        |            row_number() OVER (PARTITION BY e.vec_id
+        |              ORDER BY ${kmeansDistSql("e.emb", "c2.cv")}, c2.cid) AS rn
+        |          FROM e, c2) WHERE rn = 1)
+        |SELECT CAST(a1r.code1 AS BIGINT) AS code1, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(round(CAST(sum(CAST(round(a1r.dist, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS DOUBLE) AS sse1,
+        |  CAST(round(CAST(sum(CAST(round(a2r.dist, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS DOUBLE) AS sse2,
+        |  round(1e0 - CAST(sum(CAST(round(a2r.dist, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(sum(CAST(round(a1r.dist, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS reduction
+        |FROM a1r JOIN a2r ON a1r.vec_id = a2r.vec_id
+        |GROUP BY a1r.code1 ORDER BY a1r.code1""".stripMargin) { (s, d) =>
+      val e0 = emb(s, d)
+      val c1 = labelCentroids(e0)
+        .select(col("clabel").cast("int").as("cid"), col("cv"))
+      val ca1 = c1.agg(expr("array_sort(collect_list(struct(cid, cv)))").as("cents"))
+      val a1 = toEmbD(e0).crossJoin(broadcast(ca1))
+        .withColumn("mc", expr(argminStruct))
+        .select(col("vec_id"), col("emb_d"),
+          col("mc.cid").as("code1"), col("mc.d").as("dist1"))
+        .join(broadcast(c1.select(col("cid").as("code1"), col("cv"))), Seq("code1"))
+        .select(col("vec_id"), col("code1"), col("dist1"),
+          expr("zip_with(emb_d, cv, (a, b) -> round(a - b, 6))").as("r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val resid = a1.select(col("vec_id"), col("r").as("emb_d"))
+      val c2 = kmeansRounds(resid, 8, 2, "id").last
+      val a2 = resid.crossJoin(broadcast(centsArr(c2)))
+        .withColumn("mc", expr(argminStruct))
+        .select(col("vec_id"), col("mc.d").as("dist2"))
+      a1.select(col("vec_id"), col("code1"), col("dist1"))
+        .join(a2, Seq("vec_id"))
+        .groupBy("code1")
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          sum(round(col("dist1"), 6).cast("decimal(18,6)")).as("s1"),
+          sum(round(col("dist2"), 6).cast("decimal(18,6)")).as("s2"))
+        .select(col("code1").cast("long").as("code1"), col("n_vecs"),
+          round(col("s1").cast("double"), 4).as("sse1"),
+          round(col("s2").cast("double"), 4).as("sse2"),
+          round(lit(1e0) - col("s2").cast("double") / col("s1").cast("double"), 4)
+            .as("reduction"))
+        .orderBy("code1")
+    }
+  }
+
   val all: Seq[Q] = Seq(
-    annGraphSearch, annPqDimAlloc,
+    annGraphSearch, annPqDimAlloc, embRvq,
     embClassMargin, embIsotropy, annShardPlan, crossmodalMix,
     annTopk, annIvf, annIvfTrained, dedupEmbedding, embCentroids,
     embNormalize, embQuantize, annPq, annPqSearch, annRecall, annNdcg,

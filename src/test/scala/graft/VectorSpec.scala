@@ -774,4 +774,27 @@ class VectorSpec extends AnyFunSuite {
       rows.map(_.getAs[Double]("var_nat")).min
     assert(math.abs(imbN - replayed) < 1e-4, s"imb_nat $imbN vs $replayed")
   }
+
+  test("emb_rvq: vector mass conserved, residual stage strictly helps, reduction replays") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("emb_rvq")(spark, sf).collect()
+    // every vector lands in exactly one level-1 cell
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ===
+      graft.Tables.embeddings(spark, sf).count())
+    // cells are the label codebook: ids match the label space
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    assert(rows.length === labels)
+    rows.foreach { r =>
+      val (s1, s2) = (r.getAs[Double]("sse1"), r.getAs[Double]("sse2"))
+      // a second additive stage can only remove error (argmin over a
+      // codebook that k-means fit to these very residuals)
+      assert(s2 < s1, s"cell ${r.getLong(0)}: residual stage did not help")
+      assert(s1 > 0 && s2 > 0)
+      val replayed = BigDecimal(1.0 - s2 / s1)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("reduction") - replayed) < 2e-4,
+        s"cell ${r.getLong(0)} reduction")
+    }
+  }
 }
