@@ -417,4 +417,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
     assert(dayPeak.size === rows.length)
   }
+
+  test("event_dispersion: moments replay from raw hourly counts on the shared grid") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("event_dispersion")(spark, sf).collect()
+    // one row per event type; event mass conserved
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("floor(unix_micros(ts) / 1000000) div 3600").cast("long").as("hr"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(_.getAs[String]("event_type")).sorted ===
+      raw.map(_._1).distinct.sorted)
+    assert(rows.map(_.getAs[Long]("n_events")).sum === raw.length.toLong)
+    // the shared hour grid spans the global feed extent for EVERY type
+    val (h0, h1) = (raw.map(_._2).min, raw.map(_._2).max)
+    rows.foreach(r => assert(r.getAs[Long]("n_hours") === h1 - h0 + 1))
+    // moments replay: D = (H*sum(c^2) - n^2) / (H*n) over zero-filled hours
+    val byType = raw.groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val counts = byType(t).groupBy(_._2).map(_._2.length.toLong)
+      val h = h1 - h0 + 1
+      val (n, s2) = (counts.sum, counts.map(c => c * c).sum)
+      val want = BigDecimal((h * s2 - n * n).toDouble / (h.toDouble * n))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("dispersion") - want) < 2e-4, s"$t D")
+      val d = r.getAs[Double]("dispersion")
+      val band = if (d < 0.8) "regular" else if (d <= 1.2) "poisson-like" else "bursty"
+      assert(r.getAs[String]("verdict") === band)
+      // a uniform synthetic feed must not read as pathological
+      assert(d > 0.5 && d < 2.0, s"$t dispersion $d out of sanity range")
+    }
+  }
 }
