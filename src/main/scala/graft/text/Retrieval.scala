@@ -911,6 +911,95 @@ object Retrieval {
     }
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): split each document into
+    * candidate phrases at stopword boundaries (the house stopword set —
+    * the [[graft.text.CorpusOps]] quality-gate trio), score each word
+    * within its document by degree/frequency (degree = summed length of
+    * the phrase occurrences containing it — words that travel in long
+    * phrases score high), and rank each doc's phrases by the sum of
+    * their words' scores. The per-document co-occurrence complement of
+    * [[tfidfKeywords]]' corpus-statistical scoring: tf-idf finds words
+    * rare ACROSS docs, RAKE finds multi-word phrases central WITHIN one.
+    * Top-3 phrases per doc, ties by phrase string.
+    *
+    * Scale shape: phrase segmentation is the gaps-and-islands window
+    * PER DOCUMENT (doc_id partitions — corpus-cardinality keys, never a
+    * low-cardinality global window); word stats partial-aggregate on
+    * (doc, word); the phrase-score join keys on (doc, word) — every
+    * stage lives in the same doc-keyed exchange family.
+    *
+    * Determinism: degree and frequency are exact integers; each word
+    * ratio is rounded once to 6 and the phrase score is a DECIMAL sum
+    * of rounded ratios (order-free), ranked with phrase tiebreak. */
+  val docKeyphraseRake: Q = Q.sql(
+    "doc_keyphrase_rake",
+    """WITH t AS (SELECT doc_id, w AS word, CAST(i AS BIGINT) AS pos,
+      |    CASE WHEN w IN ('the', 'a', 'of') THEN 1 ELSE 0 END AS stop
+      |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w,
+      |          generate_subscripts(str_split(text, ' '), 1) AS i
+      |        FROM documents)
+      |  WHERE length(w) > 0),
+      |nw AS (SELECT doc_id, word, pos,
+      |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+      |           AS grp
+      |       FROM t WHERE stop = 0),
+      |ph AS (SELECT doc_id, grp,
+      |         string_agg(word, ' ' ORDER BY pos) AS phrase,
+      |         CAST(count(*) AS BIGINT) AS plen
+      |       FROM nw GROUP BY 1, 2),
+      |wo AS (SELECT nw.doc_id, nw.word, nw.grp, ph.plen
+      |       FROM nw JOIN ph ON nw.doc_id = ph.doc_id AND nw.grp = ph.grp),
+      |ws AS (SELECT doc_id, word, CAST(sum(plen) AS BIGINT) AS deg,
+      |         CAST(count(*) AS BIGINT) AS freq
+      |       FROM wo GROUP BY 1, 2),
+      |psc AS (SELECT wo.doc_id, wo.grp,
+      |          sum(CAST(round((1e0 * ws.deg) / ws.freq, 6)
+      |            AS DECIMAL(18, 6))) AS sdec
+      |        FROM wo JOIN ws ON wo.doc_id = ws.doc_id AND wo.word = ws.word
+      |        GROUP BY 1, 2),
+      |r AS (SELECT ph.doc_id, ph.phrase,
+      |        CAST(round(psc.sdec, 4) AS DOUBLE) AS score,
+      |        row_number() OVER (PARTITION BY ph.doc_id
+      |          ORDER BY round(psc.sdec, 4) DESC, ph.phrase) AS rnk
+      |      FROM ph JOIN psc ON ph.doc_id = psc.doc_id AND ph.grp = psc.grp)
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, phrase, score FROM r
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    val t = docs(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "word")))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), col("word"), (col("p") + 1).cast("long").as("pos"),
+        when(col("word").isin("the", "a", "of"), 1).otherwise(0).as("stop"))
+    val islandW = Window.partitionBy("doc_id").orderBy("pos")
+    val nw = t.filter(col("stop") === 0)
+      .withColumn("grp", col("pos") - row_number().over(islandW))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ph = nw.groupBy("doc_id", "grp")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, word))), x -> x.word), ' ')")
+        .as("phrase"),
+        count(lit(1)).cast("long").as("plen"))
+    val wo = nw.select(col("doc_id"), col("word"), col("grp"))
+      .join(ph.select(col("doc_id"), col("grp"), col("plen")), Seq("doc_id", "grp"))
+    val wscore = wo.groupBy("doc_id", "word")
+      .agg(sum("plen").cast("long").as("deg"), count(lit(1)).cast("long").as("freq"))
+    val psc = wo.join(wscore, Seq("doc_id", "word"))
+      .groupBy("doc_id", "grp")
+      .agg(sum(round(lit(1e0) * col("deg") / col("freq"), 6)
+        .cast("decimal(18,6)")).as("sdec"))
+    // round the DECIMAL, not a double cast of it: the exact sum can end
+    // in …5 at the 5th decimal, and a double round there is the engine-
+    // split tie class (pii_dp_histogram's lesson); decimal HALF_UP is
+    // identical in both engines
+    val rankW = Window.partitionBy("doc_id")
+      .orderBy(round(col("sdec"), 4).desc, col("phrase"))
+    ph.join(psc, Seq("doc_id", "grp"))
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("phrase"), round(col("sdec"), 4).cast("double").as("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Fixed phrase workload for [[bm25Phrase]] — (query_id, phrase,
     * word count); mixed 2- and 3-word phrases so both n-gram paths are
     * exercised. */
@@ -998,5 +1087,5 @@ object Retrieval {
 
   val all: Seq[Q] = Seq(docChunk, bm25Search, bm25Eval, tfidfKeywords, chunkOverlap,
     ngramStats, pmiBigrams, hybridRrf, chunkDedup, bm25ParamSensitivity,
-    queryExpansionPrf, bm25Phrase)
+    queryExpansionPrf, bm25Phrase, docKeyphraseRake)
 }

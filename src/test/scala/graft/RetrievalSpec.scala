@@ -415,4 +415,49 @@ class RetrievalSpec extends AnyFunSuite {
     assert(bagOnly.nonEmpty, "corpus lacks a bag-only counterexample")
     assert(bagOnly.forall(!hit.contains(_)), "a bag-only doc leaked into phrase hits")
   }
+
+  test("doc_keyphrase_rake: full RAKE replay per document, no stopword inside a phrase") {
+    val rows = SparkEntry.queries("doc_keyphrase_rake")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val stop = Set("the", "a", "of")
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+      .toMap
+    def rake(ws: Seq[String]): Seq[(String, Double)] = {
+      // islands between stopwords
+      val phrases = collection.mutable.Buffer.empty[Seq[String]]
+      var cur = collection.mutable.Buffer.empty[String]
+      ws.foreach { w =>
+        if (stop(w)) { if (cur.nonEmpty) { phrases += cur.toSeq; cur.clear() } }
+        else cur += w
+      }
+      if (cur.nonEmpty) phrases += cur.toSeq
+      val deg = collection.mutable.Map.empty[String, Long]
+      val freq = collection.mutable.Map.empty[String, Long]
+      phrases.foreach(p => p.foreach { w =>
+        deg.updateWith(w)(v => Some(v.getOrElse(0L) + p.length))
+        freq.updateWith(w)(v => Some(v.getOrElse(0L) + 1))
+      })
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      phrases.map { p =>
+        val s = p.map(w => r6(deg(w).toDouble / freq(w))).sum
+        (p.mkString(" "), s.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq
+    }
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq === (1L to rs.length))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"doc $id order")
+      sorted.foreach(r =>
+        assert(!r.getAs[String]("phrase").split(" ").exists(stop),
+          s"doc $id: stopword inside a phrase"))
+      // independent RAKE replay: published top-k = the replayed top-k
+      val want = rake(texts(id))
+        .sortBy { case (p, s) => (-s, p) }.take(rs.length)
+      val got = sorted.map(r => (r.getAs[String]("phrase"), r.getAs[Double]("score")))
+      assert(got.toSeq === want.toSeq, s"doc $id replay")
+    }
+  }
 }
