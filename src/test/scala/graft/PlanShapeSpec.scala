@@ -954,6 +954,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!finalPlan(df).toString.contains("CartesianProduct"))
   }
 
+  test("decontaminate_bloom: position sets and ground truth broadcast, probe never sort-merges") {
+    val df = SparkEntry.queries("decontaminate_bloom")(spark, sfDir)
+    val p = finalPlan(df).toString
+    // the bloom (three position sets) + the exact set ride broadcast:
+    // the corpus probe stream must never shuffle for a membership test
+    assert(!p.contains("SortMergeJoin"),
+      s"a bloom membership join fell out of broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast join in the probe path:\n$p")
+  }
+
+  test("corpus_psi: everything after the first aggregate is broadcast-joined") {
+    val df = SparkEntry.queries("corpus_psi")(spark, sfDir)
+    val p = finalPlan(df).toString
+    // all post-aggregate frames are |sources|x|bins|-bounded — a
+    // sort-merge join here means a bounded frame is being shuffled
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"PSI grid join left broadcast:\n$p")
+  }
+
+  test("q_part_skyline: no corpus-scale window — the only windows run on bounded frames") {
+    val df = SparkEntry.queries("q_part_skyline")(spark, sfDir)
+    val plan = finalPlan(df).toString
+    // the pre-prune must reach the scan as a filter BEFORE the exact
+    // pass; the full part table must never be globally sorted
+    assert(!plan.contains("SortMergeJoin"),
+      s"skyline candidate join fell out of broadcast:\n$plan")
+  }
+
   test("quality_nb: the O(B) model broadcasts, the corpus bag is never hinted") {
     val df = SparkEntry.queries("quality_nb")(spark, sfDir)
     val hints = hintedColumns(df)
