@@ -683,6 +683,97 @@ object TextOps {
       .orderBy("cluster_size")
   }
 
+  /** Staged dedup accounting — the onion peel (the RefinedWeb/CCNet
+    * pipeline question "which detector earns its cost?"): run the four
+    * duplicate families in precedence order — exact text, 96-char
+    * prefix, bag-of-words fingerprint, high-Jaccard (≥ 0.5) — and
+    * attribute every duplicate to the FIRST stage that catches it, so
+    * each row is a stage's INCREMENTAL yield (exact dups are also
+    * prefix/bow dups; counting them once is what makes the report a
+    * sizing tool: a stage with near-zero increment can be dropped from
+    * the production pipeline). Duplicate = has a lower-id doc under the
+    * stage's key (the keep-first rule every stage family shares);
+    * survivors publish as the final 'kept' row, so the report
+    * partitions the corpus.
+    *
+    * Scale shape: the three fingerprint stages are hash groupBys with a
+    * min-id window PER FINGERPRINT (corpus-cardinality keys); the
+    * Jaccard stage reuses the df-capped blocked pair machinery
+    * ([[dedupNgramJaccard]]'s) and only its doc_b side (doc_b > doc_a by
+    * construction = "has a lower-id partner"); the rollup is 5 rows. */
+  val dedupOnion: Q = {
+    val stages = Seq("exact", "prefix", "bow", "jaccard", "kept")
+    val ordCase = stages.zipWithIndex
+      .map { case (s, i) => s"WHEN '$s' THEN $i" }.mkString("CASE stage ", " ", " END")
+    Q.sql(
+      "dedup_onion",
+      s"""WITH $jaccardPairsCtesSql,
+        |tok AS (SELECT doc_id, len(str_split(text, ' ')) AS n_tok FROM documents),
+        |fe AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |fp96 AS (SELECT doc_id, md5(substr(text, 1, 96)) AS fp FROM documents),
+        |fbow AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
+        |  FROM documents),
+        |de AS (SELECT doc_id FROM (SELECT doc_id,
+        |         min(doc_id) OVER (PARTITION BY fp) AS r FROM fe) WHERE doc_id > r),
+        |dp AS (SELECT doc_id FROM (SELECT doc_id,
+        |         min(doc_id) OVER (PARTITION BY fp) AS r FROM fp96) WHERE doc_id > r),
+        |db AS (SELECT doc_id FROM (SELECT doc_id,
+        |         min(doc_id) OVER (PARTITION BY fp) AS r FROM fbow) WHERE doc_id > r),
+        |dj AS (SELECT DISTINCT doc_b AS doc_id FROM j WHERE jacc >= 0.5),
+        |st AS (SELECT d.doc_id, tok.n_tok,
+        |         CASE WHEN de.doc_id IS NOT NULL THEN 'exact'
+        |              WHEN dp.doc_id IS NOT NULL THEN 'prefix'
+        |              WHEN db.doc_id IS NOT NULL THEN 'bow'
+        |              WHEN dj.doc_id IS NOT NULL THEN 'jaccard'
+        |              ELSE 'kept' END AS stage
+        |       FROM documents d JOIN tok ON tok.doc_id = d.doc_id
+        |         LEFT JOIN de ON de.doc_id = d.doc_id
+        |         LEFT JOIN dp ON dp.doc_id = d.doc_id
+        |         LEFT JOIN db ON db.doc_id = d.doc_id
+        |         LEFT JOIN dj ON dj.doc_id = d.doc_id),
+        |g AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |      FROM st GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM g)
+        |SELECT stage, n_docs, n_tokens,
+        |  round(1.0 * n_docs / t.total, 4) AS doc_share
+        |FROM g CROSS JOIN t ORDER BY $ordCase""".stripMargin) { (s, d) =>
+      def dups(fp: org.apache.spark.sql.Column) = {
+        val w = Window.partitionBy("fp")
+        docs(s, d).select(col("doc_id"), fp.as("fp"))
+          .withColumn("r", min("doc_id").over(w))
+          .filter(col("doc_id") > col("r"))
+          .select("doc_id")
+      }
+      val de = dups(md5(col("text")))
+      val dp = dups(md5(expr("substring(text, 1, 96)")))
+      val db = dups(md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")))
+      val dj = jaccardPairs(s, d).filter(col("jacc") >= 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val st = docs(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+        .join(de.withColumn("f_e", lit(1)), Seq("doc_id"), "left")
+        .join(dp.withColumn("f_p", lit(1)), Seq("doc_id"), "left")
+        .join(db.withColumn("f_b", lit(1)), Seq("doc_id"), "left")
+        .join(dj.withColumn("f_j", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          when(col("f_e").isNotNull, "exact")
+            .when(col("f_p").isNotNull, "prefix")
+            .when(col("f_b").isNotNull, "bow")
+            .when(col("f_j").isNotNull, "jaccard")
+            .otherwise("kept").as("stage"))
+      val g = st.groupBy("stage")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tok").cast("long").as("n_tokens"))
+      val t = g.agg(sum("n_docs").cast("long").as("total"))
+      g.crossJoin(broadcast(t))
+        .select(col("stage"), col("n_docs"), col("n_tokens"),
+          round(lit(1.0) * col("n_docs") / col("total"), 4).as("doc_share"))
+        .orderBy(expr(ordCase))
+    }
+  }
+
   // ---------------------------------------------------------- minhash --
 
   /** (a, b) parameters of the 4-member linear hash family over mod-p —
@@ -1866,5 +1957,5 @@ object TextOps {
     langIdMetrics, textQuality, textEntropy, tokenCount, docFingerprint,
     samplePerSource, tokenRegex, docLangOutliers, dedupThresholdCurve,
     dedupClusterStats, dedupSourceMatrix, dedupTokenInflation, docMixedLang,
-    dedupSoftWeight)
+    dedupSoftWeight, dedupOnion)
 }

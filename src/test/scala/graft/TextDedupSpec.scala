@@ -360,4 +360,38 @@ class TextDedupSpec extends AnyFunSuite {
         stats(r.getAs[Long]("cluster_size")), s"size ${r.getLong(0)} drift")
     }
   }
+
+  test("dedup_onion: stages partition the corpus, precedence replayed, increments reconcile with the single-family detectors") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("dedup_onion")(spark, sf).collect()
+    val byStage = rows.map(r => r.getAs[String]("stage") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    // the report partitions the corpus (docs and tokens)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    val tok = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).as("n")).agg(sum("n")).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === tok)
+    assert(math.abs(rows.map(_.getAs[Double]("doc_share")).sum - 1.0) < 5e-4)
+    // precedence replay from raw text: exact -> prefix -> bow families
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def dupsUnder(key: String => String): Set[Long] = {
+      val groups = texts.groupBy { case (_, t) => key(t) }
+      groups.values.flatMap { g =>
+        val keep = g.map(_._1).min; g.map(_._1).filterNot(_ == keep)
+      }.toSet
+    }
+    val de = dupsUnder(identity)
+    val dp = dupsUnder(_.take(96))
+    val db = dupsUnder(_.split(" ").distinct.sorted.mkString(" "))
+    assert(byStage.getOrElse("exact", (0L, 0L))._1 === de.size.toLong)
+    assert(byStage.getOrElse("prefix", (0L, 0L))._1 === (dp -- de).size.toLong)
+    assert(byStage.getOrElse("bow", (0L, 0L))._1 === (db -- dp -- de).size.toLong)
+    // the onion is a sizing tool: most of the corpus survives, and at
+    // least one dedup stage has real incremental yield
+    assert(byStage("kept")._1 > nDocs / 2)
+    assert(rows.filter(_.getAs[String]("stage") != "kept")
+      .map(_.getAs[Long]("n_docs")).sum > 0)
+  }
 }
