@@ -41,4 +41,10 @@ object SparkEntry {
     * correctness artifacts carry the verification pointer. */
   def specRefs: Map[String, String] =
     registry.flatMap(q => q.spec.map(sp => q.name -> sp)).toMap
+
+  /** Collapsed-formulation oracle twins for the replicated scale gates
+    * (see [[Q.scaleOracle]]) — dumped by Verify as oracle_sql_scale.json
+    * and overlaid by tools/check.py --scale-oracles. */
+  def scaleOracleSql: Map[String, String] =
+    registry.flatMap(q => q.scaleOracle.map(o => q.name -> o)).toMap
 }

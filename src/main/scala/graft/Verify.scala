@@ -38,6 +38,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // collapsed-formulation twins for the replicated scale gates
+    // (check.py --scale-oracles overlays these over oracle_sql.json)
+    val scaleJson = SparkEntry.scaleOracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_scale.json"), scaleJson)
     // rows-only ops: name → verifying ScalaTest suite, so a no-oracle
     // correctness entry carries its verification pointer (check.py merges
     // this into the report as `spec`)

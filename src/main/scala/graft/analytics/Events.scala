@@ -842,8 +842,11 @@ object EventAnalytics {
       |       WHEN dispersion <= 1.2 THEN 'poisson-like'
       |       ELSE 'bursty' END AS verdict
       |FROM r ORDER BY event_type""".stripMargin) { (s, d) =>
+    // floor at BOTH steps (not `div`, which truncates toward zero) so a
+    // pre-1970 timestamp lands in the same hour bucket as DuckDB's `//`
     val h = ev(s, d).select(col("event_type"),
-      expr("floor(unix_micros(ts) / 1000000) div 3600").cast("long").as("hr"))
+      expr("floor(floor(unix_micros(ts) / 1000000) / 3600)")
+        .cast("long").as("hr"))
     val gh = h.agg(min("hr").as("h0"), max("hr").as("h1"))
     val hours = gh.select(explode(expr("sequence(h0, h1)")).as("hr"))
     val types = h.select("event_type").distinct()

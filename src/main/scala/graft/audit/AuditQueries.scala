@@ -1195,7 +1195,7 @@ object AuditQueries {
       val base = log(s, d)
       graft.sources.FeedSources.appendPartitioned(
         base.repartition(to_date(col("ts"))), dir)
-      graft.sources.FeedSources.assertMaxFilesPerPartition(s, dir, 1)
+      graft.sources.FeedSources.assertMaxFilesPerPartition(s, dir, 1, "day=")
       graft.sources.FeedSources.appendPartitioned(
         base.filter(col("audit_id") % 97 === 0).repartition(1), dir)
     }

@@ -126,21 +126,31 @@ object FeedSources {
       idCol: String = "event_id"): DataFrame =
     readPartitioned(spark, path).dropDuplicates("day", idCol)
 
-  /** Fail-loud check that every `day=` partition of `path` currently
-    * holds at most `maxFiles` parquet files — a pure filesystem-metadata
-    * walk (no footer, no data). Oracles that encode expected file counts
+  /** Fail-loud check that every `<partitionPrefix>` partition of `path`
+    * (a Hive-layout `k=` prefix, e.g. `"day="`) currently holds at most
+    * `maxFiles` parquet files — a pure filesystem-metadata walk (no
+    * footer, no data). Oracles that encode expected file counts
     * arithmetically (audit_partition_health's 1-base-file-per-day shape)
     * depend on the writer having emitted exactly one file per partition;
     * a configured `spark.sql.files.maxRecordsPerFile` or a future AQE
     * rebalance on the exchange would silently split a day and break the
     * cross-engine hash gate — this assertion turns that silent drift into
-    * an immediate error at build time. */
+    * an immediate error at build time. The caller names the layout it
+    * expects: if NO directory matches the prefix the check also throws
+    * (a mis-stated layout must not pass vacuously). */
   def assertMaxFilesPerPartition(spark: SparkSession, path: String,
-      maxFiles: Int): Unit = {
+      maxFiles: Int, partitionPrefix: String): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val over = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+    val dirs = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(partitionPrefix))
+    if (dirs.isEmpty)
+      throw new IllegalStateException(
+        s"audit sink '$path' has no '$partitionPrefix' partition " +
+          "directories — the layout this assertion was asked to check " +
+          "does not exist (wrong prefix or wrong sink)")
+    val over = dirs
       .map { dirSt =>
         val n = fs.listStatus(dirSt.getPath)
           .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -150,7 +160,8 @@ object FeedSources {
     if (over.nonEmpty)
       throw new IllegalStateException(
         s"audit sink '$path' layout invariant violated: expected <= " +
-          s"$maxFiles parquet file(s) per day partition, found " +
+          s"$maxFiles parquet file(s) per '$partitionPrefix' partition, " +
+          "found " +
           over.map { case (d, n) => s"$d:$n" }.mkString(", ") +
           " (a maxRecordsPerFile/AQE setting split a writer task's " +
           "output; the partition-health oracle's file-count arithmetic " +

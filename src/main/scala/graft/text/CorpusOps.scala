@@ -2696,7 +2696,7 @@ object CorpusOps {
       |       UNION ALL SELECT doc_id, heur_pass,
       |         -(5 + (10 * n_distinct) // n_words), 1 FROM lab
       |       UNION ALL SELECT doc_id, heur_pass,
-      |         -(16 + (2 * word_chars) // n_words), 1 FROM lab
+      |         -(16 + least((2 * word_chars) // n_words, 23)), 1 FROM lab
       |       UNION ALL SELECT doc_id, heur_pass,
       |         -(40 + least(n_stop, 3)), 1 FROM lab),
       |f AS (SELECT * FROM tf UNION ALL SELECT * FROM ps),
@@ -2743,7 +2743,9 @@ object CorpusOps {
     val ps = Seq(
       "-(1 + least(n_words div 25, 3))",
       "-(5 + (10 * n_distinct) div n_words)",
-      "-(16 + (2 * word_chars) div n_words)",
+      // capped so doubled mean word length can never alias into the
+      // stopword buckets at -(40..43)
+      "-(16 + least((2 * word_chars) div n_words, 23))",
       "-(40 + least(n_stop, 3))")
       .map(e => lab.select(col("doc_id"), col("heur_pass"),
         expr(e).cast("long").as("b"), lit(1L).as("c")))

@@ -932,13 +932,15 @@ object Retrieval {
     * Determinism: degree and frequency are exact integers; each word
     * ratio is rounded once to 6 and the phrase score is a DECIMAL sum
     * of rounded ratios (order-free), ranked with phrase tiebreak. */
-  val docKeyphraseRake: Q = Q.sql(
-    "doc_keyphrase_rake",
-    """WITH t AS (SELECT doc_id, w AS word, CAST(i AS BIGINT) AS pos,
+  val docKeyphraseRake: Q = {
+    // The RAKE chain is a pure function of `text`, parameterized on its
+    // document source so the scale twin can run it once per DISTINCT text
+    def rakeCtes(src: String): String =
+      s"""t AS (SELECT doc_id, w AS word, CAST(i AS BIGINT) AS pos,
       |    CASE WHEN w IN ('the', 'a', 'of') THEN 1 ELSE 0 END AS stop
       |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w,
       |          generate_subscripts(str_split(text, ' '), 1) AS i
-      |        FROM documents)
+      |        FROM $src)
       |  WHERE length(w) > 0),
       |nw AS (SELECT doc_id, word, pos,
       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
@@ -962,9 +964,29 @@ object Retrieval {
       |        CAST(round(psc.sdec, 4) AS DOUBLE) AS score,
       |        row_number() OVER (PARTITION BY ph.doc_id
       |          ORDER BY round(psc.sdec, 4) DESC, ph.phrase) AS rnk
-      |      FROM ph JOIN psc ON ph.doc_id = psc.doc_id AND ph.grp = psc.grp)
+      |      FROM ph JOIN psc ON ph.doc_id = psc.doc_id AND ph.grp = psc.grp)""".stripMargin
+    // Scale twin: RAKE depends on nothing but the text (the stopword set
+    // is fixed), so 100x exact twinning re-derives the same phrases 100x
+    // in the naive shape — enough token-window mass to OOM single-box
+    // DuckDB. The twin segments/scores one representative per distinct
+    // text and joins the per-doc rows back through the membership map.
+    val scaleOracle =
+      s"""WITH gmr AS MATERIALIZED (SELECT doc_id,
+      |       min(doc_id) OVER (PARTITION BY text) AS gid FROM documents),
+      |gdoc AS MATERIALIZED (SELECT doc_id, text FROM (
+      |       SELECT doc_id, text,
+      |         min(doc_id) OVER (PARTITION BY text) AS mid
+      |       FROM documents) WHERE doc_id = mid),
+      |${rakeCtes("gdoc")}
+      |SELECT gmr.doc_id, CAST(r.rnk AS BIGINT) AS rnk, r.phrase, r.score
+      |FROM r JOIN gmr ON r.doc_id = gmr.gid
+      |WHERE r.rnk <= 3 ORDER BY 1, 2""".stripMargin
+    Q.sqlDual(
+    "doc_keyphrase_rake",
+    s"""WITH ${rakeCtes("documents")}
       |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, phrase, score FROM r
-      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    scaleOracle) { (s, d) =>
     val t = docs(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "word")))
       .filter(length(col("word")) > 0)
@@ -998,6 +1020,7 @@ object Retrieval {
       .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
         col("phrase"), round(col("sdec"), 4).cast("double").as("score"))
       .orderBy("doc_id", "rnk")
+    }
   }
 
   /** Fixed phrase workload for [[bm25Phrase]] — (query_id, phrase,

@@ -376,6 +376,78 @@ object TextOps {
        |  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.doc_id),
        |comp AS (SELECT doc_id, min(label) AS component FROM walk GROUP BY doc_id)""".stripMargin
 
+  /** Collapsed-formulation twin of [[componentsCtesSql]] for the
+    * replicated scale gates (Q.scaleOracle) — also ends in
+    * `comp(doc_id, component)`, so every closure-family op reuses its
+    * naive tail verbatim on top of either head.
+    *
+    * The naive head is quadratic in duplicate-group size (its shingle
+    * self-join and recursive walk enumerate doc-level pairs; 100x exact
+    * twinning blows each k-group to 10,000·k² pair mass and OOMs
+    * single-box DuckDB). This head applies the SAME duplicate-collapse
+    * discipline the Spark side uses, in SQL: documents group by
+    * (lang, source, text) into distinct-content groups (gid = min
+    * doc_id, multiplicity `mult`); shingle df weights by `mult` (each
+    * member contributed 1 in the naive count); edges/closure run on the
+    * GROUP graph; doc rows join back linearly at the end. Equivalence
+    * with the naive chain: intra-group docs are always connected (same
+    * text ⇒ same bow fingerprint ⇒ star edges), cross-group doc edges
+    * are functions of the two groups' texts alone, and the min-doc-id
+    * component label equals the min over member gids because each gid is
+    * its group's min doc_id. Both heads run (and hash-agree) at
+    * sf0.01/sf1; only the replicated gates need this one. */
+  private val componentsScaleCtesSql: String =
+    s"""gm AS MATERIALIZED (SELECT doc_id,
+       |       min(doc_id) OVER (PARTITION BY lang, source, text) AS gid
+       |     FROM documents),
+       |grp AS MATERIALIZED (SELECT lang, source, text, doc_id AS gid, mult
+       |     FROM (SELECT doc_id, lang, source, text,
+       |             min(doc_id) OVER (PARTITION BY lang, source, text) AS mid,
+       |             count(*) OVER (PARTITION BY lang, source, text) AS mult
+       |           FROM documents)
+       |     WHERE doc_id = mid),
+       |w2 AS (SELECT gid, lang, source, mult, str_split(text, ' ') AS ws FROM grp),
+       |sh2 AS (SELECT gid, lang, source, mult,
+       |         list_distinct(list_transform(range(1, len(ws) - 1),
+       |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s3
+       |       FROM w2),
+       |ex2 AS (SELECT gid, lang, source, mult, unnest(s3) AS shingle FROM sh2),
+       |exf2 AS MATERIALIZED (SELECT gid, lang, source, shingle FROM (
+       |          SELECT *, sum(mult) OVER (PARTITION BY lang, source, shingle) AS df
+       |          FROM ex2)
+       |        WHERE df <= $ShingleDfCap),
+       |szs2 AS MATERIALIZED (SELECT gid, count(*) AS sz FROM exf2 GROUP BY gid),
+       |p2 AS (SELECT a.gid AS ga, b.gid AS gb, count(*) AS common
+       |      FROM exf2 a JOIN exf2 b
+       |        ON a.lang = b.lang AND a.source = b.source
+       |        AND a.shingle = b.shingle AND a.gid < b.gid
+       |      GROUP BY 1, 2),
+       |j2 AS (SELECT ga, gb,
+       |        round(1.0 * common / (sa.sz + sb.sz - common), 4) AS jacc
+       |      FROM p2 JOIN szs2 sa ON p2.ga = sa.gid
+       |             JOIN szs2 sb ON p2.gb = sb.gid),
+       |bowf2 AS (SELECT gid,
+       |           md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
+       |         FROM grp),
+       |bst2 AS (SELECT gid, min(gid) OVER (PARTITION BY fp) AS root FROM bowf2),
+       |bedges2 AS (SELECT root AS a, gid AS b FROM bst2 WHERE gid <> root),
+       |pref2 AS (SELECT gid, md5(substr(text, 1, 96)) AS fp FROM grp),
+       |pst2 AS (SELECT gid, min(gid) OVER (PARTITION BY fp) AS root FROM pref2),
+       |pedges2 AS (SELECT root AS a, gid AS b FROM pst2 WHERE gid <> root),
+       |jedges2 AS (SELECT ga AS a, gb AS b FROM j2 WHERE jacc >= 0.5),
+       |edges2 AS (SELECT a, b FROM bedges2
+       |          UNION ALL SELECT a, b FROM pedges2
+       |          UNION ALL SELECT a, b FROM jedges2),
+       |sym2 AS MATERIALIZED (SELECT a, b FROM edges2
+       |        UNION ALL SELECT b AS a, a AS b FROM edges2),
+       |walk2(gid, label) AS (
+       |  SELECT gid, gid FROM grp
+       |  UNION
+       |  SELECT s.b, w.label FROM walk2 w JOIN sym2 s ON s.a = w.gid),
+       |compg AS (SELECT gid, min(label) AS component FROM walk2 GROUP BY gid),
+       |comp AS (SELECT gm.doc_id, compg.component
+       |         FROM gm JOIN compg ON gm.gid = compg.gid)""".stripMargin
+
   /** (doc_id, component) for EVERY document (singletons label themselves)
     * — the min-reachable-id labeling over the bow ∪ high-Jaccard edge
     * graph via the pointer-jumping loop described on [[dedupComponents]].
@@ -458,15 +530,19 @@ object TextOps {
     * large-star/small-star).
     *
     * The oracle computes the same closure as a recursive CTE. */
-  val dedupComponents: Q = Q.sql(
-    "dedup_components",
-    s"""WITH RECURSIVE $componentsCtesSql
-       |SELECT doc_id, component,
-       |  count(*) OVER (PARTITION BY component) AS n_members
-       |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+  val dedupComponents: Q = {
+    val tail =
+      """SELECT doc_id, component,
+        |  count(*) OVER (PARTITION BY component) AS n_members
+        |FROM comp ORDER BY doc_id""".stripMargin
+    Q.sqlDual(
+      "dedup_components",
+      s"WITH RECURSIVE $componentsCtesSql\n$tail",
+      s"WITH RECURSIVE $componentsScaleCtesSql\n$tail") { (s, d) =>
     componentLabels(s, d)
       .withColumn("n_members", count(lit(1)).over(Window.partitionBy("component")))
       .orderBy("doc_id")
+    }
   }
 
   /** The decision dedup_components exists to feed: one KEPT document per
@@ -481,10 +557,9 @@ object TextOps {
     * frame-free over the same partitioning, so Catalyst stacks them on a
     * single hash exchange). Cluster sizes are near-dup groups — bounded in
     * practice, and never the full-feed-in-one-partition shape. */
-  val dedupKeepBest: Q = Q.sql(
-    "dedup_keep_best",
-    s"""WITH RECURSIVE $componentsCtesSql,
-       |f AS (SELECT doc_id, n_chars,
+  val dedupKeepBest: Q = {
+    val tail =
+      """f AS (SELECT doc_id, n_chars,
        |        len(str_split(text, ' ')) AS n_words,
        |        len(list_distinct(str_split(text, ' '))) AS n_distinct_words,
        |        len(list_filter(str_split(text, ' '), w -> w IN ('the', 'a'))) AS n_stop
@@ -503,7 +578,11 @@ object TextOps {
        |  doc_id AS kept_doc, quality_score AS kept_score,
        |  CAST(total_chars - n_chars AS BIGINT) AS chars_dropped
        |FROM m WHERE rk = 1 AND n_members >= 2
-       |ORDER BY component""".stripMargin) { (s, d) =>
+       |ORDER BY component""".stripMargin
+    Q.sqlDual(
+      "dedup_keep_best",
+      s"WITH RECURSIVE $componentsCtesSql,\n$tail",
+      s"WITH RECURSIVE $componentsScaleCtesSql,\n$tail") { (s, d) =>
     val scores = docs(s, d)
       .select(col("doc_id"), col("n_chars"),
         expr("size(split(text, ' '))").as("n_words"),
@@ -525,6 +604,7 @@ object TextOps {
         col("doc_id").as("kept_doc"), col("quality_score").as("kept_score"),
         (col("total_chars") - col("n_chars")).cast("long").as("chars_dropped"))
       .orderBy("component")
+    }
   }
 
   /** The "what will dedup delete" histogram: near-dup cluster sizes over
@@ -549,10 +629,9 @@ object TextOps {
     * Scale: component labels join the doc token counts doc-to-doc (one
     * equi-join of two corpus-scaling sides, un-hinted); the rollup is a
     * partial-agg groupBy bounded at |sources|, 1-row total broadcast. */
-  val dedupTokenInflation: Q = Q.sql(
-    "dedup_token_inflation",
-    s"""WITH RECURSIVE $componentsCtesSql,
-       |tok AS (SELECT doc_id, source, len(str_split(text, ' ')) AS n_tok
+  val dedupTokenInflation: Q = {
+    val tail =
+      """tok AS (SELECT doc_id, source, len(str_split(text, ' ')) AS n_tok
        |        FROM documents),
        |jti AS (SELECT tok.source, tok.n_tok,
        |        CASE WHEN comp.doc_id <> comp.component THEN 1 ELSE 0 END AS is_dup
@@ -568,7 +647,11 @@ object TextOps {
        |SELECT source, n_docs, n_dup_docs, total_tokens, dup_tokens,
        |  round(1.0 * dup_tokens / total_tokens, 4) AS inflation,
        |  round(1.0 * corpus_dup / corpus_tokens, 4) AS corpus_inflation
-       |FROM g CROSS JOIN t ORDER BY source""".stripMargin) { (s, d) =>
+       |FROM g CROSS JOIN t ORDER BY source""".stripMargin
+    Q.sqlDual(
+      "dedup_token_inflation",
+      s"WITH RECURSIVE $componentsCtesSql,\n$tail",
+      s"WITH RECURSIVE $componentsScaleCtesSql,\n$tail") { (s, d) =>
     val tok = docs(s, d)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).as("n_tok"))
@@ -591,17 +674,21 @@ object TextOps {
         round(lit(1.0) * col("corpus_dup") / col("corpus_tokens"), 4)
           .as("corpus_inflation"))
       .orderBy("source")
+    }
   }
 
-  val dedupClusterStats: Q = Q.sql(
-    "dedup_cluster_stats",
-    s"""WITH RECURSIVE $componentsCtesSql,
-       |cs AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+  val dedupClusterStats: Q = {
+    val tail =
+      """cs AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
        |SELECT CAST(sz AS BIGINT) AS cluster_size, count(*) AS n_clusters,
        |  CAST(sz * count(*) AS BIGINT) AS n_docs,
        |  CAST((sz - 1) * count(*) AS BIGINT) AS n_dropped,
        |  min(component) AS example_root
-       |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin) { (s, d) =>
+       |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin
+    Q.sqlDual(
+      "dedup_cluster_stats",
+      s"WITH RECURSIVE $componentsCtesSql,\n$tail",
+      s"WITH RECURSIVE $componentsScaleCtesSql,\n$tail") { (s, d) =>
     componentLabels(s, d)
       .groupBy("component").agg(count(lit(1)).as("sz"))
       .groupBy("sz")
@@ -612,6 +699,7 @@ object TextOps {
       .select(col("sz").cast("long").as("cluster_size"), col("n_clusters"),
         col("n_docs"), col("n_dropped"), col("example_root"))
       .orderBy("cluster_size")
+    }
   }
 
   /** Soft dedup: down-WEIGHT duplicates instead of removing them — the
@@ -631,10 +719,9 @@ object TextOps {
     * is bounded by |distinct cluster sizes|. Weights are rounded once
     * to 6 and multiplied by exact integer token sums — effective tokens
     * publish as exact micro-token BIGINTs, order-free. */
-  val dedupSoftWeight: Q = Q.sql(
-    "dedup_soft_weight",
-    s"""WITH RECURSIVE $componentsCtesSql,
-       |tok AS (SELECT doc_id, len(str_split(text, ' ')) AS n_tok
+  val dedupSoftWeight: Q = {
+    val tail =
+      """tok AS (SELECT doc_id, len(str_split(text, ' ')) AS n_tok
        |        FROM documents),
        |jt AS (SELECT comp.component, comp.doc_id, tok.n_tok
        |       FROM tok JOIN comp ON tok.doc_id = comp.doc_id),
@@ -655,7 +742,11 @@ object TextOps {
        |  round(CAST(sum(soft_micro) AS DOUBLE)
        |    / (1000000e0 * sum(tok_sum)), 4) AS soft_share,
        |  round(CAST(sum(tok_keep) AS DOUBLE) / sum(tok_sum), 4) AS keep_share
-       |FROM sm GROUP BY sz ORDER BY cluster_size""".stripMargin) { (s, d) =>
+       |FROM sm GROUP BY sz ORDER BY cluster_size""".stripMargin
+    Q.sqlDual(
+      "dedup_soft_weight",
+      s"WITH RECURSIVE $componentsCtesSql,\n$tail",
+      s"WITH RECURSIVE $componentsScaleCtesSql,\n$tail") { (s, d) =>
     val tok = docs(s, d)
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
     val cl = tok.join(componentLabels(s, d), Seq("doc_id"))
@@ -681,6 +772,7 @@ object TextOps {
         round(col("tokens_keep").cast("double") / col("tokens_raw"), 4)
           .as("keep_share"))
       .orderBy("cluster_size")
+    }
   }
 
   /** Staged dedup accounting — the onion peel (the RefinedWeb/CCNet
@@ -992,7 +1084,71 @@ object TextOps {
   val dedupMinhashEst: Q = {
     val k = minhashParams.length
     val sigNames = minhashParams.indices.map(i => s"sig${i + 1}")
-    Q.sql(
+    // Collapsed-formulation scale twin (Q.scaleOracle): the SQL mirror of
+    // the Spark side's distinct-shingle-set collapse — group docs by
+    // their (ordered) distinct shingle array, run the band join +
+    // intersect on one representative per group, expand group pairs to
+    // doc pairs through the membership map, and emit within-group pairs
+    // with the identity metrics. The naive doc-level oracle below stays
+    // the primary formulation; at 100x twinning its band self-join is
+    // 10,000x the pair mass and OOMs DuckDB, while this twin's heavy
+    // work is replication-invariant and only the (output-sized) doc-pair
+    // expansion scales — checkable via the bighash multiset compare.
+    val scaleSigExprs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(sk.s3d, w -> ($a * ${duckWordHash("w")} + $b) % $P)) AS sig${i + 1}"
+    }.mkString(",\n       ")
+    val scaleBands = minhashParams.indices
+      .map(i => s"SELECT gid, ${i + 1} AS band, sig${i + 1} AS v FROM gsd")
+      .mkString("\n  UNION ALL ")
+    val scaleNMatch = sigNames
+      .map(n => s"CASE WHEN sa.$n = sb.$n THEN 1 ELSE 0 END")
+      .mkString("\n         + ")
+    val scaleOracle =
+      s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+         |docs AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS s3 FROM w),
+         |sk AS MATERIALIZED (SELECT doc_id, list_distinct(s3) AS s3d FROM docs),
+         |gmm AS MATERIALIZED (SELECT doc_id,
+         |      min(doc_id) OVER (
+         |        PARTITION BY md5(array_to_string(s3d, chr(10)))) AS gid
+         |      FROM sk),
+         |gsd AS MATERIALIZED (SELECT gmm.gid, sk.s3d,
+         |       $scaleSigExprs
+         |     FROM sk JOIN gmm ON sk.doc_id = gmm.doc_id
+         |     WHERE sk.doc_id = gmm.gid),
+         |gbands AS ($scaleBands),
+         |gpairs AS (SELECT DISTINCT a.gid AS ga, b.gid AS gb
+         |          FROM gbands a JOIN gbands b
+         |            ON a.band = b.band AND a.v = b.v AND a.gid < b.gid),
+         |gj AS (SELECT ga, gb,
+         |        ($scaleNMatch) AS n_sig_match,
+         |        len(list_intersect(sa.s3d, sb.s3d)) AS common,
+         |        len(sa.s3d) AS za, len(sb.s3d) AS zb
+         |      FROM gpairs JOIN gsd sa ON sa.gid = ga
+         |                  JOIN gsd sb ON sb.gid = gb),
+         |gmet AS (SELECT ga, gb, n_sig_match,
+         |        round(n_sig_match / $k.0, 4) AS est_jacc,
+         |        round(1.0 * common / (za + zb - common), 4) AS exact_jacc,
+         |        round(abs(round(n_sig_match / $k.0, 4)
+         |          - round(1.0 * common / (za + zb - common), 4)), 4) AS abs_err
+         |      FROM gj),
+         |crossp AS (SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         |             greatest(ma.doc_id, mb.doc_id) AS doc_b,
+         |             n_sig_match, est_jacc, exact_jacc, abs_err
+         |           FROM gmet JOIN gmm ma ON ma.gid = gmet.ga
+         |                     JOIN gmm mb ON mb.gid = gmet.gb),
+         |intra AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            $k AS n_sig_match, CAST(1.0 AS DOUBLE) AS est_jacc,
+         |            CAST(1.0 AS DOUBLE) AS exact_jacc,
+         |            CAST(0.0 AS DOUBLE) AS abs_err
+         |          FROM gmm a JOIN gmm b
+         |            ON a.gid = b.gid AND a.doc_id < b.doc_id
+         |          WHERE EXISTS (SELECT 1 FROM gsd
+         |                        WHERE gsd.gid = a.gid AND gsd.sig1 IS NOT NULL))
+         |SELECT doc_a, doc_b, n_sig_match, est_jacc, exact_jacc, abs_err
+         |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra) u
+         |ORDER BY doc_a, doc_b""".stripMargin
+    Q.sqlDual(
     "dedup_minhash_est",
     s"""WITH $duckSigCtes,
        |bands AS (${minhashParams.indices
@@ -1016,7 +1172,8 @@ object TextOps {
        |  round(1.0 * common / (za + zb - common), 4) AS exact_jacc,
        |  round(abs(round(n_sig_match / $k.0, 4)
        |    - round(1.0 * common / (za + zb - common), 4)), 4) AS abs_err
-       |FROM j ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+       |FROM j ORDER BY doc_a, doc_b""".stripMargin,
+    scaleOracle) { (s, d) =>
     // Signature-collapsed formulation (the dedup_minhash trick applied to
     // the estimator audit, r8 VERDICT watch item): every per-pair metric
     // here — n_sig_match, exact Jaccard, the error — is a pure function

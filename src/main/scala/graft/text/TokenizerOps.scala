@@ -269,7 +269,7 @@ object TokenizerOps {
     * frequency table (persisted — read by the substring pass, the
     * segmentation walk, and the output); candidate pieces
     * partial-aggregate on the piece; the vocabulary is 64 rows
-    * (broadcast as a 1-row map) and the 8-step greedy walk is a pure
+    * (broadcast as a 1-row map) and the bounded greedy walk is a pure
     * per-row projection over distinct WORDS (not tokens) — the corpus
     * is never rescanned and nothing all-pairs.
     *
@@ -279,6 +279,15 @@ object TokenizerOps {
     * guarded: a length-l lookup requires l chars remaining, or a short
     * tail substring would false-match a shorter vocab piece. */
   val tokWordpiece: Q = {
+    // The Spark walk is a per-word aggregate() fold over sequence(1, len)
+    // — exactly len steps, so it can never truncate. The DuckDB twin
+    // unrolls a fixed chain instead (joins are its natural idiom):
+    // `walkSteps` must cover the longest word in the corpus (8 chars in
+    // the generated documents; sized with headroom), and BOTH engines
+    // fail loud (error()/assert_true) on any row whose cursor has not
+    // cleared its word after the final step — a longer-worded corpus
+    // aborts instead of silently truncating.
+    val walkSteps = 12
     def duckStep(k: Int): String =
       s"""s$k AS (SELECT s.word, s.freq, s.len,
          |  CASE WHEN s.pos > s.len THEN s.pos
@@ -332,10 +341,13 @@ object TokenizerOps {
         |voc AS MATERIALIZED (SELECT piece, length(piece) AS plen
         |  FROM cnts ORDER BY cnt DESC, piece LIMIT 64),
         |s0 AS (SELECT word, freq, len, 1 AS pos, 0 AS n, '' AS seg FROM wf),
-        |${(1 to 8).map(duckStep).mkString(",\n")}
+        |${(1 to walkSteps).map(duckStep).mkString(",\n")}
         |SELECT word, freq, CAST(len AS BIGINT) AS n_chars,
         |  CAST(n AS BIGINT) AS n_pieces, substr(seg, 2) AS pieces
-        |FROM s8 ORDER BY word""".stripMargin) { (s, d) =>
+        |FROM s$walkSteps
+        |WHERE CASE WHEN pos <= len THEN error('wordpiece walk truncated')
+        |           ELSE TRUE END
+        |ORDER BY word""".stripMargin) { (s, d) =>
       val wf = docs(s, d)
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) > 0)
@@ -354,12 +366,21 @@ object TokenizerOps {
       val vmap = voc.agg(
         map_from_entries(collect_list(struct(col("piece"), length(col("piece")))))
           .as("vmap"))
-      val s8 = (1 to 8).foldLeft(
-        wf.crossJoin(broadcast(vmap))
-          .withColumn("st", expr("named_struct('pos', 1, 'n', 0, 'seg', '')"))) {
-        case (st, _) => st.withColumn("st", expr(sparkStep))
-      }
-      s8.select(col("word"), col("freq"), col("len").cast("long").as("n_chars"),
+      // ONE higher-order fold, not an unrolled withColumn chain: the
+      // lambda accumulator evaluates iteratively at runtime, so the
+      // expression tree stays linear (project-collapse inlines an
+      // unrolled chain's `st` ~4x per step — exponential plan size),
+      // and sequence(1, len) sizes the walk to each word exactly — a
+      // step consumes >= 1 char, so len steps always suffice and
+      // truncation is structurally impossible.
+      val s8 = wf.crossJoin(broadcast(vmap))
+        .withColumn("st", expr(
+          s"""aggregate(sequence(1, len),
+             |  named_struct('pos', 1, 'n', 0, 'seg', ''),
+             |  (st, _i) -> $sparkStep)""".stripMargin))
+      s8.filter(expr(
+          "assert_true(st.pos > len, 'wordpiece walk truncated') IS NULL"))
+        .select(col("word"), col("freq"), col("len").cast("long").as("n_chars"),
           expr("st.n").cast("long").as("n_pieces"),
           expr("substring(st.seg, 2)").as("pieces"))
         .orderBy("word")

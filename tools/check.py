@@ -87,16 +87,128 @@ def array_cells(df):
             bad.append(c)
     return bad
 
+DUCK_INT = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+            "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
+
+
+def duck_family(t):
+    t = t.upper()
+    if t in DUCK_INT:
+        return "int"
+    if t == "HUGEINT" or t.startswith("DECIMAL") or t in ("FLOAT", "DOUBLE"):
+        return "float"   # .df() renders all of these float64 driver-side
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith("TIMESTAMP") or t == "DATE":
+        return "datetime"
+    return "str"
+
+
+def pa_family(t):
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_temporal(t):
+        return "datetime"
+    return "str"
+
+
+def canon_expr(col, family):
+    q = '"' + col + '"'
+    if family == "int":
+        return f"CAST({q} AS BIGINT)"
+    if family == "float":
+        # +0 folds -0.0 to 0.0 (the r-series hash killer); DECIMAL/HUGEINT
+        # land on the same DOUBLE the driver's .df() would produce
+        return f"(CAST({q} AS DOUBLE) + 0)"
+    if family == "bool":
+        return f"CAST({q} AS BOOLEAN)"
+    if family == "datetime":
+        return f"CAST({q} AS VARCHAR)"
+    return f"CAST({q} AS VARCHAR)"
+
+
+def bighash_compare(con, name, outdir, osql, record, counters):
+    """Order-free multiset compare for outputs too large for the pandas
+    path: both sides reduce inside DuckDB to (count, Σ hash(canonical
+    row)) — the spark side streamed from its parquet, the oracle from its
+    SQL — so a 300M-row contract is checkable in bounded memory. Schema +
+    dtype-family checks still run (via parquet footer / DESCRIBE); only
+    the ROW-ORDER guarantee of the pandas path is given up."""
+    import pyarrow.parquet as paq
+    files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+    schema = paq.read_schema(files[0])
+    scols = sorted(schema.names)
+    sfam = {c: pa_family(schema.field(c).type) for c in scols}
+    nrows = sum(paq.ParquetFile(f).metadata.num_rows for f in files)
+    try:
+        desc = con.execute(f"DESCRIBE SELECT * FROM ({osql}) q").fetchall()
+    except Exception as ex:
+        print(f"FAIL {name}: oracle error: {ex}")
+        record(name, err=f"oracle: {ex}");  counters[1] += 1;  return
+    ocols = sorted(r[0] for r in desc)
+    ofam = {r[0]: duck_family(r[1]) for r in desc}
+    if scols != ocols:
+        print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+        record(name, err="columns");  counters[1] += 1;  return
+    dmis = [f"{c}: spark={sfam[c]} oracle={ofam[c]}"
+            for c in scols if sfam[c] != ofam[c]]
+    if dmis:
+        print(f"FAIL {name}: dtype mismatch: {'; '.join(dmis)}")
+        record(name, err="dtype");  counters[1] += 1;  return
+    sexprs = ", ".join(canon_expr(c, sfam[c]) for c in scols)
+    oexprs = ", ".join(canon_expr(c, ofam[c]) for c in scols)
+    flist = ", ".join(f"'{f}'" for f in files)
+    agg = "count(*) AS n, sum(CAST(hash({e}) AS HUGEINT)) AS h"
+    try:
+        sn, sh = con.execute(
+            f"SELECT {agg.format(e=sexprs)} FROM read_parquet([{flist}])"
+        ).fetchone()
+        on_, oh = con.execute(
+            f"SELECT {agg.format(e=oexprs)} FROM ({osql}) q").fetchone()
+    except Exception as ex:
+        print(f"FAIL {name}: bighash error: {ex}")
+        record(name, err=f"oracle: {ex}");  counters[1] += 1;  return
+    if sn == on_ and sh == oh:
+        print(f"PASS {name} ({sn} rows, bighash multiset)")
+        report_rows(record, name, sn, on_, ok=True);  counters[0] += 1
+    else:
+        print(f"FAIL {name}: bighash spark=({sn},{sh}) oracle=({on_},{oh})")
+        report_rows(record, name, sn, on_, err="values");  counters[1] += 1
+
+
+def report_rows(record, name, sn, on_, ok=False, err=None):
+    record(name, srows=range(sn), orows=range(on_), ok=ok, err=err)
+
+
 def main():
     # --json <path>: also emit a driver-format artifact
     # ({name: {rows_match, schema_match, hash_match, spark_rows,
     #   oracle_rows, err}}) so scale-gate runs can be committed as
     # CORRECTNESS_sf1.json-style evidence.
+    # --scale-oracles: overlay oracle_sql_scale.json (collapsed twins for
+    #   the replicated scale gates) over oracle_sql.json.
+    # --bighash N: for ops whose spark output exceeds N rows (parquet
+    #   metadata, nothing loaded), compare via the DuckDB multiset hash
+    #   instead of the in-memory pandas path.
     args = sys.argv[1:]
     json_out = None
     if "--json" in args:
         i = args.index("--json")
         json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    scale_oracles = False
+    if "--scale-oracles" in args:
+        args.remove("--scale-oracles")
+        scale_oracles = True
+    bighash_n = None
+    if "--bighash" in args:
+        i = args.index("--bighash")
+        bighash_n = int(args[i + 1])
         args = args[:i] + args[i + 2:]
     sfdir, outdir = args[0], args[1]
     con = duckdb.connect()
@@ -104,7 +216,13 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    if scale_oracles:
+        try:
+            oracles.update(json.load(open(f"{outdir}/oracle_sql_scale.json")))
+        except FileNotFoundError:
+            print("WARN: --scale-oracles but no oracle_sql_scale.json; "
+                  "using primary oracles")
+    counters = [0, 0]   # [n_pass, n_fail] shared with bighash_compare
     only = set(args[2:])
     report = {}
 
@@ -122,10 +240,20 @@ def main():
     for name, osql in sorted(oracles.items()):
         if only and name not in only:
             continue
+        pfiles = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+        if not pfiles:
+            print(f"FAIL {name}: no spark output")
+            record(name, err="no_output");  counters[1] += 1;  continue
+        if bighash_n is not None:
+            meta_rows = sum(pq.ParquetFile(f).metadata.num_rows
+                            for f in pfiles)
+            if meta_rows > bighash_n:
+                bighash_compare(con, name, outdir, osql, record, counters)
+                continue
         scols, srows, sdf = load_spark(outdir, name)
         if scols is None:
             print(f"FAIL {name}: no spark output")
-            record(name, err="no_output");  n_fail += 1;  continue
+            record(name, err="no_output");  counters[1] += 1;  continue
         try:
             res = con.execute(osql)
             ocols_raw = [d[0] for d in res.description]
@@ -133,20 +261,20 @@ def main():
             odf = con.execute(osql).df()
         except Exception as ex:
             print(f"FAIL {name}: oracle error: {ex}")
-            record(name, srows=srows, err=f"oracle: {ex}");  n_fail += 1;  continue
+            record(name, srows=srows, err=f"oracle: {ex}");  counters[1] += 1;  continue
         order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
         ocols = [ocols_raw[i] for i in order]
         orows = [tuple(norm(r[i]) for i in order) for r in orows_raw]
         if scols != ocols:
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
-            record(name, srows, orows, err="columns");  n_fail += 1;  continue
+            record(name, srows, orows, err="columns");  counters[1] += 1;  continue
 
         # --- driver-equivalence layer: array cells + dtypes ---
         bad = sorted(set(array_cells(sdf)) | set(array_cells(odf)))
         if bad:
             print(f"FAIL {name}: array-typed column(s) {bad} — "
                   "driver hasher crashes on ndarray cells; serialize them")
-            record(name, srows, orows, err="array_cells");  n_fail += 1;  continue
+            record(name, srows, orows, err="array_cells");  counters[1] += 1;  continue
         dmis = []
         for c in scols:
             st, ot = dtype_tag(sdf, c), dtype_tag(odf, c)
@@ -155,13 +283,13 @@ def main():
         if dmis:
             print(f"FAIL {name}: dtype mismatch (driver hash is dtype-"
                   f"sensitive): {'; '.join(dmis)}")
-            record(name, srows, orows, err="dtype");  n_fail += 1;  continue
+            record(name, srows, orows, err="dtype");  counters[1] += 1;  continue
 
         # --- value layer ---
         if srows == orows:
             print(f"PASS {name} ({len(srows)} rows)")
-            record(name, srows, orows, ok=True);  n_pass += 1;  continue
-        n_fail += 1
+            record(name, srows, orows, ok=True);  counters[0] += 1;  continue
+        counters[1] += 1
         print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
         record(name, srows, orows, err="values")
         for i, (a, b) in enumerate(zip(srows, orows)):
@@ -197,12 +325,12 @@ def main():
               f"({0 if srows is None else len(srows)} rows, no oracle"
               f"{'; verified by ' + spec if spec else ''})")
         if not ok:
-            n_fail += 1
-    print(f"\n{n_pass} pass / {n_fail} fail")
+            counters[1] += 1
+    print(f"\n{counters[0]} pass / {counters[1]} fail")
     if json_out:
         with open(json_out, "w") as f:
             json.dump(report, f, indent=2, sort_keys=True)
-    sys.exit(1 if n_fail else 0)
+    sys.exit(1 if counters[1] else 0)
 
 if __name__ == "__main__":
     main()

@@ -12,6 +12,15 @@ op instead of blocking the rest.
 
 Usage: python3 tools/check_subset.py <sfDir> <verifyOutDir> <outJson> <op> [op...]
 Env: GRAFT_CHECK_TIMEOUT secs (default 1800).
+     GRAFT_CHECK_FLAGS extra check.py flags, space-split (e.g.
+     "--scale-oracles --bighash 2000000" for the replicated scale gates).
+
+Oracle-capacity classes are recorded uniformly with match fields null and
+`err` alone carrying the class (no half-failure rows):
+- oracle_timeout: the per-op wall clock expired;
+- oracle_oom: the child died without producing a report (an oom-killed
+  DuckDB child exits on a signal with empty stderr);
+- check_crash: the child died with diagnostics (a genuine harness bug).
 """
 import json
 import os
@@ -22,11 +31,15 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+NULL_ROW = {"rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None}
+
 
 def main():
     sf_dir, vout, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
     ops = sys.argv[4:]
     timeout = int(os.environ.get("GRAFT_CHECK_TIMEOUT", "1800"))
+    flags = os.environ.get("GRAFT_CHECK_FLAGS", "").split()
     report = {}
     for op in ops:
         scratch = tempfile.mkdtemp(prefix="graft-check-")
@@ -34,7 +47,7 @@ def main():
         try:
             p = subprocess.run(
                 [sys.executable, os.path.join(REPO, "tools/check.py"),
-                 sf_dir, vout, "--json", part, op],
+                 sf_dir, vout, "--json", part] + flags + [op],
                 cwd=scratch, capture_output=True, text=True, timeout=timeout)
             if os.path.exists(part):
                 report.update(json.load(open(part)))
@@ -42,16 +55,17 @@ def main():
                 tag = "PASS" if ent.get("hash_match") else (
                     "ROWS" if ent.get("err") == "no_oracle" else "FAIL")
                 print(f"[check_subset] {tag} {op}", file=sys.stderr)
+            elif p.returncode < 0 or not (p.stderr or "").strip():
+                # killed by a signal / died silently: the oom-killer class
+                report[op] = dict(NULL_ROW, err="oracle_oom")
+                print(f"[check_subset] OOM {op} (rc={p.returncode})",
+                      file=sys.stderr)
             else:
-                report[op] = {"rows_match": None, "schema_match": None,
-                              "hash_match": None, "spark_rows": None,
-                              "oracle_rows": None,
-                              "err": f"check_crash: {(p.stderr or '')[-300:]}"}
+                report[op] = dict(
+                    NULL_ROW, err=f"check_crash: {(p.stderr or '')[-300:]}")
                 print(f"[check_subset] CRASH {op}", file=sys.stderr)
         except subprocess.TimeoutExpired:
-            report[op] = {"rows_match": None, "schema_match": None,
-                          "hash_match": None, "spark_rows": None,
-                          "oracle_rows": None, "err": "oracle_timeout"}
+            report[op] = dict(NULL_ROW, err="oracle_timeout")
             print(f"[check_subset] TIMEOUT {op} (>{timeout}s)", file=sys.stderr)
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
