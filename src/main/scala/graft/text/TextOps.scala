@@ -1081,6 +1081,103 @@ object TextOps {
     * all pairs is unaffordable. Exact similarity is computed only on the
     * LSH-bounded candidate set (that is the scale shape: estimate
     * globally, verify locally); per-pair cost is one array intersect. */
+  /** Distinct-shingle-set group machinery shared by [[dedupMinhashEst]]
+    * (the full doc-pair estimator audit) and [[dedupMinhashCalib]] (its
+    * bounded calibration summary): returns
+    * (gmap(doc_id, gid), gsig(gid, s3d, sig1..sigk),
+    *  gMetrics(ga, gb, n_sig_match, est_jacc, exact_jacc, abs_err)).
+    * gid = min doc id over the identical-distinct-shingle-array
+    * partition; the band join + exact intersect run once per GROUP pair
+    * — replication-invariant however deep the duplicate clusters. */
+  private def minhashGroupMetrics(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val k = minhashParams.length
+    val sigNames = minhashParams.indices.map(i => s"sig${i + 1}")
+    val sigCols = sigNames.map(col)
+    val sigs = minhashSigs(s, d, withShingles = true)
+    // group id = min doc id over the identical-array partition; ONE
+    // exchange on hash(s3d) serves both the id and the multiplicity
+    val bySet = Window.partitionBy("s3d")
+    val gAll = sigs.withColumn("gid", min("doc_id").over(bySet))
+    val gmap = gAll.select(col("doc_id"), col("gid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gsig = gAll.filter(col("doc_id") === col("gid"))
+      .select(col("gid") +: col("s3d") +: sigCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gbands = gsig.select(col("gid"),
+      posexplode(array(sigCols: _*)).as(Seq("band", "v")))
+    val gpairs = gbands.select(col("gid").as("ga"), col("band"), col("v"))
+      .join(gbands.select(col("gid").as("gb"), col("band"), col("v")),
+        Seq("band", "v"))
+      .filter(col("ga") < col("gb"))
+      .select("ga", "gb").distinct()
+    def gside(tag: String) = gsig.select(
+      col("gid").as(s"g$tag") +: col("s3d").as(s"s3d_$tag") +:
+        sigNames.map(n => col(n).as(s"${n}_$tag")): _*)
+    val nMatch = sigNames
+      .map(n => when(col(s"${n}_a") === col(s"${n}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = round(col("n_sig_match") / k.toDouble, 4)
+    val exact = round(lit(1.0) * col("common")
+      / (col("za") + col("zb") - col("common")), 4)
+    val gMetrics = gpairs.join(gside("a"), Seq("ga")).join(gside("b"), Seq("gb"))
+      .withColumn("n_sig_match", nMatch)
+      .withColumn("common", size(array_intersect(col("s3d_a"), col("s3d_b"))))
+      .withColumn("za", size(col("s3d_a")))
+      .withColumn("zb", size(col("s3d_b")))
+      .select(col("ga"), col("gb"), col("n_sig_match"),
+        est.as("est_jacc"), exact.as("exact_jacc"),
+        round(abs(est - exact), 4).as("abs_err"))
+    (gmap, gsig, gMetrics)
+  }
+
+  /** DuckDB CTE chain of the distinct-shingle-set collapse (the SQL
+    * mirror of [[minhashGroupMetrics]]), ending in
+    * `gmet(ga, gb, n_sig_match, est_jacc, exact_jacc, abs_err)` with
+    * `gmm(doc_id, gid)` / `gsd(gid, s3d, sig1..)` in scope — the shared
+    * head of the dedup_minhash_est and dedup_minhash_calib scale twins. */
+  private lazy val minhashScaleHeadSql: String = {
+    val k = minhashParams.length
+    val sigNames = minhashParams.indices.map(i => s"sig${i + 1}")
+    val scaleSigExprs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(sk.s3d, w -> ($a * ${duckWordHash("w")} + $b) % $P)) AS sig${i + 1}"
+    }.mkString(",\n       ")
+    val scaleBands = minhashParams.indices
+      .map(i => s"SELECT gid, ${i + 1} AS band, sig${i + 1} AS v FROM gsd")
+      .mkString("\n  UNION ALL ")
+    val scaleNMatch = sigNames
+      .map(n => s"CASE WHEN sa.$n = sb.$n THEN 1 ELSE 0 END")
+      .mkString("\n         + ")
+    s"""w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+       |docs AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS s3 FROM w),
+       |sk AS MATERIALIZED (SELECT doc_id, list_distinct(s3) AS s3d FROM docs),
+       |gmm AS MATERIALIZED (SELECT doc_id,
+       |      min(doc_id) OVER (
+       |        PARTITION BY md5(array_to_string(s3d, chr(10)))) AS gid
+       |      FROM sk),
+       |gsd AS MATERIALIZED (SELECT gmm.gid, sk.s3d,
+       |       $scaleSigExprs
+       |     FROM sk JOIN gmm ON sk.doc_id = gmm.doc_id
+       |     WHERE sk.doc_id = gmm.gid),
+       |gbands AS ($scaleBands),
+       |gpairs AS (SELECT DISTINCT a.gid AS ga, b.gid AS gb
+       |          FROM gbands a JOIN gbands b
+       |            ON a.band = b.band AND a.v = b.v AND a.gid < b.gid),
+       |gj AS (SELECT ga, gb,
+       |        ($scaleNMatch) AS n_sig_match,
+       |        len(list_intersect(sa.s3d, sb.s3d)) AS common,
+       |        len(sa.s3d) AS za, len(sb.s3d) AS zb
+       |      FROM gpairs JOIN gsd sa ON sa.gid = ga
+       |                  JOIN gsd sb ON sb.gid = gb),
+       |gmet AS (SELECT ga, gb, n_sig_match,
+       |        round(n_sig_match / $k.0, 4) AS est_jacc,
+       |        round(1.0 * common / (za + zb - common), 4) AS exact_jacc,
+       |        round(abs(round(n_sig_match / $k.0, 4)
+       |          - round(1.0 * common / (za + zb - common), 4)), 4) AS abs_err
+       |      FROM gj)""".stripMargin
+  }
+
   val dedupMinhashEst: Q = {
     val k = minhashParams.length
     val sigNames = minhashParams.indices.map(i => s"sig${i + 1}")
@@ -1094,44 +1191,8 @@ object TextOps {
     // 10,000x the pair mass and OOMs DuckDB, while this twin's heavy
     // work is replication-invariant and only the (output-sized) doc-pair
     // expansion scales — checkable via the bighash multiset compare.
-    val scaleSigExprs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
-      s"list_min(list_transform(sk.s3d, w -> ($a * ${duckWordHash("w")} + $b) % $P)) AS sig${i + 1}"
-    }.mkString(",\n       ")
-    val scaleBands = minhashParams.indices
-      .map(i => s"SELECT gid, ${i + 1} AS band, sig${i + 1} AS v FROM gsd")
-      .mkString("\n  UNION ALL ")
-    val scaleNMatch = sigNames
-      .map(n => s"CASE WHEN sa.$n = sb.$n THEN 1 ELSE 0 END")
-      .mkString("\n         + ")
     val scaleOracle =
-      s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
-         |docs AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
-         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS s3 FROM w),
-         |sk AS MATERIALIZED (SELECT doc_id, list_distinct(s3) AS s3d FROM docs),
-         |gmm AS MATERIALIZED (SELECT doc_id,
-         |      min(doc_id) OVER (
-         |        PARTITION BY md5(array_to_string(s3d, chr(10)))) AS gid
-         |      FROM sk),
-         |gsd AS MATERIALIZED (SELECT gmm.gid, sk.s3d,
-         |       $scaleSigExprs
-         |     FROM sk JOIN gmm ON sk.doc_id = gmm.doc_id
-         |     WHERE sk.doc_id = gmm.gid),
-         |gbands AS ($scaleBands),
-         |gpairs AS (SELECT DISTINCT a.gid AS ga, b.gid AS gb
-         |          FROM gbands a JOIN gbands b
-         |            ON a.band = b.band AND a.v = b.v AND a.gid < b.gid),
-         |gj AS (SELECT ga, gb,
-         |        ($scaleNMatch) AS n_sig_match,
-         |        len(list_intersect(sa.s3d, sb.s3d)) AS common,
-         |        len(sa.s3d) AS za, len(sb.s3d) AS zb
-         |      FROM gpairs JOIN gsd sa ON sa.gid = ga
-         |                  JOIN gsd sb ON sb.gid = gb),
-         |gmet AS (SELECT ga, gb, n_sig_match,
-         |        round(n_sig_match / $k.0, 4) AS est_jacc,
-         |        round(1.0 * common / (za + zb - common), 4) AS exact_jacc,
-         |        round(abs(round(n_sig_match / $k.0, 4)
-         |          - round(1.0 * common / (za + zb - common), 4)), 4) AS abs_err
-         |      FROM gj),
+      s"""WITH $minhashScaleHeadSql,
          |crossp AS (SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
          |             greatest(ma.doc_id, mb.doc_id) AS doc_b,
          |             n_sig_match, est_jacc, exact_jacc, abs_err
@@ -1191,41 +1252,7 @@ object TextOps {
     // excluded exactly as the naive join excludes them). The oracle keeps
     // the naive doc-level formulation: two independent shapes must
     // hash-agree.
-    val sigCols = sigNames.map(col)
-    val sigs = minhashSigs(s, d, withShingles = true)
-    // group id = min doc id over the identical-array partition; ONE
-    // exchange on hash(s3d) serves both the id and the multiplicity
-    val bySet = Window.partitionBy("s3d")
-    val gAll = sigs.withColumn("gid", min("doc_id").over(bySet))
-    val gmap = gAll.select(col("doc_id"), col("gid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val gsig = gAll.filter(col("doc_id") === col("gid"))
-      .select(col("gid") +: col("s3d") +: sigCols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val gbands = gsig.select(col("gid"),
-      posexplode(array(sigCols: _*)).as(Seq("band", "v")))
-    val gpairs = gbands.select(col("gid").as("ga"), col("band"), col("v"))
-      .join(gbands.select(col("gid").as("gb"), col("band"), col("v")),
-        Seq("band", "v"))
-      .filter(col("ga") < col("gb"))
-      .select("ga", "gb").distinct()
-    def gside(tag: String) = gsig.select(
-      col("gid").as(s"g$tag") +: col("s3d").as(s"s3d_$tag") +:
-        sigNames.map(n => col(n).as(s"${n}_$tag")): _*)
-    val nMatch = sigNames
-      .map(n => when(col(s"${n}_a") === col(s"${n}_b"), 1).otherwise(0))
-      .reduce(_ + _)
-    val est = round(col("n_sig_match") / k.toDouble, 4)
-    val exact = round(lit(1.0) * col("common")
-      / (col("za") + col("zb") - col("common")), 4)
-    val gMetrics = gpairs.join(gside("a"), Seq("ga")).join(gside("b"), Seq("gb"))
-      .withColumn("n_sig_match", nMatch)
-      .withColumn("common", size(array_intersect(col("s3d_a"), col("s3d_b"))))
-      .withColumn("za", size(col("s3d_a")))
-      .withColumn("zb", size(col("s3d_b")))
-      .select(col("ga"), col("gb"), col("n_sig_match"),
-        est.as("est_jacc"), exact.as("exact_jacc"),
-        round(abs(est - exact), 4).as("abs_err"))
+    val (gmap, gsig, gMetrics) = minhashGroupMetrics(s, d)
     // expand group pairs → doc pairs (groups are disjoint, so each
     // unordered doc pair appears exactly once; orientation by id)
     val cross = gMetrics
@@ -1242,7 +1269,168 @@ object TextOps {
         lit(k).as("n_sig_match"), lit(1.0).as("est_jacc"),
         lit(1.0).as("exact_jacc"), lit(0.0).as("abs_err"))
     cross.unionByName(within).orderBy("doc_a", "doc_b")
+    }
   }
+
+  /** BOUNDED calibration readout of the MinHash estimator —
+    * [[dedupMinhashEst]] without the pair-list bill. The full estimator
+    * audit's CONTRACT is every LSH candidate doc pair; under duplication
+    * that list is output-sized (100x twinning → ~300M rows; at 100 TB,
+    * petabytes) however collapsed the compute is. This is the production
+    * answer: per matching-band-count bucket, the pair COUNT and the
+    * exact-Jaccard / absolute-error SUMS (published as exact 4dp-integer
+    * micro-sums — order-free BIGINTs, no float accumulation), plus a
+    * deterministic k=5-per-bucket pair EXHIBIT for drill-down, hash-picked
+    * (md5 of the id pair) from the canonical representative pairs — one
+    * per distinct-content pair class, so twin floods cannot crowd the
+    * sample. Output is ≤ 4·(1+5) rows at any corpus size; the full list
+    * stays available as dedup_minhash_est, the debug/small-slice mode.
+    *
+    * Scale shape: the [[minhashGroupMetrics]] group machinery (band join
+    * + intersect once per distinct-set pair), bucket sums via
+    * multiplicity arithmetic (cross pairs weigh mult_a·mult_b, intra
+    * pairs mult·(mult−1)/2 with identity metrics), exhibits ranked on
+    * the ≤|group pairs| frame — NOTHING doc-pair-sized is ever
+    * materialized, the one posture dedup_minhash_est cannot offer. */
+  val dedupMinhashCalib: Q = {
+    val k = minhashParams.length
+    val sigNames = minhashParams.indices.map(i => s"sig${i + 1}")
+    val nullCols =
+      """CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+        |          CAST(NULL AS DOUBLE) AS exact_jacc""".stripMargin
+    val sumCols =
+      """CAST(sum(CAST(CAST(exact_jacc AS DECIMAL(18,4)) * 10000 AS BIGINT))
+        |            AS BIGINT) AS exact_sum_4dp,
+        |          CAST(sum(CAST(CAST(abs_err AS DECIMAL(18,4)) * 10000 AS BIGINT))
+        |            AS BIGINT) AS err_sum_4dp""".stripMargin
+    // naive oracle: the doc-level pair list (dedup_minhash_est's own
+    // formulation) reduced to bucket sums; exhibits filter to pairs whose
+    // BOTH endpoints are their distinct-shingle-set group representative
+    val naive =
+      s"""WITH $duckSigCtes,
+         |bands AS (${minhashParams.indices
+        .map(i => s"SELECT doc_id, ${i + 1} AS band, sig${i + 1} AS v FROM sig")
+        .mkString("\n  UNION ALL ")}),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+         |sd AS (SELECT doc_id, list_distinct(s3) AS s3d, ${sigNames.mkString(", ")}
+         |       FROM sig),
+         |j AS (SELECT doc_a, doc_b,
+         |        (${sigNames
+        .map(n => s"CASE WHEN sa.$n = sb.$n THEN 1 ELSE 0 END")
+        .mkString("\n         + ")}) AS n_sig_match,
+         |        len(list_intersect(sa.s3d, sb.s3d)) AS common,
+         |        len(sa.s3d) AS za, len(sb.s3d) AS zb
+         |      FROM pairs JOIN sd sa ON sa.doc_id = doc_a
+         |                 JOIN sd sb ON sb.doc_id = doc_b),
+         |met AS (SELECT doc_a, doc_b, n_sig_match,
+         |        round(1.0 * common / (za + zb - common), 4) AS exact_jacc,
+         |        round(abs(round(n_sig_match / $k.0, 4)
+         |          - round(1.0 * common / (za + zb - common), 4)), 4) AS abs_err
+         |      FROM j),
+         |summ AS (SELECT CAST(n_sig_match AS BIGINT) AS n_sig_match,
+         |          'summary' AS kind, CAST(0 AS BIGINT) AS rnk,
+         |          CAST(count(*) AS BIGINT) AS n_pairs,
+         |          $sumCols,
+         |          $nullCols
+         |        FROM met GROUP BY 1),
+         |gidm AS (SELECT doc_id, min(doc_id) OVER (
+         |           PARTITION BY md5(array_to_string(s3d, chr(10)))) AS gid
+         |         FROM sd),
+         |canon AS (SELECT m.* FROM met m
+         |          JOIN gidm a ON m.doc_a = a.doc_id AND a.doc_id = a.gid
+         |          JOIN gidm b ON m.doc_b = b.doc_id AND b.doc_id = b.gid),
+         |exh AS (SELECT CAST(n_sig_match AS BIGINT) AS n_sig_match,
+         |          'exhibit' AS kind, CAST(rn AS BIGINT) AS rnk,
+         |          CAST(NULL AS BIGINT) AS n_pairs,
+         |          CAST(NULL AS BIGINT) AS exact_sum_4dp,
+         |          CAST(NULL AS BIGINT) AS err_sum_4dp,
+         |          doc_a, doc_b, exact_jacc
+         |        FROM (SELECT *, row_number() OVER (PARTITION BY n_sig_match
+         |                ORDER BY md5(CAST(doc_a AS VARCHAR) || ':'
+         |                             || CAST(doc_b AS VARCHAR))) AS rn
+         |              FROM canon) rc WHERE rn <= 5)
+         |SELECT * FROM (SELECT * FROM summ UNION ALL SELECT * FROM exh) u
+         |ORDER BY n_sig_match, rnk""".stripMargin
+    // scale twin: the collapsed group head + multiplicity arithmetic —
+    // no doc-pair enumeration anywhere
+    val scale =
+      s"""WITH $minhashScaleHeadSql,
+         |gmult AS (SELECT gid, CAST(count(*) AS BIGINT) AS mult
+         |          FROM gmm GROUP BY 1),
+         |crossb AS (SELECT CAST(n_sig_match AS BIGINT) AS n_sig_match,
+         |            ma.mult * mb.mult AS cnt,
+         |            CAST(CAST(exact_jacc AS DECIMAL(18,4)) * 10000 AS BIGINT) AS e4,
+         |            CAST(CAST(abs_err AS DECIMAL(18,4)) * 10000 AS BIGINT) AS r4
+         |          FROM gmet JOIN gmult ma ON ma.gid = gmet.ga
+         |                    JOIN gmult mb ON mb.gid = gmet.gb),
+         |intrab AS (SELECT CAST($k AS BIGINT) AS n_sig_match,
+         |            (mult * (mult - 1)) // 2 AS cnt,
+         |            CAST(10000 AS BIGINT) AS e4, CAST(0 AS BIGINT) AS r4
+         |          FROM gmult JOIN gsd USING (gid)
+         |          WHERE gsd.sig1 IS NOT NULL AND mult >= 2),
+         |summ AS (SELECT n_sig_match, 'summary' AS kind,
+         |          CAST(0 AS BIGINT) AS rnk,
+         |          CAST(sum(cnt) AS BIGINT) AS n_pairs,
+         |          CAST(sum(cnt * e4) AS BIGINT) AS exact_sum_4dp,
+         |          CAST(sum(cnt * r4) AS BIGINT) AS err_sum_4dp,
+         |          $nullCols
+         |        FROM (SELECT * FROM crossb UNION ALL SELECT * FROM intrab) cb
+         |        GROUP BY 1),
+         |exh AS (SELECT CAST(n_sig_match AS BIGINT) AS n_sig_match,
+         |          'exhibit' AS kind, CAST(rn AS BIGINT) AS rnk,
+         |          CAST(NULL AS BIGINT) AS n_pairs,
+         |          CAST(NULL AS BIGINT) AS exact_sum_4dp,
+         |          CAST(NULL AS BIGINT) AS err_sum_4dp,
+         |          ga AS doc_a, gb AS doc_b, exact_jacc
+         |        FROM (SELECT *, row_number() OVER (PARTITION BY n_sig_match
+         |                ORDER BY md5(CAST(ga AS VARCHAR) || ':'
+         |                             || CAST(gb AS VARCHAR))) AS rn
+         |              FROM gmet) rc WHERE rn <= 5)
+         |SELECT * FROM (SELECT * FROM summ UNION ALL SELECT * FROM exh) u
+         |ORDER BY n_sig_match, rnk""".stripMargin
+    Q.sqlDual("dedup_minhash_calib", naive, scale) { (s, d) =>
+      val (gmap, gsig, gMetrics) = minhashGroupMetrics(s, d)
+      val mult = gmap.groupBy("gid").agg(count(lit(1)).cast("long").as("mult"))
+      val e4 = (col("exact_jacc").cast("decimal(18,4)") * 10000).cast("long")
+      val r4 = (col("abs_err").cast("decimal(18,4)") * 10000).cast("long")
+      val cross = gMetrics
+        .join(mult.select(col("gid").as("ga"), col("mult").as("ma")), Seq("ga"))
+        .join(mult.select(col("gid").as("gb"), col("mult").as("mb")), Seq("gb"))
+        .select(col("n_sig_match").cast("long").as("n_sig_match"),
+          (col("ma") * col("mb")).as("cnt"), e4.as("e4"), r4.as("r4"))
+      val intra = mult
+        .join(gsig.filter(col("sig1").isNotNull).select("gid"),
+          Seq("gid"), "left_semi")
+        .filter(col("mult") >= 2)
+        .select(lit(k.toLong).as("n_sig_match"),
+          expr("(mult * (mult - 1)) div 2").as("cnt"),
+          lit(10000L).as("e4"), lit(0L).as("r4"))
+      val summ = cross.unionByName(intra)
+        .groupBy("n_sig_match")
+        .agg(sum("cnt").cast("long").as("n_pairs"),
+          sum(col("cnt") * col("e4")).cast("long").as("exact_sum_4dp"),
+          sum(col("cnt") * col("r4")).cast("long").as("err_sum_4dp"))
+        .select(col("n_sig_match"), lit("summary").as("kind"),
+          lit(0L).as("rnk"), col("n_pairs"), col("exact_sum_4dp"),
+          col("err_sum_4dp"), lit(null).cast("long").as("doc_a"),
+          lit(null).cast("long").as("doc_b"),
+          lit(null).cast("double").as("exact_jacc"))
+      val exhW = Window.partitionBy("n_sig_match").orderBy(
+        md5(concat(col("ga").cast("string"), lit(":"),
+          col("gb").cast("string"))))
+      val exh = gMetrics
+        .withColumn("rnk", row_number().over(exhW).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("n_sig_match").cast("long").as("n_sig_match"),
+          lit("exhibit").as("kind"), col("rnk"),
+          lit(null).cast("long").as("n_pairs"),
+          lit(null).cast("long").as("exact_sum_4dp"),
+          lit(null).cast("long").as("err_sum_4dp"),
+          col("ga").as("doc_a"), col("gb").as("doc_b"), col("exact_jacc"))
+      summ.unionByName(exh).orderBy("n_sig_match", "rnk")
+    }
   }
 
   // ------------------------------------------------------ incremental --
@@ -2109,7 +2297,8 @@ object TextOps {
     textLengthLognormal,
     dedupExact, dedupPrefix, dedupBow, dedupNgramJaccard, dedupContainment,
     dedupComponents, dedupKeepBest,
-    dedupMinhash, dedupMinhashEst, dedupIncremental, dedupSimhash,
+    dedupMinhash, dedupMinhashEst, dedupMinhashCalib, dedupIncremental,
+    dedupSimhash,
     dedupLshCurve, decontaminateFuzzy, dedupPlaneAgreement, langId,
     langIdMetrics, textQuality, textEntropy, tokenCount, docFingerprint,
     samplePerSource, tokenRegex, docLangOutliers, dedupThresholdCurve,

@@ -271,6 +271,36 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("dedup_minhash_calib summaries reconcile exactly against the est pair list") {
+    // the bounded calibration op must be a pure reduction of
+    // dedup_minhash_est's (output-sized) contract: per-bucket counts and
+    // 4dp integer sums recomputed from the full pair list, no drift
+    val est = TextOps.dedupMinhashEst.fn(spark, TestSession.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(4), r.getDouble(5)))
+    val calib = TextOps.dedupMinhashCalib.fn(spark, TestSession.sfDir).collect()
+    val summaries = calib.filter(_.getString(1) == "summary")
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val expected = est.groupBy(_._3.toLong).map { case (b, ps) =>
+      b -> (ps.length.toLong,
+        ps.map(p => math.rint(p._4 * 10000).toLong).sum,
+        ps.map(p => math.rint(p._5 * 10000).toLong).sum)
+    }
+    assert(summaries === expected, "bucket summaries != est reduction")
+    // exhibits are real est pairs in their bucket, ranked 1..5, and both
+    // endpoints are group representatives (appear as a min id somewhere)
+    val estSet = est.map(p => (p._1, p._2, p._3.toLong, p._4)).toSet
+    val exhibits = calib.filter(_.getString(1) == "exhibit")
+    assert(exhibits.nonEmpty)
+    exhibits.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 5)
+      assert(estSet.contains((r.getLong(6), r.getLong(7), r.getLong(0),
+        r.getDouble(8))), s"exhibit not in est list: $r")
+    }
+    // bounded contract: at most (1 + 5) rows per occupied bucket
+    assert(calib.length <= summaries.size * 6)
+  }
+
   test("dedup_cluster_stats is exactly the dedup_components size histogram") {
     val comp = graft.text.TextOps.dedupComponents.fn(spark, TestSession.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
