@@ -1010,14 +1010,22 @@ object CorpusOps {
       |  CAST(xent_e4 AS DOUBLE) / 10000 AS xent,
       |  round(power(2, CAST(xent_e4 AS DOUBLE) / 10000), 2) AS ppl
       |FROM x ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // dictionary-encode terms at the source: every shuffle from here on
+    // carries a fixed 8-byte xxhash64 id, never the raw string — the
+    // model join and the tf partial-agg are the sf10 spill drivers, and
+    // surprisal needs only counts, so the string itself is never
+    // published (injectivity on the corpus vocab pinned by
+    // CorpusOpsSpec's term-id guard; at true web-vocab scale the same
+    // design point widens the fold to 128 bits)
     val tf = docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("term"))
-      .groupBy("doc_id", "n", "term").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("n"), xxhash64(col("term")).as("tid"))
+      .groupBy("doc_id", "n", "tid").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val gt = tf.groupBy("term").agg(sum("c").cast("long").as("ct"))
+    val gt = tf.groupBy("tid").agg(sum("c").cast("long").as("ct"))
     val tot = gt.agg(sum("ct").cast("long").as("nt"))
-    tf.join(gt, Seq("term"))
+    tf.join(gt, Seq("tid"))
       .crossJoin(broadcast(tot))
       .withColumn("contrib",
         col("c") * expr(surprisalFormula).cast("decimal(18,6)"))
@@ -2183,22 +2191,29 @@ object CorpusOps {
          |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.storage.StorageLevel
       val w = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // dictionary-encode at the source projection (the corpus_perplexity
+      // posture): gram and component words fold to 8-byte xxhash64 ids
+      // before the first shuffle, so the persisted tf table and every
+      // model join carry fixed-width keys, never the raw strings — the
+      // strings exist only inside the stage that explodes them. gid
+      // determines (w1, w2), so grouping carries them for free.
       val uc = w.select(explode(col("ws")).as("term"))
-        .groupBy("term").agg(count(lit(1)).cast("long").as("cu"))
+        .select(xxhash64(col("term")).as("w2"))
+        .groupBy("w2").agg(count(lit(1)).cast("long").as("cu"))
       val nt = uc.agg(sum("cu").cast("long").as("n"))
       val dtf = w.select(col("doc_id"), explode(expr("graft_shingles(ws, 2)")).as("gram"))
-        .groupBy("doc_id", "gram").agg(count(lit(1)).cast("long").as("tf"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("gid"),
+          xxhash64(expr("split_part(gram, ' ', 1)")).as("w1"),
+          xxhash64(expr("split_part(gram, ' ', 2)")).as("w2"))
+        .groupBy("doc_id", "gid", "w1", "w2").agg(count(lit(1)).cast("long").as("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val bc = dtf.groupBy("gram").agg(sum("tf").cast("long").as("cbg"))
+      val bc = dtf.groupBy("gid", "w1", "w2").agg(sum("tf").cast("long").as("cbg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val w1c = bc.groupBy(expr("split_part(gram, ' ', 1)").as("w1"))
-        .agg(sum("cbg").cast("long").as("cw1"))
+      val w1c = bc.groupBy("w1").agg(sum("cbg").cast("long").as("cw1"))
       val scored = dtf
-        .join(bc, Seq("gram"))
-        .withColumn("w1", expr("split_part(gram, ' ', 1)"))
-        .withColumn("w2", expr("split_part(gram, ' ', 2)"))
+        .join(bc.select("gid", "cbg"), Seq("gid"))
         .join(w1c, Seq("w1"))
-        .join(uc.withColumnRenamed("term", "w2"), Seq("w2"))
+        .join(uc, Seq("w2"))
         .crossJoin(broadcast(nt))
         .withColumn("bits", expr(bitsF))
       // half-up mean in integer micro-bits — bits is rounded at 6, so
@@ -2277,21 +2292,26 @@ object CorpusOps {
          |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.storage.StorageLevel
       val w = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // same dictionary-encoding as corpus_bigram_ppl: 8-byte xxhash64
+      // ids replace gram/word strings before the first shuffle; the
+      // persisted gram-model table carries (gid, w1, w2) ids so the
+      // context (w1c), continuation (nlc) and scalar (bt) aggregates all
+      // read it without ever touching a string again.
       val dtf = w.select(col("doc_id"), explode(expr("graft_shingles(ws, 2)")).as("gram"))
-        .groupBy("doc_id", "gram").agg(count(lit(1)).cast("long").as("tf"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("gid"),
+          xxhash64(expr("split_part(gram, ' ', 1)")).as("w1"),
+          xxhash64(expr("split_part(gram, ' ', 2)")).as("w2"))
+        .groupBy("doc_id", "gid", "w1", "w2").agg(count(lit(1)).cast("long").as("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val bc = dtf.groupBy("gram").agg(sum("tf").cast("long").as("cbg"))
+      val bc = dtf.groupBy("gid", "w1", "w2").agg(sum("tf").cast("long").as("cbg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val w1c = bc.groupBy(expr("split_part(gram, ' ', 1)").as("w1"))
+      val w1c = bc.groupBy("w1")
         .agg(sum("cbg").cast("long").as("cw1"),
           count(lit(1)).cast("long").as("k1"))
-      val nlc = bc.groupBy(expr("split_part(gram, ' ', 2)").as("w2"))
-        .agg(count(lit(1)).cast("long").as("nl"))
+      val nlc = bc.groupBy("w2").agg(count(lit(1)).cast("long").as("nl"))
       val bt = bc.agg(count(lit(1)).cast("long").as("bb"))
       val scored = dtf
-        .join(bc, Seq("gram"))
-        .withColumn("w1", expr("split_part(gram, ' ', 1)"))
-        .withColumn("w2", expr("split_part(gram, ' ', 2)"))
+        .join(bc.select("gid", "cbg"), Seq("gid"))
         .join(w1c, Seq("w1"))
         .join(nlc, Seq("w2"))
         .crossJoin(broadcast(bt))

@@ -155,6 +155,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(drift.count() === 0)
   }
 
+  test("LM term-id guard: xxhash64 is injective on the corpus term and bigram vocab") {
+    // corpus_perplexity / corpus_bigram_ppl / corpus_kn_ppl shuffle 8-byte
+    // xxhash64 ids instead of raw term/gram strings; a collision inside
+    // either vocabulary would silently merge two model rows. The
+    // cross-engine hash gate catches this at every tested SF (the DuckDB
+    // twin keys on the raw strings); this guard pins it directly on the
+    // largest local corpus. 64-bit folds over ~1e5 keys have collision
+    // odds ~3e-10; at true web-vocab scale widen the fold to 128 bits.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val terms = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("t")).distinct()
+      assert(terms.count() ===
+        terms.select(xxhash64(col("t"))).distinct().count(), s"term collision in $dir")
+      val grams = Tables.documents(spark, dir)
+        .select(split(col("text"), " ").as("ws"))
+        .select(explode(expr("graft_shingles(ws, 2)")).as("g")).distinct()
+      assert(grams.count() ===
+        grams.select(xxhash64(col("g"))).distinct().count(), s"gram collision in $dir")
+    }
+  }
+
   test("boilerplate_ngrams: gram accounting is exact and the thresholds discriminate") {
     val b = CorpusOps.boilerplateNgrams.fn(spark, sf).cache()
     try {
