@@ -25,6 +25,29 @@ object CorpusOps {
     Tables.documents(s, d)
   }
 
+  /** Exact-duplicate collapse for the LM scorers: the corpus folded to
+    * one row per distinct text (keyed by xxhash64) with its
+    * multiplicity, plus the (doc_id, tkey) map for the final expansion
+    * join. Model counts weighted by `m` equal the doc-level counts
+    * exactly, and twin docs score identically, so collapsed compute +
+    * linear join-back reproduces the naive per-doc output bit-for-bit —
+    * the duplicate-collapse discipline (SURVEY §4) applied to LM
+    * scoring. On a replicated crawl every downstream stage (token
+    * explode, tf partial-agg, model joins) shrinks by the duplication
+    * factor, for the price of the one text-key shuffle dedup_exact
+    * already pays (partial-agg: each map partition ships at most one
+    * copy of each distinct text). Key injectivity is pinned by
+    * CorpusOpsSpec's guard and, independently, by the cross-engine hash
+    * gate at every tested SF — the DuckDB twins stay doc-level. */
+  private def distinctTexts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = docs(s, d)
+      .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
+    val keyed = base.select("doc_id", "tkey")
+    val dist = base.groupBy("tkey")
+      .agg(min("text").as("text"), count(lit(1)).cast("long").as("m"))
+    (keyed, dist)
+  }
+
   /** Word bigrams / 4-grams via the native codegen shingler
     * ([[WordShingles]] — see TextOps.shingleExpr for why not a
     * higher-order-function composition). */
@@ -1010,26 +1033,28 @@ object CorpusOps {
       |  CAST(xent_e4 AS DOUBLE) / 10000 AS xent,
       |  round(power(2, CAST(xent_e4 AS DOUBLE) / 10000), 2) AS ppl
       |FROM x ORDER BY doc_id""".stripMargin) { (s, d) =>
-    // dictionary-encode terms at the source: every shuffle from here on
-    // carries a fixed 8-byte xxhash64 id, never the raw string — the
-    // model join and the tf partial-agg are the sf10 spill drivers, and
-    // surprisal needs only counts, so the string itself is never
-    // published (injectivity on the corpus vocab pinned by
-    // CorpusOpsSpec's term-id guard; at true web-vocab scale the same
-    // design point widens the fold to 128 bits)
-    val tf = docs(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("term"))
-      .select(col("doc_id"), col("n"), xxhash64(col("term")).as("tid"))
-      .groupBy("doc_id", "n", "tid").agg(count(lit(1)).as("c"))
+    // two collapses before anything heavy: docs fold to distinct texts
+    // (multiplicity-weighted model counts — [[distinctTexts]]), and
+    // terms dictionary-encode to 8-byte xxhash64 ids, so the tf
+    // partial-agg and the model join — the sf10 spill drivers — carry
+    // fixed-width keys over 1/dup-factor of the mass. Surprisal needs
+    // only counts, so the string itself is never published (injectivity
+    // pinned by CorpusOpsSpec's term-id guard; at true web-vocab scale
+    // the same design point widens the fold to 128 bits)
+    val (keyed, dist) = distinctTexts(s, d)
+    val tf = dist
+      .select(col("tkey"), col("m"), split(col("text"), " ").as("ws"))
+      .select(col("tkey"), col("m"), size(col("ws")).as("n"), explode(col("ws")).as("term"))
+      .select(col("tkey"), col("m"), col("n"), xxhash64(col("term")).as("tid"))
+      .groupBy("tkey", "m", "n", "tid").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val gt = tf.groupBy("tid").agg(sum("c").cast("long").as("ct"))
+    val gt = tf.groupBy("tid").agg(sum(col("c") * col("m")).cast("long").as("ct"))
     val tot = gt.agg(sum("ct").cast("long").as("nt"))
-    tf.join(gt, Seq("tid"))
+    val scored = tf.join(gt, Seq("tid"))
       .crossJoin(broadcast(tot))
       .withColumn("contrib",
         col("c") * expr(surprisalFormula).cast("decimal(18,6)"))
-      .groupBy("doc_id", "n")
+      .groupBy("tkey", "n")
       .agg(count(lit(1)).as("n_distinct_terms"),
         // bits is an exact DECIMAL sum; the 4-decimal HALF_UP rounding of
         // bits/n is then done in pure INTEGER arithmetic — a double
@@ -1038,6 +1063,7 @@ object CorpusOps {
         (sum("contrib") * 1000000).cast("long").as("bits_micro"))
       .withColumn("xent_e4",
         expr("(2 * bits_micro + 100 * n) div (200 * n)"))
+    keyed.join(scored, Seq("tkey"))
       .select(col("doc_id"), col("n").cast("long").as("n_words"),
         col("n_distinct_terms").cast("long").as("n_distinct_terms"),
         (col("xent_e4").cast("double") / 10000).as("xent"),
@@ -2190,24 +2216,28 @@ object CorpusOps {
          |    AS DOUBLE) / 10000), 2) AS ppl
          |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.storage.StorageLevel
-      val w = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("ws"))
-      // dictionary-encode at the source projection (the corpus_perplexity
-      // posture): gram and component words fold to 8-byte xxhash64 ids
-      // before the first shuffle, so the persisted tf table and every
-      // model join carry fixed-width keys, never the raw strings — the
-      // strings exist only inside the stage that explodes them. gid
-      // determines (w1, w2), so grouping carries them for free.
-      val uc = w.select(explode(col("ws")).as("term"))
-        .select(xxhash64(col("term")).as("w2"))
-        .groupBy("w2").agg(count(lit(1)).cast("long").as("cu"))
+      // two collapses (the corpus_perplexity posture): distinct texts
+      // with multiplicity-weighted model counts, and gram/word strings
+      // folded to 8-byte xxhash64 ids in the source projection — the
+      // persisted tf table and every model join carry fixed-width keys
+      // over 1/dup-factor of the mass; strings exist only inside the
+      // stage that explodes them. gid determines (w1, w2), so grouping
+      // carries them for free. A doc with < 2 words has no bigram rows
+      // and drops out of the expansion join — exactly the naive shape.
+      val (keyed, dist) = distinctTexts(s, d)
+      val w = dist.select(col("tkey"), col("m"), split(col("text"), " ").as("ws"))
+      val uc = w.select(col("m"), explode(col("ws")).as("term"))
+        .select(col("m"), xxhash64(col("term")).as("w2"))
+        .groupBy("w2").agg(sum("m").cast("long").as("cu"))
       val nt = uc.agg(sum("cu").cast("long").as("n"))
-      val dtf = w.select(col("doc_id"), explode(expr("graft_shingles(ws, 2)")).as("gram"))
-        .select(col("doc_id"), xxhash64(col("gram")).as("gid"),
+      val dtf = w.select(col("tkey"), col("m"), explode(expr("graft_shingles(ws, 2)")).as("gram"))
+        .select(col("tkey"), col("m"), xxhash64(col("gram")).as("gid"),
           xxhash64(expr("split_part(gram, ' ', 1)")).as("w1"),
           xxhash64(expr("split_part(gram, ' ', 2)")).as("w2"))
-        .groupBy("doc_id", "gid", "w1", "w2").agg(count(lit(1)).cast("long").as("tf"))
+        .groupBy("tkey", "m", "gid", "w1", "w2").agg(count(lit(1)).cast("long").as("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val bc = dtf.groupBy("gid", "w1", "w2").agg(sum("tf").cast("long").as("cbg"))
+      val bc = dtf.groupBy("gid", "w1", "w2")
+        .agg(sum(col("tf") * col("m")).cast("long").as("cbg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val w1c = bc.groupBy("w1").agg(sum("cbg").cast("long").as("cw1"))
       val scored = dtf
@@ -2220,10 +2250,11 @@ object CorpusOps {
       // tf·round(bits·1e6) is an exact BIGINT and (2s + n·100) div (2n·100)
       // is the half-up 4-decimal mean with no double near a tie (the
       // q_revenue_ma7 discipline; a double round here flipped at sf1)
-      scored.groupBy("doc_id")
+      val per = scored.groupBy("tkey")
         .agg(sum("tf").cast("long").as("n_bigrams"),
           sum(col("tf") * expr("CAST(round(bits * 1000000, 0) AS BIGINT)"))
             .cast("long").as("sum_micro"))
+      keyed.join(per, Seq("tkey"))
         .select(col("doc_id"), col("n_bigrams"),
           (expr("(2 * sum_micro + n_bigrams * 100) div (2 * n_bigrams * 100)")
             .cast("double") / 10000).as("bits_per_bigram"))
@@ -2291,19 +2322,21 @@ object CorpusOps {
          |    AS DOUBLE) / 10000), 2) AS ppl
          |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.storage.StorageLevel
-      val w = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("ws"))
-      // same dictionary-encoding as corpus_bigram_ppl: 8-byte xxhash64
-      // ids replace gram/word strings before the first shuffle; the
-      // persisted gram-model table carries (gid, w1, w2) ids so the
-      // context (w1c), continuation (nlc) and scalar (bt) aggregates all
-      // read it without ever touching a string again.
-      val dtf = w.select(col("doc_id"), explode(expr("graft_shingles(ws, 2)")).as("gram"))
-        .select(col("doc_id"), xxhash64(col("gram")).as("gid"),
+      // same double collapse as corpus_bigram_ppl (distinct texts +
+      // xxhash64 ids). The KN model tables are all multiplicity-aware or
+      // multiplicity-FREE: cbg weights by m, while k1/nl/bb count
+      // DISTINCT gram types — a twin doc introduces no new type, so the
+      // group-level bc yields them exactly.
+      val (keyed, dist) = distinctTexts(s, d)
+      val w = dist.select(col("tkey"), col("m"), split(col("text"), " ").as("ws"))
+      val dtf = w.select(col("tkey"), col("m"), explode(expr("graft_shingles(ws, 2)")).as("gram"))
+        .select(col("tkey"), col("m"), xxhash64(col("gram")).as("gid"),
           xxhash64(expr("split_part(gram, ' ', 1)")).as("w1"),
           xxhash64(expr("split_part(gram, ' ', 2)")).as("w2"))
-        .groupBy("doc_id", "gid", "w1", "w2").agg(count(lit(1)).cast("long").as("tf"))
+        .groupBy("tkey", "m", "gid", "w1", "w2").agg(count(lit(1)).cast("long").as("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val bc = dtf.groupBy("gid", "w1", "w2").agg(sum("tf").cast("long").as("cbg"))
+      val bc = dtf.groupBy("gid", "w1", "w2")
+        .agg(sum(col("tf") * col("m")).cast("long").as("cbg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val w1c = bc.groupBy("w1")
         .agg(sum("cbg").cast("long").as("cw1"),
@@ -2316,10 +2349,11 @@ object CorpusOps {
         .join(nlc, Seq("w2"))
         .crossJoin(broadcast(bt))
         .withColumn("bits", expr(bitsF))
-      scored.groupBy("doc_id")
+      val per = scored.groupBy("tkey")
         .agg(sum("tf").cast("long").as("n_bigrams"),
           sum(col("tf") * expr("CAST(round(bits * 1000000, 0) AS BIGINT)"))
             .cast("long").as("sum_micro"))
+      keyed.join(per, Seq("tkey"))
         .select(col("doc_id"), col("n_bigrams"),
           (expr("(2 * sum_micro + n_bigrams * 100) div (2 * n_bigrams * 100)")
             .cast("double") / 10000).as("bits_per_bigram"))

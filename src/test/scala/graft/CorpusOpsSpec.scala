@@ -173,6 +173,10 @@ class CorpusOpsSpec extends AnyFunSuite {
         .select(explode(expr("graft_shingles(ws, 2)")).as("g")).distinct()
       assert(grams.count() ===
         grams.select(xxhash64(col("g"))).distinct().count(), s"gram collision in $dir")
+      // the distinct-text collapse keys whole documents on xxhash64(text)
+      val texts = Tables.documents(spark, dir).select("text").distinct()
+      assert(texts.count() ===
+        texts.select(xxhash64(col("text"))).distinct().count(), s"text collision in $dir")
     }
   }
 
