@@ -39,7 +39,7 @@ object CorpusOps {
     * copy of each distinct text). Key injectivity is pinned by
     * CorpusOpsSpec's guard and, independently, by the cross-engine hash
     * gate at every tested SF — the DuckDB twins stay doc-level. */
-  private def distinctTexts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[text] def distinctTexts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val base = docs(s, d)
       .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
     val keyed = base.select("doc_id", "tkey")

@@ -923,11 +923,15 @@ object Retrieval {
     * rare ACROSS docs, RAKE finds multi-word phrases central WITHIN one.
     * Top-3 phrases per doc, ties by phrase string.
     *
-    * Scale shape: phrase segmentation is the gaps-and-islands window
-    * PER DOCUMENT (doc_id partitions — corpus-cardinality keys, never a
-    * low-cardinality global window); word stats partial-aggregate on
-    * (doc, word); the phrase-score join keys on (doc, word) — every
-    * stage lives in the same doc-keyed exchange family.
+    * Scale shape: the whole chain runs once per DISTINCT text (RAKE is
+    * a pure function of the text — the duplicate-collapse discipline,
+    * SURVEY §4) with the per-doc rows expanded by a linear membership
+    * join at the end; phrase segmentation is the gaps-and-islands
+    * window PER TEXT (text-key partitions — corpus-cardinality keys,
+    * never a low-cardinality global window); word stats
+    * partial-aggregate on (text, word); the phrase-score join keys on
+    * (text, word) — every stage lives in the same text-keyed exchange
+    * family.
     *
     * Determinism: degree and frequency are exact integers; each word
     * ratio is rounded once to 6 and the phrase score is a DECIMAL sum
@@ -987,38 +991,48 @@ object Retrieval {
       |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, phrase, score FROM r
       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     scaleOracle) { (s, d) =>
-    val t = docs(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "word")))
+    // RAKE is a pure function of the text, so the Spark side mirrors the
+    // scale twin: segment + score once per DISTINCT text (the
+    // CorpusOps.distinctTexts collapse — tkey replaces doc_id through
+    // the whole chain) and expand the ≤3 phrase rows per doc through
+    // the linear membership join at the end. Twin docs re-derive
+    // identical phrases, so the output is bit-identical to the per-doc
+    // run the naive oracle computes.
+    val (keyed, dist) = CorpusOps.distinctTexts(s, d)
+    val t = dist
+      .select(col("tkey"), posexplode(split(col("text"), " ")).as(Seq("p", "word")))
       .filter(length(col("word")) > 0)
-      .select(col("doc_id"), col("word"), (col("p") + 1).cast("long").as("pos"),
+      .select(col("tkey"), col("word"), (col("p") + 1).cast("long").as("pos"),
         when(col("word").isin("the", "a", "of"), 1).otherwise(0).as("stop"))
-    val islandW = Window.partitionBy("doc_id").orderBy("pos")
+    val islandW = Window.partitionBy("tkey").orderBy("pos")
     val nw = t.filter(col("stop") === 0)
       .withColumn("grp", col("pos") - row_number().over(islandW))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ph = nw.groupBy("doc_id", "grp")
+    val ph = nw.groupBy("tkey", "grp")
       .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, word))), x -> x.word), ' ')")
         .as("phrase"),
         count(lit(1)).cast("long").as("plen"))
-    val wo = nw.select(col("doc_id"), col("word"), col("grp"))
-      .join(ph.select(col("doc_id"), col("grp"), col("plen")), Seq("doc_id", "grp"))
-    val wscore = wo.groupBy("doc_id", "word")
+    val wo = nw.select(col("tkey"), col("word"), col("grp"))
+      .join(ph.select(col("tkey"), col("grp"), col("plen")), Seq("tkey", "grp"))
+    val wscore = wo.groupBy("tkey", "word")
       .agg(sum("plen").cast("long").as("deg"), count(lit(1)).cast("long").as("freq"))
-    val psc = wo.join(wscore, Seq("doc_id", "word"))
-      .groupBy("doc_id", "grp")
+    val psc = wo.join(wscore, Seq("tkey", "word"))
+      .groupBy("tkey", "grp")
       .agg(sum(round(lit(1e0) * col("deg") / col("freq"), 6)
         .cast("decimal(18,6)")).as("sdec"))
     // round the DECIMAL, not a double cast of it: the exact sum can end
     // in …5 at the 5th decimal, and a double round there is the engine-
     // split tie class (pii_dp_histogram's lesson); decimal HALF_UP is
     // identical in both engines
-    val rankW = Window.partitionBy("doc_id")
+    val rankW = Window.partitionBy("tkey")
       .orderBy(round(col("sdec"), 4).desc, col("phrase"))
-    ph.join(psc, Seq("doc_id", "grp"))
+    val top = ph.join(psc, Seq("tkey", "grp"))
       .withColumn("rnk", row_number().over(rankW))
       .filter(col("rnk") <= 3)
-      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+      .select(col("tkey"), col("rnk").cast("long").as("rnk"),
         col("phrase"), round(col("sdec"), 4).cast("double").as("score"))
+    keyed.join(top, Seq("tkey"))
+      .select(col("doc_id"), col("rnk"), col("phrase"), col("score"))
       .orderBy("doc_id", "rnk")
     }
   }
