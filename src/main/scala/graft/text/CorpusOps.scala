@@ -1012,7 +1012,38 @@ object CorpusOps {
     * corpus, so the model side is NOT broadcast); the 1-row total IS
     * broadcast. Determinism: surprisal rounded once to 6, multiplied by
     * the exact integer tf, summed as DECIMAL — order-independent. */
-  val corpusPerplexity: Q = Q.sql(
+  val corpusPerplexity: Q = {
+    // Scale twin: the collapsed formulation the Spark side runs — score
+    // one representative per distinct text (model counts weighted by
+    // multiplicity) and expand per-doc rows through the membership map.
+    // Keeps the 100x/1000x legs hash-checkable where the naive token
+    // explode exceeds single-box DuckDB (the doc_keyphrase_rake twin's
+    // shape; MATERIALIZED pins each hop to one evaluation).
+    val scaleOracle =
+      s"""WITH gmr AS MATERIALIZED (SELECT doc_id,
+        |       min(doc_id) OVER (PARTITION BY text) AS gid FROM documents),
+        |grp AS MATERIALIZED (SELECT min(doc_id) AS gid, CAST(count(*) AS BIGINT) AS m,
+        |       text FROM documents GROUP BY text),
+        |w AS (SELECT gid, m, str_split(text, ' ') AS ws FROM grp),
+        |t AS (SELECT gid, m, len(ws) AS n, unnest(ws) AS term FROM w),
+        |tf AS (SELECT gid, m, n, term, count(*) AS c FROM t GROUP BY 1, 2, 3, 4),
+        |gt AS (SELECT term, CAST(sum(c * m) AS BIGINT) AS ct FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM gt),
+        |sc AS (SELECT tf.gid, tf.n,
+        |         c * CAST($surprisalFormula AS DECIMAL(18, 6)) AS contrib
+        |       FROM tf JOIN gt ON tf.term = gt.term CROSS JOIN tot),
+        |agg AS (SELECT gid, n, count(*) AS n_distinct_terms,
+        |          CAST(sum(contrib) * 1000000 AS BIGINT) AS bits_micro
+        |        FROM sc GROUP BY 1, 2),
+        |x AS (SELECT gid, n, n_distinct_terms,
+        |        (2 * bits_micro + 100 * n) // (200 * n) AS xent_e4
+        |      FROM agg)
+        |SELECT gmr.doc_id, CAST(n AS BIGINT) AS n_words,
+        |  CAST(n_distinct_terms AS BIGINT) AS n_distinct_terms,
+        |  CAST(xent_e4 AS DOUBLE) / 10000 AS xent,
+        |  round(power(2, CAST(xent_e4 AS DOUBLE) / 10000), 2) AS ppl
+        |FROM x JOIN gmr ON x.gid = gmr.gid ORDER BY gmr.doc_id""".stripMargin
+    Q.sqlDual(
     "corpus_perplexity",
     s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
       |t AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS term FROM w),
@@ -1032,7 +1063,8 @@ object CorpusOps {
       |  CAST(n_distinct_terms AS BIGINT) AS n_distinct_terms,
       |  CAST(xent_e4 AS DOUBLE) / 10000 AS xent,
       |  round(power(2, CAST(xent_e4 AS DOUBLE) / 10000), 2) AS ppl
-      |FROM x ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |FROM x ORDER BY doc_id""".stripMargin,
+    scaleOracle) { (s, d) =>
     // two collapses before anything heavy: docs fold to distinct texts
     // (multiplicity-weighted model counts — [[distinctTexts]]), and
     // terms dictionary-encode to 8-byte xxhash64 ids, so the tf
@@ -1069,6 +1101,7 @@ object CorpusOps {
         (col("xent_e4").cast("double") / 10000).as("xent"),
         round(pow(lit(2), col("xent_e4").cast("double") / 10000), 2).as("ppl"))
       .orderBy("doc_id")
+    }
   }
 
   /** CCNet's head/middle/tail corpus split (Wenzek et al., LREC 2020):
