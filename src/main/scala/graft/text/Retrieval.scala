@@ -304,15 +304,17 @@ object Retrieval {
     * tf-idf — the compact content descriptor a corpus catalog publishes
     * per doc (and the classical sparse counterpart of an embedding).
     *
-    * Scale shape: one corpus pass into per-(doc, term) tf (persisted —
-    * BOTH the df aggregation and the scoring pass read it, the bm25
-    * discipline); df is a partial-aggregating groupBy bounded at |vocab|;
-    * the tf ⋈ df equi-join shuffles on term with partial aggregation
-    * already done on both sides (AQE picks the physical join — df MAY
-    * broadcast at small vocab but is not forced to, since vocabulary
-    * grows with the corpus); the 1-row doc count broadcasts. The rank
-    * window partitions by doc_id — bounded by document length, never a
-    * full-feed partition. */
+    * Scale shape: one pass over DISTINCT texts into per-(text, term) tf
+    * (persisted — BOTH the df aggregation and the scoring pass read it,
+    * the bm25 discipline), with per-doc rows expanded by a linear
+    * membership join at the end (duplicate-collapse, SURVEY §4); df is
+    * a partial-aggregating groupBy bounded at |vocab|, weighted by text
+    * multiplicity; the tf ⋈ df equi-join shuffles on term with partial
+    * aggregation already done on both sides (AQE picks the physical
+    * join — df MAY broadcast at small vocab but is not forced to, since
+    * vocabulary grows with the corpus); the 1-row doc count broadcasts.
+    * The rank window partitions by text key — bounded by document
+    * length, never a full-feed partition. */
   val tfidfKeywords: Q = Q.sql(
     "tfidf_keywords",
     s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
@@ -328,18 +330,25 @@ object Retrieval {
        |      FROM sc)
        |SELECT doc_id, rnk, term, score FROM r
        |WHERE rnk <= $KeywordsTopK ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
-    val tf = docs(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf-idf is a pure function of (text, corpus model), and the model
+    // itself is multiplicity-weighted: df = Σm over distinct texts
+    // containing the term, n_docs = Σm. So the whole chain runs on the
+    // distinct-text collapse (SURVEY §4) — twins re-derive identical
+    // top-3 lists, published per doc through the linear membership join.
+    val (keyed, dist) = CorpusOps.distinctTexts(s, d)
+    val tf = dist
+      .select(col("tkey"), col("m"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("tkey", "m", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = docs(s, d).agg(count(lit(1)).as("n_docs"))
-    tf.join(dft, Seq("term"))
+    val dft = tf.groupBy("term").agg(sum("m").cast("long").as("df"))
+    val stats = dist.agg(sum("m").cast("long").as("n_docs"))
+    val top = tf.join(dft, Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("score", expr(tfidfFormula))
       .withColumn("rnk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+        Window.partitionBy("tkey").orderBy(col("score").desc, col("term"))))
       .filter(col("rnk") <= KeywordsTopK)
+    keyed.join(top, Seq("tkey"))
       .select(col("doc_id"), col("rnk"), col("term"), col("score"))
       .orderBy("doc_id", "rnk")
   }
