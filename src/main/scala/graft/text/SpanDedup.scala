@@ -71,20 +71,35 @@ object SpanDedup {
        |FROM d LEFT JOIN r ON d.lang = r.lang AND d.source = r.source
        |ORDER BY d.lang, d.source""".stripMargin) { (s, d) =>
     // hash-at-the-source: the transform emits the 16-hex md5 fold of each
-    // span, so raw 40-char spans never leave the scan projection
-    val sp = docs(s, d)
+    // span, so raw 40-char spans never leave the scan projection.
+    // Duplicate-collapse (SURVEY §4): spans derive purely from the text,
+    // so the span explode + key aggregation run once per DISTINCT text;
+    // "cross-doc" at doc level = the key appears in ≥ 2 distinct texts
+    // OR in one text that ≥ 2 docs share (max multiplicity ≥ 2). Per-doc
+    // attributes (lang/source) rejoin at the linear doc-level expansion,
+    // so two same-text docs from different sources keep their own rows.
+    val dist = docs(s, d)
+      .select(xxhash64(col("text")).as("tkey"), col("text"), col("n_chars"))
+      .groupBy("tkey").agg(min("text").as("text"), min("n_chars").as("n_chars"),
+        count(lit(1)).cast("long").as("m"))
+    val sp = dist
       .filter(col("n_chars") >= K)
-      .select(col("doc_id"), col("lang"), col("source"),
+      .select(col("tkey"), col("m"),
         explode(expr(
           s"""transform(sequence(1, cast(n_chars as int) - ${K - 1}, $Stride),
              |  i -> substring(md5(substring(text, i, $K)), 1, 16))""".stripMargin))
           .as("key"))
     val k = sp.groupBy("key")
-      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-    val perDoc = sp.join(k, "key")
-      .groupBy("doc_id", "lang", "source")
+      .agg(min("tkey").as("mnt"), max("tkey").as("mxt"), max("m").as("mxm"))
+    val perText = sp.join(k, "key")
+      .groupBy("tkey")
       .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("mn") =!= col("mx"), 1).otherwise(0)).as("n_dup"))
+        sum(when(col("mnt") =!= col("mxt") || col("mxm") >= 2, 1).otherwise(0))
+          .as("n_dup"))
+    val perDoc = docs(s, d)
+      .filter(col("n_chars") >= K)
+      .select(col("doc_id"), col("lang"), col("source"), xxhash64(col("text")).as("tkey"))
+      .join(perText, Seq("tkey"))
     val rollup = perDoc.groupBy("lang", "source")
       .agg(count(lit(1)).as("docs_scanned"),
         sum(when(col("n_dup") > 0, 1).otherwise(0)).as("docs_with_dup"),
@@ -141,25 +156,45 @@ object SpanDedup {
        |SELECT top.rank, tx.span, top.df, top.n_occ, top.first_doc
        |FROM top JOIN tx ON top.key = tx.key
        |ORDER BY rank""".stripMargin) { (s, d) =>
-    val keyed = docs(s, d)
+    // Duplicate-collapse (SURVEY §4): span keys derive purely from the
+    // text, so pass 1 aggregates per DISTINCT text — n_occ weights the
+    // per-text occurrence count by multiplicity, df is the multiplicity
+    // sum over texts containing the key (every doc sharing the text
+    // contains it), first_doc is the min doc id over containing texts —
+    // and the countDistinct over corpus-scale doc ids disappears. The
+    // pass-2 text recovery re-scans only the distinct texts.
+    val base = docs(s, d)
+      .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"), col("n_chars"))
+    val dist = base.groupBy("tkey")
+      .agg(min("text").as("text"), min("n_chars").as("n_chars"),
+        count(lit(1)).cast("long").as("m"), min("doc_id").as("mindoc"))
       .filter(col("n_chars") >= K)
-      .select(col("doc_id"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = dist
+      .select(col("tkey"), col("m"), col("mindoc"),
         explode(expr(
           s"""transform(sequence(1, cast(n_chars as int) - ${K - 1}, $Stride),
-             |  i -> struct(substring(md5(substring(text, i, $K)), 1, 16) AS key,
-             |              substring(text, i, $K) AS span))""".stripMargin))
-          .as("s"))
-    val sp = keyed.select(col("doc_id"), col("s.key").as("key"))
-    val top = sp.groupBy("key")
-      .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("df"),
-        min("doc_id").as("first_doc"))
+             |  i -> substring(md5(substring(text, i, $K)), 1, 16))""".stripMargin))
+          .as("key"))
+    val top = keyed.groupBy("key", "tkey", "m", "mindoc")
+      .agg(count(lit(1)).cast("long").as("occ"))
+      .groupBy("key")
+      .agg(sum(col("occ") * col("m")).cast("long").as("n_occ"),
+        sum("m").cast("long").as("df"),
+        min("mindoc").as("first_doc"))
       .filter(col("df") >= 2)
       .orderBy(col("df").desc, col("n_occ").desc, col("key"))
       .limit(20)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("df").desc, col("n_occ").desc, col("key"))))
-    val tx = keyed.select(col("s.key").as("key"), col("s.span").as("span"))
+    val tx = dist
+      .select(explode(expr(
+        s"""transform(sequence(1, cast(n_chars as int) - ${K - 1}, $Stride),
+           |  i -> struct(substring(md5(substring(text, i, $K)), 1, 16) AS key,
+           |              substring(text, i, $K) AS span))""".stripMargin))
+        .as("s"))
+      .select(col("s.key").as("key"), col("s.span").as("span"))
       .join(broadcast(top.select("key")), Seq("key"), "left_semi")
       .groupBy("key").agg(min("span").as("span"))
     top.join(tx, Seq("key"))
