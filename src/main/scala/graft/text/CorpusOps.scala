@@ -243,20 +243,34 @@ object CorpusOps {
       |FROM t LEFT JOIN ps ON t.source = ps.source
       |       LEFT JOIN pb ON t.source = pb.source
       |ORDER BY t.source""".stripMargin) { (s, d) =>
+    // The quadratic trap here (found by the round-10 100x bench leg) is
+    // pairing corpus shingle occurrences with bench DOCS: a shingle in b
+    // bench docs and c corpus docs makes b·c join rows — replication-
+    // quadratic, and a replicated crawl puts twins on BOTH sides. The
+    // per-doc counts only need membership in the distinct bench-shingle
+    // SET (content-bounded), and the bench-doc dimension only needs
+    // (shingle, source) pairs — |sources|-bounded per shingle — so
+    // neither side ever enumerates doc×doc pairs. (The former
+    // broadcast(bench) also pinned an sf-scaling frame to the driver;
+    // the distinct set joins un-hinted, AQE decides.)
     val ex = docs(s, d)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("source"),
         explode(array_distinct(expr(gram4Expr("ws")))).as("shingle"))
     val bench = ex.filter(col("doc_id") % 29 === 0)
       .select(col("doc_id").as("bench_id"), col("shingle"))
-    val h = ex.filter(col("doc_id") % 29 =!= 0)
-      .join(broadcast(bench), Seq("shingle"))
-    val ps = h.groupBy("doc_id", "source")
-      .agg(count_distinct(col("shingle")).as("hs"))
+    val corpus = ex.filter(col("doc_id") % 29 =!= 0)
+    val ps = corpus
+      .join(bench.select("shingle").distinct(), Seq("shingle"), "left_semi")
+      // shingles are already distinct per doc (array_distinct above), so
+      // the per-doc hit count is a plain count — no count_distinct state
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("hs"))
       .groupBy("source")
       .agg(count(lit(1)).cast("long").as("n_contaminated"),
         sum("hs").cast("long").as("n_hit_shingles"))
-    val pb = h.groupBy("source")
+    val pb = bench
+      .join(corpus.select("source", "shingle").distinct(), Seq("shingle"))
+      .groupBy("source")
       .agg(count_distinct(col("bench_id")).cast("long").as("n_bench_docs"))
     val t = docs(s, d).filter(col("doc_id") % 29 =!= 0)
       .groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
