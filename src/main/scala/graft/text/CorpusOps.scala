@@ -191,16 +191,38 @@ object CorpusOps {
         |  count(DISTINCT b.bench_id) AS n_bench_docs
         |FROM c JOIN b USING (shingle)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, d) =>
-      val ex = docs(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), explode(array_distinct(expr(gram4Expr("ws")))).as("shingle"))
-      val bench = ex.filter(col("doc_id") % 29 === 0)
-        .select(col("doc_id").as("bench_id"), col("shingle"))
-      ex.filter(col("doc_id") % 29 =!= 0)
-        .join(broadcast(bench), Seq("shingle"))
-        .groupBy("doc_id").agg(
-          count_distinct(col("shingle")).as("n_hit_shingles"),
-          count_distinct(col("bench_id")).as("n_bench_docs"))
+      // Replication-quadratic fix (round-10 100x sweep: 88 s / 22x): the
+      // corpus-occurrence × bench-doc shingle join made b·c rows per
+      // shingle. Collapse both sides to DISTINCT CONTENT: per-content
+      // hit counts are a left-semi against the bench shingle set, and
+      // the bench-doc dimension is the distinct content-pair graph
+      // weighted by each bench content's doc multiplicity — twin docs
+      // share verdicts, expanded by the linear membership join. Note the
+      // bench/corpus split is an ID property (doc_id % 29), so a content
+      // group can stand on BOTH sides; m_bench counts its bench twins.
+      val keyedAll = docs(s, d)
+        .select(col("doc_id"), xxhash64(col("text")).as("tkey"))
+      val meta = keyedAll.groupBy("tkey").agg(
+        sum(when(col("doc_id") % 29 === 0, 1).otherwise(0)).cast("long").as("m_bench"))
+      val exd = docs(s, d)
+        .select(xxhash64(col("text")).as("tkey"), col("text"))
+        .groupBy("tkey").agg(min("text").as("text"))
+        .select(col("tkey"), split(col("text"), " ").as("ws"))
+        .select(col("tkey"), explode(array_distinct(expr(gram4Expr("ws")))).as("shingle"))
+      val benchSh = exd
+        .join(meta.filter(col("m_bench") >= 1).select("tkey"), Seq("tkey"), "left_semi")
+        .select(col("tkey").as("btk"), col("shingle"))
+      // shingles are distinct per content, so per-content hit counts are
+      // plain counts over the semi-join — no count_distinct state
+      val hs = exd.join(benchSh.select("shingle").distinct(), Seq("shingle"), "left_semi")
+        .groupBy("tkey").agg(count(lit(1)).as("n_hit_shingles"))
+      val nb = exd.join(benchSh, Seq("shingle"))
+        .select("tkey", "btk").distinct()
+        .join(meta.select(col("tkey").as("btk"), col("m_bench")), Seq("btk"))
+        .groupBy("tkey").agg(sum("m_bench").cast("long").as("n_bench_docs"))
+      keyedAll.filter(col("doc_id") % 29 =!= 0)
+        .join(hs, Seq("tkey")).join(nb, Seq("tkey"))
+        .select(col("doc_id"), col("n_hit_shingles"), col("n_bench_docs"))
         .orderBy("doc_id")
     }
   }
