@@ -2128,24 +2128,49 @@ object TextOps {
          |  CASE WHEN b.max_shared >= 2 THEN 1 ELSE 0 END AS contaminated
          |FROM best b JOIN pick p ON b.doc_id = p.doc_id
          |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
-      val bands = minhashBandsOf(docs(s, d).select("doc_id", "text"))
+      // Replication-quadratic fix (round-10 100x sweep: 32 s / 20x): band
+      // collisions ran corpus DOC × bench DOC — b·c rows per (band, v)
+      // under twinning. Signatures are pure text functions, so the
+      // collision graph now runs over DISTINCT CONTENT: each bench
+      // content carries its bench-twin multiplicity and min bench id
+      // (the % 29 split is an id property — one content can stand on
+      // both sides), per-content verdicts aggregate content-pair rows,
+      // and the per-doc report expands by the linear membership join
+      // (twins share signatures, hence verdicts).
+      val keyedAll = docs(s, d)
+        .select(col("doc_id"), xxhash64(col("text")).as("tkey"))
+      val meta = keyedAll.groupBy("tkey").agg(
+        sum(when(col("doc_id") % 29 === 0, 1).otherwise(0)).cast("long").as("m_bench"),
+        min(when(col("doc_id") % 29 === 0, col("doc_id"))).as("min_bench_id"))
+      val distTexts = docs(s, d)
+        .select(xxhash64(col("text")).as("tkey"), col("text"))
+        .groupBy("tkey").agg(min("text").as("text"))
+      val bands = minhashBandsOf(distTexts.withColumnRenamed("tkey", "doc_id"))
         .withColumn("band", col("band") + 1)
-      val bench = bands.filter(col("doc_id") % 29 === 0)
-        .select(col("doc_id").as("bench_id"), col("band"), col("v"))
-      val hits = bands.filter(col("doc_id") % 29 =!= 0)
-        .join(broadcast(bench), Seq("band", "v"))
-        .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared_bands"))
-      // ONE aggregation carries both the hit count and the argmax pick
-      // (max over (shared, −bench_id) structs = max shared, min bench id
-      // on ties) — a best ⋈ pick self-join would recompute the corpus
-      // probe twice
-      val best = hits.groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_bench_hits"),
+        .withColumnRenamed("doc_id", "tkey")
+      val bench = bands
+        .join(meta.filter(col("m_bench") >= 1)
+          .select(col("tkey").as("btk"), col("m_bench"), col("min_bench_id")),
+          col("tkey") === col("btk"))
+        .select(col("btk"), col("m_bench"), col("min_bench_id"), col("band"), col("v"))
+      val hitsG = bands.join(bench, Seq("band", "v"))
+        .groupBy("tkey", "btk", "m_bench", "min_bench_id")
+        .agg(count(lit(1)).as("shared_bands"))
+      // ONE aggregation carries the multiplicity-weighted hit count and
+      // the argmax pick (max over (shared, −min_bench_id) structs = max
+      // shared bands, min bench id on ties — within a tied bench content
+      // its own min id is the smallest of its twins)
+      val bestG = hitsG.groupBy("tkey")
+        .agg(sum("m_bench").cast("long").as("n_bench_hits"),
           max(struct(col("shared_bands").as("s"),
-            (-col("bench_id")).as("nb"))).as("__m"))
-        .select(col("doc_id"), col("n_bench_hits"),
+            (-col("min_bench_id")).as("nb"))).as("__m"))
+        .select(col("tkey"), col("n_bench_hits"),
           col("__m.s").cast("long").as("max_shared"),
           (-col("__m.nb")).as("best_bench_id"))
+      val best = keyedAll.filter(col("doc_id") % 29 =!= 0)
+        .join(bestG, Seq("tkey"))
+        .select(col("doc_id"), col("n_bench_hits"), col("max_shared"),
+          col("best_bench_id"))
       best
         .select(col("doc_id"), col("best_bench_id"), col("n_bench_hits"),
           col("max_shared"),
