@@ -2203,7 +2203,67 @@ object TextOps {
     val duckBands = minhashParams.indices
       .map(i => s"SELECT doc_id, ${i + 1} AS band, sig${i + 1} AS v FROM sig")
       .mkString("\n  UNION ALL ")
-    Q.sql(
+    // Collapsed scale twin: the group-level mirror of the Spark body —
+    // signatures/buckets per distinct (text, embedding) representative,
+    // a<=b self-rows as the within-group twin pairs, counts as
+    // multiplicity sums (na·nb across, n(n−1)/2 within), adaptive bit
+    // width pinned to the FULL corpus count. Keeps the 100x gate
+    // hash-checkable where the naive doc-pair universe exceeds
+    // single-box DuckDB's spill capacity.
+    val scaleOracle = {
+      val duckSigs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+        s"list_min(list_transform(s3, w -> ($a * ${duckWordHash("w")} + $b) % $P)) AS sig${i + 1}"
+      }.mkString(",\n  ")
+      s"""WITH j AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text, CAST(e0.embedding AS DOUBLE[]) AS emb
+         |  FROM documents d JOIN embeddings e0 ON d.doc_id = e0.vec_id),
+         |grp AS MATERIALIZED (
+         |  SELECT min(doc_id) AS gid, CAST(count(*) AS BIGINT) AS m, text, emb
+         |  FROM j GROUP BY text, emb),
+         |w AS (SELECT gid AS doc_id, str_split(text, ' ') AS ws FROM grp),
+         |docs AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS s3 FROM w),
+         |sig AS (SELECT doc_id, s3, $duckSigs FROM docs),
+         |tb AS ($duckBands),
+         |tp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |       FROM tb x JOIN tb y
+         |         ON x.band = y.band AND x.v = y.v AND x.doc_id <= y.doc_id),
+         |e AS (SELECT gid AS vec_id, emb FROM grp),
+         |${graft.vector.Similarity.signBandsSql("e",
+              "n1 AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM grp)")},
+         |ec AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |       FROM bands x JOIN bands y
+         |         ON x.band = y.band AND x.bucket = y.bucket
+         |            AND x.vec_id <= y.vec_id),
+         |ep AS (SELECT ec.a, ec.b
+         |       FROM ec JOIN e ea ON ea.vec_id = ec.a
+         |               JOIN e eb2 ON eb2.vec_id = ec.b
+         |       WHERE round(list_cosine_similarity(ea.emb, eb2.emb), 4) >= 0.35),
+         |u AS (SELECT coalesce(tp.a, ep.a) AS a, coalesce(tp.b, ep.b) AS b,
+         |        CASE WHEN tp.a IS NOT NULL AND ep.a IS NOT NULL THEN 'both'
+         |             WHEN tp.a IS NOT NULL THEN 'text_only'
+         |             ELSE 'emb_only' END AS verdict
+         |      FROM tp FULL OUTER JOIN ep ON tp.a = ep.a AND tp.b = ep.b),
+         |sc AS (SELECT u.verdict,
+         |         CASE WHEN u.a = u.b THEN ma.m * (ma.m - 1) // 2
+         |              ELSE ma.m * mb.m END AS wt,
+         |         CAST(round((round(list_cosine_similarity(ea.emb, eb2.emb), 4) + 1)
+         |           * 10000, 0) AS BIGINT) AS cos4
+         |       FROM u JOIN e ea ON ea.vec_id = u.a
+         |              JOIN e eb2 ON eb2.vec_id = u.b
+         |              JOIN grp ma ON ma.gid = u.a
+         |              JOIN grp mb ON mb.gid = u.b),
+         |g AS (SELECT verdict, CAST(sum(wt) AS BIGINT) AS n_pairs,
+         |        CAST(sum(wt * cos4) AS BIGINT) AS s4
+         |      FROM sc WHERE wt > 0 GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM g)
+         |SELECT verdict, n_pairs,
+         |  round(1.0 * n_pairs / total, 4) AS pair_share,
+         |  CAST((2 * s4 + n_pairs) // (2 * n_pairs) AS DOUBLE) / 10000 - 1
+         |    AS mean_cos
+         |FROM g CROSS JOIN t ORDER BY verdict""".stripMargin
+    }
+    Q.sqlDual(
       "dedup_plane_agreement",
       s"""WITH $duckSigCtes,
          |tb AS ($duckBands),
@@ -2238,24 +2298,55 @@ object TextOps {
          |  round(1.0 * n_pairs / total, 4) AS pair_share,
          |  CAST((2 * s4 + n_pairs) // (2 * n_pairs) AS DOUBLE) / 10000 - 1
          |    AS mean_cos
-         |FROM g CROSS JOIN t ORDER BY verdict""".stripMargin) { (s, d) =>
-      val tb = minhashBandsOf(docs(s, d).select("doc_id", "text"))
+         |FROM g CROSS JOIN t ORDER BY verdict""".stripMargin,
+      scaleOracle) { (s, d) =>
+      // Replication-quadratic fix (round-10 100x sweep: >1200 s timeout
+      // at sf10): both planes materialized DOC-level candidate pairs —
+      // an exact-dup cluster of n costs n² rows in each band self-join.
+      // Twins share text AND embedding, so every pair verdict and every
+      // cosine is a property of the CONTENT pair: the collision graphs
+      // now run over one representative per distinct (text, embedding)
+      // group and each group pair carries its doc-pair multiplicity —
+      // na·nb across groups, n(n−1)/2 within (the a<=b self-rows of the
+      // group joins ARE the twin pairs, which also reproduces the
+      // empty-shingle / zero-vector edge exactly: a group with no band
+      // rows never self-collides, in either formulation).
+      val e = graft.Tables.embeddings(s, d)
+      val joined = docs(s, d).select(col("doc_id"), col("text"))
+        .join(e, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+        .withColumn("gk", xxhash64(col("text"), col("embedding")))
+      val meta = joined.groupBy("gk")
+        .agg(count(lit(1)).cast("long").as("m"), min("doc_id").as("gid"))
+      val rep = joined.join(meta, Seq("gk"))
+        .filter(col("doc_id") === col("gid"))
+        .select(col("gid"), col("m"), col("text"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tb = minhashBandsOf(rep.select(col("gid").as("doc_id"), col("text")))
       val tp = tb.select(col("doc_id").as("a"), col("band"), col("v"))
         .join(tb.select(col("doc_id").as("b"), col("band"), col("v")),
           Seq("band", "v"))
-        .filter(col("a") < col("b"))
+        .filter(col("a") <= col("b"))
         .select("a", "b").distinct()
-      val e = graft.Tables.embeddings(s, d)
-      val bands = Similarity.signBands(e)
+      // countFrom pins the adaptive bit width to the FULL corpus count:
+      // banding only representatives must not change the bucket geometry
+      // (the ann_knn_graph collapse's lesson, and exactly what the naive
+      // oracle derives from count(*) over all embeddings)
+      val bands = Similarity.signBands(
+        rep.select(col("gid").as("vec_id"), col("embedding")),
+        countFrom = Some(e))
       val ec = bands.select(col("vec_id").as("a"), col("band"), col("bucket"))
         .join(bands.select(col("vec_id").as("b"), col("band"), col("bucket")),
           Seq("band", "bucket"))
-        .filter(col("a") < col("b"))
+        .filter(col("a") <= col("b"))
         .select("a", "b").distinct()
-      val ea = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
-      val eb = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+      val ea = rep.select(col("gid").as("a"), col("embedding").as("ea"),
+        col("m").as("ma"))
+      val eb = rep.select(col("gid").as("b"), col("embedding").as("eb"),
+        col("m").as("mb"))
       val cosPair = round(expr("graft_cosine(ea, eb)"), 4)
-      val ep = ec.join(ea, Seq("a")).join(eb, Seq("b"))
+      val ep = ec.join(ea.select("a", "ea"), Seq("a"))
+        .join(eb.select("b", "eb"), Seq("b"))
         .filter(cosPair >= 0.35)
         .select("a", "b")
       val u = tp.withColumn("__t", lit(1))
@@ -2265,15 +2356,18 @@ object TextOps {
             .when(col("__t").isNotNull, "text_only")
             .otherwise("emb_only").as("verdict"))
       val g = u.join(ea, Seq("a")).join(eb, Seq("b"))
-        .select(col("verdict"),
+        .withColumn("w", expr(
+          "CASE WHEN a = b THEN ma * (ma - 1) div 2 ELSE ma * mb END"))
+        .filter(col("w") > 0)
+        .select(col("verdict"), col("w"),
           // +1 shift keeps the sum non-negative: Spark `div` truncates
           // toward zero while DuckDB `//` floors, so a negative numerator
           // would split the engines
           expr("CAST(round((round(graft_cosine(ea, eb), 4) + 1) * 10000, 0) AS BIGINT)")
             .as("cos4"))
         .groupBy("verdict")
-        .agg(count(lit(1)).cast("long").as("n_pairs"),
-          sum("cos4").cast("long").as("s4"))
+        .agg(sum("w").cast("long").as("n_pairs"),
+          sum(col("w") * col("cos4")).cast("long").as("s4"))
       val t = g.agg(sum("n_pairs").cast("long").as("total"))
       g.crossJoin(broadcast(t))
         .select(col("verdict"), col("n_pairs"),

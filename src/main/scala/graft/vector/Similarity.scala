@@ -317,9 +317,15 @@ object Similarity {
       .select("vec_id", "band", "bucket")
   }
 
-  /** Oracle CTE chain (n1, eb, bands) shared by the sign-LSH consumers. */
-  private[graft] def signBandsSql(src: String = "e"): String =
-    s"""n1 AS (SELECT count(*) AS n FROM $src),
+  /** Oracle CTE chain (n1, eb, bands) shared by the sign-LSH consumers.
+    * `countExpr` overrides where the adaptive bit width's n comes from —
+    * the SQL twin of [[signBands]]'s countFrom (a collapsed twin banding
+    * only group representatives must keep the full-corpus geometry). */
+  private[graft] def signBandsSql(src: String = "e",
+      n1Cte: String = ""): String = {
+    val n1 = if (n1Cte.isEmpty) s"n1 AS (SELECT count(*) AS n FROM $src)"
+             else n1Cte
+    s"""$n1,
        |eb AS (SELECT vec_id, emb, ($adaptiveBitsSql) AS b FROM $src, n1),
        |bands AS (SELECT vec_id, band,
        |            list_sum(list_transform(range(1, b + 1),
@@ -327,6 +333,7 @@ object Similarity {
        |                   THEN (CAST(1 AS BIGINT) << CAST(b - i AS INT))
        |                   ELSE CAST(0 AS BIGINT) END)) AS bucket
        |          FROM eb, (SELECT unnest([1, 2]) AS band) bb)""".stripMargin
+  }
 
   val dedupEmbedding: Q = {
     val bitsCase = adaptiveBitsSql
