@@ -1836,43 +1836,19 @@ object Similarity {
     * sets, the ≤3n-edge graph persists MEMORY_AND_DISK (read by the
     * reversed-edge mutuality self-join AND the rollup), the report is a
     * 4-row aggregate. */
-  val annKnnGraph: Q = Q.sql(
-    "ann_knn_graph",
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-       |           FROM embeddings),
-       |${signBandsSql()},
-       |cand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
-       |         FROM bands x JOIN bands y
-       |           ON x.band = y.band AND x.bucket = y.bucket
-       |              AND x.vec_id <> y.vec_id),
-       |sc AS (SELECT cand.src, cand.dst,
-       |         round(list_cosine_similarity(ea.emb, eb2.emb), 4) AS cos_sim
-       |       FROM cand JOIN e ea ON ea.vec_id = cand.src
-       |                 JOIN e eb2 ON eb2.vec_id = cand.dst),
-       |k AS (SELECT src, dst, cos_sim FROM (
-       |        SELECT *, row_number() OVER (
-       |          PARTITION BY src ORDER BY cos_sim DESC, dst) AS rn FROM sc)
-       |      WHERE rn <= 3),
-       |m AS (SELECT k.src, k.cos_sim,
-       |        CASE WHEN k2.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
-       |      FROM k LEFT JOIN k k2 ON k2.src = k.dst AND k2.dst = k.src),
-       |deg AS (SELECT src, count(*) AS degree,
-       |          CAST(sum(mutual) AS BIGINT) AS n_mut,
-       |          sum(CAST(cos_sim AS DECIMAL(18,4))) AS sum_cos
-       |        FROM m GROUP BY 1),
-       |dd AS (SELECT CAST(degree AS INT) AS degree, count(*) AS n_vectors,
-       |         CAST(sum(degree) AS BIGINT) AS n_edges,
-       |         CAST(sum(n_mut) AS BIGINT) AS n_mutual,
-       |         round(CAST(sum(sum_cos) AS DOUBLE) / sum(degree), 4) AS avg_cos
-       |       FROM deg GROUP BY 1),
-       |d0 AS (SELECT CAST(0 AS INT) AS degree,
-       |         n1.n - (SELECT count(*) FROM deg) AS n_vectors,
-       |         CAST(0 AS BIGINT) AS n_edges, CAST(0 AS BIGINT) AS n_mutual,
-       |         CAST(NULL AS DOUBLE) AS avg_cos
-       |       FROM n1)
-       |SELECT * FROM d0 WHERE n_vectors > 0
-       |UNION ALL SELECT * FROM dd ORDER BY degree""".stripMargin) { (s, d) =>
-    val e = emb(s, d)
+  /** Duplicate-collapsed exact 3-NN edge list (src, dst, cos_sim) over
+    * the adaptive sign-LSH candidate graph — candidate enumeration runs
+    * over one representative per DISTINCT embedding (an exact-dup
+    * cluster of M costs one banding row instead of M² pairs) and the
+    * per-vector top-3 is rebuilt exactly from a bounded pool: within a
+    * candidate group all cosines tie and break by ascending id, so only
+    * a group's 3 smallest ids (4 for the own group — self is filtered)
+    * can reach any top-3. The dst CHOICE is therefore id-exact, which
+    * keeps every label-dependent consumer correct even when identical
+    * embeddings carry different labels. Shared by ann_knn_graph and
+    * emb_label_vote (same k, same tie rule).
+    */
+  private def knn3Collapsed(e: DataFrame): DataFrame = {
     // Duplicate-collapsed candidate generation (the dedup_minhash trick
     // on the vector plane): identical embeddings share every band bucket
     // AND every cosine, so candidate enumeration runs over one
@@ -1915,13 +1891,53 @@ object Similarity {
         Seq("gdst"))
       .select(col("gsrc").as("gid"), col("cand_id"), col("cos_sim")))
     val rankW = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))
-    val knn = eAll.select(col("vec_id").as("src"), col("gid"))
+    eAll.select(col("vec_id").as("src"), col("gid"))
       .join(pool, Seq("gid"))
       .filter(col("cand_id") =!= col("src"))
       .select(col("src"), col("cand_id").as("dst"), col("cos_sim"))
       .withColumn("rn", row_number().over(rankW))
       .filter(col("rn") <= 3)
       .select("src", "dst", "cos_sim")
+  }
+
+  val annKnnGraph: Q = Q.sql(
+    "ann_knn_graph",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |${signBandsSql()},
+       |cand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bucket = y.bucket
+       |              AND x.vec_id <> y.vec_id),
+       |sc AS (SELECT cand.src, cand.dst,
+       |         round(list_cosine_similarity(ea.emb, eb2.emb), 4) AS cos_sim
+       |       FROM cand JOIN e ea ON ea.vec_id = cand.src
+       |                 JOIN e eb2 ON eb2.vec_id = cand.dst),
+       |k AS (SELECT src, dst, cos_sim FROM (
+       |        SELECT *, row_number() OVER (
+       |          PARTITION BY src ORDER BY cos_sim DESC, dst) AS rn FROM sc)
+       |      WHERE rn <= 3),
+       |m AS (SELECT k.src, k.cos_sim,
+       |        CASE WHEN k2.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
+       |      FROM k LEFT JOIN k k2 ON k2.src = k.dst AND k2.dst = k.src),
+       |deg AS (SELECT src, count(*) AS degree,
+       |          CAST(sum(mutual) AS BIGINT) AS n_mut,
+       |          sum(CAST(cos_sim AS DECIMAL(18,4))) AS sum_cos
+       |        FROM m GROUP BY 1),
+       |dd AS (SELECT CAST(degree AS INT) AS degree, count(*) AS n_vectors,
+       |         CAST(sum(degree) AS BIGINT) AS n_edges,
+       |         CAST(sum(n_mut) AS BIGINT) AS n_mutual,
+       |         round(CAST(sum(sum_cos) AS DOUBLE) / sum(degree), 4) AS avg_cos
+       |       FROM deg GROUP BY 1),
+       |d0 AS (SELECT CAST(0 AS INT) AS degree,
+       |         n1.n - (SELECT count(*) FROM deg) AS n_vectors,
+       |         CAST(0 AS BIGINT) AS n_edges, CAST(0 AS BIGINT) AS n_mutual,
+       |         CAST(NULL AS DOUBLE) AS avg_cos
+       |       FROM n1)
+       |SELECT * FROM d0 WHERE n_vectors > 0
+       |UNION ALL SELECT * FROM dd ORDER BY degree""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val knn = knn3Collapsed(e)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mutual = knn
       .join(knn.select(col("src").as("r_src"), col("dst").as("r_dst")),
@@ -2097,19 +2113,13 @@ object Similarity {
        |  CAST(sum(voted) - sum(agree) AS BIGINT) AS n_flagged
        |FROM j GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
     val e = emb(s, d)
-    val bands = signBands(e)
-    val cand = bands.select(col("vec_id").as("src"), col("band"), col("bucket"))
-      .join(bands.select(col("vec_id").as("dst"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
-    val sc = cand
-      .join(e.select(col("vec_id").as("src"), col("embedding").as("ea")), Seq("src"))
-      .join(e.select(col("vec_id").as("dst"), col("embedding").as("eb")), Seq("dst"))
-      .select(col("src"), col("dst"), cosR(col("ea"), col("eb")).as("cos_sim"))
-    val k = sc.withColumn("rn", row_number().over(
-        Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))))
-      .filter(col("rn") <= 3).select("src", "dst")
+    // round-10 quadratic fix (100x sweep: 20 s / 10.2x): the per-doc
+    // band self-join paid M² candidate rows per exact-dup cluster. The
+    // 3-NN edge list now comes from the shared duplicate-collapsed
+    // builder ([[knn3Collapsed]] — also ann_knn_graph's); the dst picks
+    // are id-exact, so the label votes are unchanged even where
+    // identical embeddings carry different labels.
+    val k = knn3Collapsed(e).select("src", "dst")
     // argmax by (cnt, −label) struct-max: max count, smallest label on
     // ties — one aggregation instead of a rank + join-back
     val vote = k.join(e.select(col("vec_id").as("dst"), col("label").as("nlabel")),
