@@ -413,9 +413,12 @@ object EventStream {
     * Scale: per-ingest-batch cost = one scan of the (MEMORY_AND_DISK)
     * band index + a broadcast of the batch's bands; no watermark state —
     * the dedup state IS the index, maintained outside the stream. */
-  val streamDedupIncremental: Q = Q.sql(
+  val streamDedupIncremental: Q = Q.sqlDual(
     "stream_dedup_incremental",
-    graft.text.TextOps.dedupIncremental.oracle.get) { (s, d) =>
+    graft.text.TextOps.dedupIncremental.oracle.get,
+    // same collapsed scale twin as the batch op — the streaming replay
+    // must land on identical verdicts at every scale the gate runs
+    graft.text.TextOps.dedupIncremental.scaleOracle.get) { (s, d) =>
     graft.GraftFunctions.ensureRegistered(s)
     val tmp = graft.Scratch.dir("graft-sdi-")
     // the maintained dedup state is the COLLAPSED signature-group index

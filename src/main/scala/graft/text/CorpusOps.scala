@@ -26,22 +26,24 @@ object CorpusOps {
   }
 
   /** Exact-duplicate collapse for the LM scorers: the corpus folded to
-    * one row per distinct text (keyed by xxhash64) with its
-    * multiplicity, plus the (doc_id, tkey) map for the final expansion
-    * join. Model counts weighted by `m` equal the doc-level counts
-    * exactly, and twin docs score identically, so collapsed compute +
-    * linear join-back reproduces the naive per-doc output bit-for-bit —
-    * the duplicate-collapse discipline (SURVEY §4) applied to LM
-    * scoring. On a replicated crawl every downstream stage (token
-    * explode, tf partial-agg, model joins) shrinks by the duplication
-    * factor, for the price of the one text-key shuffle dedup_exact
-    * already pays (partial-agg: each map partition ships at most one
-    * copy of each distinct text). Key injectivity is pinned by
-    * CorpusOpsSpec's guard and, independently, by the cross-engine hash
-    * gate at every tested SF — the DuckDB twins stay doc-level. */
+    * one row per distinct text (keyed by a 128-bit [[graft.Hash128]]
+    * fold) with its multiplicity, plus the (doc_id, tkey) map for the
+    * final expansion join. Model counts weighted by `m` equal the
+    * doc-level counts exactly, and twin docs score identically, so
+    * collapsed compute + linear join-back reproduces the naive per-doc
+    * output bit-for-bit — the duplicate-collapse discipline (SURVEY §4)
+    * applied to LM scoring. On a replicated crawl every downstream stage
+    * (token explode, tf partial-agg, model joins) shrinks by the
+    * duplication factor, for the price of the one text-key shuffle
+    * dedup_exact already pays (partial-agg: each map partition ships at
+    * most one copy of each distinct text). Key injectivity is pinned by
+    * CorpusOpsSpec's guard, by the cross-engine hash gate at every
+    * tested SF (the DuckDB twins stay doc-level), and structurally by
+    * the 128-bit width (~2^-128 per pair — holds past 1e9 distinct
+    * texts, where a 64-bit fold's birthday bound reached ~3%). */
   private[text] def distinctTexts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val base = docs(s, d)
-      .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
+      .select(col("doc_id"), graft.Hash128.key128(col("text")).as("tkey"), col("text"))
     val keyed = base.select("doc_id", "tkey")
     val dist = base.groupBy("tkey")
       .agg(min("text").as("text"), count(lit(1)).cast("long").as("m"))
@@ -201,11 +203,11 @@ object CorpusOps {
       // bench/corpus split is an ID property (doc_id % 29), so a content
       // group can stand on BOTH sides; m_bench counts its bench twins.
       val keyedAll = docs(s, d)
-        .select(col("doc_id"), xxhash64(col("text")).as("tkey"))
+        .select(col("doc_id"), graft.Hash128.key128(col("text")).as("tkey"))
       val meta = keyedAll.groupBy("tkey").agg(
         sum(when(col("doc_id") % 29 === 0, 1).otherwise(0)).cast("long").as("m_bench"))
       val exd = docs(s, d)
-        .select(xxhash64(col("text")).as("tkey"), col("text"))
+        .select(graft.Hash128.key128(col("text")).as("tkey"), col("text"))
         .groupBy("tkey").agg(min("text").as("text"))
         .select(col("tkey"), split(col("text"), " ").as("ws"))
         .select(col("tkey"), explode(array_distinct(expr(gram4Expr("ws")))).as("shingle"))
@@ -1103,17 +1105,17 @@ object CorpusOps {
     scaleOracle) { (s, d) =>
     // two collapses before anything heavy: docs fold to distinct texts
     // (multiplicity-weighted model counts — [[distinctTexts]]), and
-    // terms dictionary-encode to 8-byte xxhash64 ids, so the tf
-    // partial-agg and the model join — the sf10 spill drivers — carry
-    // fixed-width keys over 1/dup-factor of the mass. Surprisal needs
-    // only counts, so the string itself is never published (injectivity
-    // pinned by CorpusOpsSpec's term-id guard; at true web-vocab scale
-    // the same design point widens the fold to 128 bits)
+    // terms dictionary-encode to 16-byte 128-bit ids (Hash128.key128),
+    // so the tf partial-agg and the model join — the sf10 spill drivers
+    // — carry fixed-width keys over 1/dup-factor of the mass. Surprisal
+    // needs only counts, so the string itself is never published
+    // (injectivity pinned by CorpusOpsSpec's term-id guard and by the
+    // ~2^-128 pair bound — holds at web-vocab scale)
     val (keyed, dist) = distinctTexts(s, d)
     val tf = dist
       .select(col("tkey"), col("m"), split(col("text"), " ").as("ws"))
       .select(col("tkey"), col("m"), size(col("ws")).as("n"), explode(col("ws")).as("term"))
-      .select(col("tkey"), col("m"), col("n"), xxhash64(col("term")).as("tid"))
+      .select(col("tkey"), col("m"), col("n"), graft.Hash128.key128(col("term")).as("tid"))
       .groupBy("tkey", "m", "n", "tid").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gt = tf.groupBy("tid").agg(sum(col("c") * col("m")).cast("long").as("ct"))
@@ -2287,7 +2289,7 @@ object CorpusOps {
       import org.apache.spark.storage.StorageLevel
       // two collapses (the corpus_perplexity posture): distinct texts
       // with multiplicity-weighted model counts, and gram/word strings
-      // folded to 8-byte xxhash64 ids in the source projection — the
+      // folded to 128-bit Hash128 ids in the source projection — the
       // persisted tf table and every model join carry fixed-width keys
       // over 1/dup-factor of the mass; strings exist only inside the
       // stage that explodes them. gid determines (w1, w2), so grouping
@@ -2296,13 +2298,13 @@ object CorpusOps {
       val (keyed, dist) = distinctTexts(s, d)
       val w = dist.select(col("tkey"), col("m"), split(col("text"), " ").as("ws"))
       val uc = w.select(col("m"), explode(col("ws")).as("term"))
-        .select(col("m"), xxhash64(col("term")).as("w2"))
+        .select(col("m"), graft.Hash128.key128(col("term")).as("w2"))
         .groupBy("w2").agg(sum("m").cast("long").as("cu"))
       val nt = uc.agg(sum("cu").cast("long").as("n"))
       val dtf = w.select(col("tkey"), col("m"), explode(expr("graft_shingles(ws, 2)")).as("gram"))
-        .select(col("tkey"), col("m"), xxhash64(col("gram")).as("gid"),
-          xxhash64(expr("split_part(gram, ' ', 1)")).as("w1"),
-          xxhash64(expr("split_part(gram, ' ', 2)")).as("w2"))
+        .select(col("tkey"), col("m"), graft.Hash128.key128(col("gram")).as("gid"),
+          graft.Hash128.key128(expr("split_part(gram, ' ', 1)")).as("w1"),
+          graft.Hash128.key128(expr("split_part(gram, ' ', 2)")).as("w2"))
         .groupBy("tkey", "m", "gid", "w1", "w2").agg(count(lit(1)).cast("long").as("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val bc = dtf.groupBy("gid", "w1", "w2")
@@ -2392,16 +2394,16 @@ object CorpusOps {
          |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.storage.StorageLevel
       // same double collapse as corpus_bigram_ppl (distinct texts +
-      // xxhash64 ids). The KN model tables are all multiplicity-aware or
-      // multiplicity-FREE: cbg weights by m, while k1/nl/bb count
-      // DISTINCT gram types — a twin doc introduces no new type, so the
-      // group-level bc yields them exactly.
+      // 128-bit Hash128 ids). The KN model tables are all
+      // multiplicity-aware or multiplicity-FREE: cbg weights by m, while
+      // k1/nl/bb count DISTINCT gram types — a twin doc introduces no
+      // new type, so the group-level bc yields them exactly.
       val (keyed, dist) = distinctTexts(s, d)
       val w = dist.select(col("tkey"), col("m"), split(col("text"), " ").as("ws"))
       val dtf = w.select(col("tkey"), col("m"), explode(expr("graft_shingles(ws, 2)")).as("gram"))
-        .select(col("tkey"), col("m"), xxhash64(col("gram")).as("gid"),
-          xxhash64(expr("split_part(gram, ' ', 1)")).as("w1"),
-          xxhash64(expr("split_part(gram, ' ', 2)")).as("w2"))
+        .select(col("tkey"), col("m"), graft.Hash128.key128(col("gram")).as("gid"),
+          graft.Hash128.key128(expr("split_part(gram, ' ', 1)")).as("w1"),
+          graft.Hash128.key128(expr("split_part(gram, ' ', 2)")).as("w2"))
         .groupBy("tkey", "m", "gid", "w1", "w2").agg(count(lit(1)).cast("long").as("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val bc = dtf.groupBy("gid", "w1", "w2")

@@ -304,6 +304,178 @@ object Privacy {
     }
   }
 
+  // ------------------------------------------------------- text PII --
+
+  /** PII detector classes over release TEXT — one definition emitting
+    * both regex dialects (the patterns use only character classes and
+    * counted repetition, the Java-regex ∩ RE2 subset, so Spark and
+    * DuckDB match identically). Classes: email + IPv4 as the standard
+    * web-crawl detectors (negative controls on this corpus — a clean
+    * release must PROVE zero, not assume it), the CRM phone format, the
+    * account-id token, and bare long digit runs (the ssn/credit-card
+    * catch-all every release gate ships). Order matters for redaction:
+    * specific before general, so the long-digit pass only sees runs no
+    * richer class claimed. */
+  private[graft] val piiClasses: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}", "[EMAIL]"),
+    ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "[IP]"),
+    ("phone", "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+    ("account", "Customer#[0-9]+", "[ACCT]"),
+    ("longnum", "[0-9]{9,}", "[NUM]"))
+
+  /** The release under scan: the corpus plus a CRM dump that leaked into
+    * it as pseudo-documents — the classic contamination a text-level PII
+    * gate exists to catch. The corpus side is the negative control: the
+    * gate must PROVE it clean. The CRM rows render each customer the way
+    * a support-ticket export lands in a crawl: account name, a
+    * key-derived phone and 9-digit reference, and (every third row) an
+    * email — all deterministic integer arithmetic + %-format rendering,
+    * identical in Java's String.format and DuckDB's printf, so the two
+    * engines scan byte-identical text. Pure per-row projection on both
+    * arms; the union is linear. */
+  private val releaseSql: String =
+    // no line may START with '||': this fragment is re-interpolated into
+    // stripMargin templates, which would eat the first bar of the operator
+    """SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT 1000000000 + c_custkey AS doc_id, 'crm_dump' AS source,
+      |    c_name || ' (' || c_mktsegment || ') contact ' ||
+      |      printf('%02d-%03d-%03d-%04d',
+      |           10 + c_custkey % 90, 100 + (c_custkey * 7) % 900,
+      |           100 + (c_custkey * 13) % 900, 1000 + (c_custkey * 31) % 9000) ||
+      |      ' ref ' || printf('%09d', 100000000 + (c_custkey * 977) % 900000000) ||
+      |      CASE WHEN c_custkey % 3 = 0
+      |           THEN ' email cust' || CAST(c_custkey AS VARCHAR) || '@example.com'
+      |           ELSE '' END AS text
+      |  FROM customer""".stripMargin
+
+  private def releaseDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .unionByName(Tables.customer(s, d).select(
+        (lit(1000000000L) + col("c_custkey")).as("doc_id"),
+        lit("crm_dump").as("source"),
+        concat(col("c_name"), lit(" ("), col("c_mktsegment"), lit(") contact "),
+          format_string("%02d-%03d-%03d-%04d",
+            lit(10) + col("c_custkey") % 90, lit(100) + (col("c_custkey") * 7) % 900,
+            lit(100) + (col("c_custkey") * 13) % 900,
+            lit(1000) + (col("c_custkey") * 31) % 9000),
+          lit(" ref "),
+          format_string("%09d",
+            lit(100000000L) + (col("c_custkey") * 977) % 900000000L),
+          when(col("c_custkey") % 3 === 0,
+            concat(lit(" email cust"), col("c_custkey").cast("string"),
+              lit("@example.com"))).otherwise(lit("")))
+          .as("text")))
+
+  /** Per-document text-PII report: for every release document carrying
+    * at least one detector hit, the per-class match counts and a sample
+    * match (first occurrence of the highest-priority hitting class —
+    * what a reviewer eyeballs to confirm the detector isn't firing on
+    * noise). Docs with zero hits are filtered out, so the output is
+    * bounded by the CONTAMINATED doc count, not the corpus.
+    *
+    * Scale: pure per-row map + filter — regexp_extract_all is a codegen
+    * projection, there is no aggregate, window or join anywhere, so the
+    * op is a single scan at any corpus size (the 100 TB shape: this runs
+    * as a side-output of the release writer). */
+  val piiTextDetect: Q = {
+    val duckCounts = piiClasses.map { case (n, p, _) =>
+      s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$n"
+    }.mkString(",\n    ")
+    val duckSample = piiClasses.map { case (n, p, _) =>
+      s"WHEN n_$n > 0 THEN regexp_extract_all(text, '$p')[1]"
+    }.mkString("CASE ", "\n    ", " END")
+    val anyHit = piiClasses.map { case (n, _, _) => s"n_$n" }.mkString(" + ")
+    Q.sql(
+      "pii_text_detect",
+      s"""WITH rel AS ($releaseSql),
+         |x AS (SELECT doc_id, source,
+         |    $duckCounts,
+         |    text
+         |  FROM rel)
+         |SELECT doc_id, source,
+         |  ${piiClasses.map { case (n, _, _) => s"n_$n" }.mkString(", ")},
+         |  $duckSample AS sample
+         |FROM x WHERE $anyHit > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val counted = piiClasses.foldLeft(releaseDf(s, d)) { case (df, (n, p, _)) =>
+        df.withColumn(s"n_$n",
+          size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long"))
+      }
+      val sampleCol = piiClasses.reverse.foldLeft(lit(null).cast("string")) {
+        case (els, (n, p, _)) =>
+          when(col(s"n_$n") > 0,
+            element_at(regexp_extract_all(col("text"), lit(p), lit(0)), 1))
+            .otherwise(els)
+      }
+      counted
+        .filter(piiClasses.map { case (n, _, _) => col(s"n_$n") }
+          .reduce(_ + _) > 0)
+        .select(col("doc_id") +: col("source") +:
+          piiClasses.map { case (n, _, _) => col(s"n_$n") } :+
+          sampleCol.as("sample"): _*)
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Deterministic text redaction + residual proof: every contaminated
+    * release document rewritten with each detector class replaced by its
+    * fixed mask token (specific classes first, so the long-digit
+    * catch-all only sees what richer classes left), plus n_residual —
+    * the full detector suite re-run ON THE REDACTED TEXT. The release
+    * gate's contract is n_residual = 0 for every row (mask tokens are
+    * digit-free, so a replacement can never splice two digit runs into a
+    * fresh match); publishing the re-scan makes the proof part of the
+    * artifact instead of a test-time assumption (PiiTextSpec pins it and
+    * the oracle recomputes it).
+    *
+    * Scale: same single-scan shape as [[piiTextDetect]] — chained
+    * regexp_replace projections, a filter, no shuffle. */
+  val piiRedact: Q = {
+    val duckRedacted = piiClasses.foldLeft("text") { case (acc, (_, p, t)) =>
+      s"regexp_replace($acc, '$p', '$t', 'g')"
+    }
+    val duckCounts = piiClasses.map { case (n, p, _) =>
+      s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$n"
+    }.mkString(",\n    ")
+    val anyHit = piiClasses.map { case (n, _, _) => s"n_$n" }.mkString(" + ")
+    val duckResidual = piiClasses.map { case (_, p, _) =>
+      s"len(regexp_extract_all(redacted, '$p'))"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+    Q.sql(
+      "pii_redact",
+      s"""WITH rel AS ($releaseSql),
+         |x AS (SELECT doc_id, source, text,
+         |    $duckCounts,
+         |    $duckRedacted AS redacted
+         |  FROM rel),
+         |y AS (SELECT doc_id, source, redacted,
+         |    CAST($anyHit AS BIGINT) AS n_masked,
+         |    $duckResidual AS n_residual
+         |  FROM x WHERE $anyHit > 0)
+         |SELECT doc_id, source, redacted, n_masked, n_residual
+         |FROM y ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val counted = piiClasses.foldLeft(releaseDf(s, d)) { case (df, (n, p, _)) =>
+        df.withColumn(s"n_$n",
+          size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long"))
+      }
+      val redactedCol = piiClasses.foldLeft(col("text")) { case (acc, (_, p, t)) =>
+        regexp_replace(acc, lit(p), lit(t))
+      }
+      val flagged = counted
+        .filter(piiClasses.map { case (n, _, _) => col(s"n_$n") }
+          .reduce(_ + _) > 0)
+        .withColumn("redacted", redactedCol)
+      val residual = piiClasses.map { case (_, p, _) =>
+        size(regexp_extract_all(col("redacted"), lit(p), lit(0)))
+      }.reduce(_ + _).cast("long")
+      flagged.select(col("doc_id"), col("source"), col("redacted"),
+          piiClasses.map { case (n, _, _) => col(s"n_$n") }
+            .reduce(_ + _).cast("long").as("n_masked"),
+          residual.as("n_residual"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(piiScrub, piiKanon, piiLdiversity, piiTcloseness,
-    piiDpHistogram)
+    piiDpHistogram, piiTextDetect, piiRedact)
 }

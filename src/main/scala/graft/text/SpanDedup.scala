@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * duplicated" when the same 40-char string occurs in ≥ 2 distinct
   * documents.
   *
-  * Scale posture: spans are md5-folded to 16-hex keys BEFORE any shuffle
-  * — the exchange carries 16 bytes per span (≈ 0.8 bytes per corpus
-  * char), never the raw span text; cross-doc detection is min≠max over
+  * Scale posture: spans are md5-folded to 128-bit keys BEFORE any
+  * shuffle — the exchange carries the 32-hex fold per span, never the
+  * raw span text (the full digest, not a 64-bit prefix: at web scale
+  * the span-key universe passes 1e9 and a truncated fold's birthday
+  * bound would silently merge two spans' duplication verdicts); cross-doc detection is min≠max over
   * doc_id (partial-aggregated, no countDistinct); the verdict joins back
   * as a hash equi-join on the same key partitioning (one exchange family,
   * reused). Output is the bounded |lang × source| rollup, never per-span.
@@ -42,7 +44,7 @@ object SpanDedup {
        |    unnest(generate_series(1, CAST(n_chars AS INT) - ${K - 1}, $Stride)) AS i
        |  FROM documents WHERE n_chars >= $K),
        |sp AS (SELECT doc_id, lang, source,
-       |    substr(md5(substr(text, CAST(i AS INT), $K)), 1, 16) AS key
+       |    md5(substr(text, CAST(i AS INT), $K)) AS key
        |  FROM sp0),
        |k AS (SELECT key, min(doc_id) AS mn, max(doc_id) AS mx
        |      FROM sp GROUP BY 1),
@@ -70,7 +72,7 @@ object SpanDedup {
        |  max_doc_dup_share
        |FROM d LEFT JOIN r ON d.lang = r.lang AND d.source = r.source
        |ORDER BY d.lang, d.source""".stripMargin) { (s, d) =>
-    // hash-at-the-source: the transform emits the 16-hex md5 fold of each
+    // hash-at-the-source: the transform emits the 32-hex md5 fold of each
     // span, so raw 40-char spans never leave the scan projection.
     // Duplicate-collapse (SURVEY §4): spans derive purely from the text,
     // so the span explode + key aggregation run once per DISTINCT text;
@@ -79,7 +81,7 @@ object SpanDedup {
     // attributes (lang/source) rejoin at the linear doc-level expansion,
     // so two same-text docs from different sources keep their own rows.
     val dist = docs(s, d)
-      .select(xxhash64(col("text")).as("tkey"), col("text"), col("n_chars"))
+      .select(graft.Hash128.key128(col("text")).as("tkey"), col("text"), col("n_chars"))
       .groupBy("tkey").agg(min("text").as("text"), min("n_chars").as("n_chars"),
         count(lit(1)).cast("long").as("m"))
     val sp = dist
@@ -87,7 +89,7 @@ object SpanDedup {
       .select(col("tkey"), col("m"),
         explode(expr(
           s"""transform(sequence(1, cast(n_chars as int) - ${K - 1}, $Stride),
-             |  i -> substring(md5(substring(text, i, $K)), 1, 16))""".stripMargin))
+             |  i -> md5(substring(text, i, $K)))""".stripMargin))
           .as("key"))
     val k = sp.groupBy("key")
       .agg(min("tkey").as("mnt"), max("tkey").as("mxt"), max("m").as("mxm"))
@@ -98,7 +100,7 @@ object SpanDedup {
           .as("n_dup"))
     val perDoc = docs(s, d)
       .filter(col("n_chars") >= K)
-      .select(col("doc_id"), col("lang"), col("source"), xxhash64(col("text")).as("tkey"))
+      .select(col("doc_id"), col("lang"), col("source"), graft.Hash128.key128(col("text")).as("tkey"))
       .join(perText, Seq("tkey"))
     val rollup = perDoc.groupBy("lang", "source")
       .agg(count(lit(1)).as("docs_scanned"),
@@ -128,7 +130,7 @@ object SpanDedup {
     * the next training run.
     *
     * Two-pass scale shape: pass 1 aggregates the md5-folded span keys
-    * (16 B on the wire — the [[spanDedup]] discipline) into per-key
+    * (the 128-bit [[spanDedup]] discipline) into per-key
     * df / occurrence / first-doc facts and takes the global top-20 by
     * (df, n_occ, key) — a distributed TakeOrdered, never a global sort;
     * pass 2 recovers the actual span TEXT by re-scanning the corpus with
@@ -143,7 +145,7 @@ object SpanDedup {
        |    unnest(generate_series(1, CAST(n_chars AS INT) - ${K - 1}, $Stride)) AS i
        |  FROM documents WHERE n_chars >= $K),
        |sp AS (SELECT doc_id, substr(text, CAST(i AS INT), $K) AS span,
-       |         substr(md5(substr(text, CAST(i AS INT), $K)), 1, 16) AS key
+       |         md5(substr(text, CAST(i AS INT), $K)) AS key
        |       FROM sp0),
        |k AS (SELECT key, count(*) AS n_occ, count(DISTINCT doc_id) AS df,
        |        min(doc_id) AS first_doc
@@ -164,7 +166,7 @@ object SpanDedup {
     // and the countDistinct over corpus-scale doc ids disappears. The
     // pass-2 text recovery re-scans only the distinct texts.
     val base = docs(s, d)
-      .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"), col("n_chars"))
+      .select(col("doc_id"), graft.Hash128.key128(col("text")).as("tkey"), col("text"), col("n_chars"))
     val dist = base.groupBy("tkey")
       .agg(min("text").as("text"), min("n_chars").as("n_chars"),
         count(lit(1)).cast("long").as("m"), min("doc_id").as("mindoc"))
@@ -174,7 +176,7 @@ object SpanDedup {
       .select(col("tkey"), col("m"), col("mindoc"),
         explode(expr(
           s"""transform(sequence(1, cast(n_chars as int) - ${K - 1}, $Stride),
-             |  i -> substring(md5(substring(text, i, $K)), 1, 16))""".stripMargin))
+             |  i -> md5(substring(text, i, $K)))""".stripMargin))
           .as("key"))
     val top = keyed.groupBy("key", "tkey", "m", "mindoc")
       .agg(count(lit(1)).cast("long").as("occ"))
@@ -191,7 +193,7 @@ object SpanDedup {
     val tx = dist
       .select(explode(expr(
         s"""transform(sequence(1, cast(n_chars as int) - ${K - 1}, $Stride),
-           |  i -> struct(substring(md5(substring(text, i, $K)), 1, 16) AS key,
+           |  i -> struct(md5(substring(text, i, $K)) AS key,
            |              substring(text, i, $K) AS span))""".stripMargin))
         .as("s"))
       .select(col("s.key").as("key"), col("s.span").as("span"))

@@ -1453,7 +1453,46 @@ object TextOps {
     val duckBands = minhashParams.indices
       .map(i => s"SELECT doc_id, ${i + 1} AS band, sig${i + 1} AS v FROM sig")
       .mkString("\n  UNION ALL ")
-    Q.sql(
+    // Collapsed scale twin — the SQL mirror of [[incrementalVerdicts]]:
+    // both sides fold to one row per DISTINCT 4-band signature (GROUP BY
+    // treats the all-NULL empty-shingle signature as one group, exactly
+    // like the Spark window), the band join runs groups × groups, and
+    // the per-doc expansion is a window + LEFT join so null-sig docs
+    // keep their 'admit' rows. Keeps the 100x/1000x gates hash-checkable
+    // where the naive per-doc band join OOMs single-box DuckDB.
+    val sigNames = minhashParams.indices.map(i => s"sig${i + 1}")
+    val exBandsSql = sigNames.zipWithIndex
+      .map { case (sn, i) => s"SELECT ex_mult, ex_min, ${i + 1} AS band, $sn AS v FROM exg" }
+      .mkString("\n  UNION ALL ")
+    val inBandsSql = sigNames.zipWithIndex
+      .map { case (sn, i) => s"SELECT igid, ${i + 1} AS band, $sn AS v FROM ing" }
+      .mkString("\n  UNION ALL ")
+    val scaleOracle =
+      s"""WITH $duckSigCtes,
+         |exg AS (SELECT ${sigNames.mkString(", ")},
+         |          CAST(count(*) AS BIGINT) AS ex_mult, min(doc_id) AS ex_min
+         |        FROM sig WHERE doc_id % 10 <> 0
+         |        GROUP BY ${sigNames.mkString(", ")}),
+         |ing AS (SELECT ${sigNames.mkString(", ")}, min(doc_id) AS igid
+         |        FROM sig WHERE doc_id % 10 = 0
+         |        GROUP BY ${sigNames.mkString(", ")}),
+         |eb AS ($exBandsSql),
+         |ib AS ($inBandsSql),
+         |gm AS (SELECT igid, CAST(sum(ex_mult) AS BIGINT) AS n_near_dups,
+         |         min(ex_min) AS first_match
+         |       FROM (SELECT DISTINCT ib.igid, eb.ex_min, eb.ex_mult
+         |             FROM ib JOIN eb USING (band, v))
+         |       GROUP BY 1),
+         |inc AS (SELECT doc_id,
+         |          min(doc_id) OVER (PARTITION BY ${sigNames.mkString(", ")}) AS igid
+         |        FROM sig WHERE doc_id % 10 = 0)
+         |SELECT inc.doc_id, coalesce(gm.n_near_dups, 0) AS n_near_dups,
+         |  gm.first_match,
+         |  CASE WHEN coalesce(gm.n_near_dups, 0) >= 1 THEN 'near_dup'
+         |       ELSE 'admit' END AS verdict
+         |FROM inc LEFT JOIN gm ON gm.igid = inc.igid
+         |ORDER BY inc.doc_id""".stripMargin
+    Q.sqlDual(
       "dedup_incremental",
       s"""WITH $duckSigCtes,
          |bands AS ($duckBands),
@@ -1467,7 +1506,8 @@ object TextOps {
          |  CASE WHEN coalesce(n_near_dups, 0) >= 1 THEN 'near_dup'
          |       ELSE 'admit' END AS verdict
          |FROM i LEFT JOIN m ON m.inc_id = i.doc_id
-         |ORDER BY i.doc_id""".stripMargin) { (s, d) =>
+         |ORDER BY i.doc_id""".stripMargin,
+      scaleOracle) { (s, d) =>
       // collapsed on BOTH sides (see [[incrementalVerdicts]]); the
       // oracle keeps the naive per-doc band join — two independent
       // formulations must hash-agree
@@ -1802,7 +1842,70 @@ object TextOps {
     val duckBands = minhashParams.indices
       .map(i => s"SELECT doc_id, ${i + 1} AS band, sig${i + 1} AS v FROM lsig")
       .mkString("\n  UNION ALL ")
-    Q.sql(
+    // Collapsed scale twin (the dedup_plane_agreement twin pattern):
+    // groups = distinct (lang, source, text) — FINER than the Spark
+    // side's (lang, source, s3d) but value-identical, because two
+    // same-s3d groups have identical signatures and identical capped
+    // sets, so their across-rows carry the same (jacc=1, det) verdict a
+    // merged group's within-rows would, and na·nb + Σ nᵢ(nᵢ−1)/2 =
+    // n(n−1)/2. df stays TRUE document frequency (sum of group
+    // multiplicities). Keeps the 1000x gate hash-checkable where the
+    // naive doc-pair universe OOMs single-box DuckDB.
+    val gBands = minhashParams.indices
+      .map(i => s"SELECT gid, n, ${i + 1} AS band, sig${i + 1} AS v FROM sig")
+      .mkString("\n  UNION ALL ")
+    val scaleOracle =
+      s"""WITH grp AS MATERIALIZED (
+         |  SELECT min(doc_id) AS gid, CAST(count(*) AS BIGINT) AS n,
+         |    lang, source, text
+         |  FROM documents GROUP BY lang, source, text),
+         |w AS (SELECT gid, n, lang, source, str_split(text, ' ') AS ws FROM grp),
+         |d2 AS (SELECT gid, n, lang, source, list_transform(range(1, len(ws) - 1),
+         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS s3 FROM w),
+         |sig AS MATERIALIZED (SELECT gid, n, lang, source, s3, $duckSigs FROM d2),
+         |bands AS ($gBands),
+         |ex AS (SELECT gid, n, lang, source, unnest(list_distinct(s3)) AS shingle
+         |       FROM sig),
+         |exf AS (SELECT gid, lang, source, shingle FROM (
+         |          SELECT *, sum(n) OVER (PARTITION BY lang, source, shingle) AS df
+         |          FROM ex)
+         |        WHERE df <= $ShingleDfCap),
+         |szs AS (SELECT gid, count(*) AS sz FROM exf GROUP BY 1),
+         |p AS (SELECT a.gid AS ga, b.gid AS gb, count(*) AS common
+         |      FROM exf a JOIN exf b
+         |        ON a.lang = b.lang AND a.source = b.source
+         |        AND a.shingle = b.shingle AND a.gid < b.gid
+         |      GROUP BY 1, 2),
+         |jg AS (SELECT ga, gb,
+         |         round(1.0 * common / (sa.sz + sb.sz - common), 4) AS jacc
+         |       FROM p JOIN szs sa ON p.ga = sa.gid
+         |              JOIN szs sb ON p.gb = sb.gid),
+         |detg AS (SELECT DISTINCT a.gid AS ga, b.gid AS gb
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.v = b.v AND a.gid < b.gid),
+         |u0 AS (SELECT coalesce(jg.ga, detg.ga) AS ga,
+         |         coalesce(jg.gb, detg.gb) AS gb,
+         |         coalesce(jg.jacc, 0) AS jacc,
+         |         CASE WHEN detg.ga IS NULL THEN 0 ELSE 1 END AS det
+         |       FROM jg FULL JOIN detg ON jg.ga = detg.ga AND jg.gb = detg.gb),
+         |uc AS (SELECT u0.jacc, u0.det, ga2.n * gb2.n AS mult
+         |       FROM u0 JOIN grp ga2 ON ga2.gid = u0.ga
+         |               JOIN grp gb2 ON gb2.gid = u0.gb),
+         |uw AS (SELECT CASE WHEN coalesce(s.sz, 0) > 0 THEN 1.0 ELSE 0.0 END AS jacc,
+         |         1 AS det, g.n * (g.n - 1) // 2 AS mult
+         |       FROM sig g LEFT JOIN szs s ON s.gid = g.gid
+         |       WHERE g.n > 1 AND len(list_distinct(g.s3)) > 0),
+         |u AS (SELECT * FROM uc UNION ALL SELECT * FROM uw),
+         |bk AS (SELECT least(CAST(floor(jacc * 10) AS INT), 9) AS bucket,
+         |         CAST(sum(mult) AS BIGINT) AS n_pairs,
+         |         CAST(sum(det * mult) AS BIGINT) AS n_detected
+         |       FROM u GROUP BY 1)
+         |SELECT round(bucket / 10.0, 1) AS bucket_lo, n_pairs, n_detected,
+         |  round(1.0 * n_detected / n_pairs, 4) AS detect_rate,
+         |  round((10000 - (10 - bucket) * (10 - bucket) * (10 - bucket)
+         |    * (10 - bucket)) / 10000.0, 4) AS theo_rate
+         |FROM bk ORDER BY bucket_lo""".stripMargin
+    Q.sqlDual(
       "dedup_lsh_curve",
       s"""WITH $jaccardPairsCtesSql,
          |lw AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
@@ -1824,7 +1927,8 @@ object TextOps {
          |  round(1.0 * n_detected / n_pairs, 4) AS detect_rate,
          |  round((10000 - (10 - bucket) * (10 - bucket) * (10 - bucket)
          |    * (10 - bucket)) / 10000.0, 4) AS theo_rate
-         |FROM bk ORDER BY bucket_lo""".stripMargin) { (s, d) =>
+         |FROM bk ORDER BY bucket_lo""".stripMargin,
+      scaleOracle) { (s, d) =>
       // Group-collapsed formulation (the dedup_minhash trick, here taken
       // all the way: the output is a ≤10-row histogram, so doc-level
       // pairs never need to exist AT ALL). Docs with identical
@@ -2138,12 +2242,12 @@ object TextOps {
       // and the per-doc report expands by the linear membership join
       // (twins share signatures, hence verdicts).
       val keyedAll = docs(s, d)
-        .select(col("doc_id"), xxhash64(col("text")).as("tkey"))
+        .select(col("doc_id"), graft.Hash128.key128(col("text")).as("tkey"))
       val meta = keyedAll.groupBy("tkey").agg(
         sum(when(col("doc_id") % 29 === 0, 1).otherwise(0)).cast("long").as("m_bench"),
         min(when(col("doc_id") % 29 === 0, col("doc_id"))).as("min_bench_id"))
       val distTexts = docs(s, d)
-        .select(xxhash64(col("text")).as("tkey"), col("text"))
+        .select(graft.Hash128.key128(col("text")).as("tkey"), col("text"))
         .groupBy("tkey").agg(min("text").as("text"))
       val bands = minhashBandsOf(distTexts.withColumnRenamed("tkey", "doc_id"))
         .withColumn("band", col("band") + 1)
@@ -2230,7 +2334,12 @@ object TextOps {
          |         ON x.band = y.band AND x.v = y.v AND x.doc_id <= y.doc_id),
          |e AS (SELECT gid AS vec_id, emb FROM grp),
          |${graft.vector.Similarity.signBandsSql("e",
-              "n1 AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM grp)")},
+              // count(*) over ALL embeddings — exactly what the Spark
+              // side's signBands(countFrom = Some(e)) derives; sum(m)
+              // over grp would diverge if vec_ids were ever not 1:1
+              // with doc_ids, changing bucket geometry only at scales
+              // where the naive oracle no longer runs
+              "n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)")},
          |ec AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
          |       FROM bands x JOIN bands y
          |         ON x.band = y.band AND x.bucket = y.bucket
@@ -2315,11 +2424,13 @@ object TextOps {
       val joined = docs(s, d).select(col("doc_id"), col("text"))
         .join(e, col("doc_id") === col("vec_id"))
         .select(col("doc_id"), col("text"), col("embedding"))
-        .withColumn("gk", xxhash64(col("text"), col("embedding")))
-      val meta = joined.groupBy("gk")
+      // group on the raw (text, embedding) pair — EXACT (a round-10
+      // xxhash64 group key could silently merge two groups on a 64-bit
+      // collision); partial aggregation still bounds the exchange at one
+      // copy of each distinct pair per map partition, and one
+      // aggregation replaces the former hash-key + join-back two-pass
+      val rep = joined.groupBy("text", "embedding")
         .agg(count(lit(1)).cast("long").as("m"), min("doc_id").as("gid"))
-      val rep = joined.join(meta, Seq("gk"))
-        .filter(col("doc_id") === col("gid"))
         .select(col("gid"), col("m"), col("text"), col("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tb = minhashBandsOf(rep.select(col("gid").as("doc_id"), col("text")))

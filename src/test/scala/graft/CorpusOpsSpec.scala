@@ -155,28 +155,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(drift.count() === 0)
   }
 
-  test("LM term-id guard: xxhash64 is injective on the corpus term and bigram vocab") {
-    // corpus_perplexity / corpus_bigram_ppl / corpus_kn_ppl shuffle 8-byte
-    // xxhash64 ids instead of raw term/gram strings; a collision inside
-    // either vocabulary would silently merge two model rows. The
+  test("LM term-id guard: Hash128.key128 is injective on the corpus term and bigram vocab") {
+    // corpus_perplexity / corpus_bigram_ppl / corpus_kn_ppl shuffle
+    // 128-bit Hash128 ids instead of raw term/gram strings; a collision
+    // inside either vocabulary would silently merge two model rows. The
     // cross-engine hash gate catches this at every tested SF (the DuckDB
     // twin keys on the raw strings); this guard pins it directly on the
-    // largest local corpus. 64-bit folds over ~1e5 keys have collision
-    // odds ~3e-10; at true web-vocab scale widen the fold to 128 bits.
+    // largest local corpus. The 128-bit fold's pair bound is ~2^-128 —
+    // structurally safe past 1e9 keys, where the round-10 64-bit fold's
+    // birthday bound reached ~3%.
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
       val terms = Tables.documents(spark, dir)
         .select(explode(split(col("text"), " ")).as("t")).distinct()
       assert(terms.count() ===
-        terms.select(xxhash64(col("t"))).distinct().count(), s"term collision in $dir")
+        terms.select(graft.Hash128.key128(col("t"))).distinct().count(),
+        s"term collision in $dir")
       val grams = Tables.documents(spark, dir)
         .select(split(col("text"), " ").as("ws"))
         .select(explode(expr("graft_shingles(ws, 2)")).as("g")).distinct()
       assert(grams.count() ===
-        grams.select(xxhash64(col("g"))).distinct().count(), s"gram collision in $dir")
-      // the distinct-text collapse keys whole documents on xxhash64(text)
+        grams.select(graft.Hash128.key128(col("g"))).distinct().count(),
+        s"gram collision in $dir")
+      // the distinct-text collapse keys whole documents on key128(text)
       val texts = Tables.documents(spark, dir).select("text").distinct()
       assert(texts.count() ===
-        texts.select(xxhash64(col("text"))).distinct().count(), s"text collision in $dir")
+        texts.select(graft.Hash128.key128(col("text"))).distinct().count(),
+        s"text collision in $dir")
+      // the two lanes must actually be independent hashes — equal lanes
+      // would quietly degrade the fold back to 64 bits
+      val lanes = texts.select(graft.Hash128.key128(col("text")).as("k"))
+        .filter(col("k.h1") === col("k.h2"))
+      assert(lanes.count() === 0, s"key128 lanes collapsed in $dir")
     }
   }
 

@@ -591,12 +591,29 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(hinted.isEmpty, s"unexpected forced hint reappeared: $hinted")
     // the band self-join must consume AGGREGATED (per-content) frames,
-    // never raw per-doc band rows: every join in the optimized plan has
-    // an Aggregate somewhere below each input
+    // never raw per-doc band rows (a regression back to a raw per-doc
+    // band self-join would be un-hinted and non-cartesian — only a
+    // structural check catches it). Two pins: (1) no join anywhere is
+    // raw-on-both-sides (the only legitimately raw input is the linear
+    // doc-level expansion join's keyed side); (2) every join keyed on
+    // the band value — the collision shape — is aggregated on BOTH sides.
+    def hasAgg(in: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      in.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined
     val joins = df.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }
     assert(joins.nonEmpty)
+    joins.foreach { j =>
+      assert(hasAgg(j.left) || hasAgg(j.right),
+        s"decontaminate_fuzzy join is raw per-doc on BOTH sides:\n$j")
+      val onBand = j.condition.exists(_.references.exists(_.name == "band"))
+      if (onBand) Seq("left" -> j.left, "right" -> j.right).foreach {
+        case (side, in) => assert(hasAgg(in),
+          s"decontaminate_fuzzy band-collision join has a raw per-doc $side input:\n$j")
+      }
+    }
     val s = finalPlan(df).toString
     assert(!s.contains("CartesianProduct"), s)
   }

@@ -119,4 +119,53 @@ class PrivacySpec extends AnyFunSuite {
       .map(_.getAs[Double]("noise"))
     assert(again === noises)
   }
+
+  // ------------------------------------------------------- text PII --
+
+  test("pii_text_detect: the corpus side proves clean; every CRM row is caught " +
+      "with the expected class counts") {
+    val det = SparkEntry.queries("pii_text_detect")(spark, sfDir).cache()
+    try {
+      // the synthetic corpus carries no PII — a flagged doc_id below the
+      // CRM offset would mean the detector fires on noise
+      assert(det.filter(col("doc_id") < 1000000000L).count() === 0)
+      assert(det.filter(col("source") =!= "crm_dump").count() === 0)
+      // every CRM pseudo-doc is flagged (each carries a phone + account
+      // name + 9-digit ref by construction)
+      val customers = Tables.customer(spark, sfDir).count()
+      assert(det.count() === customers)
+      assert(det.filter(col("n_phone") =!= 1).count() === 0)
+      assert(det.filter(col("n_account") =!= 1).count() === 0)
+      assert(det.filter(col("n_longnum") < 1).count() === 0)
+      // email fires on exactly the every-third-customer rows
+      val withEmail = det.filter(col("n_email") === 1)
+      assert(withEmail.count() ===
+        Tables.customer(spark, sfDir).filter(col("c_custkey") % 3 === 0).count())
+      assert(det.filter(col("n_email") > 1).count() === 0)
+      // ipv4 is the negative control — nothing in the release looks like one
+      assert(det.filter(col("n_ipv4") =!= 0).count() === 0)
+      // the sample is a real match from the text (highest-priority class)
+      assert(det.filter(col("sample").isNull).count() === 0)
+    } finally det.unpersist()
+  }
+
+  test("pii_redact: zero residual matches on every row; masks actually land") {
+    val red = SparkEntry.queries("pii_redact")(spark, sfDir).cache()
+    try {
+      // the release-gate contract: the published residual re-scan is 0
+      assert(red.filter(col("n_residual") =!= 0).count() === 0)
+      // and an independent re-scan of the redacted text agrees
+      for (pat <- Privacy.piiClasses.map(_._2))
+        assert(red.filter(size(regexp_extract_all(col("redacted"),
+          lit(pat), lit(0))) > 0).count() === 0, s"residual $pat")
+      // every flagged row was actually rewritten: masks present, and the
+      // mask count equals the pre-redaction match count
+      assert(red.filter(!col("redacted").contains("[PHONE]")).count() === 0)
+      assert(red.filter(!col("redacted").contains("[ACCT]")).count() === 0)
+      assert(red.filter(col("n_masked") < 3).count() === 0)
+      // detect and redact agree on the flagged universe
+      val det = SparkEntry.queries("pii_text_detect")(spark, sfDir)
+      assert(red.count() === det.count())
+    } finally red.unpersist()
+  }
 }

@@ -144,7 +144,6 @@ def bighash_compare(con, name, outdir, osql, record, counters):
     schema = paq.read_schema(files[0])
     scols = sorted(schema.names)
     sfam = {c: pa_family(schema.field(c).type) for c in scols}
-    nrows = sum(paq.ParquetFile(f).metadata.num_rows for f in files)
     try:
         desc = con.execute(f"DESCRIBE SELECT * FROM ({osql}) q").fetchall()
     except Exception as ex:
@@ -182,7 +181,10 @@ def bighash_compare(con, name, outdir, osql, record, counters):
 
 
 def report_rows(record, name, sn, on_, ok=False, err=None):
-    record(name, srows=range(sn), orows=range(on_), ok=ok, err=err)
+    # mode marks the order-free multiset compare in the committed
+    # artifact (the pandas path is additionally order-checked)
+    record(name, srows=range(sn), orows=range(on_), ok=ok, err=err,
+           mode="bighash")
 
 
 def main():
@@ -226,7 +228,7 @@ def main():
     only = set(args[2:])
     report = {}
 
-    def record(name, srows=None, orows=None, err=None, ok=False):
+    def record(name, srows=None, orows=None, err=None, ok=False, mode=None):
         report[name] = {
             "rows_match": bool(ok or (srows is not None and orows is not None
                                       and len(srows) == len(orows))),
@@ -236,6 +238,8 @@ def main():
             "oracle_rows": None if orows is None else len(orows),
             "err": err,
         }
+        if mode is not None:
+            report[name]["mode"] = mode
 
     for name, osql in sorted(oracles.items()):
         if only and name not in only:

@@ -55,14 +55,17 @@ def main():
                 tag = "PASS" if ent.get("hash_match") else (
                     "ROWS" if ent.get("err") == "no_oracle" else "FAIL")
                 print(f"[check_subset] {tag} {op}", file=sys.stderr)
-            elif p.returncode < 0 or not (p.stderr or "").strip():
-                # killed by a signal / died silently: the oom-killer class
+            elif p.returncode < 0:
+                # killed by a signal: the oom-killer class
                 report[op] = dict(NULL_ROW, err="oracle_oom")
                 print(f"[check_subset] OOM {op} (rc={p.returncode})",
                       file=sys.stderr)
             else:
-                report[op] = dict(
-                    NULL_ROW, err=f"check_crash: {(p.stderr or '')[-300:]}")
+                # rc>0 with no report: a genuine check.py failure — fold
+                # stdout in too (a crash that printed its diagnostics
+                # there must not masquerade as an oracle-capacity row)
+                diag = ((p.stderr or "") + (p.stdout or ""))[-300:]
+                report[op] = dict(NULL_ROW, err=f"check_crash: {diag}")
                 print(f"[check_subset] CRASH {op}", file=sys.stderr)
         except subprocess.TimeoutExpired:
             report[op] = dict(NULL_ROW, err="oracle_timeout")
