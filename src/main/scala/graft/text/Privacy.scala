@@ -323,6 +323,24 @@ object Privacy {
     ("account", "Customer#[0-9]+", "[ACCT]"),
     ("longnum", "[0-9]{9,}", "[NUM]"))
 
+  /** Candidate prefilter: no detector class can match a text containing
+    * neither a digit nor '@' (email needs the '@'; every other class
+    * needs digits), so both engines gate the detector behind this
+    * one-character-class scan — on a clean corpus the whole per-doc cost
+    * is this single pass (the [[AnyClass]] alternation never runs). The
+    * flagged-rows output is unchanged by construction: a row failing the
+    * prefilter has all-zero counts and is outside the flagged universe
+    * either way. */
+  private val Prefilter = "[0-9@]"
+
+  /** "Some class matches" as ONE alternation pattern — the exact flagged-
+    * universe predicate, evaluated as a single short-circuiting scan
+    * instead of five counts (and crucially never expressed as a filter
+    * over the count columns, which Catalyst would substitute below the
+    * counting projection, doubling every extract_all). */
+  private val AnyClass: String =
+    piiClasses.map(_._2).mkString("(", ")|(", ")")
+
   /** The release under scan: the corpus plus a CRM dump that leaked into
     * it as pseudo-documents — the classic contamination a text-level PII
     * gate exists to catch. The corpus side is the negative control: the
@@ -385,21 +403,30 @@ object Privacy {
     val duckSample = piiClasses.map { case (n, p, _) =>
       s"WHEN n_$n > 0 THEN regexp_extract_all(text, '$p')[1]"
     }.mkString("CASE ", "\n    ", " END")
-    val anyHit = piiClasses.map { case (n, _, _) => s"n_$n" }.mkString(" + ")
     Q.sql(
       "pii_text_detect",
       s"""WITH rel AS ($releaseSql),
          |x AS (SELECT doc_id, source,
          |    $duckCounts,
          |    text
-         |  FROM rel)
+         |  FROM rel WHERE regexp_matches(text, '$Prefilter')
+         |    AND regexp_matches(text, '$AnyClass'))
          |SELECT doc_id, source,
          |  ${piiClasses.map { case (n, _, _) => s"n_$n" }.mkString(", ")},
          |  $duckSample AS sample
-         |FROM x WHERE $anyHit > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val counted = piiClasses.foldLeft(releaseDf(s, d)) { case (df, (n, p, _)) =>
-        df.withColumn(s"n_$n",
-          size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long"))
+         |FROM x ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // the flagged-universe filter is the single alternation scan (one
+      // short-circuiting pass; exactly "some class matches"), NEVER a
+      // predicate over the count columns: Catalyst pushes a count-based
+      // filter below the counting projection by alias substitution, and
+      // every extract_all then evaluates twice per row (filter + project)
+      // — measured 2x on the sf10 leg
+      val flagged = releaseDf(s, d)
+        .filter(col("text").rlike(Prefilter) && col("text").rlike(AnyClass))
+      val counted = piiClasses.foldLeft(flagged) {
+        case (df, (n, p, _)) =>
+          df.withColumn(s"n_$n",
+            size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long"))
       }
       val sampleCol = piiClasses.reverse.foldLeft(lit(null).cast("string")) {
         case (els, (n, p, _)) =>
@@ -408,8 +435,6 @@ object Privacy {
             .otherwise(els)
       }
       counted
-        .filter(piiClasses.map { case (n, _, _) => col(s"n_$n") }
-          .reduce(_ + _) > 0)
         .select(col("doc_id") +: col("source") +:
           piiClasses.map { case (n, _, _) => col(s"n_$n") } :+
           sampleCol.as("sample"): _*)
@@ -447,28 +472,31 @@ object Privacy {
          |x AS (SELECT doc_id, source, text,
          |    $duckCounts,
          |    $duckRedacted AS redacted
-         |  FROM rel),
+         |  FROM rel WHERE regexp_matches(text, '$Prefilter')
+         |    AND regexp_matches(text, '$AnyClass')),
          |y AS (SELECT doc_id, source, redacted,
          |    CAST($anyHit AS BIGINT) AS n_masked,
          |    $duckResidual AS n_residual
-         |  FROM x WHERE $anyHit > 0)
+         |  FROM x)
          |SELECT doc_id, source, redacted, n_masked, n_residual
          |FROM y ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val counted = piiClasses.foldLeft(releaseDf(s, d)) { case (df, (n, p, _)) =>
-        df.withColumn(s"n_$n",
-          size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long"))
+      // flagged universe via the alternation scan (see pii_text_detect —
+      // a count-predicate filter would double every extract_all)
+      val flagged = releaseDf(s, d)
+        .filter(col("text").rlike(Prefilter) && col("text").rlike(AnyClass))
+      val counted = piiClasses.foldLeft(flagged) {
+        case (df, (n, p, _)) =>
+          df.withColumn(s"n_$n",
+            size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long"))
       }
       val redactedCol = piiClasses.foldLeft(col("text")) { case (acc, (_, p, t)) =>
         regexp_replace(acc, lit(p), lit(t))
       }
-      val flagged = counted
-        .filter(piiClasses.map { case (n, _, _) => col(s"n_$n") }
-          .reduce(_ + _) > 0)
-        .withColumn("redacted", redactedCol)
       val residual = piiClasses.map { case (_, p, _) =>
         size(regexp_extract_all(col("redacted"), lit(p), lit(0)))
       }.reduce(_ + _).cast("long")
-      flagged.select(col("doc_id"), col("source"), col("redacted"),
+      counted.withColumn("redacted", redactedCol)
+        .select(col("doc_id"), col("source"), col("redacted"),
           piiClasses.map { case (n, _, _) => col(s"n_$n") }
             .reduce(_ + _).cast("long").as("n_masked"),
           residual.as("n_residual"))
