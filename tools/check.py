@@ -214,6 +214,12 @@ def main():
         args = args[:i] + args[i + 2:]
     sfdir, outdir = args[0], args[1]
     con = duckdb.connect()
+    # cap DuckDB's thread pool (default = all cores) so a check lane can
+    # overlap a timing-sensitive Spark bench without polluting it
+    import os
+    nthreads = os.environ.get("GRAFT_DUCK_THREADS")
+    if nthreads:
+        con.execute(f"SET threads={int(nthreads)}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
