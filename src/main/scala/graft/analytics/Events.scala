@@ -437,6 +437,12 @@ object EventAnalytics {
     * traffic share (also half-up micro-units) is the "destination vs
     * entry point" verdict.
     *
+    * The 3-round bound is an ACCURACY assumption, not an output
+    * contract, so the op publishes its own convergence evidence
+    * (the ann_graph_search posture): iter_gap_e6 = |π₃ − π₂| per state
+    * — a reader of the artifact sees exactly how settled the "steady
+    * state" is instead of trusting the unroll depth silently.
+    *
     * Scale: ONE user-keyed window over the feed (the event_paths
     * exchange) collapses to the ≤ |types|² transition matrix; the three
     * iteration rounds and all joins run on that bounded frame with π
@@ -476,9 +482,12 @@ object EventAnalytics {
         |SELECT ev.event_type, ev.n AS n_events,
         |  CAST((2 * ev.n * 1000000 + total) // (2 * total) AS BIGINT) AS traffic_e6,
         |  coalesce(i3.pe6, 0) AS stationary_e6,
+        |  abs(coalesce(i3.pe6, 0) - coalesce(i2.pe6, 0)) AS iter_gap_e6,
         |  coalesce(i3.pe6, 0)
         |    - CAST((2 * ev.n * 1000000 + total) // (2 * total) AS BIGINT) AS delta_e6
-        |FROM ev CROSS JOIN tot LEFT JOIN i3 ON ev.event_type = i3.event_type
+        |FROM ev CROSS JOIN tot
+        |  LEFT JOIN i3 ON ev.event_type = i3.event_type
+        |  LEFT JOIN i2 ON ev.event_type = i2.event_type
         |ORDER BY ev.event_type""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val o = ev(s, d)
@@ -492,24 +501,30 @@ object EventAnalytics {
         .agg(count(lit(1)).cast("long").as("c"))
       val r = tr.groupBy("src").agg(sum("c").cast("long").as("r"))
       val st = ev(s, d).select("event_type").distinct()
-      var pi = st
+      def step(pi: DataFrame): DataFrame = tr
+        .join(broadcast(pi.withColumnRenamed("event_type", "src")), Seq("src"))
+        .join(broadcast(r), Seq("src"))
+        .groupBy(col("dst").as("event_type"))
+        .agg(sum(expr("(2 * pe6 * c + r) div (2 * r)")).cast("long").as("pe6"))
+      val pi0 = st
         .crossJoin(broadcast(st.agg(count(lit(1)).cast("long").as("k"))))
         .select(col("event_type"), expr("1000000 div k").cast("long").as("pe6"))
-      for (_ <- 1 to 3)
-        pi = tr
-          .join(broadcast(pi.withColumnRenamed("event_type", "src")), Seq("src"))
-          .join(broadcast(r), Seq("src"))
-          .groupBy(col("dst").as("event_type"))
-          .agg(sum(expr("(2 * pe6 * c + r) div (2 * r)")).cast("long").as("pe6"))
+      // round 2 and round 3 are BOTH kept: the published iter_gap_e6 is
+      // the per-state |π₃ − π₂| convergence readout
+      val pi2 = step(step(pi0))
+      val pi3 = step(pi2)
       val evAgg = ev(s, d).groupBy("event_type")
         .agg(count(lit(1)).cast("long").as("n"))
       val traffic = expr("(2 * n * 1000000 + total) div (2 * total)").cast("long")
       evAgg
         .crossJoin(broadcast(evAgg.agg(sum("n").cast("long").as("total"))))
-        .join(pi, Seq("event_type"), "left")
+        .join(pi3, Seq("event_type"), "left")
+        .join(pi2.withColumnRenamed("pe6", "pe6_prev"), Seq("event_type"), "left")
         .select(col("event_type"), col("n").as("n_events"),
           traffic.as("traffic_e6"),
           coalesce(col("pe6"), lit(0L)).as("stationary_e6"),
+          abs(coalesce(col("pe6"), lit(0L)) - coalesce(col("pe6_prev"), lit(0L)))
+            .as("iter_gap_e6"),
           (coalesce(col("pe6"), lit(0L)) - traffic).as("delta_e6"))
         .orderBy("event_type")
     }

@@ -2908,7 +2908,174 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Largest-remainder (Hamilton) stratified sampling plan + its
+    * deterministic realization: a fixed sample budget (⌊corpus⁄3⌋ docs)
+    * is allocated across (lang, source) strata exactly proportionally —
+    * floor quotas first, the leftover seats to the largest remainders —
+    * then each stratum's quota is FILLED by hash-order pick (wordHash of
+    * doc_id, the corpus_split bucket hash), so two engines — or two runs
+    * over reshuffled partitions — select the identical document set.
+    * Published per stratum: the arithmetic trail (quota_floor, remainder,
+    * extra) plus the realized pick (n_sampled, sampled_chars), so the
+    * artifact proves both that Σ n_alloc = budget and that the pick
+    * honored the plan. corpus_split hash-buckets (fixed shares);
+    * sample_weighted draws by weight; this is the third classical
+    * sampler — exact proportional allocation under an integer budget.
+    *
+    * Scale: one partial-aggregating groupBy to the |langs|×|sources|
+    * strata frame (all allocation arithmetic lives there — integers
+    * only), one doc-keyed window rank per stratum (the sample_per_source
+    * exchange), one broadcast join of the bounded plan back to the rank.
+    */
+  val sampleStratified: Q = {
+    val duckH = TextOps.duckWordHash("CAST(doc_id AS VARCHAR)")
+    val sparkH = TextOps.sparkWordHash("cast(doc_id as string)")
+    Q.sql(
+      "sample_stratified",
+      s"""WITH s AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+         |           FROM documents GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t,
+         |        CAST(sum(n_docs) // 3 AS BIGINT) AS budget FROM s),
+         |q AS (SELECT lang, source, n_docs, budget,
+         |        CAST((n_docs * budget) // t AS BIGINT) AS quota_floor,
+         |        CAST((n_docs * budget) % t AS BIGINT) AS remainder
+         |      FROM s CROSS JOIN t),
+         |r AS (SELECT *,
+         |        CAST(row_number() OVER (ORDER BY remainder DESC, lang, source)
+         |          AS BIGINT) AS rr,
+         |        CAST(sum(quota_floor) OVER () AS BIGINT) AS fsum
+         |      FROM q),
+         |al AS (SELECT lang, source, n_docs, quota_floor, remainder,
+         |         CASE WHEN rr <= budget - fsum THEN 1 ELSE 0 END AS extra,
+         |         quota_floor + CASE WHEN rr <= budget - fsum THEN 1 ELSE 0 END
+         |           AS n_alloc
+         |       FROM r),
+         |picked AS (SELECT lang, source, n_chars,
+         |             row_number() OVER (PARTITION BY lang, source
+         |               ORDER BY $duckH, doc_id) AS rk
+         |           FROM documents),
+         |k AS (SELECT p.lang, p.source, CAST(count(*) AS BIGINT) AS n_sampled,
+         |        CAST(sum(p.n_chars) AS BIGINT) AS sampled_chars
+         |      FROM picked p JOIN al ON p.lang = al.lang AND p.source = al.source
+         |      WHERE p.rk <= al.n_alloc GROUP BY 1, 2)
+         |SELECT al.lang, al.source, al.n_docs, al.quota_floor, al.remainder,
+         |  CAST(al.extra AS BIGINT) AS extra, CAST(al.n_alloc AS BIGINT) AS n_alloc,
+         |  coalesce(k.n_sampled, 0) AS n_sampled,
+         |  coalesce(k.sampled_chars, 0) AS sampled_chars
+         |FROM al LEFT JOIN k ON al.lang = k.lang AND al.source = k.source
+         |ORDER BY al.lang, al.source""".stripMargin) { (s, d) =>
+      val strata = docs(s, d).groupBy("lang", "source")
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      val tot = strata.agg(sum("n_docs").cast("long").as("t"),
+        expr("sum(n_docs) div 3").cast("long").as("budget"))
+      val q = strata.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_docs"), col("budget"),
+          expr("(n_docs * budget) div t").cast("long").as("quota_floor"),
+          ((col("n_docs") * col("budget")) % col("t")).cast("long").as("remainder"))
+      // the strata frame is bounded (|langs|×|sources|), so the global
+      // windows here never touch corpus-sized data
+      val allW = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val rnkW = Window.orderBy(col("remainder").desc, col("lang"), col("source"))
+      val al = q
+        .withColumn("rr", row_number().over(rnkW).cast("long"))
+        .withColumn("fsum", sum("quota_floor").over(allW).cast("long"))
+        .withColumn("extra",
+          when(col("rr") <= col("budget") - col("fsum"), 1L).otherwise(0L))
+        .select(col("lang"), col("source"), col("n_docs"), col("quota_floor"),
+          col("remainder"), col("extra"),
+          (col("quota_floor") + col("extra")).as("n_alloc"))
+      val pickW = Window.partitionBy("lang", "source")
+        .orderBy(expr(sparkH), col("doc_id"))
+      val k = docs(s, d)
+        .select(col("lang"), col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("rk", row_number().over(pickW))
+        .join(broadcast(al.select("lang", "source", "n_alloc")),
+          Seq("lang", "source"))
+        .filter(col("rk") <= col("n_alloc"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).cast("long").as("n_sampled"),
+          sum("n_chars").cast("long").as("sampled_chars"))
+      al.join(k, Seq("lang", "source"), "left")
+        .select(col("lang"), col("source"), col("n_docs"), col("quota_floor"),
+          col("remainder"), col("extra"), col("n_alloc"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("sampled_chars"), lit(0L)).as("sampled_chars"))
+        .orderBy("lang", "source")
+    }
+  }
+
+  /** The Gopher repetition battery beyond doc_repetition's bigrams: the
+    * top-n-gram share for n = 3, 4 and the duplicate-n-gram share for
+    * n = 5, 10 (Rae et al. 2021 §A1.1 — short n measure a stuck phrase,
+    * long n measure copy-paste blocks; a doc can fail one family while
+    * passing the other, which is why the battery publishes all four as
+    * ratios rather than one verdict). Ratios are per-doc quotients of
+    * exact gram counts, rounded once.
+    *
+    * Scale: ONE corpus scan — the four gram families are tagged and
+    * concatenated per row before a single explode; then two
+    * partial-aggregating groupBys whose keys include doc_id (map-side
+    * combine bounds the exchange at |distinct (doc, n, gram)|). */
+  val docRepetitionTopn: Q = {
+    val ns = Seq(3, 4, 5, 10)
+    def duckGram(n: Int) = {
+      val parts = (0 until n).map(k => if (k == 0) "ws[i]" else s"ws[i+$k]")
+        .mkString(" || ' ' || ")
+      s"list_transform(range(1, len(ws) - ${n - 2}), i -> $parts)"
+    }
+    val duckGrams = ns.map(n =>
+      s"SELECT doc_id, $n AS n, unnest(${duckGram(n)}) AS gram FROM w")
+      .mkString("\n  UNION ALL ")
+    Q.sql(
+      "doc_repetition_topn",
+      s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+         |g AS ($duckGrams),
+         |c AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c
+         |      FROM g GROUP BY 1, 2, 3),
+         |a AS (SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS tot,
+         |        CAST(count(*) AS BIGINT) AS dist, CAST(max(c) AS BIGINT) AS mx
+         |      FROM c GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  coalesce(max(CASE WHEN n = 3 THEN round(1.0 * mx / tot, 4) END), 0.0)
+         |    AS top3_ratio,
+         |  coalesce(max(CASE WHEN n = 4 THEN round(1.0 * mx / tot, 4) END), 0.0)
+         |    AS top4_ratio,
+         |  coalesce(max(CASE WHEN n = 5 THEN round(1.0 * (tot - dist) / tot, 4) END), 0.0)
+         |    AS dup5_ratio,
+         |  coalesce(max(CASE WHEN n = 10 THEN round(1.0 * (tot - dist) / tot, 4) END), 0.0)
+         |    AS dup10_ratio
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      // one scan: tag each family inside a per-row array concat, explode once
+      val tagged = ns.map(n =>
+        s"transform(graft_shingles(ws, $n), g -> named_struct('n', $n, 'gram', g))")
+        .mkString("concat(", ", ", ")")
+      docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(tagged)).as("tg"))
+        .select(col("doc_id"), col("tg.n").as("n"), col("tg.gram").as("gram"))
+        .groupBy("doc_id", "n", "gram").agg(count(lit(1)).cast("long").as("c"))
+        .groupBy("doc_id", "n").agg(
+          sum("c").cast("long").as("tot"),
+          count(lit(1)).cast("long").as("dist"),
+          max("c").cast("long").as("mx"))
+        .groupBy("doc_id").agg(
+          coalesce(max(when(col("n") === 3,
+            round(lit(1.0) * col("mx") / col("tot"), 4))), lit(0.0)).as("top3_ratio"),
+          coalesce(max(when(col("n") === 4,
+            round(lit(1.0) * col("mx") / col("tot"), 4))), lit(0.0)).as("top4_ratio"),
+          coalesce(max(when(col("n") === 5,
+            round(lit(1.0) * (col("tot") - col("dist")) / col("tot"), 4))), lit(0.0))
+            .as("dup5_ratio"),
+          coalesce(max(when(col("n") === 10,
+            round(lit(1.0) * (col("tot") - col("dist")) / col("tot"), 4))), lit(0.0))
+            .as("dup10_ratio"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(
+    sampleStratified, docRepetitionTopn,
     docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
     tokenHistogram, packSequences, packEfficiency, corpusFunnel, corpusSplit,
     corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate, zipfFit,

@@ -504,6 +504,130 @@ object Privacy {
     }
   }
 
+  // ------------------------------------------------------- secrets --
+
+  /** Credential detector classes — the secret-scanning counterpart of
+    * [[piiClasses]] (a corpus release leaks API keys and tokens through
+    * pasted configs/logs at least as often as it leaks emails; every
+    * production release gate runs both scans). Same regex discipline:
+    * character classes + counted repetition only (Java ∩ RE2), identical
+    * in both engines. Order: specific prefixed shapes before the bare
+    * hex catch-all, mirroring the redaction-priority convention. */
+  private[graft] val secretClasses: Seq[(String, String)] = Seq(
+    ("awskey", "AKIA[0-9A-Z]{16}"),
+    ("bearer", "token_[0-9a-f]{16}"),
+    ("hex32", "[0-9a-f]{32}"))
+
+  /** Sound prefilter for the secret classes: awskey carries the AKIA
+    * prefix, bearer the token_ prefix, and any hex32 match contains 16
+    * consecutive [0-9a-f] — so a text failing this one scan provably
+    * matches no class (the pii_text prefilter soundness argument). */
+  private val SecretPrefilter = "([0-9a-f]{16})|AKIA|token_"
+
+  private val AnySecret: String =
+    secretClasses.map(_._2).mkString("(", ")|(", ")")
+
+  /** The scanned release: the corpus (negative control — a clean release
+    * must PROVE zero hits) plus a config/log dump leaked in as
+    * pseudo-documents, the way secrets actually reach crawls. Each
+    * supplier row renders an access-key id (AKIA + 16 key-derived
+    * digits), an md5-derived 32-hex secret, and (every third row) a
+    * bearer token — md5 and printf render byte-identically in both
+    * engines, so the scan targets are exact. */
+  private val secretReleaseSql: String =
+    """SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT 2000000000 + s_suppkey AS doc_id, 'config_dump' AS source,
+      |    s_name || ' api_key=' ||
+      |      printf('AKIA%016d', 1000000 + (s_suppkey * 37) % 9000000) ||
+      |      ' secret=' || substring(md5('gs|' || CAST(s_suppkey AS VARCHAR)), 1, 32) ||
+      |      CASE WHEN s_suppkey % 3 = 0
+      |           THEN ' token_' || substring(md5('gt|' || CAST(s_suppkey AS VARCHAR)), 1, 16)
+      |           ELSE '' END AS text
+      |  FROM supplier""".stripMargin
+
+  private def secretReleaseDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .unionByName(Tables.supplier(s, d).select(
+        (lit(2000000000L) + col("s_suppkey")).as("doc_id"),
+        lit("config_dump").as("source"),
+        concat(col("s_name"), lit(" api_key="),
+          format_string("AKIA%016d",
+            lit(1000000L) + (col("s_suppkey") * 37) % 9000000L),
+          lit(" secret="),
+          substring(md5(concat(lit("gs|"), col("s_suppkey").cast("string"))), 1, 32),
+          when(col("s_suppkey") % 3 === 0,
+            concat(lit(" token_"),
+              substring(md5(concat(lit("gt|"), col("s_suppkey").cast("string"))), 1, 16)))
+            .otherwise(lit("")))
+          .as("text")))
+
+  /** Per-document secret scan: for every release document with at least
+    * one credential-class hit, per-class counts, the first match of the
+    * highest-priority hitting class, and n_secrets. The hex32 count is
+    * made DISJOINT from the richer classes by counting on the text with
+    * prefixed shapes already masked (a bearer token's 16-hex tail must
+    * not double-report as half a bare hex run; masks are hex-free so no
+    * splice can mint a fresh match).
+    *
+    * Scale: identical shape to [[piiTextDetect]] — one short-circuiting
+    * alternation scan gates chained regexp projections; no aggregate,
+    * window or join, a pure single pass at any corpus size. */
+  val piiSecrets: Q = {
+    val duckStripped = secretClasses.init.foldLeft("text") { case (acc, (n, p)) =>
+      s"regexp_replace($acc, '$p', '<$n>', 'g')"
+    }
+    Q.sql(
+      "pii_secrets",
+      s"""WITH rel AS ($secretReleaseSql),
+         |x AS (SELECT doc_id, source, text, $duckStripped AS stripped
+         |  FROM rel WHERE regexp_matches(text, '$SecretPrefilter')
+         |    AND regexp_matches(text, '$AnySecret')),
+         |y AS (SELECT doc_id, source, text,
+         |    CAST(len(regexp_extract_all(text, '${secretClasses(0)._2}')) AS BIGINT)
+         |      AS n_awskey,
+         |    CAST(len(regexp_extract_all(text, '${secretClasses(1)._2}')) AS BIGINT)
+         |      AS n_bearer,
+         |    CAST(len(regexp_extract_all(stripped, '${secretClasses(2)._2}')) AS BIGINT)
+         |      AS n_hex32
+         |  FROM x)
+         |SELECT doc_id, source, n_awskey, n_bearer, n_hex32,
+         |  n_awskey + n_bearer + n_hex32 AS n_secrets,
+         |  CASE WHEN n_awskey > 0 THEN regexp_extract_all(text, '${secretClasses(0)._2}')[1]
+         |       WHEN n_bearer > 0 THEN regexp_extract_all(text, '${secretClasses(1)._2}')[1]
+         |       WHEN n_hex32 > 0 THEN regexp_extract_all(text, '${secretClasses(2)._2}')[1]
+         |  END AS sample
+         |FROM y ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // flagged universe via the alternation scan (the pii_text_detect
+      // lesson: a count-predicate filter gets alias-substituted below the
+      // counting projection and doubles every extract_all)
+      val flagged = secretReleaseDf(s, d)
+        .filter(col("text").rlike(SecretPrefilter) && col("text").rlike(AnySecret))
+      val stripped = secretClasses.init.foldLeft(col("text")) { case (acc, (n, p)) =>
+        regexp_replace(acc, lit(p), lit(s"<$n>"))
+      }
+      def cnt(src: org.apache.spark.sql.Column, p: String) =
+        size(regexp_extract_all(src, lit(p), lit(0))).cast("long")
+      val y = flagged
+        .withColumn("stripped", stripped)
+        .withColumn("n_awskey", cnt(col("text"), secretClasses(0)._2))
+        .withColumn("n_bearer", cnt(col("text"), secretClasses(1)._2))
+        .withColumn("n_hex32", cnt(col("stripped"), secretClasses(2)._2))
+      val sampleCol =
+        when(col("n_awskey") > 0,
+          element_at(regexp_extract_all(col("text"), lit(secretClasses(0)._2), lit(0)), 1))
+          .when(col("n_bearer") > 0,
+            element_at(regexp_extract_all(col("text"), lit(secretClasses(1)._2), lit(0)), 1))
+          .when(col("n_hex32") > 0,
+            element_at(regexp_extract_all(col("text"), lit(secretClasses(2)._2), lit(0)), 1))
+      y.select(col("doc_id"), col("source"),
+          col("n_awskey"), col("n_bearer"), col("n_hex32"),
+          (col("n_awskey") + col("n_bearer") + col("n_hex32")).as("n_secrets"),
+          sampleCol.as("sample"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(piiScrub, piiKanon, piiLdiversity, piiTcloseness,
-    piiDpHistogram, piiTextDetect, piiRedact)
+    piiDpHistogram, piiTextDetect, piiRedact, piiSecrets)
 }

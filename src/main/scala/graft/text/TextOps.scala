@@ -2523,8 +2523,109 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Content-defined-chunking dedup over the word stream — the text twin
+    * of multimodal_chunk_dedup's 256-B CDC pass, and the shift-robust
+    * alternative to fixed-width spans (span_dedup): a chunk boundary
+    * falls wherever the rolling 3-word window hashes to 0 mod 16, so an
+    * insertion near a document's head changes only the chunks it touches
+    * — every later boundary re-synchronizes on content, where a
+    * fixed-width grid would shift every downstream span's identity.
+    * Published per document: chunk count, words, and the share of words
+    * sitting in chunks whose content occurs ≥ 2 times corpus-wide
+    * (within-doc repeats included — a repeated chunk is a duplicate
+    * wherever it lives).
+    *
+    * Chunking is a pure function of text, so the whole pass runs on
+    * DISTINCT CONTENT (the SURVEY §4 collapse): boundaries/chunks are
+    * computed once per distinct text, corpus-wide occurrence counts are
+    * multiplicity-weighted sums, and the per-doc report expands through
+    * the (doc_id, tkey) map — replication-invariant by construction. The
+    * oracle stays the independent naive doc-level shape (occurrence
+    * counting is linear, not pairwise, so the naive twin holds at scale).
+    *
+    * Scale: one tkey-keyed window pair over distinct-text words (the
+    * LM-family explode mass), one content-keyed partial-agg groupBy for
+    * occurrences (128-bit chunk keys — no chunk text rides the
+    * occurrence exchange), one linear expansion join. Nothing all-pairs.
+    */
+  val dedupCdc: Q = Q.sql(
+    "dedup_cdc",
+    s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+       |p AS (SELECT doc_id, i, ws[i] AS word
+       |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)),
+       |g AS (SELECT doc_id, i, word,
+       |        lag(word, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w2,
+       |        lag(word, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w1
+       |      FROM p),
+       |b AS (SELECT doc_id, i, word,
+       |        CASE WHEN i >= 3
+       |               AND ${duckWordHash("w2 || ' ' || w1 || ' ' || word")} % 16 = 0
+       |             THEN 1 ELSE 0 END AS bnd
+       |      FROM g),
+       |c AS (SELECT doc_id, i, word,
+       |        coalesce(CAST(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |          AS chunk_id
+       |      FROM b),
+       |ch AS (SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS nwords,
+       |         string_agg(word, ' ' ORDER BY i) AS ctext
+       |       FROM c GROUP BY 1, 2),
+       |occ AS (SELECT ctext, CAST(count(*) AS BIGINT) AS occ FROM ch GROUP BY 1)
+       |SELECT ch.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(ch.nwords) AS BIGINT) AS words_total,
+       |  CAST(sum(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  CAST(sum(CASE WHEN o.occ >= 2 THEN ch.nwords ELSE 0 END) AS BIGINT)
+       |    AS words_in_dup,
+       |  round(1.0 * sum(CASE WHEN o.occ >= 2 THEN ch.nwords ELSE 0 END)
+       |    / sum(ch.nwords), 4) AS dup_chunk_ratio
+       |FROM ch JOIN occ o ON ch.ctext = o.ctext
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val (keyed, dist) = CorpusOps.distinctTexts(s, d)
+    // per-position word rows over DISTINCT texts; the 3-word window comes
+    // from two lags over the tkey partition (never element_at(ws, i) —
+    // the optimizer-inlined-split O(words²) trap, see shingleExpr)
+    val pos = dist
+      .select(col("tkey"), col("m"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
+      .select(col("tkey"), col("m"), (col("p0") + 1).as("i"), col("word"))
+    val wnd = Window.partitionBy("tkey").orderBy("i")
+    val bnd = pos
+      .withColumn("w2", lag("word", 2).over(wnd))
+      .withColumn("w1", lag("word", 1).over(wnd))
+      .withColumn("bnd",
+        when(col("i") >= 3 &&
+          expr(s"${sparkWordHash("concat(w2, ' ', w1, ' ', word)")} % 16") === 0, 1)
+          .otherwise(0))
+    val cumW = Window.partitionBy("tkey").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = bnd
+      .withColumn("chunk_id", coalesce(sum("bnd").over(cumW), lit(0)).cast("long"))
+      .groupBy(col("tkey"), col("m"), col("chunk_id"))
+      .agg(count(lit(1)).cast("long").as("nwords"),
+        expr("array_join(transform(array_sort(collect_list(struct(i, word))), x -> x.word), ' ')")
+          .as("ctext"))
+      .withColumn("ckey", graft.Hash128.key128(col("ctext")))
+    // corpus-wide occurrences, multiplicity-weighted; only the 16-byte
+    // chunk key rides this exchange
+    val occ = chunks.groupBy("ckey").agg(sum("m").cast("long").as("occ"))
+    val perText = chunks.join(occ, Seq("ckey"))
+      .groupBy("tkey")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum("nwords").cast("long").as("words_total"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup_chunks"),
+        sum(when(col("occ") >= 2, col("nwords")).otherwise(0L)).cast("long")
+          .as("words_in_dup"))
+    keyed.join(perText, Seq("tkey"))
+      .select(col("doc_id"), col("n_chunks"), col("words_total"),
+        col("n_dup_chunks"), col("words_in_dup"),
+        round(lit(1.0) * col("words_in_dup") / col("words_total"), 4)
+          .as("dup_chunk_ratio"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
-    textLengthLognormal,
+    textLengthLognormal, dedupCdc,
     dedupExact, dedupPrefix, dedupBow, dedupNgramJaccard, dedupContainment,
     dedupComponents, dedupKeepBest,
     dedupMinhash, dedupMinhashEst, dedupMinhashCalib, dedupIncremental,

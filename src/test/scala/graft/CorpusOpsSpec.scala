@@ -879,4 +879,59 @@ class CorpusOpsSpec extends AnyFunSuite {
           .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
+
+  test("sample_stratified: Hamilton allocation is exact and the pick honors it") {
+    val rows = CorpusOps.sampleStratified.fn(spark, sf).collect()
+    val totalDocs = Tables.documents(spark, sf).count()
+    val budget = totalDocs / 3
+    // quotas spend the budget exactly — floors plus largest-remainder seats
+    assert(rows.map(_.getAs[Long]("n_alloc")).sum === budget)
+    assert(rows.forall(r => Seq(0L, 1L).contains(r.getAs[Long]("extra"))))
+    // Hamilton quota property: every stratum gets floor or ceil of its
+    // exact proportional share, never more, never less
+    rows.foreach { r =>
+      val exactFloor = r.getAs[Long]("n_docs") * budget / totalDocs
+      assert(r.getAs[Long]("quota_floor") === exactFloor)
+      assert(r.getAs[Long]("n_alloc") === exactFloor ||
+        r.getAs[Long]("n_alloc") === exactFloor + 1)
+    }
+    // extras go to the LARGEST remainders: no stratum that got a seat may
+    // have a smaller remainder than one that didn't
+    val minGot = rows.filter(_.getAs[Long]("extra") == 1L)
+      .map(_.getAs[Long]("remainder")).minOption.getOrElse(Long.MaxValue)
+    val maxNot = rows.filter(_.getAs[Long]("extra") == 0L)
+      .map(_.getAs[Long]("remainder")).maxOption.getOrElse(Long.MinValue)
+    assert(minGot >= maxNot,
+      s"a seat went to remainder $minGot while $maxNot was passed over")
+    // the realized pick fills every quota (quotas never exceed the stratum)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") === r.getAs[Long]("n_alloc"))
+      assert(r.getAs[Long]("n_alloc") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("doc_repetition_topn: ratios replay from a direct per-n recount") {
+    val out = CorpusOps.docRepetitionTopn.fn(spark, sf).cache()
+    try {
+      assert(out.count() === Tables.documents(spark, sf).count())
+      assert(out.filter(
+        col("top3_ratio") <= 0 || col("top3_ratio") > 1 ||
+          col("top4_ratio") <= 0 || col("top4_ratio") > 1 ||
+          col("dup5_ratio") < 0 || col("dup5_ratio") > 1 ||
+          col("dup10_ratio") < 0 || col("dup10_ratio") > 1).count() === 0)
+      // independent recount of the n=5 duplicate share (plain window
+      // slide, no shared shingler) for every document
+      val direct = Tables.documents(spark, sf)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))"))
+          .as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          round(lit(1.0) * (sum("c") - count(lit(1))) / sum("c"), 4).as("want"))
+      assert(out.join(direct, Seq("doc_id"))
+        .filter(col("dup5_ratio") =!= col("want")).count() === 0,
+        "dup5_ratio diverges from the direct recount")
+    } finally out.unpersist()
+  }
 }

@@ -294,6 +294,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // positive control: the chain is not a no-op — some state's long-run
     // share moves by more than the rounding tolerance
     assert(rows.exists(r => math.abs(r.getAs[Long]("delta_e6")) > tol))
+    // the 3-round unroll is an accuracy assumption, not a contract: the
+    // op must publish its own convergence evidence (|π₃ − π₂| per state).
+    // Replay the integer iteration bit-for-bit from the raw feed and pin
+    // the published gap to the replayed one — the column must be the real
+    // residual motion, not a derived approximation
+    val gapUs = 1800000000L
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val tr = raw.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._3, e._4)).sliding(2).collect {
+        case Array(a, b) if b._3 - a._3 <= gapUs => (a._2, b._2)
+      }
+    }.toSeq.groupBy(identity).map { case (p, xs) => (p, xs.length.toLong) }
+    val rsum = tr.groupBy(_._1._1).map { case (s0, m) => (s0, m.values.sum) }
+    val states = raw.map(_._2).distinct.sorted
+    def step(pi: Map[String, Long]): Map[String, Long] =
+      tr.toSeq.groupBy(_._1._2).map { case (dst, edges) =>
+        dst -> edges.map { case ((src, _), c) =>
+          pi.get(src).fold(0L)(p => (2 * p * c + rsum(src)) / (2 * rsum(src)))
+        }.sum
+      }
+    val pi0 = states.map(_ -> 1000000L / states.length).toMap
+    val pi2 = step(step(pi0))
+    val pi3 = step(pi2)
+    rows.foreach { r =>
+      val st = r.getString(0)
+      assert(r.getAs[Long]("stationary_e6") === pi3.getOrElse(st, 0L), s"π₃($st)")
+      assert(r.getAs[Long]("iter_gap_e6") ===
+        math.abs(pi3.getOrElse(st, 0L) - pi2.getOrElse(st, 0L)), s"gap($st)")
+    }
   }
 
   test("event_gini: coefficient and Lorenz cuts replay from raw per-user counts") {

@@ -168,4 +168,28 @@ class PrivacySpec extends AnyFunSuite {
       assert(red.count() === det.count())
     } finally red.unpersist()
   }
+
+  test("pii_secrets: corpus proves clean; every config row caught with disjoint counts") {
+    val sec = SparkEntry.queries("pii_secrets")(spark, sfDir).cache()
+    try {
+      // negative control: no corpus document carries a credential
+      assert(sec.filter(col("source") =!= "config_dump").count() === 0)
+      // every synthesized config row is flagged
+      val suppliers = Tables.supplier(spark, sfDir).count()
+      assert(sec.count() === suppliers)
+      // per-class counts are exact and DISJOINT: one access key + one
+      // 32-hex secret per row, a bearer token on every third supplier —
+      // and the bearer's own 16-hex tail never double-reports as hex32
+      assert(sec.filter(col("n_awskey") =!= 1).count() === 0)
+      assert(sec.filter(col("n_hex32") =!= 1).count() === 0)
+      val withBearer = Tables.supplier(spark, sfDir)
+        .filter(col("s_suppkey") % 3 === 0).count()
+      assert(sec.filter(col("n_bearer") === 1).count() === withBearer)
+      assert(sec.filter(col("n_bearer") > 1).count() === 0)
+      assert(sec.filter(col("n_secrets") =!=
+        col("n_awskey") + col("n_bearer") + col("n_hex32")).count() === 0)
+      // the sample is a real highest-priority match
+      assert(sec.filter(!col("sample").startsWith("AKIA")).count() === 0)
+    } finally sec.unpersist()
+  }
 }

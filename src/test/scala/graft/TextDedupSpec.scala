@@ -424,4 +424,38 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rows.filter(_.getAs[String]("stage") != "kept")
       .map(_.getAs[Long]("n_docs")).sum > 0)
   }
+
+  test("dedup_cdc: chunks partition every document; twins are fully duplicated") {
+    val sf = "/root/testdata/sf0.001"
+    val out = TextOps.dedupCdc.fn(spark, sf).cache()
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("nw"),
+          col("text"))
+      // chunking is a partition of the word stream: per-doc chunk word
+      // counts must sum back to the document's word count, for every doc
+      assert(out.count() === docs.count())
+      assert(out.join(docs, Seq("doc_id"))
+        .filter(col("words_total") =!= col("nw")).count() === 0,
+        "chunk word counts do not reassemble the documents")
+      // dup accounting is internally consistent
+      assert(out.filter(col("n_dup_chunks") > col("n_chunks") ||
+        col("words_in_dup") > col("words_total")).count() === 0)
+      // every document whose TEXT has a corpus twin must be 100%
+      // dup-chunked (its every chunk occurs at least twice), and two
+      // docs with identical text must publish identical stats —
+      // replication-invariance of the collapsed plan, observed output-side
+      val twins = docs.groupBy("text")
+        .agg(count(lit(1)).as("m"), collect_list("doc_id").as("ids"))
+        .filter(col("m") >= 2)
+      val twinStats = twins.select(explode(col("ids")).as("doc_id"), col("text"))
+        .join(out, Seq("doc_id"))
+      assert(twinStats.filter(col("dup_chunk_ratio") =!= 1.0).count() === 0,
+        "a twin document has a chunk the corpus saw only once")
+      assert(twinStats.groupBy("text")
+        .agg(countDistinct("n_chunks", "words_total", "n_dup_chunks").as("v"))
+        .filter(col("v") =!= 1).count() === 0,
+        "identical texts published different chunk stats")
+    } finally out.unpersist()
+  }
 }
