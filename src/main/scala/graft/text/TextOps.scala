@@ -2599,6 +2599,9 @@ object TextOps {
           .otherwise(0))
     val cumW = Window.partitionBy("tkey").orderBy("i")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // persisted: referenced by BOTH the occurrence count and the join
+    // back — without it Catalyst re-expands the explode→window→chunk
+    // subtree (the heaviest pass) once per reference
     val chunks = bnd
       .withColumn("chunk_id", coalesce(sum("bnd").over(cumW), lit(0)).cast("long"))
       .groupBy(col("tkey"), col("m"), col("chunk_id"))
@@ -2606,6 +2609,8 @@ object TextOps {
         expr("array_join(transform(array_sort(collect_list(struct(i, word))), x -> x.word), ' ')")
           .as("ctext"))
       .withColumn("ckey", graft.Hash128.key128(col("ctext")))
+      .drop("ctext") // only the 16-byte key is needed past this point
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus-wide occurrences, multiplicity-weighted; only the 16-byte
     // chunk key rides this exchange
     val occ = chunks.groupBy("ckey").agg(sum("m").cast("long").as("occ"))

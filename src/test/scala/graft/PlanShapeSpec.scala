@@ -1022,4 +1022,55 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"NB scoring join fell out of broadcast:\n$p")
   }
+
+  test("dedup_cdc: the chunk frame computes ONCE (persisted), windows keyed by tkey") {
+    val df = SparkEntry.queries("dedup_cdc")(spark, sfDir)
+    // the chunk pipeline (explode → window pair → chunk agg) feeds both
+    // the occurrence count and the join back; without the persist,
+    // Catalyst re-expands the heaviest subtree once per reference —
+    // the InMemoryRelation is the single-computation proof
+    val cached = df.queryExecution.optimizedPlan.collect {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryRelation => c
+    }
+    assert(cached.nonEmpty, "chunk frame lost its persist — double computation")
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.flatMap(_.references.map(_.name)).mkString(",")
+    }
+    assert(wins.forall(_.contains("tkey")),
+      s"a dedup_cdc window is not tkey-partitioned (global sort at scale): $wins")
+    assert(!finalPlan(df).toString.contains("CartesianProduct"))
+  }
+
+  test("pii_secrets + doc_repetition_topn: single-pass shapes hold") {
+    // pii_secrets: pure scan — no join, no aggregate anywhere
+    val sec = SparkEntry.queries("pii_secrets")(spark, sfDir)
+    val secPlan = sec.queryExecution.optimizedPlan
+    assert(secPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "pii_secrets grew a join — it must stay a per-row scan")
+    assert(secPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty, "pii_secrets grew an aggregate")
+    // doc_repetition_topn: the four gram families ride ONE corpus scan
+    val rep = SparkEntry.queries("doc_repetition_topn")(spark, sfDir)
+    val scans = rep.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.length === 1,
+      s"doc_repetition_topn reads the corpus ${scans.length} times (want 1)")
+  }
+
+  test("sample_stratified: the corpus rank is stratum-keyed, never global") {
+    val df = SparkEntry.queries("sample_stratified")(spark, sfDir)
+    df.collect()
+    // exactly one window may be global (the bounded strata-frame quota
+    // pass); the doc-side rank must partition by (lang, source)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.flatMap(_.references.map(_.name)).distinct.sorted.mkString(",")
+    }
+    assert(wins.exists(_ == "lang,source"),
+      s"doc rank lost its stratum partitioning: $wins")
+  }
 }
