@@ -2548,7 +2548,7 @@ object TextOps {
     * occurrences (128-bit chunk keys — no chunk text rides the
     * occurrence exchange), one linear expansion join. Nothing all-pairs.
     */
-  val dedupCdc: Q = Q.sql(
+  val dedupCdc: Q = Q.sqlDual(
     "dedup_cdc",
     s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
        |p AS (SELECT doc_id, i, ws[i] AS word
@@ -2580,7 +2580,50 @@ object TextOps {
        |  round(1.0 * sum(CASE WHEN o.occ >= 2 THEN ch.nwords ELSE 0 END)
        |    / sum(ch.nwords), 4) AS dup_chunk_ratio
        |FROM ch JOIN occ o ON ch.ctext = o.ctext
-       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+       |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Collapsed scale twin (the replicated gates: chunking is a pure
+    // text function, so chunk the DISTINCT texts once, weight occurrence
+    // counts by multiplicity, and expand per-doc through the text join —
+    // the naive doc-level shape above OOMs single-box DuckDB at 100x)
+    s"""WITH dt AS MATERIALIZED (
+       |  SELECT min(doc_id) AS gid, CAST(count(*) AS BIGINT) AS m, text
+       |  FROM documents GROUP BY text),
+       |w AS (SELECT gid, m, str_split(text, ' ') AS ws FROM dt),
+       |p AS (SELECT gid, m, i, ws[i] AS word
+       |      FROM (SELECT gid, m, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)),
+       |g AS (SELECT gid, m, i, word,
+       |        lag(word, 2) OVER (PARTITION BY gid ORDER BY i) AS w2,
+       |        lag(word, 1) OVER (PARTITION BY gid ORDER BY i) AS w1
+       |      FROM p),
+       |b AS (SELECT gid, m, i, word,
+       |        CASE WHEN i >= 3
+       |               AND ${duckWordHash("w2 || ' ' || w1 || ' ' || word")} % 16 = 0
+       |             THEN 1 ELSE 0 END AS bnd
+       |      FROM g),
+       |c AS (SELECT gid, m, i, word,
+       |        coalesce(CAST(sum(bnd) OVER (PARTITION BY gid ORDER BY i
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |          AS chunk_id
+       |      FROM b),
+       |ch AS MATERIALIZED (
+       |  SELECT gid, m, chunk_id, CAST(count(*) AS BIGINT) AS nwords,
+       |    string_agg(word, ' ' ORDER BY i) AS ctext
+       |  FROM c GROUP BY 1, 2, 3),
+       |occ AS (SELECT ctext, CAST(sum(m) AS BIGINT) AS occ FROM ch GROUP BY 1),
+       |pt AS (SELECT ch.gid,
+       |    CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(sum(ch.nwords) AS BIGINT) AS words_total,
+       |    CAST(sum(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |    CAST(sum(CASE WHEN o.occ >= 2 THEN ch.nwords ELSE 0 END) AS BIGINT)
+       |      AS words_in_dup,
+       |    round(1.0 * sum(CASE WHEN o.occ >= 2 THEN ch.nwords ELSE 0 END)
+       |      / sum(ch.nwords), 4) AS dup_chunk_ratio
+       |  FROM ch JOIN occ o ON ch.ctext = o.ctext
+       |  GROUP BY 1)
+       |SELECT d.doc_id, pt.n_chunks, pt.words_total, pt.n_dup_chunks,
+       |  pt.words_in_dup, pt.dup_chunk_ratio
+       |FROM documents d JOIN dt ON d.text = dt.text JOIN pt ON dt.gid = pt.gid
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val (keyed, dist) = CorpusOps.distinctTexts(s, d)
     // per-position word rows over DISTINCT texts; the 3-word window comes
     // from two lags over the tkey partition (never element_at(ws, i) —
