@@ -3013,10 +3013,16 @@ object CorpusOps {
     * ratios rather than one verdict). Ratios are per-doc quotients of
     * exact gram counts, rounded once.
     *
-    * Scale: ONE corpus scan — the four gram families are tagged and
-    * concatenated per row before a single explode; then two
-    * partial-aggregating groupBys whose keys include doc_id (map-side
-    * combine bounds the exchange at |distinct (doc, n, gram)|). */
+    * Scale: the ratios are a pure function of text, so the fold runs
+    * ONCE PER DISTINCT TEXT (the SURVEY §4 collapse) and expands through
+    * the (doc_id, tkey) map. Per distinct text each family is ONE
+    * in-place fold over the sorted gram array (total = size, distinct =
+    * run starts, top frequency = longest run — one pass, no
+    * array_distinct, no explode), so no gram string ever rides an
+    * exchange. The first cut exploded the four families through two
+    * corpus-wide groupBys and paid 330 s at sf10; the un-collapsed fold
+    * still paid 26 s at sf1 re-folding every twin. The oracle keeps the
+    * independent doc-level explode shape. */
   val docRepetitionTopn: Q = {
     val ns = Seq(3, 4, 5, 10)
     def duckGram(n: Int) = {
@@ -3046,30 +3052,39 @@ object CorpusOps {
          |  coalesce(max(CASE WHEN n = 10 THEN round(1.0 * (tot - dist) / tot, 4) END), 0.0)
          |    AS dup10_ratio
          |FROM a GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      // one scan: tag each family inside a per-row array concat, explode once
-      val tagged = ns.map(n =>
-        s"transform(graft_shingles(ws, $n), g -> named_struct('n', $n, 'gram', g))")
-        .mkString("concat(", ", ", ")")
-      docs(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), explode(expr(tagged)).as("tg"))
-        .select(col("doc_id"), col("tg.n").as("n"), col("tg.gram").as("gram"))
-        .groupBy("doc_id", "n", "gram").agg(count(lit(1)).cast("long").as("c"))
-        .groupBy("doc_id", "n").agg(
-          sum("c").cast("long").as("tot"),
-          count(lit(1)).cast("long").as("dist"),
-          max("c").cast("long").as("mx"))
-        .groupBy("doc_id").agg(
-          coalesce(max(when(col("n") === 3,
-            round(lit(1.0) * col("mx") / col("tot"), 4))), lit(0.0)).as("top3_ratio"),
-          coalesce(max(when(col("n") === 4,
-            round(lit(1.0) * col("mx") / col("tot"), 4))), lit(0.0)).as("top4_ratio"),
-          coalesce(max(when(col("n") === 5,
-            round(lit(1.0) * (col("tot") - col("dist")) / col("tot"), 4))), lit(0.0))
-            .as("dup5_ratio"),
-          coalesce(max(when(col("n") === 10,
-            round(lit(1.0) * (col("tot") - col("dist")) / col("tot"), 4))), lit(0.0))
-            .as("dup10_ratio"))
+      // per-family stats in ONE fold over the sorted gram array: `nruns`
+      // counts run starts (= distinct grams), `best` tracks the longest
+      // run (= top gram frequency); `<=>` so the first element compares
+      // false against the null seed
+      def famStats(n: Int): String = {
+        val g = s"graft_shingles(ws, $n)"
+        s"""named_struct('tot', size($g), 'st', aggregate(array_sort($g),
+          named_struct('cur', CAST(NULL AS STRING), 'run', 0, 'best', 0, 'nruns', 0),
+          (acc, x) -> named_struct(
+            'cur', x,
+            'run', IF(x <=> acc.cur, acc.run + 1, 1),
+            'best', GREATEST(acc.best, IF(x <=> acc.cur, acc.run + 1, 1)),
+            'nruns', acc.nruns + IF(x <=> acc.cur, 0, 1)),
+          acc -> named_struct('best', acc.best, 'nruns', acc.nruns)))"""
+      }
+      def topRatio(c: String): String =
+        s"IF($c.tot = 0, 0.0e0, round(1.0 * $c.st.best / $c.tot, 4))"
+      def dupRatio(c: String): String =
+        s"IF($c.tot = 0, 0.0e0, round(1.0 * ($c.tot - $c.st.nruns) / $c.tot, 4))"
+      val (keyed, dist) = distinctTexts(s, d)
+      val perText = dist
+        .select(col("tkey"), split(col("text"), " ").as("ws"))
+        .select(col("tkey"),
+          expr(famStats(3)).as("f3"), expr(famStats(4)).as("f4"),
+          expr(famStats(5)).as("f5"), expr(famStats(10)).as("f10"))
+        .select(col("tkey"),
+          expr(topRatio("f3")).as("top3_ratio"),
+          expr(topRatio("f4")).as("top4_ratio"),
+          expr(dupRatio("f5")).as("dup5_ratio"),
+          expr(dupRatio("f10")).as("dup10_ratio"))
+      keyed.join(perText, Seq("tkey"))
+        .select(col("doc_id"), col("top3_ratio"), col("top4_ratio"),
+          col("dup5_ratio"), col("dup10_ratio"))
         .orderBy("doc_id")
     }
   }

@@ -1052,13 +1052,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(secPlan.collect {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.isEmpty, "pii_secrets grew an aggregate")
-    // doc_repetition_topn: the four gram families ride ONE corpus scan
+    // doc_repetition_topn: the distinct-text collapse shape — exactly the
+    // two column-pruned corpus reads (the keyed map + the distinct fold),
+    // no explode-and-regroup (zero Aggregate above the collapse pair), and
+    // the gram folds stay per-row
     val rep = SparkEntry.queries("doc_repetition_topn")(spark, sfDir)
     val scans = rep.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
     }
-    assert(scans.length === 1,
-      s"doc_repetition_topn reads the corpus ${scans.length} times (want 1)")
+    assert(scans.length === 2,
+      s"doc_repetition_topn reads the corpus ${scans.length} times (want the collapse pair)")
+    val repAggs = rep.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(repAggs.length === 1,
+      s"doc_repetition_topn grew ${repAggs.length} aggregates (want only distinctTexts')")
+    assert(rep.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.isEmpty, "doc_repetition_topn regrew an explode")
   }
 
   test("sample_stratified: the corpus rank is stratum-keyed, never global") {
