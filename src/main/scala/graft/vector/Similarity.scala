@@ -1964,6 +1964,86 @@ object Similarity {
     d0.unionByName(dd).orderBy("degree")
   }
 
+  /** kNN-graph hubness audit — the IN-degree distribution of the
+    * directed 3-NN graph ([[knn3Collapsed]], the builder shared with
+    * ann_knn_graph / emb_label_vote): how many vectors are never anyone's
+    * neighbor (indeg 0 — unreachable by graph traversal), how many sit in
+    * the healthy 1–6 range, and how much edge mass concentrates on
+    * 10+-degree hubs. Hub concentration is the practical
+    * intrinsic-dimensionality warning for ANN serving: hubs absorb probe
+    * traffic, dominate neighborhood-vote label cleaning (emb_label_vote)
+    * and make beam search (ann_graph_search) revisit the same nodes —
+    * skewed cum_share says "re-embed or re-weight before indexing".
+    * Out-degree is ≤3 by construction, so in-degree carries ALL the
+    * asymmetry; buckets clamp at 10+ keeping the report ≤12 rows at any
+    * corpus size.
+    *
+    * Scale shape: edges come from the duplicate-collapsed 3-NN builder
+    * (≤3n rows, candidate pairs O(n·const) via adaptive sign-LSH); the
+    * in-degree table is ONE linear partial-agg groupBy on dst, persisted
+    * across its two readers (bucket rollup + referenced count); the
+    * rollup is ≤11 cells; the zero bucket is total − |referenced| from
+    * two broadcast 1-row aggregates; cum_share accumulates raw integer
+    * counts over the ≤12-row report (single-partition window is fine at
+    * that size), rounded once per row. */
+  val embHubness: Q = Q.sql(
+    "emb_hubness",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |${signBandsSql()},
+       |cand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bucket = y.bucket
+       |              AND x.vec_id <> y.vec_id),
+       |sc AS (SELECT cand.src, cand.dst,
+       |         round(list_cosine_similarity(ea.emb, eb2.emb), 4) AS cos_sim
+       |       FROM cand JOIN e ea ON ea.vec_id = cand.src
+       |                 JOIN e eb2 ON eb2.vec_id = cand.dst),
+       |k AS (SELECT src, dst FROM (
+       |        SELECT *, row_number() OVER (
+       |          PARTITION BY src ORDER BY cos_sim DESC, dst) AS rn FROM sc)
+       |      WHERE rn <= 3),
+       |ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS indeg FROM k GROUP BY 1),
+       |b AS (SELECT CAST(least(indeg, 10) AS INT) AS indeg_bucket,
+       |        CAST(count(*) AS BIGINT) AS n_vectors,
+       |        CAST(sum(indeg) AS BIGINT) AS n_in_edges
+       |      FROM ind GROUP BY 1),
+       |z AS (SELECT CAST(0 AS INT) AS indeg_bucket,
+       |        n1.n - (SELECT count(*) FROM ind) AS n_vectors,
+       |        CAST(0 AS BIGINT) AS n_in_edges
+       |      FROM n1),
+       |u AS (SELECT * FROM z WHERE n_vectors > 0 UNION ALL SELECT * FROM b)
+       |SELECT indeg_bucket, n_vectors, n_in_edges,
+       |  round(1.0 * n_vectors / n1.n, 4) AS share,
+       |  round(1.0 * sum(n_vectors) OVER (ORDER BY indeg_bucket) / n1.n, 4)
+       |    AS cum_share
+       |FROM u, n1 ORDER BY indeg_bucket""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val ind = knn3Collapsed(e)
+      .groupBy(col("dst"))
+      .agg(count(lit(1)).cast("long").as("indeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = ind
+      .groupBy(least(col("indeg"), lit(10L)).cast("int").as("indeg_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"),
+        sum("indeg").cast("long").as("n_in_edges"))
+    val n1 = e.agg(count(lit(1)).as("n"))
+    val nRef = ind.agg(count(lit(1)).as("n_ref"))
+    val z = n1.crossJoin(broadcast(nRef))
+      .select(lit(0).cast("int").as("indeg_bucket"),
+        (col("n") - col("n_ref")).as("n_vectors"),
+        lit(0L).as("n_in_edges"))
+      .filter(col("n_vectors") > 0)
+    val w = Window.orderBy("indeg_bucket")
+    z.unionByName(b)
+      .crossJoin(broadcast(n1))
+      .withColumn("share", round(lit(1.0) * col("n_vectors") / col("n"), 4))
+      .withColumn("cum_share",
+        round(lit(1.0) * sum("n_vectors").over(w) / col("n"), 4))
+      .select("indeg_bucket", "n_vectors", "n_in_edges", "share", "cum_share")
+      .orderBy("indeg_bucket")
+  }
+
   /** Per-dimension whitening audit: standardize every coordinate by its
     * corpus mean/std (the feature-scaling pass run before cosine/L2
     * indexing when dimensions are mis-scaled) and report the whitened
@@ -2899,7 +2979,7 @@ object Similarity {
     embNormalize, embQuantize, annPq, annPqSearch, annRecall, annNdcg,
     annIvfMultiprobe, annIvfPq, annIvfKmeans, annRecallKmeans,
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
-    embDimStats, embDrift, annKnnGraph, embWhiten, lshBucketStats,
+    embDimStats, embDrift, annKnnGraph, embHubness, embWhiten, lshBucketStats,
     embMatryoshka, annFiltered, embLabelVote, annHamming, annNprobeCurve,
     embClusterPurity, annPqDistortion, embTripletAudit, annIvfBalance,
     embLabelSim, dedupSemantic)

@@ -417,6 +417,31 @@ class VectorSpec extends AnyFunSuite {
       r.getAs[Long]("n_vectors") > 0))
   }
 
+  test("emb_hubness reconciles with ann_knn_graph: edge mass, vector count, cum_share") {
+    val hub = graft.vector.Similarity.embHubness.fn(spark, TestSession.sfDir)
+      .collect()
+    val deg = graft.vector.Similarity.annKnnGraph.fn(spark, TestSession.sfDir)
+      .collect()
+    val corpus = Tables.embeddings(spark, TestSession.sfDir).count()
+    // every vector lands in exactly one in-degree bucket
+    assert(hub.map(_.getAs[Long]("n_vectors")).sum === corpus)
+    // total in-edge mass == total out-edge mass (same ≤3n edge list)
+    assert(hub.map(_.getAs[Long]("n_in_edges")).sum ===
+      deg.map(_.getAs[Long]("n_edges")).sum)
+    // buckets ascend, clamp at 10, and cum_share reaches exactly 1.0
+    val buckets = hub.map(_.getAs[Int]("indeg_bucket")).toSeq
+    assert(buckets === buckets.sorted && buckets.forall(b => b >= 0 && b <= 10))
+    assert(hub.last.getAs[Double]("cum_share") === 1.0)
+    hub.foreach { r =>
+      val b = r.getAs[Int]("indeg_bucket")
+      val nv = r.getAs[Long]("n_vectors")
+      val ne = r.getAs[Long]("n_in_edges")
+      // bucket b < 10 holds exactly b in-edges per vector; 10+ at least 10
+      if (b < 10) assert(ne === b.toLong * nv, s"bucket $b")
+      else assert(ne >= 10L * nv)
+    }
+  }
+
   test("emb_whiten reconciles with emb_dim_stats and its own z bounds") {
     val wh = graft.vector.Similarity.embWhiten.fn(spark, TestSession.sfDir)
       .collect().map(r => r.getLong(0) -> r).toMap
