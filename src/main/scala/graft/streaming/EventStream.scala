@@ -626,7 +626,65 @@ object EventStream {
     },
     graft.audit.AuditQueries.auditAsofState.oracle)
 
+  /** Watermark-delay design audit for the streaming plane: for each
+    * candidate `withWatermark` delay (1 / 5 / 15 min), how many events
+    * would arrive BEHIND the frontier and be dropped by stateful
+    * operators, and how far behind the worst straggler lands. Arrival
+    * order is the ingest sequence (event_id — the feed is append-only,
+    * audit.go:627); the frontier is each entity population's running
+    * max event time over that order, i.e. the same per-key frontier a
+    * partitioned watermark tracker maintains. This is the measurement
+    * that turns the watermark constant in stream_rate_alert /
+    * audit_sessionize_stream from a guess into a quantified
+    * drop-rate-vs-state-size trade.
+    *
+    * Scale: ONE user-keyed window exchange (the event_paths shape);
+    * the 3-delay fan-out explodes AFTER the window and collapses in the
+    * same partial aggregation; all lateness arithmetic is integer
+    * microseconds (no FP boundary can flip a late flag). Output: 3 rows. */
+  val streamLateCurve: Q = Q.sql(
+    "stream_late_curve",
+    """WITH o AS (
+      |  SELECT ts,
+      |    max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS frontier
+      |  FROM events),
+      |d AS (SELECT CAST(unnest([60, 300, 900]) AS BIGINT) AS delay_s),
+      |x AS (SELECT d.delay_s,
+      |        CASE WHEN frontier IS NOT NULL
+      |              AND epoch_ns(ts) // 1000
+      |                  < epoch_ns(frontier) // 1000 - d.delay_s * 1000000
+      |             THEN (epoch_ns(frontier) // 1000 - d.delay_s * 1000000
+      |                   - epoch_ns(ts) // 1000) // 1000000
+      |             ELSE NULL END AS late_s
+      |      FROM o CROSS JOIN d)
+      |SELECT delay_s, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(late_s) AS BIGINT) AS n_late,
+      |  round(1.0 * count(late_s) / count(*), 4) AS late_share,
+      |  CAST(coalesce(max(late_s), 0) AS BIGINT) AS max_late_s
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("frontier", max("ts").over(w))
+      .select(unix_micros(col("ts")).as("tsu"), unix_micros(col("frontier")).as("fru"))
+      .withColumn("delay_s", explode(array(lit(60L), lit(300L), lit(900L))))
+      .withColumn("late_s",
+        when(col("fru").isNotNull &&
+            col("tsu") < col("fru") - col("delay_s") * 1000000L,
+          expr("(fru - delay_s * 1000000 - tsu) div 1000000")))
+      .groupBy("delay_s")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        count(col("late_s")).cast("long").as("n_late"),
+        round(lit(1.0) * count(col("late_s")) / count(lit(1)), 4).as("late_share"),
+        coalesce(max("late_s"), lit(0L)).cast("long").as("max_late_s"))
+      .orderBy("delay_s")
+  }
+
   val all: Seq[Q] = Seq(auditStream, auditStreamJoin, auditSessionizeStream,
     auditStreamDedup, corpusStreamQa, streamDedupIncremental,
-    streamRateAlert, auditStreamBackfill, streamAsofEnrich)
+    streamRateAlert, auditStreamBackfill, streamAsofEnrich, streamLateCurve)
 }

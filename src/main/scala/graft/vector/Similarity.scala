@@ -1817,6 +1817,92 @@ object Similarity {
     }
   }
 
+  /** Pairwise linear-kernel MMD² between the per-source embedding
+    * distributions — the corpus-mix health matrix (which provenance
+    * buckets are semantically interchangeable, which are genuinely
+    * distinct populations). Uses the UNBIASED estimator
+    * (Gretton et al., JMLR 2012, eq. 3): with S = Σx, q = Σ‖x‖², n per
+    * source,   MMD²ᵤ(a,b) = (‖Sa‖²−qa)/(na(na−1)) + (‖Sb‖²−qb)/(nb(nb−1))
+    * − 2⟨Sa,Sb⟩/(na·nb) — every term derives from ONE partial-aggregating
+    * pass per source (vector-sum + norm-sum + count), so the corpus is
+    * touched exactly once and never exchanged; the pair matrix is
+    * |sources|² rows of driver-free arithmetic on the tiny aggregate.
+    * centroid_cos is the companion readout (angle between source means).
+    * Determinism: vector sums fold in DECIMAL(28,9) (graft_vec_sum /
+    * emb_centroids discipline), cross-dim dot products accumulate in
+    * DECIMAL(28,12) (the emb_drift discipline); per-row ‖x‖² folds in
+    * array order, identical in both engines. */
+  val embMmdSources: Q = Q.sql(
+    "emb_mmd_sources",
+    s"""WITH j AS (SELECT d.source, CAST(e.embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+       |u AS (SELECT source, unnest(emb) AS v,
+       |        generate_subscripts(emb, 1) AS dim FROM j),
+       |c AS (SELECT source, CAST(dim AS BIGINT) AS dim,
+       |        ${Det.dsum9Sql("v")} AS sd
+       |      FROM u GROUP BY 1, 2),
+       |nq AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |        ${Det.dsum9Sql("list_sum(list_transform(emb, x -> x * x))")} AS q
+       |      FROM j GROUP BY 1 HAVING count(*) >= 2),
+       |s2 AS (SELECT source,
+       |        CAST(sum(CAST(sd * sd AS DECIMAL(28,12))) AS DOUBLE) AS s2
+       |      FROM c GROUP BY 1),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b,
+       |        CAST(sum(CAST(a.sd * b.sd AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |      FROM c a JOIN c b ON a.dim = b.dim AND a.source < b.source
+       |      GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b, na.n AS n_a, nb.n AS n_b,
+       |  round((sa.s2 - na.q) / (na.n * (na.n - 1))
+       |      + (sb.s2 - nb.q) / (nb.n * (nb.n - 1))
+       |      - 2 * dot / (na.n * nb.n), 6) AS mmd2,
+       |  round(dot / sqrt(sa.s2 * sb.s2), 6) AS centroid_cos
+       |FROM p JOIN nq na ON p.src_a = na.source
+       |       JOIN nq nb ON p.src_b = nb.source
+       |       JOIN s2 sa ON p.src_a = sa.source
+       |       JOIN s2 sb ON p.src_b = sb.source
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val j = emb(s, d)
+      .join(graft.Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+    // one exchange: |sources| buffers carrying (vec-sum, norm-sum, count)
+    val agg = j.groupBy("source").agg(
+      expr("graft_vec_sum(transform(embedding, " +
+        "x -> cast(cast(x as double) as decimal(28,9))))").as("sv"),
+      Det.dsum9(expr("aggregate(transform(embedding, x -> cast(x as double)), " +
+        "cast(0.0 as double), (acc, x) -> acc + x * x)")).as("q"),
+      count(lit(1)).cast("long").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = agg
+      .select(col("source"), posexplode(col("sv")).as(Seq("pos", "svd")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("dim"),
+        col("svd").cast("double").as("sd"))
+    val s2 = c.groupBy("source")
+      .agg(sum((col("sd") * col("sd")).cast("decimal(28,12)"))
+        .cast("double").as("s2"))
+    val p = c.select(col("source").as("src_a"), col("dim"), col("sd").as("sda"))
+      .join(c.select(col("source").as("src_b"), col("dim"), col("sd").as("sdb")),
+        Seq("dim"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum((col("sda") * col("sdb")).cast("decimal(28,12)"))
+        .cast("double").as("dot"))
+    // singleton sources have no unbiased within-term (n(n−1) = 0) — the
+    // inner joins below drop them from the pair matrix in both engines
+    val nq = agg.select(col("source"), col("n"), col("q")).filter(col("n") >= 2)
+    p.join(nq.select(col("source").as("src_a"), col("n").as("n_a"),
+        col("q").as("qa")), Seq("src_a"))
+      .join(nq.select(col("source").as("src_b"), col("n").as("n_b"),
+        col("q").as("qb")), Seq("src_b"))
+      .join(s2.select(col("source").as("src_a"), col("s2").as("s2a")), Seq("src_a"))
+      .join(s2.select(col("source").as("src_b"), col("s2").as("s2b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        round((col("s2a") - col("qa")) / (col("n_a") * (col("n_a") - 1))
+          + (col("s2b") - col("qb")) / (col("n_b") * (col("n_b") - 1))
+          - lit(2) * col("dot") / (col("n_a") * col("n_b")), 6).as("mmd2"),
+        round(col("dot") / sqrt(col("s2a") * col("s2b")), 6).as("centroid_cos"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** LSH-blocked k-NN graph (k = 3) with a degree-profile report — the
     * construction step of graph-based curation (neighborhood-vote label
     * cleaning, graph dedup, diversity sampling all start from this
@@ -2042,6 +2128,63 @@ object Similarity {
         round(lit(1.0) * sum("n_vectors").over(w) / col("n"), 4))
       .select("indeg_bucket", "n_vectors", "n_in_edges", "share", "cum_share")
       .orderBy("indeg_bucket")
+  }
+
+  /** Cluster-balanced subsampling — the topic-flattening curation step
+    * (cap every semantic cluster at an equal quota so a crawl's dominant
+    * topic cannot swamp the mix): assign each vector to its trained
+    * IVF cell (the ann_ivf_trained quantizer — broadcast centroids,
+    * per-row argmin fold, NO assignment exchange), set
+    * quota = ⌈N/k⌉, and keep each cell's quota-prefix by ascending
+    * vec_id — a deterministic, reproducible selection (re-running the
+    * release yields the identical subset, which is what makes a
+    * training-mix auditable). The per-cell report pins the EXACT kept
+    * set, not just its size: kept_id_sum / kept_id_max are checksums of
+    * the chosen ids, so an engine that kept the right COUNT but the
+    * wrong rows fails the gate.
+    *
+    * Scale: one |labels|-buffer centroid aggregate + one cell-keyed
+    * window exchange (rank within cell); totals ride a broadcast 1-row
+    * frame. Output ≤ k rows. */
+  val embClusterSample: Q = Q.sql(
+    "emb_cluster_sample",
+    s"""WITH $centCtesSql,
+       |$centRanksCtesSql,
+       |assign AS (SELECT vec_id, clabel AS cell FROM ar WHERE rn = 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(count(DISTINCT cell) AS BIGINT) AS k FROM assign),
+       |q AS (SELECT (n + k - 1) // k AS quota FROM t),
+       |r AS (SELECT cell, vec_id, row_number() OVER (
+       |        PARTITION BY cell ORDER BY vec_id) AS rn2 FROM assign)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_raw,
+       |  CAST(count(*) FILTER (WHERE rn2 <= quota) AS BIGINT) AS n_kept,
+       |  CAST(min(quota) AS BIGINT) AS quota,
+       |  round(1.0 * count(*) FILTER (WHERE rn2 <= quota) / count(*), 4)
+       |    AS retention,
+       |  CAST(sum(vec_id) FILTER (WHERE rn2 <= quota) AS BIGINT) AS kept_id_sum,
+       |  CAST(max(vec_id) FILTER (WHERE rn2 <= quota) AS BIGINT) AS kept_id_max
+       |FROM r CROSS JOIN q GROUP BY cell ORDER BY cell""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val assign = centroidRanks(e).filter(col("rn") === 1)
+      .select(col("vec_id"), col("clabel").as("cell"))
+    val t = assign.agg(count(lit(1)).cast("long").as("n"),
+      countDistinct(col("cell")).cast("long").as("k"))
+      .select(expr("(n + k - 1) div k").cast("long").as("quota"))
+    val w = Window.partitionBy("cell").orderBy("vec_id")
+    assign
+      .withColumn("rn2", row_number().over(w))
+      .crossJoin(broadcast(t))
+      .groupBy("cell")
+      .agg(count(lit(1)).cast("long").as("n_raw"),
+        count(when(col("rn2") <= col("quota"), 1)).cast("long").as("n_kept"),
+        min("quota").cast("long").as("quota"),
+        round(lit(1.0) * count(when(col("rn2") <= col("quota"), 1)) / count(lit(1)), 4)
+          .as("retention"),
+        sum(when(col("rn2") <= col("quota"), col("vec_id"))).cast("long")
+          .as("kept_id_sum"),
+        max(when(col("rn2") <= col("quota"), col("vec_id"))).cast("long")
+          .as("kept_id_max"))
+      .orderBy("cell")
   }
 
   /** Per-dimension whitening audit: standardize every coordinate by its
@@ -2979,7 +3122,8 @@ object Similarity {
     embNormalize, embQuantize, annPq, annPqSearch, annRecall, annNdcg,
     annIvfMultiprobe, annIvfPq, annIvfKmeans, annRecallKmeans,
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
-    embDimStats, embDrift, annKnnGraph, embHubness, embWhiten, lshBucketStats,
+    embDimStats, embDrift, embMmdSources, annKnnGraph, embHubness,
+    embClusterSample, embWhiten, lshBucketStats,
     embMatryoshka, annFiltered, embLabelVote, annHamming, annNprobeCurve,
     embClusterPurity, annPqDistortion, embTripletAudit, annIvfBalance,
     embLabelSim, dedupSemantic)

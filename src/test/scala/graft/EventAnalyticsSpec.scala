@@ -482,4 +482,48 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(d > 0.5 && d < 2.0, s"$t dispersion $d out of sanity range")
     }
   }
+
+  test("stream_late_curve: monotone drops, uniform lateness shift, local replay") {
+    val rows = graft.streaming.EventStream.streamLateCurve.fn(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("delay_s"))
+    assert(rows.map(_.getAs[Long]("delay_s")).toSeq === Seq(60L, 300L, 900L))
+    // every delay sees the same event universe
+    assert(rows.map(_.getAs[Long]("n_events")).distinct.length === 1)
+    // a longer watermark can only admit MORE events...
+    assert(rows.map(_.getAs[Long]("n_late")).toSeq ===
+      rows.map(_.getAs[Long]("n_late")).sortBy(-_).toSeq)
+    // ...and lateness-past-watermark shifts uniformly with the delay:
+    // max_late(d2) == max_late(d1) - (d2 - d1) while anyone is still late
+    for (Array(a, b) <- rows.sliding(2)) {
+      if (b.getAs[Long]("n_late") > 0)
+        assert(b.getAs[Long]("max_late_s") ===
+          a.getAs[Long]("max_late_s") - (b.getAs[Long]("delay_s") - a.getAs[Long]("delay_s")))
+    }
+    // independent replay from the raw feed: per-user running max over
+    // ingest order (event_id), integer-microsecond lateness
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime * 1000 +
+        (r.getTimestamp(2).getNanos / 1000) % 1000))
+    val lateness = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(_._2)
+      sorted.zipWithIndex.flatMap { case ((_, _, ts), i) =>
+        if (i == 0) None
+        else {
+          val frontier = sorted.take(i).map(_._3).max
+          if (frontier > ts) Some(frontier - ts) else None
+        }
+      }
+    }.toSeq
+    rows.foreach { r =>
+      val dUs = r.getAs[Long]("delay_s") * 1000000L
+      val late = lateness.filter(_ > dUs)
+      assert(r.getAs[Long]("n_events") === ev.length.toLong)
+      assert(r.getAs[Long]("n_late") === late.length.toLong,
+        s"delay ${r.getAs[Long]("delay_s")}")
+      if (late.nonEmpty)
+        assert(r.getAs[Long]("max_late_s") === late.max / 1000000L)
+      else assert(r.getAs[Long]("max_late_s") === 0L)
+    }
+  }
 }

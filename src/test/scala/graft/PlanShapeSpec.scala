@@ -1084,4 +1084,51 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(wins.exists(_ == "lang,source"),
       s"doc rank lost its stratum partitioning: $wins")
   }
+
+  test("emb_mmd_sources: corpus folds into ONE cached aggregate, no cartesian") {
+    val df = SparkEntry.queries("emb_mmd_sources")(spark, sfDir)
+    df.collect()
+    // every corpus read lives inside the single persisted per-source
+    // aggregate — the pair matrix, dots, and norms all derive from the
+    // cached |sources|-row frame, so the raw tables never re-scan
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.isEmpty,
+      s"emb_mmd_sources re-reads the corpus ${scans.length} times past the cache")
+    assert(!finalPlan(df).toString.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
+
+  test("emb_cluster_sample: the rank window is cell-keyed, never global") {
+    val df = SparkEntry.queries("emb_cluster_sample")(spark, sfDir)
+    df.collect()
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.flatMap(_.references.map(_.name)).distinct.sorted.mkString(",")
+    }
+    assert(wins.nonEmpty && wins.forall(_.contains("cell")),
+      s"emb_cluster_sample window lost its cell partitioning: $wins")
+    assert(!finalPlan(df).toString.contains("CartesianProduct"))
+  }
+
+  test("stream_late_curve: one user-keyed frontier window, explode after it") {
+    val df = SparkEntry.queries("stream_late_curve")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.optimizedPlan
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.flatMap(_.references.map(_.name)).distinct.sorted.mkString(",")
+    }
+    assert(wins === Seq("user_id"),
+      s"stream_late_curve frontier window must be user-keyed exactly once: $wins")
+    // the 3-delay fan-out must not multiply rows BEFORE the window
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.length === 1, s"want exactly one explode, got ${gens.length}")
+    assert(gens.head.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isDefined, "the delay explode must sit ABOVE the frontier window")
+  }
 }

@@ -822,4 +822,87 @@ class VectorSpec extends AnyFunSuite {
         s"cell ${r.getLong(0)} reduction")
     }
   }
+
+  test("emb_mmd_sources: pair matrix shape, cos bounds, and a local replay of one pair") {
+    val rows = graft.vector.Similarity.embMmdSources.fn(spark, TestSession.sfDir)
+      .collect()
+    val srcs = Tables.documents(spark, TestSession.sfDir)
+      .join(Tables.embeddings(spark, TestSession.sfDir),
+        col("doc_id") === col("vec_id"))
+      .groupBy("source").count().filter(col("count") >= 2)
+      .collect().map(_.getString(0)).sorted
+    // all unordered pairs of eligible sources, each exactly once, a < b
+    assert(rows.length === srcs.length * (srcs.length - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      val c = r.getAs[Double]("centroid_cos")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_a") >= 2 && r.getAs[Long]("n_b") >= 2)
+    }
+    // local unbiased-MMD replay of the first pair from raw embeddings
+    val h = rows.head
+    val (sa, sb) = (h.getAs[String]("src_a"), h.getAs[String]("src_b"))
+    def vecs(src: String): Array[Array[Double]] =
+      Tables.documents(spark, TestSession.sfDir).filter(col("source") === src)
+        .join(Tables.embeddings(spark, TestSession.sfDir),
+          col("doc_id") === col("vec_id"))
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val (va, vb) = (vecs(sa), vecs(sb))
+    def dot(x: Array[Double], y: Array[Double]): Double =
+      x.indices.map(i => x(i) * y(i)).sum
+    val (na, nb) = (va.length.toDouble, vb.length.toDouble)
+    val saa = (for { i <- va.indices; j <- va.indices if i != j }
+      yield dot(va(i), va(j))).sum / (na * (na - 1))
+    val sbb = (for { i <- vb.indices; j <- vb.indices if i != j }
+      yield dot(vb(i), vb(j))).sum / (nb * (nb - 1))
+    val sab = (for { i <- va.indices; j <- vb.indices }
+      yield dot(va(i), vb(j))).sum / (na * nb)
+    assert(math.abs(h.getAs[Double]("mmd2") - (saa + sbb - 2 * sab)) < 1e-3,
+      s"pair ($sa,$sb)")
+  }
+
+  test("emb_cluster_sample: quotas, totals, and the deterministic prefix checksum") {
+    val rows = graft.vector.Similarity.embClusterSample.fn(spark, TestSession.sfDir)
+      .collect()
+    val n = Tables.embeddings(spark, TestSession.sfDir).count()
+    val k = rows.length.toLong
+    val quota = (n + k - 1) / k
+    assert(rows.map(_.getAs[Long]("n_raw")).sum === n)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("quota") === quota)
+      val (raw, kept) = (r.getAs[Long]("n_raw"), r.getAs[Long]("n_kept"))
+      // the kept count IS min(raw, quota) — the window only picks WHICH ids
+      assert(kept === math.min(raw, quota))
+      val replayed = BigDecimal(kept.toDouble / raw)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("retention") === replayed)
+      // checksum sanity: the kept set has kept members bounded by its max
+      assert(r.getAs[Long]("kept_id_sum") <= kept * r.getAs[Long]("kept_id_max"))
+    }
+    // full independent replay: per-label centroids → L2² argmin assignment
+    // (ties by label, the ann_ivf_trained quantizer) → ascending-id prefix
+    // per cell — the checksums must pin the EXACT kept set
+    val raw = Tables.embeddings(spark, TestSession.sfDir)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    val cents = raw.groupBy(_._3).map { case (l, vs) =>
+      val d = vs.head._2.length
+      l -> Array.tabulate(d)(i => vs.map(_._2(i)).sum / vs.length)
+    }
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val assign = raw.map { case (id, v, _) =>
+      id -> cents.toSeq.map { case (l, c) => (l2(v, c), l) }.min._2
+    }
+    val byCell = assign.groupBy(_._2)
+    rows.foreach { r =>
+      val cell = r.getInt(0)
+      val kept = byCell(cell).map(_._1).sorted.take(quota.toInt)
+      assert(r.getAs[Long]("n_kept") === kept.length.toLong, s"cell $cell")
+      assert(r.getAs[Long]("kept_id_sum") === kept.sum, s"cell $cell sum")
+      assert(r.getAs[Long]("kept_id_max") === kept.max, s"cell $cell max")
+    }
+  }
 }
