@@ -2908,6 +2908,54 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Reliability audit of the NB quality scorer ([[qualityNb]]) on its
+    * HELD-OUT split: margin-bucketed calibration — per 2-logit bucket of
+    * the NB margin, how often the heuristic gate actually passes. A
+    * monotone frac_heur_pass curve means the classifier's confidence
+    * ORDERS documents correctly (what DSIR-style soft filtering relies
+    * on); the agreement column is held-out accuracy by confidence band —
+    * the "is my filter trustworthy where it is most sure" readout a
+    * release gate wants BEFORE thresholding 100 TB on margin sign.
+    *
+    * Composes the live quality_nb plan (identical training split and
+    * weights by construction — same builder). Bucketing floors
+    * margin/2e6 in double (|margin_micro| ≪ 2^53, so the division is
+    * exact and floor() agrees across engines — integer `div`/`//` would
+    * NOT: Spark truncates toward zero, DuckDB floors). The per-bucket
+    * margin mass is published as the raw integer sum (no mean division
+    * to round). Output ≤ 11 rows; the only work past quality_nb is one
+    * partial-aggregating groupBy on the bucket. */
+  val qualityCalibration: Q = Q.sql(
+    "quality_calibration",
+    s"""WITH nbout AS (${qualityNb.oracle.get}),
+       |h AS (SELECT greatest(-5, least(5,
+       |          CAST(floor(margin_micro / 2000000.0) AS BIGINT)))
+       |          AS margin_bucket,
+       |        heur_pass, nb_pass, margin_micro
+       |      FROM nbout WHERE held_out = 1)
+       |SELECT margin_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(heur_pass) AS BIGINT) AS n_heur_pass,
+       |  round(1.0 * sum(heur_pass) / count(*), 4) AS frac_heur_pass,
+       |  CAST(sum(nb_pass) AS BIGINT) AS n_nb_pass,
+       |  CAST(sum(CASE WHEN nb_pass = heur_pass THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree,
+       |  CAST(sum(margin_micro) AS BIGINT) AS margin_sum_micro
+       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    qualityNb.fn(s, d)
+      .filter(col("held_out") === 1)
+      .groupBy(greatest(lit(-5L), least(lit(5L),
+        floor(col("margin_micro") / lit(2000000.0)).cast("long")))
+        .as("margin_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("heur_pass").cast("long").as("n_heur_pass"),
+        round(lit(1.0) * sum("heur_pass") / count(lit(1)), 4).as("frac_heur_pass"),
+        sum("nb_pass").cast("long").as("n_nb_pass"),
+        sum(when(col("nb_pass") === col("heur_pass"), 1L).otherwise(0L))
+          .cast("long").as("n_agree"),
+        sum("margin_micro").cast("long").as("margin_sum_micro"))
+      .orderBy("margin_bucket")
+  }
+
   /** Largest-remainder (Hamilton) stratified sampling plan + its
     * deterministic realization: a fixed sample budget (⌊corpus⁄3⌋ docs)
     * is allocated across (lang, source) strata exactly proportionally —
@@ -3098,6 +3146,6 @@ object CorpusOps {
     tokenLengthQuantiles, stopwordProfile, vocabCoverage, curriculumOrder,
     corpusBigramPpl, vocabOverlap, perplexityBuckets, heapsFit,
     qualityPlaneAgreement, qualityAblation, contaminationSources,
-    corpusExport, corpusDsir, corpusDoremi, qualityNb, decontaminateBloom,
-    corpusPsi, docRarity, corpusKnPpl)
+    corpusExport, corpusDsir, corpusDoremi, qualityNb, qualityCalibration,
+    decontaminateBloom, corpusPsi, docRarity, corpusKnPpl)
 }

@@ -934,4 +934,37 @@ class CorpusOpsSpec extends AnyFunSuite {
         "dup5_ratio diverges from the direct recount")
     } finally out.unpersist()
   }
+
+  test("quality_calibration: exact replay from the live quality_nb output") {
+    val cal = CorpusOps.qualityCalibration.fn(spark, sfDir).collect()
+    val nb = CorpusOps.qualityNb.fn(spark, sfDir)
+      .filter(col("held_out") === 1)
+      .select("margin_micro", "heur_pass", "nb_pass").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cal.map(_.getAs[Long]("n_docs")).sum === nb.length.toLong)
+    def bucket(m: Long): Long =
+      math.max(-5L, math.min(5L, math.floor(m / 2000000.0).toLong))
+    val by = nb.groupBy(t => bucket(t._1))
+    assert(cal.map(_.getAs[Long]("margin_bucket")).toSeq ===
+      by.keys.toSeq.sorted)
+    cal.foreach { r =>
+      val b = r.getAs[Long]("margin_bucket")
+      assert(b >= -5 && b <= 5)
+      val g = by(b)
+      assert(r.getAs[Long]("n_docs") === g.length.toLong, s"bucket $b")
+      assert(r.getAs[Long]("n_heur_pass") === g.map(_._2).sum, s"bucket $b heur")
+      assert(r.getAs[Long]("n_nb_pass") === g.map(_._3).sum, s"bucket $b nb")
+      assert(r.getAs[Long]("n_agree") ===
+        g.count(t => t._2 == t._3).toLong, s"bucket $b agree")
+      assert(r.getAs[Long]("margin_sum_micro") === g.map(_._1).sum, s"bucket $b sum")
+      val frac = BigDecimal(g.map(_._2).sum.toDouble / g.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("frac_heur_pass") === frac, s"bucket $b frac")
+      // the NB sign decision and the bucket sign must cohere: a strictly
+      // positive bucket only holds nb_pass = 1 rows, strictly negative
+      // only nb_pass = 0 (bucket 0 straddles the margin-0 boundary)
+      if (b > 0) assert(r.getAs[Long]("n_nb_pass") === r.getAs[Long]("n_docs"))
+      if (b < 0) assert(r.getAs[Long]("n_nb_pass") === 0L)
+    }
+  }
 }

@@ -1131,4 +1131,19 @@ class PlanShapeSpec extends AnyFunSuite {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }.isDefined, "the delay explode must sit ABOVE the frontier window")
   }
+
+  test("quality_calibration: one bounded groupBy past the live quality_nb plan") {
+    val df = SparkEntry.queries("quality_calibration")(spark, sfDir)
+    df.collect()
+    // the calibration pass must not add exchanges beyond quality_nb's own
+    // shape — its only work is a partial-aggregating groupBy on the
+    // <=11-value margin bucket (and no window: a global ntile would
+    // funnel the corpus through one partition)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.isEmpty, "quality_calibration grew a window")
+    assert(!finalPlan(df).toString.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
 }
