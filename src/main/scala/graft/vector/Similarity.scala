@@ -1530,6 +1530,102 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Semantic-dedup threshold curve — the release knob dedup_semantic
+    * fixes at 0.35, SWEPT (0.35 / 0.55 / 0.75): per candidate cosine
+    * threshold, how many vectors the SemDeDup-style greedy prune
+    * (drop a representative iff a better-centroid-ranked cellmate sits
+    * within the threshold; duplicates within an identical-embedding
+    * group always collapse to their representative) would keep — the
+    * retention-vs-aggressiveness curve a curation run reads before
+    * committing a threshold to 100 TB.
+    *
+    * Cost shape: the candidate pair join runs ONCE (same collapsed
+    * group-representative join as dedup_semantic, cells from the same
+    * k-means quantizer), reduced to ONE row per group (the best
+    * better-ranked cosine); the 3-threshold fan-out explodes on that
+    * bounded per-group frame, never on pairs. Thresholds compare
+    * round-4 cosines to shared literals — identical classification in
+    * both engines. */
+  val dedupSemanticCurve: Q = Q.sql(
+    "dedup_semantic_curve",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |${kmeansTrainSql(64, "id")},
+      |ar AS (SELECT e.vec_id, s.cid, row_number() OVER (
+      |         PARTITION BY e.vec_id ORDER BY ${kmeansDistSql("e.emb", "s.cv")}, s.cid) AS rn
+      |       FROM e, c2 s),
+      |assign AS MATERIALIZED (SELECT vec_id, cid AS cell FROM ar WHERE rn = 1),
+      |cc AS MATERIALIZED (SELECT a.vec_id, a.cell,
+      |        round(list_cosine_similarity(e.emb, c2.cv), 4) AS ccos
+      |      FROM assign a JOIN e ON e.vec_id = a.vec_id JOIN c2 ON c2.cid = a.cell),
+      |mx AS (SELECT u.vec_id,
+      |         max(CASE WHEN v.vec_id IS NOT NULL
+      |                   AND (v.ccos < u.ccos
+      |                        OR (v.ccos = u.ccos AND v.vec_id < u.vec_id))
+      |              THEN round(list_cosine_similarity(eu.emb, ev.emb), 4) END)
+      |           AS best
+      |       FROM cc u JOIN e eu ON eu.vec_id = u.vec_id
+      |         LEFT JOIN cc v ON u.cell = v.cell AND u.vec_id <> v.vec_id
+      |         LEFT JOIN e ev ON ev.vec_id = v.vec_id
+      |       GROUP BY 1),
+      |g AS (SELECT min(e.vec_id) AS gid, count(*) AS mult FROM e GROUP BY e.emb),
+      |gm AS (SELECT g.gid, g.mult, mx.best FROM g JOIN mx ON mx.vec_id = g.gid),
+      |t AS (SELECT CAST(unnest([0.35, 0.55, 0.75]) AS DOUBLE) AS threshold),
+      |s AS (SELECT t.threshold, gm.mult,
+      |        CASE WHEN gm.best IS NOT NULL AND gm.best >= t.threshold
+      |             THEN 1 ELSE 0 END AS beaten
+      |      FROM gm CROSS JOIN t)
+      |SELECT threshold, CAST(sum(mult) AS BIGINT) AS n_vecs,
+      |  CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(count(*) FILTER (WHERE beaten = 0) AS BIGINT) AS n_kept,
+      |  CAST(sum(mult) - count(*) FILTER (WHERE beaten = 0) AS BIGINT)
+      |    AS n_pruned,
+      |  round(1.0 * (sum(mult) - count(*) FILTER (WHERE beaten = 0))
+      |    / sum(mult), 4) AS prune_rate
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val embD = toEmbD(emb(s, d))
+    val cent = kmeansRounds(embD, 64, 2, "id").last
+    val cc = embD.crossJoin(broadcast(centsArr(cent)))
+      .select(col("vec_id"), col("emb_d"), expr(argminCid).as("cell"))
+      .join(broadcast(cent.select(col("cid").as("cell"), col("cv"))), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("emb_d"),
+        cosR(col("emb_d"), col("cv")).as("ccos"))
+    // identical embeddings collapse to one representative carrying the
+    // group multiplicity (dedup_semantic's exchange discipline): the
+    // candidate join runs over groups, never over twin pairs
+    val byVec = Window.partitionBy("emb_d")
+    val reps = cc
+      .withColumn("gid", min("vec_id").over(byVec))
+      .withColumn("mult", count(lit(1)).over(byVec))
+      .withColumn("rk", row_number().over(byVec.orderBy("vec_id")))
+      .filter(col("rk") === 1)
+      .select(col("gid"), col("cell"), col("ccos"), col("emb_d"), col("mult"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r1 = reps.select(col("gid").as("gid_u"), col("cell"),
+      col("ccos").as("ccos_u"), col("emb_d").as("eu"))
+    val r2 = reps.select(col("gid").as("gid_v"), col("cell"),
+      col("ccos").as("ccos_v"), col("emb_d").as("ev"))
+    val best = r1.join(r2, Seq("cell"))
+      .filter(col("gid_u") =!= col("gid_v") &&
+        (col("ccos_v") < col("ccos_u") ||
+          (col("ccos_v") === col("ccos_u") && col("gid_v") < col("gid_u"))))
+      .groupBy(col("gid_u").as("gid"))
+      .agg(max(cosR(col("eu"), col("ev"))).as("best"))
+    reps.join(best, Seq("gid"), "left")
+      .withColumn("threshold", explode(array(lit(0.35), lit(0.55), lit(0.75))))
+      .withColumn("beaten",
+        when(col("best").isNotNull && col("best") >= col("threshold"), 1)
+          .otherwise(0))
+      .groupBy("threshold")
+      .agg(sum("mult").cast("long").as("n_vecs"),
+        count(lit(1)).cast("long").as("n_groups"),
+        count(when(col("beaten") === 0, 1)).cast("long").as("n_kept"),
+        (sum("mult") - count(when(col("beaten") === 0, 1))).cast("long")
+          .as("n_pruned"),
+        round((sum("mult") - count(when(col("beaten") === 0, 1))) * lit(1.0)
+          / sum("mult"), 4).as("prune_rate"))
+      .orderBy("threshold")
+  }
+
   /** Metric-learning triplet audit: per label, how often an anchor's
     * nearest SAME-label vector sits farther than its nearest impostor
     * (d(a,pos) > d(a,neg) — the ordering a triplet/contrastive loss
@@ -3126,5 +3222,5 @@ object Similarity {
     embClusterSample, embWhiten, lshBucketStats,
     embMatryoshka, annFiltered, embLabelVote, annHamming, annNprobeCurve,
     embClusterPurity, annPqDistortion, embTripletAudit, annIvfBalance,
-    embLabelSim, dedupSemantic)
+    embLabelSim, dedupSemantic, dedupSemanticCurve)
 }

@@ -1146,4 +1146,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!finalPlan(df).toString.contains("CartesianProduct"))
     spark.catalog.clearCache()
   }
+
+  test("dedup_semantic_curve: threshold fan-out sits above the pair reduction") {
+    val df = SparkEntry.queries("dedup_semantic_curve")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.optimizedPlan
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.length === 1, s"want exactly one explode, got ${gens.length}")
+    // the 3-threshold explode must consume the per-group best (an
+    // Aggregate below it), never the raw candidate pair stream
+    assert(gens.head.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined, "the threshold explode must sit above the per-group max")
+    assert(!finalPlan(df).toString.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
 }

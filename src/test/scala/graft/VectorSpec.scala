@@ -905,4 +905,26 @@ class VectorSpec extends AnyFunSuite {
       assert(r.getAs[Long]("kept_id_max") === kept.max, s"cell $cell max")
     }
   }
+
+  test("dedup_semantic_curve: the 0.35 row IS dedup_semantic's total; monotone in t") {
+    val curve = graft.vector.Similarity.dedupSemanticCurve.fn(spark, TestSession.sfDir)
+      .collect().sortBy(_.getAs[Double]("threshold"))
+    assert(curve.map(_.getAs[Double]("threshold")).toSeq === Seq(0.35, 0.55, 0.75))
+    val sem = graft.vector.Similarity.dedupSemantic.fn(spark, TestSession.sfDir)
+      .collect()
+    val semPruned = sem.map(_.getAs[Long]("n_pruned")).sum
+    val semVecs = sem.map(_.getAs[Long]("n_vecs")).sum
+    val h = curve.head
+    // same quantizer, same greedy rule, same 0.35 gate -> identical totals
+    assert(h.getAs[Long]("n_pruned") === semPruned)
+    assert(h.getAs[Long]("n_vecs") === semVecs)
+    curve.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_pruned") ===
+        r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_groups"))
+    }
+    // raising the threshold can only RETAIN more representatives
+    assert(curve.map(_.getAs[Long]("n_kept")).toSeq ===
+      curve.map(_.getAs[Long]("n_kept")).sorted.toSeq)
+  }
 }
