@@ -2852,17 +2852,32 @@ object CorpusOps {
       |  CAST(CASE WHEN s_micro + pw_micro > 0 THEN 1 ELSE 0 END AS BIGINT)
       |    AS nb_pass
       |FROM d CROSS JOIN pri ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val lab = withQualityFlags(docs(s, d))
+    // Distinct-text collapse (round-11, the LM-plane discipline applied
+    // to the NB plane): every NB quantity is a pure text function —
+    // token bucket counts, side-feature buckets, the heuristic label,
+    // and therefore the margin itself — so the token explode, the bucket
+    // counts, and the per-document score all run ONCE per distinct text.
+    // Training counts weight each text's buckets by its TRAIN-twin
+    // multiplicity (exact integers — c·m_train ≡ the per-doc sum), and
+    // the per-doc output is a distinct-sized score frame mapped back
+    // over the doc→tkey key join. Values are bit-identical to the
+    // doc-level shape (the unchanged doc-level DuckDB oracle is the
+    // proof); the win is that no token and no duplicate text ever rides
+    // a shuffle — replication-invariant at the 100x/1000x legs.
+    val (keyed, dist) = distinctTexts(s, d)
+    val feats = withQualityFlags(dist)
       .withColumn("heur_pass", when(expr(passAllSql), 1L).otherwise(0L))
-      .select(col("doc_id"), col("text"), col("heur_pass"),
+      .select(col("tkey"), col("text"), col("heur_pass"),
         col("n_words"), col("n_distinct"), col("word_chars"), col("n_stop"))
+    val mt = keyed.groupBy("tkey").agg(
+      count(when(col("doc_id") % 5 =!= 0, 1)).cast("long").as("m_train"))
+    val lab = feats.join(mt, Seq("tkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = lab
-      .select(col("doc_id"), col("heur_pass"),
-        explode(split(col("text"), " ")).as("term"))
+      .select(col("tkey"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
-      .select(col("doc_id"), col("heur_pass"),
-        (expr(TextOps.sparkWordHash("term")) % NbB).as("b"))
-      .groupBy("doc_id", "heur_pass", "b").agg(count(lit(1)).as("c"))
+      .select(col("tkey"), (expr(TextOps.sparkWordHash("term")) % NbB).as("b"))
+      .groupBy("tkey", "b").agg(count(lit(1)).as("c"))
     // quantized side-features as presence tokens in reserved negative
     // buckets (pure integer arithmetic — the exprs are the oracle's own)
     val ps = Seq(
@@ -2872,32 +2887,37 @@ object CorpusOps {
       // stopword buckets at -(40..43)
       "-(16 + least((2 * word_chars) div n_words, 23))",
       "-(40 + least(n_stop, 3))")
-      .map(e => lab.select(col("doc_id"), col("heur_pass"),
+      .map(e => lab.select(col("tkey"),
         expr(e).cast("long").as("b"), lit(1L).as("c")))
       .reduce(_ unionByName _)
     val f = tf.unionByName(ps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val train = col("doc_id") % 5 =!= 0
-    val cb = f.groupBy("b").agg(
-      sum(when(train && col("heur_pass") === 1, col("c")).otherwise(0L))
+    val labSlim = lab.select("tkey", "heur_pass", "m_train")
+    val cb = f.join(labSlim, Seq("tkey")).groupBy("b").agg(
+      sum(when(col("heur_pass") === 1, col("c") * col("m_train")).otherwise(0L))
         .cast("long").as("c1"),
-      sum(when(train && col("heur_pass") === 0, col("c")).otherwise(0L))
+      sum(when(col("heur_pass") === 0, col("c") * col("m_train")).otherwise(0L))
         .cast("long").as("c0"))
     val tot = cb.agg(sum("c1").cast("long").as("t1"),
         sum("c0").cast("long").as("t0"))
-      .crossJoin(lab.filter(train).agg(
-        sum(when(col("heur_pass") === 1, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("heur_pass") === 0, 1L).otherwise(0L)).as("n0")))
+      .crossJoin(lab.agg(
+        sum(when(col("heur_pass") === 1, col("m_train")).otherwise(0L)).as("n1"),
+        sum(when(col("heur_pass") === 0, col("m_train")).otherwise(0L)).as("n0")))
     val w = cb.crossJoin(broadcast(tot))
       .select(col("b"), expr(nbWeightFormula).cast("decimal(18,6)").as("w"))
     val pri = tot.select(
       (expr(nbPriorFormula).cast("decimal(18,6)") * 1000000)
         .cast("long").as("pw_micro"))
-    f.join(broadcast(w), Seq("b"))
-      .groupBy("doc_id", "heur_pass")
+    // per-TEXT score and token mass (the same decimal-exact fold the
+    // per-doc shape computed — twins share every f row)
+    val dtScore = f.join(broadcast(w), Seq("b"))
+      .groupBy("tkey")
       .agg(sum(when(col("b") >= 0, col("c")).otherwise(0L))
         .cast("long").as("n_tokens"),
         (sum(col("c") * col("w")) * 1000000).cast("long").as("s_micro"))
+    keyed
+      .join(labSlim.select("tkey", "heur_pass"), Seq("tkey"))
+      .join(dtScore, Seq("tkey"))
       .crossJoin(broadcast(pri))
       .select(col("doc_id"), col("heur_pass"),
         when(col("doc_id") % 5 === 0, 1L).otherwise(0L).as("held_out"),

@@ -1016,11 +1016,20 @@ class PlanShapeSpec extends AnyFunSuite {
     // the <=2(B+60)-row weight table and the 1-row prior ARE hinted...
     assert(hints.contains("w"), s"NB weight table lost its broadcast hint: $hints")
     assert(hints.contains("pw_micro"), s"prior lost broadcast: $hints")
-    // ...and the corpus-scale (doc, label, bucket, count) frame is NOT
+    // ...and the corpus-scale frames are NOT
     assert(!hints.contains("doc_id"), s"corpus bag broadcast-hinted: $hints")
     val p = finalPlan(df).toString
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"NB scoring join fell out of broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in NB plan:\n$p")
+    // the distinct-text collapse's map-back joins key on tkey (the
+    // distinct-sized score/label frames); a doc_id-keyed sort-merge
+    // would mean the corpus is being joined against itself
+    val smjKeys = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+        j.condition.toSeq.flatMap(_.references.map(_.name)).distinct
+    }.flatten
+    assert(!smjKeys.contains("doc_id"),
+      s"NB map-back joined on doc_id — corpus self-join: $smjKeys")
   }
 
   test("dedup_cdc: the chunk frame computes ONCE (persisted), windows keyed by tkey") {
