@@ -126,14 +126,20 @@ object CorpusOps {
       |  round(1.0 * (n_bigrams - n_distinct_bigrams) / n_bigrams, 4) AS dup_bigram_ratio,
       |  round(1.0 * max_freq / n_bigrams, 4) AS top_bigram_ratio
       |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
-    docs(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), explode(expr(bigramExpr("ws"))).as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
+    // distinct-text collapse (the quality_nb pattern, and the same move
+    // doc_repetition_topn made): the bigram stats are pure text
+    // functions — explode + both aggregates run once per distinct text,
+    // per-doc rows restored by the tkey map join
+    val (keyed, dist) = distinctTexts(s, d)
+    val per = dist
+      .select(col("tkey"), split(col("text"), " ").as("ws"))
+      .select(col("tkey"), explode(expr(bigramExpr("ws"))).as("gram"))
+      .groupBy("tkey", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("tkey").agg(
         sum("c").as("n_bigrams"),
         count(lit(1)).as("n_distinct_bigrams"),
         max("c").as("max_freq"))
+    keyed.join(per, Seq("tkey"))
       .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"), col("max_freq"),
         round(lit(1.0) * (col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams"), 4)
           .as("dup_bigram_ratio"),

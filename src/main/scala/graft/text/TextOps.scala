@@ -1722,13 +1722,19 @@ object TextOps {
        |  CAST(n_distinct AS BIGINT) AS n_distinct,
        |  CAST(h AS DOUBLE) AS entropy
        |FROM e ORDER BY doc_id""".stripMargin) { (s, d) =>
-    docs(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("term"))
-      .groupBy("doc_id", "n", "term").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "n")
+    // distinct-text collapse (the quality_nb pattern): entropy is a pure
+    // text function, so the term explode and both aggregates run once
+    // per distinct text; the per-doc output is a tkey map join. Values
+    // bit-identical (decimal-exact fold, same per-text row set).
+    val (keyed, dist) = CorpusOps.distinctTexts(s, d)
+    val per = dist
+      .select(col("tkey"), split(col("text"), " ").as("ws"))
+      .select(col("tkey"), size(col("ws")).as("n"), explode(col("ws")).as("term"))
+      .groupBy("tkey", "n", "term").agg(count(lit(1)).as("c"))
+      .groupBy("tkey", "n")
       .agg(count(lit(1)).as("n_distinct"),
         sum(expr(entropyTermFormula).cast("decimal(18,6)")).as("h"))
+    keyed.join(per, Seq("tkey"))
       .select(col("doc_id"), col("n").cast("long").as("n_words"),
         col("n_distinct").cast("long").as("n_distinct"),
         col("h").cast("double").as("entropy"))
