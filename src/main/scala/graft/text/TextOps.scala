@@ -1677,12 +1677,19 @@ object TextOps {
       |  round(((1.0 * n_distinct_words / n_words) + 1 - (1.0 * n_stop / n_words)) / 2, 4)
       |    AS quality_score
       |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // distinct-text collapse: all four feature arrays are pure text
+    // functions; n_chars is a stored per-doc column, so the doc scan
+    // keeps (doc_id, n_chars) and joins the per-text features by tkey
+    val (_, dist) = CorpusOps.distinctTexts(s, d)
+    val per = dist.select(col("tkey"),
+      expr("size(split(text, ' '))").as("n_words"),
+      expr("size(array_distinct(split(text, ' ')))").as("n_distinct_words"),
+      expr("length(replace(text, ' ', ''))").as("word_chars"),
+      expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))").as("n_stop"))
     docs(s, d)
       .select(col("doc_id"), col("n_chars"),
-        expr("size(split(text, ' '))").as("n_words"),
-        expr("size(array_distinct(split(text, ' ')))").as("n_distinct_words"),
-        expr("length(replace(text, ' ', ''))").as("word_chars"),
-        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))").as("n_stop"))
+        graft.Hash128.key128(col("text")).as("tkey"))
+      .join(per, Seq("tkey"))
       .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_distinct_words"),
         round(lit(1.0) * col("word_chars") / col("n_words"), 4).as("avg_word_len"),
         round(lit(1.0) * col("n_distinct_words") / col("n_words"), 4).as("type_token_ratio"),
@@ -1809,12 +1816,17 @@ object TextOps {
       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_regex_tokens,
       |  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_distinct_tokens
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-    docs(s, d)
-      .select(col("doc_id"),
-        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
-          .as("n_regex_tokens"),
-        expr("size(array_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)))")
-          .as("n_distinct_tokens"))
+    // distinct-text collapse: the two regex extractions are the whole
+    // cost and are pure text functions — run once per distinct text,
+    // map back over the tkey join
+    val (keyed, dist) = CorpusOps.distinctTexts(s, d)
+    val per = dist.select(col("tkey"),
+      expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+        .as("n_regex_tokens"),
+      expr("size(array_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)))")
+        .as("n_distinct_tokens"))
+    keyed.join(per, Seq("tkey"))
+      .select(col("doc_id"), col("n_regex_tokens"), col("n_distinct_tokens"))
       .orderBy("doc_id")
   }
 
@@ -2058,11 +2070,19 @@ object TextOps {
       |  CAST(n_spark AS INT) AS n_spark,
       |  CAST(win_votes - label_votes AS INT) AS margin
       |FROM p WHERE predicted <> lang ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // distinct-text collapse: the three vote counts are pure text
+    // functions — once per distinct text; lang/source are doc columns,
+    // so predicted/win_votes derive per text and label_votes (lang-
+    // dependent) derives after the tkey map join
+    val (_, dist) = CorpusOps.distinctTexts(s, d)
+    val per = dist.select(col("tkey"),
+      expr("size(filter(split(text, ' '), w -> w = 'the'))").as("n_the"),
+      expr("size(filter(split(text, ' '), w -> w = 'data'))").as("n_data"),
+      expr("size(filter(split(text, ' '), w -> w = 'spark'))").as("n_spark"))
     docs(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
-        expr("size(filter(split(text, ' '), w -> w = 'the'))").as("n_the"),
-        expr("size(filter(split(text, ' '), w -> w = 'data'))").as("n_data"),
-        expr("size(filter(split(text, ' '), w -> w = 'spark'))").as("n_spark"))
+        graft.Hash128.key128(col("text")).as("tkey"))
+      .join(per, Seq("tkey"))
       .withColumn("predicted",
         when(col("n_the") >= col("n_data") && col("n_the") >= col("n_spark"), "en")
           .when(col("n_data") >= col("n_spark"), "es")
