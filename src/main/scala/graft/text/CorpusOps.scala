@@ -855,22 +855,39 @@ object CorpusOps {
     * (non-null = shares a 4-gram with the held-out benchmark). The single
     * flag engine under corpus_funnel AND corpus_export. */
   private def funnelFlagged(s: SparkSession, d: String): DataFrame = {
-    val base = withQualityFlags(docs(s, d).filter(col("doc_id") % 29 =!= 0))
-      .withColumn("fp", md5(col("text")))
-    val flagged = base
+    // distinct-text collapse (the quality_nb pattern): the quality rule
+    // battery, the 4-gram explode, and contamination hit-ness are pure
+    // text functions — computed once per distinct in-scope text; the
+    // per-doc frame keeps only the pruned doc columns plus the tkey map
+    // key. ok_unique is doc-identity-dependent by definition (one
+    // survivor per exact-dup group) and stays a corpus-side window —
+    // partitioned by tkey, the SAME grouping the former md5(text) fp
+    // induced, so verdicts are unchanged.
+    def distinctOf(df: DataFrame): DataFrame = df
+      .groupBy(graft.Hash128.key128(col("text")).as("tkey"))
+      .agg(min("text").as("text"))
+    val scoped = docs(s, d).filter(col("doc_id") % 29 =!= 0)
+    val distS = distinctOf(scoped)
+    val flagsT = withQualityFlags(distS)
       .withColumn("ok_quality",
         when(ruleFlags.map(f => col(f._1)).reduce(_ + _) === 0, 1).otherwise(0))
+      .select("tkey", "ok_quality")
+    def gramsT(df: DataFrame) = df
+      .select(col("tkey"), split(col("text"), " ").as("ws"))
+      .select(col("tkey"), explode(array_distinct(expr(gram4Expr("ws")))).as("shingle"))
+    val benchShingles =
+      gramsT(distinctOf(docs(s, d).filter(col("doc_id") % 29 === 0)))
+        .select("shingle").distinct()
+    val hitT = gramsT(distS).join(broadcast(benchShingles), Seq("shingle"))
+      .select(col("tkey").as("hit_tkey")).distinct()
+    scoped
+      .withColumn("tkey", graft.Hash128.key128(col("text")))
       .withColumn("ok_unique",
-        when(col("doc_id") === min("doc_id").over(Window.partitionBy("fp")), 1)
+        when(col("doc_id") === min("doc_id").over(Window.partitionBy("tkey")), 1)
           .otherwise(0))
-    def grams(df: DataFrame) = df
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), explode(array_distinct(expr(gram4Expr("ws")))).as("shingle"))
-    val benchShingles = grams(docs(s, d).filter(col("doc_id") % 29 === 0))
-      .select("shingle").distinct()
-    val hit = grams(base).join(broadcast(benchShingles), Seq("shingle"))
-      .select(col("doc_id").as("hit_id")).distinct()
-    flagged.join(hit, col("doc_id") === col("hit_id"), "left")
+      .join(flagsT, Seq("tkey"))
+      .join(hitT, col("tkey") === col("hit_tkey"), "left")
+      .withColumn("hit_id", when(col("hit_tkey").isNotNull, col("doc_id")))
   }
 
   val corpusFunnel: Q = Q.sql(

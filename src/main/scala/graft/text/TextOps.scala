@@ -1580,18 +1580,30 @@ object TextOps {
       |      FROM f)
       |SELECT lang, predicted, count(*) AS n
       |FROM p GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin) { (s, d) =>
-    docs(s, d)
-      .select(col("lang"),
-        expr("size(filter(split(text, ' '), w -> w = 'the'))").as("n_the"),
-        expr("size(filter(split(text, ' '), w -> w = 'data'))").as("n_data"),
-        expr("size(filter(split(text, ' '), w -> w = 'spark'))").as("n_spark"))
-      .select(col("lang"),
-        when(col("n_the") >= col("n_data") && col("n_the") >= col("n_spark"), "en")
-          .when(col("n_data") >= col("n_spark"), "es")
-          .otherwise("zh").as("predicted"))
+    langPredicted(s, d)
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
+  }
+
+  /** (lang, predicted) per document on the distinct-text collapse — the
+    * vote counts and the argmax rule are pure text functions, computed
+    * once per distinct text; shared by lang_id and lang_id_metrics so
+    * the two cannot drift. */
+  private def langPredicted(s: SparkSession, d: String): DataFrame = {
+    val (_, dist) = CorpusOps.distinctTexts(s, d)
+    val per = dist.select(col("tkey"),
+        expr("size(filter(split(text, ' '), w -> w = 'the'))").as("n_the"),
+        expr("size(filter(split(text, ' '), w -> w = 'data'))").as("n_data"),
+        expr("size(filter(split(text, ' '), w -> w = 'spark'))").as("n_spark"))
+      .select(col("tkey"),
+        when(col("n_the") >= col("n_data") && col("n_the") >= col("n_spark"), "en")
+          .when(col("n_data") >= col("n_spark"), "es")
+          .otherwise("zh").as("predicted"))
+    docs(s, d)
+      .select(col("lang"), graft.Hash128.key128(col("text")).as("tkey"))
+      .join(per, Seq("tkey"))
+      .select("lang", "predicted")
   }
 
   /** Classifier-eval report over the [[langId]] confusion matrix: per
@@ -1631,15 +1643,7 @@ object TextOps {
       |  CASE WHEN prec IS NULL OR prec + rec = 0 THEN NULL
       |    ELSE round(2 * prec * rec / (prec + rec), 4) END AS f1
       |FROM s ORDER BY lang""".stripMargin) { (s, d) =>
-    val matrix = docs(s, d)
-      .select(col("lang"),
-        expr("size(filter(split(text, ' '), w -> w = 'the'))").as("n_the"),
-        expr("size(filter(split(text, ' '), w -> w = 'data'))").as("n_data"),
-        expr("size(filter(split(text, ' '), w -> w = 'spark'))").as("n_spark"))
-      .select(col("lang"),
-        when(col("n_the") >= col("n_data") && col("n_the") >= col("n_spark"), "en")
-          .when(col("n_data") >= col("n_spark"), "es")
-          .otherwise("zh").as("predicted"))
+    val matrix = langPredicted(s, d)
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n"))
     val t = matrix.groupBy("lang").agg(
