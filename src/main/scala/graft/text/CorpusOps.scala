@@ -170,9 +170,15 @@ object CorpusOps {
       |  CASE WHEN ${ruleFlags.map(_._1).mkString(" + ")} = 0
       |    THEN 1 ELSE 0 END AS passed
       |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
-    withQualityFlags(docs(s, d))
+    // distinct-text collapse: the whole rule battery is a pure text
+    // function — evaluated once per distinct text, mapped back by tkey
+    val (keyed, dist) = distinctTexts(s, d)
+    val per = withQualityFlags(dist)
       .withColumn("n_failed", ruleFlags.map(f => col(f._1)).reduce(_ + _))
       .withColumn("passed", when(col("n_failed") === 0, 1).otherwise(0))
+      .select(col("tkey") +: col("n_words") +:
+        (ruleFlags.map(f => col(f._1)) ++ Seq(col("n_failed"), col("passed"))): _*)
+    keyed.join(per, Seq("tkey"))
       .select(col("doc_id") +: col("n_words") +:
         (ruleFlags.map(f => col(f._1)) ++ Seq(col("n_failed"), col("passed"))): _*)
       .orderBy("doc_id")

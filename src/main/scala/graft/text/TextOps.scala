@@ -1782,15 +1782,20 @@ object TextOps {
        |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
     // zip_with binds each word directly — an element_at(ws, i) version
     // would re-evaluate the (optimizer-inlined) split per element access,
-    // the same O(words²) trap documented on shingleExpr
-    docs(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"),
+    // the same O(words²) trap documented on shingleExpr. The fold is a
+    // pure text function, so it runs once per distinct text (the
+    // quality_nb collapse pattern) and maps back over the tkey join.
+    val (keyed, dist) = CorpusOps.distinctTexts(s, d)
+    val per = dist
+      .select(col("tkey"), split(col("text"), " ").as("ws"))
+      .select(col("tkey"),
         expr(s"""aggregate(
                 |  zip_with(ws, sequence(1, size(ws)),
                 |    (w, i) -> cast(i as bigint) * (ascii(substring(w, 1, 1)) * 31
                 |         + length(w))),
                 |  0L, (acc, x) -> acc + x) % $P""".stripMargin).as("fp"))
+    keyed.join(per, Seq("tkey"))
+      .select("doc_id", "fp")
       .orderBy("doc_id")
   }
 
