@@ -1546,8 +1546,13 @@ object TextOps {
          |SELECT doc_id, simhash,
          |  count(*) OVER (PARTITION BY simhash) AS n_same
          |FROM sh ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val h = docs(s, d)
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+      // distinct-text collapse: the signature is a pure text function —
+      // the word explode + md5 votes run once per distinct text; per-doc
+      // rows (and the corpus-level n_same window) restore over the tkey
+      // map join
+      val (keyed, dist) = CorpusOps.distinctTexts(s, d)
+      val h = dist
+        .select(col("tkey"), explode(array_distinct(split(col("text"), " "))).as("word"))
         .withColumn("h4", expr("substring(md5(word), 1, 4)"))
       val votes = (0 until 16).map { bi =>
         val (j, t) = (bi / 4 + 1, bi % 4)
@@ -1556,9 +1561,11 @@ object TextOps {
       val simhash = (0 until 16)
         .map(bi => when(col(s"v$bi") > 0, 1 << bi).otherwise(0))
         .reduce(_ + _)
-      h.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"), simhash.as("simhash"))
+      val perText = h.groupBy("tkey").agg(votes.head, votes.tail: _*)
+        .select(col("tkey"), simhash.as("simhash"))
+      keyed.join(perText, Seq("tkey"))
         .withColumn("n_same", count(lit(1)).over(Window.partitionBy("simhash")))
+        .select("doc_id", "simhash", "n_same")
         .orderBy("doc_id")
     }
   }

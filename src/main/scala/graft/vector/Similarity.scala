@@ -1816,15 +1816,30 @@ object Similarity {
       |SELECT dim, n_vecs, round(mean, 6) AS mean,
       |  round(sqrt(ex2 - mean * mean), 6) AS std, vmin, vmax
       |FROM a ORDER BY dim""".stripMargin) { (s, d) =>
-    emb(s, d)
-      .select(posexplode(expr("transform(embedding, x -> cast(x as double))"))
-        .as(Seq("pos", "x")))
-      .select((col("pos") + 1).cast("long").as("dim"), round(col("x"), 6).as("v"))
+    // duplicate-vector collapse (the distinct-text discipline on the
+    // vector plane): identical embeddings contribute identical per-dim
+    // values, so the posexplode runs once per DISTINCT embedding and
+    // every moment is multiplicity-weighted — Σ(v·m) and Σ(v²·m) are
+    // exact decimal-scaled integers, bit-identical to summing each twin
+    // (min/max are multiplicity-blind by definition)
+    val g = emb(s, d).groupBy("embedding")
+      .agg(count(lit(1)).cast("long").as("m"))
+    g.select(col("m"),
+        posexplode(expr("transform(embedding, x -> cast(x as double))"))
+          .as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        round(col("x"), 6).as("v"), col("m"))
       .groupBy("dim").agg(
-        count(lit(1)).as("n_vecs"),
-        (sum(col("v").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("mean"),
-        (sum((col("v") * col("v")).cast("decimal(28,12)")).cast("double")
-          / count(lit(1))).as("ex2"),
+        sum("m").as("n_vecs"),
+        // explicit narrow casts keep the products inside DECIMAL(38,_)
+        // so Spark cannot silently drop scale (a decimal(28,12)×bigint
+        // would overflow precision and round — measured as a 1e-6 std
+        // drift vs the per-twin sum)
+        (sum(col("v").cast("decimal(14,6)") * col("m").cast("decimal(12,0)"))
+          .cast("double") / sum("m")).as("mean"),
+        (sum((col("v") * col("v")).cast("decimal(24,12)")
+            * col("m").cast("decimal(12,0)"))
+          .cast("double") / sum("m")).as("ex2"),
         min("v").as("vmin"), max("v").as("vmax"))
       .select(col("dim"), col("n_vecs"), round(col("mean"), 6).as("mean"),
         round(sqrt(col("ex2") - col("mean") * col("mean")), 6).as("std"),
