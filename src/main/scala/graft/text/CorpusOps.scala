@@ -1649,25 +1649,34 @@ object CorpusOps {
        |  n_types
        |FROM g JOIN ty ON g.lang = ty.lang AND g.source = ty.source
        |ORDER BY g.lang, g.source""".stripMargin) { (s, d) =>
-    // the per-doc feature pass is read twice (digest groupBy + join-back);
-    // persisting the TEXT-FREE projection keeps the cache at a few dozen
-    // bytes/doc and saves a second full scan-and-hash of the corpus
-    val f = withQualityFlags(docs(s, d))
+    // distinct-text collapse: n_words/passed are text functions (once
+    // per distinct text), exact-dup grouping keys on the same tkey the
+    // former md5 digest induced, and the per-stratum type inventory
+    // fans per-TEXT distinct terms out over the bounded distinct
+    // (lang, source, tkey) frame instead of exploding every twin. The
+    // persisted per-doc frame is TEXT-FREE (a few dozen bytes/doc).
+    val (_, dist) = distinctTexts(s, d)
+    val perText = withQualityFlags(dist)
       .withColumn("passed", when(expr(passAllSql), 1).otherwise(0))
-      .withColumn("digest", md5(col("text")))
-      .select("doc_id", "lang", "source", "n_words", "digest", "passed")
+      .select("tkey", "n_words", "passed")
+    val f = docs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.Hash128.key128(col("text")).as("tkey"))
+      .join(perText, Seq("tkey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dup = f.groupBy("digest").agg(count(lit(1)).as("n_same"))
-    val g = f.join(dup, Seq("digest"))
+    val dup = f.groupBy("tkey").agg(count(lit(1)).as("n_same"))
+    val g = f.join(dup, Seq("tkey"))
       .withColumn("is_dup", when(col("n_same") > 1, 1).otherwise(0))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_words").cast("long").as("n_tokens"),
         sum("passed").cast("long").as("n_pass"),
         sum("is_dup").cast("long").as("n_exact_dup"))
-    val ty = docs(s, d)
-      .select(col("lang"), col("source"), explode(split(col("text"), " ")).as("term"))
-      .distinct()
+    val terms = dist.select(col("tkey"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val ty = f.select("lang", "source", "tkey").distinct()
+      .join(terms, Seq("tkey"))
+      .select("lang", "source", "term").distinct()
       .groupBy("lang", "source").agg(count(lit(1)).as("n_types"))
     val allW = Window.partitionBy()
     g.join(ty, Seq("lang", "source"))

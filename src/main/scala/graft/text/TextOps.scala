@@ -2168,13 +2168,19 @@ object TextOps {
         |    AS mixed
         |FROM p GROUP BY 1, 2, 3
         |ORDER BY lang, pred_head, pred_tail""".stripMargin) { (s, d) =>
-      val base = docs(s, d)
-        .select(col("lang"), split(col("text"), " ").as("ws"))
+      // distinct-text collapse: both half-classifications are pure text
+      // functions — sliced, voted and argmaxed once per distinct text
+      val (_, dist) = CorpusOps.distinctTexts(s, d)
+      val base = dist
+        .select(col("tkey"), split(col("text"), " ").as("ws"))
         .withColumn("hw", expr("slice(ws, 1, size(ws) div 2)"))
         .withColumn("tw", expr("slice(ws, size(ws) div 2 + 1, size(ws) - size(ws) div 2)"))
-      sparkVotes(sparkVotes(base, "hw", "h"), "tw", "t")
-        .select(col("lang"), sparkPred("h").as("pred_head"),
+      val per = sparkVotes(sparkVotes(base, "hw", "h"), "tw", "t")
+        .select(col("tkey"), sparkPred("h").as("pred_head"),
           sparkPred("t").as("pred_tail"))
+      docs(s, d)
+        .select(col("lang"), graft.Hash128.key128(col("text")).as("tkey"))
+        .join(per, Seq("tkey"))
         .groupBy("lang", "pred_head", "pred_tail")
         .agg(count(lit(1)).as("n_docs"))
         .select(col("lang"), col("pred_head"), col("pred_tail"), col("n_docs"),
