@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions.call_function
 
 import graft.audit.{ArrayBucket, ArrayFloorSearch}
 import graft.text.{MinHashSig, WordShingles}
-import graft.vector.{CosineSimilarity, Deflate6, Dot612, L2Squared, ScaleVec612, VecSumDec}
+import graft.vector.{CosineSimilarity, Deflate6, Dot612, FromScaled18, L2Squared, ScaleVec612, ToScaled18, VecSumDec}
 
 /** Engine extension surface.
   *
@@ -74,7 +74,13 @@ object GraftFunctions {
       ((exprs: Seq[Expression]) => ScaleVec612(exprs(0), exprs(1))): Builder),
     (FunctionIdentifier("graft_deflate6"),
       new ExpressionInfo(classOf[Deflate6].getName, "graft_deflate6"),
-      ((exprs: Seq[Expression]) => Deflate6(exprs(0), exprs(1), exprs(2))): Builder))
+      ((exprs: Seq[Expression]) => Deflate6(exprs(0), exprs(1), exprs(2))): Builder),
+    (FunctionIdentifier("graft_to_scaled18"),
+      new ExpressionInfo(classOf[ToScaled18].getName, "graft_to_scaled18"),
+      ((exprs: Seq[Expression]) => ToScaled18(exprs(0))): Builder),
+    (FunctionIdentifier("graft_from_scaled18"),
+      new ExpressionInfo(classOf[FromScaled18].getName, "graft_from_scaled18"),
+      ((exprs: Seq[Expression]) => FromScaled18(exprs(0))): Builder))
 
   /** Idempotent runtime registration for externally-built sessions. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -106,4 +112,10 @@ object GraftFunctions {
   /** Column-API form of the native sorted-array range-bucket assigner. */
   def graftArrayBucket(boundaries: Column, v: Column): Column =
     call_function("graft_array_bucket", boundaries, v)
+
+  /** Column-API forms of the scale-18 fixed-point lane (see
+    * [[graft.vector.ToScaled18]]): double → unscaled long of
+    * CAST(x AS DECIMAL(38,18)), and its exact inverse to DOUBLE. */
+  def graftToScaled18(x: Column): Column = call_function("graft_to_scaled18", x)
+  def graftFromScaled18(l: Column): Column = call_function("graft_from_scaled18", l)
 }

@@ -1621,19 +1621,37 @@ object Relational {
         |SELECT node AS p_partkey, outdeg, round(pr, 10) AS pagerank
         |FROM pr3 ORDER BY round(pr, 10) DESC, p_partkey LIMIT 20""".stripMargin) {
       (s, d) =>
+      graft.GraftFunctions.ensureRegistered(s) // graft_to_scaled18 in any session
       // co-purchase edges from ONE fact scan: group the order's parts into
       // a ≤7-element array (L lines/order is schema-bounded) and expand the
       // L² position pairs in-place — the self-join formulation shuffles
       // lineitem twice and joins; this shuffles it once, and the pair blowup
-      // happens AFTER the exchange, on grouped rows. Read by the degree pass
-      // and every iteration — persisted MEMORY_AND_DISK so eviction at scale
-      // degrades to disk reads, not recomputes.
-      val e = li(s, d).groupBy(col("l_orderkey"))
-        .agg(collect_list(col("l_partkey")).as("parts"))
+      // happens AFTER the exchange, on grouped rows.
+      //
+      // Shuffle-byte discipline (the spill lever at the 100x leg):
+      //  * part keys ride as INT — p_partkey is a dense 1..P dimension
+      //    surrogate, exact in 32 bits to P = 2^31 (~sf15k for the part
+      //    dim); beyond that the ANSI cast fails loudly rather than wrap.
+      //  * the edge table is repartitioned on src and sorted within
+      //    partitions BEFORE the persist, so the degree pass and every
+      //    iteration's edge⨝rank join consume the cached
+      //    HashPartitioning(src)+sorted layout directly — zero per-round
+      //    exchange or sort of the (large) edge side; only the |nodes|-row
+      //    rank frame moves each round. Without the pin, each of the 3
+      //    rounds re-exchanges AND re-sorts the full pair table (the
+      //    measured one-box spill at sf10).
+      // Persisted MEMORY_AND_DISK so eviction at scale degrades to disk
+      // reads, not recomputes.
+      val e = li(s, d)
+        .select(col("l_orderkey"), col("l_partkey").cast("int").as("pk"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(col("pk")).as("parts"))
         .select(explode(col("parts")).as("src"), col("parts"))
         .select(col("src"), explode(col("parts")).as("dst"))
         .filter(col("src") =!= col("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .repartition(col("src"))
+        .sortWithinPartitions("src")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = e.groupBy(col("src").as("node")).agg(sum("w").cast("long").as("outdeg"))
       val nn = deg.agg(count(lit(1)).cast("long").as("n"))
@@ -1647,16 +1665,26 @@ object Relational {
       // order-free so the pin cannot change the hash)
       var prev: DataFrame = null
       for (_ <- 1 to 3) {
+        // rank mass rides the exchange as a scale-18 LONG, not
+        // DECIMAL(38,18): graft_to_scaled18 emits the identical unscaled
+        // integer the decimal cast would, sum(long) adds them exactly
+        // (total mass ≡ 1 ⇒ every partial ≤ 1e18, eight orders below
+        // Long.Max), and graft_from_scaled18 is the same single
+        // correctly-rounded decimal→double conversion — bit-for-bit the
+        // oracle's DECIMAL(38,18) pipeline (NativeExprSpec pin) at half
+        // the shuffle width with a primitive agg buffer.
         val contrib = e.join(pr.select(col("node").as("src"), col("pr"), col("outdeg")
             .as("od")), Seq("src"))
           .groupBy(col("dst"))
-          .agg(sum((col("pr") * col("w") / col("od")).cast("decimal(38,18)")).as("m"))
+          .agg(sum(graft.GraftFunctions.graftToScaled18(
+            col("pr") * col("w") / col("od"))).as("mL"))
         val next = pr.select(col("node"), col("outdeg"))
           .join(contrib, col("dst") === col("node"), "left")
           .crossJoin(broadcast(nn))
           .select(col("node"), col("outdeg"),
             ((lit(1) - d85) / col("n")
-              + d85 * coalesce(col("m"), lit(0)).cast("double")).as("pr"))
+              + d85 * graft.GraftFunctions.graftFromScaled18(
+                coalesce(col("mL"), lit(0L)))).as("pr"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize so the pin truncates, not defers, re-execution
         if (prev != null) prev.unpersist(blocking = false)

@@ -628,8 +628,11 @@ object EventStream {
 
   /** Watermark-delay design audit for the streaming plane: for each
     * candidate `withWatermark` delay (1 / 5 / 15 min), how many events
-    * would arrive BEHIND the frontier and be dropped by stateful
-    * operators, and how far behind the worst straggler lands. Arrival
+    * would arrive BEHIND the watermark cutoff (frontier − delay) and be
+    * dropped by stateful operators, and `max_late_s` = how far the worst
+    * straggler OVERSHOOTS that cutoff — i.e. how much more delay would
+    * have been needed to admit it, NOT its raw distance behind the
+    * frontier (overshoot = raw lateness − delay). Arrival
     * order is the ingest sequence (event_id — the feed is append-only,
     * audit.go:627); the frontier is each entity population's running
     * max event time over that order, i.e. the same per-key frontier a

@@ -1834,8 +1834,11 @@ object Similarity {
         // explicit narrow casts keep the products inside DECIMAL(38,_)
         // so Spark cannot silently drop scale (a decimal(28,12)×bigint
         // would overflow precision and round — measured as a 1e-6 std
-        // drift vs the per-twin sum)
-        (sum(col("v").cast("decimal(14,6)") * col("m").cast("decimal(12,0)"))
+        // drift vs the per-twin sum). The value lane stays at the
+        // pre-collapse decimal(18,6) input range: 18,6 × 12,0 = 31,6,
+        // and the sum still fits decimal(38,6) — a narrower 14,6 would
+        // silently null (and drop) any |v| ≥ 1e8 under non-ANSI mode.
+        (sum(col("v").cast("decimal(18,6)") * col("m").cast("decimal(12,0)"))
           .cast("double") / sum("m")).as("mean"),
         (sum((col("v") * col("v")).cast("decimal(24,12)")
             * col("m").cast("decimal(12,0)"))

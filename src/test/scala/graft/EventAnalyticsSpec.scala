@@ -522,8 +522,48 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_late") === late.length.toLong,
         s"delay ${r.getAs[Long]("delay_s")}")
       if (late.nonEmpty)
-        assert(r.getAs[Long]("max_late_s") === late.max / 1000000L)
+        // the query reports OVERSHOOT past the watermark cutoff
+        // (frontier - delay), not raw lateness — subtract the delay
+        assert(r.getAs[Long]("max_late_s") === (late.max - dUs) / 1000000L)
       else assert(r.getAs[Long]("max_late_s") === 0L)
     }
+  }
+
+  test("stream_late_curve: out-of-order fixture exercises the late path") {
+    // the shipped sf feeds happen to contain zero late events at every
+    // candidate delay, so the assertions above are vacuous on the late
+    // branch; this synthetic frame has known stragglers at each tier.
+    // user 1: event 1 sets a far frontier (t0+2000s); events 2-4 land
+    // behind it by 2000s / 200s / 400s; event 5 is on time.
+    // user 2: strictly in-order, never late.
+    val dir = java.nio.file.Files.createTempDirectory("late_fixture").toString
+    val t0 = 1700000000000000L // micros
+    val rows = Seq(
+      (1L, 1L, t0 + 2000L * 1000000L), // frontier-setter
+      (2L, 1L, t0),                    // 2000 s late
+      (3L, 1L, t0 + 1800L * 1000000L), // 200 s late
+      (4L, 1L, t0 + 1600L * 1000000L), // 400 s late
+      (5L, 1L, t0 + 2500L * 1000000L), // on time
+      (6L, 2L, t0),
+      (7L, 2L, t0 + 100L * 1000000L),
+      (8L, 2L, t0 + 200L * 1000000L))
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "tsu")
+      .select(col("event_id"), timestamp_micros(col("tsu")).as("ts"),
+        col("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.streaming.EventStream.streamLateCurve.fn(spark, dir)
+      .collect().sortBy(_.getAs[Long]("delay_s"))
+    // lateness multiset per delay: {1940, 340, 140} / {1700, 100} / {1100}
+    assert(out.map(r => (r.getAs[Long]("delay_s"), r.getAs[Long]("n_late"),
+        r.getAs[Long]("max_late_s"))).toSeq ===
+      Seq((60L, 3L, 1940L), (300L, 2L, 1700L), (900L, 1L, 1100L)))
+    assert(out.forall(_.getAs[Long]("n_events") === 8L))
+    // the uniform-shift law is now non-vacuous: 1700 = 1940 - 240,
+    // 1100 = 1700 - 600
+    for (Array(a, b) <- out.sliding(2))
+      assert(b.getAs[Long]("max_late_s") === a.getAs[Long]("max_late_s")
+        - (b.getAs[Long]("delay_s") - a.getAs[Long]("delay_s")))
   }
 }

@@ -172,4 +172,59 @@ class NativeExprSpec extends AnyFunSuite {
       .asInstanceOf[org.apache.spark.sql.types.Decimal]
     assert(d.toBigDecimal === BigDecimal("1.812500000000"))
   }
+
+  test("scaled18 lane ≡ DECIMAL(38,18) pipeline bit-for-bit (per value and summed)") {
+    registered()
+    // rank-mass-shaped doubles plus adversarial cases: HALF_UP ties at
+    // scale 18 (±5e-19), subnormal-ish tinies, values near 1, and exact
+    // dyadics whose decimal expansion exceeds 18 places (2^-60)
+    val xs = Seq(0.1, 1.0 / 3.0, 0.85 * 0.25 / 7.0, 1e-7, 5e-19, -5e-19,
+      2.5e-19, 0.9999999999999999, 1.0, math.pow(2, -60), 0.0,
+      1.23456789012345e-5, 7.0 / 11.0, -0.3333333333333333)
+    val df = xs.toDF("x")
+      .withColumn("viaLong", expr("graft_from_scaled18(graft_to_scaled18(x))"))
+      .withColumn("viaDec", expr("cast(cast(x as decimal(38,18)) as double)"))
+    // per-value: the long lane reproduces the decimal round-trip exactly
+    val bad = df.filter(!(col("viaLong") <=> col("viaDec"))).collect()
+    assert(bad.isEmpty, bad.mkString("\n"))
+    // summed: sum(long) carries the identical unscaled integer the
+    // decimal sum carries (the q_part_pagerank exchange contract)
+    val sums = df.agg(
+      expr("sum(graft_to_scaled18(x))").as("sL"),
+      expr("sum(cast(x as decimal(38,18)))").as("sD")).head()
+    val sL = sums.getLong(0)
+    val sD = sums.getDecimal(1)
+    assert(sD.movePointRight(18).longValueExact() === sL,
+      s"decimal sum $sD != scaled-long sum $sL")
+    // and the group-sum conversion back to double is the same single
+    // correctly-rounded step
+    val back = df.agg(
+      expr("graft_from_scaled18(sum(graft_to_scaled18(x)))").as("dL"),
+      expr("cast(sum(cast(x as decimal(38,18))) as double)").as("dD")).head()
+    assert(java.lang.Double.doubleToLongBits(back.getDouble(0)) ===
+      java.lang.Double.doubleToLongBits(back.getDouble(1)))
+    // interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    xs.foreach { x =>
+      val viaExpr = graft.vector.ToScaled18(Literal(x)).eval(null)
+      val viaDec = new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(18, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+      assert(viaExpr === viaDec, s"x=$x")
+    }
+  }
+
+  test("scaled18 overflows loudly past long capacity; pagerank mass never reaches it") {
+    registered()
+    // |x| >= 9.223372036854775808 cannot carry at scale 18 in a long —
+    // the contract is bounded mass (PageRank: every group sum <= 1); a
+    // violation must throw, not wrap
+    val err = intercept[Exception] {
+      Seq(10.0).toDF("x").selectExpr("graft_to_scaled18(x)").collect()
+    }
+    assert(err.toString.toLowerCase.contains("arithmetic")
+      || err.getCause != null, err.toString)
+    // the in-contract extreme is fine: 1.0 == 1e18 unscaled
+    val one = Seq(1.0).toDF("x").selectExpr("graft_to_scaled18(x)").head().getLong(0)
+    assert(one === 1000000000000000000L)
+  }
 }

@@ -916,6 +916,55 @@ class PlanShapeSpec extends AnyFunSuite {
       s"final iteration re-executes prior rounds' fact scans:\n$s")
   }
 
+  test("pagerank edge-layout mechanism: cached repartition(src)+sort is consumed " +
+    "exchange-free by the per-round join and the degree agg") {
+    // q_part_pagerank's spill lever: the edge table is persisted ALREADY
+    // hash-partitioned and sorted on src, so neither the 3 iteration
+    // joins nor the degree pass may add an Exchange (or re-sort) on the
+    // edge side. The final pagerank plan can't show this (iterations are
+    // materialized behind the cache), so pin the mechanism itself — if a
+    // Spark upgrade stops propagating cached outputPartitioning through
+    // EnsureRequirements, this fails before the sf10 bench does.
+    import org.apache.spark.sql.functions._
+    GraftFunctions.ensureRegistered(spark)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val abcast = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val e = spark.range(0, 20000)
+      .select((col("id") % 97).cast("int").as("src"),
+        (col("id") % 89).cast("int").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .repartition(col("src")).sortWithinPartitions("src")
+      .persist()
+    try {
+      e.count()
+      // mass-bounded ranks (Σpr = 1, the operator's contract — a uniform
+      // 0.5 would overflow the scale-18 lane, by design loudly)
+      val pr = spark.range(0, 97)
+        .select(col("id").cast("int").as("src"), lit(1.0 / 97).as("pr"))
+      val j = e.join(pr, Seq("src")).groupBy("dst")
+        .agg(sum(expr("graft_to_scaled18(pr / w)")).as("mL"))
+      val pj = finalPlan(j)
+      // exchanges in the whole plan: rank side's join exchange + the
+      // dst agg exchange — the edge side must contribute ZERO (it would
+      // be a third)
+      assert(shuffles(pj) <= 2,
+        s"edge side re-exchanged despite cached partitioning:\n$pj")
+      val deg = e.groupBy("src").agg(sum("w").as("outdeg"))
+      val pd = finalPlan(deg)
+      assert(shuffles(pd) === 0,
+        s"degree pass re-exchanged the cached edge layout:\n$pd")
+    } finally {
+      e.unpersist(blocking = false)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      abcast match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("dq_profile: every metric of every column in ONE fact scan") {
     val p = finalPlan(SparkEntry.queries("dq_profile")(spark, sfDir))
     val s = p.toString
