@@ -17,6 +17,18 @@ object GraftSession {
     // 10x-data one-box run is partition-count-bound — without forking
     // the session recipe.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // Streaming state store provider. The deployment posture for a
+    // 100 TB horizon is RocksDB (state lives off-heap/on-disk per
+    // executor, bounded heap regardless of watermark horizon × key
+    // cardinality); the local default stays Spark's in-memory
+    // HDFS-backed provider so sandbox runs don't pay RocksDB's
+    // per-micro-batch checkpoint overhead on tiny state. Output is
+    // byte-identical either way (RocksDbStateSpec pins it for the
+    // flatMapGroupsWithState sessionizer and
+    // dropDuplicatesWithinWatermark — a provider is a KV layout, never
+    // semantics).
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
@@ -27,6 +39,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.sql.streaming.stateStore.providerClass", stateStore)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
