@@ -387,5 +387,213 @@ object TokenizerOps {
     }
   }
 
-  val all: Seq[Q] = Seq(bpePairStats, tokFertility, bpeMergeIterate, tokWordpiece)
+  /** Unigram-LM tokenizer training (Kudo 2018, arXiv:1804.10959 — the
+    * SentencePiece default), one full EM round over the corpus: seed a
+    * piece vocabulary (every character + the top-64 substrings of length
+    * 2–4 by occurrence-weighted frequency, the [[tokWordpiece]] seed
+    * recipe) with unigram costs −log2(cnt/total); E-step: exact Viterbi
+    * segmentation of every distinct word under those costs; M-step:
+    * re-estimate piece probabilities from the Viterbi piece counts.
+    * Report: the top-32 pieces by re-estimated count with seed/EM counts
+    * and costs, plus the corpus loss (total bits) before and after the
+    * update — EM guarantees loss_after ≤ loss_before on the same
+    * segmentation, which the spec asserts. [[bpeMergeIterate]] is
+    * greedy-merge training, [[tokWordpiece]] longest-match inference;
+    * this completes the third production tokenizer family.
+    *
+    * Scale shape: ONE corpus pass partial-aggregates to the distinct-word
+    * table (|vocab|-bounded, persisted — read by the seed counts, the
+    * Viterbi pass and the loss sum); the piece vocabulary is ≤ |chars|+64
+    * rows riding a 1-row broadcast map; the E-step is a pure per-row
+    * dynamic-programming fold over distinct WORDS (never documents, never
+    * tokens — the corpus is not rescanned); the M-step partial-aggregates
+    * on the piece, bounded by the vocabulary. Nothing all-pairs, no
+    * corpus-sized shuffle — the same shape at sf0.001 and 100 TB.
+    *
+    * Determinism: the ONLY float op is the cost formula
+    * round(-log2((1.0·cnt)/total), 6), rounded once to scale 6 (the
+    * [[graft.text.CorpusOps]] surprisal discipline); Viterbi path costs
+    * are exact DECIMAL(18,6) sums, compared with the total order
+    * (cost, n_pieces, segmentation-string) — struct comparison is
+    * field-lexicographic in BOTH engines, and the segmentation string
+    * makes ties impossible (it encodes the path). Losses are published
+    * as exact integer micro-bits. The oracle unrolls the DP to
+    * [[duckViterbiSteps]] positions and both engines fail LOUDLY
+    * (error()/assert_true) on words longer than the unroll instead of
+    * silently truncating — the wordpiece walk guard. */
+  val tokUnigram: Q = {
+    val steps = 12 // longest generated word is 8 chars; loud-fail beyond
+    def duckStep(j: Int): String = {
+      val cands = (1 to 4).filter(_ <= j).map { l =>
+        s"""SELECT d.word, d.wcount, d.len,
+           |  struct_pack(
+           |    cost := CAST(struct_extract(d.st, 'cost') + v.cost AS DECIMAL(18,6)),
+           |    n := struct_extract(d.st, 'n') + 1,
+           |    seg := struct_extract(d.st, 'seg') || ' ' || v.piece) AS st
+           |FROM d${j - l} d JOIN voc v
+           |  ON v.plen = $l AND v.piece = substr(d.word, ${j - l + 1}, $l)
+           |WHERE d.len >= $j""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""d$j AS MATERIALIZED (
+         |  SELECT word, wcount, len, min(st) AS st FROM (
+         |$cands
+         |  ) GROUP BY 1, 2, 3)""".stripMargin
+    }
+    Q.sql(
+      "tok_unigram",
+      s"""WITH w0 AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS wcount
+         |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+         |        FROM documents)
+         |  WHERE length(word) >= 1 GROUP BY 1),
+         |wf AS MATERIALIZED (SELECT word, wcount, length(word) AS len FROM w0),
+         |chars AS (SELECT piece, CAST(sum(wcount) AS BIGINT) AS cnt FROM (
+         |    SELECT substr(word, CAST(i AS INT), 1) AS piece, wcount
+         |    FROM (SELECT word, wcount, unnest(range(1, len + 1)) AS i FROM wf))
+         |  GROUP BY 1),
+         |sub AS (SELECT unnest(flatten(list_transform([2, 3, 4],
+         |    l -> list_transform(range(1, len - l + 2),
+         |      i -> substr(word, CAST(i AS INT), CAST(l AS INT)))))) AS piece,
+         |    wcount
+         |  FROM wf),
+         |cnts AS (SELECT piece, CAST(sum(wcount) AS BIGINT) AS cnt
+         |         FROM sub GROUP BY 1),
+         |top64 AS (SELECT piece, cnt FROM cnts ORDER BY cnt DESC, piece LIMIT 64),
+         |voc0 AS (SELECT piece, cnt FROM chars UNION ALL SELECT piece, cnt FROM top64),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nt FROM voc0),
+         |voc AS MATERIALIZED (SELECT piece, length(piece) AS plen, cnt,
+         |    CAST(round(-log2((1.0 * cnt) / tot.nt), 6) AS DECIMAL(18,6)) AS cost
+         |  FROM voc0 CROSS JOIN tot),
+         |d0 AS (SELECT word, wcount, len,
+         |    struct_pack(cost := CAST(0 AS DECIMAL(18,6)), n := 0, seg := '') AS st
+         |  FROM wf
+         |  WHERE CASE WHEN len > $steps
+         |             THEN error('tok_unigram: word exceeds unrolled DP')
+         |             ELSE TRUE END),
+         |${(1 to steps).map(duckStep).mkString(",\n")},
+         |vit AS MATERIALIZED (
+         |${(1 to steps).map(j =>
+           s"  SELECT word, wcount, len, st FROM d$j WHERE len = $j")
+           .mkString("\n  UNION ALL\n")}),
+         |emc AS (SELECT piece, CAST(sum(wcount) AS BIGINT) AS em_cnt FROM (
+         |    SELECT unnest(list_filter(str_split(struct_extract(st, 'seg'), ' '),
+         |        x -> x <> '')) AS piece, wcount
+         |    FROM vit) GROUP BY 1),
+         |emt AS (SELECT CAST(sum(em_cnt) AS BIGINT) AS nt FROM emc),
+         |em AS MATERIALIZED (SELECT piece, em_cnt,
+         |    CAST(round(-log2((1.0 * em_cnt) / emt.nt), 6) AS DECIMAL(18,6)) AS em_cost
+         |  FROM emc CROSS JOIN emt),
+         |lb AS (SELECT CAST(sum(wcount *
+         |    CAST(struct_extract(st, 'cost') * 1000000 AS BIGINT)) AS BIGINT)
+         |    AS loss_before_micro FROM vit),
+         |la AS (SELECT CAST(sum(em_cnt *
+         |    CAST(em_cost * 1000000 AS BIGINT)) AS BIGINT)
+         |    AS loss_after_micro FROM em),
+         |outp AS (SELECT em.piece, CAST(v.plen AS BIGINT) AS plen,
+         |    v.cnt AS seed_cnt, em.em_cnt,
+         |    CAST(CAST(v.cost * 1000000 AS BIGINT) AS DOUBLE) / 1000000
+         |      AS seed_cost_bits,
+         |    CAST(CAST(em.em_cost * 1000000 AS BIGINT) AS DOUBLE) / 1000000
+         |      AS em_cost_bits
+         |  FROM em JOIN voc v ON v.piece = em.piece
+         |  ORDER BY em.em_cnt DESC, em.piece LIMIT 32)
+         |SELECT outp.*, lb.loss_before_micro, la.loss_after_micro
+         |FROM outp CROSS JOIN lb CROSS JOIN la
+         |ORDER BY em_cnt DESC, piece""".stripMargin) { (s, d) =>
+      val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // ONE corpus pass → occurrence-weighted distinct-word table
+      val wf = docs(s, d)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .groupBy("word").agg(count(lit(1)).cast("long").as("wcount"))
+        .withColumn("len", length(col("word")))
+        .persist(disk)
+      val chars = wf
+        .select(col("wcount"), explode(expr(
+          "transform(sequence(1, len), i -> substring(word, i, 1))")).as("piece"))
+        .groupBy("piece").agg(sum("wcount").cast("long").as("cnt"))
+      val subs = wf
+        .select(col("wcount"), explode(expr(
+          """flatten(transform(sequence(2, 4),
+            |  l -> IF(len >= l,
+            |         transform(sequence(1, len - l + 1),
+            |           i -> substring(word, i, l)),
+            |         array())))""".stripMargin)).as("piece"))
+        .groupBy("piece").agg(sum("wcount").cast("long").as("cnt"))
+      val top64 = subs.orderBy(col("cnt").desc, col("piece")).limit(64)
+      val voc0 = chars.unionByName(top64)
+      val tot = voc0.agg(sum("cnt").cast("long").as("nt"))
+      val voc = voc0.crossJoin(broadcast(tot))
+        .select(col("piece"), length(col("piece")).as("plen"), col("cnt"),
+          expr("cast(round(-log2((1.0 * cnt) / nt), 6) as decimal(18,6))")
+            .as("cost"))
+        .persist(disk) // ≤ |chars| + 64 rows; read by the map and the output
+      val vmap = voc.agg(
+        map_from_entries(collect_list(struct(col("piece"), col("cost"))))
+          .as("vmap"))
+      // E-step: exact Viterbi as ONE higher-order fold per distinct word
+      // (the tok_wordpiece plan discipline: a linear expression tree, the
+      // walk sized to each word). dp[j] = min over piece lengths 1–4 of
+      // dp[j-l] + cost(word[j-l+1 .. j]); the min is array_min over
+      // (cost, n, seg) structs — field-lexicographic, and seg encodes the
+      // path so the order is total. Single-char pieces come from the
+      // corpus itself, so every position is reachable by construction.
+      val vit = wf.crossJoin(broadcast(vmap))
+        .filter(expr(
+          s"assert_true(len <= $steps, 'tok_unigram: word exceeds unrolled DP') IS NULL"))
+        .withColumn("st", expr(
+          s"""element_at(aggregate(sequence(1, len),
+             |  array(named_struct('cost', cast(0 as decimal(18,6)), 'n', 0, 'seg', '')),
+             |  (acc, j) -> array_append(acc, array_min(filter(
+             |    transform(sequence(1, 4), l ->
+             |      IF(l <= j AND element_at(vmap, substring(word, j - l + 1, l)) IS NOT NULL,
+             |         named_struct(
+             |           'cost', cast(element_at(acc, j - l + 1).cost
+             |                        + element_at(vmap, substring(word, j - l + 1, l))
+             |                        as decimal(18,6)),
+             |           'n', element_at(acc, j - l + 1).n + 1,
+             |           'seg', concat(element_at(acc, j - l + 1).seg, ' ',
+             |                         substring(word, j - l + 1, l))),
+             |         NULL)),
+             |    x -> x IS NOT NULL)))), len + 1)""".stripMargin))
+        .select(col("word"), col("wcount"), col("len"),
+          expr("st.cost").as("cost"), expr("st.n").as("n_pieces"),
+          expr("substring(st.seg, 2)").as("seg"))
+        .persist(disk) // read by the M-step counts and the loss sum
+      // M-step: piece counts under the Viterbi segmentation
+      val emc = vit
+        .select(col("wcount"), explode(split(col("seg"), " ")).as("piece"))
+        .filter(col("piece") =!= "")
+        .groupBy("piece").agg(sum("wcount").cast("long").as("em_cnt"))
+      val emt = emc.agg(sum("em_cnt").cast("long").as("nt"))
+      val em = emc.crossJoin(broadcast(emt))
+        .select(col("piece"), col("em_cnt"),
+          expr("cast(round(-log2((1.0 * em_cnt) / nt), 6) as decimal(18,6))")
+            .as("em_cost"))
+      // corpus loss in exact integer micro-bits: before = Viterbi path
+      // costs under seed probs; after = the SAME segmentation re-scored
+      // under the re-estimated probs (the EM Q-function, ≥ guaranteed)
+      val lb = vit.agg(
+        sum(col("wcount") * (col("cost") * lit(1000000)).cast("long"))
+          .cast("long").as("loss_before_micro"))
+      val la = em.agg(
+        sum(col("em_cnt") * (col("em_cost") * lit(1000000)).cast("long"))
+          .cast("long").as("loss_after_micro"))
+      em.join(broadcast(voc.select(col("piece"), col("plen"),
+          col("cnt").as("seed_cnt"), col("cost").as("seed_cost"))), Seq("piece"))
+        .orderBy(col("em_cnt").desc, col("piece")).limit(32)
+        .crossJoin(broadcast(lb)).crossJoin(broadcast(la))
+        .select(col("piece"), col("plen").cast("long").as("plen"),
+          col("seed_cnt"), col("em_cnt"),
+          ((col("seed_cost") * 1000000).cast("long").cast("double") / 1000000)
+            .as("seed_cost_bits"),
+          ((col("em_cost") * 1000000).cast("long").cast("double") / 1000000)
+            .as("em_cost_bits"),
+          col("loss_before_micro"), col("loss_after_micro"))
+        .orderBy(col("em_cnt").desc, col("piece"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(bpePairStats, tokFertility, bpeMergeIterate,
+    tokWordpiece, tokUnigram)
 }

@@ -165,4 +165,113 @@ class TokenizerOpsSpec extends AnyFunSuite {
     // the vocabulary is actually used: some multi-char piece appears
     assert(rows.exists(_.getAs[String]("pieces").split('|').exists(_.length > 1)))
   }
+
+  test("tok_unigram: full EM round replayed independently " +
+    "(seed vocab, Viterbi optimality, M-step counts, loss monotonicity)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    type St = (java.math.BigDecimal, Int, String)
+    val out = TokenizerOps.tokUnigram.fn(spark, sfDir).collect()
+    assert(out.length === 32)
+
+    // ---- corpus replay: distinct-word table -----------------------------
+    val words = scala.collection.mutable.HashMap.empty[String, Long]
+    Tables.documents(spark, sfDir).select("text").collect().foreach { r =>
+      r.getString(0).toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L)
+    }
+    // ---- seed vocabulary --------------------------------------------------
+    val chars = scala.collection.mutable.HashMap.empty[String, Long]
+    val subs = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, c) <- words) {
+      for (i <- 0 until w.length)
+        chars(w.substring(i, i + 1)) = chars.getOrElse(w.substring(i, i + 1), 0L) + c
+      for (l <- 2 to 4; i <- 0 to w.length - l)
+        subs(w.substring(i, i + l)) = subs.getOrElse(w.substring(i, i + l), 0L) + c
+    }
+    val top64 = subs.toSeq.sortBy { case (p, c) => (-c, p) }.take(64)
+    val voc = chars.toSeq ++ top64
+    val tot = voc.map(_._2).sum
+    // the one float op goes through Spark's own expression (the op's
+    // round-once discipline; the DuckDB gate already cross-checks it) —
+    // the replay independently verifies everything STRUCTURAL
+    def sparkCosts(counts: Seq[(String, Long)], total: Long): Map[String, java.math.BigDecimal] =
+      counts.toDF("piece", "cnt").withColumn("nt", lit(total))
+        .withColumn("cost",
+          expr("cast(round(-log2((1.0 * cnt) / nt), 6) as decimal(18,6))"))
+        .collect().map(r => r.getString(0) -> r.getDecimal(3)).toMap
+    val cost = sparkCosts(voc, tot)
+
+    // ---- E-step: Viterbi with the (cost, n, seg) total order -------------
+    def lt(a: St, b: St): Boolean = {
+      val c = a._1.compareTo(b._1)
+      if (c != 0) c < 0
+      else if (a._2 != b._2) a._2 < b._2
+      else a._3 < b._3
+    }
+    def segment(w: String): St = {
+      val dp = new Array[St](w.length + 1)
+      dp(0) = (java.math.BigDecimal.ZERO.setScale(6), 0, "")
+      for (j <- 1 to w.length) {
+        var best: St = null
+        for (l <- 1 to math.min(4, j)) {
+          val piece = w.substring(j - l, j)
+          cost.get(piece).foreach { pc =>
+            val cand = (dp(j - l)._1.add(pc), dp(j - l)._2 + 1,
+              dp(j - l)._3 + " " + piece)
+            if (best == null || lt(cand, best)) best = cand
+          }
+        }
+        dp(j) = best
+      }
+      dp(w.length)
+    }
+    val segs = words.map { case (w, c) => (w, c, segment(w)) }.toSeq
+    // every segmentation rebuilds its word exactly
+    segs.foreach { case (w, _, st) =>
+      assert(st._3.split(' ').filter(_.nonEmpty).mkString === w, w) }
+    // DP optimality against brute-force enumeration on short words
+    def allSegs(w: String): Seq[St] =
+      if (w.isEmpty) Seq((java.math.BigDecimal.ZERO.setScale(6), 0, ""))
+      else (1 to math.min(4, w.length)).flatMap { l =>
+        val piece = w.substring(0, l)
+        cost.get(piece).toSeq.flatMap { pc =>
+          allSegs(w.substring(l)).map(t =>
+            (pc.add(t._1), t._2 + 1, " " + piece + t._3))
+        }
+      }
+    words.keys.filter(_.length <= 6).take(50).foreach { w =>
+      val brute = allSegs(w).reduceLeft((a, b) => if (lt(b, a)) b else a)
+      assert(segment(w) === brute, s"viterbi not optimal for '$w'")
+    }
+
+    // ---- M-step + losses --------------------------------------------------
+    val emc = scala.collection.mutable.HashMap.empty[String, Long]
+    segs.foreach { case (_, c, st) =>
+      st._3.split(' ').filter(_.nonEmpty).foreach(p =>
+        emc(p) = emc.getOrElse(p, 0L) + c) }
+    val emTot = emc.values.sum
+    val emCost = sparkCosts(emc.toSeq, emTot)
+    val lossBefore = segs.map { case (_, c, st) =>
+      st._1.movePointRight(6).longValueExact() * c }.sum
+    val lossAfter = emc.map { case (p, c) =>
+      emCost(p).movePointRight(6).longValueExact() * c }.sum
+    assert(lossAfter <= lossBefore, "EM must not increase the loss")
+    assert(out.forall(_.getAs[Long]("loss_before_micro") === lossBefore))
+    assert(out.forall(_.getAs[Long]("loss_after_micro") === lossAfter))
+
+    // ---- the published piece table row-for-row ---------------------------
+    val vocCnt = voc.toMap
+    val expected = emc.toSeq.sortBy { case (p, c) => (-c, p) }.take(32)
+    out.zip(expected).foreach { case (r, (p, c)) =>
+      assert(r.getAs[String]("piece") === p)
+      assert(r.getAs[Long]("plen") === p.length.toLong)
+      assert(r.getAs[Long]("seed_cnt") === vocCnt(p))
+      assert(r.getAs[Long]("em_cnt") === c)
+      assert(r.getAs[Double]("seed_cost_bits") ===
+        cost(p).movePointRight(6).longValueExact().toDouble / 1000000)
+      assert(r.getAs[Double]("em_cost_bits") ===
+        emCost(p).movePointRight(6).longValueExact().toDouble / 1000000)
+    }
+  }
 }
