@@ -164,6 +164,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     // largest local corpus. The 128-bit fold's pair bound is ~2^-128 —
     // structurally safe past 1e9 keys, where the round-10 64-bit fold's
     // birthday bound reached ~3%.
+    graft.GraftFunctions.ensureRegistered(spark) // graft_shingles below
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
       val terms = Tables.documents(spark, dir)
         .select(explode(split(col("text"), " ")).as("t")).distinct()
@@ -186,6 +187,44 @@ class CorpusOpsSpec extends AnyFunSuite {
       val lanes = texts.select(graft.Hash128.key128(col("text")).as("k"))
         .filter(col("k.h1") === col("k.h2"))
       assert(lanes.count() === 0, s"key128 lanes collapsed in $dir")
+
+      // --- remaining 128-bit key families, enumerated explicitly -------
+      // CDC chunk keys (dedup_cdc): rebuild the op's own chunk-text
+      // universe (content-defined boundaries over distinct texts) and pin
+      // key128 injectivity on exactly the strings the op keys on
+      val wnd = org.apache.spark.sql.expressions.Window
+        .partitionBy("tkey").orderBy("i")
+      val cum = org.apache.spark.sql.expressions.Window
+        .partitionBy("tkey").orderBy("i")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ctexts = texts
+        .select(graft.Hash128.key128(col("text")).as("tkey"),
+          posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
+        .select(col("tkey"), (col("p0") + 1).as("i"), col("word"))
+        .withColumn("w2", lag("word", 2).over(wnd))
+        .withColumn("w1", lag("word", 1).over(wnd))
+        .withColumn("bnd", when(col("i") >= 3 &&
+          expr(s"${graft.text.TextOps.sparkWordHash("concat(w2, ' ', w1, ' ', word)")} % 16")
+            === 0, 1).otherwise(0))
+        .withColumn("chunk_id", coalesce(sum("bnd").over(cum), lit(0)))
+        .groupBy("tkey", "chunk_id")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(i, word))), x -> x.word), ' ')")
+          .as("ctext"))
+        .select("ctext").distinct()
+      assert(ctexts.count() ===
+        ctexts.select(graft.Hash128.key128(col("ctext"))).distinct().count(),
+        s"CDC chunk-key collision in $dir")
+      // span keys (span_dedup family): 40-char character spans ride as
+      // full 32-hex md5 folds — same 128-bit contract, pinned on the
+      // actual span universe
+      val spans = Tables.documents(spark, dir)
+        .filter(col("n_chars") >= 40)
+        .select(explode(expr(
+          "transform(sequence(1, n_chars - 39), i -> substring(text, i, 40))"))
+          .as("span")).distinct()
+      assert(spans.count() ===
+        spans.select(md5(col("span"))).distinct().count(),
+        s"span md5 collision in $dir")
     }
   }
 
