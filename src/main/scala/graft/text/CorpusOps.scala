@@ -195,7 +195,41 @@ object CorpusOps {
     * probe is a map-side hash join on the shingle — the corpus is scanned
     * once, nothing shuffles on the corpus side. */
   val decontaminate: Q = {
-    Q.sql(
+    // Collapsed scale twin (Q.scaleOracle): the SQL mirror of the Spark
+    // side's distinct-content collapse below. The naive oracle's
+    // corpus-occurrence × bench-occurrence shingle join is replication-
+    // quadratic (b·c rows per shingle; twins land on BOTH sides), so at
+    // the 1000x gate it exceeds single-box DuckDB. Here the shingle join
+    // runs once per distinct CONTENT pair (sf0.1-sized however deep the
+    // twin clusters), per-content hit counts ride a semi-join against the
+    // bench shingle set, the bench-doc dimension weights content pairs by
+    // each bench content's copy multiplicity, and only the (output-sized)
+    // per-doc expansion scales — checkable via the bighash compare.
+    val scaleOracle =
+      s"""WITH grp AS MATERIALIZED (
+         |  SELECT md5(text) AS tk, min(text) AS text,
+         |    CAST(sum(CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS m_bench
+         |  FROM documents GROUP BY md5(text)),
+         |w AS (SELECT tk, str_split(text, ' ') AS ws FROM grp),
+         |ex AS MATERIALIZED (
+         |  SELECT tk, unnest(list_distinct($duckG4)) AS shingle FROM w),
+         |bsh AS MATERIALIZED (
+         |  SELECT e.tk AS btk, e.shingle FROM ex e
+         |  JOIN grp g ON g.tk = e.tk WHERE g.m_bench >= 1),
+         |hs AS (SELECT e.tk, CAST(count(*) AS BIGINT) AS n_hit_shingles
+         |       FROM ex e WHERE e.shingle IN (SELECT DISTINCT shingle FROM bsh)
+         |       GROUP BY e.tk),
+         |hitp AS (SELECT DISTINCT e.tk, b.btk FROM ex e JOIN bsh b USING (shingle)),
+         |nb AS (SELECT p.tk, CAST(sum(g.m_bench) AS BIGINT) AS n_bench_docs
+         |       FROM hitp p JOIN grp g ON g.tk = p.btk GROUP BY p.tk)
+         |SELECT d.doc_id, h.n_hit_shingles, n.n_bench_docs
+         |FROM documents d
+         |JOIN hs h ON md5(d.text) = h.tk
+         |JOIN nb n ON md5(d.text) = n.tk
+         |WHERE d.doc_id % 29 <> 0
+         |ORDER BY d.doc_id""".stripMargin
+    Q.sqlDual(
       "decontaminate",
       s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
         |ex AS (SELECT doc_id, unnest(list_distinct($duckG4)) AS shingle FROM w),
@@ -204,7 +238,8 @@ object CorpusOps {
         |SELECT c.doc_id, count(DISTINCT c.shingle) AS n_hit_shingles,
         |  count(DISTINCT b.bench_id) AS n_bench_docs
         |FROM c JOIN b USING (shingle)
-        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+      scaleOracle) { (s, d) =>
       // Replication-quadratic fix (round-10 100x sweep: 88 s / 22x): the
       // corpus-occurrence × bench-doc shingle join made b·c rows per
       // shingle. Collapse both sides to DISTINCT CONTENT: per-content
@@ -256,7 +291,7 @@ object CorpusOps {
     * distinct-hit counts partial-aggregate on doc_id, the rollup is
     * bounded at |sources| rows, and the totals side is one
     * partial-aggregating groupBy of the raw table. */
-  val contaminationSources: Q = Q.sql(
+  val contaminationSources: Q = Q.sqlDual(
     "contamination_sources",
     s"""WITH w AS (SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents),
       |ex AS (SELECT doc_id, source, unnest(list_distinct($duckG4)) AS shingle FROM w),
@@ -269,6 +304,49 @@ object CorpusOps {
       |       FROM pd GROUP BY 1),
       |pb AS (SELECT source, CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
       |       FROM h GROUP BY 1),
+      |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |      FROM documents WHERE doc_id % 29 <> 0 GROUP BY 1)
+      |SELECT t.source, t.n_docs,
+      |  coalesce(ps.n_contaminated, 0) AS n_contaminated,
+      |  round(1.0 * coalesce(ps.n_contaminated, 0) / t.n_docs, 4) AS contam_rate,
+      |  coalesce(pb.n_bench_docs, 0) AS n_bench_docs,
+      |  coalesce(ps.n_hit_shingles, 0) AS n_hit_shingles
+      |FROM t LEFT JOIN ps ON t.source = ps.source
+      |       LEFT JOIN pb ON t.source = pb.source
+      |ORDER BY t.source""".stripMargin,
+    // Collapsed scale twin: same content-collapse discipline as the
+    // decontaminate twin, with the source dimension carried on the
+    // (content, source) multiplicity table rather than the explode — the
+    // shingle work and the content-pair graph stay sf0.1-sized at any
+    // replication depth. Output is |sources|-bounded, so the final
+    // rollup is trivially checkable.
+    s"""WITH gts AS MATERIALIZED (
+      |  SELECT md5(text) AS tk, source,
+      |    CAST(sum(CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS mb,
+      |    CAST(sum(CASE WHEN doc_id % 29 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS mc
+      |  FROM documents GROUP BY 1, 2),
+      |gt AS MATERIALIZED (
+      |  SELECT md5(text) AS tk, min(text) AS text FROM documents GROUP BY 1),
+      |w AS (SELECT tk, str_split(text, ' ') AS ws FROM gt),
+      |ex AS MATERIALIZED (
+      |  SELECT tk, unnest(list_distinct($duckG4)) AS shingle FROM w),
+      |bb AS (SELECT tk, source, mb FROM gts WHERE mb >= 1),
+      |bsh AS MATERIALIZED (
+      |  SELECT e.tk AS btk, e.shingle FROM ex e
+      |  WHERE e.tk IN (SELECT DISTINCT tk FROM bb)),
+      |hs AS (SELECT e.tk, CAST(count(*) AS BIGINT) AS hs FROM ex e
+      |       WHERE e.shingle IN (SELECT DISTINCT shingle FROM bsh) GROUP BY 1),
+      |ps AS (SELECT g.source, CAST(sum(g.mc) AS BIGINT) AS n_contaminated,
+      |         CAST(sum(g.mc * h.hs) AS BIGINT) AS n_hit_shingles
+      |       FROM gts g JOIN hs h USING (tk) WHERE g.mc > 0 GROUP BY 1),
+      |cs AS (SELECT DISTINCT g.source, e.shingle
+      |       FROM gts g JOIN ex e ON e.tk = g.tk WHERE g.mc > 0),
+      |hitb AS (SELECT DISTINCT c.source, b.btk FROM cs c JOIN bsh b USING (shingle)),
+      |pb AS (SELECT h.source, CAST(sum(bb2.mbs) AS BIGINT) AS n_bench_docs
+      |       FROM hitb h
+      |       JOIN (SELECT tk, CAST(sum(mb) AS BIGINT) AS mbs FROM bb GROUP BY 1) bb2
+      |         ON bb2.tk = h.btk
+      |       GROUP BY 1),
       |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
       |      FROM documents WHERE doc_id % 29 <> 0 GROUP BY 1)
       |SELECT t.source, t.n_docs,

@@ -1021,7 +1021,50 @@ object TextOps {
     val duckBands = minhashParams.indices
       .map(i => s"SELECT doc_id, ${i + 1} AS band, sig${i + 1} AS v FROM sig")
       .mkString("\n  UNION ALL ")
-    Q.sql(
+    // Collapsed scale twin: the SQL mirror of the Spark side's signature
+    // collapse. The naive oracle's doc-level band self-join is
+    // replication-quadratic (a twin cluster of M shares every band, M²
+    // join rows), so at the 1000x gate it exceeds single-box DuckDB.
+    // Signatures are computed once per distinct TEXT (the explode never
+    // multiplies), groups fold by the 4-sig tuple with copy-weighted
+    // multiplicity, the band join runs group-level, and each doc's count
+    // expands as Σ mult(matching other groups) + (own mult − 1) — with
+    // the all-NULL-sig class (docs under 3 words) pinned to 0, matching
+    // the naive join's NULL-never-equal semantics.
+    val scaleSigs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(s3, w -> ($a * ${duckWordHash("w")} + $b) % $P)) AS sig${i + 1}"
+    }.mkString(",\n  ")
+    val sgBands = minhashParams.indices
+      .map(i => s"SELECT gid, ${i + 1} AS band, sig${i + 1} AS v FROM sg")
+      .mkString("\n  UNION ALL ")
+    val scaleOracle =
+      s"""WITH grp AS MATERIALIZED (
+         |  SELECT md5(text) AS tk, min(text) AS text, CAST(count(*) AS BIGINT) AS m
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT tk, m, str_split(text, ' ') AS ws FROM grp),
+         |docs AS (SELECT tk, m, list_transform(range(1, len(ws) - 1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS s3 FROM w),
+         |tsig AS MATERIALIZED (SELECT tk, m, $scaleSigs FROM docs),
+         |sg AS MATERIALIZED (
+         |  SELECT sig1, sig2, sig3, sig4, CAST(sum(m) AS BIGINT) AS mult,
+         |    md5(concat_ws('|', sig1, sig2, sig3, sig4)) AS gid
+         |  FROM tsig GROUP BY 1, 2, 3, 4),
+         |gb AS ($sgBands),
+         |gp AS (SELECT DISTINCT a.gid AS ga, b.gid AS gb2 FROM gb a JOIN gb b
+         |       ON a.band = b.band AND a.v = b.v AND a.gid <> b.gid),
+         |ext AS (SELECT gp.ga, CAST(sum(s.mult) AS BIGINT) AS ext
+         |        FROM gp JOIN sg s ON s.gid = gp.gb2 GROUP BY 1),
+         |nm AS (SELECT sg.gid,
+         |         CASE WHEN sg.sig1 IS NULL THEN CAST(0 AS BIGINT)
+         |              ELSE coalesce(e.ext, 0) + sg.mult - 1 END AS nm
+         |       FROM sg LEFT JOIN ext e ON e.ga = sg.gid)
+         |SELECT d.doc_id, t.sig1, t.sig2, t.sig3, t.sig4,
+         |  CAST(n.nm AS BIGINT) AS n_band_matches
+         |FROM documents d
+         |JOIN tsig t ON md5(d.text) = t.tk
+         |JOIN nm n ON n.gid = md5(concat_ws('|', t.sig1, t.sig2, t.sig3, t.sig4))
+         |ORDER BY 1""".stripMargin
+    Q.sqlDual(
       "dedup_minhash",
       s"""WITH $duckSigCtes,
          |bands AS ($duckBands),
@@ -1032,7 +1075,8 @@ object TextOps {
          |SELECT sig.doc_id, sig1, sig2, sig3, sig4,
          |  coalesce(nm, 0) AS n_band_matches
          |FROM sig LEFT JOIN m ON sig.doc_id = m.doc_id
-         |ORDER BY 1""".stripMargin) { (s, d) =>
+         |ORDER BY 1""".stripMargin,
+      scaleOracle) { (s, d) =>
       // Signature-collapsed formulation, value-identical to the oracle's
       // per-doc pair join: docs with the SAME 4-band signature are
       // indistinguishable to the counter (they match exactly the same
@@ -2259,7 +2303,54 @@ object TextOps {
     val duckBands = minhashParams.indices
       .map(i => s"SELECT doc_id, ${i + 1} AS band, sig${i + 1} AS v FROM sig")
       .mkString("\n  UNION ALL ")
-    Q.sql(
+    // Collapsed scale twin: the SQL mirror of the Spark side's
+    // distinct-content collapse. The naive oracle's corpus-band × bench-
+    // band join is replication-quadratic (twins stand on both sides of
+    // every (band, v) collision), so the 1000x gate needs the band join
+    // at content level: signatures once per distinct text, bench
+    // multiplicity and min bench id carried on the content group, the
+    // per-doc report expanded by the linear membership join.
+    val scaleOracle = {
+      val scaleSigs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+        s"list_min(list_transform(s3, w -> ($a * ${duckWordHash("w")} + $b) % $P)) AS sig${i + 1}"
+      }.mkString(",\n  ")
+      val tkBands = minhashParams.indices
+        .map(i => s"SELECT tk, ${i + 1} AS band, sig${i + 1} AS v FROM tsig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH grp AS MATERIALIZED (
+         |  SELECT md5(text) AS tk, min(text) AS text,
+         |    CAST(sum(CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS m_bench,
+         |    min(CASE WHEN doc_id % 29 = 0 THEN doc_id END) AS min_bench_id
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT tk, str_split(text, ' ') AS ws FROM grp),
+         |docs AS (SELECT tk, list_transform(range(1, len(ws) - 1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS s3 FROM w),
+         |tsig AS MATERIALIZED (SELECT tk, $scaleSigs FROM docs),
+         |tb AS ($tkBands),
+         |bb AS (SELECT t.tk AS btk, g.m_bench, g.min_bench_id, t.band, t.v
+         |       FROM tb t JOIN grp g ON g.tk = t.tk WHERE g.m_bench >= 1),
+         |hitg AS (SELECT c.tk, b.btk, b.m_bench, b.min_bench_id,
+         |           count(*) AS shared_bands
+         |         FROM tb c JOIN bb b ON c.band = b.band AND c.v = b.v
+         |         GROUP BY 1, 2, 3, 4),
+         |bestg AS (SELECT tk, CAST(sum(m_bench) AS BIGINT) AS n_bench_hits,
+         |            CAST(max(shared_bands) AS BIGINT) AS max_shared
+         |          FROM hitg GROUP BY 1),
+         |pickg AS (SELECT h.tk, min(h.min_bench_id) AS best_bench_id
+         |          FROM hitg h JOIN bestg b
+         |            ON h.tk = b.tk AND h.shared_bands = b.max_shared
+         |          GROUP BY 1)
+         |SELECT d.doc_id, p.best_bench_id, b.n_bench_hits, b.max_shared,
+         |  round(1.0 * b.max_shared / ${minhashParams.length}, 4) AS est_jaccard,
+         |  CASE WHEN b.max_shared >= 2 THEN 1 ELSE 0 END AS contaminated
+         |FROM documents d
+         |JOIN bestg b ON md5(d.text) = b.tk
+         |JOIN pickg p ON md5(d.text) = p.tk
+         |WHERE d.doc_id % 29 <> 0
+         |ORDER BY d.doc_id""".stripMargin
+    }
+    Q.sqlDual(
       "decontaminate_fuzzy",
       s"""WITH $duckSigCtes,
          |bands AS ($duckBands),
@@ -2279,7 +2370,8 @@ object TextOps {
          |  round(1.0 * b.max_shared / ${minhashParams.length}, 4) AS est_jaccard,
          |  CASE WHEN b.max_shared >= 2 THEN 1 ELSE 0 END AS contaminated
          |FROM best b JOIN pick p ON b.doc_id = p.doc_id
-         |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+         |ORDER BY b.doc_id""".stripMargin,
+      scaleOracle) { (s, d) =>
       // Replication-quadratic fix (round-10 100x sweep: 32 s / 20x): band
       // collisions ran corpus DOC × bench DOC — b·c rows per (band, v)
       // under twinning. Signatures are pure text functions, so the

@@ -2100,7 +2100,49 @@ object Similarity {
       .select("src", "dst", "cos_sim")
   }
 
-  val annKnnGraph: Q = Q.sql(
+  /** DuckDB CTE chain mirroring [[knn3Collapsed]] — the shared head of
+    * the ann_knn_graph / emb_hubness / emb_label_vote scale twins,
+    * ending in `edges(src, dst, cos_sim)` with `e` / `n1` in scope. The
+    * naive oracles' doc-level band self-join is replication-quadratic
+    * (an exact-dup cluster of M shares every bucket → M² candidate
+    * rows), so the 1000x gate bands one representative per distinct
+    * embedding (bit width pinned to the FULL count, exactly like the
+    * Spark side's countFrom), enumerates candidate pairs group-level,
+    * and expands per-doc top-3 edges through the bounded pool (own
+    * group's 4 smallest ids + each candidate group's 3 smallest). */
+  private lazy val knn3ScaleHeadSql: String =
+    s"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+       |      FROM embeddings),
+       |mem AS MATERIALIZED (
+       |  SELECT vec_id, label, emb,
+       |    min(vec_id) OVER (PARTITION BY ek) AS gid,
+       |    row_number() OVER (PARTITION BY ek ORDER BY vec_id) AS rk
+       |  FROM (SELECT vec_id, label, emb, md5(CAST(emb AS VARCHAR)) AS ek
+       |        FROM e)),
+       |repse AS MATERIALIZED (SELECT gid AS vec_id, emb FROM mem WHERE rk = 1),
+       |${signBandsSql("repse", "n1 AS (SELECT count(*) AS n FROM e)")},
+       |gcand AS (SELECT DISTINCT x.vec_id AS gsrc, y.vec_id AS gdst
+       |          FROM bands x JOIN bands y
+       |            ON x.band = y.band AND x.bucket = y.bucket
+       |               AND x.vec_id <> y.vec_id),
+       |gcos AS (SELECT gsrc, gdst,
+       |           round(list_cosine_similarity(ra.emb, rb.emb), 4) AS cos_sim
+       |         FROM gcand JOIN repse ra ON ra.vec_id = gsrc
+       |                    JOIN repse rb ON rb.vec_id = gdst),
+       |own AS (SELECT gid, vec_id AS cand_id,
+       |          round(list_cosine_similarity(emb, emb), 4) AS cos_sim
+       |        FROM mem WHERE rk <= 4),
+       |extp AS (SELECT g.gsrc AS gid, m.vec_id AS cand_id, g.cos_sim
+       |         FROM gcos g JOIN mem m ON m.gid = g.gdst AND m.rk <= 3),
+       |pool AS MATERIALIZED (SELECT * FROM own UNION ALL SELECT * FROM extp),
+       |edges AS MATERIALIZED (SELECT src, dst, cos_sim FROM (
+       |    SELECT s.vec_id AS src, p.cand_id AS dst, p.cos_sim,
+       |      row_number() OVER (
+       |        PARTITION BY s.vec_id ORDER BY p.cos_sim DESC, p.cand_id) AS rn
+       |    FROM mem s JOIN pool p ON p.gid = s.gid AND p.cand_id <> s.vec_id)
+       |  WHERE rn <= 3)""".stripMargin
+
+  val annKnnGraph: Q = Q.sqlDual(
     "ann_knn_graph",
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |           FROM embeddings),
@@ -2120,6 +2162,27 @@ object Similarity {
        |m AS (SELECT k.src, k.cos_sim,
        |        CASE WHEN k2.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
        |      FROM k LEFT JOIN k k2 ON k2.src = k.dst AND k2.dst = k.src),
+       |deg AS (SELECT src, count(*) AS degree,
+       |          CAST(sum(mutual) AS BIGINT) AS n_mut,
+       |          sum(CAST(cos_sim AS DECIMAL(18,4))) AS sum_cos
+       |        FROM m GROUP BY 1),
+       |dd AS (SELECT CAST(degree AS INT) AS degree, count(*) AS n_vectors,
+       |         CAST(sum(degree) AS BIGINT) AS n_edges,
+       |         CAST(sum(n_mut) AS BIGINT) AS n_mutual,
+       |         round(CAST(sum(sum_cos) AS DOUBLE) / sum(degree), 4) AS avg_cos
+       |       FROM deg GROUP BY 1),
+       |d0 AS (SELECT CAST(0 AS INT) AS degree,
+       |         n1.n - (SELECT count(*) FROM deg) AS n_vectors,
+       |         CAST(0 AS BIGINT) AS n_edges, CAST(0 AS BIGINT) AS n_mutual,
+       |         CAST(NULL AS DOUBLE) AS avg_cos
+       |       FROM n1)
+       |SELECT * FROM d0 WHERE n_vectors > 0
+       |UNION ALL SELECT * FROM dd ORDER BY degree""".stripMargin,
+    s"""WITH $knn3ScaleHeadSql,
+       |m AS (SELECT k.src, k.cos_sim,
+       |        CASE WHEN k2.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
+       |      FROM edges k LEFT JOIN edges k2
+       |        ON k2.src = k.dst AND k2.dst = k.src),
        |deg AS (SELECT src, count(*) AS degree,
        |          CAST(sum(mutual) AS BIGINT) AS n_mut,
        |          sum(CAST(cos_sim AS DECIMAL(18,4))) AS sum_cos
@@ -2186,7 +2249,7 @@ object Similarity {
     * two broadcast 1-row aggregates; cum_share accumulates raw integer
     * counts over the ≤12-row report (single-partition window is fine at
     * that size), rounded once per row. */
-  val embHubness: Q = Q.sql(
+  val embHubness: Q = Q.sqlDual(
     "emb_hubness",
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |           FROM embeddings),
@@ -2204,6 +2267,23 @@ object Similarity {
        |          PARTITION BY src ORDER BY cos_sim DESC, dst) AS rn FROM sc)
        |      WHERE rn <= 3),
        |ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS indeg FROM k GROUP BY 1),
+       |b AS (SELECT CAST(least(indeg, 10) AS INT) AS indeg_bucket,
+       |        CAST(count(*) AS BIGINT) AS n_vectors,
+       |        CAST(sum(indeg) AS BIGINT) AS n_in_edges
+       |      FROM ind GROUP BY 1),
+       |z AS (SELECT CAST(0 AS INT) AS indeg_bucket,
+       |        n1.n - (SELECT count(*) FROM ind) AS n_vectors,
+       |        CAST(0 AS BIGINT) AS n_in_edges
+       |      FROM n1),
+       |u AS (SELECT * FROM z WHERE n_vectors > 0 UNION ALL SELECT * FROM b)
+       |SELECT indeg_bucket, n_vectors, n_in_edges,
+       |  round(1.0 * n_vectors / n1.n, 4) AS share,
+       |  round(1.0 * sum(n_vectors) OVER (ORDER BY indeg_bucket) / n1.n, 4)
+       |    AS cum_share
+       |FROM u, n1 ORDER BY indeg_bucket""".stripMargin,
+    s"""WITH $knn3ScaleHeadSql,
+       |ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS indeg
+       |        FROM edges GROUP BY 1),
        |b AS (SELECT CAST(least(indeg, 10) AS INT) AS indeg_bucket,
        |        CAST(count(*) AS BIGINT) AS n_vectors,
        |        CAST(sum(indeg) AS BIGINT) AS n_in_edges
@@ -2417,7 +2497,7 @@ object Similarity {
     * size ⇒ pair work O(n·const)); the vote is a (src, neighbor-label)
     * partial agg with a struct-max argmax (one aggregation, no rank
     * join-back); the report is a ≤ |labels|-row rollup. */
-  val embLabelVote: Q = Q.sql(
+  val embLabelVote: Q = Q.sqlDual(
     "emb_label_vote",
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
        |           FROM embeddings),
@@ -2436,6 +2516,22 @@ object Similarity {
        |      WHERE rn <= 3),
        |lv AS (SELECT k.src, e.label AS nlabel, count(*) AS cnt
        |       FROM k JOIN e ON e.vec_id = k.dst GROUP BY 1, 2),
+       |vote AS (SELECT src, nlabel AS vote FROM (
+       |        SELECT *, row_number() OVER (
+       |          PARTITION BY src ORDER BY cnt DESC, nlabel) AS rn FROM lv)
+       |      WHERE rn = 1),
+       |j AS (SELECT e.label, CASE WHEN vote.src IS NULL THEN 0 ELSE 1 END AS voted,
+       |        CASE WHEN vote.vote = e.label THEN 1 ELSE 0 END AS agree
+       |      FROM e LEFT JOIN vote ON vote.src = e.vec_id)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(voted) AS BIGINT) AS n_voted,
+       |  CAST(sum(agree) AS BIGINT) AS n_agree,
+       |  round(1.0 * sum(agree) / nullif(sum(voted), 0), 4) AS accuracy,
+       |  CAST(sum(voted) - sum(agree) AS BIGINT) AS n_flagged
+       |FROM j GROUP BY label ORDER BY label""".stripMargin,
+    s"""WITH $knn3ScaleHeadSql,
+       |lv AS (SELECT k.src, e.label AS nlabel, count(*) AS cnt
+       |       FROM edges k JOIN e ON e.vec_id = k.dst GROUP BY 1, 2),
        |vote AS (SELECT src, nlabel AS vote FROM (
        |        SELECT *, row_number() OVER (
        |          PARTITION BY src ORDER BY cnt DESC, nlabel) AS rn FROM lv)

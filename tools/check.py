@@ -220,6 +220,12 @@ def main():
     nthreads = os.environ.get("GRAFT_DUCK_THREADS")
     if nthreads:
         con.execute(f"SET threads={int(nthreads)}")
+    # cap DuckDB's memory (default = 80% of RAM per PROCESS) so several
+    # check_subset lanes can run in parallel without a fleet-wide OOM;
+    # spill goes to the lane's scratch cwd
+    duck_mem = os.environ.get("GRAFT_DUCK_MEM")
+    if duck_mem:
+        con.execute(f"SET memory_limit='{duck_mem}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
