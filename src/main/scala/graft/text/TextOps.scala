@@ -204,10 +204,10 @@ object TextOps {
        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s3
        |       FROM w),
        |ex AS (SELECT doc_id, lang, source, unnest(s3) AS shingle FROM sh),
-       |exf AS (SELECT doc_id, lang, source, shingle FROM (
-       |          SELECT *, count(*) OVER (PARTITION BY lang, source, shingle) AS df
-       |          FROM ex)
-       |        WHERE df <= $ShingleDfCap),
+       |dft AS (SELECT lang, source, shingle FROM ex
+       |        GROUP BY 1, 2, 3 HAVING count(*) <= $ShingleDfCap),
+       |exf AS (SELECT doc_id, lang, source, shingle
+       |        FROM ex JOIN dft USING (lang, source, shingle)),
        |szs AS (SELECT doc_id, count(*) AS sz FROM exf GROUP BY doc_id),
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
        |      FROM exf a JOIN exf b
