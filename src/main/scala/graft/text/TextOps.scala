@@ -1755,6 +1755,136 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The rule-based content-policy blocklist — a deploy-time parameter
+    * in production (each release ships its own list); the default is a
+    * small list present in the synthetic corpus so every code path
+    * (hit counting, rate thresholds, all three verdicts) is exercised
+    * and oracle-checked at every SF. Kept sorted: the membership test
+    * is order-insensitive but the docs read better. */
+  private[graft] val BlocklistWords = Seq("big", "dup", "slow")
+
+  /** Rule-based blocklist filter — the word-list content gate every
+    * production corpus release runs before training (profanity /
+    * unsafe-content lists; cf. the Gopher/Dolma rule-filter stage): per
+    * doc, blocklist occurrence count, distinct blocked words, occurrence
+    * rate, and a three-way verdict (block ≥ 5% of words, review ≥ 2%,
+    * else pass). The list itself is a deployment parameter
+    * ([[BlocklistWords]]); the mechanism — set membership over the word
+    * explode, rate thresholds, per-verdict release decision — is what
+    * the operator pins.
+    *
+    * Scale shape: pure text function → distinct-text collapse
+    * ([[graft.text.CorpusOps.distinctTexts]]): hits are counted once per
+    * distinct text via an array filter (no explode, no shuffle beyond
+    * the collapse's own), per-doc rows expand through the linear
+    * membership join. The blocklist is a literal IN-list compiled into
+    * the expression — nothing ships at runtime. */
+  val qualityBlocklist: Q = {
+    val duckList = BlocklistWords.map(w => s"'$w'").mkString(", ")
+    Q.sql(
+      "quality_blocklist",
+      s"""WITH f AS (
+         |  SELECT doc_id, len(str_split(text, ' ')) AS n_words,
+         |    len(list_filter(str_split(text, ' '),
+         |        w -> w IN ($duckList))) AS n_hits,
+         |    len(list_distinct(list_filter(str_split(text, ' '),
+         |        w -> w IN ($duckList)))) AS n_distinct_hits
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_hits, n_distinct_hits,
+         |  round(1.0 * n_hits / n_words, 4) AS hit_rate,
+         |  CASE WHEN round(1.0 * n_hits / n_words, 4) >= 0.05 THEN 'block'
+         |       WHEN round(1.0 * n_hits / n_words, 4) >= 0.02 THEN 'review'
+         |       ELSE 'pass' END AS verdict
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sparkList = BlocklistWords.map(w => s"'$w'").mkString(", ")
+      val (keyed, dist) = CorpusOps.distinctTexts(s, d)
+      val per = dist.select(col("tkey"),
+        expr("size(split(text, ' '))").as("n_words"),
+        expr(s"size(filter(split(text, ' '), w -> w IN ($sparkList)))")
+          .as("n_hits"),
+        expr(s"size(array_distinct(filter(split(text, ' '), w -> w IN ($sparkList))))")
+          .as("n_distinct_hits"))
+        .withColumn("hit_rate", round(lit(1.0) * col("n_hits") / col("n_words"), 4))
+        .withColumn("verdict",
+          when(col("hit_rate") >= 0.05, "block")
+            .when(col("hit_rate") >= 0.02, "review")
+            .otherwise("pass"))
+      keyed.join(per, Seq("tkey"))
+        .select("doc_id", "n_words", "n_hits", "n_distinct_hits", "hit_rate",
+          "verdict")
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Flesch readability scoring — the classic prose-difficulty quality
+    * signal (reading ease + Flesch-Kincaid grade) over a deterministic
+    * syllable heuristic: syllables(word) = max(1, number of [aeiouy]+
+    * vowel groups), sentences = max(1, [.!?]+ splits with content). A
+    * training-mix curator uses the bucket rollup the way perplexity
+    * buckets are used — drop/downweight the tails, not the middle.
+    * Complements text_quality (ratio heuristics) and text_entropy
+    * (information density): readability is the only one that sees WORD
+    * STRUCTURE, not just token identity.
+    *
+    * Scale shape: pure text function → distinct-text collapse; the
+    * syllable fold is one array transform over each distinct text's
+    * words (no explode, no per-word shuffle), per-doc rows expand by
+    * the linear membership join. Both formulas are evaluated in double
+    * from exact integer counts — identical operand order in both
+    * engines — and rounded ONCE; the bucket reads the rounded score, so
+    * engines cannot disagree at a bucket edge. */
+  val docReadability: Q = Q.sql(
+    "doc_readability",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    len(str_split(text, ' ')) AS n_words,
+      |    greatest(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+      |        s -> trim(s) <> ''))) AS n_sentences,
+      |    CAST(list_sum(list_transform(str_split(text, ' '),
+      |        w -> greatest(1, len(list_filter(
+      |          string_split_regex(w, '[^aeiouy]+'), x -> x <> '')))))
+      |      AS BIGINT) AS n_syllables
+      |  FROM documents),
+      |sc AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+      |         round(206.835e0 - 1.015e0 * (1.0 * n_words / n_sentences)
+      |           - 84.6e0 * (1.0 * n_syllables / n_words), 4) AS flesch,
+      |         round(0.39e0 * (1.0 * n_words / n_sentences)
+      |           + 11.8e0 * (1.0 * n_syllables / n_words) - 15.59e0, 4)
+      |           AS fk_grade
+      |       FROM f)
+      |SELECT doc_id, n_words, n_sentences, n_syllables, flesch, fk_grade,
+      |  CASE WHEN flesch >= 90 THEN 'very_easy'
+      |       WHEN flesch >= 70 THEN 'easy'
+      |       WHEN flesch >= 50 THEN 'medium'
+      |       WHEN flesch >= 30 THEN 'hard'
+      |       ELSE 'very_hard' END AS bucket
+      |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val (keyed, dist) = CorpusOps.distinctTexts(s, d)
+    val per = dist.select(col("tkey"),
+      expr("size(split(text, ' '))").as("n_words"),
+      expr("greatest(1, size(filter(split(text, '[.!?]+'), s -> trim(s) != '')))")
+        .as("n_sentences"),
+      expr("""aggregate(transform(split(text, ' '),
+          |  w -> greatest(1, size(filter(split(w, '[^aeiouy]+'), x -> x != '')))),
+          |  0L, (a, x) -> a + x)""".stripMargin).as("n_syllables"))
+      .withColumn("flesch",
+        round(lit(206.835) - lit(1.015) * (lit(1.0) * col("n_words") / col("n_sentences"))
+          - lit(84.6) * (lit(1.0) * col("n_syllables") / col("n_words")), 4))
+      .withColumn("fk_grade",
+        round(lit(0.39) * (lit(1.0) * col("n_words") / col("n_sentences"))
+          + lit(11.8) * (lit(1.0) * col("n_syllables") / col("n_words")) - lit(15.59), 4))
+      .withColumn("bucket",
+        when(col("flesch") >= 90, "very_easy")
+          .when(col("flesch") >= 70, "easy")
+          .when(col("flesch") >= 50, "medium")
+          .when(col("flesch") >= 30, "hard")
+          .otherwise("very_hard"))
+    keyed.join(per, Seq("tkey"))
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch",
+        "fk_grade", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** One Shannon-entropy term — ONE formula string evaluated by both
     * engines, rounded once to 6 decimals, then summed as DECIMAL (exact,
     * order-independent — the bm25 contribution discipline). */
@@ -2819,7 +2949,8 @@ object TextOps {
     dedupMinhash, dedupMinhashEst, dedupMinhashCalib, dedupIncremental,
     dedupSimhash,
     dedupLshCurve, decontaminateFuzzy, dedupPlaneAgreement, langId,
-    langIdMetrics, textQuality, textEntropy, tokenCount, docFingerprint,
+    langIdMetrics, textQuality, qualityBlocklist, docReadability,
+    textEntropy, tokenCount, docFingerprint,
     samplePerSource, tokenRegex, docLangOutliers, dedupThresholdCurve,
     dedupClusterStats, dedupSourceMatrix, dedupTokenInflation, docMixedLang,
     dedupSoftWeight, dedupOnion)
