@@ -421,24 +421,145 @@ object TokenizerOps {
     * [[duckViterbiSteps]] positions and both engines fail LOUDLY
     * (error()/assert_true) on words longer than the unroll instead of
     * silently truncating — the wordpiece walk guard. */
+  /** Unrolled-DP depth shared by the unigram ops: the longest generated
+    * word is 8 chars; both engines loud-fail beyond the unroll. */
+  private val UnigramSteps = 12
+
+  /** One unrolled Viterbi DP step in DuckDB against piece table
+    * `$voc(piece, plen, cost)` — CTEs named `$p0..$p$j`. Shared by
+    * tok_unigram (seed vocab) and tok_unigram_prune (pruned vocab). */
+  private def duckViterbiStep(j: Int, p: String, voc: String): String = {
+    val cands = (1 to 4).filter(_ <= j).map { l =>
+      s"""SELECT d.word, d.wcount, d.len,
+         |  struct_pack(
+         |    cost := CAST(struct_extract(d.st, 'cost') + v.cost AS DECIMAL(18,6)),
+         |    n := struct_extract(d.st, 'n') + 1,
+         |    seg := struct_extract(d.st, 'seg') || ' ' || v.piece) AS st
+         |FROM $p${j - l} d JOIN $voc v
+         |  ON v.plen = $l AND v.piece = substr(d.word, ${j - l + 1}, $l)
+         |WHERE d.len >= $j""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$p$j AS MATERIALIZED (
+       |  SELECT word, wcount, len, min(st) AS st FROM (
+       |$cands
+       |  ) GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** The full unrolled chain `$p0 … $p$UnigramSteps` + terminal
+    * `${p}vit` CTE (best segmentation per word) against `$voc`. */
+  private def duckViterbiChain(p: String, voc: String): String =
+    s"""${p}0 AS (SELECT word, wcount, len,
+       |    struct_pack(cost := CAST(0 AS DECIMAL(18,6)), n := 0, seg := '') AS st
+       |  FROM wf
+       |  WHERE CASE WHEN len > $UnigramSteps
+       |             THEN error('tok_unigram: word exceeds unrolled DP')
+       |             ELSE TRUE END),
+       |${(1 to UnigramSteps).map(duckViterbiStep(_, p, voc)).mkString(",\n")},
+       |${p}vit AS MATERIALIZED (
+       |${(1 to UnigramSteps).map(j =>
+         s"  SELECT word, wcount, len, st FROM $p$j WHERE len = $j")
+         .mkString("\n  UNION ALL\n")})""".stripMargin
+
+  /** Seed-vocabulary CTE block (w0 → wf → voc): distinct words with
+    * occurrence counts, and the char + top-64-substring piece table with
+    * unigram costs. Shared head of both unigram oracles. */
+  private val duckSeedCtes: String =
+    s"""w0 AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wcount
+       |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+       |        FROM documents)
+       |  WHERE length(word) >= 1 GROUP BY 1),
+       |wf AS MATERIALIZED (SELECT word, wcount, length(word) AS len FROM w0),
+       |chars AS (SELECT piece, CAST(sum(wcount) AS BIGINT) AS cnt FROM (
+       |    SELECT substr(word, CAST(i AS INT), 1) AS piece, wcount
+       |    FROM (SELECT word, wcount, unnest(range(1, len + 1)) AS i FROM wf))
+       |  GROUP BY 1),
+       |sub AS (SELECT unnest(flatten(list_transform([2, 3, 4],
+       |    l -> list_transform(range(1, len - l + 2),
+       |      i -> substr(word, CAST(i AS INT), CAST(l AS INT)))))) AS piece,
+       |    wcount
+       |  FROM wf),
+       |cnts AS (SELECT piece, CAST(sum(wcount) AS BIGINT) AS cnt
+       |         FROM sub GROUP BY 1),
+       |top64 AS (SELECT piece, cnt FROM cnts ORDER BY cnt DESC, piece LIMIT 64),
+       |voc0 AS (SELECT piece, cnt FROM chars UNION ALL SELECT piece, cnt FROM top64),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nt FROM voc0),
+       |voc AS MATERIALIZED (SELECT piece, length(piece) AS plen, cnt,
+       |    CAST(round(-log2((1.0 * cnt) / tot.nt), 6) AS DECIMAL(18,6)) AS cost
+       |  FROM voc0 CROSS JOIN tot)""".stripMargin
+
+  /** Spark twin of [[duckSeedCtes]]: (wf persisted, voc persisted). */
+  private def seedVocab(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val wf = docs(s, d)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).cast("long").as("wcount"))
+      .withColumn("len", length(col("word")))
+      .persist(disk)
+    val chars = wf
+      .select(col("wcount"), explode(expr(
+        "transform(sequence(1, len), i -> substring(word, i, 1))")).as("piece"))
+      .groupBy("piece").agg(sum("wcount").cast("long").as("cnt"))
+    val subs = wf
+      .select(col("wcount"), explode(expr(
+        """flatten(transform(sequence(2, 4),
+          |  l -> IF(len >= l,
+          |         transform(sequence(1, len - l + 1),
+          |           i -> substring(word, i, l)),
+          |         array())))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("wcount").cast("long").as("cnt"))
+    val top64 = subs.orderBy(col("cnt").desc, col("piece")).limit(64)
+    val voc0 = chars.unionByName(top64)
+    val tot = voc0.agg(sum("cnt").cast("long").as("nt"))
+    val voc = voc0.crossJoin(broadcast(tot))
+      .select(col("piece"), length(col("piece")).as("plen"), col("cnt"),
+        expr("cast(round(-log2((1.0 * cnt) / nt), 6) as decimal(18,6))")
+          .as("cost"))
+      .persist(disk) // ≤ |chars| + 64 rows; read by the map and the output
+    (wf, voc)
+  }
+
+  /** The exact-Viterbi fold expression (one higher-order fold per
+    * distinct word; expects `word`, `len`, and the broadcast `vmap`
+    * piece→cost map in scope). Shared by both unigram ops. */
+  private val sparkViterbiSt: String =
+    s"""element_at(aggregate(sequence(1, len),
+       |  array(named_struct('cost', cast(0 as decimal(18,6)), 'n', 0, 'seg', '')),
+       |  (acc, j) -> array_append(acc, array_min(filter(
+       |    transform(sequence(1, 4), l ->
+       |      IF(l <= j AND element_at(vmap, substring(word, j - l + 1, l)) IS NOT NULL,
+       |         named_struct(
+       |           'cost', cast(element_at(acc, j - l + 1).cost
+       |                        + element_at(vmap, substring(word, j - l + 1, l))
+       |                        as decimal(18,6)),
+       |           'n', element_at(acc, j - l + 1).n + 1,
+       |           'seg', concat(element_at(acc, j - l + 1).seg, ' ',
+       |                         substring(word, j - l + 1, l))),
+       |         NULL)),
+       |    x -> x IS NOT NULL)))), len + 1)""".stripMargin
+
+  /** Viterbi-segment `wf` under piece table `voc(piece, cost)`:
+    * (word, wcount, len, cost, n_pieces, seg), persisted. */
+  private def viterbiUnder(s: SparkSession, wf: DataFrame, voc: DataFrame)
+      : DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val vmap = voc.agg(
+      map_from_entries(collect_list(struct(col("piece"), col("cost"))))
+        .as("vmap"))
+    wf.crossJoin(broadcast(vmap))
+      .filter(expr(
+        s"assert_true(len <= $UnigramSteps, 'tok_unigram: word exceeds unrolled DP') IS NULL"))
+      .withColumn("st", expr(sparkViterbiSt))
+      .select(col("word"), col("wcount"), col("len"),
+        expr("st.cost").as("cost"), expr("st.n").as("n_pieces"),
+        expr("substring(st.seg, 2)").as("seg"))
+      .persist(disk)
+  }
+
   val tokUnigram: Q = {
-    val steps = 12 // longest generated word is 8 chars; loud-fail beyond
-    def duckStep(j: Int): String = {
-      val cands = (1 to 4).filter(_ <= j).map { l =>
-        s"""SELECT d.word, d.wcount, d.len,
-           |  struct_pack(
-           |    cost := CAST(struct_extract(d.st, 'cost') + v.cost AS DECIMAL(18,6)),
-           |    n := struct_extract(d.st, 'n') + 1,
-           |    seg := struct_extract(d.st, 'seg') || ' ' || v.piece) AS st
-           |FROM d${j - l} d JOIN voc v
-           |  ON v.plen = $l AND v.piece = substr(d.word, ${j - l + 1}, $l)
-           |WHERE d.len >= $j""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""d$j AS MATERIALIZED (
-         |  SELECT word, wcount, len, min(st) AS st FROM (
-         |$cands
-         |  ) GROUP BY 1, 2, 3)""".stripMargin
-    }
+    val steps = UnigramSteps
+    def duckStep(j: Int): String = duckViterbiStep(j, "d", "voc")
     Q.sql(
       "tok_unigram",
       s"""WITH w0 AS (
@@ -594,6 +715,153 @@ object TokenizerOps {
     }
   }
 
+  /** Unigram-LM vocabulary pruning — the second half of Kudo's
+    * SentencePiece training loop ([[tokUnigram]] is the EM half): rank
+    * every multi-character piece by its corpus-loss contribution under
+    * the EM-estimated model (em_cnt · em_cost micro-bits — exactly the
+    * mass the piece absorbs in the Viterbi segmentation; pieces the
+    * E-step never used contribute 0 and prune first), drop the bottom
+    * half (single characters are never pruned — they guarantee every
+    * word stays segmentable), renormalize piece probabilities over the
+    * survivors, and re-segment the corpus under the pruned vocabulary.
+    * Report: the top-32 kept pieces with seed / EM / post-prune counts
+    * and both cost columns, plus vocab-size accounting and the corpus
+    * loss before/after the prune in exact integer micro-bits — the
+    * size-vs-loss trade a tokenizer release decides on.
+    *
+    * Scale shape: identical to tok_unigram — the corpus is touched once
+    * (the shared persisted distinct-word table feeds both Viterbi
+    * passes), the piece tables are ≤ |chars|+64 rows riding 1-row
+    * broadcast maps, both E-steps are per-row DP folds over distinct
+    * WORDS, and every aggregate is piece- or word-bounded. Nothing
+    * all-pairs, no corpus-sized shuffle.
+    *
+    * Determinism: contribution is an exact integer (count × micro-bit
+    * cost), ranked with piece-string tie-breaks; both loss totals are
+    * integer micro-bit sums; the only float ops are the two
+    * round(−log2(p), 6) cost formulas, each rounded once. */
+  val tokUnigramPrune: Q = {
+    Q.sql(
+      "tok_unigram_prune",
+      s"""WITH $duckSeedCtes,
+         |${duckViterbiChain("d", "voc")},
+         |e1c AS (SELECT piece, CAST(sum(wcount) AS BIGINT) AS em_cnt FROM (
+         |    SELECT unnest(list_filter(str_split(struct_extract(st, 'seg'), ' '),
+         |        x -> x <> '')) AS piece, wcount
+         |    FROM dvit) GROUP BY 1),
+         |e1t AS (SELECT CAST(sum(em_cnt) AS BIGINT) AS nt FROM e1c),
+         |e1 AS (SELECT piece, em_cnt,
+         |    CAST(round(-log2((1.0 * em_cnt) / e1t.nt), 6) AS DECIMAL(18,6))
+         |      AS em_cost
+         |  FROM e1c CROSS JOIN e1t),
+         |contrib AS MATERIALIZED (SELECT v.piece, v.plen, v.cnt,
+         |    coalesce(e.em_cnt, 0) AS em_cnt,
+         |    coalesce(e.em_cnt, 0)
+         |      * coalesce(CAST(e.em_cost * 1000000 AS BIGINT), 0) AS contrib_micro
+         |  FROM voc v LEFT JOIN e1 e ON e.piece = v.piece),
+         |multi AS (SELECT *, row_number()
+         |    OVER (ORDER BY contrib_micro, piece) AS rk
+         |  FROM contrib WHERE plen >= 2),
+         |nmult AS (SELECT count(*) AS nm FROM multi),
+         |kept0 AS (SELECT piece, plen, cnt, em_cnt FROM contrib WHERE plen = 1
+         |  UNION ALL
+         |  SELECT piece, plen, cnt, em_cnt FROM multi, nmult WHERE rk > nm // 2),
+         |tot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS nt FROM kept0),
+         |kvoc AS MATERIALIZED (SELECT piece, plen, cnt, em_cnt,
+         |    CAST(round(-log2((1.0 * cnt) / tot2.nt), 6) AS DECIMAL(18,6)) AS cost
+         |  FROM kept0 CROSS JOIN tot2),
+         |${duckViterbiChain("p", "kvoc")},
+         |c2 AS (SELECT piece, CAST(sum(wcount) AS BIGINT) AS pruned_cnt FROM (
+         |    SELECT unnest(list_filter(str_split(struct_extract(st, 'seg'), ' '),
+         |        x -> x <> '')) AS piece, wcount
+         |    FROM pvit) GROUP BY 1),
+         |ls AS (SELECT CAST(sum(wcount *
+         |    CAST(struct_extract(st, 'cost') * 1000000 AS BIGINT)) AS BIGINT)
+         |    AS loss_seed_micro FROM dvit),
+         |lp AS (SELECT CAST(sum(wcount *
+         |    CAST(struct_extract(st, 'cost') * 1000000 AS BIGINT)) AS BIGINT)
+         |    AS loss_pruned_micro FROM pvit),
+         |nn AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM voc) AS n_seed_pieces,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM kvoc) AS n_kept,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM voc)
+         |           - (SELECT CAST(count(*) AS BIGINT) FROM kvoc) AS n_pruned),
+         |outp AS (SELECT k.piece, CAST(k.plen AS BIGINT) AS plen,
+         |    k.cnt AS seed_cnt, k.em_cnt,
+         |    coalesce(c2.pruned_cnt, 0) AS pruned_cnt,
+         |    CAST(CAST(k.cost * 1000000 AS BIGINT) AS DOUBLE) / 1000000
+         |      AS pruned_cost_bits
+         |  FROM kvoc k LEFT JOIN c2 ON c2.piece = k.piece
+         |  ORDER BY coalesce(c2.pruned_cnt, 0) DESC, k.piece LIMIT 32)
+         |SELECT outp.*, nn.n_seed_pieces, nn.n_kept, nn.n_pruned,
+         |  ls.loss_seed_micro, lp.loss_pruned_micro
+         |FROM outp CROSS JOIN nn CROSS JOIN ls CROSS JOIN lp
+         |ORDER BY pruned_cnt DESC, piece""".stripMargin) { (s, d) =>
+      val (wf, voc) = seedVocab(s, d)
+      val vit1 = viterbiUnder(s, wf, voc)
+      val e1c = vit1
+        .select(col("wcount"), explode(split(col("seg"), " ")).as("piece"))
+        .filter(col("piece") =!= "")
+        .groupBy("piece").agg(sum("wcount").cast("long").as("em_cnt"))
+      val e1t = e1c.agg(sum("em_cnt").cast("long").as("nt"))
+      val e1 = e1c.crossJoin(broadcast(e1t))
+        .select(col("piece"), col("em_cnt"),
+          expr("cast(round(-log2((1.0 * em_cnt) / nt), 6) as decimal(18,6))")
+            .as("em_cost"))
+      val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val contrib = voc
+        .join(e1, Seq("piece"), "left")
+        .select(col("piece"), col("plen"), col("cnt"),
+          coalesce(col("em_cnt"), lit(0L)).cast("long").as("em_cnt"),
+          (coalesce(col("em_cnt"), lit(0L))
+            * coalesce((col("em_cost") * 1000000).cast("long"), lit(0L)))
+            .cast("long").as("contrib_micro"))
+        .persist(disk) // piece-bounded; read by the rank and the union
+      val rkW = Window.orderBy(col("contrib_micro"), col("piece"))
+      val multi = contrib.filter(col("plen") >= 2)
+        .withColumn("rk", row_number().over(rkW)) // piece-bounded window
+      val nm = multi.agg(count(lit(1)).as("nm"))
+      val kept0 = contrib.filter(col("plen") === 1)
+        .select("piece", "plen", "cnt", "em_cnt")
+        .unionByName(multi.crossJoin(broadcast(nm))
+          .filter(col("rk") > col("nm") / 2)
+          .select("piece", "plen", "cnt", "em_cnt"))
+      val tot2 = kept0.agg(sum("cnt").cast("long").as("nt"))
+      val kvoc = kept0.crossJoin(broadcast(tot2))
+        .select(col("piece"), col("plen"), col("cnt"), col("em_cnt"),
+          expr("cast(round(-log2((1.0 * cnt) / nt), 6) as decimal(18,6))")
+            .as("cost"))
+        .persist(disk)
+      val vit2 = viterbiUnder(s, wf, kvoc)
+      val c2 = vit2
+        .select(col("wcount"), explode(split(col("seg"), " ")).as("piece"))
+        .filter(col("piece") =!= "")
+        .groupBy("piece").agg(sum("wcount").cast("long").as("pruned_cnt"))
+      val ls = vit1.agg(
+        sum(col("wcount") * (col("cost") * lit(1000000)).cast("long"))
+          .cast("long").as("loss_seed_micro"))
+      val lp = vit2.agg(
+        sum(col("wcount") * (col("cost") * lit(1000000)).cast("long"))
+          .cast("long").as("loss_pruned_micro"))
+      val nSeed = voc.agg(count(lit(1)).cast("long").as("n_seed_pieces"))
+      val nKept = kvoc.agg(count(lit(1)).cast("long").as("n_kept"))
+      kvoc.join(c2, Seq("piece"), "left")
+        .select(col("piece"), col("plen").cast("long").as("plen"),
+          col("cnt").as("seed_cnt"), col("em_cnt"),
+          coalesce(col("pruned_cnt"), lit(0L)).cast("long").as("pruned_cnt"),
+          ((col("cost") * 1000000).cast("long").cast("double") / 1000000)
+            .as("pruned_cost_bits"))
+        .orderBy(col("pruned_cnt").desc, col("piece")).limit(32)
+        .crossJoin(broadcast(nSeed)).crossJoin(broadcast(nKept))
+        .crossJoin(broadcast(ls)).crossJoin(broadcast(lp))
+        .select(col("piece"), col("plen"), col("seed_cnt"), col("em_cnt"),
+          col("pruned_cnt"), col("pruned_cost_bits"),
+          col("n_seed_pieces"), col("n_kept"),
+          (col("n_seed_pieces") - col("n_kept")).as("n_pruned"),
+          col("loss_seed_micro"), col("loss_pruned_micro"))
+        .orderBy(col("pruned_cnt").desc, col("piece"))
+    }
+  }
+
   val all: Seq[Q] = Seq(bpePairStats, tokFertility, bpeMergeIterate,
-    tokWordpiece, tokUnigram)
+    tokWordpiece, tokUnigram, tokUnigramPrune)
 }

@@ -274,4 +274,119 @@ class TokenizerOpsSpec extends AnyFunSuite {
         emCost(p).movePointRight(6).longValueExact().toDouble / 1000000)
     }
   }
+
+  test("tok_unigram_prune: contribution ranking, protected chars, " +
+    "renormalized re-segmentation and loss accounting replayed independently") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    type St = (java.math.BigDecimal, Int, String)
+    val out = TokenizerOps.tokUnigramPrune.fn(spark, sfDir).collect()
+    assert(out.length === 32)
+
+    // ---- replay the seed + EM half (the tok_unigram replica) -------------
+    val words = scala.collection.mutable.HashMap.empty[String, Long]
+    Tables.documents(spark, sfDir).select("text").collect().foreach { r =>
+      r.getString(0).toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L)
+    }
+    val chars = scala.collection.mutable.HashMap.empty[String, Long]
+    val subs = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, c) <- words) {
+      for (i <- 0 until w.length)
+        chars(w.substring(i, i + 1)) = chars.getOrElse(w.substring(i, i + 1), 0L) + c
+      for (l <- 2 to 4; i <- 0 to w.length - l)
+        subs(w.substring(i, i + l)) = subs.getOrElse(w.substring(i, i + l), 0L) + c
+    }
+    val top64 = subs.toSeq.sortBy { case (p, c) => (-c, p) }.take(64)
+    val voc = chars.toSeq ++ top64
+    def sparkCosts(counts: Seq[(String, Long)], total: Long): Map[String, java.math.BigDecimal] =
+      counts.toDF("piece", "cnt").withColumn("nt", lit(total))
+        .withColumn("cost",
+          expr("cast(round(-log2((1.0 * cnt) / nt), 6) as decimal(18,6))"))
+        .collect().map(r => r.getString(0) -> r.getDecimal(3)).toMap
+    def lt(a: St, b: St): Boolean = {
+      val c = a._1.compareTo(b._1)
+      if (c != 0) c < 0
+      else if (a._2 != b._2) a._2 < b._2
+      else a._3 < b._3
+    }
+    def segmentUnder(cost: Map[String, java.math.BigDecimal])(w: String): St = {
+      val dp = new Array[St](w.length + 1)
+      dp(0) = (java.math.BigDecimal.ZERO.setScale(6), 0, "")
+      for (j <- 1 to w.length) {
+        var best: St = null
+        for (l <- 1 to math.min(4, j)) {
+          val piece = w.substring(j - l, j)
+          cost.get(piece).foreach { pc =>
+            val cand = (dp(j - l)._1.add(pc), dp(j - l)._2 + 1,
+              dp(j - l)._3 + " " + piece)
+            if (best == null || lt(cand, best)) best = cand
+          }
+        }
+        dp(j) = best
+      }
+      dp(w.length)
+    }
+    val seedCost = sparkCosts(voc, voc.map(_._2).sum)
+    val segs1 = words.map { case (w, c) => (w, c, segmentUnder(seedCost)(w)) }.toSeq
+    val emc = scala.collection.mutable.HashMap.empty[String, Long]
+    segs1.foreach { case (_, c, st) =>
+      st._3.split(' ').filter(_.nonEmpty).foreach(p =>
+        emc(p) = emc.getOrElse(p, 0L) + c) }
+    val emCost = sparkCosts(emc.toSeq, emc.values.sum)
+
+    // ---- the prune decision ----------------------------------------------
+    val contrib = voc.map { case (p, cnt) =>
+      val ec = emc.getOrElse(p, 0L)
+      val micro = if (ec == 0L) 0L
+        else ec * emCost(p).movePointRight(6).longValueExact()
+      (p, cnt, ec, micro)
+    }
+    val multi = contrib.filter(_._1.length >= 2)
+      .sortBy { case (p, _, _, micro) => (micro, p) }
+    val nPruned = multi.length / 2
+    val prunedSet = multi.take(nPruned).map(_._1).toSet
+    val kept = contrib.filterNot(t => prunedSet(t._1))
+    // every single character survives
+    assert(kept.count(_._1.length == 1) === chars.size)
+    assert(out.forall(_.getAs[Long]("n_seed_pieces") === voc.length.toLong))
+    assert(out.forall(_.getAs[Long]("n_kept") === kept.length.toLong))
+    assert(out.forall(_.getAs[Long]("n_pruned") === nPruned.toLong))
+
+    // ---- re-cost over survivors, re-segment, recount ----------------------
+    val keptCost = sparkCosts(kept.map(t => (t._1, t._2)),
+      kept.map(_._2).sum)
+    val segs2 = words.map { case (w, c) => (w, c, segmentUnder(keptCost)(w)) }.toSeq
+    segs2.foreach { case (w, _, st) =>
+      assert(st ne null, s"word '$w' unsegmentable after prune")
+      val pieces = st._3.split(' ').filter(_.nonEmpty)
+      assert(pieces.mkString === w)
+      assert(pieces.forall(p => !prunedSet(p)), s"pruned piece used for '$w'")
+    }
+    val c2 = scala.collection.mutable.HashMap.empty[String, Long]
+    segs2.foreach { case (_, c, st) =>
+      st._3.split(' ').filter(_.nonEmpty).foreach(p =>
+        c2(p) = c2.getOrElse(p, 0L) + c) }
+    val lossSeed = segs1.map { case (_, c, st) =>
+      st._1.movePointRight(6).longValueExact() * c }.sum
+    val lossPruned = segs2.map { case (_, c, st) =>
+      st._1.movePointRight(6).longValueExact() * c }.sum
+    assert(out.forall(_.getAs[Long]("loss_seed_micro") === lossSeed))
+    assert(out.forall(_.getAs[Long]("loss_pruned_micro") === lossPruned))
+
+    // ---- the published piece table row-for-row ---------------------------
+    val keptMeta = kept.map(t => t._1 -> t).toMap
+    val expected = kept
+      .map(t => (t._1, c2.getOrElse(t._1, 0L)))
+      .sortBy { case (p, c) => (-c, p) }.take(32)
+    out.zip(expected).foreach { case (r, (p, c)) =>
+      assert(r.getAs[String]("piece") === p)
+      assert(r.getAs[Long]("plen") === p.length.toLong)
+      assert(r.getAs[Long]("seed_cnt") === keptMeta(p)._2)
+      assert(r.getAs[Long]("em_cnt") === keptMeta(p)._3)
+      assert(r.getAs[Long]("pruned_cnt") === c)
+      assert(r.getAs[Double]("pruned_cost_bits") ===
+        keptCost(p).movePointRight(6).longValueExact().toDouble / 1000000)
+    }
+  }
 }
