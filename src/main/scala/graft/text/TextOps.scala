@@ -204,7 +204,7 @@ object TextOps {
        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s3
        |       FROM w),
        |ex AS (SELECT doc_id, lang, source, unnest(s3) AS shingle FROM sh),
-       |dft AS (SELECT lang, source, shingle FROM ex
+       |dft AS MATERIALIZED (SELECT lang, source, shingle FROM ex
        |        GROUP BY 1, 2, 3 HAVING count(*) <= $ShingleDfCap),
        |exf AS (SELECT doc_id, lang, source, shingle
        |        FROM ex JOIN dft USING (lang, source, shingle)),
