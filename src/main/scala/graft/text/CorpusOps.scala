@@ -2373,7 +2373,44 @@ object CorpusOps {
     * summed as DECIMAL. */
   val corpusBigramPpl: Q = {
     val bitsF = "round(-log2(0.8 * cbg / cw1 + 0.2 * cu / n), 6)"
-    Q.sql(
+    // Collapsed scale twin (the corpus_perplexity twin's shape): score
+    // one representative per distinct text with multiplicity-weighted
+    // model counts and expand per-doc rows through the membership map —
+    // the naive token/bigram explode is corpus-sized and exceeds
+    // single-box DuckDB at the 1000x gate.
+    val scaleOracle =
+      s"""WITH gmr AS MATERIALIZED (SELECT doc_id,
+         |       min(doc_id) OVER (PARTITION BY text) AS gid FROM documents),
+         |grp AS MATERIALIZED (SELECT min(doc_id) AS gid,
+         |       CAST(count(*) AS BIGINT) AS m, text FROM documents GROUP BY text),
+         |w AS (SELECT gid, m, str_split(text, ' ') AS ws FROM grp),
+         |ug AS (SELECT m, unnest(ws) AS term FROM w),
+         |uc AS (SELECT term, CAST(sum(m) AS BIGINT) AS cu FROM ug GROUP BY 1),
+         |nt AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uc),
+         |db AS (SELECT gid, m, unnest(list_transform(range(1, len(ws)),
+         |         i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w),
+         |dtf AS MATERIALIZED (SELECT gid, m, gram, CAST(count(*) AS BIGINT) AS tf
+         |        FROM db GROUP BY 1, 2, 3),
+         |bc AS (SELECT gram, CAST(sum(tf * m) AS BIGINT) AS cbg FROM dtf GROUP BY 1),
+         |w1c AS (SELECT split_part(gram, ' ', 1) AS w1,
+         |          CAST(sum(cbg) AS BIGINT) AS cw1 FROM bc GROUP BY 1),
+         |sc AS (SELECT d.gid, d.tf, $bitsF AS bits
+         |       FROM dtf d
+         |       JOIN bc ON d.gram = bc.gram
+         |       JOIN w1c ON split_part(d.gram, ' ', 1) = w1c.w1
+         |       JOIN uc ON split_part(d.gram, ' ', 2) = uc.term
+         |       CROSS JOIN nt),
+         |agg AS (SELECT gid, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |          CAST(sum(tf * CAST(round(bits * 1000000, 0) AS BIGINT)) AS BIGINT)
+         |            AS sum_micro
+         |        FROM sc GROUP BY 1)
+         |SELECT gmr.doc_id, n_bigrams,
+         |  CAST((2 * sum_micro + n_bigrams * 100) // (2 * n_bigrams * 100) AS DOUBLE)
+         |    / 10000 AS bits_per_bigram,
+         |  round(pow(2, CAST((2 * sum_micro + n_bigrams * 100) // (2 * n_bigrams * 100)
+         |    AS DOUBLE) / 10000), 2) AS ppl
+         |FROM agg JOIN gmr ON agg.gid = gmr.gid ORDER BY gmr.doc_id""".stripMargin
+    Q.sqlDual(
       "corpus_bigram_ppl",
       s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
          |ug AS (SELECT unnest(ws) AS term FROM w),
@@ -2401,7 +2438,8 @@ object CorpusOps {
          |    / 10000 AS bits_per_bigram,
          |  round(pow(2, CAST((2 * sum_micro + n_bigrams * 100) // (2 * n_bigrams * 100)
          |    AS DOUBLE) / 10000), 2) AS ppl
-         |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+         |FROM agg ORDER BY doc_id""".stripMargin,
+      scaleOracle) { (s, d) =>
       import org.apache.spark.storage.StorageLevel
       // two collapses (the corpus_perplexity posture): distinct texts
       // with multiplicity-weighted model counts, and gram/word strings
@@ -2476,7 +2514,47 @@ object CorpusOps {
   val corpusKnPpl: Q = {
     val bitsF = "round(-log2(greatest(cbg - 0.75e0, 0e0) / cw1" +
       " + (0.75e0 * k1 / cw1) * (nl * 1e0 / bb)), 6)"
-    Q.sql(
+    // Collapsed scale twin — same shape as corpus_bigram_ppl's. The KN
+    // type counts (k1 / nl / bb) come off the gram-level bc table, which
+    // the collapse reproduces exactly (a twin doc introduces no new
+    // gram type), so only cbg needs the multiplicity weight.
+    val scaleOracle =
+      s"""WITH gmr AS MATERIALIZED (SELECT doc_id,
+         |       min(doc_id) OVER (PARTITION BY text) AS gid FROM documents),
+         |grp AS MATERIALIZED (SELECT min(doc_id) AS gid,
+         |       CAST(count(*) AS BIGINT) AS m, text FROM documents GROUP BY text),
+         |w AS (SELECT gid, m, str_split(text, ' ') AS ws FROM grp),
+         |db AS (SELECT gid, m, unnest(list_transform(range(1, len(ws)),
+         |         i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w),
+         |dtf AS MATERIALIZED (SELECT gid, m, gram, CAST(count(*) AS BIGINT) AS tf
+         |        FROM db GROUP BY 1, 2, 3),
+         |bc AS MATERIALIZED (SELECT gram, CAST(sum(tf * m) AS BIGINT) AS cbg
+         |        FROM dtf GROUP BY 1),
+         |w1c AS (SELECT split_part(gram, ' ', 1) AS w1,
+         |          CAST(sum(cbg) AS BIGINT) AS cw1,
+         |          CAST(count(*) AS BIGINT) AS k1
+         |        FROM bc GROUP BY 1),
+         |nlc AS (SELECT split_part(gram, ' ', 2) AS w2,
+         |          CAST(count(*) AS BIGINT) AS nl
+         |        FROM bc GROUP BY 1),
+         |bt AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM bc),
+         |sc AS (SELECT d.gid, d.tf, $bitsF AS bits
+         |       FROM dtf d
+         |       JOIN bc ON d.gram = bc.gram
+         |       JOIN w1c ON split_part(d.gram, ' ', 1) = w1c.w1
+         |       JOIN nlc ON split_part(d.gram, ' ', 2) = nlc.w2
+         |       CROSS JOIN bt),
+         |agg AS (SELECT gid, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |          CAST(sum(tf * CAST(round(bits * 1000000, 0) AS BIGINT)) AS BIGINT)
+         |            AS sum_micro
+         |        FROM sc GROUP BY 1)
+         |SELECT gmr.doc_id, n_bigrams,
+         |  CAST((2 * sum_micro + n_bigrams * 100) // (2 * n_bigrams * 100) AS DOUBLE)
+         |    / 10000 AS bits_per_bigram,
+         |  round(pow(2, CAST((2 * sum_micro + n_bigrams * 100) // (2 * n_bigrams * 100)
+         |    AS DOUBLE) / 10000), 2) AS ppl
+         |FROM agg JOIN gmr ON agg.gid = gmr.gid ORDER BY gmr.doc_id""".stripMargin
+    Q.sqlDual(
       "corpus_kn_ppl",
       s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
          |db AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
@@ -2507,7 +2585,8 @@ object CorpusOps {
          |    / 10000 AS bits_per_bigram,
          |  round(pow(2, CAST((2 * sum_micro + n_bigrams * 100) // (2 * n_bigrams * 100)
          |    AS DOUBLE) / 10000), 2) AS ppl
-         |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+         |FROM agg ORDER BY doc_id""".stripMargin,
+      scaleOracle) { (s, d) =>
       import org.apache.spark.storage.StorageLevel
       // same double collapse as corpus_bigram_ppl (distinct texts +
       // 128-bit Hash128 ids). The KN model tables are all

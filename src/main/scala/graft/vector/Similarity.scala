@@ -1460,7 +1460,64 @@ object Similarity {
     * distinct content per cell (k scales with corpus at deploy). The
     * oracle keeps the naive per-vector formulation — two independent
     * shapes must hash-agree. Output ≤ k rows. */
-  val dedupSemantic: Q = Q.sql(
+  /** Collapsed scale twin for dedup_semantic: the naive oracle's
+    * within-cell pruning join is replication-quadratic (a 1000-twin
+    * group contributes 10⁶ pair rows per cell), and its three full
+    * assignment passes each window 64·n rows. The twin mirrors the
+    * Spark body: k-means training runs on one representative per
+    * distinct embedding with multiplicity-WEIGHTED centroid updates —
+    * exact, because the naive update sums DECIMAL(28,9) lanes, and
+    * m·v summed once equals v summed m times in decimal arithmetic —
+    * seeds still come off the raw table (the 64 smallest vec_ids need
+    * not be group minima), and the pruning verdict collapses to
+    * beaten-reps × multiplicity exactly like the Spark side. */
+  private lazy val dedupSemanticScaleSql: String = {
+    def gAssign(name: String, cents: String) =
+      s"""$name AS MATERIALIZED (SELECT gid, cid FROM (
+         |   SELECT g.gid, s.cid, row_number() OVER (
+         |     PARTITION BY g.gid ORDER BY ${kmeansDistSql("g.emb", "s.cv")}, s.cid) AS rn
+         |   FROM grp g, $cents s) WHERE rn = 1)""".stripMargin
+    def gCent(name: String, asg: String) =
+      s"""$name AS MATERIALIZED (SELECT cid, list(c ORDER BY dim) AS cv FROM (
+         |   SELECT $asg.cid, u.dim,
+         |     CAST(sum(g.m * CAST(u.v AS DECIMAL(28,9))) AS DOUBLE)
+         |       / CAST(sum(g.m) AS DOUBLE) AS c
+         |   FROM $asg JOIN grp g USING (gid),
+         |     LATERAL (SELECT unnest(g.emb) AS v, generate_subscripts(g.emb, 1) AS dim) u
+         |   GROUP BY $asg.cid, u.dim) GROUP BY cid)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |grp AS MATERIALIZED (SELECT min(vec_id) AS gid,
+       |       CAST(count(*) AS BIGINT) AS m, emb FROM e GROUP BY emb),
+       |seeds AS MATERIALIZED (
+       |          SELECT row_number() OVER (ORDER BY vec_id) AS cid, emb AS cv
+       |          FROM e ORDER BY vec_id LIMIT 64),
+       |${gAssign("ga1", "seeds")},
+       |${gCent("c1", "ga1")},
+       |${gAssign("ga2", "c1")},
+       |${gCent("c2", "ga2")},
+       |${gAssign("ga3", "c2")},
+       |gcc AS MATERIALIZED (SELECT a.gid, a.cid AS cell, g.m, g.emb,
+       |        round(list_cosine_similarity(g.emb, c2.cv), 4) AS ccos
+       |      FROM ga3 a JOIN grp g ON g.gid = a.gid JOIN c2 ON c2.cid = a.cid),
+       |beaten AS (SELECT DISTINCT u.gid
+       |           FROM gcc u JOIN gcc v ON u.cell = v.cell AND u.gid <> v.gid
+       |           WHERE round(list_cosine_similarity(u.emb, v.emb), 4) >= 0.35
+       |             AND (v.ccos < u.ccos
+       |                  OR (v.ccos = u.ccos AND v.gid < u.gid))),
+       |out1 AS (SELECT u.cell,
+       |        CAST(sum(u.m) AS BIGINT) AS n_vecs,
+       |        CAST(count(*) AS BIGINT) AS n_groups,
+       |        CAST(sum(CASE WHEN b.gid IS NOT NULL THEN u.m ELSE u.m - 1 END)
+       |          AS BIGINT) AS n_pruned
+       |      FROM gcc u LEFT JOIN beaten b ON b.gid = u.gid
+       |      GROUP BY u.cell)
+       |SELECT CAST(cell AS BIGINT) AS cell, n_vecs, n_groups, n_pruned,
+       |  CAST(n_vecs - n_pruned AS BIGINT) AS n_kept,
+       |  round(1.0 * n_pruned / n_vecs, 4) AS prune_rate
+       |FROM out1 ORDER BY cell""".stripMargin
+  }
+
+  val dedupSemantic: Q = Q.sqlDual(
     "dedup_semantic",
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |${kmeansTrainSql(64, "id")},
@@ -1487,7 +1544,8 @@ object Similarity {
       |  CAST(count(*) - sum(pr.pruned) AS BIGINT) AS n_kept,
       |  round(1.0 * sum(pr.pruned) / count(*), 4) AS prune_rate
       |FROM pr JOIN ng ON ng.cell = pr.cell
-      |GROUP BY pr.cell, ng.n_groups ORDER BY cell""".stripMargin) { (s, d) =>
+      |GROUP BY pr.cell, ng.n_groups ORDER BY cell""".stripMargin,
+    dedupSemanticScaleSql) { (s, d) =>
     val embD = toEmbD(emb(s, d))
     val cent = kmeansRounds(embD, 64, 2, "id").last
     // per-vector cell + centroid cosine off the broadcast argmin fold —
