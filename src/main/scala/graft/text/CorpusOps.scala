@@ -528,6 +528,69 @@ object CorpusOps {
     * each cell term is rounded once to 12 and DECIMAL-summed, and the
     * verdict bands compare the ROUNDED psi so the label can never
     * straddle an ulp. */
+  /** Marginal-novelty curve over crawl order — the "is this crawl still
+    * paying for itself" readout: docs bucketed into 20 equal-width
+    * doc_id ranges (ingest order proxy), per bucket the share of docs
+    * whose TEXT is globally first-seen there (novelty_rate) and the
+    * cumulative distinct-content share. A flattening curve is the
+    * data-driven stop/dedup-harder signal a crawl budget decision needs;
+    * on a replicated corpus the curve collapses onto the first buckets —
+    * exactly the diagnosis. Buckets are fixed-width off one broadcast
+    * max (no global sort, no ntile window), so the shape survives any
+    * id distribution.
+    *
+    * Scale shape: one distinct-text collapse (first-occurrence id = min
+    * over the group — the exchange dedup_exact already pays), one raw
+    * partial-agg groupBy on the computed bucket, a ≤ 20-row spine join
+    * and a ≤ 20-row cumulative window. Nothing corpus-sized shuffles
+    * beyond the collapse. */
+  val corpusNoveltyCurve: Q = Q.sql(
+    "corpus_novelty_curve",
+    """WITH mx AS (SELECT max(doc_id) + 1 AS hi FROM documents),
+      |b AS (SELECT CAST(doc_id * 20 // mx.hi AS BIGINT) AS bucket
+      |      FROM documents, mx),
+      |bc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs FROM b GROUP BY 1),
+      |fo AS (SELECT min(doc_id) AS first_id FROM documents GROUP BY text),
+      |fb AS (SELECT CAST(first_id * 20 // mx.hi AS BIGINT) AS bucket,
+      |         CAST(count(*) AS BIGINT) AS n_new
+      |       FROM fo, mx GROUP BY 1),
+      |sp AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bucket),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct FROM fo),
+      |u AS (SELECT sp.bucket, coalesce(bc.n_docs, 0) AS n_docs,
+      |        coalesce(fb.n_new, 0) AS n_new
+      |      FROM sp LEFT JOIN bc USING (bucket) LEFT JOIN fb USING (bucket))
+      |SELECT u.bucket, u.n_docs, u.n_new AS n_new_texts,
+      |  round(1.0 * u.n_new / nullif(u.n_docs, 0), 4) AS novelty_rate,
+      |  round(1.0 * sum(u.n_new) OVER (ORDER BY u.bucket) / t.n_distinct, 4)
+      |    AS cum_distinct_share
+      |FROM u CROSS JOIN t ORDER BY u.bucket""".stripMargin) { (s, d) =>
+    val (keyed, dist0) = distinctTexts(s, d)
+    val mx = docs(s, d).agg((max("doc_id") + 1).as("hi"))
+    val bc = docs(s, d).crossJoin(broadcast(mx))
+      .select(expr("CAST(doc_id * 20 div hi AS BIGINT)").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).cast("long").as("n_docs"))
+    // first-occurrence id per distinct text off the collapse's keyed map
+    val fo = keyed.groupBy("tkey").agg(min("doc_id").as("first_id"))
+    val fb = fo.crossJoin(broadcast(mx))
+      .select(expr("CAST(first_id * 20 div hi AS BIGINT)").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).cast("long").as("n_new"))
+    val t = dist0.agg(count(lit(1)).cast("long").as("n_distinct"))
+    val sp = s.range(0, 20).select(col("id").as("bucket"))
+    val w = Window.orderBy("bucket") // ≤ 20 rows — single partition is fine
+    broadcast(sp)
+      .join(bc, Seq("bucket"), "left").join(fb, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .crossJoin(broadcast(t))
+      .select(col("bucket"), col("n_docs"), col("n_new").as("n_new_texts"),
+        round(lit(1.0) * col("n_new") / nullif(col("n_docs"), lit(0L)), 4)
+          .as("novelty_rate"),
+        round(lit(1.0) * sum("n_new").over(w) / col("n_distinct"), 4)
+          .as("cum_distinct_share"))
+      .orderBy("bucket")
+  }
+
   val corpusPsi: Q = Q.sql(
     "corpus_psi",
     s"""WITH f AS (SELECT doc_id, source,
@@ -3362,5 +3425,5 @@ object CorpusOps {
     corpusBigramPpl, vocabOverlap, perplexityBuckets, heapsFit,
     qualityPlaneAgreement, qualityAblation, contaminationSources,
     corpusExport, corpusDsir, corpusDoremi, qualityNb, qualityCalibration,
-    decontaminateBloom, corpusPsi, docRarity, corpusKnPpl)
+    decontaminateBloom, corpusPsi, docRarity, corpusKnPpl, corpusNoveltyCurve)
 }

@@ -1908,6 +1908,89 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Spectral-health audit of the embedding space from per-dimension
+    * variances (the diagonal-covariance view): effective rank as the
+    * participation ratio (Σλ)²/Σλ² — ~n_dims for an isotropic space,
+    * ~1 when one direction carries everything — plus the top-dimension
+    * variance share and the cumulative share absorbed by the top
+    * k ∈ {1,2,4,8,16,32,64} dimensions. The PQ/IVF planner reads this
+    * the way ann_pq_dim_alloc reads per-dim spread: a collapsed
+    * spectrum says re-whiten (emb_whiten) before indexing, and the
+    * curve prices how many PCA dims retrieval could drop
+    * (emb_matryoshka's question, answered from variances alone —
+    * no iteration, no candidate pairs).
+    *
+    * Scale shape: ONE posexplode pass over DISTINCT embeddings with
+    * multiplicity-weighted decimal moments (the emb_dim_stats
+    * machinery), |dims|-bounded everywhere after; the ranking window
+    * runs on 64 rows. Determinism: λ is rounded ONCE to picounits
+    * (scale-12 integers); every sum downstream is integer/decimal
+    * (order-free), and the published doubles divide exact integers. */
+  val embEffectiveRank: Q = Q.sql(
+    "emb_effective_rank",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |u AS (SELECT unnest(emb) AS x, generate_subscripts(emb, 1) AS dim FROM e),
+      |r AS (SELECT CAST(dim AS BIGINT) AS dim, round(x, 6) AS v FROM u),
+      |a AS (SELECT dim, count(*) AS n,
+      |        CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean,
+      |        CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS ex2
+      |      FROM r GROUP BY dim),
+      |l AS (SELECT dim, CAST(round((ex2 - mean * mean) * 1e12, 0) AS BIGINT)
+      |        AS lam_p FROM a),
+      |t AS (SELECT CAST(sum(lam_p) AS BIGINT) AS s1,
+      |        sum(CAST(lam_p AS DECIMAL(19,0)) * CAST(lam_p AS DECIMAL(19,0))) AS s2,
+      |        CAST(max(lam_p) AS BIGINT) AS lmax,
+      |        CAST(count(*) AS BIGINT) AS n_dims FROM l),
+      |rk AS (SELECT dim, lam_p, row_number() OVER (ORDER BY lam_p DESC, dim) AS rnk
+      |       FROM l),
+      |ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32, 64]) AS BIGINT) AS k),
+      |cum AS (SELECT ks.k, CAST(sum(rk.lam_p) AS BIGINT) AS sk
+      |        FROM ks JOIN rk ON rk.rnk <= ks.k GROUP BY 1)
+      |SELECT cum.k, round(1.0 * cum.sk / t.s1, 4) AS cum_var_share,
+      |  round(CAST(t.s1 AS DOUBLE) * t.s1 / CAST(t.s2 AS DOUBLE), 4) AS eff_rank,
+      |  round(1.0 * t.lmax / t.s1, 4) AS top_share, t.n_dims
+      |FROM cum CROSS JOIN t ORDER BY cum.k""".stripMargin) { (s, d) =>
+    // duplicate-vector collapse with multiplicity-weighted moments —
+    // identical to emb_dim_stats' lanes, so λ is bit-identical to the
+    // per-twin formulation; everything after is 64-row arithmetic
+    val g = emb(s, d).groupBy("embedding")
+      .agg(count(lit(1)).cast("long").as("m"))
+    val lam = g.select(col("m"),
+        posexplode(expr("transform(embedding, x -> cast(x as double))"))
+          .as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        round(col("x"), 6).as("v"), col("m"))
+      .groupBy("dim").agg(
+        (sum(col("v").cast("decimal(18,6)") * col("m").cast("decimal(12,0)"))
+          .cast("double") / sum("m")).as("mean"),
+        (sum((col("v") * col("v")).cast("decimal(24,12)")
+            * col("m").cast("decimal(12,0)"))
+          .cast("double") / sum("m")).as("ex2"))
+      .select(col("dim"),
+        expr("CAST(round((ex2 - mean * mean) * 1e12, 0) AS BIGINT)").as("lam_p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = lam.agg(
+      sum("lam_p").cast("long").as("s1"),
+      sum(col("lam_p").cast("decimal(19,0)") * col("lam_p").cast("decimal(19,0)"))
+        .as("s2"),
+      max("lam_p").cast("long").as("lmax"),
+      count(lit(1)).cast("long").as("n_dims"))
+    val rk = lam.withColumn("rnk",
+      row_number().over(Window.orderBy(col("lam_p").desc, col("dim"))))
+    val ks = s.range(0, 7).select(
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("k"))
+    val cum = broadcast(ks).join(rk, col("rnk") <= col("k"))
+      .groupBy("k").agg(sum("lam_p").cast("long").as("sk"))
+    cum.crossJoin(broadcast(t))
+      .select(col("k"),
+        round(lit(1.0) * col("sk") / col("s1"), 4).as("cum_var_share"),
+        round(col("s1").cast("double") * col("s1") / col("s2").cast("double"), 4)
+          .as("eff_rank"),
+        round(lit(1.0) * col("lmax") / col("s1"), 4).as("top_share"),
+        col("n_dims"))
+      .orderBy("k")
+  }
+
   /** Encoder-drift audit between two ingest batches — the check a
     * continuously-trained encoder needs before mixing old and new
     * embeddings in one index: per label, centroid shift (L2) and cosine
@@ -3390,7 +3473,7 @@ object Similarity {
     embNormalize, embQuantize, annPq, annPqSearch, annRecall, annNdcg,
     annIvfMultiprobe, annIvfPq, annIvfKmeans, annRecallKmeans,
     annIvfKmeanspp, annRecallKmeanspp, annKmeansConvergence, embOutliers,
-    embDimStats, embDrift, embMmdSources, annKnnGraph, embHubness,
+    embDimStats, embEffectiveRank, embDrift, embMmdSources, annKnnGraph, embHubness,
     embClusterSample, embWhiten, lshBucketStats,
     embMatryoshka, annFiltered, embLabelVote, annHamming, annNprobeCurve,
     embClusterPurity, annPqDistortion, embTripletAudit, annIvfBalance,
