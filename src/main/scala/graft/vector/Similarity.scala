@@ -2894,6 +2894,68 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Query-traffic skew per IVF cell — the serving companion of
+    * [[annIvfBalance]]: balance audits how STORAGE distributes over
+    * cells, this audits how PROBE TRAFFIC does, under a deterministic
+    * query workload (every 17th vector, nprobe = 2 — each query visits
+    * its two nearest cells, the ann_ivf_multiprobe serve shape). A cell
+    * whose traffic share far exceeds its storage share (skew_ratio ≫ 1)
+    * is the hotspot that saturates its executors long before the index
+    * is "full"; the fix is cell splitting or probe-side replication,
+    * and this report says where. Cells no query ever probes (skew 0)
+    * are the cold tier a layout could demote.
+    *
+    * Scale shape: ONE ranked-assignment pass (broadcast ≤|labels|
+    * centroid array, per-row argmin sort — the corpus never exchanges)
+    * persisted and read twice (storage = rank-1 rows of everything,
+    * traffic = rank ≤ 2 rows of the workload sample); both rollups are
+    * |cells|-bounded partial aggregates; shares divide exact longs once
+    * and the ratio-of-shares is computed unrounded then rounded once. */
+  val annQuerySkew: Q = Q.sql(
+    "ann_query_skew",
+    s"""WITH $centCtesSql,
+      |$centRanksCtesSql,
+      |a AS (SELECT clabel AS cell, CAST(count(*) AS BIGINT) AS n_vecs
+      |      FROM ar WHERE rn = 1 GROUP BY 1),
+      |qt AS (SELECT clabel AS cell, CAST(count(*) AS BIGINT) AS n_queries
+      |       FROM ar WHERE rn <= 2 AND vec_id % 17 = 0 GROUP BY 1),
+      |sp AS (SELECT clabel AS cell FROM cent),
+      |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS tot FROM a),
+      |tq AS (SELECT CAST(sum(n_queries) AS BIGINT) AS totq FROM qt)
+      |SELECT sp.cell, coalesce(a.n_vecs, 0) AS n_vecs,
+      |  coalesce(qt.n_queries, 0) AS n_queries,
+      |  round(1.0 * coalesce(a.n_vecs, 0) / t.tot, 4) AS storage_share,
+      |  round(1.0 * coalesce(qt.n_queries, 0) / tq.totq, 4) AS traffic_share,
+      |  round((1.0 * coalesce(qt.n_queries, 0) / tq.totq)
+      |        / nullif(1.0 * coalesce(a.n_vecs, 0) / t.tot, 0), 4) AS skew_ratio
+      |FROM sp LEFT JOIN a USING (cell) LEFT JOIN qt USING (cell)
+      |CROSS JOIN t CROSS JOIN tq ORDER BY sp.cell""".stripMargin) { (s, d) =>
+    val ranks = centroidRanks(emb(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = ranks.filter(col("rn") === 1)
+      .groupBy(col("clabel").as("cell"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+    val qt = ranks.filter(col("rn") <= 2 && col("vec_id") % 17 === 0)
+      .groupBy(col("clabel").as("cell"))
+      .agg(count(lit(1)).cast("long").as("n_queries"))
+    val sp = labelCentroids(emb(s, d)).select(col("clabel").as("cell"))
+    val t = a.agg(sum("n_vecs").cast("long").as("tot"))
+    val tq = qt.agg(sum("n_queries").cast("long").as("totq"))
+    broadcast(sp)
+      .join(a, Seq("cell"), "left").join(qt, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("n_queries"), lit(0L)).as("n_queries"))
+      .crossJoin(broadcast(t)).crossJoin(broadcast(tq))
+      .select(col("cell"), col("n_vecs"), col("n_queries"),
+        round(lit(1.0) * col("n_vecs") / col("tot"), 4).as("storage_share"),
+        round(lit(1.0) * col("n_queries") / col("totq"), 4).as("traffic_share"),
+        round((lit(1.0) * col("n_queries") / col("totq"))
+          / nullif(lit(1.0) * col("n_vecs") / col("tot"), lit(0.0)), 4)
+          .as("skew_ratio"))
+      .orderBy("cell")
+  }
+
   /** Inter-class centroid geometry — the class-confusability matrix:
     * cosine between every ordered pair of label centroids, each class's
     * neighbors ranked. High off-diagonal cosine = the two classes share a
@@ -3476,6 +3538,6 @@ object Similarity {
     embDimStats, embEffectiveRank, embDrift, embMmdSources, annKnnGraph, embHubness,
     embClusterSample, embWhiten, lshBucketStats,
     embMatryoshka, annFiltered, embLabelVote, annHamming, annNprobeCurve,
-    embClusterPurity, annPqDistortion, embTripletAudit, annIvfBalance,
+    embClusterPurity, annPqDistortion, embTripletAudit, annIvfBalance, annQuerySkew,
     embLabelSim, dedupSemantic, dedupSemanticCurve)
 }

@@ -85,4 +85,39 @@ class SpectrumNoveltySpec extends AnyFunSuite {
     // the whole corpus is eventually covered
     assert(out.maxBy(_.getAs[Long]("bucket")).getAs[Double]("cum_distinct_share") === 1.0)
   }
+
+  test("ann_query_skew: storage and probe-traffic counts replayed " +
+    "against a brute-force centroid assignment") {
+    val out = graft.vector.Similarity.annQuerySkew.fn(spark, sfDir).collect()
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    // per-label centroids (plain double means are exact enough for the
+    // ASSIGNMENT replay: argmin gaps are far larger than summation
+    // error on this corpus; the op's own decimal lanes are pinned by
+    // the cross-engine hash gate)
+    val cents = vecs.groupBy(_._2).view.mapValues { vs =>
+      val dims = vs.head._3.length
+      Array.tabulate(dims)(j => vs.map(_._3(j)).sum / vs.length)
+    }.toMap
+    def l2sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def ranked(v: Array[Double]): Seq[Int] =
+      cents.toSeq.map { case (l, c) => (l2sq(v, c), l) }.sortBy(identity).map(_._2)
+    val storage = vecs.groupBy(v => ranked(v._3).head)
+      .view.mapValues(_.length.toLong).toMap
+    val traffic = vecs.filter(_._1 % 17 == 0)
+      .flatMap(v => ranked(v._3).take(2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(out.length === cents.size)
+    val totQ = traffic.values.sum
+    out.foreach { r =>
+      val cell = r.getAs[Int]("cell")
+      assert(r.getAs[Long]("n_vecs") === storage.getOrElse(cell, 0L), s"cell $cell storage")
+      assert(r.getAs[Long]("n_queries") === traffic.getOrElse(cell, 0L), s"cell $cell traffic")
+    }
+    // traffic shares sum to ~1 and every query contributed nprobe=2 visits
+    assert(totQ === 2L * vecs.count(_._1 % 17 == 0))
+  }
 }
