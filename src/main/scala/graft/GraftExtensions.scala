@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions.call_function
 
 import graft.audit.{ArrayBucket, ArrayFloorSearch}
 import graft.text.{MinHashSig, WordShingles}
-import graft.vector.{CosineSimilarity, Deflate6, Dot612, FromScaled18, L2Squared, ScaleVec612, ToScaled18, VecSumDec}
+import graft.vector.{CosineSimilarity, Deflate6, Dot612, FromScaled18, FromScaledN, FromScaledSplit, L2Squared, ScaleVec612, ToScaled18, ToScaledN, VecSumDec}
 
 /** Engine extension surface.
   *
@@ -80,7 +80,16 @@ object GraftFunctions {
       ((exprs: Seq[Expression]) => ToScaled18(exprs(0))): Builder),
     (FunctionIdentifier("graft_from_scaled18"),
       new ExpressionInfo(classOf[FromScaled18].getName, "graft_from_scaled18"),
-      ((exprs: Seq[Expression]) => FromScaled18(exprs(0))): Builder))
+      ((exprs: Seq[Expression]) => FromScaled18(exprs(0))): Builder),
+    (FunctionIdentifier("graft_to_scaled2"),
+      new ExpressionInfo(classOf[ToScaledN].getName, "graft_to_scaled2"),
+      ((exprs: Seq[Expression]) => ToScaledN(exprs(0), 2)): Builder),
+    (FunctionIdentifier("graft_from_scaled2"),
+      new ExpressionInfo(classOf[FromScaledN].getName, "graft_from_scaled2"),
+      ((exprs: Seq[Expression]) => FromScaledN(exprs(0), 2)): Builder),
+    (FunctionIdentifier("graft_from_scaled4_split"),
+      new ExpressionInfo(classOf[FromScaledSplit].getName, "graft_from_scaled4_split"),
+      ((exprs: Seq[Expression]) => FromScaledSplit(exprs(0), exprs(1), 4)): Builder))
 
   /** Idempotent runtime registration for externally-built sessions. */
   def ensureRegistered(spark: SparkSession): Unit = {

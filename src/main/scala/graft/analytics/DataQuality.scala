@@ -169,11 +169,26 @@ object DataQuality {
   /** Pairwise Pearson correlations of the fact measures in ONE scan —
     * the statistics plane of the profile (native `corr` aggregates in
     * either engine accumulate doubles in partition order, so their last
-    * ulp moves with the partitioning; here every Σx, Σx², Σxy rides an
-    * exact DECIMAL — the monetary inputs are 2-decimal, so scale-8
-    * products are exact — and r is derived from the six exact sums with
-    * one double expression per pair). All 4 variables × 6 pairs come out
-    * of a single aggregate row, unpivoted executor-side. */
+    * ulp moves with the partitioning; here every Σx, Σx², Σxy is EXACT
+    * and order-free, and r is derived from the exact sums with one
+    * double expression per pair). All 4 variables × 6 pairs come out of
+    * a single aggregate row, unpivoted executor-side.
+    *
+    * Arithmetic lane (round 13): the monetary inputs are 2-decimal, so
+    * each converts ONCE per row to a scale-2 long (`graft_to_scaled2` —
+    * the exact unscaled of `CAST(x AS DECIMAL(38,2))`) and every moment
+    * is pure long arithmetic inside whole-stage codegen: Σx lanes sum
+    * the scale-2 longs directly (price tops out ~1.1e7 unscaled → no
+    * overflow through ~8e11 rows), Σx²/Σxy lanes carry the EXACT scale-4
+    * product (≤1.2e14, fits a long) split hi/lo at base 1e9 so each
+    * `sum(long)` stays in capacity to ~6e9 rows — past that ANSI sum
+    * overflow is loud. The previous fourteen `DECIMAL(38,8)` sum lanes
+    * ran interpreted (wide-decimal agg buffers blow the codegen budget)
+    * and scaled superlinearly on CPU; the long lanes restore primitive
+    * buffers and codegen while the DuckDB oracle computes the same exact
+    * sums as decimals — the edge conversions (`graft_from_scaled2` /
+    * `graft_from_scaled4_split`, single correctly-rounded BigDecimal →
+    * double steps) are pinned lane-equal in NativeExprSpec. */
   val qMeasureCorrelations: Q = {
     val vars = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
       "disc" -> "l_discount", "tax" -> "l_tax")
@@ -181,13 +196,14 @@ object DataQuality {
       ((a, _), i) <- vars.zipWithIndex
       (b, _) <- vars.drop(i + 1)
     } yield (a, b)
-    def dsum(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,8))) AS DOUBLE)"
+    // square + cross-product lanes share the split-sum shape
+    val prods = vars.map { case (k, _) => (k, k) } ++ pairs
+    def dec2(c: String) = s"CAST($c AS DECIMAL(18,2))"
     val sumsSql = (
-      vars.map { case (k, c) => s"${dsum(c)} AS s_$k" } ++
-      vars.map { case (k, c) => s"${dsum(s"$c * $c")} AS s_${k}_$k" } ++
-      pairs.map { case (a, b) =>
-        val (_, ca) = vars.find(_._1 == a).get; val (_, cb) = vars.find(_._1 == b).get
-        s"${dsum(s"$ca * $cb")} AS s_${a}_$b"
+      vars.map { case (k, c) => s"CAST(sum(${dec2(c)}) AS DOUBLE) AS s_$k" } ++
+      prods.map { case (a, b) =>
+        val ca = vars.find(_._1 == a).get._2; val cb = vars.find(_._1 == b).get._2
+        s"CAST(sum(${dec2(ca)} * ${dec2(cb)}) AS DOUBLE) AS s_${a}_$b"
       }).mkString(",\n    ")
     def rExpr(a: String, b: String) =
       s"round((n * s_${a}_$b - s_$a * s_$b) / sqrt((n * s_${a}_$a - s_$a * s_$a)" +
@@ -204,18 +220,23 @@ object DataQuality {
         |SELECT pair, CAST(n_rows AS BIGINT) AS n_rows, r FROM (
         |  $rowsSql)
         |ORDER BY pair""".stripMargin) { (s, d) =>
-      val varsC = vars.map { case (k, c) => (k, col(c)) }
+      graft.GraftFunctions.ensureRegistered(s)
+      val proj = Tables.lineitem(s, d).select(
+        vars.map { case (k, c) =>
+          call_function("graft_to_scaled2", col(c)).as(s"x_$k") }: _*)
       val aggs =
-        varsC.map { case (k, c) =>
-          sum(c.cast("decimal(38,8)")).cast("double").as(s"s_$k") } ++
-        varsC.map { case (k, c) =>
-          sum((c * c).cast("decimal(38,8)")).cast("double").as(s"s_${k}_$k") } ++
-        pairs.map { case (a, b) =>
-          val ca = varsC.find(_._1 == a).get._2; val cb = varsC.find(_._1 == b).get._2
-          sum((ca * cb).cast("decimal(38,8)")).cast("double").as(s"s_${a}_$b")
+        vars.map { case (k, _) => sum(col(s"x_$k")).as(s"l_$k") } ++
+        prods.flatMap { case (a, b) =>
+          Seq(sum(expr(s"(x_$a * x_$b) div 1000000000")).as(s"h_${a}_$b"),
+            sum(expr(s"(x_$a * x_$b) % 1000000000")).as(s"g_${a}_$b"))
         }
-      val a = Tables.lineitem(s, d)
-        .agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+      val agg = proj.agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+      val a = agg.select(col("n") +: (
+        vars.map { case (k, _) =>
+          call_function("graft_from_scaled2", col(s"l_$k")).as(s"s_$k") } ++
+        prods.map { case (x, y) =>
+          call_function("graft_from_scaled4_split",
+            col(s"h_${x}_$y"), col(s"g_${x}_$y")).as(s"s_${x}_$y") }): _*)
       val structs = pairs.map { case (x, y) =>
         s"struct('${x}_x_$y' as pair, n as n_rows, ${rExpr(x, y)} as r)"
       }.mkString(", ")

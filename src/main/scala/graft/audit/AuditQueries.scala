@@ -3241,7 +3241,95 @@ object AuditQueries {
       .orderBy("day")
   }
 
+  /** Deploy-time grant manifest — the reference's privilege/ownership
+    * plumbing (setOwnerRole audit.go:201-215; grantUsageOnSchemas
+    * :720-731; grantSelectOnTable :733-747 called per raw audit table
+    * :457-460; per-view GRANT SELECT inline in the view DDL :1116/:1334;
+    * SECURITY DEFINER|INVOKER on the trigger function :926) re-expressed
+    * as a config-derived TABLE: for every table the config admits, the
+    * exact grants setup would execute — SELECT on the raw audit table and
+    * the three generated views, USAGE on each distinct raw-audit schema —
+    * each row carrying the grantee, the owner role (`set_role`) and the
+    * trigger security mode. The candidate universe derives from the data
+    * (one logical table per event_type, with 'view' homed in schema `tmp`
+    * so the schema-prefix exclusion rule is exercised alongside the
+    * table exclusion), and scoping runs through AuditScope.apply — the
+    * same predicate the capture path uses (include-list wins, then
+    * table/schema-prefix exclusions, audit.go:300-395).
+    *
+    * Scale: the universe is a |event_types|-row distinct over one pruned
+    * column; everything after is constant fan-out (4 grants/table + 1
+    * usage row/schema). The manifest is deploy metadata — bounded output
+    * at any corpus size. */
+  val auditGrants: Q = Q.sql(
+    "audit_grants",
+    """WITH u AS (SELECT DISTINCT event_type AS t FROM events),
+      |n AS (SELECT CASE WHEN t = 'view' THEN 'tmp' ELSE 'app' END AS sch, t,
+      |        (CASE WHEN t = 'view' THEN 'tmp' ELSE 'app' END) || '.' || t AS st
+      |      FROM u),
+      |adm AS (SELECT * FROM n
+      |        WHERE st <> 'app.click' AND st NOT LIKE 'tmp.%'),
+      |per_table AS (
+      |  SELECT st AS schema_table, k.kind AS grant_kind,
+      |    'SELECT' AS privilege,
+      |    CASE k.kind
+      |      WHEN 'select_raw' THEN sch || '_audit_raw.' || t || '_audit'
+      |      WHEN 'select_delta' THEN sch || '_audit.' || t || '_audit_delta'
+      |      WHEN 'select_snapshot' THEN sch || '_audit.' || t || '_audit_snapshot'
+      |      ELSE sch || '_audit.' || t || '_audit_compare' END AS object_name
+      |  FROM adm CROSS JOIN (SELECT unnest(['select_raw', 'select_delta',
+      |    'select_snapshot', 'select_compare']) AS kind) k),
+      |usage_rows AS (
+      |  SELECT DISTINCT sch || '.*' AS schema_table,
+      |    'usage_schema' AS grant_kind, 'USAGE' AS privilege,
+      |    sch || '_audit_raw' AS object_name
+      |  FROM adm)
+      |SELECT schema_table, grant_kind, privilege, object_name,
+      |  'analytics_ro' AS grantee, 'audit_owner' AS owner_role,
+      |  'definer' AS security_mode
+      |FROM (SELECT * FROM per_table UNION ALL SELECT * FROM usage_rows)
+      |ORDER BY grant_kind, object_name""".stripMargin) { (s, d) =>
+    val cfg = AuditConfig.parse(
+      """security: definer
+        |owner: audit_owner
+        |set_role: audit_owner
+        |grantee: analytics_ro
+        |changed_by: app.changed_by
+        |excluded_tables:
+        |  - app.click
+        |excluded_schemas:
+        |  - tmp.""".stripMargin)
+    val universe = graft.Tables.events(s, d)
+      .select(col("event_type").as("t")).distinct()
+      .select(when(col("t") === "view", lit("tmp")).otherwise(lit("app")).as("sch"),
+        col("t"))
+      .withColumn("schema_table", concat_ws(".", col("sch"), col("t")))
+    val adm = cfg.scope(universe, "schema_table")
+    def g(kind: String, obj: org.apache.spark.sql.Column) =
+      struct(lit(kind).as("grant_kind"), lit("SELECT").as("privilege"),
+        obj.as("object_name"))
+    val perTable = adm.select(col("schema_table"),
+      explode(array(
+        g("select_raw", concat(col("sch"), lit("_audit_raw."), col("t"), lit("_audit"))),
+        g("select_delta", concat(col("sch"), lit("_audit."), col("t"), lit("_audit_delta"))),
+        g("select_snapshot", concat(col("sch"), lit("_audit."), col("t"), lit("_audit_snapshot"))),
+        g("select_compare", concat(col("sch"), lit("_audit."), col("t"), lit("_audit_compare")))
+      )).as("gr"))
+      .select(col("schema_table"), col("gr.grant_kind"), col("gr.privilege"),
+        col("gr.object_name"))
+    val usage = adm.select(col("sch")).distinct()
+      .select(concat(col("sch"), lit(".*")).as("schema_table"),
+        lit("usage_schema").as("grant_kind"), lit("USAGE").as("privilege"),
+        concat(col("sch"), lit("_audit_raw")).as("object_name"))
+    perTable.unionByName(usage)
+      .withColumn("grantee", lit(cfg.settings.getOrElse("grantee", "(none)")))
+      .withColumn("owner_role", lit(cfg.settings.getOrElse("set_role", "(session)")))
+      .withColumn("security_mode", lit(cfg.security))
+      .orderBy("grant_kind", "object_name")
+  }
+
   val all: Seq[Q] = Seq(
+    auditGrants,
     auditOutOfOrder, auditHandoff, auditFeedV2, auditGdprErasure,
     auditBlindSpots,
     auditChainDigest,

@@ -1228,10 +1228,10 @@ object CorpusOps {
     // explode exceeds single-box DuckDB (the doc_keyphrase_rake twin's
     // shape; MATERIALIZED pins each hop to one evaluation).
     val scaleOracle =
-      s"""WITH gmr AS MATERIALIZED (SELECT doc_id,
-        |       min(doc_id) OVER (PARTITION BY text) AS gid FROM documents),
-        |grp AS MATERIALIZED (SELECT min(doc_id) AS gid, CAST(count(*) AS BIGINT) AS m,
+      s"""WITH grp AS MATERIALIZED (SELECT min(doc_id) AS gid, CAST(count(*) AS BIGINT) AS m,
         |       text FROM documents GROUP BY text),
+        |gmr AS MATERIALIZED (SELECT d.doc_id, g.gid
+        |       FROM documents d JOIN grp g USING (text)),
         |w AS (SELECT gid, m, str_split(text, ' ') AS ws FROM grp),
         |t AS (SELECT gid, m, len(ws) AS n, unnest(ws) AS term FROM w),
         |tf AS (SELECT gid, m, n, term, count(*) AS c FROM t GROUP BY 1, 2, 3, 4),
@@ -2442,10 +2442,10 @@ object CorpusOps {
     // the naive token/bigram explode is corpus-sized and exceeds
     // single-box DuckDB at the 1000x gate.
     val scaleOracle =
-      s"""WITH gmr AS MATERIALIZED (SELECT doc_id,
-         |       min(doc_id) OVER (PARTITION BY text) AS gid FROM documents),
-         |grp AS MATERIALIZED (SELECT min(doc_id) AS gid,
+      s"""WITH grp AS MATERIALIZED (SELECT min(doc_id) AS gid,
          |       CAST(count(*) AS BIGINT) AS m, text FROM documents GROUP BY text),
+         |gmr AS MATERIALIZED (SELECT d.doc_id, g.gid
+         |       FROM documents d JOIN grp g USING (text)),
          |w AS (SELECT gid, m, str_split(text, ' ') AS ws FROM grp),
          |ug AS (SELECT m, unnest(ws) AS term FROM w),
          |uc AS (SELECT term, CAST(sum(m) AS BIGINT) AS cu FROM ug GROUP BY 1),
@@ -2582,10 +2582,10 @@ object CorpusOps {
     // the collapse reproduces exactly (a twin doc introduces no new
     // gram type), so only cbg needs the multiplicity weight.
     val scaleOracle =
-      s"""WITH gmr AS MATERIALIZED (SELECT doc_id,
-         |       min(doc_id) OVER (PARTITION BY text) AS gid FROM documents),
-         |grp AS MATERIALIZED (SELECT min(doc_id) AS gid,
+      s"""WITH grp AS MATERIALIZED (SELECT min(doc_id) AS gid,
          |       CAST(count(*) AS BIGINT) AS m, text FROM documents GROUP BY text),
+         |gmr AS MATERIALIZED (SELECT d.doc_id, g.gid
+         |       FROM documents d JOIN grp g USING (text)),
          |w AS (SELECT gid, m, str_split(text, ' ') AS ws FROM grp),
          |db AS (SELECT gid, m, unnest(list_transform(range(1, len(ws)),
          |         i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w),

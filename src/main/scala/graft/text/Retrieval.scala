@@ -984,12 +984,11 @@ object Retrieval {
     // DuckDB. The twin segments/scores one representative per distinct
     // text and joins the per-doc rows back through the membership map.
     val scaleOracle =
-      s"""WITH gmr AS MATERIALIZED (SELECT doc_id,
-      |       min(doc_id) OVER (PARTITION BY text) AS gid FROM documents),
-      |gdoc AS MATERIALIZED (SELECT doc_id, text FROM (
-      |       SELECT doc_id, text,
-      |         min(doc_id) OVER (PARTITION BY text) AS mid
-      |       FROM documents) WHERE doc_id = mid),
+      s"""WITH grp AS MATERIALIZED (SELECT min(doc_id) AS gid, text
+      |       FROM documents GROUP BY text),
+      |gmr AS MATERIALIZED (SELECT d.doc_id, g.gid
+      |       FROM documents d JOIN grp g USING (text)),
+      |gdoc AS MATERIALIZED (SELECT gid AS doc_id, text FROM grp),
       |${rakeCtes("gdoc")}
       |SELECT gmr.doc_id, CAST(r.rnk AS BIGINT) AS rnk, r.phrase, r.score
       |FROM r JOIN gmr ON r.doc_id = gmr.gid

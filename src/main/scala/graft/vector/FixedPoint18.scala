@@ -1,7 +1,7 @@
 package graft.vector
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -85,4 +85,113 @@ case class FromScaled18(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Scale-parameterized twins of the scale-18 lane, for the moment-sum
+  * shapes whose inputs are 2-decimal monetary values (q_measure_
+  * correlations): `graft_to_scaled2(x)` emits the unscaled long of
+  * `CAST(x AS DECIMAL(38,2))` (exact for any value the monetary columns
+  * can hold), products of two scale-2 longs are EXACT scale-4 integers
+  * (a long holds them up to |xy| < 9.2e14 — price² tops out ~1.2e14),
+  * and the split-lane reassembly `graft_from_scaled4_split(hi, lo)`
+  * converts `hi*1e9 + lo` at scale 4 back to DOUBLE in the same single
+  * correctly-rounded BigDecimal step the decimal lane's
+  * `CAST(DECIMAL AS DOUBLE)` performs. The hi/lo split (base 1e9) keeps
+  * each `sum(long)` lane inside long capacity to ~6e9 input rows
+  * (hi ≤ 1.2e5/row, lo < 1e9/row); past that ANSI sum overflow is loud,
+  * never a silent wrap. */
+case class ToScaledN(child: Expression, scale: Int) extends UnaryExpression {
+
+  override def prettyName: String = s"graft_to_scaled$scale"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects double, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(x: Any): Any =
+    new java.math.BigDecimal(java.lang.Double.toString(x.asInstanceOf[Double]))
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => s"""
+       |${ev.value} = new java.math.BigDecimal(java.lang.Double.toString($x))
+       |  .setScale($scale, java.math.RoundingMode.HALF_UP)
+       |  .unscaledValue().longValueExact();
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_from_scaledN(l)` → DOUBLE at the given scale — same one-step
+  * correctly-rounded conversion as [[FromScaled18]]. */
+case class FromScaledN(child: Expression, scale: Int) extends UnaryExpression {
+
+  override def prettyName: String = s"graft_from_scaled$scale"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects bigint, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(l: Any): Any =
+    new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(l.asInstanceOf[Long]), scale).doubleValue()
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, l => s"""
+       |${ev.value} = new java.math.BigDecimal(
+       |  java.math.BigInteger.valueOf($l), $scale).doubleValue();
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_from_scaled4_split(hi, lo)` → DOUBLE: reassembles a split-lane
+  * unscaled sum (`hi*10⁹ + lo`, exact in BigInteger — the total may
+  * exceed long capacity) and converts at scale 4 in one correctly-rounded
+  * step, identical to `CAST(sum(DECIMAL(38,4)) AS DOUBLE)` over the same
+  * addends. Runs on the single aggregate output row only. */
+case class FromScaledSplit(left: Expression, right: Expression, scale: Int)
+    extends BinaryExpression {
+
+  override def prettyName: String = s"graft_from_scaled${scale}_split"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (bigint, bigint), got $other")
+    }
+
+  private val base = java.math.BigInteger.valueOf(1000000000L)
+
+  override protected def nullSafeEval(hi: Any, lo: Any): Any =
+    new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(hi.asInstanceOf[Long]).multiply(base)
+        .add(java.math.BigInteger.valueOf(lo.asInstanceOf[Long])), scale)
+      .doubleValue()
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (hi, lo) => s"""
+       |${ev.value} = new java.math.BigDecimal(
+       |  java.math.BigInteger.valueOf($hi)
+       |    .multiply(java.math.BigInteger.valueOf(1000000000L))
+       |    .add(java.math.BigInteger.valueOf($lo)), $scale).doubleValue();
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

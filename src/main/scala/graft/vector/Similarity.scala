@@ -1507,7 +1507,9 @@ object Similarity {
        |out1 AS (SELECT u.cell,
        |        CAST(sum(u.m) AS BIGINT) AS n_vecs,
        |        CAST(count(*) AS BIGINT) AS n_groups,
-       |        CAST(sum(CASE WHEN b.gid IS NOT NULL THEN u.m ELSE u.m - 1 END)
+       |        CAST(sum(CASE WHEN b.gid IS NOT NULL THEN u.m
+       |                 WHEN round(list_cosine_similarity(u.emb, u.emb), 4) >= 0.35
+       |                 THEN u.m - 1 ELSE 0 END)
        |          AS BIGINT) AS n_pruned
        |      FROM gcc u LEFT JOIN beaten b ON b.gid = u.gid
        |      GROUP BY u.cell)
@@ -1575,9 +1577,14 @@ object Similarity {
           (col("ccos_v") === col("ccos_u") && col("gid_v") < col("gid_u"))))
       .select(col("gid_u").as("gid")).distinct()
       .withColumn("beaten", lit(1))
+    // twins prune each other only when their mutual cosine clears the
+    // threshold — cos(v,v) is NaN for a degenerate (zero) vector, and the
+    // naive per-doc formulation keeps such twins (NaN >= t is false)
     reps.join(beaten, Seq("gid"), "left")
       .withColumn("pruned",
-        when(col("beaten").isNotNull, col("mult")).otherwise(col("mult") - 1))
+        when(col("beaten").isNotNull, col("mult"))
+          .when(cosR(col("emb_d"), col("emb_d")) >= 0.35, col("mult") - 1)
+          .otherwise(lit(0L)))
       .groupBy("cell")
       .agg(sum("mult").cast("long").as("n_vecs"),
         count(lit(1)).cast("long").as("n_groups"),
@@ -2256,10 +2263,9 @@ object Similarity {
        |      FROM embeddings),
        |mem AS MATERIALIZED (
        |  SELECT vec_id, label, emb,
-       |    min(vec_id) OVER (PARTITION BY ek) AS gid,
-       |    row_number() OVER (PARTITION BY ek ORDER BY vec_id) AS rk
-       |  FROM (SELECT vec_id, label, emb, md5(CAST(emb AS VARCHAR)) AS ek
-       |        FROM e)),
+       |    min(vec_id) OVER (PARTITION BY emb) AS gid,
+       |    row_number() OVER (PARTITION BY emb ORDER BY vec_id) AS rk
+       |  FROM e),
        |repse AS MATERIALIZED (SELECT gid AS vec_id, emb FROM mem WHERE rk = 1),
        |${signBandsSql("repse", "n1 AS (SELECT count(*) AS n FROM e)")},
        |gcand AS (SELECT DISTINCT x.vec_id AS gsrc, y.vec_id AS gdst
@@ -2925,8 +2931,8 @@ object Similarity {
       |SELECT sp.cell, coalesce(a.n_vecs, 0) AS n_vecs,
       |  coalesce(qt.n_queries, 0) AS n_queries,
       |  round(1.0 * coalesce(a.n_vecs, 0) / t.tot, 4) AS storage_share,
-      |  round(1.0 * coalesce(qt.n_queries, 0) / tq.totq, 4) AS traffic_share,
-      |  round((1.0 * coalesce(qt.n_queries, 0) / tq.totq)
+      |  round(1.0 * coalesce(qt.n_queries, 0) / nullif(tq.totq, 0), 4) AS traffic_share,
+      |  round((1.0 * coalesce(qt.n_queries, 0) / nullif(tq.totq, 0))
       |        / nullif(1.0 * coalesce(a.n_vecs, 0) / t.tot, 0), 4) AS skew_ratio
       |FROM sp LEFT JOIN a USING (cell) LEFT JOIN qt USING (cell)
       |CROSS JOIN t CROSS JOIN tq ORDER BY sp.cell""".stripMargin) { (s, d) =>
@@ -2949,8 +2955,9 @@ object Similarity {
       .crossJoin(broadcast(t)).crossJoin(broadcast(tq))
       .select(col("cell"), col("n_vecs"), col("n_queries"),
         round(lit(1.0) * col("n_vecs") / col("tot"), 4).as("storage_share"),
-        round(lit(1.0) * col("n_queries") / col("totq"), 4).as("traffic_share"),
-        round((lit(1.0) * col("n_queries") / col("totq"))
+        round(lit(1.0) * col("n_queries") / nullif(col("totq"), lit(0L)), 4)
+          .as("traffic_share"),
+        round((lit(1.0) * col("n_queries") / nullif(col("totq"), lit(0L)))
           / nullif(lit(1.0) * col("n_vecs") / col("tot"), lit(0.0)), 4)
           .as("skew_ratio"))
       .orderBy("cell")

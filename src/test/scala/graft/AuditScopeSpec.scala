@@ -160,6 +160,29 @@ class AuditScopeSpec extends AnyFunSuite {
     assert(props.get("graft.security") === Some("definer"))
   }
 
+  test("audit_grants manifest: scoped universe, full grant set, config principals") {
+    val out = graft.audit.AuditQueries.auditGrants
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    // universe is {click,error,purchase,signup,view}: app.click falls to
+    // the table exclusion, tmp.view to the schema-prefix exclusion →
+    // 3 admitted tables × 4 SELECT grants + 1 USAGE row
+    assert(out.length === 13)
+    val byKind = out.groupBy(_.getAs[String]("grant_kind")).view.mapValues(_.length).toMap
+    assert(byKind === Map("select_raw" -> 3, "select_delta" -> 3,
+      "select_snapshot" -> 3, "select_compare" -> 3, "usage_schema" -> 1))
+    val objects = out.map(_.getAs[String]("object_name")).toSet
+    assert(!objects.exists(_.contains("click")), "excluded table leaked into grants")
+    assert(!objects.exists(_.startsWith("tmp")), "excluded schema leaked into grants")
+    assert(objects.contains("app_audit_raw.purchase_audit"))
+    assert(objects.contains("app_audit.signup_audit_compare"))
+    assert(objects.contains("app_audit_raw"))
+    // every row carries the config principals (set_role / grantee /
+    // trigger security mode — audit.go:201, :720-747, :926)
+    assert(out.forall(r => r.getAs[String]("grantee") == "analytics_ro"
+      && r.getAs[String]("owner_role") == "audit_owner"
+      && r.getAs[String]("security_mode") == "definer"))
+  }
+
   test("payload truncation mirrors the trigger bounds") {
     val df = Seq("x" * 600).toDF("v")
       .select(length(AuditScope.truncateValue(col("v"))).as("lv"),

@@ -227,4 +227,52 @@ class NativeExprSpec extends AnyFunSuite {
     val one = Seq(1.0).toDF("x").selectExpr("graft_to_scaled18(x)").head().getLong(0)
     assert(one === 1000000000000000000L)
   }
+
+  test("scaled2 + split-4 moment lanes ≡ exact DECIMAL pipeline bit-for-bit") {
+    registered()
+    // 2-decimal monetary shapes (the q_measure_correlations inputs):
+    // column extremes plus 500 random price×quantity-ish pairs
+    val rnd = new scala.util.Random(13)
+    val xs = Seq((0.0, 0.0), (0.01, 0.01), (104999.91, 50.0), (0.1, 0.08),
+      (949.13, 7.0), (0.05, 0.02)) ++
+      (1 to 500).map { _ =>
+        (math.floor(rnd.nextDouble() * 11000000) / 100.0,
+          math.floor(rnd.nextDouble() * 5000) / 100.0)
+      }
+    val df = xs.toDF("x", "y")
+    // per-value round trip: the scale-2 long lane reproduces the decimal
+    // cast exactly
+    val badV = df.filter(!(expr("graft_from_scaled2(graft_to_scaled2(x))")
+      <=> expr("cast(cast(x as decimal(38,2)) as double)"))).collect()
+    assert(badV.isEmpty, badV.mkString("\n"))
+    // Σx lane: sum(long) carries the decimal sum's unscaled integer
+    val s = df.agg(
+      expr("sum(graft_to_scaled2(x))").as("sL"),
+      expr("sum(cast(x as decimal(38,2)))").as("sD")).head()
+    assert(s.getDecimal(1).movePointRight(2).longValueExact() === s.getLong(0))
+    // Σxy lane: the hi/lo split sum reassembles to the same double the
+    // exact DECIMAL product-sum converts to (the oracle's formulation)
+    val p = df
+      .select(expr("graft_to_scaled2(x)").as("x2"),
+        expr("graft_to_scaled2(y)").as("y2"),
+        col("x").cast("decimal(18,2)").as("xd"),
+        col("y").cast("decimal(18,2)").as("yd"))
+      .agg(
+        expr("graft_from_scaled4_split(sum((x2 * y2) div 1000000000), " +
+          "sum((x2 * y2) % 1000000000))").as("dL"),
+        expr("cast(sum(xd * yd) as double)").as("dD")).head()
+    assert(java.lang.Double.doubleToLongBits(p.getDouble(0)) ===
+      java.lang.Double.doubleToLongBits(p.getDouble(1)),
+      s"split lane ${p.getDouble(0)} != decimal lane ${p.getDouble(1)}")
+    // Σx² lane through the same split (squares share the product shape)
+    val q = df
+      .select(expr("graft_to_scaled2(x)").as("x2"),
+        col("x").cast("decimal(18,2)").as("xd"))
+      .agg(
+        expr("graft_from_scaled4_split(sum((x2 * x2) div 1000000000), " +
+          "sum((x2 * x2) % 1000000000))").as("dL"),
+        expr("cast(sum(xd * xd) as double)").as("dD")).head()
+    assert(java.lang.Double.doubleToLongBits(q.getDouble(0)) ===
+      java.lang.Double.doubleToLongBits(q.getDouble(1)))
+  }
 }
