@@ -87,6 +87,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_from_scaled2"),
       new ExpressionInfo(classOf[FromScaledN].getName, "graft_from_scaled2"),
       ((exprs: Seq[Expression]) => FromScaledN(exprs(0), 2)): Builder),
+    (FunctionIdentifier("graft_viterbi"),
+      new ExpressionInfo(classOf[graft.text.ViterbiSegment].getName, "graft_viterbi"),
+      ((exprs: Seq[Expression]) => graft.text.ViterbiSegment(exprs(0), exprs(1))): Builder),
     (FunctionIdentifier("graft_from_scaled4_split"),
       new ExpressionInfo(classOf[FromScaledSplit].getName, "graft_from_scaled4_split"),
       ((exprs: Seq[Expression]) => FromScaledSplit(exprs(0), exprs(1), 4)): Builder))

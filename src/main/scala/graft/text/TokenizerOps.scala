@@ -488,6 +488,11 @@ object TokenizerOps {
        |    CAST(round(-log2((1.0 * cnt) / tot.nt), 6) AS DECIMAL(18,6)) AS cost
        |  FROM voc0 CROSS JOIN tot)""".stripMargin
 
+  /** Test seam: the seed vocab pair for an arbitrary sf dir (the
+    * NativeExprSpec graft_viterbi pin re-segments the real corpus). */
+  private[graft] def seedVocabFor(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = seedVocab(s, d)
+
   /** Spark twin of [[duckSeedCtes]]: (wf persisted, voc persisted). */
   private def seedVocab(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -511,8 +516,12 @@ object TokenizerOps {
       .groupBy("piece").agg(sum("wcount").cast("long").as("cnt"))
     val top64 = subs.orderBy(col("cnt").desc, col("piece")).limit(64)
     val voc0 = chars.unionByName(top64)
-    val tot = voc0.agg(sum("cnt").cast("long").as("nt"))
-    val voc = voc0.crossJoin(broadcast(tot))
+    // total via an unpartitioned window over the ≤|chars|+64-row AGGREGATE
+    // (the audit_change_reasons discipline) — a separate totals agg +
+    // broadcast join would add a sequential job to an already deep chain
+    val totW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val voc = voc0
+      .withColumn("nt", sum("cnt").over(totW).cast("long"))
       .select(col("piece"), length(col("piece")).as("plen"), col("cnt"),
         expr("cast(round(-log2((1.0 * cnt) / nt), 6) as decimal(18,6))")
           .as("cost"))
@@ -523,7 +532,7 @@ object TokenizerOps {
   /** The exact-Viterbi fold expression (one higher-order fold per
     * distinct word; expects `word`, `len`, and the broadcast `vmap`
     * piece→cost map in scope). Shared by both unigram ops. */
-  private val sparkViterbiSt: String =
+  private[graft] val sparkViterbiSt: String =
     s"""element_at(aggregate(sequence(1, len),
        |  array(named_struct('cost', cast(0 as decimal(18,6)), 'n', 0, 'seg', '')),
        |  (acc, j) -> array_append(acc, array_min(filter(
@@ -544,13 +553,17 @@ object TokenizerOps {
   private def viterbiUnder(s: SparkSession, wf: DataFrame, voc: DataFrame)
       : DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val vmap = voc.agg(
-      map_from_entries(collect_list(struct(col("piece"), col("cost"))))
-        .as("vmap"))
-    wf.crossJoin(broadcast(vmap))
+    // sorted (piece, cost) entries for the native kernel's binary search
+    // — ViterbiSegment is NativeExprSpec-pinned st-identical to the
+    // sparkViterbiSt HOF fold this op previously ran (and to the
+    // oracle's unrolled-CTE DP)
+    val varr = voc.agg(
+      array_sort(collect_list(struct(col("piece"), col("cost"))))
+        .as("ventries"))
+    wf.crossJoin(broadcast(varr))
       .filter(expr(
         s"assert_true(len <= $UnigramSteps, 'tok_unigram: word exceeds unrolled DP') IS NULL"))
-      .withColumn("st", expr(sparkViterbiSt))
+      .withColumn("st", call_function("graft_viterbi", col("word"), col("ventries")))
       .select(col("word"), col("wcount"), col("len"),
         expr("st.cost").as("cost"), expr("st.n").as("n_pieces"),
         expr("substring(st.seg, 2)").as("seg"))
@@ -621,73 +634,25 @@ object TokenizerOps {
          |SELECT outp.*, lb.loss_before_micro, la.loss_after_micro
          |FROM outp CROSS JOIN lb CROSS JOIN la
          |ORDER BY em_cnt DESC, piece""".stripMargin) { (s, d) =>
-      val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      // ONE corpus pass → occurrence-weighted distinct-word table
-      val wf = docs(s, d)
-        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
-        .filter(length(col("word")) >= 1)
-        .groupBy("word").agg(count(lit(1)).cast("long").as("wcount"))
-        .withColumn("len", length(col("word")))
-        .persist(disk)
-      val chars = wf
-        .select(col("wcount"), explode(expr(
-          "transform(sequence(1, len), i -> substring(word, i, 1))")).as("piece"))
-        .groupBy("piece").agg(sum("wcount").cast("long").as("cnt"))
-      val subs = wf
-        .select(col("wcount"), explode(expr(
-          """flatten(transform(sequence(2, 4),
-            |  l -> IF(len >= l,
-            |         transform(sequence(1, len - l + 1),
-            |           i -> substring(word, i, l)),
-            |         array())))""".stripMargin)).as("piece"))
-        .groupBy("piece").agg(sum("wcount").cast("long").as("cnt"))
-      val top64 = subs.orderBy(col("cnt").desc, col("piece")).limit(64)
-      val voc0 = chars.unionByName(top64)
-      val tot = voc0.agg(sum("cnt").cast("long").as("nt"))
-      val voc = voc0.crossJoin(broadcast(tot))
-        .select(col("piece"), length(col("piece")).as("plen"), col("cnt"),
-          expr("cast(round(-log2((1.0 * cnt) / nt), 6) as decimal(18,6))")
-            .as("cost"))
-        .persist(disk) // ≤ |chars| + 64 rows; read by the map and the output
-      val vmap = voc.agg(
-        map_from_entries(collect_list(struct(col("piece"), col("cost"))))
-          .as("vmap"))
-      // E-step: exact Viterbi as ONE higher-order fold per distinct word
-      // (the tok_wordpiece plan discipline: a linear expression tree, the
-      // walk sized to each word). dp[j] = min over piece lengths 1–4 of
-      // dp[j-l] + cost(word[j-l+1 .. j]); the min is array_min over
-      // (cost, n, seg) structs — field-lexicographic, and seg encodes the
-      // path so the order is total. Single-char pieces come from the
-      // corpus itself, so every position is reachable by construction.
-      val vit = wf.crossJoin(broadcast(vmap))
-        .filter(expr(
-          s"assert_true(len <= $steps, 'tok_unigram: word exceeds unrolled DP') IS NULL"))
-        .withColumn("st", expr(
-          s"""element_at(aggregate(sequence(1, len),
-             |  array(named_struct('cost', cast(0 as decimal(18,6)), 'n', 0, 'seg', '')),
-             |  (acc, j) -> array_append(acc, array_min(filter(
-             |    transform(sequence(1, 4), l ->
-             |      IF(l <= j AND element_at(vmap, substring(word, j - l + 1, l)) IS NOT NULL,
-             |         named_struct(
-             |           'cost', cast(element_at(acc, j - l + 1).cost
-             |                        + element_at(vmap, substring(word, j - l + 1, l))
-             |                        as decimal(18,6)),
-             |           'n', element_at(acc, j - l + 1).n + 1,
-             |           'seg', concat(element_at(acc, j - l + 1).seg, ' ',
-             |                         substring(word, j - l + 1, l))),
-             |         NULL)),
-             |    x -> x IS NOT NULL)))), len + 1)""".stripMargin))
-        .select(col("word"), col("wcount"), col("len"),
-          expr("st.cost").as("cost"), expr("st.n").as("n_pieces"),
-          expr("substring(st.seg, 2)").as("seg"))
-        .persist(disk) // read by the M-step counts and the loss sum
-      // M-step: piece counts under the Viterbi segmentation
+      // ONE corpus pass → occurrence-weighted distinct-word table, then
+      // the E-step: exact Viterbi per distinct word via the native
+      // graft_viterbi kernel (ViterbiSegment — NativeExprSpec-pinned
+      // st-identical to the interpreted HOF fold it replaced). dp[j] =
+      // min over piece lengths 1–4 of dp[j-l] + cost(word[j-l+1 .. j]),
+      // minimized over (cost, n, seg) structs — field-lexicographic, seg
+      // encodes the path so the order is total. Single-char pieces come
+      // from the corpus itself, so every position is reachable.
+      val (wf, voc) = seedVocab(s, d)
+      val vit = viterbiUnder(s, wf, voc)
+      // M-step: piece counts under the Viterbi segmentation; total via
+      // the unpartitioned window over the piece-bounded aggregate
+      val totW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val emc = vit
         .select(col("wcount"), explode(split(col("seg"), " ")).as("piece"))
         .filter(col("piece") =!= "")
         .groupBy("piece").agg(sum("wcount").cast("long").as("em_cnt"))
-      val emt = emc.agg(sum("em_cnt").cast("long").as("nt"))
-      val em = emc.crossJoin(broadcast(emt))
+      val em = emc
+        .withColumn("nt", sum("em_cnt").over(totW).cast("long"))
         .select(col("piece"), col("em_cnt"),
           expr("cast(round(-log2((1.0 * em_cnt) / nt), 6) as decimal(18,6))")
             .as("em_cost"))
@@ -798,12 +763,16 @@ object TokenizerOps {
          |ORDER BY pruned_cnt DESC, piece""".stripMargin) { (s, d) =>
       val (wf, voc) = seedVocab(s, d)
       val vit1 = viterbiUnder(s, wf, voc)
+      // piece-bounded totals ride unpartitioned windows over the
+      // aggregates (≤|chars|+64 rows) instead of separate agg + broadcast
+      // hops — the op's cost at small SF is its sequential job chain
+      val totW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val e1c = vit1
         .select(col("wcount"), explode(split(col("seg"), " ")).as("piece"))
         .filter(col("piece") =!= "")
         .groupBy("piece").agg(sum("wcount").cast("long").as("em_cnt"))
-      val e1t = e1c.agg(sum("em_cnt").cast("long").as("nt"))
-      val e1 = e1c.crossJoin(broadcast(e1t))
+      val e1 = e1c
+        .withColumn("nt", sum("em_cnt").over(totW).cast("long"))
         .select(col("piece"), col("em_cnt"),
           expr("cast(round(-log2((1.0 * em_cnt) / nt), 6) as decimal(18,6))")
             .as("em_cost"))
@@ -819,14 +788,14 @@ object TokenizerOps {
       val rkW = Window.orderBy(col("contrib_micro"), col("piece"))
       val multi = contrib.filter(col("plen") >= 2)
         .withColumn("rk", row_number().over(rkW)) // piece-bounded window
-      val nm = multi.agg(count(lit(1)).as("nm"))
+        .withColumn("nm", count(lit(1)).over(totW))
       val kept0 = contrib.filter(col("plen") === 1)
         .select("piece", "plen", "cnt", "em_cnt")
-        .unionByName(multi.crossJoin(broadcast(nm))
+        .unionByName(multi
           .filter(col("rk") > col("nm") / 2)
           .select("piece", "plen", "cnt", "em_cnt"))
-      val tot2 = kept0.agg(sum("cnt").cast("long").as("nt"))
-      val kvoc = kept0.crossJoin(broadcast(tot2))
+      val kvoc = kept0
+        .withColumn("nt", sum("cnt").over(totW).cast("long"))
         .select(col("piece"), col("plen"), col("cnt"), col("em_cnt"),
           expr("cast(round(-log2((1.0 * cnt) / nt), 6) as decimal(18,6))")
             .as("cost"))

@@ -228,6 +228,46 @@ class NativeExprSpec extends AnyFunSuite {
     assert(one === 1000000000000000000L)
   }
 
+  test("graft_viterbi ≡ the interpreted HOF fold on a real vocab (incl. ties)") {
+    registered()
+    // a small piece table with DELIBERATE cost ties so the (cost, n, seg)
+    // tie-break order is exercised, not just the happy path: 'ab' and
+    // 'ba' tie at 2.0; chars tie pairwise; 'abab' forces the n tie-break
+    // ('ab ab' vs 'abab' at equal cost) and seg ordering decides equal-n
+    // ties
+    val voc = Seq(
+      ("a", "1.000000"), ("b", "1.000000"), ("c", "3.500000"),
+      ("ab", "2.000000"), ("ba", "2.000000"), ("abab", "4.000000"),
+      ("bab", "2.500000"), ("abc", "4.500000"))
+      .toDF("piece", "costs")
+      .select(col("piece"), col("costs").cast("decimal(18,6)").as("cost"))
+    val words = Seq("abab", "ababab", "cab", "abcba", "aaaa", "b",
+      "babab", "ccc", "abcabcab", "bbbbbbbbbbbb").toDF("word")
+      .withColumn("len", length(col("word")))
+    val vmap = voc.agg(map_from_entries(
+      collect_list(struct(col("piece"), col("cost")))).as("vmap"))
+    val varr = voc.agg(array_sort(
+      collect_list(struct(col("piece"), col("cost")))).as("ventries"))
+    val both = words.crossJoin(vmap).crossJoin(varr)
+      .withColumn("hof", expr(graft.text.TokenizerOps.sparkViterbiSt))
+      .withColumn("ntv", expr("graft_viterbi(word, ventries)"))
+    val bad = both.filter(!(col("hof") <=> col("ntv")))
+      .select("word", "hof", "ntv").collect()
+    assert(bad.isEmpty, bad.mkString("\n"))
+    // and on the real sf0.001 corpus vocabulary, every distinct word
+    val (wf, voc2) = graft.text.TokenizerOps.seedVocabFor(
+      spark, "/root/testdata/sf0.001")
+    val vmap2 = voc2.agg(map_from_entries(
+      collect_list(struct(col("piece"), col("cost")))).as("vmap"))
+    val varr2 = voc2.agg(array_sort(
+      collect_list(struct(col("piece"), col("cost")))).as("ventries"))
+    val real = wf.crossJoin(vmap2).crossJoin(varr2)
+      .withColumn("hof", expr(graft.text.TokenizerOps.sparkViterbiSt))
+      .withColumn("ntv", expr("graft_viterbi(word, ventries)"))
+    val nbad = real.filter(!(col("hof") <=> col("ntv"))).count()
+    assert(nbad === 0L)
+  }
+
   test("scaled2 + split-4 moment lanes ≡ exact DECIMAL pipeline bit-for-bit") {
     registered()
     // 2-decimal monetary shapes (the q_measure_correlations inputs):
