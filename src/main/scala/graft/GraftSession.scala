@@ -29,6 +29,12 @@ object GraftSession {
     // semantics).
     val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE",
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    // Input-split size — the second determinism axis (shuffle width is
+    // the first): how many partitions a parquet SCAN fans out to, which
+    // moves partial-agg grouping and scan-side merge order. The
+    // determinism sweep runs Verify under 16m vs the 128m default and
+    // diffs every op's result multiset (tools/determinism.py).
+    val maxSplit = sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT", "128m")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
@@ -39,6 +45,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.sql.files.maxPartitionBytes", maxSplit)
       .config("spark.sql.streaming.stateStore.providerClass", stateStore)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

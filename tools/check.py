@@ -198,6 +198,26 @@ def main():
     #   metadata, nothing loaded), compare via the DuckDB multiset hash
     #   instead of the in-memory pandas path.
     args = sys.argv[1:]
+    # --sf100-gate: round invariant (VERDICT r12 item 7) — every op
+    # carrying a BENCH_sf100 row must also carry a CORRECTNESS_sf100 hash
+    # row, except the two documented output-sized / one-box-disk carries.
+    # Fails the round loudly when a new bench row enters without its
+    # correctness twin.
+    if args and args[0] == "--sf100-gate":
+        import os.path
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        carries = {"dedup_embedding", "q_part_pagerank"}
+        bq = set(json.load(open(f"{root}/BENCH_sf100.json"))["queries"])
+        cq = {k for k in json.load(open(f"{root}/CORRECTNESS_sf100.json"))
+              if k != "note"}
+        extra = bq - cq - carries
+        if extra:
+            print(f"FAIL sf100 gate: bench rows without a correctness row "
+                  f"(and not documented carries): {sorted(extra)}")
+            sys.exit(1)
+        print(f"PASS sf100 gate: {len(bq & cq)} bench rows hash-gated, "
+              f"carries = {sorted(bq - cq)}")
+        sys.exit(0)
     json_out = None
     if "--json" in args:
         i = args.index("--json")
