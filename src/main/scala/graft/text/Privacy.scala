@@ -628,6 +628,74 @@ object Privacy {
     }
   }
 
+  /** Join-preserving pseudonymization audit — the step between detection
+    * ([[piiTextDetect]]) and destruction ([[piiRedact]]): when a training
+    * pipeline must keep entity coreference (the same customer referenced
+    * across documents has to stay THE SAME entity after anonymization),
+    * each identity maps to a stable keyed surrogate
+    * `p_<16 hex of md5(class:identity)>`. This op publishes the surrogate
+    * table's health per identity class (email / account / 9-digit
+    * reference): the top-20 pseudonyms with document spread and
+    * occurrence counts, plus `n_identities` — the number of RAW
+    * identities mapping to that pseudonym, the collision audit that must
+    * read 1 everywhere for the mapping to be join-preserving (cross-doc
+    * consistency is the map's determinism: equal identity ⇒ equal
+    * surrogate, by construction in both engines via md5).
+    *
+    * Scale: ONE release scan (the three extractors ride one projection,
+    * stacked in-row and exploded); the aggregate is identity-bounded,
+    * persisted, and each class's top-20 is a distributed
+    * TakeOrdered(orderBy+limit) — no single-partition window over the
+    * identity table. */
+  val piiPseudonymize: Q = {
+    val classes = Seq(
+      ("email", piiClasses.find(_._1 == "email").get._2),
+      ("account", piiClasses.find(_._1 == "account").get._2),
+      ("ref", "[0-9]{9,}"))
+    val duckOcc = classes.map { case (n, p) =>
+      s"""SELECT doc_id, '$n' AS class,
+         |    unnest(regexp_extract_all(text, '$p')) AS ident FROM rel""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val duckTop = classes.map { case (n, _) =>
+      s"""SELECT * FROM (SELECT * FROM g WHERE class = '$n'
+         |    ORDER BY n_occurrences DESC, pseudonym LIMIT 20)""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    Q.sql(
+      "pii_pseudonymize",
+      s"""WITH rel AS MATERIALIZED ($releaseSql),
+         |occ AS ($duckOcc),
+         |g AS MATERIALIZED (SELECT class,
+         |    'p_' || substr(md5(class || ':' || ident), 1, 16) AS pseudonym,
+         |    CAST(count(DISTINCT ident) AS BIGINT) AS n_identities,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_occurrences
+         |  FROM occ GROUP BY 1, 2)
+         |SELECT class, pseudonym, n_identities, n_docs, n_occurrences
+         |FROM ($duckTop)
+         |ORDER BY class, n_occurrences DESC, pseudonym""".stripMargin) { (s, d) =>
+      val stacks = classes.map { case (n, p) =>
+        expr(s"transform(regexp_extract_all(text, '$p', 0), " +
+          s"x -> named_struct('class', '$n', 'ident', x))")
+      }
+      val occ = releaseDf(s, d)
+        .select(col("doc_id"), explode(concat(stacks: _*)).as("m"))
+        .select(col("doc_id"), col("m.class").as("class"), col("m.ident").as("ident"))
+      val g = occ.groupBy(col("class"),
+          concat(lit("p_"),
+            substring(md5(concat(col("class"), lit(":"), col("ident"))), 1, 16))
+            .as("pseudonym"))
+        .agg(countDistinct("ident").cast("long").as("n_identities"),
+          countDistinct("doc_id").cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_occurrences"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      classes.map { case (n, _) =>
+        g.filter(col("class") === n)
+          .orderBy(col("n_occurrences").desc, col("pseudonym")).limit(20)
+      }.reduce(_ unionByName _)
+        .orderBy(col("class"), col("n_occurrences").desc, col("pseudonym"))
+    }
+  }
+
   val all: Seq[Q] = Seq(piiScrub, piiKanon, piiLdiversity, piiTcloseness,
-    piiDpHistogram, piiTextDetect, piiRedact, piiSecrets)
+    piiDpHistogram, piiTextDetect, piiRedact, piiSecrets, piiPseudonymize)
 }

@@ -2942,7 +2942,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Structural boilerplate templates — the whole-document companion of
+    * boilerplate_ngrams: crawled corpora are full of machine-generated
+    * pages that differ only in numbers (ids, prices, timestamps-as-text).
+    * Each document reduces to its skeleton (every digit run collapsed to
+    * `#`), skeletons group, and the top-10 templates by document count
+    * come back with their raw-variant count (`n_texts` > 1 = a true
+    * template: many distinct texts, one shape — exactly the rows an
+    * exact-dedup pass cannot see) plus an eyeball prefix. A curation run
+    * reads this before deciding template-level filtering.
+    *
+    * Scale: ONE corpus scan; the exchange carries md5 keys + a 60-char
+    * prefix, never the full text or skeleton (the LM payload
+    * discipline); the groupBy partial-aggregates; top-10 is a
+    * distributed TakeOrdered; rnk is a window over the 10-row result. */
+  val docTemplateDetect: Q = Q.sql(
+    "doc_template_detect",
+    """WITH t AS (SELECT doc_id, text,
+      |    regexp_replace(text, '[0-9]+', '#', 'g') AS tpl FROM documents),
+      |k AS (SELECT md5(tpl) AS tid, md5(text) AS xid,
+      |    substr(tpl, 1, 60) AS pfx, length(tpl) AS tlen FROM t),
+      |g AS (SELECT tid, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(count(DISTINCT xid) AS BIGINT) AS n_texts,
+      |    min(pfx) AS template_prefix,
+      |    CAST(min(tlen) AS BIGINT) AS template_len
+      |  FROM k GROUP BY 1),
+      |top AS (SELECT * FROM g ORDER BY n_docs DESC, tid LIMIT 10)
+      |SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, tid) AS BIGINT)
+      |    AS rnk,
+      |  substr(tid, 1, 16) AS template_id, n_docs, n_texts,
+      |  template_len, template_prefix
+      |FROM top ORDER BY rnk""".stripMargin) { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"), col("text"),
+      regexp_replace(col("text"), "[0-9]+", "#").as("tpl"))
+    val k = t.select(md5(col("tpl")).as("tid"), md5(col("text")).as("xid"),
+      substring(col("tpl"), 1, 60).as("pfx"), length(col("tpl")).as("tlen"))
+    val g = k.groupBy("tid")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct("xid").cast("long").as("n_texts"),
+        min("pfx").as("template_prefix"),
+        min("tlen").cast("long").as("template_len"))
+    val top = g.orderBy(col("n_docs").desc, col("tid")).limit(10)
+    top.withColumn("rnk", row_number()
+        .over(Window.orderBy(col("n_docs").desc, col("tid"))).cast("long"))
+      .select(col("rnk"), substring(col("tid"), 1, 16).as("template_id"),
+        col("n_docs"), col("n_texts"), col("template_len"),
+        col("template_prefix"))
+      .orderBy("rnk")
+  }
+
   val all: Seq[Q] = Seq(
+    docTemplateDetect,
     textLengthLognormal, dedupCdc,
     dedupExact, dedupPrefix, dedupBow, dedupNgramJaccard, dedupContainment,
     dedupComponents, dedupKeepBest,

@@ -192,4 +192,25 @@ class PrivacySpec extends AnyFunSuite {
       assert(sec.filter(!col("sample").startsWith("AKIA")).count() === 0)
     } finally sec.unpersist()
   }
+
+  test("pii_pseudonymize: stable join-preserving surrogates, collision audit clean") {
+    val out = Privacy.piiPseudonymize.fn(spark, sfDir).cache()
+    try {
+      // every class present, at most 20 rows per class
+      val perClass = out.groupBy("class").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perClass.keySet === Set("email", "account", "ref"))
+      assert(perClass.values.forall(_ <= 20))
+      // the collision audit must be clean on the generated release: one
+      // raw identity per pseudonym (join-preserving by construction)
+      assert(out.filter(col("n_identities") =!= 1L).count() === 0)
+      // pseudonyms are the stable keyed surrogate shape
+      assert(out.filter(!col("pseudonym").rlike("^p_[0-9a-f]{16}$")).count() === 0)
+      // determinism of the map: a second run yields the identical table
+      val again = Privacy.piiPseudonymize.fn(spark, sfDir)
+      assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+      // doc spread can never exceed occurrences
+      assert(out.filter(col("n_docs") > col("n_occurrences")).count() === 0)
+    } finally out.unpersist()
+  }
 }

@@ -458,4 +458,39 @@ class TextDedupSpec extends AnyFunSuite {
         "identical texts published different chunk stats")
     } finally out.unpersist()
   }
+
+  test("doc_template_detect: skeleton grouping finds number-only variants") {
+    // 3 docs sharing one skeleton (digits differ), 2 exact twins of a
+    // second skeleton, 1 singleton — top template must be the 3-variant
+    // group with n_texts = 3, the twin group has n_texts = 1
+    val df = Seq(
+      (1L, "price is 10 dollars for order 111"),
+      (2L, "price is 25 dollars for order 94"),
+      (3L, "price is 7 dollars for order 120005"),
+      (4L, "hello world"),
+      (5L, "hello world"),
+      (6L, "something else entirely")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("tdd_docs")
+    val t = df.select(col("doc_id"),
+        regexp_replace(col("text"), "[0-9]+", "#").as("tpl"))
+      .groupBy("tpl").agg(countDistinct("doc_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t("price is # dollars for order #") === 3L)
+    assert(t("hello world") === 2L)
+    // and the published op on the real corpus: rnk is dense from 1, doc
+    // counts are non-increasing, and a template never has more distinct
+    // raw texts than documents
+    val out = TextOps.docTemplateDetect.fn(spark, "/root/testdata/sf0.001")
+      .cache()
+    try {
+      val rows = out.collect()
+      assert(rows.map(_.getAs[Long]("rnk")).toSeq === (1L to rows.length))
+      val counts = rows.map(_.getAs[Long]("n_docs")).toSeq
+      assert(counts === counts.sortBy(-_))
+      assert(rows.forall(r =>
+        r.getAs[Long]("n_texts") <= r.getAs[Long]("n_docs")))
+      assert(rows.forall(r =>
+        r.getAs[String]("template_id").matches("[0-9a-f]{16}")))
+    } finally out.unpersist()
+  }
 }
