@@ -1468,14 +1468,20 @@ object CorpusOps {
       |ORDER BY cell.passed, cell.bucket""".stripMargin) { (s, d) =>
     val j = qualityFilter.fn(s, d).select("doc_id", "passed")
       .join(pplDocBuckets(s, d).select("doc_id", "bucket"), Seq("doc_id"))
+    // marginals via windows over the ≤2x|buckets|-row AGGREGATE — three
+    // separate agg+broadcast hops here were pure sequential job chain
+    // (the tok_unigram chain-depth lesson; the frame is bucket-bounded)
+    val allW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cell = j.groupBy("passed", "bucket")
       .agg(count(lit(1)).cast("long").as("n_docs"))
-    val gr = cell.groupBy("passed").agg(sum("n_docs").cast("long").as("n_group"))
-    val gb = cell.groupBy("bucket").agg(sum("n_docs").cast("long").as("n_bucket"))
-    val tot = cell.agg(sum("n_docs").cast("long").as("n"))
-    cell.join(broadcast(gr), Seq("passed"))
-      .join(broadcast(gb), Seq("bucket"))
-      .crossJoin(broadcast(tot))
+      .withColumn("n_group",
+        sum("n_docs").over(Window.partitionBy("passed")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n_bucket",
+        sum("n_docs").over(Window.partitionBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n", sum("n_docs").over(allW))
+    cell
       .select(col("passed"), col("bucket"), col("n_docs"),
         round(lit(1.0) * col("n_docs") / col("n_group"), 4)
           .as("share_within_verdict"),

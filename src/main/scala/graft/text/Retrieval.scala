@@ -147,7 +147,7 @@ object Retrieval {
          |      FROM sc)
          |SELECT query_id, rnk, doc_id, score FROM r
          |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
-      val (_, topk) = bm25Machine(s, d)
+      val (_, topk, _) = bm25Machine(s, d)
       topk.orderBy("query_id", "rnk")
     }
   }
@@ -158,7 +158,8 @@ object Retrieval {
     * over the SAME tf table — composed from the live machinery so the
     * audit cannot drift from what the serve path returns (the ann_recall
     * discipline). */
-  private def bm25Machine(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def bm25Machine(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val qt = bm25Queries
       .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
@@ -190,7 +191,7 @@ object Retrieval {
         Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rnk") <= TopK)
       .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
-    (tf, topk)
+    (tf, topk, stats)
   }
 
   /** Retrieval-quality audit of the BM25 serve path against a
@@ -256,7 +257,7 @@ object Retrieval {
          |        LEFT JOIN hit ON qn.query_id = hit.query_id
          |ORDER BY qn.query_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val (tf, topk) = bm25Machine(s, d)
+      val (tf, topk, _) = bm25Machine(s, d)
       val qt = bm25Queries
         .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
         .toDF("query_id", "term")
@@ -610,7 +611,7 @@ object Retrieval {
          |SELECT query_id, fused_rank, doc_id, rrf_score, sparse_rnk, dense_rnk
          |FROM fr WHERE fused_rank <= $TopK
          |ORDER BY query_id, fused_rank""".stripMargin) { (s, d) =>
-      val (_, topk) = bm25Machine(s, d)
+      val (_, topk, _) = bm25Machine(s, d)
       val sk = topk.select(col("query_id").cast("long").as("query_id"),
         col("doc_id"), col("rnk").cast("long").as("sparse_rnk"))
       val e = graft.Tables.embeddings(s, d)
@@ -755,7 +756,7 @@ object Retrieval {
         |FROM j JOIN cfg ON j.cfg_id = cfg.cfg_id
         |GROUP BY 1, 2, 3 ORDER BY cfg.cfg_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val (tf, _) = bm25Machine(s, d)
+      val (tf, _, _) = bm25Machine(s, d)
       val qt = bm25Queries
         .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
         .toDF("query_id", "term")
@@ -877,18 +878,27 @@ object Retrieval {
          |  ON o.query_id = r2.query_id AND o.doc_id = r2.doc_id
          |WHERE r2.rnk <= $TopK ORDER BY r2.query_id, r2.rnk""".stripMargin) { (s, d) =>
       import s.implicits._
-      val (tf, topk) = bm25Machine(s, d)
+      val (tf, topk0, stats) = bm25Machine(s, d)
+      // the serve ranking is read twice (feedback docs + the entered_topk
+      // join) and the expansion chain is ~10 sequential jobs deep — pin
+      // the <=|q|*k-row frame so the second read is a cache hit, not a
+      // second corpus pass (the tok_unigram chain-depth lesson)
+      val topk = topk0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qt = bm25Queries
         .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
         .toDF("query_id", "term")
-      val stats = docs(s, d)
-        .select(size(split(col("text"), " ")).as("dl"))
-        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
       val fb = topk.filter(col("rnk") <= 3).select(col("query_id"), col("doc_id"))
       val fbw = tf.join(broadcast(fb), Seq("doc_id"))
         .groupBy("query_id", "term").agg(sum("tf").cast("long").as("fbw"))
-      val cd = tf.join(broadcast(fbw.select("term").distinct()), Seq("term"))
+      // ONE df pass serves both readers: cd (feedback-term idf for the
+      // expansion rank) and dft2 (the re-score) — exq's terms are a
+      // subset of fbw-terms ∪ query-terms by construction, so separate
+      // cd/dft2 passes would scan tf twice for the same counts
+      val dfAll = tf.join(
+          broadcast(fbw.select("term").unionByName(qt.select("term")).distinct()),
+          Seq("term"))
         .groupBy("term").agg(count(lit(1)).as("df"))
+      val cd = dfAll
       val exW = Window.partitionBy("query_id")
         .orderBy(round(col("fbw") * log(lit(1.0) * col("n_docs") / col("df")), 6).desc,
           col("term"))
@@ -899,8 +909,7 @@ object Retrieval {
         .filter(col("rn") <= 2)
         .select(col("query_id"), col("term"), lit(0.5).as("qw"))
       val exq = qt.withColumn("qw", lit(1.0)).unionByName(ex)
-      val dft2 = tf.join(broadcast(exq.select("term").distinct()), Seq("term"))
-        .groupBy("term").agg(count(lit(1)).as("df"))
+      val dft2 = dfAll
       val c2 = tf.join(broadcast(exq), Seq("term"))
         .join(broadcast(dft2), Seq("term"))
         .crossJoin(broadcast(stats))
