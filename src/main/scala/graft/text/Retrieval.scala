@@ -756,16 +756,13 @@ object Retrieval {
         |FROM j JOIN cfg ON j.cfg_id = cfg.cfg_id
         |GROUP BY 1, 2, 3 ORDER BY cfg.cfg_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val (tf, _, _) = bm25Machine(s, d)
+      val (tf, _, stats) = bm25Machine(s, d)
       val qt = bm25Queries
         .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
         .toDF("query_id", "term")
       val qTerms = bm25Queries.flatMap(_._2).distinct.toDF("term")
       val cfg = cfgRows.map { case (id, k1v, bv) => (id, k1v.toDouble, bv.toDouble) }
         .toDF("cfg_id", "k1v", "bv")
-      val stats = docs(s, d)
-        .select(size(split(col("text"), " ")).as("dl"))
-        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
       val dft = tf.join(broadcast(qTerms), Seq("term"))
         .groupBy("term").agg(count(lit(1)).as("df"))
       val top = tf.join(broadcast(qt), Seq("term"))
@@ -780,6 +777,10 @@ object Retrieval {
           .orderBy(col("score").desc, col("doc_id"))))
         .filter(col("rnk") <= TopK)
         .select("cfg_id", "query_id", "doc_id", "rnk")
+        // read twice (the cfg_id=1 baseline + the overlap join) — pin the
+        // <=|cfg|*|q|*k-row frame so the score chain runs once (the
+        // tok_unigram chain-depth lesson)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val base = top.filter(col("cfg_id") === 1)
         .select(col("query_id"), col("doc_id"),
           col("rnk").as("brnk"))
