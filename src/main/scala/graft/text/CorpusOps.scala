@@ -184,6 +184,83 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Per-(source, rule) failure matrix over the quality battery — the
+    * provenance view of [[qualityFilter]]: which SOURCE fails which RULE,
+    * each cell with its fail rate and the lift against the corpus-wide
+    * rate for that rule (lift ≫ 1 = the rule concentrates in that feed —
+    * the first table a curation run reads before deciding whether to fix
+    * a source-specific extractor or drop the feed; NULL lift = the rule
+    * fires nowhere corpus-wide). Thresholds and predicates are the
+    * qualityFilter strings verbatim — the matrix can never drift from
+    * the gate it explains.
+    *
+    * Scale: the rule battery is text-pure, so flags compute once per
+    * DISTINCT text (the collapse default) and join back through the
+    * 128-bit tkey to the pruned (doc_id, source) scan; the aggregate is
+    * |sources|-bounded, corpus-wide totals ride an unpartitioned window
+    * over it (the chain-depth discipline), and the rule unpivot explodes
+    * on the bounded frame — one corpus pass, bounded everything after. */
+  val qualitySourceMatrix: Q = {
+    val duckRows = ruleFlags.map { case (n, _) =>
+      s"""SELECT source, '$n' AS rule, n_docs, $n AS n_failed,
+         |    tot_docs, tot_$n AS tot_failed FROM t""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    Q.sql(
+      "quality_source_matrix",
+      s"""WITH f AS (
+        |  SELECT doc_id, source,
+        |    $duckQualityFeatures
+        |  FROM documents),
+        |r AS (SELECT source,
+        |    $duckFlagExprs
+        |  FROM f),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    ${ruleFlags.map { case (n, _) =>
+               s"CAST(sum($n) AS BIGINT) AS $n" }.mkString(",\n    ")}
+        |  FROM r GROUP BY source),
+        |t AS (SELECT source, n_docs,
+        |    ${ruleFlags.map(_._1).mkString(", ")},
+        |    sum(n_docs) OVER () AS tot_docs,
+        |    ${ruleFlags.map { case (n, _) =>
+               s"sum($n) OVER () AS tot_$n" }.mkString(",\n    ")}
+        |  FROM g)
+        |SELECT source, rule, n_docs, CAST(n_failed AS BIGINT) AS n_failed,
+        |  round(1.0 * n_failed / n_docs, 4) AS fail_rate,
+        |  round(1.0 * tot_failed / tot_docs, 4) AS corpus_rate,
+        |  round((1.0 * n_failed / n_docs)
+        |    / nullif(1.0 * tot_failed / tot_docs, 0), 4) AS lift
+        |FROM ($duckRows)
+        |ORDER BY source, rule""".stripMargin) { (s, d) =>
+      val keyedSrc = docs(s, d).select(col("doc_id"), col("source"),
+        graft.Hash128.key128(col("text")).as("tkey"))
+      val (_, dist) = distinctTexts(s, d)
+      val per = withQualityFlags(dist)
+        .select(col("tkey") +: ruleFlags.map(f => col(f._1)): _*)
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val g = keyedSrc.join(per, Seq("tkey"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          ruleFlags.map { case (n, _) => sum(col(n)).cast("long").as(n) }: _*)
+      val t = ruleFlags.foldLeft(g.withColumn("tot_docs", sum("n_docs").over(w))) {
+        case (df, (n, _)) => df.withColumn(s"tot_$n", sum(col(n)).over(w))
+      }
+      val rows = t.select(col("source"),
+        explode(array(ruleFlags.map { case (n, _) =>
+          struct(lit(n).as("rule"), col("n_docs"), col(n).as("n_failed"),
+            col("tot_docs"), col(s"tot_$n").as("tot_failed"))
+        }: _*)).as("c"))
+        .select(col("source"), col("c.rule"), col("c.n_docs"),
+          col("c.n_failed").cast("long").as("n_failed"),
+          round(lit(1.0) * col("c.n_failed") / col("c.n_docs"), 4).as("fail_rate"),
+          round(lit(1.0) * col("c.tot_failed") / col("c.tot_docs"), 4)
+            .as("corpus_rate"),
+          round((lit(1.0) * col("c.n_failed") / col("c.n_docs"))
+            / nullif(lit(1.0) * col("c.tot_failed") / col("c.tot_docs"), lit(0.0)), 4)
+            .as("lift"))
+      rows.orderBy("source", "rule")
+    }
+  }
+
   // -------------------------------------------------- decontamination --
 
   /** Train/eval contamination sweep: flags corpus documents sharing any
@@ -3423,7 +3500,8 @@ object CorpusOps {
 
   val all: Seq[Q] = Seq(
     sampleStratified, docRepetitionTopn,
-    docRepetition, qualityFilter, decontaminate, corpusMix, corpusTemperature,
+    docRepetition, qualityFilter, qualitySourceMatrix, decontaminate,
+    corpusMix, corpusTemperature,
     tokenHistogram, packSequences, packEfficiency, corpusFunnel, corpusSplit,
     corpusPerplexity, boilerplateNgrams, vocabGrowth, oovRate, zipfFit,
     corpusReport, epochPlan, splitLeakage, ngramNovelty, sampleWeighted,

@@ -1006,4 +1006,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       if (b < 0) assert(r.getAs[Long]("n_nb_pass") === 0L)
     }
   }
+
+
+  test("quality_source_matrix: cells reconcile with quality_filter, lift sane") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = graft.text.CorpusOps.all.find(_.name == "quality_source_matrix").get
+      .fn(spark, sfDir).cache()
+    try {
+      val rows = out.collect()
+      // |sources| x |rules| dense grid, every source carries all 4 rules
+      val bys = rows.groupBy(_.getAs[String]("source"))
+      assert(bys.values.forall(_.length === 4))
+      // per-rule corpus totals reconcile with the per-doc gate's flags
+      val qf = graft.text.CorpusOps.all.find(_.name == "quality_filter").get
+        .fn(spark, sfDir)
+      val gateTotals = qf.agg(
+        sum("r_too_short"), sum("r_repetitive"), sum("r_word_len"),
+        sum("r_no_stopword")).head()
+      val matTotals = rows.groupBy(_.getAs[String]("rule"))
+        .view.mapValues(_.map(_.getAs[Long]("n_failed")).sum).toMap
+      assert(matTotals("r_too_short") === gateTotals.getLong(0))
+      assert(matTotals("r_repetitive") === gateTotals.getLong(1))
+      assert(matTotals("r_word_len") === gateTotals.getLong(2))
+      assert(matTotals("r_no_stopword") === gateTotals.getLong(3))
+      // rates in [0,1]; lift NULL only when the rule fires nowhere
+      assert(rows.forall { r =>
+        val fr = r.getAs[Double]("fail_rate"); fr >= 0.0 && fr <= 1.0 })
+      assert(rows.forall { r =>
+        !r.isNullAt(r.fieldIndex("lift")) ||
+          r.getAs[Double]("corpus_rate") == 0.0 })
+    } finally out.unpersist()
+  }
 }
