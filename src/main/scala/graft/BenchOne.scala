@@ -17,10 +17,18 @@ object BenchOne {
     @volatile var memSpill = 0L
     @volatile var diskSpill = 0L
     @volatile var peakMem = 0L
+    @volatile var jobs = 0L
+    @volatile var stages = 0L
+    @volatile var tasks = 0L
+    override def onJobStart(
+        e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      synchronized { jobs += 1 }
     override def onStageCompleted(
         e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val m = e.stageInfo.taskMetrics
       if (m != null) synchronized {
+        stages += 1
+        tasks += e.stageInfo.numTasks
         shuffleRead += m.shuffleReadMetrics.totalBytesRead
         shuffleWrite += m.shuffleWriteMetrics.bytesWritten
         memSpill += m.memoryBytesSpilled
@@ -62,7 +70,8 @@ object BenchOne {
       println(s"""{"metrics":"$name","shuffle_read_bytes":${l.shuffleRead},""" +
         s""""shuffle_write_bytes":${l.shuffleWrite},""" +
         s""""memory_spill_bytes":${l.memSpill},"disk_spill_bytes":${l.diskSpill},""" +
-        s""""peak_execution_memory":${l.peakMem},"reps":$reps}""")
+        s""""peak_execution_memory":${l.peakMem},"jobs":${l.jobs},""" +
+        s""""stages":${l.stages},"tasks":${l.tasks},"reps":$reps}""")
     }
     spark.stop()
   }

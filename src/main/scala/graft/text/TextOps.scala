@@ -473,27 +473,48 @@ object TextOps {
     val edges = bowEdges.union(preEdges).union(jacEdges)
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
-    var lab = sym.select(col("a").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 12) {
-      val neigh = sym.join(lab, col("a") === col("doc_id"))
-        .select(col("b").as("doc_id"), col("label"))
-        .union(lab)
-        .groupBy("doc_id").agg(min("label").as("label"))
+    // Round 1 folded: with identity labels, label(a) IS a, so the first
+    // propagate+jump needs no label table at all — min over incoming
+    // neighbor ids ∪ self straight off the edge list. Skips the init
+    // distinct, one sym⋈lab join, and the convergence count (round 1
+    // always moves labels on any non-empty edge set). The loop is
+    // overhead-bound, not byte-bound: every stage saved here is wall
+    // clock at ANY scale because frames stay tiny relative to the corpus.
+    def jump(neigh: DataFrame): DataFrame =
       // pointer jump: labels are themselves node ids, so one more join
       // resolves label(label(v)) and halves the remaining diameter
-      val jumped = neigh
+      neigh
         .join(neigh.select(col("doc_id").as("__l"), col("label").as("__ll")),
           col("label") === col("__l"), "left")
-        .select(col("doc_id"), coalesce(col("__ll"), col("label")).as("label"))
+        .select(col("doc_id"), coalesce(col("__ll"), col("label")).as("label"),
+          col("old_label"))
         .localCheckpoint()
-      changed = jumped.join(lab.withColumnRenamed("label", "old_label"), Seq("doc_id"))
-        .filter(col("label") < col("old_label")).count()
+    val neigh1 = sym.select(col("b").as("doc_id"), col("a").as("label"))
+      .union(sym.select(col("b").as("doc_id"), col("b").as("label")))
+      .groupBy("doc_id").agg(min("label").as("label"))
+      .withColumn("old_label", col("doc_id"))
+    var lab = jump(neigh1)
+    var changed = 1L
+    var rounds = 1
+    while (changed > 0 && rounds < 12) {
+      // old_label rides the aggregation (each doc contributes exactly one
+      // self row, so min(old_label) is its previous label): convergence
+      // is then a one-stage scan of the checkpointed frame instead of a
+      // separate jumped⋈lab join job per round
+      val neigh = sym.join(lab.select(col("doc_id"), col("label")),
+          col("a") === col("doc_id"))
+        .select(col("b").as("doc_id"), col("label"),
+          lit(null).cast("long").as("old_label"))
+        .union(lab.select(col("doc_id"), col("label"),
+          col("label").as("old_label")))
+        .groupBy("doc_id")
+        .agg(min("label").as("label"), min("old_label").as("old_label"))
+      val jumped = jump(neigh)
+      changed = jumped.filter(col("label") < col("old_label")).count()
       lab = jumped
       rounds += 1
+      if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+        System.err.println(s"[componentLabels] round $rounds changed=$changed")
     }
     // a graph needing more rounds must fail loudly, not return silently
     // non-converged components that diverge from the transitive closure
@@ -502,7 +523,7 @@ object TextOps {
         s"dedup_components: label propagation hit the $rounds-round cap " +
           s"with $changed labels still moving — graph diameter exceeds 2^$rounds")
     docs(s, d).select(col("doc_id"))
-      .join(lab, Seq("doc_id"), "left")
+      .join(lab.select(col("doc_id"), col("label")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("component"))
   }
 
