@@ -92,7 +92,23 @@ object GraftFunctions {
       ((exprs: Seq[Expression]) => graft.text.ViterbiSegment(exprs(0), exprs(1))): Builder),
     (FunctionIdentifier("graft_from_scaled4_split"),
       new ExpressionInfo(classOf[FromScaledSplit].getName, "graft_from_scaled4_split"),
-      ((exprs: Seq[Expression]) => FromScaledSplit(exprs(0), exprs(1), 4)): Builder))
+      ((exprs: Seq[Expression]) => FromScaledSplit(exprs(0), exprs(1), 4)): Builder),
+    (FunctionIdentifier("graft_gram_stats"),
+      new ExpressionInfo(classOf[graft.text.GramStats].getName, "graft_gram_stats"),
+      ((exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_gram_stats expects (array<string>, n), got ${exprs.length} arguments")
+        if (!exprs(1).foldable)
+          throw new IllegalArgumentException(
+            "graft_gram_stats: n must be a literal integer")
+        graft.text.GramStats(exprs(0), exprs(1).eval() match {
+          case i: java.lang.Integer => i.intValue
+          case l: java.lang.Long if l == l.intValue.toLong => l.intValue
+          case other => throw new IllegalArgumentException(
+            s"graft_gram_stats: n must be a literal integer, got $other")
+        })
+      }): Builder))
 
   /** Idempotent runtime registration for externally-built sessions. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -128,17 +128,20 @@ object CorpusOps {
       |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
     // distinct-text collapse (the quality_nb pattern, and the same move
     // doc_repetition_topn made): the bigram stats are pure text
-    // functions — explode + both aggregates run once per distinct text,
-    // per-doc rows restored by the tkey map join
+    // functions — computed once per distinct text, per-doc rows restored
+    // by the tkey map join. The stats ride the native one-pass kernel
+    // (tot = sum of gram counts, dist = distinct grams, best = max
+    // frequency — exactly the explode → groupBy(gram) → groupBy(tkey)
+    // chain this replaces, minus its two gram-string exchanges). Docs
+    // with fewer than 2 words produce no bigrams and are absent from the
+    // former inner join — the tot > 0 filter reproduces that dropout.
     val (keyed, dist) = distinctTexts(s, d)
     val per = dist
       .select(col("tkey"), split(col("text"), " ").as("ws"))
-      .select(col("tkey"), explode(expr(bigramExpr("ws"))).as("gram"))
-      .groupBy("tkey", "gram").agg(count(lit(1)).as("c"))
-      .groupBy("tkey").agg(
-        sum("c").as("n_bigrams"),
-        count(lit(1)).as("n_distinct_bigrams"),
-        max("c").as("max_freq"))
+      .select(col("tkey"), expr("graft_gram_stats(ws, 2)").as("st"))
+      .filter(col("st.tot") > 0)
+      .select(col("tkey"), col("st.tot").as("n_bigrams"),
+        col("st.dist").as("n_distinct_bigrams"), col("st.best").as("max_freq"))
     keyed.join(per, Seq("tkey"))
       .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"), col("max_freq"),
         round(lit(1.0) * (col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams"), 4)
@@ -3461,25 +3464,16 @@ object CorpusOps {
          |  coalesce(max(CASE WHEN n = 10 THEN round(1.0 * (tot - dist) / tot, 4) END), 0.0)
          |    AS dup10_ratio
          |FROM a GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      // per-family stats in ONE fold over the sorted gram array: `nruns`
-      // counts run starts (= distinct grams), `best` tracks the longest
-      // run (= top gram frequency); `<=>` so the first element compares
-      // false against the null seed
-      def famStats(n: Int): String = {
-        val g = s"graft_shingles(ws, $n)"
-        s"""named_struct('tot', size($g), 'st', aggregate(array_sort($g),
-          named_struct('cur', CAST(NULL AS STRING), 'run', 0, 'best', 0, 'nruns', 0),
-          (acc, x) -> named_struct(
-            'cur', x,
-            'run', IF(x <=> acc.cur, acc.run + 1, 1),
-            'best', GREATEST(acc.best, IF(x <=> acc.cur, acc.run + 1, 1)),
-            'nruns', acc.nruns + IF(x <=> acc.cur, 0, 1)),
-          acc -> named_struct('best', acc.best, 'nruns', acc.nruns)))"""
-      }
+      // per-family stats via the native one-pass kernel (tot = gram
+      // count, dist = distinct grams, best = top gram frequency) —
+      // replaces the interpreted aggregate(array_sort(...)) struct fold,
+      // which allocated a 4-field struct per gram outside codegen
+      // (NativeExprSpec pins the kernel equal to that fold)
+      def famStats(n: Int): String = s"graft_gram_stats(ws, $n)"
       def topRatio(c: String): String =
-        s"IF($c.tot = 0, 0.0e0, round(1.0 * $c.st.best / $c.tot, 4))"
+        s"IF($c.tot = 0, 0.0e0, round(1.0 * $c.best / $c.tot, 4))"
       def dupRatio(c: String): String =
-        s"IF($c.tot = 0, 0.0e0, round(1.0 * ($c.tot - $c.st.nruns) / $c.tot, 4))"
+        s"IF($c.tot = 0, 0.0e0, round(1.0 * ($c.tot - $c.dist) / $c.tot, 4))"
       val (keyed, dist) = distinctTexts(s, d)
       val perText = dist
         .select(col("tkey"), split(col("text"), " ").as("ws"))

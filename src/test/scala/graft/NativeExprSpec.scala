@@ -315,4 +315,57 @@ class NativeExprSpec extends AnyFunSuite {
     assert(java.lang.Double.doubleToLongBits(q.getDouble(0)) ===
       java.lang.Double.doubleToLongBits(q.getDouble(1)))
   }
+
+  test("graft_gram_stats ≡ the sorted-run HOF fold and the explode aggregation") {
+    registered()
+    // the interpreted fold graft_gram_stats replaced in doc_repetition_topn
+    def foldStats(n: Int): String =
+      s"""named_struct('tot', cast(size(graft_shingles(ws, $n)) as bigint),
+        'st', aggregate(array_sort(graft_shingles(ws, $n)),
+        named_struct('cur', CAST(NULL AS STRING), 'run', 0, 'best', 0, 'nruns', 0),
+        (acc, x) -> named_struct(
+          'cur', x,
+          'run', IF(x <=> acc.cur, acc.run + 1, 1),
+          'best', GREATEST(acc.best, IF(x <=> acc.cur, acc.run + 1, 1)),
+          'nruns', acc.nruns + IF(x <=> acc.cur, 0, 1)),
+        acc -> named_struct('best', cast(acc.best as bigint),
+                            'nruns', cast(acc.nruns as bigint))))"""
+    // crafted edges: shorter than n, exactly n, all-same, all-distinct,
+    // tie between two top grams, repeated block
+    val texts = Seq(
+      "a", "a b", "a b a b a b", "x y z w", "a a a a",
+      "p q p q r p q", "one two three one two three one two",
+      "t", "").toDF("text")
+      .withColumn("ws", split(col("text"), " "))
+    for (n <- Seq(2, 3, 4, 5, 10)) {
+      val both = texts
+        .withColumn("fast", expr(s"graft_gram_stats(ws, $n)"))
+        .withColumn("slow", expr(foldStats(n)))
+      val bad = both.filter(
+        !(col("fast.tot") <=> col("slow.tot")) ||
+        !(col("fast.dist") <=> col("slow.st.nruns")) ||
+        !(col("fast.best") <=> col("slow.st.best")))
+        .collect()
+      assert(bad.isEmpty, s"n=$n: ${bad.mkString("\n")}")
+    }
+    // and against the explode → groupBy(gram) → groupBy() aggregation the
+    // doc_repetition shape replaced, on the real sf0.001 corpus (bigrams)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val viaExplode = docs
+      .select(col("doc_id"), explode(expr("graft_shingles(ws, 2)")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("tot"),
+        count(lit(1)).as("dist"), max("c").as("best"))
+    val viaKernel = docs
+      .select(col("doc_id"), expr("graft_gram_stats(ws, 2)").as("st"))
+      .filter(col("st.tot") > 0)
+      .select(col("doc_id"), col("st.tot").as("tot"),
+        col("st.dist").as("dist"), col("st.best").as("best"))
+    val nbad = viaKernel.join(viaExplode, Seq("doc_id"), "full_outer")
+      .filter(!(viaKernel("tot") <=> viaExplode("tot")) ||
+        !(viaKernel("dist") <=> viaExplode("dist")) ||
+        !(viaKernel("best") <=> viaExplode("best"))).count()
+    assert(nbad === 0L)
+  }
 }
