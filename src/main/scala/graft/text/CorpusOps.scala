@@ -2984,11 +2984,16 @@ object CorpusOps {
     val r = f.groupBy("b").agg(sum("c").cast("long").as("cr"))
     val tg = f.filter(col("lang") === "en")
       .groupBy("b").agg(sum("c").cast("long").as("ct"))
-    val tot = r.agg(sum("cr").cast("long").as("tr"))
-      .crossJoin(tg.agg(coalesce(sum("ct"), lit(0L)).cast("long").as("tt")))
+    // corpus totals tr/tt ride unpivoted windows over the ≤ B-row bucket
+    // frame (the unigram-rewrite lesson: a bounded aggregate's total is a
+    // window column, not a separate agg → broadcast hop) — same exact
+    // integer sums the former 2-agg crossJoin produced
+    val allW = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     val lam = r.join(tg, Seq("b"), "left")
       .na.fill(0L, Seq("ct"))
-      .crossJoin(broadcast(tot))
+      .withColumn("tr", sum("cr").over(allW).cast("long"))
+      .withColumn("tt", sum("ct").over(allW).cast("long"))
       .select(col("b"), expr(dsirLamFormula).cast("decimal(18,6)").as("lam"))
     val d2 = f.join(broadcast(lam), Seq("b"))
       .groupBy("doc_id", "lang")
@@ -3242,14 +3247,19 @@ object CorpusOps {
         .cast("long").as("c1"),
       sum(when(col("heur_pass") === 0, col("c") * col("m_train")).otherwise(0L))
         .cast("long").as("c0"))
-    val tot = cb.agg(sum("c1").cast("long").as("t1"),
-        sum("c0").cast("long").as("t0"))
-      .crossJoin(lab.agg(
-        sum(when(col("heur_pass") === 1, col("m_train")).otherwise(0L)).as("n1"),
-        sum(when(col("heur_pass") === 0, col("m_train")).otherwise(0L)).as("n0")))
-    val w = cb.crossJoin(broadcast(tot))
+    // class totals t1/t0 ride unpartitioned windows over the ≤ 2·B-row
+    // bucket frame instead of a separate agg → crossJoin hop (the
+    // unigram-rewrite lesson); the prior only needs the doc-count side
+    val allW = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val labAgg = lab.agg(
+      sum(when(col("heur_pass") === 1, col("m_train")).otherwise(0L)).as("n1"),
+      sum(when(col("heur_pass") === 0, col("m_train")).otherwise(0L)).as("n0"))
+    val w = cb
+      .withColumn("t1", sum("c1").over(allW).cast("long"))
+      .withColumn("t0", sum("c0").over(allW).cast("long"))
       .select(col("b"), expr(nbWeightFormula).cast("decimal(18,6)").as("w"))
-    val pri = tot.select(
+    val pri = labAgg.select(
       (expr(nbPriorFormula).cast("decimal(18,6)") * 1000000)
         .cast("long").as("pw_micro"))
     // per-TEXT score and token mass (the same decimal-exact fold the
