@@ -1195,12 +1195,20 @@ class PlanShapeSpec extends AnyFunSuite {
     df.collect()
     // the calibration pass must not add exchanges beyond quality_nb's own
     // shape — its only work is a partial-aggregating groupBy on the
-    // <=11-value margin bucket (and no window: a global ntile would
-    // funnel the corpus through one partition)
+    // <=11-value margin bucket. Global (unpartitioned) windows are only
+    // legal on BOUNDED post-aggregation frames (quality_nb's class totals
+    // ride one over the <=2·(B+60)-row bucket table): a global window
+    // whose input is raw corpus rows would funnel the feed through one
+    // partition, so every window here must sit above an Aggregate.
     val wins = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(wins.isEmpty, "quality_calibration grew a window")
+    wins.foreach { w =>
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined,
+        s"quality_calibration window consumes a non-aggregated (corpus-sized) input: $w")
+    }
     assert(!finalPlan(df).toString.contains("CartesianProduct"))
     spark.catalog.clearCache()
   }
