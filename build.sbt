@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST JSON line of `sbt "runMain graft.Bench"`.
+// With the default LoggedOutput strategy sbt prefixes every forked-stdout
+// line with "[info] ", which broke that parse silently for rounds 10-13
+// (BENCH_rNN.json "parsed": null). StdoutOutput passes the child's stdout
+// through verbatim, so Bench's one-line summary JSON reaches the driver
+// bare. (Bench additionally writes bench_summary.json as a file-based
+// fallback.)
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

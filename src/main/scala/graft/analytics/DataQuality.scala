@@ -174,21 +174,30 @@ object DataQuality {
     * double expression per pair). All 4 variables × 6 pairs come out of
     * a single aggregate row, unpivoted executor-side.
     *
-    * Arithmetic lane (round 13): the monetary inputs are 2-decimal, so
-    * each converts ONCE per row to a scale-2 long (`graft_to_scaled2` —
-    * the exact unscaled of `CAST(x AS DECIMAL(38,2))`) and every moment
-    * is pure long arithmetic inside whole-stage codegen: Σx lanes sum
-    * the scale-2 longs directly (price tops out ~1.1e7 unscaled → no
-    * overflow through ~8e11 rows), Σx²/Σxy lanes carry the EXACT scale-4
-    * product (≤1.2e14, fits a long) split hi/lo at base 1e9 so each
-    * `sum(long)` stays in capacity to ~6e9 rows — past that ANSI sum
-    * overflow is loud. The previous fourteen `DECIMAL(38,8)` sum lanes
-    * ran interpreted (wide-decimal agg buffers blow the codegen budget)
-    * and scaled superlinearly on CPU; the long lanes restore primitive
-    * buffers and codegen while the DuckDB oracle computes the same exact
-    * sums as decimals — the edge conversions (`graft_from_scaled2` /
-    * `graft_from_scaled4_split`, single correctly-rounded BigDecimal →
-    * double steps) are pinned lane-equal in NativeExprSpec. */
+    * Arithmetic lane (round 13, capacity reworked round 14): the monetary
+    * inputs are 2-decimal, so each converts ONCE per row to a scale-2
+    * long (`graft_to_scaled2` — the exact unscaled of
+    * `CAST(x AS DECIMAL(38,2))`) and every moment is pure long arithmetic
+    * inside whole-stage codegen: Σx lanes sum the scale-2 longs directly,
+    * Σx²/Σxy lanes carry the EXACT scale-4 product (≤1.2e14 for these
+    * columns, fits a long) split hi/lo at base 1e7 so BOTH split lanes
+    * carry ≤~1.2e7 per row — every `sum(long)` stays inside long capacity
+    * to ~7.7e11 input rows, which covers a 100 TB lineitem (~6e11 rows).
+    * `spark.sql.ansi.enabled` is OFF in this engine, so `sum(long)` would
+    * WRAP SILENTLY past capacity — the loud posture therefore comes from
+    * an explicit guard computed in the same aggregate: max(abs(x)) lanes
+    * bound the worst per-row addend exactly, and the single post-agg row
+    * raises an error (`raise_error`) when either (a) n × worst-addend
+    * approaches Long.MaxValue for any sum lane, or (b) any per-row
+    * product max_a×max_b itself approaches Long.MaxValue. The guard is
+    * exercised past the bound in NativeExprSpec. The previous fourteen
+    * `DECIMAL(38,8)` sum lanes ran interpreted (wide-decimal agg buffers
+    * blow the codegen budget) and scaled superlinearly on CPU; the long
+    * lanes restore primitive buffers and codegen while the DuckDB oracle
+    * computes the same exact sums as decimals — the edge conversions
+    * (`graft_from_scaled2` / `graft_from_scaled4_split`, single
+    * correctly-rounded BigDecimal → double steps) are pinned lane-equal
+    * in NativeExprSpec. */
   val qMeasureCorrelations: Q = {
     val vars = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
       "disc" -> "l_discount", "tax" -> "l_tax")
@@ -221,30 +230,74 @@ object DataQuality {
         |  $rowsSql)
         |ORDER BY pair""".stripMargin) { (s, d) =>
       graft.GraftFunctions.ensureRegistered(s)
-      val proj = Tables.lineitem(s, d).select(
-        vars.map { case (k, c) =>
-          call_function("graft_to_scaled2", col(c)).as(s"x_$k") }: _*)
-      val aggs =
-        vars.map { case (k, _) => sum(col(s"x_$k")).as(s"l_$k") } ++
-        prods.flatMap { case (a, b) =>
-          Seq(sum(expr(s"(x_$a * x_$b) div 1000000000")).as(s"h_${a}_$b"),
-            sum(expr(s"(x_$a * x_$b) % 1000000000")).as(s"g_${a}_$b"))
-        }
-      val agg = proj.agg(count(lit(1)).cast("double").as("n"), aggs: _*)
-      val a = agg.select(col("n") +: (
-        vars.map { case (k, _) =>
-          call_function("graft_from_scaled2", col(s"l_$k")).as(s"s_$k") } ++
-        prods.map { case (x, y) =>
-          call_function("graft_from_scaled4_split",
-            col(s"h_${x}_$y"), col(s"g_${x}_$y")).as(s"s_${x}_$y") }): _*)
-      val structs = pairs.map { case (x, y) =>
-        s"struct('${x}_x_$y' as pair, n as n_rows, ${rExpr(x, y)} as r)"
-      }.mkString(", ")
-      a.select(expr(s"explode(array($structs)) as p"))
-        .select(col("p.pair"),
-          col("p.n_rows").cast("long").as("n_rows"), col("p.r"))
-        .orderBy("pair")
+      correlationsFrom(Tables.lineitem(s, d))
     }
+  }
+
+  /** The correlation pipeline over any frame with the four measure
+    * columns — factored from [[qMeasureCorrelations]] so the overflow
+    * guard is testable past the capacity bound (the bound needs ~8e11
+    * rows through the real table, but only a crafted max|x| here). */
+  private[graft] def correlationsFrom(li: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val vars = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount", "tax" -> "l_tax")
+    val pairs = for {
+      ((a, _), i) <- vars.zipWithIndex
+      (b, _) <- vars.drop(i + 1)
+    } yield (a, b)
+    val prods = vars.map { case (k, _) => (k, k) } ++ pairs
+    def rExpr(a: String, b: String) =
+      s"round((n * s_${a}_$b - s_$a * s_$b) / sqrt((n * s_${a}_$a - s_$a * s_$a)" +
+        s" * (n * s_${b}_$b - s_$b * s_$b)), 4)"
+    val proj = li.select(
+      vars.map { case (k, c) =>
+        call_function("graft_to_scaled2", col(c)).as(s"x_$k") }: _*)
+    // split base 1e7 balances the two product lanes: hi ≤ maxᵃmaxᵇ/1e7
+    // (~1.2e7 for these columns) and lo < 1e7 per row, so capacity is
+    // ~9.2e18 / 1.2e7 ≈ 7.7e11 rows on every lane — 100 TB fits; the
+    // guard below makes anything past that loud (ANSI is off: without
+    // it, sum(long) wraps silently)
+    val aggs =
+      vars.map { case (k, _) => sum(col(s"x_$k")).as(s"l_$k") } ++
+      prods.flatMap { case (a, b) =>
+        Seq(sum(expr(s"(x_$a * x_$b) div 10000000")).as(s"h_${a}_$b"),
+          sum(expr(s"(x_$a * x_$b) % 10000000")).as(s"g_${a}_$b"))
+      } ++
+      // exact worst-addend witnesses for the guard (primitive long max)
+      vars.map { case (k, _) => max(abs(col(s"x_$k"))).as(s"m_$k") }
+    val agg = proj.agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+    // Loud capacity guard, evaluated once on the single aggregate row.
+    // worstAddend bounds every per-row |addend| across all sum lanes
+    // (Σx: max|x|; lo: base−1; hi: max|a|·max|b|/base, +2.0 absorbs the
+    // div-vs-double rounding); worstProd bounds the raw scale-4 product,
+    // which must itself fit a long BEFORE the split. Both comparisons in
+    // double against 9.0e18 (< Long.MaxValue 9.223e18, 2.4% slack).
+    def m(k: String) = coalesce(col(s"m_$k").cast("double"), lit(0.0))
+    val base = 1e7
+    val worstAddend = greatest(
+      (vars.map { case (k, _) => m(k) } :+ lit(base - 1)) ++
+      prods.map { case (a, b) => m(a) / lit(base) * m(b) + lit(2.0) }: _*)
+    val worstProd = greatest(prods.map { case (a, b) => m(a) * m(b) }: _*)
+    val guardedN = when(
+      col("n") * worstAddend < lit(9.0e18) && worstProd < lit(9.0e18),
+      col("n")).otherwise(raise_error(lit(
+      "q_measure_correlations: scaled-long moment lanes past long capacity" +
+        " (n x worst per-row addend or a per-row product >= 9.0e18);" +
+        " re-split at a smaller base or widen the lanes")))
+    val a = agg.select(guardedN.as("n") +: (
+      vars.map { case (k, _) =>
+        call_function("graft_from_scaled2", col(s"l_$k")).as(s"s_$k") } ++
+      prods.map { case (x, y) =>
+        call_function("graft_from_scaled4_split",
+          col(s"h_${x}_$y"), col(s"g_${x}_$y")).as(s"s_${x}_$y") }): _*)
+    val structs = pairs.map { case (x, y) =>
+      s"struct('${x}_x_$y' as pair, n as n_rows, ${rExpr(x, y)} as r)"
+    }.mkString(", ")
+    a.select(expr(s"explode(array($structs)) as p"))
+      .select(col("p.pair"),
+        col("p.n_rows").cast("long").as("n_rows"), col("p.r"))
+      .orderBy("pair")
   }
 
   val all: Seq[Q] = Seq(dqProfile, dqConstraints, qMeasureCorrelations)

@@ -15,8 +15,11 @@ import org.apache.spark.sql.types._
   * sum ≤ 1 < 9.2 = Long.MaxValue at scale 18), the SAME integers fit a
   * primitive long lane: `graft_to_scaled18` emits exactly the unscaled
   * value `CAST(x AS DECIMAL(38,18))` would produce, `sum(long)` adds the
-  * unscaleds exactly as the decimal sum would (ANSI overflow = loud, and
-  * unreachable under the mass bound), and `graft_from_scaled18` reverses
+  * unscaleds exactly as the decimal sum would (overflow is unreachable:
+  * the addends are non-negative and every partial sum is ≤ the group's
+  * total mass ≤ 1 = 1e18 unscaled, nine-fold under capacity — NOT
+  * guarded by ANSI, which this engine leaves off; the to-scaled
+  * CONVERSION is loud via longValueExact), and `graft_from_scaled18` reverses
   * it with the same single correctly-rounded conversion
   * `CAST(DECIMAL(38,18) AS DOUBLE)` performs — so swapping the lane
   * cannot move any output bit (pinned in NativeExprSpec against the
@@ -94,12 +97,16 @@ case class FromScaled18(child: Expression) extends UnaryExpression {
   * can hold), products of two scale-2 longs are EXACT scale-4 integers
   * (a long holds them up to |xy| < 9.2e14 — price² tops out ~1.2e14),
   * and the split-lane reassembly `graft_from_scaled4_split(hi, lo)`
-  * converts `hi*1e9 + lo` at scale 4 back to DOUBLE in the same single
+  * converts `hi*1e7 + lo` at scale 4 back to DOUBLE in the same single
   * correctly-rounded BigDecimal step the decimal lane's
-  * `CAST(DECIMAL AS DOUBLE)` performs. The hi/lo split (base 1e9) keeps
-  * each `sum(long)` lane inside long capacity to ~6e9 input rows
-  * (hi ≤ 1.2e5/row, lo < 1e9/row); past that ANSI sum overflow is loud,
-  * never a silent wrap. */
+  * `CAST(DECIMAL AS DOUBLE)` performs. The hi/lo split (base 1e7,
+  * balanced so both lanes carry ≤~1.2e7/row for the monetary columns)
+  * keeps each `sum(long)` lane inside long capacity to ~7.7e11 input
+  * rows — a 100 TB lineitem (~6e11 rows) fits. NOTE: this engine runs
+  * with `spark.sql.ansi.enabled` OFF, so `sum(long)` past capacity would
+  * wrap SILENTLY — the loud posture is enforced by the caller-side guard
+  * in DataQuality.correlationsFrom (max|x| witness lanes + raise_error),
+  * not by ANSI. */
 case class ToScaledN(child: Expression, scale: Int) extends UnaryExpression {
 
   override def prettyName: String = s"graft_to_scaled$scale"
@@ -157,7 +164,7 @@ case class FromScaledN(child: Expression, scale: Int) extends UnaryExpression {
 }
 
 /** `graft_from_scaled4_split(hi, lo)` → DOUBLE: reassembles a split-lane
-  * unscaled sum (`hi*10⁹ + lo`, exact in BigInteger — the total may
+  * unscaled sum (`hi*10⁷ + lo`, exact in BigInteger — the total may
   * exceed long capacity) and converts at scale 4 in one correctly-rounded
   * step, identical to `CAST(sum(DECIMAL(38,4)) AS DOUBLE)` over the same
   * addends. Runs on the single aggregate output row only. */
@@ -175,7 +182,7 @@ case class FromScaledSplit(left: Expression, right: Expression, scale: Int)
         s"$prettyName expects (bigint, bigint), got $other")
     }
 
-  private val base = java.math.BigInteger.valueOf(1000000000L)
+  private val base = java.math.BigInteger.valueOf(10000000L)
 
   override protected def nullSafeEval(hi: Any, lo: Any): Any =
     new java.math.BigDecimal(
@@ -187,7 +194,7 @@ case class FromScaledSplit(left: Expression, right: Expression, scale: Int)
     nullSafeCodeGen(ctx, ev, (hi, lo) => s"""
        |${ev.value} = new java.math.BigDecimal(
        |  java.math.BigInteger.valueOf($hi)
-       |    .multiply(java.math.BigInteger.valueOf(1000000000L))
+       |    .multiply(java.math.BigInteger.valueOf(10000000L))
        |    .add(java.math.BigInteger.valueOf($lo)), $scale).doubleValue();
      """.stripMargin)
 

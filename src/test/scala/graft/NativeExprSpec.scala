@@ -298,8 +298,8 @@ class NativeExprSpec extends AnyFunSuite {
         col("x").cast("decimal(18,2)").as("xd"),
         col("y").cast("decimal(18,2)").as("yd"))
       .agg(
-        expr("graft_from_scaled4_split(sum((x2 * y2) div 1000000000), " +
-          "sum((x2 * y2) % 1000000000))").as("dL"),
+        expr("graft_from_scaled4_split(sum((x2 * y2) div 10000000), " +
+          "sum((x2 * y2) % 10000000))").as("dL"),
         expr("cast(sum(xd * yd) as double)").as("dD")).head()
     assert(java.lang.Double.doubleToLongBits(p.getDouble(0)) ===
       java.lang.Double.doubleToLongBits(p.getDouble(1)),
@@ -309,11 +309,54 @@ class NativeExprSpec extends AnyFunSuite {
       .select(expr("graft_to_scaled2(x)").as("x2"),
         col("x").cast("decimal(18,2)").as("xd"))
       .agg(
-        expr("graft_from_scaled4_split(sum((x2 * x2) div 1000000000), " +
-          "sum((x2 * x2) % 1000000000))").as("dL"),
+        expr("graft_from_scaled4_split(sum((x2 * x2) div 10000000), " +
+          "sum((x2 * x2) % 10000000))").as("dL"),
         expr("cast(sum(xd * xd) as double)").as("dD")).head()
     assert(java.lang.Double.doubleToLongBits(q.getDouble(0)) ===
       java.lang.Double.doubleToLongBits(q.getDouble(1)))
+  }
+
+  test("correlations capacity guard fails LOUDLY past the lane budget (ANSI is off)") {
+    registered()
+    // In-contract inputs pass and produce the normal 6-pair output
+    val ok = Seq(
+      (1.0, 949.13, 0.05, 0.02), (50.0, 104999.91, 0.1, 0.08),
+      (7.0, 0.01, 0.0, 0.0))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val rows = graft.analytics.DataQuality.correlationsFrom(ok).collect()
+    assert(rows.length === 6)
+    assert(rows.forall(_.getLong(1) === 3L))
+    // Past the budget the op must FAIL LOUDLY, never wrap: max|price|
+    // here is 6e10 → scale-2 unscaled 6e12 → per-row product 3.6e25 >>
+    // 9.2e18 (and n·worst-addend also blows). Two independent loud
+    // paths: ANSI (ON by default in Spark 4 — the session default, so
+    // the per-row multiply itself throws ARITHMETIC_OVERFLOW), and the
+    // op's own max|x|-witness guard, which still fires if a deployment
+    // disables ANSI (where multiply and sum(long) wrap SILENTLY).
+    val big = Seq(
+      (1.0, 6.0e10, 0.05, 0.02), (2.0, 6.0e10, 0.1, 0.08),
+      (3.0, 5.0e10, 0.0, 0.01))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) :: msgs(t.getCause)
+    val errAnsi = intercept[Exception] {
+      graft.analytics.DataQuality.correlationsFrom(big).collect()
+    }
+    assert(msgs(errAnsi).exists(m => m.contains("past long capacity")
+      || m.contains("ARITHMETIC_OVERFLOW") || m.contains("long overflow")),
+      errAnsi.toString)
+    // defense-in-depth leg: with ANSI off nothing else is loud — the
+    // guard must be
+    val ansiKey = "spark.sql.ansi.enabled"
+    val prevAnsi = spark.conf.get(ansiKey)
+    try {
+      spark.conf.set(ansiKey, "false")
+      val errGuard = intercept[Exception] {
+        graft.analytics.DataQuality.correlationsFrom(big).collect()
+      }
+      assert(msgs(errGuard).exists(_.contains("past long capacity")),
+        errGuard.toString)
+    } finally spark.conf.set(ansiKey, prevAnsi)
   }
 
   test("graft_gram_stats ≡ the sorted-run HOF fold and the explode aggregation") {
